@@ -1,0 +1,239 @@
+"""The resolve kernel — HBase's implicit "flatten the LSM" read operator.
+
+Re-creates, as one deterministic DataFrame transformation, the combined
+semantics of the reference's scan stack:
+
+  - ScanQueryMatcher.match (regionserver/ScanQueryMatcher.java:105-214):
+    TTL expiry is checked FIRST (so expired tombstones do not mask),
+    tombstones are collected when ``ts >= timeRange.min``
+    (withinOrAfterTimeRange, :157-168 — a delete newer than the queried
+    range still masks), the data-cell time-range check is
+    ``min <= ts < max`` (io/TimeRange.java:34), and the scan filter runs
+    BEFORE version counting (comment at :182-187).
+  - ScanDeleteTracker (regionserver/ScanDeleteTracker.java:41-156):
+    DeleteFamily masks family cells with ts <= tombstone ts; DeleteColumn
+    masks qualifier cells with ts <= tombstone ts; Delete (exact) masks
+    only ts == tombstone ts.  At equal ts a tombstone sorts before a put
+    (type DESC in KeyValue.java:1329) so a same-ts delete always wins.
+  - Version counting (ExplicitColumnTracker.java:47,89 /
+    ScanWildcardColumnTracker.java:31,59): keep the newest
+    min(scan.maxVersions, family.maxVersions) surviving versions per
+    (row, family, qualifier) (Store.versionsToReturn:952).
+  - The k-way sorted merge (KeyValueHeap.java:43) is unnecessary: the
+    window/anti-join formulation is order-free, so Catalyst plans one
+    shuffle for the version window and (typically broadcast) joins for
+    the sparse tombstone sets.
+
+Scale notes (100 TB posture): tombstones are aggregated per key before
+joining, so the three masking joins carry only the *distinct tombstone
+keys* — in real workloads orders of magnitude smaller than the data —
+and AQE turns them into broadcast joins.  The only full shuffle is the
+row_number window over (row, family, qualifier); when max_versions is
+unbounded and there are no tombstones the window is skipped entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.model import KeyType, FOREVER
+
+
+@dataclass
+class ResolveSpec:
+    """Parameters of a read — the union of Get/Scan knobs that affect
+    cell visibility (client/Scan.java:79, client/Get.java:63)."""
+
+    max_versions: int | None = 1            # Scan.setMaxVersions (:274); None = all
+    time_range: tuple[int, int] | None = None  # [min, max) — Scan.setTimeRange:215
+    families: list[str] | None = None       # Scan.addFamily:178
+    columns: dict[str, list] | None = None  # family -> qualifiers; Scan.addColumn:192
+    cell_filter: Column | None = None       # compiled filter predicate (pre-version-count)
+    family_max_versions: dict[str, int] = field(default_factory=dict)
+    family_ttl: dict[str, int] = field(default_factory=dict)  # seconds
+    now: int | None = None                  # ms epoch for TTL; injectable for determinism
+    keep_tombstones: bool = False           # minor-compaction mode (MinorCompactingStoreScanner.java)
+
+
+def _effective_max_versions(spec: ResolveSpec) -> Column | None:
+    """min(scan.maxVersions, family.maxVersions) — Store.versionsToReturn:952."""
+    if not spec.family_max_versions:
+        return F.lit(spec.max_versions) if spec.max_versions is not None else None
+    expr = F.lit(spec.max_versions if spec.max_versions is not None else 1 << 31)
+    fam_expr = None
+    for fam, n in spec.family_max_versions.items():
+        cond = F.col("family") == F.lit(fam)
+        fam_expr = F.when(cond, F.lit(n)) if fam_expr is None else fam_expr.when(cond, F.lit(n))
+    fam_expr = fam_expr.otherwise(F.lit(1 << 31))
+    return F.least(expr, fam_expr)
+
+
+def _ttl_predicate(spec: ResolveSpec) -> Column | None:
+    """ts >= now - family.ttl*1000 — ScanQueryMatcher.isExpired (:151-154).
+    Applied to tombstones too (expiry is checked before delete tracking)."""
+    if not spec.family_ttl:
+        return None
+    if spec.now is None:
+        raise ValueError("family_ttl requires an explicit `now` (ms) for determinism")
+    pred = None
+    for fam, ttl_s in spec.family_ttl.items():
+        if ttl_s >= FOREVER:
+            continue
+        cutoff = spec.now - ttl_s * 1000
+        p = (F.col("family") != F.lit(fam)) | (F.col("ts") >= F.lit(cutoff))
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+def resolve(cells: DataFrame, spec: ResolveSpec | None = None, **kwargs) -> DataFrame:
+    """raw cell stream -> visible cells under the spec.
+
+    ``cells`` must have columns row, family, qualifier, ts, type, value
+    (``seq`` optional; synthesized as 0 when absent).  Returns the same
+    columns, restricted to visible Put cells (plus surviving tombstones
+    when keep_tombstones, for minor compaction).
+    """
+    if spec is None:
+        spec = ResolveSpec(**kwargs)
+    elif kwargs:
+        raise TypeError("pass either a ResolveSpec or keyword knobs, not both")
+
+    if "seq" not in cells.columns:
+        cells = cells.withColumn("seq", F.lit(0).cast("long"))
+
+    out_cols = [c for c in cells.columns]
+
+    # -- family projection: a scan only opens the requested family Stores
+    #    (HRegion RegionScanner:2364-2368); tombstones of other families
+    #    are invisible to it by construction.
+    if spec.families is not None:
+        cells = cells.filter(F.col("family").isin(list(spec.families)))
+
+    # -- TTL expiry, before everything (ScanQueryMatcher.java:151-154)
+    ttl_pred = _ttl_predicate(spec)
+    if ttl_pred is not None:
+        cells = cells.filter(ttl_pred)
+
+    puts = cells.filter(F.col("type") == KeyType.PUT)
+    dels = cells.filter(F.col("type").isin(list(KeyType.DELETES)))
+
+    # -- tombstone collection honors withinOrAfterTimeRange (:157-168):
+    #    only deletes with ts >= timeRange.min are tracked (deletes newer
+    #    than the range still mask; older-than-range deletes do not).
+    if spec.time_range is not None:
+        dels = dels.filter(F.col("ts") >= F.lit(spec.time_range[0]))
+
+    key_rf = ["row", "family"]
+    key_rfq = ["row", "family", "qualifier"]
+
+    fam_dels = (
+        dels.filter(F.col("type") == KeyType.DELETE_FAMILY)
+        .groupBy(*key_rf)
+        .agg(F.max("ts").alias("_famdel_ts"))
+    )
+    col_dels = (
+        dels.filter(F.col("type") == KeyType.DELETE_COLUMN)
+        .groupBy(*key_rfq)
+        .agg(F.max("ts").alias("_coldel_ts"))
+    )
+    ver_dels = (
+        dels.filter(F.col("type") == KeyType.DELETE)
+        .select(*key_rfq, "ts")
+        .distinct()
+        .withColumn("_verdel", F.lit(True))
+    )
+
+    live = (
+        puts.join(fam_dels, on=key_rf, how="left")
+        .join(col_dels, on=key_rfq, how="left")
+        .join(ver_dels, on=key_rfq + ["ts"], how="left")
+        .filter(
+            (F.col("_famdel_ts").isNull() | (F.col("ts") > F.col("_famdel_ts")))
+            & (F.col("_coldel_ts").isNull() | (F.col("ts") > F.col("_coldel_ts")))
+            & F.col("_verdel").isNull()
+        )
+        .drop("_famdel_ts", "_coldel_ts", "_verdel")
+    )
+
+    # -- data-cell time range [min, max) (io/TimeRange.java:34-42)
+    if spec.time_range is not None:
+        lo, hi = spec.time_range
+        live = live.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+
+    # -- qualifier projection (ExplicitColumnTracker) — after delete
+    #    collection (the tracker sees the whole family stream) but before
+    #    version counting.
+    if spec.columns is not None:
+        proj = None
+        for fam, quals in spec.columns.items():
+            p = (F.col("family") == F.lit(fam)) & F.col("qualifier").isin(list(quals))
+            proj = p if proj is None else (proj | p)
+        live = live.filter(proj)
+
+    # -- scan filter BEFORE version counting (ScanQueryMatcher.java:182-187)
+    if spec.cell_filter is not None:
+        live = live.filter(spec.cell_filter)
+
+    # -- version counting: newest N per column; ties on ts broken by seq
+    #    DESC ("newer store file wins", TestFromClientSide:2873)
+    nmax = _effective_max_versions(spec)
+    if nmax is not None:
+        w = Window.partitionBy(*key_rfq).orderBy(F.col("ts").desc(), F.col("seq").desc())
+        live = (
+            live.withColumn("_version", F.row_number().over(w))
+            .filter(F.col("_version") <= nmax)
+            .drop("_version")
+        )
+
+    if spec.keep_tombstones:
+        # minor-compaction mode: the surviving stream keeps all tombstones
+        # (MinorCompactingStoreScanner.java:133 — minor compactions must
+        # not drop deletes, older files may still contain masked cells)
+        live = live.unionByName(cells.filter(F.col("type").isin(list(KeyType.DELETES))))
+
+    return live.select(*out_cols)
+
+
+def resolved_to_rows(visible: DataFrame, binary: bool = False) -> DataFrame:
+    """Materialize rows the way Result.getMap() does (Result.java:168):
+    row -> family -> qualifier -> ts -> value as nested maps.
+
+    One groupBy(row) shuffle; at 100 TB this is the same aggregation
+    HBase performs region-locally — range-partitioned input keeps it
+    skew-free.
+    """
+    by_qual = visible.groupBy("row", "family", "qualifier").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ts").alias("k"), F.col("value").alias("v")))
+        ).alias("versions")
+    )
+    by_fam = by_qual.groupBy("row", "family").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("qualifier").alias("k"), F.col("versions").alias("v"))
+            )
+        ).alias("qualifiers")
+    )
+    return by_fam.groupBy("row").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("family").alias("k"), F.col("qualifiers").alias("v"))
+            )
+        ).alias("families")
+    )
+
+
+def latest_view(visible: DataFrame) -> DataFrame:
+    """Single-version flat view: one row per (row, family, qualifier)
+    holding the newest visible value — the common relational projection."""
+    w = Window.partitionBy("row", "family", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        visible.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,141 @@
+"""Client API — Scan / Get / Table, mirroring the reference's client
+package surface (client/Scan.java:79, client/Get.java:63,
+client/HTable.java).
+
+A ``Table`` binds a raw cell DataFrame (any source: parquet edit log,
+melt of a relational table, stream) plus an optional TableDescriptor
+whose per-family maxVersions/TTL caps reads
+(Store.versionsToReturn:952)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.filters import Filter
+from hbase_snapshot_spark.model import TableDescriptor
+from hbase_snapshot_spark.plans.scan_exec import run_scan
+from hbase_snapshot_spark.resolve import ResolveSpec
+
+
+@dataclass
+class Scan:
+    """client/Scan.java:79 — [startRow, stopRow), projections, time
+    range, maxVersions, filter.  ``setBatch``/``setCaching`` are client
+    result-shaping knobs with no Spark analogue (documented divergence:
+    results identical, chunking different — SURVEY §3.2)."""
+
+    start_row: Optional[object] = None
+    stop_row: Optional[object] = None
+    families: Optional[list] = None            # addFamily:178
+    columns: Optional[dict] = None             # addColumn:192 {family: [qualifier]}
+    time_range: Optional[tuple] = None         # setTimeRange:215 [min,max)
+    max_versions: Optional[int] = 1            # setMaxVersions:274; None = all
+    filter: Optional[Filter] = None            # setFilter:307
+    family_max_versions: dict = field(default_factory=dict)
+    family_ttl: dict = field(default_factory=dict)
+    now: Optional[int] = None
+
+    def add_family(self, fam: str) -> "Scan":
+        self.families = (self.families or []) + [fam]
+        return self
+
+    def add_column(self, fam: str, qual) -> "Scan":
+        cols = {k: list(v) for k, v in (self.columns or {}).items()}
+        cols.setdefault(fam, []).append(qual)
+        self.columns = cols
+        # addColumn implies the family is scanned
+        if self.families is not None and fam not in self.families:
+            self.families.append(fam)
+        return self
+
+    def to_spec(self) -> ResolveSpec:
+        fams = self.families
+        if fams is None and self.columns is not None:
+            fams = list(self.columns.keys())
+        return ResolveSpec(
+            max_versions=self.max_versions,
+            time_range=self.time_range,
+            families=fams,
+            columns=self.columns,
+            family_max_versions=self.family_max_versions,
+            family_ttl=self.family_ttl,
+            now=self.now,
+        )
+
+
+@dataclass
+class Get:
+    """client/Get.java:63 — a point read; executed as a single-row Scan
+    exactly like HRegion.get:3061 (Scan(Get) ctor, inclusive-stop trick
+    at HRegion.java:2355)."""
+
+    row: object
+    families: Optional[list] = None
+    columns: Optional[dict] = None
+    time_range: Optional[tuple] = None
+    max_versions: Optional[int] = 1
+    filter: Optional[Filter] = None
+
+
+class Table:
+    """client/HTable.java — read surface over a cell DataFrame."""
+
+    def __init__(self, cells: DataFrame, descriptor: TableDescriptor | None = None,
+                 now: int | None = None):
+        self.cells = cells
+        self.descriptor = descriptor
+        self.now = now
+
+    def _apply_descriptor(self, scan: Scan) -> Scan:
+        if self.descriptor is not None:
+            scan.family_max_versions = {
+                f.name: f.max_versions for f in self.descriptor.families.values()
+            }
+            scan.family_ttl = {
+                f.name: f.ttl for f in self.descriptor.families.values()
+            }
+            if scan.now is None:
+                scan.now = self.now
+        return scan
+
+    def scan(self, scan: Scan | None = None) -> DataFrame:
+        scan = self._apply_descriptor(scan or Scan())
+        return run_scan(self.cells, scan)
+
+    def get(self, get: Get) -> DataFrame:
+        scan = Scan(
+            start_row=get.row,
+            stop_row=None,
+            families=get.families,
+            columns=get.columns,
+            time_range=get.time_range,
+            max_versions=get.max_versions,
+            filter=get.filter,
+        )
+        scan = self._apply_descriptor(scan)
+        # single-row scan: equality beats the [start, stop) emulation
+        out = run_scan(self.cells.filter(F.col("row") == F.lit(get.row)), scan)
+        return out
+
+    def exists(self, get: Get) -> bool:
+        """HTable.exists:651 — existence probe."""
+        return self.get(get).limit(1).count() > 0
+
+    def get_row_or_before(self, row, family: str | None = None) -> DataFrame:
+        """HTable.getRowOrBefore:472 / Store.getRowKeyAtOrBefore:980 —
+        the closest row at-or-before the key (as-of point lookup)."""
+        scan = self._apply_descriptor(Scan(families=[family] if family else None))
+        resolved = run_scan(self.cells, scan)
+        target = resolved.filter(F.col("row") <= F.lit(row)).agg(
+            F.max("row").alias("row")
+        )
+        return resolved.join(F.broadcast(target), on="row", how="inner")
+
+    def row_count(self, scan: Scan | None = None) -> int:
+        """mapreduce/RowCounter.java:40-117 — rows with ≥1 visible cell
+        (FirstKeyOnlyFilter pushdown ≡ distinct row keys)."""
+        return self.scan(scan).select("row").distinct().count()

@@ -49,6 +49,7 @@ def resolve_sql(
     families: list[str] | None = None,
     columns: dict[str, list[str]] | None = None,
     cell_filter_sql: str | None = None,
+    stream_qualify: str | None = None,
     select: str = "row, family, qualifier, ts, value",
     where: str | None = None,
     tail: str = "",
@@ -58,24 +59,27 @@ def resolve_sql(
     TimeRange / column trackers)."""
     fam_proj = f"WHERE family IN ({_in_list(families)})" if families else ""
     del_tr = f"AND ts >= {time_range[0]}" if time_range else ""
-    live_preds = []
-    if time_range:
-        live_preds.append(f"p.ts >= {time_range[0]} AND p.ts < {time_range[1]}")
+    live_where = (
+        f"AND p.ts >= {time_range[0]} AND p.ts < {time_range[1]}" if time_range else ""
+    )
+    cell_where = f"WHERE {cell_filter_sql}" if cell_filter_sql else ""
+    # qualifier projection happens AFTER the filter/stream stage, like the
+    # reference's column tracker (checkColumn runs last in match())
     if columns:
         ors = [
-            f"(p.family = '{fam}' AND p.qualifier IN ({_in_list(quals)}))"
+            f"(family = '{fam}' AND qualifier IN ({_in_list(quals)}))"
             for fam, quals in columns.items()
         ]
-        live_preds.append("(" + " OR ".join(ors) + ")")
-    if cell_filter_sql:
-        live_preds.append(f"({cell_filter_sql})")
-    live_where = ("AND " + " AND ".join(live_preds)) if live_preds else ""
+        col_proj = "WHERE " + " OR ".join(ors)
+    else:
+        col_proj = ""
     qualify = (
         f"QUALIFY row_number() OVER (PARTITION BY row, family, qualifier "
         f"ORDER BY ts DESC, seq DESC) <= {max_versions}"
         if max_versions is not None
         else ""
     )
+    stream_q = f"QUALIFY {stream_qualify}" if stream_qualify else ""
     outer_where = f"WHERE {where}" if where else ""
     return f"""
 WITH cells AS ({cells_sql}),
@@ -98,8 +102,14 @@ live AS (
     AND v.ts IS NULL
     {live_where}
 ),
+filtered AS (SELECT * FROM live {cell_where}),
+streamed AS (
+  SELECT * FROM filtered
+  {stream_q}
+),
+projected AS (SELECT * FROM streamed {col_proj}),
 resolved AS (
-  SELECT * FROM live
+  SELECT * FROM projected
   {qualify}
 )
 SELECT {select} FROM resolved {outer_where} {tail}

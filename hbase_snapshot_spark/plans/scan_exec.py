@@ -1,0 +1,71 @@
+"""Scan execution pipeline — the engine's equivalent of the reference's
+scanner stack (HRegion.RegionScanner:2333 → StoreScanner:36 →
+ScanQueryMatcher.match:105), laid out as declarative DataFrame stages so
+Catalyst plans the physical execution:
+
+  1. row-range + prefix pruning          (file skipping / seek hints)
+  2. mask(): family proj, TTL, tombstones, time range
+  3. filter cell predicate               (filterKeyValue SKIP path)
+  4. filter stream transforms            (per-row cell counting filters)
+  5. qualifier projection                (ExplicitColumnTracker)
+  6. version counting                    (newest N per column)
+  7. row keep/drop joins + post hooks    (filterRow path)
+
+Stage 1 happens BEFORE everything so parquet row-group pruning sees the
+predicate (the reference's analogue: bloom/timerange ``shouldSeek``
+pruning at StoreScanner.java:150-168).  Stages 3-4 run before version
+counting, matching ScanQueryMatcher.java:182-187.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.resolve import ResolveSpec, count_versions, mask, project_columns
+
+
+def run_scan(cells: DataFrame, scan) -> DataFrame:
+    """Execute a client.Scan against a raw cell DataFrame."""
+    spec: ResolveSpec = scan.to_spec()
+    compiled = scan.filter.compile() if scan.filter is not None else None
+
+    # ---- stage 1: key-range pruning (pushed to the parquet scan)
+    pred = None
+    start, stop = scan.start_row, scan.stop_row
+    if compiled is not None and compiled.range_hint is not None:
+        h_start, h_stop = compiled.range_hint
+        if start is None or (h_start is not None and h_start > start):
+            start = h_start
+        if stop is None or (h_stop is not None and h_stop < stop):
+            stop = h_stop
+    if start is not None:
+        pred = F.col("row") >= F.lit(start)
+    if stop is not None:
+        p2 = F.col("row") < F.lit(stop)
+        pred = p2 if pred is None else pred & p2
+    if pred is not None:
+        cells = cells.filter(pred)
+
+    # ---- stage 2: the masked "filter slot" stream
+    stream = mask(cells, spec)
+
+    # ---- stages 3-4: filter hooks that run before version counting
+    if compiled is not None and compiled.cell_pred is not None:
+        stream = stream.filter(compiled.cell_pred)
+    if compiled is not None and compiled.stream_transform is not None:
+        stream = compiled.stream_transform(stream)
+
+    # ---- stages 5-6
+    out = project_columns(stream, spec)
+    out = count_versions(out, spec)
+
+    # ---- stage 7: row-level hooks (filterRow) and output shaping
+    if compiled is not None:
+        if compiled.row_drop is not None:
+            out = out.join(compiled.row_drop(stream), on="row", how="left_anti")
+        if compiled.row_keep is not None:
+            out = out.join(compiled.row_keep(stream), on="row", how="left_semi")
+        if compiled.post is not None:
+            out = compiled.post(out)
+    return out

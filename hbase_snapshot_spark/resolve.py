@@ -74,37 +74,28 @@ def _effective_max_versions(spec: ResolveSpec) -> Column | None:
 def _ttl_predicate(spec: ResolveSpec) -> Column | None:
     """ts >= now - family.ttl*1000 — ScanQueryMatcher.isExpired (:151-154).
     Applied to tombstones too (expiry is checked before delete tracking)."""
-    if not spec.family_ttl:
+    bounded = {f: t for f, t in spec.family_ttl.items() if t < FOREVER}
+    if not bounded:
         return None
     if spec.now is None:
         raise ValueError("family_ttl requires an explicit `now` (ms) for determinism")
     pred = None
-    for fam, ttl_s in spec.family_ttl.items():
-        if ttl_s >= FOREVER:
-            continue
+    for fam, ttl_s in bounded.items():
         cutoff = spec.now - ttl_s * 1000
         p = (F.col("family") != F.lit(fam)) | (F.col("ts") >= F.lit(cutoff))
         pred = p if pred is None else (pred & p)
     return pred
 
 
-def resolve(cells: DataFrame, spec: ResolveSpec | None = None, **kwargs) -> DataFrame:
-    """raw cell stream -> visible cells under the spec.
-
-    ``cells`` must have columns row, family, qualifier, ts, type, value
-    (``seq`` optional; synthesized as 0 when absent).  Returns the same
-    columns, restricted to visible Put cells (plus surviving tombstones
-    when keep_tombstones, for minor compaction).
-    """
-    if spec is None:
-        spec = ResolveSpec(**kwargs)
-    elif kwargs:
-        raise TypeError("pass either a ResolveSpec or keyword knobs, not both")
-
+def mask(cells: DataFrame, spec: ResolveSpec) -> DataFrame:
+    """Stage 1 of the read path: family projection + TTL + tombstone
+    masking + data-cell time range.  Output is the "filter slot" stream
+    — exactly the cells the reference's ScanQueryMatcher hands to
+    ``filter.filterKeyValue`` (masked/expired/out-of-range cells are
+    SKIPped before the filter; qualifier projection and version counting
+    happen after)."""
     if "seq" not in cells.columns:
         cells = cells.withColumn("seq", F.lit(0).cast("long"))
-
-    out_cols = [c for c in cells.columns]
 
     # -- family projection: a scan only opens the requested family Stores
     #    (HRegion RegionScanner:2364-2368); tombstones of other families
@@ -162,37 +153,72 @@ def resolve(cells: DataFrame, spec: ResolveSpec | None = None, **kwargs) -> Data
     if spec.time_range is not None:
         lo, hi = spec.time_range
         live = live.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    return live
 
-    # -- qualifier projection (ExplicitColumnTracker) — after delete
-    #    collection (the tracker sees the whole family stream) but before
-    #    version counting.
-    if spec.columns is not None:
-        proj = None
-        for fam, quals in spec.columns.items():
-            p = (F.col("family") == F.lit(fam)) & F.col("qualifier").isin(list(quals))
-            proj = p if proj is None else (proj | p)
-        live = live.filter(proj)
+
+def project_columns(live: DataFrame, spec: ResolveSpec) -> DataFrame:
+    """Qualifier projection (ExplicitColumnTracker) — runs after the
+    filter slot (ScanQueryMatcher.match calls checkColumn last) and
+    before version counting."""
+    if spec.columns is None:
+        return live
+    proj = None
+    for fam, quals in spec.columns.items():
+        p = (F.col("family") == F.lit(fam)) & F.col("qualifier").isin(list(quals))
+        proj = p if proj is None else (proj | p)
+    return live.filter(proj)
+
+
+def count_versions(live: DataFrame, spec: ResolveSpec) -> DataFrame:
+    """Version counting: newest N per column; ties on ts broken by seq
+    DESC ("newer store file wins", TestFromClientSide:2873)."""
+    nmax = _effective_max_versions(spec)
+    if nmax is None:
+        return live
+    w = Window.partitionBy("row", "family", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        live.withColumn("_version", F.row_number().over(w))
+        .filter(F.col("_version") <= nmax)
+        .drop("_version")
+    )
+
+
+def resolve(cells: DataFrame, spec: ResolveSpec | None = None, **kwargs) -> DataFrame:
+    """raw cell stream -> visible cells under the spec.
+
+    ``cells`` must have columns row, family, qualifier, ts, type, value
+    (``seq`` optional; synthesized as 0 when absent).  Returns the same
+    columns, restricted to visible Put cells (plus surviving tombstones
+    when keep_tombstones, for minor compaction).
+    """
+    if spec is None:
+        spec = ResolveSpec(**kwargs)
+    elif kwargs:
+        raise TypeError("pass either a ResolveSpec or keyword knobs, not both")
+
+    if "seq" not in cells.columns:
+        cells = cells.withColumn("seq", F.lit(0).cast("long"))
+    out_cols = list(cells.columns)
+
+    live = mask(cells, spec)
+    live = project_columns(live, spec)
 
     # -- scan filter BEFORE version counting (ScanQueryMatcher.java:182-187)
     if spec.cell_filter is not None:
         live = live.filter(spec.cell_filter)
 
-    # -- version counting: newest N per column; ties on ts broken by seq
-    #    DESC ("newer store file wins", TestFromClientSide:2873)
-    nmax = _effective_max_versions(spec)
-    if nmax is not None:
-        w = Window.partitionBy(*key_rfq).orderBy(F.col("ts").desc(), F.col("seq").desc())
-        live = (
-            live.withColumn("_version", F.row_number().over(w))
-            .filter(F.col("_version") <= nmax)
-            .drop("_version")
-        )
+    live = count_versions(live, spec)
 
     if spec.keep_tombstones:
         # minor-compaction mode: the surviving stream keeps all tombstones
         # (MinorCompactingStoreScanner.java:133 — minor compactions must
         # not drop deletes, older files may still contain masked cells)
-        live = live.unionByName(cells.filter(F.col("type").isin(list(KeyType.DELETES))))
+        tombs = cells.filter(F.col("type").isin(list(KeyType.DELETES)))
+        if spec.families is not None:
+            tombs = tombs.filter(F.col("family").isin(list(spec.families)))
+        live = live.unionByName(tombs)
 
     return live.select(*out_cols)
 

@@ -1,0 +1,454 @@
+"""Table storage — append-only parquet edit log + atomic manifest.
+
+Re-creates the reference's storage semantics with Spark-native parts:
+
+  - WAL + MemStore + HFiles (regionserver/wal/HLog.java:124,
+    MemStore.java:54, Store.java) → every mutation batch is an immutable
+    parquet *segment*; a JSON *manifest* lists the live segments.  A
+    commit = write new manifest version + atomically repoint HEAD —
+    the analogue of HBase's WAL group commit + flush, and the source of
+    MVCC snapshot reads (ReadWriteConsistencyControl.java:31 — readers
+    pin a manifest version, writers never mutate files in place).
+  - Catalog (-ROOT-/.META.) → the base directory listing.
+  - Compaction (Store.compact:581) → rewrite segments through the
+    resolve kernel: minor keeps tombstones
+    (MinorCompactingStoreScanner.java), major purges masked + expired
+    cells; either swaps the manifest to the compacted segment.
+  - Snapshots (SnapshotDescriptor.java:36, HConstants SNAPSHOT_DIR
+    ".snapshot") → a snapshot is a frozen manifest copy under
+    ``.snapshot/<name>/`` referencing the SAME segment files (zero-copy,
+    like the reference's StoreFile reference files + META refcounts at
+    HRegion.updateRefCountInMeta:2770-2789).  vacuum() never deletes a
+    segment referenced by any snapshot or the live manifest — the
+    SnapshotLogCleaner / refcount-protected-compaction rule
+    (HRegion.java:765, master/SnapshotLogCleaner.java:42).
+
+Concurrency model: single-writer-per-table batch engine (a lock file is
+taken best-effort); this is the documented stand-in for HBase's row
+locks + MVCC write path, and what makes checkAndMutate / increment
+atomic (HRegion.checkAndMutate:1544, incrementColumnValue:3106).
+
+Scale: segments are plain parquet directories written by Spark jobs —
+a 1000-executor bulk load writes one segment with thousands of files;
+reads are ``spark.read.parquet(seg1, seg2, ...)`` so partition pruning,
+predicate pushdown, and row-group skipping all apply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.client import Table as ClientTable
+from hbase_snapshot_spark.model import KeyType, TableDescriptor, cell_schema
+from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+SNAPSHOT_DIR = ".snapshot"  # HConstants.java:152
+_SEQ_SHIFT = 20  # seq = commit_seq << 20 | intra-batch ordinal
+
+
+class TableExistsError(Exception):
+    pass
+
+
+class TableNotFoundError(Exception):
+    pass
+
+
+class Mutation:
+    def __init__(self, row):
+        self.row = row
+        self.cells: list[tuple] = []  # (family, qualifier, ts, type, value)
+
+
+class Put(Mutation):
+    """client/Put.java:132,145 — add(family, qualifier, [ts], value)."""
+
+    def add(self, family, qualifier, value, ts: int | None = None) -> "Put":
+        self.cells.append((family, qualifier, ts, KeyType.PUT, value))
+        return self
+
+
+class Delete(Mutation):
+    """client/Delete.java:68.  An empty Delete means "whole row": it is
+    expanded to one DeleteFamily per family at apply time
+    (HRegion.prepareDelete:1164-1179)."""
+
+    def delete_family(self, family, ts: int | None = None) -> "Delete":
+        self.cells.append((family, None, ts, KeyType.DELETE_FAMILY, None))
+        return self
+
+    def delete_columns(self, family, qualifier, ts: int | None = None) -> "Delete":
+        """all versions at-or-before ts (Delete.deleteColumns:180)"""
+        self.cells.append((family, qualifier, ts, KeyType.DELETE_COLUMN, None))
+        return self
+
+    def delete_column(self, family, qualifier, ts: int | None = None) -> "Delete":
+        """exactly one version: the given ts, or the latest when ts is
+        None (Delete.deleteColumn:213 — the server resolves "latest")."""
+        self.cells.append((family, qualifier, ts, KeyType.DELETE, None))
+        return self
+
+
+class TableStore:
+    """Catalog of tables under a base path (create/drop/list — the
+    HBaseAdmin surface)."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        os.makedirs(base_path, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def create_table(self, descriptor: TableDescriptor, binary: bool = False) -> "StoredTable":
+        d = self._dir(descriptor.name)
+        if os.path.exists(d):
+            raise TableExistsError(descriptor.name)
+        os.makedirs(os.path.join(d, "segments"))
+        os.makedirs(os.path.join(d, "manifests"))
+        manifest = {
+            "version": 0,
+            "descriptor": descriptor.to_dict(),
+            "segments": [],
+            "commit_seq": 0,
+            "binary": binary,
+        }
+        _write_json(os.path.join(d, "manifests", "v0.json"), manifest)
+        _write_json(os.path.join(d, "HEAD.json"), {"version": 0})
+        return StoredTable(self, descriptor.name)
+
+    def drop_table(self, name: str) -> None:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            raise TableNotFoundError(name)
+        shutil.rmtree(d)
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.base_path)
+            if os.path.isfile(os.path.join(self.base_path, n, "HEAD.json"))
+        )
+
+    def table(self, name: str) -> "StoredTable":
+        if not os.path.isfile(os.path.join(self._dir(name), "HEAD.json")):
+            raise TableNotFoundError(name)
+        return StoredTable(self, name)
+
+
+def _write_json(path: str, obj) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)  # atomic on POSIX — the manifest swap
+
+
+def _read_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+class StoredTable:
+    def __init__(self, store: TableStore, name: str):
+        self.store = store
+        self.spark = store.spark
+        self.name = name
+        self.dir = store._dir(name)
+
+    # ---------------------------------------------------------- manifests
+
+    def _head_version(self) -> int:
+        return _read_json(os.path.join(self.dir, "HEAD.json"))["version"]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self._head_version() if version is None else version
+        return _read_json(os.path.join(self.dir, "manifests", f"v{v}.json"))
+
+    @property
+    def descriptor(self) -> TableDescriptor:
+        return TableDescriptor.from_dict(self.manifest()["descriptor"])
+
+    def _commit(self, manifest: dict) -> int:
+        """write manifest version N+1 and atomically repoint HEAD."""
+        v = manifest["version"]
+        _write_json(os.path.join(self.dir, "manifests", f"v{v}.json"), manifest)
+        _write_json(os.path.join(self.dir, "HEAD.json"), {"version": v})
+        return v
+
+    # ---------------------------------------------------------- reads
+
+    def cells(self, version: int | None = None) -> DataFrame:
+        """the raw cell stream at a manifest version (MVCC read point)."""
+        m = self.manifest(version)
+        paths = [os.path.join(self.dir, "segments", s) for s in m["segments"]]
+        if not paths:
+            return self.spark.createDataFrame([], schema=cell_schema(binary=m["binary"]))
+        return self.spark.read.parquet(*paths)
+
+    def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
+        return ClientTable(self.cells(version), self.descriptor, now=now)
+
+    def read(self, spec: ResolveSpec | None = None, version: int | None = None) -> DataFrame:
+        spec = spec or ResolveSpec(max_versions=None)
+        desc = self.descriptor
+        spec.family_max_versions = {
+            f.name: f.max_versions for f in desc.families.values()
+        }
+        return resolve(self.cells(version), spec=spec)
+
+    # ---------------------------------------------------------- writes
+
+    def append_cells(self, df: DataFrame) -> int:
+        """Bulk append a cell DataFrame as one segment + manifest commit —
+        the TableOutputFormat sink (mapreduce/TableOutputFormat.java)."""
+        m = self.manifest()
+        commit_seq = m["commit_seq"] + 1
+        if "seq" not in df.columns:
+            df = df.withColumn("seq", F.lit(commit_seq << _SEQ_SHIFT).cast("long"))
+        seg = f"seg-{commit_seq:06d}-{uuid.uuid4().hex[:8]}"
+        df.write.parquet(os.path.join(self.dir, "segments", seg))
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["segments"] = list(m["segments"]) + [seg]
+        m2["commit_seq"] = commit_seq
+        return self._commit(m2)
+
+    def _now_ms(self) -> int:
+        return int(time.time() * 1000)
+
+    def mutate(self, mutations: list[Mutation], now: int | None = None) -> int:
+        """Apply a batch of Puts/Deletes (HTable write buffer +
+        flushCommits, HTable.java:534,662).  One segment per batch."""
+        now = now if now is not None else self._now_ms()
+        desc = self.descriptor
+        rows = []
+        ordinal = 0
+        for mut in mutations:
+            cells = mut.cells
+            if isinstance(mut, Delete) and not cells:
+                # whole-row delete → DeleteFamily per family
+                cells = [
+                    (fam, None, None, KeyType.DELETE_FAMILY, None)
+                    for fam in desc.families
+                ]
+            for family, qualifier, ts, typ, value in cells:
+                if typ == KeyType.DELETE and ts is None:
+                    ts = self._latest_ts(mut.row, family, qualifier)
+                    if ts is None:
+                        continue  # nothing to delete
+                rows.append((
+                    mut.row, family, qualifier,
+                    ts if ts is not None else now, typ, ordinal, value,
+                ))
+                ordinal += 1
+        if not rows:
+            return self._head_version()
+        m = self.manifest()
+        commit_seq = m["commit_seq"] + 1
+        base_seq = commit_seq << _SEQ_SHIFT
+        rows = [
+            (r, f, q, ts, t, base_seq + o, v) for (r, f, q, ts, t, o, v) in rows
+        ]
+        df = self.spark.createDataFrame(rows, schema=cell_schema(binary=m["binary"]))
+        seg = f"seg-{commit_seq:06d}-{uuid.uuid4().hex[:8]}"
+        df.write.parquet(os.path.join(self.dir, "segments", seg))
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["segments"] = list(m["segments"]) + [seg]
+        m2["commit_seq"] = commit_seq
+        return self._commit(m2)
+
+    def _latest_cell(self, row, family, qualifier):
+        out = resolve(
+            self.cells().filter(F.col("row") == F.lit(row)),
+            spec=ResolveSpec(max_versions=1, columns={family: [qualifier]}),
+        ).collect()
+        return out[0] if out else None
+
+    def _latest_ts(self, row, family, qualifier):
+        c = self._latest_cell(row, family, qualifier)
+        return c.ts if c is not None else None
+
+    def check_and_put(self, row, family, qualifier, expected, put: Put,
+                      now: int | None = None) -> bool:
+        """HTable.checkAndPut:597 / HRegion.checkAndMutate:1544 — atomic
+        under the single-writer model."""
+        cur = self._latest_cell(row, family, qualifier)
+        cur_val = cur.value if cur is not None else None
+        if cur_val != expected:
+            return False
+        self.mutate([put], now=now)
+        return True
+
+    def check_and_delete(self, row, family, qualifier, expected, delete: Delete,
+                         now: int | None = None) -> bool:
+        cur = self._latest_cell(row, family, qualifier)
+        cur_val = cur.value if cur is not None else None
+        if cur_val != expected:
+            return False
+        self.mutate([delete], now=now)
+        return True
+
+    def increment_column_value(self, row, family, qualifier, amount: int,
+                               now: int | None = None) -> int:
+        """HTable.incrementColumnValue:553 / HRegion:3106 — read latest
+        8-byte counter (or int-string on string tables), add, write."""
+        m = self.manifest()
+        cur = self._latest_cell(row, family, qualifier)
+        if cur is None:
+            base = 0
+        elif m["binary"]:
+            from hbase_snapshot_spark import bytes_util
+            base = bytes_util.to_long(bytes(cur.value))
+        else:
+            base = int(cur.value)
+        newval = base + amount
+        if m["binary"]:
+            from hbase_snapshot_spark import bytes_util
+            enc = bytes_util.to_bytes(newval)
+        else:
+            enc = str(newval)
+        self.mutate([Put(row).add(family, qualifier, enc)], now=now)
+        return newval
+
+    # ---------------------------------------------------------- compaction
+
+    def compact(self, major: bool = False, now: int | None = None) -> int:
+        """Store.compact:581.  Minor = pure k-way merge, NO masking —
+        every cell including tombstones and masked puts is retained
+        (MinorCompactingStoreScanner.java is just a KeyValueHeap drain).
+        Major = resolve with family maxVersions + TTL, tombstones purged.
+        Either rewrites the stream as one segment sorted by the KeyValue
+        total order (row, family, qualifier, ts DESC) so downstream
+        scans get clustered, skippable files."""
+        desc = self.descriptor
+        if major:
+            spec = ResolveSpec(
+                max_versions=None,
+                family_max_versions={
+                    f.name: f.max_versions for f in desc.families.values()
+                },
+            )
+            ttls = {f.name: f.ttl for f in desc.families.values()}
+            if any(t < (1 << 31) - 1 for t in ttls.values()):
+                spec.family_ttl = ttls
+                spec.now = now if now is not None else self._now_ms()
+            compacted = resolve(self.cells(), spec=spec)
+        else:
+            compacted = self.cells()
+        compacted = compacted.repartitionByRange(
+            max(1, compacted.rdd.getNumPartitions()), "row"
+        ).sortWithinPartitions(
+            "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
+        )
+        m = self.manifest()
+        commit_seq = m["commit_seq"] + 1
+        seg = f"seg-{commit_seq:06d}-compact-{uuid.uuid4().hex[:8]}"
+        compacted.write.parquet(os.path.join(self.dir, "segments", seg))
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["segments"] = [seg]
+        m2["commit_seq"] = commit_seq
+        return self._commit(m2)
+
+    # ---------------------------------------------------------- snapshots
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self.dir, SNAPSHOT_DIR, name)
+
+    def snapshot(self, name: str) -> None:
+        """HBaseAdmin.snapshot:899 — metadata-only commit: freeze the
+        current manifest under .snapshot/<name>/ (zero data copied; the
+        segment files are shared, protected from vacuum by reference)."""
+        sd = self._snap_dir(name)
+        if os.path.exists(sd):
+            raise TableExistsError(f"snapshot {name}")
+        os.makedirs(sd)
+        m = self.manifest()
+        info = dict(m)
+        info["snapshot_name"] = name
+        info["snapshot_table"] = self.name
+        info["created_version"] = m["version"]
+        _write_json(os.path.join(sd, "snapshotinfo.json"), info)
+
+    def list_snapshots(self) -> list[str]:
+        base = os.path.join(self.dir, SNAPSHOT_DIR)
+        if not os.path.isdir(base):
+            return []
+        return sorted(os.listdir(base))
+
+    def snapshot_manifest(self, name: str) -> dict:
+        return _read_json(os.path.join(self._snap_dir(name), "snapshotinfo.json"))
+
+    def restore_snapshot(self, name: str) -> int:
+        """HBaseAdmin.restoreSnapshot:934 / master/RestoreSnapshot.java:52
+        — pure metadata: commit a manifest whose segment list is the
+        snapshot's.  (The reference must split & replay WALs; our
+        snapshots capture the full edit log, so restore is exact.)"""
+        info = self.snapshot_manifest(name)
+        m = self.manifest()
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["segments"] = list(info["segments"])
+        m2["descriptor"] = info["descriptor"]
+        return self._commit(m2)
+
+    def delete_snapshot(self, name: str) -> None:
+        """HBaseAdmin.deleteSnapshot:948 — drop the manifest; files are
+        reclaimed by vacuum() once unreferenced."""
+        shutil.rmtree(self._snap_dir(name))
+
+    def clone_to(self, store: TableStore, new_name: str, snapshot: str) -> "StoredTable":
+        """ExportSnapshot + ImportSnapshot (mapreduce/ExportSnapshot.java,
+        ImportSnapshot.java) — copy a snapshot's files to another store
+        and register them as a new table."""
+        info = self.snapshot_manifest(snapshot)
+        desc = TableDescriptor.from_dict(info["descriptor"])
+        desc.name = new_name
+        t = store.create_table(desc, binary=info["binary"])
+        for seg in info["segments"]:
+            shutil.copytree(
+                os.path.join(self.dir, "segments", seg),
+                os.path.join(t.dir, "segments", seg),
+            )
+        m = t.manifest()
+        m2 = dict(m)
+        m2["version"] = 1
+        m2["segments"] = list(info["segments"])
+        m2["commit_seq"] = info["commit_seq"]
+        t._commit(m2)
+        return t
+
+    # ---------------------------------------------------------- vacuum
+
+    def referenced_segments(self) -> set[str]:
+        refs = set(self.manifest()["segments"])
+        for s in self.list_snapshots():
+            refs.update(self.snapshot_manifest(s)["segments"])
+        return refs
+
+    def vacuum(self) -> list[str]:
+        """Delete segments unreferenced by HEAD or any snapshot — the
+        refcount rule of HRegion.java:765 / SnapshotLogCleaner."""
+        refs = self.referenced_segments()
+        segdir = os.path.join(self.dir, "segments")
+        removed = []
+        for seg in os.listdir(segdir):
+            if seg not in refs:
+                shutil.rmtree(os.path.join(segdir, seg))
+                removed.append(seg)
+        # also drop superseded manifest versions
+        head = self._head_version()
+        mdir = os.path.join(self.dir, "manifests")
+        for f in os.listdir(mdir):
+            v = int(f[1:-5])
+            if v != head:
+                os.remove(os.path.join(mdir, f))
+        return sorted(removed)

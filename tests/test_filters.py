@@ -1,0 +1,285 @@
+"""Filter algebra tests — ports filter/TestFilter.java's seeded-grid
+style plus the per-filter test files (TestFilterList, TestPageFilter,
+TestColumnPaginationFilter, TestSingleColumnValue(Exclude)Filter,
+TestDependentColumnFilter, TestPrefixFilter, TestInclusiveStopFilter,
+TestColumnPrefixFilter)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.client import Get, Scan, Table
+from hbase_snapshot_spark.filters import (
+    BinaryComparator,
+    BinaryPrefixComparator,
+    ColumnCountGetFilter,
+    ColumnPaginationFilter,
+    ColumnPrefixFilter,
+    CompareOp,
+    DependentColumnFilter,
+    FilterList,
+    FirstKeyOnlyFilter,
+    InclusiveStopFilter,
+    PageFilter,
+    PrefixFilter,
+    QualifierFilter,
+    RegexStringComparator,
+    RowFilter,
+    SingleColumnValueExcludeFilter,
+    SingleColumnValueFilter,
+    SkipFilter,
+    SubstringComparator,
+    TimestampsFilter,
+    ValueFilter,
+    WhileMatchFilter,
+)
+from tests.cells import cells_df, delete_column, put, visible_set
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    """Two-family grid like TestFilter.java:169 — rows ra..rd, families
+    f/g, qualifiers q0..q2, two versions on f:q0."""
+    rows = []
+    for r in ["ra", "rb", "rc", "rd"]:
+        for q in ["q0", "q1", "q2"]:
+            rows.append(put(r, "f", q, 10, f"{r}-f-{q}-v10"))
+        rows.append(put(r, "f", "q0", 20, f"{r}-f-q0-v20"))
+        rows.append(put(r, "g", "q0", 10, f"{r}-g-q0-v10"))
+    rows.append(delete_column("rd", "f", "q2", 15))
+    return Table(cells_df(spark, rows))
+
+
+def rows_of(df):
+    return {r.row for r in df.select("row").distinct().collect()}
+
+
+def cells_of(df):
+    return {(r.row, r.family, r.qualifier, r.ts) for r in df.collect()}
+
+
+def test_row_filter_binary(grid):
+    out = grid.scan(Scan(filter=RowFilter(CompareOp.GREATER_OR_EQUAL, BinaryComparator("rc"))))
+    assert rows_of(out) == {"rc", "rd"}
+
+
+def test_row_filter_regex(grid):
+    out = grid.scan(Scan(filter=RowFilter(CompareOp.EQUAL, RegexStringComparator("r[bd]"))))
+    assert rows_of(out) == {"rb", "rd"}
+
+
+def test_value_filter_substring(grid):
+    out = grid.scan(
+        Scan(max_versions=None,
+             filter=ValueFilter(CompareOp.EQUAL, SubstringComparator("F-Q0")))
+    )
+    assert {r.qualifier for r in out.collect()} == {"q0"}
+
+
+def test_value_filter_before_version_count(grid):
+    # newest f:q0 version is v20; ValueFilter excluding it must expose v10
+    out = grid.scan(
+        Scan(max_versions=1,
+             columns={"f": ["q0"]},
+             filter=ValueFilter(CompareOp.EQUAL, SubstringComparator("v10")))
+    )
+    got = {(r.row, r.ts) for r in out.collect()}
+    assert got == {(r, 10) for r in ["ra", "rb", "rc", "rd"]}
+
+
+def test_qualifier_filter(grid):
+    out = grid.scan(Scan(filter=QualifierFilter(CompareOp.LESS, BinaryComparator("q1"))))
+    assert {r.qualifier for r in out.collect()} == {"q0"}
+
+
+def test_binary_prefix_comparator(grid):
+    out = grid.scan(
+        Scan(filter=ValueFilter(CompareOp.EQUAL, BinaryPrefixComparator("ra-f")))
+    )
+    assert rows_of(out) == {"ra"}
+    assert {r.family for r in out.collect()} == {"f"}
+
+
+def test_prefix_filter_and_range_hint(grid):
+    f = PrefixFilter("r")
+    assert f.compile().range_hint == ("r", "s")
+    out = grid.scan(Scan(filter=PrefixFilter("ra")))
+    assert rows_of(out) == {"ra"}
+
+
+def test_inclusive_stop(grid):
+    out = grid.scan(Scan(start_row="ra", filter=InclusiveStopFilter("rb")))
+    assert rows_of(out) == {"ra", "rb"}
+
+
+def test_timestamps_filter(grid):
+    out = grid.scan(Scan(max_versions=None, filter=TimestampsFilter([20])))
+    assert cells_of(out) == {(r, "f", "q0", 20) for r in ["ra", "rb", "rc", "rd"]}
+
+
+def test_first_key_only(grid):
+    out = grid.scan(Scan(filter=FirstKeyOnlyFilter()))
+    # first cell in KV order per row: f:q0 newest version (ts 20)
+    assert cells_of(out) == {(r, "f", "q0", 20) for r in ["ra", "rb", "rc", "rd"]}
+
+
+def test_page_filter_global(grid):
+    out = grid.scan(Scan(filter=PageFilter(2)))
+    assert rows_of(out) == {"ra", "rb"}
+
+
+def test_column_pagination(grid):
+    # stream order per row: f:q0@20, f:q0@10, f:q1@10, f:q2@10, g:q0@10
+    out = grid.scan(Scan(max_versions=None, filter=ColumnPaginationFilter(2, 1)))
+    got = cells_of(out.filter(F.col("row") == "ra"))
+    assert got == {("ra", "f", "q0", 10), ("ra", "f", "q1", 10)}
+
+
+def test_column_count_get(grid):
+    out = grid.get(Get("ra", max_versions=None, filter=ColumnCountGetFilter(3)))
+    assert cells_of(out) == {
+        ("ra", "f", "q0", 20), ("ra", "f", "q0", 10), ("ra", "f", "q1", 10)
+    }
+
+
+def test_scvf_basic(grid):
+    f = SingleColumnValueFilter("f", "q1", CompareOp.EQUAL, "rb-f-q1-v10")
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == {"rb"}
+
+
+def test_scvf_missing_column_passes(grid):
+    # rd's f:q2 is deleted ⇒ rows lacking the column pass by default
+    f = SingleColumnValueFilter("f", "q2", CompareOp.EQUAL, "nope")
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == {"rd"}
+
+
+def test_scvf_filter_if_missing(grid):
+    f = SingleColumnValueFilter(
+        "f", "q2", CompareOp.EQUAL, "nope", filter_if_missing=True
+    )
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == set()
+
+
+def test_scvf_latest_version_only(grid):
+    # f:q0 latest is v20; matching the old version must NOT pass with
+    # latest_version_only=True, must pass with False
+    f_latest = SingleColumnValueFilter("f", "q0", CompareOp.EQUAL, "ra-f-q0-v10")
+    assert rows_of(grid.scan(Scan(filter=f_latest))) == set()
+    f_any = SingleColumnValueFilter(
+        "f", "q0", CompareOp.EQUAL, "ra-f-q0-v10", latest_version_only=False
+    )
+    assert rows_of(grid.scan(Scan(filter=f_any))) == {"ra"}
+
+
+def test_scvf_exclude(grid):
+    f = SingleColumnValueExcludeFilter("f", "q1", CompareOp.EQUAL, "rb-f-q1-v10")
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == {"rb"}
+    assert ("rb", "f", "q1", 10) not in cells_of(out)
+
+
+def test_dependent_column(spark):
+    t = Table(cells_df(spark, [
+        put("r1", "f", "ref", 10, "x"),
+        put("r1", "f", "a", 10, "keep"),
+        put("r1", "f", "a", 11, "drop"),
+        put("r2", "f", "a", 10, "drop-no-ref"),
+    ]))
+    f = DependentColumnFilter("f", "ref")
+    out = t.scan(Scan(max_versions=None, filter=f))
+    assert cells_of(out) == {("r1", "f", "ref", 10), ("r1", "f", "a", 10)}
+    f2 = DependentColumnFilter("f", "ref", drop_dependent_column=True)
+    out2 = t.scan(Scan(max_versions=None, filter=f2))
+    assert cells_of(out2) == {("r1", "f", "a", 10)}
+
+
+def test_skip_filter(grid):
+    # drop any row containing a q2 cell (i.e. rows where qualifier != q2
+    # fails for some cell) — rd's q2 is deleted so rd survives
+    f = SkipFilter(QualifierFilter(CompareOp.NOT_EQUAL, BinaryComparator("q2")))
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == {"rd"}
+
+
+def test_while_match(grid):
+    f = WhileMatchFilter(RowFilter(CompareOp.LESS, BinaryComparator("rc")))
+    out = grid.scan(Scan(filter=f))
+    assert rows_of(out) == {"ra", "rb"}
+
+
+def test_while_match_page(grid):
+    # the PerformanceEvaluation filterScan shape (:805-808)
+    f = WhileMatchFilter(PageFilter(3))
+    out = grid.scan(Scan(filter=f))
+    assert rows_of(out) == {"ra", "rb", "rc"}
+
+
+def test_filter_list_and(grid):
+    f = FilterList(FilterList.MUST_PASS_ALL, [
+        RowFilter(CompareOp.GREATER_OR_EQUAL, BinaryComparator("rb")),
+        QualifierFilter(CompareOp.EQUAL, BinaryComparator("q0")),
+    ])
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == {"rb", "rc", "rd"}
+    assert {r.qualifier for r in out.collect()} == {"q0"}
+
+
+def test_filter_list_or(grid):
+    f = FilterList(FilterList.MUST_PASS_ONE, [
+        RowFilter(CompareOp.EQUAL, BinaryComparator("ra")),
+        RowFilter(CompareOp.EQUAL, BinaryComparator("rd")),
+    ])
+    out = grid.scan(Scan(filter=f))
+    assert rows_of(out) == {"ra", "rd"}
+
+
+def test_filter_list_nested(grid):
+    f = FilterList(FilterList.MUST_PASS_ALL, [
+        FilterList(FilterList.MUST_PASS_ONE, [
+            RowFilter(CompareOp.EQUAL, BinaryComparator("ra")),
+            RowFilter(CompareOp.EQUAL, BinaryComparator("rb")),
+        ]),
+        QualifierFilter(CompareOp.EQUAL, BinaryComparator("q1")),
+    ])
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert cells_of(out) == {("ra", "f", "q1", 10), ("rb", "f", "q1", 10)}
+
+
+def test_filter_list_or_rowlevel(grid):
+    f = FilterList(FilterList.MUST_PASS_ONE, [
+        SingleColumnValueFilter("f", "q1", CompareOp.EQUAL, "rb-f-q1-v10",
+                                filter_if_missing=True),
+        RowFilter(CompareOp.EQUAL, BinaryComparator("rd")),
+    ])
+    out = grid.scan(Scan(filter=f))
+    assert rows_of(out) == {"rb", "rd"}
+
+
+def test_scan_range_with_filter(grid):
+    out = grid.scan(Scan(
+        start_row="rb", stop_row="rd",
+        filter=QualifierFilter(CompareOp.EQUAL, BinaryComparator("q0")),
+    ))
+    assert rows_of(out) == {"rb", "rc"}
+
+
+def test_get_point_read(grid):
+    out = grid.get(Get("rb", columns={"f": ["q0"]}))
+    assert cells_of(out) == {("rb", "f", "q0", 20)}
+
+
+def test_exists(grid):
+    assert grid.exists(Get("ra"))
+    assert not grid.exists(Get("zz"))
+
+
+def test_get_row_or_before(grid):
+    out = grid.get_row_or_before("rbb")
+    assert rows_of(out) == {"rb"}
+
+
+def test_row_count(grid):
+    assert grid.row_count() == 4

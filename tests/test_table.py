@@ -1,0 +1,249 @@
+"""Storage + mutation + snapshot tests — ports the semantics of
+regionserver/TestHRegion.java (put/delete/ICV/checkAndMutate),
+TestHRegionSnapshot.java (testSnapshot:111,
+testCompactionAfterSnapshot:269) and master/TestSnapshot.java."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.client import Get, Scan
+from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+from hbase_snapshot_spark.table import (
+    Delete,
+    Put,
+    TableExistsError,
+    TableNotFoundError,
+    TableStore,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "tables"))
+
+
+def _desc(name="t1"):
+    return (
+        TableDescriptor(name)
+        .add_family(FamilyDescriptor("f", max_versions=3))
+        .add_family(FamilyDescriptor("g", max_versions=1))
+    )
+
+
+def _mk(store, name="t1"):
+    return store.create_table(_desc(name))
+
+
+def cellset(df):
+    return {(r.row, r.family, r.qualifier, r.ts, r.value) for r in df.collect()}
+
+
+def test_create_list_drop(store):
+    _mk(store, "a")
+    _mk(store, "b")
+    assert store.list_tables() == ["a", "b"]
+    with pytest.raises(TableExistsError):
+        _mk(store, "a")
+    store.drop_table("a")
+    assert store.list_tables() == ["b"]
+    with pytest.raises(TableNotFoundError):
+        store.table("a")
+
+
+def test_put_and_read(store):
+    t = _mk(store)
+    t.mutate([
+        Put("r1").add("f", "q", "v1", ts=100),
+        Put("r2").add("f", "q", "v2", ts=100).add("g", "q", "g2", ts=100),
+    ])
+    got = cellset(t.read())
+    assert got == {
+        ("r1", "f", "q", 100, "v1"),
+        ("r2", "f", "q", 100, "v2"),
+        ("r2", "g", "q", 100, "g2"),
+    }
+
+
+def test_put_versions_and_family_cap(store):
+    t = _mk(store)
+    for i, ts in enumerate([10, 20, 30, 40]):
+        t.mutate([Put("r1").add("f", "q", f"v{ts}", ts=ts).add("g", "q", f"g{ts}", ts=ts)])
+    vis = t.read()
+    # family f: maxVersions=3 → 20,30,40; family g: maxVersions=1 → 40
+    assert {r.ts for r in vis.filter("family='f'").collect()} == {20, 30, 40}
+    assert {r.ts for r in vis.filter("family='g'").collect()} == {40}
+
+
+def test_delete_row_expands_to_families(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v", ts=100).add("g", "q", "v", ts=100)])
+    t.mutate([Delete("r1")], now=200)
+    assert cellset(t.read()) == set()
+
+
+def test_delete_column_latest_when_no_ts(store):
+    # Delete.deleteColumn:213 — no ts ⇒ delete the LATEST version only
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v10", ts=10)])
+    t.mutate([Put("r1").add("f", "q", "v20", ts=20)])
+    t.mutate([Delete("r1").delete_column("f", "q")], now=100)
+    got = cellset(t.read())
+    assert got == {("r1", "f", "q", 10, "v10")}
+
+
+def test_delete_columns_at_or_before(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v10", ts=10)])
+    t.mutate([Put("r1").add("f", "q", "v20", ts=20)])
+    t.mutate([Delete("r1").delete_columns("f", "q", ts=15)])
+    assert cellset(t.read()) == {("r1", "f", "q", 20, "v20")}
+
+
+def test_duplicate_ts_last_write_wins_across_commits(store):
+    # TestFromClientSide.testDuplicateVersions:2873 — same (r,f,q,ts)
+    # written twice: the later commit is the newer "store file"; it wins
+    # at maxVersions=1, while a multi-version read surfaces both cells
+    # (exactly HBase's duplicate-timestamp behavior).
+    from hbase_snapshot_spark.resolve import ResolveSpec
+
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "first", ts=10)])
+    t.mutate([Put("r1").add("f", "q", "second", ts=10)])
+    assert cellset(t.read(spec=ResolveSpec(max_versions=1))) == {
+        ("r1", "f", "q", 10, "second")
+    }
+    assert {r.value for r in t.read().collect()} == {"first", "second"}
+
+
+def test_check_and_put(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "old", ts=10)])
+    ok = t.check_and_put("r1", "f", "q", "old", Put("r1").add("f", "q", "new", ts=20))
+    assert ok
+    assert not t.check_and_put("r1", "f", "q", "old", Put("r1").add("f", "q", "x", ts=30))
+    assert cellset(t.read().filter("ts >= 20")) == {("r1", "f", "q", 20, "new")}
+
+
+def test_check_and_put_absent(store):
+    t = _mk(store)
+    assert t.check_and_put("r9", "f", "q", None, Put("r9").add("f", "q", "v", ts=10))
+    assert cellset(t.read()) == {("r9", "f", "q", 10, "v")}
+
+
+def test_increment(store):
+    t = _mk(store)
+    assert t.increment_column_value("r1", "f", "ctr", 5, now=10) == 5
+    assert t.increment_column_value("r1", "f", "ctr", 37, now=20) == 42
+    assert t.increment_column_value("r1", "f", "ctr", -2, now=30) == 40
+    latest = t.client().get(Get("r1", columns={"f": ["ctr"]}))
+    assert [r.value for r in latest.collect()] == ["40"]
+
+
+def test_mvcc_version_pinning(store):
+    # ReadWriteConsistencyControl — a reader at version V never sees
+    # later commits
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    v1 = t.manifest()["version"]
+    t.mutate([Put("r1").add("f", "q", "v2", ts=20)])
+    assert cellset(t.read(version=v1)) == {("r1", "f", "q", 10, "v1")}
+    assert {r.value for r in t.read().collect()} == {"v1", "v2"}
+
+
+def test_compact_minor_keeps_everything(store):
+    # MinorCompactingStoreScanner is a pure merge: masked puts AND
+    # tombstones both survive a minor compaction
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v10", ts=10)])
+    t.mutate([Delete("r1").delete_columns("f", "q", ts=15)])
+    t.compact(major=False)
+    m = t.manifest()
+    assert len(m["segments"]) == 1
+    types = sorted(r.type for r in t.cells().collect())
+    assert types == [4, 12]
+    assert cellset(t.read()) == set()
+
+
+def test_compact_major_purges(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v10", ts=10)])
+    t.mutate([Put("r1").add("f", "q", "v20", ts=20)])
+    t.mutate([Delete("r1").delete_columns("f", "q", ts=10)])
+    t.compact(major=True)
+    cells = t.cells().collect()
+    assert [(r.row, r.ts, r.type) for r in cells] == [("r1", 20, 4)]
+
+
+def test_compact_major_respects_family_versions(store):
+    t = _mk(store)
+    for ts in (10, 20, 30, 40):
+        t.mutate([Put("r1").add("g", "q", f"v{ts}", ts=ts)])
+    t.compact(major=True)  # family g: maxVersions=1
+    assert [(r.ts) for r in t.cells().collect()] == [40]
+
+
+def test_snapshot_restore(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.snapshot("snap1")
+    t.mutate([Put("r1").add("f", "q", "v2", ts=20)])
+    t.mutate([Delete("r2")])
+    assert t.list_snapshots() == ["snap1"]
+    t.restore_snapshot("snap1")
+    assert cellset(t.read()) == {("r1", "f", "q", 10, "v1")}
+
+
+def test_snapshot_protects_from_vacuum_after_compaction(store):
+    # TestHRegionSnapshot.testCompactionAfterSnapshot:269 — compaction
+    # must not delete files a snapshot references
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.snapshot("s")
+    snap_segs = set(t.snapshot_manifest("s")["segments"])
+    t.mutate([Put("r1").add("f", "q", "v2", ts=20)])
+    t.compact(major=True)
+    removed = t.vacuum()
+    seg_dir = os.path.join(t.dir, "segments")
+    for seg in snap_segs:
+        assert os.path.isdir(os.path.join(seg_dir, seg)), "snapshot seg vacuumed!"
+    assert all(seg not in snap_segs for seg in removed)
+    # restoring the snapshot after compaction+vacuum still works
+    t.restore_snapshot("s")
+    assert cellset(t.read()) == {("r1", "f", "q", 10, "v1")}
+
+
+def test_delete_snapshot_then_vacuum_reclaims(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.snapshot("s")
+    old_segs = set(t.manifest()["segments"])
+    t.compact(major=True)
+    t.delete_snapshot("s")
+    removed = set(t.vacuum())
+    assert old_segs <= removed
+
+
+def test_export_import_snapshot(store, spark, tmp_path):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.snapshot("s")
+    other = TableStore(spark, str(tmp_path / "other"))
+    t2 = t.clone_to(other, "t1_restored", "s")
+    assert cellset(t2.read()) == {("r1", "f", "q", 10, "v1")}
+    # the clone is independent: mutating the source doesn't affect it
+    t.mutate([Put("r1").add("f", "q", "v2", ts=20)])
+    assert cellset(t2.read()) == {("r1", "f", "q", 10, "v1")}
+
+
+def test_scan_over_stored_table(store):
+    t = _mk(store)
+    t.mutate([
+        Put("a").add("f", "q", "1", ts=10),
+        Put("b").add("f", "q", "2", ts=10),
+        Put("c").add("f", "q", "3", ts=10),
+    ])
+    out = t.client().scan(Scan(start_row="a", stop_row="c"))
+    assert {r.row for r in out.collect()} == {"a", "b"}

@@ -1,0 +1,201 @@
+"""Benchmark harness — PE-workload analogues (BASELINE.md §C) on the
+driver's parquet data.  Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Shape mirrors PerformanceEvaluation (src/test/.../PerformanceEvaluation.java):
+the table is loaded once (bulk_write — the HFileOutputFormat pipeline),
+then read workloads run against the STORED sorted cells, so parquet
+row-group pruning / predicate pushdown are exercised like HBase's
+bloom + key-range seeks.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("hbase-snapshot-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+class Bench:
+    """Workloads share one stored table, loaded by bulk_write."""
+
+    def __init__(self, spark, sf_dir: str, workdir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.workdir = workdir
+        self.table = None
+        self.n_orders = None
+
+    # -- sequentialWrite / HFileOutputFormat pipeline
+    def bulk_write(self):
+        from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+        from hbase_snapshot_spark.parity import encode_orders_cells
+        from hbase_snapshot_spark.sources.tools import bulk_load
+        from hbase_snapshot_spark.table import TableStore
+
+        store = TableStore(self.spark, os.path.join(self.workdir, "tables"))
+        t = store.create_table(
+            TableDescriptor("bench")
+            .add_family(FamilyDescriptor("o", max_versions=3))
+            .add_family(FamilyDescriptor("m", max_versions=3))
+        )
+        cells = encode_orders_cells(self.spark, self.sf_dir)
+        seg = os.path.join(t.dir, "segments", "seg-000001-bulk")
+        bulk_load(cells, seg, num_partitions=CPUS)
+        m = t.manifest()
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["segments"] = ["seg-000001-bulk"]
+        m2["commit_seq"] = 1
+        t._commit(m2)
+        self.table = t
+        self.n_orders = self.spark.read.parquet(
+            f"{self.sf_dir}/orders.parquet"
+        ).count()
+        return t.cells().count()
+
+    # -- randomRead: batched point Gets at 1000 random keys
+    def point_get(self):
+        from pyspark.sql import functions as F
+        from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+        rng = random.Random(42)
+        keys = [f"{rng.randrange(self.n_orders):012d}" for _ in range(1000)]
+        cells = self.table.cells().filter(F.col("row").isin(keys))
+        return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
+
+    # -- scanRange100: 100 random 100-row ranges
+    def range_scan_100(self):
+        from pyspark.sql import functions as F
+        from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+        rng = random.Random(43)
+        pred = None
+        for _ in range(100):
+            s = rng.randrange(max(1, self.n_orders - 100))
+            p = (F.col("row") >= f"{s:012d}") & (F.col("row") < f"{s + 100:012d}")
+            pred = p if pred is None else (pred | p)
+        cells = self.table.cells().filter(pred)
+        return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
+
+    # -- scan / sequentialRead: full resolve, all versions
+    def full_scan(self):
+        from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+        return resolve(
+            self.table.cells(), spec=ResolveSpec(max_versions=3)
+        ).count()
+
+    # -- filterScan: SCVF + WhileMatch(PageFilter(120))
+    def filter_scan(self):
+        from hbase_snapshot_spark.client import Scan, Table
+        from hbase_snapshot_spark.filters import (
+            CompareOp,
+            FilterList,
+            PageFilter,
+            SingleColumnValueFilter,
+            WhileMatchFilter,
+        )
+
+        t = Table(self.table.cells())
+        out = t.scan(Scan(filter=FilterList(FilterList.MUST_PASS_ALL, [
+            SingleColumnValueFilter("o", "status", CompareOp.EQUAL, "F"),
+            WhileMatchFilter(PageFilter(120)),
+        ])))
+        return out.count()
+
+    # -- the fork feature: snapshot, mutate 1%, restore, verify
+    def snapshot_restore(self):
+        from hbase_snapshot_spark.table import Delete
+
+        t = self.table
+        before = t.client().row_count()
+        t.snapshot("bench-snap")
+        t.mutate([Delete(f"{i:012d}") for i in range(100)], now=10_000)
+        t.restore_snapshot("bench-snap")
+        after = t.client().row_count()
+        assert after == before, (before, after)
+        t.delete_snapshot("bench-snap")
+        return after
+
+
+WORKLOAD_ORDER = [
+    "bulk_write",
+    "point_get",
+    "range_scan_100",
+    "full_scan",
+    "filter_scan",
+    "snapshot_restore",
+]
+
+
+def main() -> int:
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # codegen warmup
+
+    sf = None
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    workdir = tempfile.mkdtemp(prefix="bench-")
+    bench = Bench(spark, SF_DIR, workdir)
+    timings = {}
+    try:
+        for name in WORKLOAD_ORDER:
+            t0 = time.time()
+            try:
+                getattr(bench, name)()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as ex:  # noqa: BLE001
+                timings[name] = None
+                print(f"# {name} FAILED: {ex}", file=sys.stderr)
+                if name == "bulk_write":
+                    break  # later workloads need the table
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(json.dumps({
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0 if all(v is not None for v in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

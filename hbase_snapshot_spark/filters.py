@@ -334,37 +334,31 @@ class SingleColumnValueFilter(Filter):
         self.filter_if_missing = filter_if_missing
         self.latest_version_only = latest_version_only
 
-    def _matching_rows(self, stream: DataFrame) -> DataFrame:
-        cells = stream.filter(
-            (F.col("family") == self.family) & (F.col("qualifier") == self.qualifier)
-        )
-        if self.latest_version_only:
-            w = Window.partitionBy("row").orderBy(F.col("ts").desc(), F.col("seq").desc())
-            cells = (
-                cells.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        pred = self.comparator.compare(F.col("value"), self.op)
-        return cells.filter(pred).select("row").distinct()
-
     def compile(self) -> Compiled:
         def keep(stream: DataFrame) -> DataFrame:
-            ok = self._matching_rows(stream)
+            # single aggregation pass: one shuffle on row computes the
+            # column's latest version, any-version match, and presence —
+            # no re-scans of the stream per row-set
+            is_target = (F.col("family") == self.family) & (
+                F.col("qualifier") == self.qualifier
+            )
+            any_pred = self.comparator.compare(F.col("value"), self.op)
+            agg = stream.groupBy("row").agg(
+                F.max(
+                    F.when(is_target, F.struct("ts", "seq", "value"))
+                ).alias("_latest"),
+                F.max(F.when(is_target & any_pred, F.lit(1))).alias("_any"),
+            )
+            if self.latest_version_only:
+                ok = self.comparator.compare(F.col("_latest.value"), self.op)
+            else:
+                ok = F.col("_any") == 1
+            present = F.col("_latest").isNotNull()
             if self.filter_if_missing:
-                return ok
-            has_col = (
-                stream.filter(
-                    (F.col("family") == self.family)
-                    & (F.col("qualifier") == self.qualifier)
-                )
-                .select("row")
-                .distinct()
-            )
-            missing = stream.select("row").distinct().join(
-                has_col, on="row", how="left_anti"
-            )
-            return ok.unionByName(missing)
+                cond = present & ok
+            else:
+                cond = ~present | ok
+            return agg.filter(cond).select("row")
 
         return Compiled(row_keep=keep)
 

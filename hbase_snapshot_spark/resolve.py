@@ -24,12 +24,16 @@ semantics of the reference's scan stack:
     shuffle for the version window and (typically broadcast) joins for
     the sparse tombstone sets.
 
-Scale notes (100 TB posture): tombstones are aggregated per key before
-joining, so the three masking joins carry only the *distinct tombstone
-keys* — in real workloads orders of magnitude smaller than the data —
-and AQE turns them into broadcast joins.  The only full shuffle is the
-row_number window over (row, family, qualifier); when max_versions is
-unbounded and there are no tombstones the window is skipped entirely.
+Scale notes (100 TB posture): the kernel is a single-shuffle plan.  All
+masking windows (family tombstone max over (row,family), column
+tombstone max over (row,family,qualifier), exact-version flag over
+(row,family,qualifier,ts)) and the version-count row_number share one
+hash exchange on (row, family): Spark's ClusteredDistribution is
+satisfied by any partitioning on a subset of the window keys, so the
+finer windows add only local sorts, never a second shuffle — and the
+input is scanned exactly once (no tombstone side-joins that would
+re-scan it).  Row-range/family predicates are applied before the
+exchange, so parquet pushdown prunes the scan.
 """
 
 from __future__ import annotations
@@ -103,56 +107,52 @@ def mask(cells: DataFrame, spec: ResolveSpec) -> DataFrame:
     if spec.families is not None:
         cells = cells.filter(F.col("family").isin(list(spec.families)))
 
-    # -- TTL expiry, before everything (ScanQueryMatcher.java:151-154)
+    # -- TTL expiry, before everything (ScanQueryMatcher.java:151-154):
+    #    an expired tombstone no longer masks.
     ttl_pred = _ttl_predicate(spec)
     if ttl_pred is not None:
         cells = cells.filter(ttl_pred)
 
-    puts = cells.filter(F.col("type") == KeyType.PUT)
-    dels = cells.filter(F.col("type").isin(list(KeyType.DELETES)))
+    # Single-shuffle formulation: ONE exchange on (row, family) satisfies
+    # the clustered-distribution requirement of every window below (and of
+    # the version-count window that follows in count_versions), so the
+    # whole read path costs one shuffle + local sorts — no joins, no
+    # re-scans of the input.  This is the 100 TB-critical property.
+    t = F.col("type")
+    ts = F.col("ts")
 
     # -- tombstone collection honors withinOrAfterTimeRange (:157-168):
     #    only deletes with ts >= timeRange.min are tracked (deletes newer
     #    than the range still mask; older-than-range deletes do not).
+    tracked = t.isin(list(KeyType.DELETES))
     if spec.time_range is not None:
-        dels = dels.filter(F.col("ts") >= F.lit(spec.time_range[0]))
+        tracked = tracked & (ts >= F.lit(spec.time_range[0]))
 
-    key_rf = ["row", "family"]
-    key_rfq = ["row", "family", "qualifier"]
+    w_rf = Window.partitionBy("row", "family")
+    w_rfq = Window.partitionBy("row", "family", "qualifier")
+    w_rfqt = Window.partitionBy("row", "family", "qualifier", "ts")
 
-    fam_dels = (
-        dels.filter(F.col("type") == KeyType.DELETE_FAMILY)
-        .groupBy(*key_rf)
-        .agg(F.max("ts").alias("_famdel_ts"))
-    )
-    col_dels = (
-        dels.filter(F.col("type") == KeyType.DELETE_COLUMN)
-        .groupBy(*key_rfq)
-        .agg(F.max("ts").alias("_coldel_ts"))
-    )
-    ver_dels = (
-        dels.filter(F.col("type") == KeyType.DELETE)
-        .select(*key_rfq, "ts")
-        .distinct()
-        .withColumn("_verdel", F.lit(True))
-    )
+    famdel = F.max(F.when(tracked & (t == KeyType.DELETE_FAMILY), ts)).over(w_rf)
+    coldel = F.max(F.when(tracked & (t == KeyType.DELETE_COLUMN), ts)).over(w_rfq)
+    verdel = F.max(F.when(tracked & (t == KeyType.DELETE), F.lit(1))).over(w_rfqt)
 
     live = (
-        puts.join(fam_dels, on=key_rf, how="left")
-        .join(col_dels, on=key_rfq, how="left")
-        .join(ver_dels, on=key_rfq + ["ts"], how="left")
+        cells.withColumn("_famdel", famdel)
+        .withColumn("_coldel", coldel)
+        .withColumn("_verdel", verdel)
+        .filter(t == KeyType.PUT)
         .filter(
-            (F.col("_famdel_ts").isNull() | (F.col("ts") > F.col("_famdel_ts")))
-            & (F.col("_coldel_ts").isNull() | (F.col("ts") > F.col("_coldel_ts")))
+            (F.col("_famdel").isNull() | (ts > F.col("_famdel")))
+            & (F.col("_coldel").isNull() | (ts > F.col("_coldel")))
             & F.col("_verdel").isNull()
         )
-        .drop("_famdel_ts", "_coldel_ts", "_verdel")
+        .drop("_famdel", "_coldel", "_verdel")
     )
 
     # -- data-cell time range [min, max) (io/TimeRange.java:34-42)
     if spec.time_range is not None:
         lo, hi = spec.time_range
-        live = live.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        live = live.filter((ts >= F.lit(lo)) & (ts < F.lit(hi)))
     return live
 
 

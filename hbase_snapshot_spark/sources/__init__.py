@@ -1,0 +1,10 @@
+from hbase_snapshot_spark.sources.tools import (
+    copy_table,
+    export_table,
+    import_cells,
+    import_tsv,
+    melt,
+    bulk_load,
+    row_count,
+    unmelt,
+)

@@ -1,0 +1,173 @@
+"""ETL / dataflow tools — parity with the reference's ``mapreduce/``
+package (7383 LoC; SURVEY §2.5), re-expressed as one-page DataFrame
+programs.
+
+Scale notes: every tool is a single declarative plan — no driver-side
+loops.  ``melt`` is one scan + explode (column-pruned by Catalyst);
+``bulk_load`` is repartitionByRange + sortWithinPartitions + write,
+which is literally the TotalOrderPartitioner + KeyValueSortReducer
+pipeline (mapreduce/HFileOutputFormat.java:66, writePartitions:183,
+KeyValueSortReducer.java:35); ``import_tsv`` reads CSV with
+DROPMALFORMED matching the skip-bad-lines counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.model import KeyType
+from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+
+def melt(
+    df: DataFrame,
+    row_col,
+    columns: dict[str, tuple[str, str]],
+    ts=1000,
+    seq=1,
+) -> DataFrame:
+    """Relational DataFrame → cell stream in ONE pass (scan + explode).
+
+    ``columns`` maps source column → (family, qualifier), the
+    importtsv.columns spec of mapreduce/ImportTsv.java:57-112
+    (``HBASE_ROW_KEY`` ≡ row_col).  Values are cast to string; use a
+    binary variant at the call site if exact byte round-trips matter.
+    """
+    row = F.col(row_col) if isinstance(row_col, str) else row_col
+    ts_col = F.lit(ts) if not isinstance(ts, Column) else ts
+    structs = [
+        F.struct(
+            F.lit(fam).alias("family"),
+            F.lit(qual).alias("qualifier"),
+            ts_col.cast("long").alias("ts"),
+            F.lit(KeyType.PUT).cast("int").alias("type"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.col(src).cast("string").alias("value"),
+        )
+        for src, (fam, qual) in columns.items()
+    ]
+    return (
+        df.select(row.cast("string").alias("row"), F.explode(F.array(*structs)).alias("c"))
+        .select("row", "c.*")
+    )
+
+
+def unmelt(cells: DataFrame, columns: dict[tuple[str, str], str]) -> DataFrame:
+    """Resolved cell stream → relational row view (the Result.getMap
+    materialization narrowed to named columns).  One groupBy(row)."""
+    aggs = [
+        F.max(
+            F.when(
+                (F.col("family") == fam) & (F.col("qualifier") == qual),
+                F.col("value"),
+            )
+        ).alias(out)
+        for (fam, qual), out in columns.items()
+    ]
+    return cells.groupBy("row").agg(*aggs)
+
+
+def import_tsv(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    sep: str = "\t",
+    skip_bad_lines: bool = False,
+    ts=1000,
+) -> DataFrame:
+    """mapreduce/ImportTsv.java — TSV → cell stream.  ``columns`` uses
+    the reference's spec format: 'HBASE_ROW_KEY' plus 'fam:qual' per
+    field, e.g. ["HBASE_ROW_KEY", "f:a", "f:b"]."""
+    if "HBASE_ROW_KEY" not in columns:
+        raise ValueError("columns must include HBASE_ROW_KEY")  # ImportTsv:97
+    mode = "DROPMALFORMED" if skip_bad_lines else "FAILFAST"
+    raw = spark.read.options(sep=sep, mode=mode).csv(path)
+    key_idx = columns.index("HBASE_ROW_KEY")
+    colmap = {}
+    for i, spec in enumerate(columns):
+        if i == key_idx:
+            continue
+        fam, qual = spec.split(":", 1)
+        colmap[f"_c{i}"] = (fam, qual)
+    return melt(raw, f"_c{key_idx}", colmap, ts=ts)
+
+
+def export_table(
+    cells: DataFrame,
+    out_path: str,
+    max_versions: int | None = 1,
+    time_range: tuple[int, int] | None = None,
+) -> None:
+    """mapreduce/Export.java:41-103 — resolved cells → parquet.
+    Args mirror the tool's (versions, startTime, endTime)."""
+    resolve(
+        cells, spec=ResolveSpec(max_versions=max_versions, time_range=time_range)
+    ).write.parquet(out_path)
+
+
+def import_cells(spark: SparkSession, in_path: str, table) -> int:
+    """mapreduce/Import.java — exported parquet → table append."""
+    return table.append_cells(spark.read.parquet(in_path))
+
+
+def copy_table(
+    src_cells: DataFrame,
+    dst_table,
+    time_range: tuple[int, int] | None = None,
+    families: list[str] | None = None,
+) -> int:
+    """mapreduce/CopyTable.java:56-81 — table→table copy with
+    --starttime/--endtime/--families; preserves versions & timestamps."""
+    spec = ResolveSpec(max_versions=None, time_range=time_range, families=families)
+    return dst_table.append_cells(resolve(src_cells, spec=spec))
+
+
+def row_count(cells: DataFrame, approx: bool = False) -> int:
+    """mapreduce/RowCounter.java:40-117 — rows with ≥1 visible cell.
+    The FirstKeyOnlyFilter pushdown becomes a distinct on row keys;
+    ``approx`` swaps in approx_count_distinct for the 100 TB cheap path."""
+    visible = resolve(cells, spec=ResolveSpec(max_versions=1))
+    if approx:
+        return visible.agg(F.approx_count_distinct("row").alias("n")).collect()[0].n
+    return visible.select("row").distinct().count()
+
+
+def bulk_load(
+    cells: DataFrame,
+    out_path: str,
+    num_partitions: int = 32,
+) -> None:
+    """The HFileOutputFormat bulk-load pipeline
+    (mapreduce/HFileOutputFormat.java:66 + SimpleTotalOrderPartitioner +
+    KeyValueSortReducer): range-partition by row, sort within partitions
+    by the KeyValue total order, write columnar files.  Registering the
+    output into a table manifest (LoadIncrementalHFiles) is
+    ``table.append_cells`` / a manifest add — metadata-only, no
+    region-boundary re-splitting needed."""
+    (
+        cells.repartitionByRange(num_partitions, "row")
+        .sortWithinPartitions(
+            "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
+        )
+        .write.parquet(out_path)
+    )
+
+
+def region_partition_id(row: Column, boundaries: list) -> Column:
+    """mapreduce/SimpleTotalOrderPartitioner.java:46 /
+    HRegionPartitioner.java:42 — which range-shard owns a key, given
+    sorted split boundaries (start keys of regions 1..n)."""
+    # chained whens from the highest boundary down — first match wins
+    expr = None
+    for i in reversed(range(len(boundaries))):
+        cond, val = row >= F.lit(boundaries[i]), F.lit(i + 1)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+
+
+def grouping_key(cols: list[str], sep: str = " ") -> Column:
+    """mapreduce/GroupingTableMapper.java:39-95 — re-key by concatenation
+    of chosen column values; records with any missing value are skipped
+    (the caller filters nulls)."""
+    return F.concat_ws(sep, *[F.col(c) for c in cols])

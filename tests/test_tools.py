@@ -1,0 +1,139 @@
+"""ETL tool tests — ports mapreduce/TestImportTsv, TestTableMapReduce,
+TestHFileOutputFormat, TestSimpleTotalOrderPartitioner,
+TestTimeRangeMapRed semantics."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+from hbase_snapshot_spark.sources.tools import (
+    bulk_load,
+    copy_table,
+    export_table,
+    import_cells,
+    import_tsv,
+    melt,
+    region_partition_id,
+    row_count,
+    unmelt,
+)
+from hbase_snapshot_spark.table import Put, TableStore
+from tests.cells import cells_df, delete_column, put
+
+
+def test_melt_unmelt_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "score"]
+    )
+    cells = melt(df, "id", {"name": ("f", "name"), "score": ("f", "score")})
+    assert cells.count() == 4
+    back = unmelt(cells, {("f", "name"): "name", ("f", "score"): "score"})
+    got = {(r.row, r.name, r.score) for r in back.collect()}
+    assert got == {("1", "a", "10.0"), ("2", "b", "20.0")}
+
+
+def test_import_tsv(spark, tmp_path):
+    p = tmp_path / "in.tsv"
+    p.write_text("r1\tv1\tx1\nr2\tv2\tx2\n")
+    cells = import_tsv(spark, str(p), ["HBASE_ROW_KEY", "f:a", "g:b"], ts=7)
+    got = {(r.row, r.family, r.qualifier, r.ts, r.value) for r in cells.collect()}
+    assert got == {
+        ("r1", "f", "a", 7, "v1"), ("r1", "g", "b", 7, "x1"),
+        ("r2", "f", "a", 7, "v2"), ("r2", "g", "b", 7, "x2"),
+    }
+
+
+def test_import_tsv_requires_row_key(spark):
+    with pytest.raises(ValueError):
+        import_tsv(spark, "/nonexistent", ["f:a"])
+
+
+def test_export_import_roundtrip(spark, tmp_path):
+    cells = cells_df(spark, [
+        put("r1", "f", "q", 10, "v10"),
+        put("r1", "f", "q", 20, "v20"),
+        delete_column("r1", "f", "q", 10),
+    ])
+    out = str(tmp_path / "export")
+    export_table(cells, out, max_versions=None)
+    exported = spark.read.parquet(out)
+    # tombstone applied at export: only ts=20 survives
+    assert [(r.ts, r.value) for r in exported.collect()] == [(20, "v20")]
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    import_cells(spark, out, t)
+    assert [(r.ts, r.value) for r in t.read().collect()] == [(20, "v20")]
+
+
+def test_copy_table_time_range(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "tables"))
+    dst = store.create_table(TableDescriptor("dst").add_family(FamilyDescriptor("f")))
+    src = cells_df(spark, [
+        put("r1", "f", "q", 10, "old"),
+        put("r1", "f", "q", 20, "mid"),
+        put("r1", "f", "q", 30, "new"),
+    ])
+    copy_table(src, dst, time_range=(15, 25))
+    assert [(r.ts, r.value) for r in dst.read().collect()] == [(20, "mid")]
+
+
+def test_row_counter(spark):
+    cells = cells_df(spark, [
+        put("r1", "f", "a", 10, "v"),
+        put("r1", "f", "b", 10, "v"),
+        put("r2", "f", "a", 10, "v"),
+        delete_column("r3", "f", "a", 99),
+        put("r3", "f", "a", 10, "dead"),
+    ])
+    assert row_count(cells) == 2  # r3 fully masked
+
+
+def test_bulk_load_sorted_ranges(spark, tmp_path):
+    cells = cells_df(spark, [
+        put(f"r{i:03d}", "f", "q", 10, f"v{i}") for i in range(100)
+    ])
+    out = str(tmp_path / "bulk")
+    bulk_load(cells, out, num_partitions=4)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 1
+    # within each output file rows are sorted (TotalOrderPartitioner +
+    # sort reducer contract) and files cover disjoint ranges
+    ranges = []
+    for f in files:
+        rows = [r.row for r in spark.read.parquet(os.path.join(out, f)).collect()]
+        assert rows == sorted(rows)
+        if rows:
+            ranges.append((rows[0], rows[-1]))
+    ranges.sort()
+    for (_lo, hi), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi < lo2
+
+
+def test_region_partition_id(spark):
+    df = spark.createDataFrame([("a",), ("k",), ("p",), ("z",)], ["row"])
+    out = df.select("row", region_partition_id(F.col("row"), ["h", "q"]).alias("pid"))
+    assert {(r.row, r.pid) for r in out.collect()} == {
+        ("a", 0), ("k", 1), ("p", 1), ("z", 2)
+    }
+
+
+def test_grouping_table_mapper_pattern(spark):
+    # GroupingTableMapper + LongSumReducer composition on the resolved view
+    from hbase_snapshot_spark.sources.tools import grouping_key
+
+    df = spark.createDataFrame(
+        [("u1", "click"), ("u1", "click"), ("u2", "view"), ("u3", None)],
+        ["user", "etype"],
+    )
+    out = (
+        df.dropna(subset=["user", "etype"])
+        .groupBy(grouping_key(["user", "etype"]).alias("key"))
+        .count()
+    )
+    assert {(r.key, r["count"]) for r in out.collect()} == {
+        ("u1 click", 2), ("u2 view", 1)
+    }

@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB: no pairwise O(n²) anywhere on the main path —
+candidate generation is always a bucket/equi-join (shingle inverted
+index, LSH band buckets, simhash half-fingerprint pigeonhole, cluster
+blocking), with exact verification only inside candidate groups.  Hashes
+are md5-based (portable to the DuckDB oracle); min over hex strings is
+well-defined in both engines (ASCII lexicographic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.functions import cosine, word_ngrams, word_tokens, hex4_to_int
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """hash-groupBy exact dedup: keep the smallest id per key; adds
+    ``dup_count``.  One shuffle on the (hashed) key."""
+    w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_key", F.md5(key))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("_key")))
+        .filter(F.col("_rn") == 1)
+        .drop("_key", "_rn")
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    toks = word_tokens(F.col(text_col))
+    return df.withColumn("shingles", F.array_distinct(word_ngrams(toks, n)))
+
+
+def _exploded(df: DataFrame, id_col: str) -> DataFrame:
+    return df.select(id_col, F.explode("shingles").alias("shingle"))
+
+
+# ---------------------------------------------------------------- jaccard
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """exact n-gram Jaccard over an inverted shingle index: pairs sharing
+    ≥1 shingle are candidates (equi-join on shingle — never all-pairs),
+    then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Output: (a, b, jaccard) with a < b, jaccard rounded to 6 digits.
+    """
+    ex = _exploded(df, id_col)
+    sizes = df.select(F.col(id_col), F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "a_id", "sz": "a_sz"}), on="a_id")
+        .join(sizes.withColumnsRenamed({id_col: "b_id", "sz": "b_sz"}), on="b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a_id").alias("a"), F.col("b_id").alias("b"), "jaccard"
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: hash_i(doc) = min over shingles of
+    md5(i ':' shingle).  Computed as num_hashes conditional min
+    aggregates over the exploded shingle index — one shuffle, no UDFs.
+    Output columns mh0..mh{n-1}."""
+    ex = _exploded(df, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding: signature split into ``bands`` bands of
+    num_hashes/bands rows; docs agreeing on ANY full band are
+    candidates (bucket equi-join); candidates verified with exact
+    Jaccard ≥ threshold.  The scale path for near-dup at 100 TB."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws(
+            "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        )).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    bands_long = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band_id", "b.bh")
+    x, y = bands_long.alias("x"), bands_long.alias("y")
+    cand = (
+        x.join(y, on=["band_id", "bh"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, threshold=threshold)
+    return cand.join(
+        exact, on=[cand.a == exact.a, cand.b == exact.b], how="inner"
+    ).select(exact.a, exact.b, "jaccard")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per token, a 16-bit md5-derived hash votes
+    ±1 on each bit position; fingerprint bit = sign of the vote sum.
+    Pure Column math (hex-nibble arithmetic), one shuffle."""
+    toks = df.select(
+        id_col, F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hex4_to_int(F.md5(F.col("tok"))))
+    votes = [
+        F.sum(
+            F.when((F.floor(F.col("h") / (1 << k)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for k in range(bits):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fp = bit if fp is None else (fp + bit)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def _popcount16(x: Column) -> Column:
+    out = None
+    for k in range(16):
+        b = F.floor(x / (1 << k)) % 2
+        out = b if out is None else out + b
+    return out
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """near-dup via SimHash: pigeonhole on the two 8-bit halves (pairs
+    within hamming ≤ max_hamming < 8 must agree on at least one half →
+    candidates come from two equi-joins, not all-pairs), then exact
+    hamming distance filter."""
+    fp = simhash(df, id_col, text_col)
+    halves = fp.select(
+        id_col,
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.floor(F.col("simhash") / 256).alias("hi"),
+    )
+    x, y = halves.alias("x"), halves.alias("y")
+    cands = None
+    for part in ("lo", "hi"):
+        c = (
+            x.join(y, on=F.col(f"x.{part}") == F.col(f"y.{part}"))
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("a"),
+                F.col(f"y.{id_col}").alias("b"),
+                F.col("x.simhash").alias("sa"),
+                F.col("y.simhash").alias("sb"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    xor = F.lit(0)
+    for k in range(16):
+        ba = F.floor(F.col("sa") / (1 << k)) % 2
+        bb = F.floor(F.col("sb") / (1 << k)) % 2
+        xor = xor + F.when(ba != bb, F.lit(1)).otherwise(F.lit(0))
+    return (
+        cands.distinct()
+        .withColumn("hamming", xor)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """embedding near-dup: cosine ≥ threshold.  With ``block_col`` the
+    join is blocked (cluster id / LSH bucket) — the scale path; without
+    it, all-pairs (small inputs only; the brute-force baseline)."""
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    on = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        on.append(F.col("a.blk") == F.col("b.blk"))
+    joined = a.join(b, on=on[0] if len(on) == 1 else (on[0] & on[1]))
+    return (
+        joined.select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

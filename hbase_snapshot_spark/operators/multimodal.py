@@ -1,0 +1,173 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed through Arrow-batched ``mapInPandas``
+pipelines.
+
+The Spark-side plumbing — schema, partitioning, Pandas-UDF signatures,
+batch shapes — is real and tested.  The actual codec work (JPEG decode,
+audio resample, video frame extraction) requires media libraries that
+are NOT in this container, so the decode kernels are STUBBED: each has
+a clearly-marked ``NotImplementedError`` production path plus a
+deterministic fake (``fake=True``) that exercises the identical
+dataflow for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),     # opaque encoded bytes
+    T.StructField("meta", T.StructType([                # typed metadata
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]), True),
+])
+
+
+def documents_as_media(df: DataFrame, kind: str = "image") -> DataFrame:
+    """deterministic media table from the documents fixture: payload =
+    utf-8 bytes of the text (a stand-in blob), metadata derived from
+    byte lengths — lets every pipeline stage run end-to-end without
+    codec libraries."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.length(payload) % 512).cast("int").alias("width"),
+            (F.length(payload) % 384).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.length(payload) * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# -------------------------------------------------------- byte features
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("digest", T.StringType(), True),
+    T.StructField("head_hex", T.StringType(), True),
+])
+
+
+def extract_byte_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload —
+    the shape every real decoder UDF follows (mapInPandas: Iterator of
+    pandas batches in, batches out; no per-row Python dispatch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": payloads.map(lambda b: len(b) if b is not None else None),
+                "digest": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                ),
+                "head_hex": payloads.map(
+                    lambda b: bytes(b[:8]).hex() if b is not None else None
+                ),
+            })
+
+    return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+# -------------------------------------------------------- decode (stubbed)
+
+_DECODE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("mean_intensity", T.DoubleType(), True),
+])
+
+
+def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode + cheap stats.  Production path needs Pillow/libjpeg
+    (not in this container) → NotImplementedError.  ``fake=True`` runs a
+    deterministic byte-statistics decoder through the identical
+    mapInPandas pipeline (same schema, same batching)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires Pillow/libjpeg — unavailable here; "
+                    "pass fake=True for the deterministic test decoder"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": payloads.map(lambda b: len(b) % 512),
+                "height": payloads.map(lambda b: len(b) % 384),
+                "channels": 3,
+                "mean_intensity": payloads.map(
+                    lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
+                ),
+            })
+
+    return media.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_ms", T.LongType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """Video frame sampling plumbing: expand each video into frame rows
+    at a fixed cadence (JVM-side sequence+explode for the row fan-out),
+    then decode each frame via mapInPandas — stubbed like decode_images.
+    The fan-out + batch shape is the real thing; the codec is not."""
+    frames = media.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("meta.duration_ms") / every_ms).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    ).withColumn("frame_ms", (F.col("frame_idx").cast("long") * every_ms))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video frame decode requires ffmpeg — unavailable here; "
+                    "pass fake=True for the deterministic test decoder"
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "frame_ms": pdf["frame_ms"],
+                "frame": [
+                    hashlib.md5(
+                        bytes(p) + int(i).to_bytes(4, "big")
+                    ).digest()
+                    for p, i in zip(pdf["payload"], pdf["frame_idx"])
+                ],
+            })
+
+    return frames.mapInPandas(run, schema=_FRAME_SCHEMA)

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exact baseline) plus LSH- and IVF-bucketed approximate variants
+(the 100 TB scale paths — candidate sets come from bucket equi-joins,
+never a full cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.functions import cosine, hex4_to_int
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """exact top-k by cosine: broadcast the (small) query set against the
+    vector corpus, rank per query.  One broadcast join + one window
+    shuffle on query_id; ties broken by vec_id for determinism."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _srp_planes(dim: int, num_planes: int) -> list[list[float]]:
+    """deterministic signed-random-projection hyperplanes: entry sign
+    from a hash of (plane, dim) — reproducible everywhere, no RNG"""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign bits of projections onto the fixed planes"""
+    sig = None
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """approximate top-k: bucket corpus and queries by SRP-LSH signature,
+    score only same-bucket candidates.  Recall < 1 by design; tests
+    measure it against cosine_topk."""
+    planes = _srp_planes(dim, num_planes)
+    v = vectors.withColumn("bucket", srp_signature(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket", srp_signature(F.col("qvec"), planes))
+    scored = v.join(F.broadcast(q), on="bucket").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer with deterministic seeding: centroids are the
+    vectors with the ``num_centroids`` smallest ids (no RNG, no
+    iterations — a k-means init step; good enough for a bucketing
+    structure, swappable for trained centroids).  Returns
+    (assigned vectors with ``cell``, centroids)."""
+    cents = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cvec"))
+    )
+    # stable cell ids: rank of the source id
+    w = Window.orderBy(F.col("cent_src").asc())
+    cents = cents.select((F.row_number().over(w) - 1).alias("cell"), "cvec")
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        "*", cosine(F.col(vec_col), F.col("cvec")).alias("_sim")
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim", "cvec")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells per query, exact
+    cosine within probed cells only."""
+    assigned, cents = ivf_assign(vectors, num_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = assigned.join(F.broadcast(probes), on="cell").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

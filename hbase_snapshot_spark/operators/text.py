@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure-Column implementations (whole-stage codegen, no UDFs); each has
+an ANSI-SQL twin generated from the same spec (oracle side in
+hbase_snapshot_spark/oracle.py textops generators) so the driver's
+DuckDB gate can verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.functions import word_tokens
+
+# language → discriminating stopwords (lowercase).  Shared with the SQL
+# generator — keep lists and ORDER identical on both sides: ties in the
+# score argmax break toward the earlier language.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist", "ein"],
+    "es": ["el", "la", "que", "los", "una", "es"],
+    "fr": ["le", "la", "les", "une", "est", "dans"],
+}
+
+#: BPE-ish token pattern: word pieces or single non-space symbols
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """how many of the given stopwords occur in the text (word-bounded)"""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = [
+        F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
+        for w in words
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword-heuristic language ID: argmax of per-language
+    stopword hits; 'und' (undetermined) when no list scores > 0; ties
+    break toward the earlier language in STOPWORDS order."""
+    scores = {lang: stopword_hits(text, ws) for lang, ws in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    gmax = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):  # earlier languages overwrite → win ties
+        expr = F.when((scores[lang] == gmax) & (gmax > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp_extract_all (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """per-document statistics used by quality scoring"""
+    t = F.col(text_col)
+    toks = word_tokens(t)
+    return df.withColumns({
+        "n_chars_c": F.length(t),
+        "n_tokens": F.size(toks),
+        "n_bpe_tokens": token_count(t),
+        "avg_token_len": F.round(
+            F.when(F.size(toks) > 0,
+                   (F.length(F.regexp_replace(t, r"\s+", "")) / F.size(toks)))
+            .otherwise(F.lit(0.0)), 4),
+        "punct_ratio": F.round(
+            F.when(F.length(t) > 0,
+                   F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")) / F.length(t))
+            .otherwise(F.lit(0.0)), 4),
+        "stopword_hits_en": stopword_hits(t, STOPWORDS["en"]),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """composite quality score in [0,1]: length band + stopword presence
+    + punctuation sanity — the standard cheap pretraining-corpus filter"""
+    t = F.col(text_col)
+    toks = word_tokens(t)
+    n_tok = F.size(toks)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    sw = stopword_hits(t, STOPWORDS["en"])
+    sw_ok = F.when(sw >= 2, F.lit(1.0)).otherwise(sw.cast("double") / 2)
+    punct = F.when(
+        F.length(t) > 0,
+        F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")) / F.length(t),
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct <= 0.2, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct - 0.2) * 2)
+    )
+    score = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.round((len_ok + sw_ok + punct_ok) / 3, 4)
+    )
+    return df.withColumn("quality", score)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """document fingerprint: md5 of the whitespace-normalized lowercase
+    text (the rolling-hash/content-address device)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,270 @@
+"""DuckDB oracle SQL for the training-pipeline operators (dedup /
+similarity / text / multimodal) — generated from the SAME constants as
+the Spark implementations (operators/text.py STOPWORDS, TOKEN_PATTERN;
+md5-based hashing everywhere) so both sides stay in lock-step."""
+
+from __future__ import annotations
+
+from hbase_snapshot_spark.operators.text import STOPWORDS, TOKEN_PATTERN
+
+# shared text fragments -------------------------------------------------
+
+#: tokens of non-empty trimmed text (empty → 0 tokens)
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END"
+
+
+def _shingle_cte(n: int) -> str:
+    """doc_id → distinct word n-gram shingles (matches functions.word_ngrams
+    + array_distinct on the Spark side)"""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {parts})) AS s
+  FROM toks WHERE len(t) >= {n}
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh)
+"""
+
+
+def _jaccard_core(threshold: float) -> str:
+    return f"""
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id AS a, b_id AS b,
+         round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a_id
+  JOIN sz sb ON sb.doc_id = b_id
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT doc_id, dup_count FROM (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+"""
+
+
+def dedup_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return f"WITH {_shingle_cte(n)}, {_jaccard_core(threshold)}"
+
+
+def minhash_signature_sql(n: int = 3, num_hashes: int = 8) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    return f"WITH {_shingle_cte(n)} SELECT doc_id, {mins} FROM ex GROUP BY doc_id"
+
+
+def minhash_pairs_sql(
+    n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_cols = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS bh FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(n)},
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+bl AS ({band_union}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bl x JOIN bl y ON x.band_id = y.band_id AND x.bh = y.bh
+  WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id AS a, b_id AS b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a_id
+  JOIN sz sb ON sb.doc_id = b_id
+)
+SELECT j.a, j.b, j.jaccard
+FROM jac j JOIN cand c ON c.a = j.a AND c.b = j.b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 16) -> str:
+    nib = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    h4 = (
+        f"(({nib.format(p=1)}) * 4096 + ({nib.format(p=2)}) * 256 "
+        f"+ ({nib.format(p=3)}) * 16 + ({nib.format(p=4)}))"
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN floor(hv / {1 << k}) % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE trim(text) <> ''
+),
+hashed AS (SELECT doc_id, {h4} AS hv FROM (SELECT doc_id, md5(tok) AS h FROM toks) t),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM agg
+"""
+
+
+def cosine_pairs_sql(threshold: float = 0.9) -> str:
+    return f"""
+SELECT a, b, cos FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id) t
+WHERE cos >= {threshold}
+"""
+
+
+def cosine_topk_sql(k: int = 10, num_queries: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {num_queries}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s) t
+WHERE rank <= {k}
+"""
+
+
+def _stopword_hits_sql(words: list[str]) -> str:
+    return " + ".join(
+        f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in words
+    )
+
+
+def lang_id_sql() -> str:
+    scores = ", ".join(
+        f"({_stopword_hits_sql(ws)}) AS s_{lang}" for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    gmax = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE "
+    for la in langs:
+        case += f"WHEN s_{la} = {gmax} AND {gmax} > 0 THEN '{la}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, text, {scores} FROM documents)
+SELECT doc_id, lang, {case} AS detected FROM scored
+"""
+
+
+def text_stats_sql() -> str:
+    nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    punct = "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+    return f"""
+SELECT doc_id,
+       {_NTOK} AS n_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_bpe_tokens,
+       round(CASE WHEN {_NTOK} > 0 THEN {nonspace} / ({_NTOK}) ELSE 0.0 END, 4)
+         AS avg_token_len,
+       round(CASE WHEN length(text) > 0 THEN {punct} / length(text) ELSE 0.0 END, 4)
+         AS punct_ratio
+FROM documents
+"""
+
+
+def quality_sql() -> str:
+    sw = _stopword_hits_sql(STOPWORDS["en"])
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / length(text) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, {_NTOK} AS n_tok, ({sw}) AS sw, ({punct}) AS punct
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tok = 0 THEN 0.0 ELSE round((
+         (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
+               WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN sw >= 2 THEN 1.0 ELSE sw / 2.0 END)
+         + (CASE WHEN punct <= 0.2 THEN 1.0
+                 ELSE greatest(0.0, 1.0 - (punct - 0.2) * 2) END)
+       ) / 3, 4) END AS quality
+FROM c
+"""
+
+
+def fingerprint_sql() -> str:
+    return """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def media_features_sql() -> str:
+    return """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+FROM documents
+"""
+
+
+def grouping_agg_sql() -> str:
+    return """
+SELECT user_id, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+
+def tpch_q1_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""

@@ -1,0 +1,190 @@
+"""Training-pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),   # near-dup of 0
+        (2, "der hund und die katze sind nicht da", "de"),
+        (3, "completely different content about spark engines", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (5, "", "und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        # slight deterministic jitter so ids in the same group differ
+        base[(i % 4 + 1) % 8] = 0.01 * (i // 4)
+        n = math.sqrt(sum(x * x for x in base))
+        rows.append((i, [x / n for x in base], i % 4))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, F.col("text"))
+    kept = {r.doc_id: r.dup_count for r in out.collect()}
+    assert 4 not in kept          # dup of 0 dropped
+    assert kept[0] == 2
+    assert kept[3] == 1
+
+
+def test_jaccard_pairs(docs):
+    sh = dedup.with_shingles(docs, n=3)
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.jaccard_pairs(sh, threshold=0.3).collect()}
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert all(a != 2 and b != 2 for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = dedup.with_shingles(docs, n=2)
+    pairs = {(r.a, r.b) for r in dedup.minhash_dup_pairs(
+        sh, num_hashes=8, bands=4, threshold=0.4
+    ).collect()}
+    assert (0, 4) in pairs
+    assert (0, 1) in pairs
+
+
+def test_minhash_signature_deterministic(docs):
+    sh = dedup.with_shingles(docs, n=2)
+    s1 = dedup.minhash_signature(sh).orderBy("doc_id").collect()
+    s2 = dedup.minhash_signature(sh).orderBy("doc_id").collect()
+    assert s1 == s2
+    # identical docs share identical signatures
+    by_id = {r.doc_id: tuple(r)[1:] for r in s1}
+    assert by_id[0] == by_id[4]
+
+
+def test_simhash_properties(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs.filter("text != ''")).collect()}
+    assert fp[0] == fp[4]
+    assert 0 <= fp[0] < (1 << 16)
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_dup_pairs(
+        docs.filter("text != ''"), max_hamming=3
+    ).collect()}
+    assert pairs[(0, 4)] == 0
+
+
+def test_cosine_dup_pairs_blocked(vecs):
+    blocked = dedup.cosine_dup_pairs(
+        vecs, threshold=0.99, block_col="label"
+    ).collect()
+    assert len(blocked) > 0
+    assert all(r.cos >= 0.99 for r in blocked)
+
+
+def test_cosine_topk_exact(vecs):
+    queries = vecs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(vecs, queries, k=5)
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    # the query vector itself is rank 1 (cos=1, smallest id tiebreak ok)
+    assert got[(0, 1)] == 0
+    assert got[(1, 1)] == 1
+    assert len(got) == 10
+
+
+def test_ann_lsh_recall(vecs):
+    queries = vecs.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(vecs, queries, k=5)
+    approx = similarity.ann_lsh_topk(vecs, queries, k=5, num_planes=4, dim=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # every query at least finds itself
+    assert all((q, q) in a for q in range(4))
+
+
+def test_ivf_topk_recall(vecs):
+    queries = vecs.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(vecs, queries, k=3)
+    approx = similarity.ivf_topk(vecs, queries, k=3, num_centroids=4, nprobe=2)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.6
+
+
+def test_lang_id(docs, spark):
+    out = {r.doc_id: r.detected for r in docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("detected")
+    ).collect()}
+    assert out[0] == "en"
+    assert out[2] == "de"
+    assert out[5] == "und"
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("hello world, 42 foo-bar",)], ["text"])
+    n = df.select(text.token_count(F.col("text")).alias("n")).collect()[0].n
+    # hello | world | , | 42 | foo | - | bar
+    assert n == 7
+
+
+def test_quality_score_bands(docs):
+    out = {r.doc_id: r.quality for r in text.quality_score(docs).collect()}
+    assert out[5] == 0.0                    # empty text
+    assert out[0] > out[5]
+    assert all(0.0 <= q <= 1.0 for q in out.values())
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_media_byte_features(docs):
+    media = multimodal.documents_as_media(docs.filter("text != ''"))
+    out = {r.media_id: r for r in multimodal.extract_byte_features(media).collect()}
+    assert out[0].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert out[0].digest == out[4].digest
+    assert out[0].head_hex == "74686520717569636b"[:16]
+
+
+def test_media_decode_stub_raises(docs):
+    media = multimodal.documents_as_media(docs.filter("doc_id = 0"))
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_images(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_media_decode_fake_pipeline(docs):
+    media = multimodal.documents_as_media(docs.filter("text != ''"))
+    out = {r.media_id: r for r in multimodal.decode_images(media, fake=True).collect()}
+    assert out[0].width == 43 % 512
+    assert out[0].channels == 3
+    assert out[0].mean_intensity == out[4].mean_intensity
+
+
+def test_frame_sampling(docs):
+    media = multimodal.documents_as_media(docs.filter("doc_id = 0"), kind="video")
+    frames = multimodal.sample_frames(media, every_ms=100, fake=True).collect()
+    # duration = 43 bytes * 10 ms = 430ms → ceil(430/100)=4 frames (idx 0..3)
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(f.frame is not None for f in frames)

@@ -1,0 +1,7 @@
+from hbase_snapshot_spark.streaming.replication import (
+    cell_stream,
+    replicate,
+    sessionize_events,
+    stateful_streaming_dedup,
+    windowed_event_counts,
+)

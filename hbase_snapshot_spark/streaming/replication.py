@@ -1,0 +1,170 @@
+"""Streaming — the reference's replication stream re-expressed as
+Structured Streaming, plus the watermark/window/stateful operators a
+training-data pipeline needs (which the reference lacks — SURVEY §2.7:
+replication is transport, not computation).
+
+Replication parity:
+  - ReplicationSource (replication/regionserver/ReplicationSource.java:
+    69,224,334 readAllEntriesToReplicateOrNextFile, :518 shipEdits)
+    tails WAL files and ships entries filtered by per-family replication
+    scope (HColumnDescriptor.java:81,129).  Here: a file-source stream
+    over the table's edit-log segments — every committed segment IS a
+    WAL chunk, so "tailing the WAL" is just the parquet file source
+    discovering new files; scope filtering is a predicate.
+  - ReplicationSink (ReplicationSink.java:55,90 replicateEntries)
+    applies edits preserving timestamps.  Here: foreachBatch appending
+    the batch verbatim (ts/seq preserved) into the peer table —
+    at-least-once, idempotent because a batch re-append is dedup-able on
+    (row,family,qualifier,ts,type,seq).
+
+Scale: the file source lists only NEW segment files per trigger;
+foreachBatch appends are one manifest commit per micro-batch (group
+commit, like HLog.sync's batching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.model import cell_schema
+
+
+def cell_stream(spark: SparkSession, table_dir: str, binary: bool = False) -> DataFrame:
+    """readStream over a stored table's edit-log segments."""
+    return (
+        spark.readStream.schema(cell_schema(binary=binary))
+        .option("maxFilesPerTrigger", 64)
+        .parquet(f"{table_dir}/segments/*")
+    )
+
+
+def replicate(
+    spark: SparkSession,
+    src_table,
+    dst_table,
+    checkpoint_dir: str,
+    once: bool = True,
+):
+    """Ship the source table's edit log into the peer table, filtered by
+    family replication scope — the ReplicationSource→Sink contract.
+    ``once=True`` uses availableNow (drain-and-stop; the test/batch
+    mode); otherwise the stream keeps tailing."""
+    desc = src_table.descriptor
+    scoped = [f.name for f in desc.families.values() if f.replication_scope > 0]
+    stream = cell_stream(spark, src_table.dir, binary=src_table.manifest()["binary"])
+    stream = stream.filter(F.col("family").isin(scoped))
+
+    def ship(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # ReplicationSink.replicateEntries: apply preserving ts (and seq,
+        # so duplicate-ts resolution order survives replication)
+        dst_table.append_cells(batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(ship)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+# ------------------------------------------------------------------ windows
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermarking —
+    works on a stream or a batch DataFrame (same code path, Spark
+    semantics guarantee the batch result is the stream's final state)."""
+    keys = keys or []
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows (gap-based) per key — built-in session_window
+    keeps this fully JVM-side and stateful-streaming-capable."""
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        wm.groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------- custom stateful op
+
+def stateful_streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    checkpoint_passthrough_cols: list[str] | None = None,
+):
+    """Cross-batch exact dedup for streaming ingest — emit each key the
+    first time it is seen, suppress all later occurrences.  The custom
+    stateful operator pattern (applyInPandasWithState): per-key state
+    holds a seen flag; Arrow batches in/out.
+
+    This is the streaming twin of operators/dedup.exact_dedup — the
+    shape a 100 TB ingest dedup uses (state store scales out per key)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [stream.schema[c] for c in (checkpoint_passthrough_cols or stream.columns)]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.iloc[[0]]
+                break
+        state.update((True,))
+        if first is not None:
+            yield first[[f.name for f in out_schema.fields]]
+
+    return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

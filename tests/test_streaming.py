@@ -1,0 +1,137 @@
+"""Streaming tests: replication source→sink contract, event-time
+windows, sessionization, cross-batch stateful dedup."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+from hbase_snapshot_spark.streaming import (
+    replicate,
+    sessionize_events,
+    stateful_streaming_dedup,
+    windowed_event_counts,
+)
+from hbase_snapshot_spark.table import Delete, Put, TableStore
+
+
+@pytest.fixture()
+def stores(spark, tmp_path):
+    src_store = TableStore(spark, str(tmp_path / "src"))
+    dst_store = TableStore(spark, str(tmp_path / "dst"))
+    desc = (
+        TableDescriptor("t")
+        .add_family(FamilyDescriptor("f", replication_scope=1))
+        .add_family(FamilyDescriptor("local", replication_scope=0))
+    )
+    import copy
+
+    src = src_store.create_table(copy.deepcopy(desc))
+    dst = dst_store.create_table(copy.deepcopy(desc))
+    return src, dst
+
+
+def cellset(df):
+    return {(r.row, r.family, r.qualifier, r.ts, r.type, r.value) for r in df.collect()}
+
+
+def test_replication_ships_scoped_families(spark, stores, tmp_path):
+    src, dst = stores
+    src.mutate([
+        Put("r1").add("f", "q", "v1", ts=10).add("local", "q", "nope", ts=10),
+        Put("r2").add("f", "q", "v2", ts=10),
+    ])
+    src.mutate([Delete("r1").delete_columns("f", "q", ts=15)])
+    replicate(spark, src, dst, str(tmp_path / "ckpt"), once=True)
+    shipped = cellset(dst.cells())
+    # scope=1 family replicated (puts AND tombstones, ts preserved);
+    # scope=0 family not shipped
+    assert ("r1", "f", "q", 10, 4, "v1") in shipped
+    assert ("r2", "f", "q", 10, 4, "v2") in shipped
+    assert ("r1", "f", "q", 15, 12, None) in shipped
+    assert not any(fam == "local" for (_, fam, *_rest) in shipped)
+    # resolved view agrees with the source's replicated family
+    assert {r.row for r in dst.read().collect()} == {"r2"}
+
+
+def test_replication_incremental(spark, stores, tmp_path):
+    src, dst = stores
+    ckpt = str(tmp_path / "ckpt2")
+    src.mutate([Put("a").add("f", "q", "1", ts=1)])
+    replicate(spark, src, dst, ckpt, once=True)
+    n1 = dst.cells().count()
+    src.mutate([Put("b").add("f", "q", "2", ts=2)])
+    replicate(spark, src, dst, ckpt, once=True)
+    shipped = cellset(dst.cells())
+    # second drain ships only the new segment (checkpointed offsets)
+    assert n1 == 1 and len(shipped) == 2
+    assert ("b", "f", "q", 2, 4, "2") in shipped
+
+
+def _events(spark):
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for uid, offsets in [(1, [0, 10, 70]), (2, [5, 200])]:
+        for off in offsets:
+            rows.append((uid, base + datetime.timedelta(minutes=off), 1.0))
+    return spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+
+def test_windowed_counts_batch_parity(spark):
+    ev = _events(spark)
+    out = {
+        (r.window_start.minute + 60 * r.window_start.hour, r.n)
+        for r in windowed_event_counts(ev, window="1 hour").collect()
+    }
+    assert out == {(0, 3), (60, 1), (180, 1)}
+
+
+def test_sessionize(spark):
+    ev = _events(spark)
+    out = sessionize_events(ev, gap="30 minutes").collect()
+    got = {(r.user_id, r.n_events) for r in out}
+    # user1: [0,10] one session, [70] another; user2: [5], [200]
+    assert got == {(1, 2), (1, 1), (2, 1), (2, 1)}
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    # two micro-batches with overlapping keys: the second occurrence of a
+    # key is suppressed even across batches (state persists)
+    src_dir = tmp_path / "stream-src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [("k1", "a"), ("k2", "b")], ["key", "payload"]
+    ).write.parquet(str(src_dir / "batch1"))
+
+    stream = (
+        spark.readStream.schema("key string, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    out_dir = str(tmp_path / "dedup-out")
+
+    def drain():
+        q = (
+            stateful_streaming_dedup(stream, ["key"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {(r.key, r.payload) for r in spark.read.parquet(out_dir).collect()}
+    assert first == {("k1", "a"), ("k2", "b")}
+
+    spark.createDataFrame(
+        [("k1", "dup"), ("k3", "c")], ["key", "payload"]
+    ).write.parquet(str(src_dir / "batch2"))
+    drain()
+    second = {(r.key, r.payload) for r in spark.read.parquet(out_dir).collect()}
+    assert ("k3", "c") in second
+    assert ("k1", "dup") not in second

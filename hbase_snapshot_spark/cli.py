@@ -1,0 +1,204 @@
+"""CLI — the reference's job Driver (mapreduce/Driver.java:46) plus the
+admin/DML surface of the JRuby shell (src/main/ruby/, 29 commands).
+
+Usage:  python -m hbase_snapshot_spark.cli <command> [args...]
+
+Commands (reference analogue in parens):
+  create <base> <table> <family[:maxVersions[:ttl]]>...   (shell create)
+  drop <base> <table>                                     (shell drop)
+  list <base>                                             (shell list)
+  describe <base> <table>                                 (shell describe)
+  put <base> <table> <row> <family:qualifier> <value> [ts]   (shell put)
+  get <base> <table> <row> [family:qualifier]             (shell get)
+  delete <base> <table> <row> [family:qualifier] [ts]     (shell delete)
+  deleteall <base> <table> <row>                          (shell deleteall)
+  incr <base> <table> <row> <family:qualifier> [amount]   (shell incr)
+  get_counter <base> <table> <row> <family:qualifier>     (shell get_counter)
+  scan <base> <table> [--limit N] [--start R] [--stop R]  (shell scan)
+  count <base> <table>                                    (shell count / RowCounter)
+  truncate <base> <table>                                 (shell truncate)
+  snapshot <base> <table> <name>                          (HBaseAdmin.snapshot)
+  list_snapshots <base> <table>
+  restore_snapshot <base> <table> <name>
+  delete_snapshot <base> <table> <name>
+  compact <base> <table> [--major]                        (shell major_compact)
+  importtsv <base> <table> <tsv> <colspec,...>            (Driver importtsv)
+  export <base> <table> <out_dir> [--versions N]          (Driver export)
+  import <base> <table> <in_dir>                          (Driver import)
+  copytable <base> <src> <dst>                            (Driver copytable)
+  rowcounter <base> <table>                               (Driver rowcounter)
+  completebulkload <base> <table> <prepared_dir>          (Driver completebulkload)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+from hbase_snapshot_spark.client import Get, Scan
+from hbase_snapshot_spark.model import FOREVER, FamilyDescriptor, TableDescriptor
+from hbase_snapshot_spark.sources import tools
+from hbase_snapshot_spark.table import Delete, Put, TableStore
+
+
+def _spark() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[*]")
+        .appName("hbase-snapshot-spark-cli")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def _fq(s: str) -> tuple[str, str]:
+    fam, _, qual = s.partition(":")
+    return fam, qual
+
+
+def _print_cells(df, limit=None):
+    it = df.orderBy("row", "family", "qualifier").toLocalIterator()
+    n = 0
+    for r in it:
+        print(f"{r.row}  column={r.family}:{r.qualifier}, timestamp={r.ts}, value={r.value}")
+        n += 1
+        if limit is not None and n >= limit:
+            break
+    print(f"{n} cell(s)")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 2
+    cmd, *args = argv
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def store(base: str) -> TableStore:
+        return TableStore(spark, base)
+
+    if cmd == "create":
+        base, name, *fams = args
+        desc = TableDescriptor(name)
+        for f in fams:
+            parts = f.split(":")
+            fd = FamilyDescriptor(parts[0])
+            if len(parts) > 1:
+                fd.max_versions = int(parts[1])
+            if len(parts) > 2:
+                fd.ttl = int(parts[2]) if parts[2] else FOREVER
+            desc.add_family(fd)
+        store(base).create_table(desc)
+        print(f"created {name}")
+    elif cmd == "drop":
+        store(args[0]).drop_table(args[1])
+        print(f"dropped {args[1]}")
+    elif cmd == "list":
+        for t in store(args[0]).list_tables():
+            print(t)
+    elif cmd == "describe":
+        import json
+
+        print(json.dumps(store(args[0]).table(args[1]).descriptor.to_dict(), indent=1))
+    elif cmd == "put":
+        base, name, row, fq, value, *rest = args
+        fam, qual = _fq(fq)
+        ts = int(rest[0]) if rest else None
+        store(base).table(name).mutate([Put(row).add(fam, qual, value, ts=ts)])
+        print("ok")
+    elif cmd == "get":
+        base, name, row, *rest = args
+        g = Get(row, max_versions=None)
+        if rest:
+            fam, qual = _fq(rest[0])
+            g.columns = {fam: [qual]}
+        _print_cells(store(base).table(name).client().get(g))
+    elif cmd == "delete":
+        base, name, row, *rest = args
+        d = Delete(row)
+        if rest:
+            fam, qual = _fq(rest[0])
+            ts = int(rest[1]) if len(rest) > 1 else None
+            d.delete_column(fam, qual, ts=ts)
+        store(base).table(name).mutate([d])
+        print("ok")
+    elif cmd == "deleteall":
+        store(args[0]).table(args[1]).mutate([Delete(args[2])])
+        print("ok")
+    elif cmd == "incr":
+        base, name, row, fq, *rest = args
+        fam, qual = _fq(fq)
+        amount = int(rest[0]) if rest else 1
+        v = store(base).table(name).increment_column_value(row, fam, qual, amount)
+        print(f"COUNTER VALUE = {v}")
+    elif cmd == "get_counter":
+        base, name, row, fq = args
+        fam, qual = _fq(fq)
+        t = store(base).table(name)
+        cur = t._latest_cell(row, fam, qual)
+        print(f"COUNTER VALUE = {int(cur.value) if cur is not None else 0}")
+    elif cmd == "scan":
+        base, name, *rest = args
+        opts = dict(zip(rest[::2], rest[1::2]))
+        s = Scan(
+            start_row=opts.get("--start"),
+            stop_row=opts.get("--stop"),
+            max_versions=None,
+        )
+        limit = int(opts["--limit"]) if "--limit" in opts else None
+        _print_cells(store(base).table(name).client().scan(s), limit=limit)
+    elif cmd in ("count", "rowcounter"):
+        print(store(args[0]).table(args[1]).client().row_count())
+    elif cmd == "truncate":
+        st = store(args[0])
+        desc = st.table(args[1]).descriptor
+        st.drop_table(args[1])
+        st.create_table(desc)
+        print("truncated")
+    elif cmd == "snapshot":
+        store(args[0]).table(args[1]).snapshot(args[2])
+        print("ok")
+    elif cmd == "list_snapshots":
+        for s in store(args[0]).table(args[1]).list_snapshots():
+            print(s)
+    elif cmd == "restore_snapshot":
+        store(args[0]).table(args[1]).restore_snapshot(args[2])
+        print("ok")
+    elif cmd == "delete_snapshot":
+        store(args[0]).table(args[1]).delete_snapshot(args[2])
+        print("ok")
+    elif cmd == "compact":
+        store(args[0]).table(args[1]).compact(major="--major" in args)
+        print("ok")
+    elif cmd == "importtsv":
+        base, name, tsv, colspec = args
+        cells = tools.import_tsv(spark, tsv, colspec.split(","))
+        v = store(base).table(name).append_cells(cells)
+        print(f"committed v{v}")
+    elif cmd == "export":
+        base, name, out, *rest = args
+        versions = int(rest[rest.index("--versions") + 1]) if "--versions" in rest else 1
+        tools.export_table(store(base).table(name).cells(), out, max_versions=versions)
+        print("ok")
+    elif cmd == "import":
+        v = tools.import_cells(spark, args[2], store(args[0]).table(args[1]))
+        print(f"committed v{v}")
+    elif cmd == "copytable":
+        st = store(args[0])
+        tools.copy_table(st.table(args[1]).cells(), st.table(args[2]))
+        print("ok")
+    elif cmd == "completebulkload":
+        v = store(args[0]).table(args[1]).adopt_segment(args[2])
+        print(f"committed v{v}")
+    else:
+        print(f"unknown command: {cmd}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

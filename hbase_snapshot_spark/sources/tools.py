@@ -166,6 +166,21 @@ def region_partition_id(row: Column, boundaries: list) -> Column:
     return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
 
 
+def multi_table_write(cells_with_table: DataFrame, store, now=None) -> dict[str, int]:
+    """mapreduce/MultiTableOutputFormat.java — a cell stream carrying a
+    ``table`` column is routed to many tables.  One partitioned pass
+    (partitionBy-style split via per-table filters over a cached plan);
+    each table gets one segment commit."""
+    tables = [r.table for r in cells_with_table.select("table").distinct().collect()]
+    versions = {}
+    for name in sorted(tables):
+        t = store.table(name)
+        versions[name] = t.append_cells(
+            cells_with_table.filter(F.col("table") == name).drop("table")
+        )
+    return versions
+
+
 def grouping_key(cols: list[str], sep: str = " ") -> Column:
     """mapreduce/GroupingTableMapper.java:39-95 — re-key by concatenation
     of chosen column values; records with any missing value are skipped

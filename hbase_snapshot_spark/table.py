@@ -223,6 +223,26 @@ class StoredTable:
     def _now_ms(self) -> int:
         return int(time.time() * 1000)
 
+    def adopt_segment(self, src_path: str, move: bool = False) -> int:
+        """LoadIncrementalHFiles / completebulkload
+        (mapreduce/LoadIncrementalHFiles.java:80-87): atomically adopt a
+        prepared parquet directory (e.g. bulk_load output) into the live
+        table — metadata-only (copy/move + manifest commit; no
+        region-boundary re-splitting needed, there are no fixed regions)."""
+        m = self.manifest()
+        commit_seq = m["commit_seq"] + 1
+        seg = f"seg-{commit_seq:06d}-adopted-{uuid.uuid4().hex[:8]}"
+        dst = os.path.join(self.dir, "segments", seg)
+        if move:
+            shutil.move(src_path, dst)
+        else:
+            shutil.copytree(src_path, dst)
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["segments"] = list(m["segments"]) + [seg]
+        m2["commit_seq"] = commit_seq
+        return self._commit(m2)
+
     def mutate(self, mutations: list[Mutation], now: int | None = None) -> int:
         """Apply a batch of Puts/Deletes (HTable write buffer +
         flushCommits, HTable.java:534,662).  One segment per batch."""

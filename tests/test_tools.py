@@ -137,3 +137,34 @@ def test_grouping_table_mapper_pattern(spark):
     assert {(r.key, r["count"]) for r in out.collect()} == {
         ("u1 click", 2), ("u2 view", 1)
     }
+
+
+def test_multi_table_write(spark, tmp_path):
+    from hbase_snapshot_spark.sources.tools import multi_table_write
+
+    store = TableStore(spark, str(tmp_path / "mt"))
+    for name in ("t1", "t2"):
+        store.create_table(TableDescriptor(name).add_family(FamilyDescriptor("f")))
+    cells = cells_df(spark, [
+        put("r1", "f", "q", 10, "a"),
+        put("r2", "f", "q", 10, "b"),
+    ])
+    routed = cells.withColumn(
+        "table", F.when(F.col("row") == "r1", "t1").otherwise("t2")
+    )
+    multi_table_write(routed, store)
+    assert [r.row for r in store.table("t1").read().collect()] == ["r1"]
+    assert [r.row for r in store.table("t2").read().collect()] == ["r2"]
+
+
+def test_adopt_segment_completebulkload(spark, tmp_path):
+    cells = cells_df(spark, [put(f"r{i}", "f", "q", 10, str(i)) for i in range(10)])
+    prepared = str(tmp_path / "prepared")
+    bulk_load(cells, prepared, num_partitions=2)
+    store = TableStore(spark, str(tmp_path / "bl"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    t.adopt_segment(prepared)
+    assert t.client().row_count() == 10
+    # adoption is atomic-manifest: a second adoption appends, not replaces
+    t.adopt_segment(prepared)
+    assert t.cells().count() == 20

@@ -135,6 +135,17 @@ class Table:
         )
         return resolved.join(F.broadcast(target), on="row", how="inner")
 
+    def scanner(self, scan: Scan | None = None, caching: int = 1000):
+        """ClientScanner analogue (HTable.java:786; Scan.setCaching:298).
+        Spark partitions replace region-by-region paging; this yields
+        result rows to the driver incrementally (one partition in flight)
+        instead of a collect() — the ``caching`` knob shapes nothing but
+        is kept for API parity (documented divergence, SURVEY §3.2)."""
+        df = self.scan(scan).orderBy(
+            "row", "family", "qualifier", F.desc("ts"), F.desc("seq")
+        )
+        return df.toLocalIterator()
+
     def row_count(self, scan: Scan | None = None) -> int:
         """mapreduce/RowCounter.java:40-117 — rows with ≥1 visible cell
         (FirstKeyOnlyFilter pushdown ≡ distinct row keys)."""

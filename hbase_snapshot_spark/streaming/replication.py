@@ -45,11 +45,19 @@ def replicate(
     dst_table,
     checkpoint_dir: str,
     once: bool = True,
+    dedupe: bool = False,
 ):
     """Ship the source table's edit log into the peer table, filtered by
     family replication scope — the ReplicationSource→Sink contract.
     ``once=True`` uses availableNow (drain-and-stop; the test/batch
-    mode); otherwise the stream keeps tailing."""
+    mode); otherwise the stream keeps tailing.
+
+    Delivery is at-least-once; ``dedupe=True`` makes the sink idempotent
+    under duplicate delivery by anti-joining each batch against the
+    peer's existing cells on (row, family, qualifier, ts, type) —
+    correct for re-delivered segments at the cost of a peer read per
+    batch (the reference's sink has the same at-least-once contract,
+    ReplicationSink.java:55)."""
     desc = src_table.descriptor
     scoped = [f.name for f in desc.families.values() if f.replication_scope > 0]
     stream = cell_stream(spark, src_table.dir, binary=src_table.manifest()["binary"])
@@ -58,9 +66,16 @@ def replicate(
     def ship(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        out = batch_df
+        if dedupe:
+            key = ["row", "family", "qualifier", "ts", "type"]
+            out = out.dropDuplicates(key).join(
+                dst_table.cells().select(*key), on=key, how="left_anti"
+            )
         # ReplicationSink.replicateEntries: apply preserving ts (and seq,
         # so duplicate-ts resolution order survives replication)
-        dst_table.append_cells(batch_df)
+        if not out.isEmpty():
+            dst_table.append_cells(out)
 
     writer = (
         stream.writeStream.foreachBatch(ship)

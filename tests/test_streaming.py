@@ -135,3 +135,14 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     second = {(r.key, r.payload) for r in spark.read.parquet(out_dir).collect()}
     assert ("k3", "c") in second
     assert ("k1", "dup") not in second
+
+
+def test_replication_duplicate_delivery_idempotent(spark, stores, tmp_path):
+    # F6 corpus contract: duplicate delivery converges (dedupe sink)
+    src, dst = stores
+    src.mutate([Put("r1").add("f", "q", "v", ts=10)])
+    replicate(spark, src, dst, str(tmp_path / "c1"), once=True, dedupe=True)
+    # simulate re-delivery: fresh checkpoint ⇒ the whole log replays
+    replicate(spark, src, dst, str(tmp_path / "c2"), once=True, dedupe=True)
+    assert dst.cells().count() == 1
+    assert {r.value for r in dst.read().collect()} == {"v"}

@@ -247,3 +247,35 @@ def test_scan_over_stored_table(store):
     ])
     out = t.client().scan(Scan(start_row="a", stop_row="c"))
     assert {r.row for r in out.collect()} == {"a", "b"}
+
+
+def test_increment_binary_big_endian(spark, tmp_path):
+    # F3 corpus: counters on a binary table use the 8-byte big-endian
+    # codec (HRegion.incrementColumnValue:3126 reads Bytes.toLong)
+    from hbase_snapshot_spark import bytes_util
+
+    store = TableStore(spark, str(tmp_path / "bin"))
+    t = store.create_table(
+        TableDescriptor("c").add_family(FamilyDescriptor("cnt")), binary=True
+    )
+    assert t.increment_column_value(b"r1", "cnt", b"hits", 5, now=10) == 5
+    assert t.increment_column_value(b"r1", "cnt", b"hits", -8, now=20) == -3
+    cur = t._latest_cell(b"r1", "cnt", b"hits")
+    assert bytes_util.to_long(bytes(cur.value)) == -3
+
+
+def test_empty_qualifier_is_a_valid_column(spark, tmp_path):
+    # TestFromClientSide.testNull:923 — empty qualifier ≠ missing column
+    from hbase_snapshot_spark.client import Get
+
+    store = TableStore(spark, str(tmp_path / "eq"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    t.mutate([Put("r1").add("f", "", "empty-qual", ts=10),
+              Put("r1").add("f", "q", "named-qual", ts=10)])
+    out = t.client().get(Get("r1", columns={"f": [""]}))
+    assert [(r.qualifier, r.value) for r in out.collect()] == [("", "empty-qual")]
+    d = Delete("r1")
+    d.delete_columns("f", "", ts=50)
+    t.mutate([d])
+    vals = {r.value for r in t.read().collect()}
+    assert vals == {"named-qual"}

@@ -168,3 +168,14 @@ def test_adopt_segment_completebulkload(spark, tmp_path):
     # adoption is atomic-manifest: a second adoption appends, not replaces
     t.adopt_segment(prepared)
     assert t.cells().count() == 20
+
+
+def test_import_tsv_skip_bad_lines(spark, tmp_path):
+    # F4 corpus: malformed lines (wrong column count) dropped when asked
+    p = tmp_path / "bad.tsv"
+    p.write_text("r1\ta\tb\nr2\ta\nr3\tc\td\n")
+    cells = import_tsv(
+        spark, str(p), ["HBASE_ROW_KEY", "f:c1", "f:c2"], skip_bad_lines=True
+    )
+    rows = {r.row for r in cells.collect()}
+    assert rows == {"r1", "r3"}

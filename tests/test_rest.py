@@ -1,0 +1,68 @@
+"""REST front-end tests — mirrors rest/TestScannersWithFilters-style
+coverage at the HTTP boundary."""
+
+import json
+import urllib.request
+
+import pytest
+
+from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+from hbase_snapshot_spark.rest import serve
+from hbase_snapshot_spark.table import TableStore
+
+
+@pytest.fixture(scope="module")
+def rest(spark, tmp_path_factory):
+    store = TableStore(spark, str(tmp_path_factory.mktemp("rest") / "tables"))
+    store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    srv, port = serve(store)
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _req(url, method="GET", data=None):
+    req = urllib.request.Request(url, method=method, data=data)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_rest_crud_roundtrip(rest):
+    code, body = _req(f"{rest}/t/r1/f:name?ts=100", "PUT", b"alice")
+    assert code == 200 and body["committed_version"] >= 1
+    _req(f"{rest}/t/r1/f:city?ts=100", "PUT", b"oslo")
+
+    code, body = _req(f"{rest}/t/r1")
+    assert code == 200
+    got = {(c["qualifier"], c["value"]) for c in body["cells"]}
+    assert got == {("name", "alice"), ("city", "oslo")}
+
+    code, body = _req(f"{rest}/t/r1/f:name")
+    assert [c["value"] for c in body["cells"]] == ["alice"]
+
+    code, body = _req(f"{rest}/t/r1/f:name?ts=200", "PUT", b"alice2")
+    code, body = _req(f"{rest}/t/r1/f:name?v=2")
+    assert [c["value"] for c in body["cells"]] == ["alice2", "alice"]
+
+    code, body = _req(f"{rest}/t/r1/f:name?ts=250", "DELETE")
+    assert code == 200
+    code, body = _req(f"{rest}/t/r1/f:name")
+    assert code == 404
+
+    code, body = _req(f"{rest}/t/scanner?start=r0&stop=r9")
+    assert code == 200
+    assert {c["qualifier"] for c in body["cells"]} == {"city"}
+
+
+def test_rest_list_tables(rest):
+    code, body = _req(f"{rest}/")
+    assert code == 200 and body["tables"] == ["t"]
+
+
+def test_rest_errors(rest):
+    code, body = _req(f"{rest}/nope/r1")
+    assert code == 400
+    code, body = _req(f"{rest}/t/doesnotexist")
+    assert code == 404

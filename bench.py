@@ -134,6 +134,31 @@ class Bench:
         ])))
         return out.count()
 
+    # -- training-pipeline ops (first-class workloads, BASELINE north star)
+    def dedup_minhash(self):
+        import __spark_entry__ as e
+
+        return e.queries()["minhash_pairs"](self.spark, self.sf_dir).count()
+
+    def ann_topk(self):
+        import __spark_entry__ as e
+
+        return e.queries()["cosine_topk"](self.spark, self.sf_dir).count()
+
+    def text_pipeline(self):
+        import __spark_entry__ as e
+
+        q = e.queries()
+        return (
+            q["lang_id"](self.spark, self.sf_dir).count()
+            + q["quality"](self.spark, self.sf_dir).count()
+        )
+
+    def tpch_q1(self):
+        import __spark_entry__ as e
+
+        return e.queries()["tpch_q1"](self.spark, self.sf_dir).count()
+
     # -- the fork feature: snapshot, mutate 1%, restore, verify
     def snapshot_restore(self):
         from hbase_snapshot_spark.table import Delete
@@ -155,6 +180,10 @@ WORKLOAD_ORDER = [
     "range_scan_100",
     "full_scan",
     "filter_scan",
+    "dedup_minhash",
+    "ann_topk",
+    "text_pipeline",
+    "tpch_q1",
     "snapshot_restore",
 ]
 

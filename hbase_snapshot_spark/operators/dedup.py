@@ -35,8 +35,18 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 # ---------------------------------------------------------------- shingles
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    toks = word_tokens(F.col(text_col))
-    return df.withColumn("shingles", F.array_distinct(word_ngrams(toks, n)))
+    """distinct word n-gram shingles in a SINGLE regex pass: overlapping
+    matches via lookahead capture over the whitespace-normalized text.
+    (The compositional word_ngrams(word_tokens(...)) form re-evaluates
+    the tokenizing split per array element inside Catalyst lambdas —
+    ~3n regex passes per row; this is one.)"""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    # lookahead captures the n-gram; the match then CONSUMES exactly one
+    # token (+ separator) so successive matches start at token boundaries
+    pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+ ?"
+    return df.withColumn(
+        "shingles", F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
+    )
 
 
 def _exploded(df: DataFrame, id_col: str) -> DataFrame:
@@ -139,10 +149,27 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, threshold=threshold)
-    return cand.join(
-        exact, on=[cand.a == exact.a, cand.b == exact.b], how="inner"
-    ).select(exact.a, exact.b, "jaccard")
+    # exact-Jaccard verification restricted to the candidate pairs only —
+    # the LSH point.  Two plain equi-joins fetch both shingle sets, then
+    # |A∩B| is a JVM-side array_intersect: no exploded self-join, no
+    # chance of a nested-loop plan, candidate set stays broadcastable.
+    sets = df.select(F.col(id_col), F.col("shingles"))
+    joined = (
+        cand.join(
+            sets.withColumnsRenamed({id_col: "a", "shingles": "sh_a"}), on="a"
+        )
+        .join(sets.withColumnsRenamed({id_col: "b", "shingles": "sh_b"}), on="b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 # ---------------------------------------------------------------- simhash

@@ -56,6 +56,18 @@ def run_scan(cells: DataFrame, scan) -> DataFrame:
     if compiled is not None and compiled.stream_transform is not None:
         stream = compiled.stream_transform(stream)
 
+    # row-level hooks consume the stream a second (and third) time for
+    # their row-key sets; persist it so the mask shuffle runs once
+    # instead of relying on plan-level exchange reuse (MEMORY_AND_DISK:
+    # spills rather than recomputes at scale)
+    multi_use = compiled is not None and (
+        compiled.row_keep is not None or compiled.row_drop is not None
+    )
+    if multi_use:
+        from pyspark import StorageLevel
+
+        stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
+
     # ---- stages 5-6
     out = project_columns(stream, spec)
     out = count_versions(out, spec)

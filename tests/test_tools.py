@@ -179,3 +179,13 @@ def test_import_tsv_skip_bad_lines(spark, tmp_path):
     )
     rows = {r.row for r in cells.collect()}
     assert rows == {"r1", "r3"}
+
+
+def test_salted_count_matches_plain(spark):
+    from hbase_snapshot_spark.plans.skew import salted_count
+
+    df = spark.createDataFrame(
+        [("hot",)] * 500 + [("cold",)] * 3, ["k"]
+    )
+    out = {(r.k, r.n) for r in salted_count(df, ["k"], buckets=8).collect()}
+    assert out == {("hot", 500), ("cold", 3)}

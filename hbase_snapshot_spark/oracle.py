@@ -45,7 +45,9 @@ def resolve_sql(
     *,
     cells_sql: str = ORDERS_CELLS_SQL,
     max_versions: int | None = 1,
+    family_max_versions: dict[str, int] | None = None,
     time_range: tuple[int, int] | None = None,
+    ttl_cutoffs: dict[str, int] | None = None,
     families: list[str] | None = None,
     columns: dict[str, list[str]] | None = None,
     cell_filter_sql: str | None = None,
@@ -57,7 +59,13 @@ def resolve_sql(
     """SQL twin of resolve.resolve() — see that module's docstring for
     the semantics citations (ScanQueryMatcher / ScanDeleteTracker /
     TimeRange / column trackers)."""
-    fam_proj = f"WHERE family IN ({_in_list(families)})" if families else ""
+    base_preds = []
+    if families:
+        base_preds.append(f"family IN ({_in_list(families)})")
+    for fam, cutoff in (ttl_cutoffs or {}).items():
+        # TTL expiry before delete tracking (ScanQueryMatcher.java:151-168)
+        base_preds.append(f"(family <> '{fam}' OR ts >= {cutoff})")
+    fam_proj = ("WHERE " + " AND ".join(base_preds)) if base_preds else ""
     del_tr = f"AND ts >= {time_range[0]}" if time_range else ""
     live_where = (
         f"AND p.ts >= {time_range[0]} AND p.ts < {time_range[1]}" if time_range else ""
@@ -73,12 +81,26 @@ def resolve_sql(
         col_proj = "WHERE " + " OR ".join(ors)
     else:
         col_proj = ""
-    qualify = (
-        f"QUALIFY row_number() OVER (PARTITION BY row, family, qualifier "
-        f"ORDER BY ts DESC, seq DESC) <= {max_versions}"
-        if max_versions is not None
-        else ""
-    )
+    if family_max_versions:
+        # effective N = min(scan.maxVersions, family.maxVersions)
+        # (Store.versionsToReturn:952)
+        scan_n = max_versions if max_versions is not None else 1 << 31
+        cases = " ".join(
+            f"WHEN family = '{fam}' THEN {min(scan_n, n)}"
+            for fam, n in family_max_versions.items()
+        )
+        n_expr = f"(CASE {cases} ELSE {scan_n} END)"
+        qualify = (
+            f"QUALIFY row_number() OVER (PARTITION BY row, family, qualifier "
+            f"ORDER BY ts DESC, seq DESC) <= {n_expr}"
+        )
+    elif max_versions is not None:
+        qualify = (
+            f"QUALIFY row_number() OVER (PARTITION BY row, family, qualifier "
+            f"ORDER BY ts DESC, seq DESC) <= {max_versions}"
+        )
+    else:
+        qualify = ""
     stream_q = f"QUALIFY {stream_qualify}" if stream_qualify else ""
     outer_where = f"WHERE {where}" if where else ""
     return f"""

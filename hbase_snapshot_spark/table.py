@@ -205,10 +205,16 @@ class StoredTable:
 
     # ---------------------------------------------------------- writes
 
+    def _check_writable(self, m: dict) -> None:
+        """HTableDescriptor READONLY attr enforcement"""
+        if m["descriptor"].get("readonly"):
+            raise PermissionError(f"table {self.name} is READONLY")
+
     def append_cells(self, df: DataFrame) -> int:
         """Bulk append a cell DataFrame as one segment + manifest commit —
         the TableOutputFormat sink (mapreduce/TableOutputFormat.java)."""
         m = self.manifest()
+        self._check_writable(m)
         commit_seq = m["commit_seq"] + 1
         if "seq" not in df.columns:
             df = df.withColumn("seq", F.lit(commit_seq << _SEQ_SHIFT).cast("long"))
@@ -271,6 +277,7 @@ class StoredTable:
         if not rows:
             return self._head_version()
         m = self.manifest()
+        self._check_writable(m)
         commit_seq = m["commit_seq"] + 1
         base_seq = commit_seq << _SEQ_SHIFT
         rows = [

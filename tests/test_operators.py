@@ -188,3 +188,24 @@ def test_frame_sampling(docs):
     # duration = 43 bytes * 10 ms = 430ms → ceil(430/100)=4 frames (idx 0..3)
     assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
     assert all(f.frame is not None for f in frames)
+
+
+def test_asof_join(spark):
+    from hbase_snapshot_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)],
+        ["sym", "ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [("A", 2, 100), ("A", 5, 200), ("A", 0, 300), ("B", 9, 400)],
+        ["sym", "ts", "qty"],
+    )
+    out = asof_join(trades, quotes, on="ts", by=["sym"])
+    got = {(r.sym, r.ts, r.qty, r.px_right, r.ts_right) for r in out.collect()}
+    assert got == {
+        ("A", 2, 100, 10.0, 1),   # newest quote at-or-before ts=2
+        ("A", 5, 200, 11.0, 5),   # equal-ts quote visible
+        ("A", 0, 300, None, None),  # nothing precedes
+        ("B", 9, 400, 20.0, 3),
+    }

@@ -279,3 +279,27 @@ def test_empty_qualifier_is_a_valid_column(spark, tmp_path):
     t.mutate([d])
     vals = {r.value for r in t.read().collect()}
     assert vals == {"named-qual"}
+
+
+def test_readonly_table_rejects_writes(spark, tmp_path):
+    # HTableDescriptor READONLY attr
+    store = TableStore(spark, str(tmp_path / "ro"))
+    desc = TableDescriptor("t").add_family(FamilyDescriptor("f"))
+    desc.readonly = True
+    t = store.create_table(desc)
+    with pytest.raises(PermissionError):
+        t.mutate([Put("r1").add("f", "q", "v", ts=10)])
+
+
+def test_result_getmap_materialization(store):
+    # Result.getMap (Result.java:168): row → family → qualifier → ts → value
+    from hbase_snapshot_spark.resolve import resolved_to_rows
+
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "a", "v1", ts=10).add("f", "a", "v2", ts=20)
+             .add("g", "b", "x", ts=10)])
+    nested = resolved_to_rows(t.read()).collect()
+    assert len(nested) == 1
+    fam_map = nested[0].families
+    assert fam_map["f"]["a"] == {10: "v1", 20: "v2"}
+    assert fam_map["g"]["b"] == {10: "x"}

@@ -41,6 +41,9 @@ def encode_orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → versioned cell stream.  Families: 'o' (status, total) and
     'm' (prio, odate).  Versions/tombstones keyed off o_orderkey mod
     classes; mirrored exactly by oracle.orders_cells_sql()."""
+    # date_format below is session-TZ-sensitive; pin UTC so the oracle's
+    # (UTC-naive) strftime agrees regardless of the host session's tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     total_s = F.col("o_totalprice").cast("decimal(18,2)").cast("string")

@@ -155,6 +155,17 @@ def _read_json(path: str):
         return json.load(f)
 
 
+def _locked(fn):
+    """run a write-path method under the table's single-writer lock"""
+    def wrapper(self, *args, **kwargs):
+        with self._lock():
+            return fn(self, *args, **kwargs)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 class StoredTable:
     def __init__(self, store: TableStore, name: str):
         self.store = store
@@ -175,9 +186,58 @@ class StoredTable:
     def descriptor(self) -> TableDescriptor:
         return TableDescriptor.from_dict(self.manifest()["descriptor"])
 
+    def _lock(self, timeout_s: float = 30.0):
+        """advisory single-writer lock (O_EXCL lockfile) — the stand-in
+        for HBase's row locks + MVCC write path; serializes manifest
+        commits so checkAndMutate/increment read-modify-writes are atomic
+        (HRegion.checkAndMutate:1544)."""
+        path = os.path.join(self.dir, "WRITER.lock")
+        deadline = time.time() + timeout_s
+        table = self
+
+        class _Lock:
+            acquired = False
+
+            def __enter__(self_inner):
+                if getattr(table, "_lock_held", False):
+                    return self_inner  # re-entrant within this handle
+                while True:
+                    try:
+                        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.write(fd, str(os.getpid()).encode())
+                        os.close(fd)
+                        self_inner.acquired = True
+                        table._lock_held = True
+                        return self_inner
+                    except FileExistsError:
+                        if time.time() > deadline:
+                            raise TimeoutError(
+                                f"writer lock on {table.name} held too long"
+                            ) from None
+                        time.sleep(0.05)
+
+            def __exit__(self_inner, *exc):
+                if self_inner.acquired:
+                    table._lock_held = False
+                    try:
+                        os.remove(path)
+                    except FileNotFoundError:
+                        pass
+                return False
+
+        return _Lock()
+
     def _commit(self, manifest: dict) -> int:
-        """write manifest version N+1 and atomically repoint HEAD."""
+        """write manifest version N+1 and atomically repoint HEAD.
+        Guards against lost updates: HEAD must still be at the version
+        the manifest was derived from (optimistic check under the lock)."""
         v = manifest["version"]
+        head = self._head_version()
+        if head != v - 1:
+            raise RuntimeError(
+                f"concurrent commit detected on {self.name}: "
+                f"HEAD=v{head}, committing v{v}"
+            )
         _write_json(os.path.join(self.dir, "manifests", f"v{v}.json"), manifest)
         _write_json(os.path.join(self.dir, "HEAD.json"), {"version": v})
         return v
@@ -210,6 +270,7 @@ class StoredTable:
         if m["descriptor"].get("readonly"):
             raise PermissionError(f"table {self.name} is READONLY")
 
+    @_locked
     def append_cells(self, df: DataFrame) -> int:
         """Bulk append a cell DataFrame as one segment + manifest commit —
         the TableOutputFormat sink (mapreduce/TableOutputFormat.java)."""
@@ -229,6 +290,7 @@ class StoredTable:
     def _now_ms(self) -> int:
         return int(time.time() * 1000)
 
+    @_locked
     def adopt_segment(self, src_path: str, move: bool = False) -> int:
         """LoadIncrementalHFiles / completebulkload
         (mapreduce/LoadIncrementalHFiles.java:80-87): atomically adopt a
@@ -249,6 +311,7 @@ class StoredTable:
         m2["commit_seq"] = commit_seq
         return self._commit(m2)
 
+    @_locked
     def mutate(self, mutations: list[Mutation], now: int | None = None) -> int:
         """Apply a batch of Puts/Deletes (HTable write buffer +
         flushCommits, HTable.java:534,662).  One segment per batch."""
@@ -303,6 +366,7 @@ class StoredTable:
         c = self._latest_cell(row, family, qualifier)
         return c.ts if c is not None else None
 
+    @_locked
     def check_and_put(self, row, family, qualifier, expected, put: Put,
                       now: int | None = None) -> bool:
         """HTable.checkAndPut:597 / HRegion.checkAndMutate:1544 — atomic
@@ -314,6 +378,7 @@ class StoredTable:
         self.mutate([put], now=now)
         return True
 
+    @_locked
     def check_and_delete(self, row, family, qualifier, expected, delete: Delete,
                          now: int | None = None) -> bool:
         cur = self._latest_cell(row, family, qualifier)
@@ -323,6 +388,7 @@ class StoredTable:
         self.mutate([delete], now=now)
         return True
 
+    @_locked
     def increment_column_value(self, row, family, qualifier, amount: int,
                                now: int | None = None) -> int:
         """HTable.incrementColumnValue:553 / HRegion:3106 — read latest
@@ -347,6 +413,7 @@ class StoredTable:
 
     # ---------------------------------------------------------- compaction
 
+    @_locked
     def compact(self, major: bool = False, now: int | None = None) -> int:
         """Store.compact:581.  Minor = pure k-way merge, NO masking —
         every cell including tombstones and masked puts is retained
@@ -390,6 +457,7 @@ class StoredTable:
     def _snap_dir(self, name: str) -> str:
         return os.path.join(self.dir, SNAPSHOT_DIR, name)
 
+    @_locked
     def snapshot(self, name: str) -> None:
         """HBaseAdmin.snapshot:899 — metadata-only commit: freeze the
         current manifest under .snapshot/<name>/ (zero data copied; the
@@ -414,6 +482,7 @@ class StoredTable:
     def snapshot_manifest(self, name: str) -> dict:
         return _read_json(os.path.join(self._snap_dir(name), "snapshotinfo.json"))
 
+    @_locked
     def restore_snapshot(self, name: str) -> int:
         """HBaseAdmin.restoreSnapshot:934 / master/RestoreSnapshot.java:52
         — pure metadata: commit a manifest whose segment list is the
@@ -427,6 +496,7 @@ class StoredTable:
         m2["descriptor"] = info["descriptor"]
         return self._commit(m2)
 
+    @_locked
     def delete_snapshot(self, name: str) -> None:
         """HBaseAdmin.deleteSnapshot:948 — drop the manifest; files are
         reclaimed by vacuum() once unreferenced."""
@@ -461,6 +531,7 @@ class StoredTable:
             refs.update(self.snapshot_manifest(s)["segments"])
         return refs
 
+    @_locked
     def vacuum(self) -> list[str]:
         """Delete segments unreferenced by HEAD or any snapshot — the
         refcount rule of HRegion.java:765 / SnapshotLogCleaner."""

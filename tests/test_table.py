@@ -303,3 +303,32 @@ def test_result_getmap_materialization(store):
     fam_map = nested[0].families
     assert fam_map["f"]["a"] == {10: "v1", 20: "v2"}
     assert fam_map["g"]["b"] == {10: "x"}
+
+
+def test_concurrent_writers_serialize(spark, tmp_path):
+    # single-writer lock: concurrent increments never lose updates
+    import threading
+
+    store = TableStore(spark, str(tmp_path / "conc"))
+    t = store.create_table(TableDescriptor("c").add_family(FamilyDescriptor("f")))
+    t.mutate([Put("r1").add("f", "n", "0", ts=1)])
+    errs = []
+
+    def worker(i):
+        try:
+            # each thread gets its OWN table handle (own lock state);
+            # ICV uses server time like the reference (explicit
+            # out-of-order timestamps would legitimately shadow writes)
+            h = store.table("c")
+            h.increment_column_value("r1", "f", "n", 1)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    cur = t._latest_cell("r1", "f", "n")
+    assert int(cur.value) == 4

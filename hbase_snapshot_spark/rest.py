@@ -69,9 +69,16 @@ class _Handler(BaseHTTPRequestHandler):
             table = self.store.table(parts[0])
             maxv = int(q["v"]) if "v" in q else 1
             if len(parts) >= 2 and parts[1] == "scanner":
+                flt = None
+                if "prefix" in q:
+                    # scannerOpenWithPrefix → PrefixFilter
+                    # (thrift/ThriftServer.java:658-663)
+                    from hbase_snapshot_spark.filters import PrefixFilter
+
+                    flt = PrefixFilter(q["prefix"])
                 scan = Scan(
                     start_row=q.get("start"), stop_row=q.get("stop"),
-                    max_versions=maxv,
+                    max_versions=maxv, filter=flt,
                 )
                 limit = int(q.get("limit", 1000))
                 return self._send(

@@ -1,0 +1,76 @@
+"""Physical-plan regression tests — pin the scale-critical plan
+properties so they can't silently regress:
+
+  1. the resolve kernel is a ONE-exchange plan (all masking windows +
+     version counting share the (row, family) hash partitioning),
+  2. row-range predicates reach the parquet scan (PushedFilters),
+  3. column projection prunes the read schema,
+  4. version counting gets Spark's WindowGroupLimit top-k pruning.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+from tests.cells import cells_df, put
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "cells")
+    cells_df(spark, [
+        put(f"r{i:04d}", "f", f"q{i % 3}", 10 + (i % 4), f"v{i}")
+        for i in range(500)
+    ]).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_resolve_is_single_exchange(stored):
+    plan = plan_of(resolve(stored, spec=ResolveSpec(max_versions=3)), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_row_range_pushed_to_parquet(stored):
+    df = resolve(
+        stored.filter((F.col("row") >= "r0100") & (F.col("row") < "r0200")),
+        spec=ResolveSpec(max_versions=1),
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(row" in pushed and "LessThan(row" in pushed, pushed
+
+
+def test_projection_prunes_read_schema(stored):
+    plan = plan_of(stored.select("row", "ts").filter(F.col("row") > "r0"))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "struct<row:string,ts:bigint>" in rs, rs
+
+
+def test_version_count_gets_window_group_limit(stored):
+    plan = plan_of(resolve(stored, spec=ResolveSpec(max_versions=2)), "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_scvf_single_aggregation(spark, stored):
+    # the SCVF row set is ONE groupBy over the stream — no extra
+    # distinct/anti-join cascade (counted as at most 2 more exchanges:
+    # the row-agg and the semi-join)
+    from hbase_snapshot_spark.client import Scan, Table
+    from hbase_snapshot_spark.filters import CompareOp, SingleColumnValueFilter
+
+    t = Table(stored)
+    df = t.scan(Scan(filter=SingleColumnValueFilter("f", "q0", CompareOp.EQUAL, "v0")))
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") <= 4, plan

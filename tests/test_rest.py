@@ -66,3 +66,12 @@ def test_rest_errors(rest):
     assert code == 400
     code, body = _req(f"{rest}/t/doesnotexist")
     assert code == 404
+
+
+def test_rest_scanner_prefix(rest):
+    _req(f"{rest}/t/ax1/f:q?ts=10", "PUT", b"1")
+    _req(f"{rest}/t/ax2/f:q?ts=10", "PUT", b"2")
+    _req(f"{rest}/t/bz1/f:q?ts=10", "PUT", b"3")
+    code, body = _req(f"{rest}/t/scanner?prefix=ax")
+    assert code == 200
+    assert {c["row"] for c in body["cells"]} == {"ax1", "ax2"}

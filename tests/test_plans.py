@@ -74,3 +74,28 @@ def test_scvf_single_aggregation(spark, stored):
     df = t.scan(Scan(filter=SingleColumnValueFilter("f", "q0", CompareOp.EQUAL, "v0")))
     plan = plan_of(df, "simple")
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    # two cell tables bucketed on row by the same bucket count join
+    # bucket-to-bucket: the join subtree contains NO Exchange
+    from hbase_snapshot_spark.sources.bucketed import read_bucketed, save_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed")
+    a = cells_df(spark, [put(f"r{i}", "f", "q", 10, f"a{i}") for i in range(100)])
+    b = cells_df(spark, [put(f"r{i}", "g", "q", 10, f"b{i}") for i in range(100)])
+    try:
+        save_bucketed(a, "bkt_a", buckets=4, path=str(base / "a"))
+        save_bucketed(b, "bkt_b", buckets=4, path=str(base / "b"))
+        # hint('merge') disables the broadcast path so the plan shows the
+        # bucket-to-bucket sort-merge join a large-table join would use
+        joined = read_bucketed(spark, "bkt_a").hint("merge").join(
+            read_bucketed(spark, "bkt_b"), on="row"
+        )
+        plan = plan_of(joined, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

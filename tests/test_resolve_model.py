@@ -18,8 +18,9 @@ from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 from tests.cells import cells_df
 
 
-def model_resolve(cells, spec: ResolveSpec):
-    """imperative transcription of the scan stack"""
+def model_resolve(cells, spec: ResolveSpec, model_pred=None):
+    """imperative transcription of the scan stack; ``model_pred`` is the
+    Python twin of spec.cell_filter (fn(row,fam,qual,ts,val) -> bool)"""
     ttl_cut = {}
     for fam, ttl_s in (spec.family_ttl or {}).items():
         ttl_cut[fam] = (spec.now or 0) - ttl_s * 1000
@@ -70,6 +71,10 @@ def model_resolve(cells, spec: ResolveSpec):
             spec.time_range[0] <= ts < spec.time_range[1]
         ):
             continue
+        # filter slot (cell predicate), before version counting —
+        # the caller passes the model twin of spec.cell_filter
+        if model_pred is not None and not model_pred(row, fam, qual, ts, val):
+            continue
         # qualifier projection (column tracker, after filter slot)
         if spec.columns is not None:
             quals = spec.columns.get(fam)
@@ -109,17 +114,29 @@ def _random_cells(rng, n_rows=3, n_quals=3, n_ts=4):
     return cells
 
 
-SPECS = [
-    ResolveSpec(max_versions=1),
-    ResolveSpec(max_versions=2),
-    ResolveSpec(max_versions=None),
-    ResolveSpec(max_versions=None, time_range=(15, 35)),
-    ResolveSpec(max_versions=1, time_range=(20, 41)),
-    ResolveSpec(max_versions=2, families=["f"]),
-    ResolveSpec(max_versions=None, columns={"f": ["q0", "q1"]}),
-    ResolveSpec(max_versions=2, family_max_versions={"f": 1, "g": 3}),
-    ResolveSpec(max_versions=None, family_ttl={"f": 10}, now=25_000),
-]
+def _specs():
+    """(spec, model twin of spec.cell_filter) pairs — built lazily
+    because Column construction needs an active SparkContext.  The cell
+    filter runs pre-version-count on both sides
+    (ScanQueryMatcher.java:182-187)."""
+    from pyspark.sql import functions as F
+
+    return [
+        (ResolveSpec(max_versions=1), None),
+        (ResolveSpec(max_versions=1, cell_filter=F.col("qualifier") != "q1"),
+         lambda r, f, q, t, v: q != "q1"),
+        (ResolveSpec(max_versions=2, time_range=(15, 41),
+                     cell_filter=F.col("ts") != 20),
+         lambda r, f, q, t, v: t != 20),
+        (ResolveSpec(max_versions=2), None),
+        (ResolveSpec(max_versions=None), None),
+        (ResolveSpec(max_versions=None, time_range=(15, 35)), None),
+        (ResolveSpec(max_versions=1, time_range=(20, 41)), None),
+        (ResolveSpec(max_versions=2, families=["f"]), None),
+        (ResolveSpec(max_versions=None, columns={"f": ["q0", "q1"]}), None),
+        (ResolveSpec(max_versions=2, family_max_versions={"f": 1, "g": 3}), None),
+        (ResolveSpec(max_versions=None, family_ttl={"f": 10}, now=25_000), None),
+    ]
 
 
 @pytest.mark.parametrize("trial", range(6))
@@ -127,12 +144,12 @@ def test_resolve_matches_imperative_model(spark, trial):
     rng = random.Random(1000 + trial)
     cells = _random_cells(rng)
     df = cells_df(spark, cells)
-    for i, spec in enumerate(SPECS):
+    for i, (spec, model_pred) in enumerate(_specs()):
         got = {
             (r.row, r.family, r.qualifier, r.ts, r.value)
             for r in resolve(df, spec=spec).collect()
         }
-        want = model_resolve(cells, spec)
+        want = model_resolve(cells, spec, model_pred)
         assert got == want, (
             f"divergence trial={trial} spec#{i}={spec}\n"
             f"only-engine={got - want}\nonly-model={want - got}\ncells={cells}"

@@ -177,6 +177,15 @@ class ValueFilter(CompareFilterBase):
     _col = "value"
 
 
+def _startswith(col: Column, prefix) -> Column:
+    """prefix predicate for str OR bytes (Column.startswith only takes
+    strings; for binary keys compare the length-matched substring,
+    preserving unsigned-lexicographic semantics)"""
+    if isinstance(prefix, bytes):
+        return col.substr(1, len(prefix)) == F.lit(prefix)
+    return col.startswith(prefix)
+
+
 class PrefixFilter(Filter):
     """filter/PrefixFilter.java — rows with the given key prefix; also
     rewritten to a [prefix, prefix+1) range for storage pruning."""
@@ -190,7 +199,7 @@ class PrefixFilter(Filter):
         if isinstance(p, str) and end is not None:
             end = end.decode("utf-8", errors="surrogateescape")
         return Compiled(
-            cell_pred=F.col("row").startswith(p),
+            cell_pred=_startswith(F.col("row"), p),
             range_hint=(p, end),
         )
 
@@ -202,7 +211,7 @@ class ColumnPrefixFilter(Filter):
         self.prefix = prefix
 
     def compile(self) -> Compiled:
-        return Compiled(cell_pred=F.col("qualifier").startswith(self.prefix))
+        return Compiled(cell_pred=_startswith(F.col("qualifier"), self.prefix))
 
 
 class InclusiveStopFilter(Filter):

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_snapshot_spark.functions import cosine, word_ngrams, word_tokens, hex4_to_int
+from hbase_snapshot_spark.functions import cosine, word_tokens, hex4_to_int
 
 
 # ---------------------------------------------------------------- exact

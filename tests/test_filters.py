@@ -283,3 +283,28 @@ def test_get_row_or_before(grid):
 
 def test_row_count(grid):
     assert grid.row_count() == 4
+
+
+def test_binary_table_filters(spark):
+    """the exact reference model: byte[] keys/qualifiers/values with
+    unsigned-lexicographic comparators (util/Bytes.java compareTo)"""
+    t = Table(cells_df(spark, [
+        put(b"\x00row", "f", b"q1", 10, b"\x01"),
+        put(b"\x7frow", "f", b"q1", 10, b"\x80"),
+        put(b"\x80row", "f", b"q2", 10, b"\xff"),
+        put(b"\xffrow", "f", b"q2", 10, b"\x00"),
+    ], binary=True))
+    # unsigned: 0x80row > 0x7frow
+    out = t.scan(Scan(filter=RowFilter(
+        CompareOp.GREATER_OR_EQUAL, BinaryComparator(bytes([0x80]) + b"row"))))
+    assert {bytes(r.row) for r in out.collect()} == {b"\x80row", b"\xffrow"}
+    # value compare across the sign boundary
+    out2 = t.scan(Scan(filter=ValueFilter(
+        CompareOp.GREATER, BinaryComparator(b"\x7f"))))
+    assert {bytes(r.value) for r in out2.collect()} == {b"\x80", b"\xff"}
+    # binary prefix on the row key
+    out3 = t.scan(Scan(filter=PrefixFilter(b"\x7f")))
+    assert {bytes(r.row) for r in out3.collect()} == {b"\x7frow"}
+    # binary range scan [start, stop)
+    out4 = t.scan(Scan(start_row=b"\x7f", stop_row=b"\xff"))
+    assert {bytes(r.row) for r in out4.collect()} == {b"\x7frow", b"\x80row"}

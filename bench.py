@@ -94,19 +94,28 @@ class Bench:
         cells = self.table.cells().filter(F.col("row").isin(keys))
         return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
 
-    # -- scanRange100: 100 random 100-row ranges
-    def range_scan_100(self):
+    def _range_scan(self, span: int, seed: int):
         from pyspark.sql import functions as F
         from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
-        rng = random.Random(43)
+        rng = random.Random(seed)
         pred = None
         for _ in range(100):
-            s = rng.randrange(max(1, self.n_orders - 100))
-            p = (F.col("row") >= f"{s:012d}") & (F.col("row") < f"{s + 100:012d}")
+            s = rng.randrange(max(1, self.n_orders - span))
+            p = (F.col("row") >= f"{s:012d}") & (F.col("row") < f"{s + span:012d}")
             pred = p if pred is None else (pred | p)
         cells = self.table.cells().filter(pred)
         return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
+
+    # -- scanRange10/100/1000 (PE): 100 random ranges each
+    def range_scan_10(self):
+        return self._range_scan(10, 41)
+
+    def range_scan_100(self):
+        return self._range_scan(100, 43)
+
+    def range_scan_1000(self):
+        return self._range_scan(1000, 47)
 
     # -- scan / sequentialRead: full resolve, all versions
     def full_scan(self):
@@ -177,7 +186,9 @@ class Bench:
 WORKLOAD_ORDER = [
     "bulk_write",
     "point_get",
+    "range_scan_10",
     "range_scan_100",
+    "range_scan_1000",
     "full_scan",
     "filter_scan",
     "dedup_minhash",

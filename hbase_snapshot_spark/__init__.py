@@ -32,4 +32,24 @@ __all__ = [
     "resolve",
     "ResolveSpec",
     "Bytes",
+    "Scan",
+    "Get",
+    "Table",
+    "TableStore",
+    "Put",
+    "Delete",
 ]
+
+
+def __getattr__(name):
+    # lazy re-exports of the client/storage surface (avoids importing
+    # the heavier modules for codec-only users)
+    if name in ("Scan", "Get", "Table"):
+        from hbase_snapshot_spark import client
+
+        return getattr(client, name if name != "Table" else "Table")
+    if name in ("TableStore", "Put", "Delete"):
+        from hbase_snapshot_spark import table
+
+        return getattr(table, name)
+    raise AttributeError(name)

@@ -137,6 +137,8 @@ def bulk_load(
     cells: DataFrame,
     out_path: str,
     num_partitions: int = 32,
+    row_bloom: bool = True,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """The HFileOutputFormat bulk-load pipeline
     (mapreduce/HFileOutputFormat.java:66 + SimpleTotalOrderPartitioner +
@@ -144,14 +146,24 @@ def bulk_load(
     by the KeyValue total order, write columnar files.  Registering the
     output into a table manifest (LoadIncrementalHFiles) is
     ``table.append_cells`` / a manifest add — metadata-only, no
-    region-boundary re-splitting needed."""
-    (
+    region-boundary re-splitting needed.
+
+    ``row_bloom`` writes a parquet bloom filter on the row column — the
+    analogue of the reference's ROW bloom (StoreFile.BloomType:93-105,
+    shouldSeek:991): point gets skip row groups whose bloom rejects the
+    key, on top of the min/max pruning the sort already provides."""
+    w = (
         cells.repartitionByRange(num_partitions, "row")
         .sortWithinPartitions(
             "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
         )
-        .write.parquet(out_path)
+        .write
     )
+    if row_bloom:
+        w = w.option("parquet.bloom.filter.enabled#row", "true").option(
+            "parquet.bloom.filter.expected.ndv#row", str(bloom_ndv)
+        )
+    w.parquet(out_path)
 
 
 def region_partition_id(row: Column, boundaries: list) -> Column:

@@ -255,6 +255,14 @@ class StoredTable:
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
         return ClientTable(self.cells(version), self.descriptor, now=now)
 
+    def create_view(self, view_name: str, spec: ResolveSpec | None = None,
+                    version: int | None = None) -> None:
+        """register the resolved view as a Spark SQL temp view so the
+        whole engine is queryable via ``spark.sql`` (the DataFrame/SQL
+        duality — scans, joins, and aggregations over the resolved cell
+        stream in plain SQL)."""
+        self.read(spec=spec, version=version).createOrReplaceTempView(view_name)
+
     def read(self, spec: ResolveSpec | None = None, version: int | None = None) -> DataFrame:
         spec = spec or ResolveSpec(max_versions=None)
         desc = self.descriptor

@@ -332,3 +332,17 @@ def test_concurrent_writers_serialize(spark, tmp_path):
     assert not errs, errs
     cur = t._latest_cell("r1", "f", "n")
     assert int(cur.value) == 4
+
+
+def test_sql_view_over_engine(store, spark):
+    # the whole engine is reachable from spark.sql via resolved views
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10),
+              Put("r2").add("f", "q", "v2", ts=10)])
+    t.mutate([Delete("r1")], now=50)
+    t.create_view("t1_view")
+    out = spark.sql(
+        "SELECT row, value FROM t1_view WHERE family = 'f' ORDER BY row"
+    ).collect()
+    assert [(r.row, r.value) for r in out] == [("r2", "v2")]
+    spark.catalog.dropTempView("t1_view")

@@ -460,6 +460,28 @@ class StoredTable:
         m2["commit_seq"] = commit_seq
         return self._commit(m2)
 
+    def maybe_compact(self, threshold: int = 3, major: bool = False) -> int | None:
+        """Store.java:169 compactionThreshold — compact when the live
+        segment count reaches the threshold (the reference's minor-
+        compaction trigger; call after batch appends)."""
+        if len(self.manifest()["segments"]) >= threshold:
+            return self.compact(major=major)
+        return None
+
+    def history(self) -> list[dict]:
+        """time-travel listing (the Delta DESCRIBE HISTORY analogue —
+        SURVEY §2.6): every retained manifest version, newest first."""
+        mdir = os.path.join(self.dir, "manifests")
+        out = []
+        for f in sorted(os.listdir(mdir), key=lambda n: int(n[1:-5]), reverse=True):
+            m = _read_json(os.path.join(mdir, f))
+            out.append({
+                "version": m["version"],
+                "commit_seq": m["commit_seq"],
+                "n_segments": len(m["segments"]),
+            })
+        return out
+
     # ---------------------------------------------------------- snapshots
 
     def _snap_dir(self, name: str) -> str:

@@ -346,3 +346,39 @@ def test_sql_view_over_engine(store, spark):
     ).collect()
     assert [(r.row, r.value) for r in out] == [("r2", "v2")]
     spark.catalog.dropTempView("t1_view")
+
+
+def test_maybe_compact_threshold(store):
+    # Store.java:169 — compaction triggers at the segment threshold
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "a", ts=10)])
+    assert t.maybe_compact(threshold=3) is None
+    t.mutate([Put("r1").add("f", "q", "b", ts=20)])
+    t.mutate([Put("r1").add("f", "q", "c", ts=30)])
+    assert t.maybe_compact(threshold=3) is not None
+    assert len(t.manifest()["segments"]) == 1
+    assert {r.value for r in t.read().collect()} == {"a", "b", "c"}
+
+
+def test_history_time_travel(store):
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "a", ts=10)])
+    t.mutate([Put("r1").add("f", "q", "b", ts=20)])
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert h[0]["n_segments"] == 2
+
+
+def test_orphan_segment_recovery(store):
+    # a crash between segment write and manifest commit leaves an orphan
+    # parquet dir; it is invisible to reads and reclaimed by vacuum
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v", ts=10)])
+    orphan = os.path.join(t.dir, "segments", "seg-999999-orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not really parquet")
+    assert cellset(t.read()) == {("r1", "f", "q", 10, "v")}  # unaffected
+    removed = t.vacuum()
+    assert "seg-999999-orphan" in removed
+    assert not os.path.exists(orphan)

@@ -8,6 +8,7 @@ Commands (reference analogue in parens):
   drop <base> <table>                                     (shell drop)
   list <base>                                             (shell list)
   describe <base> <table>                                 (shell describe)
+  alter <base> <table> <family:maxVersions[:ttl]>         (shell alter)
   put <base> <table> <row> <family:qualifier> <value> [ts]   (shell put)
   get <base> <table> <row> [family:qualifier]             (shell get)
   delete <base> <table> <row> [family:qualifier] [ts]     (shell delete)
@@ -153,6 +154,19 @@ def main(argv: list[str] | None = None) -> int:
         _print_cells(store(base).table(name).client().scan(s), limit=limit)
     elif cmd in ("count", "rowcounter"):
         print(store(args[0]).table(args[1]).client().row_count())
+    elif cmd == "alter":
+        # alter <base> <table> <family:maxVersions[:ttl]>
+        st = store(args[0])
+        t = st.table(args[1])
+        desc = t.descriptor
+        parts = args[2].split(":")
+        fam = desc.family(parts[0])
+        if len(parts) > 1 and parts[1]:
+            fam.max_versions = int(parts[1])
+        if len(parts) > 2 and parts[2]:
+            fam.ttl = int(parts[2])
+        t.alter(desc)
+        print("ok")
     elif cmd == "truncate":
         st = store(args[0])
         desc = st.table(args[1]).descriptor

@@ -460,6 +460,18 @@ class StoredTable:
         m2["commit_seq"] = commit_seq
         return self._commit(m2)
 
+    @_locked
+    def alter(self, descriptor: TableDescriptor) -> int:
+        """HBaseAdmin.modifyTable / shell ``alter`` — commit a new
+        descriptor (family knobs like maxVersions/TTL take effect on the
+        next read; data is untouched, exactly the reference's behavior
+        where schema lives in .tableinfo, not in HFiles)."""
+        m = self.manifest()
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["descriptor"] = descriptor.to_dict()
+        return self._commit(m2)
+
     def maybe_compact(self, threshold: int = 3, major: bool = False) -> int | None:
         """Store.java:169 compactionThreshold — compact when the live
         segment count reaches the threshold (the reference's minor-

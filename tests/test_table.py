@@ -382,3 +382,17 @@ def test_orphan_segment_recovery(store):
     removed = t.vacuum()
     assert "seg-999999-orphan" in removed
     assert not os.path.exists(orphan)
+
+
+def test_alter_changes_read_semantics(store):
+    # shell `alter` / HBaseAdmin.modifyTable: tightening family
+    # maxVersions takes effect on the next read, data untouched
+    t = _mk(store)
+    for ts in (10, 20, 30):
+        t.mutate([Put("r1").add("f", "q", f"v{ts}", ts=ts)])
+    assert len(t.read().collect()) == 3  # f allows 3 versions
+    desc = t.descriptor
+    desc.family("f").max_versions = 1
+    t.alter(desc)
+    assert [(r.ts, r.value) for r in t.read().collect()] == [(30, "v30")]
+    assert t.cells().count() == 3  # raw data untouched until compaction

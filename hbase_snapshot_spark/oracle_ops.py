@@ -245,6 +245,30 @@ FROM documents
 """
 
 
+def hash_fraction_sql(key_expr: str) -> str:
+    """DuckDB twin of sampling.hash_fraction: first 8 md5 hex chars →
+    uint32 via nibble arithmetic (no hex-cast needed), / 2^32"""
+    nib = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({key_expr} AS VARCHAR)), {{i}}, 1)) - 1)"
+    )
+    terms = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"(CAST({terms} AS DOUBLE) / 4294967296.0)"
+
+
+def stratified_sample_sql(fractions: dict[str, float], default: float = 0.0) -> str:
+    frac = hash_fraction_sql("doc_id")
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {f}" for s, f in fractions.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {frac} < (CASE {cases} ELSE {default} END)
+"""
+
+
 def grouping_agg_sql() -> str:
     return """
 SELECT user_id, event_type,

@@ -209,3 +209,26 @@ def test_asof_join(spark):
         ("A", 0, 300, None, None),  # nothing precedes
         ("B", 9, 400, 20.0, 3),
     }
+
+
+def test_hash_sample_deterministic(docs):
+    from hbase_snapshot_spark.operators import sampling
+
+    a = {r.doc_id for r in sampling.hash_sample(docs, F.col("doc_id"), 0.5).collect()}
+    b = {r.doc_id for r in sampling.hash_sample(docs, F.col("doc_id"), 0.5).collect()}
+    assert a == b
+    # monotone: a smaller rate selects a subset
+    c = {r.doc_id for r in sampling.hash_sample(docs, F.col("doc_id"), 0.2).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_rates(docs):
+    from hbase_snapshot_spark.operators import sampling
+
+    out = sampling.stratified_sample(
+        docs, F.col("doc_id"), "lang", {"en": 1.0, "de": 1.0}
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == {0, 1, 3, 4, 2}  # all en + de, no 'und'
+    none = sampling.stratified_sample(docs, F.col("doc_id"), "lang", {}, default=0.0)
+    assert none.count() == 0

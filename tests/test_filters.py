@@ -308,3 +308,25 @@ def test_binary_table_filters(spark):
     # binary range scan [start, stop)
     out4 = t.scan(Scan(start_row=b"\x7f", stop_row=b"\xff"))
     assert {bytes(r.row) for r in out4.collect()} == {b"\x7frow", b"\x80row"}
+
+
+def test_filter_list_composite_all_stages(grid):
+    """a FilterList exercising every pipeline stage at once: cell
+    predicate (Qualifier), stream rank (ColumnCount), row keep (SCVF),
+    and a global page limit — chained in list order"""
+    f = FilterList(FilterList.MUST_PASS_ALL, [
+        QualifierFilter(CompareOp.NOT_EQUAL, BinaryComparator("q2")),
+        ColumnCountGetFilter(3),
+        SingleColumnValueFilter("f", "q0", CompareOp.NOT_EQUAL, "zz",
+                                latest_version_only=True),
+        PageFilter(3),
+    ])
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    got = cells_of(out)
+    # rows limited to first 3 (ra..rc); per row first 3 cells of the
+    # q2-filtered stream: f:q0@20, f:q0@10, f:q1@10
+    assert rows_of(out) == {"ra", "rb", "rc"}
+    for r in ["ra", "rb", "rc"]:
+        assert {(c[1], c[2], c[3]) for c in got if c[0] == r} == {
+            ("f", "q0", 20), ("f", "q0", 10), ("f", "q1", 10)
+        }

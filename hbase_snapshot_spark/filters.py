@@ -447,30 +447,44 @@ class SkipFilter(Filter):
 
 
 class WhileMatchFilter(Filter):
-    """filter/WhileMatchFilter.java:30-37 — emit rows while the wrapped
-    filter passes; terminate the scan at the first failing cell.  In
-    key-ordered terms: keep rows strictly before the first row with a
-    failing cell."""
+    """filter/WhileMatchFilter.java:30-37 — emit cells while the wrapped
+    filter passes; terminate the scan at the first failing cell.  The
+    reference flips filterAllRemaining only AFTER the failing cell, so
+    passing cells of the boundary row that sort before it in KeyValue
+    order (KeyValue.java:1329: row, family, qualifier asc, ts desc, seq
+    desc) are still emitted — this keeps exactly the cells strictly
+    before the first failing cell in that total order."""
 
     def __init__(self, inner: Filter):
         self.inner = inner
+
+    @staticmethod
+    def _kv_pos():
+        # negate ts/seq so an ascending struct comparison gives KeyValue
+        # order (newest version first within a qualifier)
+        return F.struct(
+            F.col("row").alias("r"),
+            F.col("family").alias("f"),
+            F.col("qualifier").alias("q"),
+            (-F.col("ts")).alias("nts"),
+            (-F.col("seq")).alias("nseq"),
+        )
 
     def compile(self) -> Compiled:
         inner_c = self.inner.compile()
         if inner_c.cell_pred is not None:
             pred = inner_c.cell_pred
+            pos = self._kv_pos
 
-            def keep(stream: DataFrame) -> DataFrame:
-                first_bad = stream.filter(~pred).agg(F.min("row").alias("_stop"))
+            def cut(stream: DataFrame) -> DataFrame:
+                first_bad = stream.filter(~pred).agg(F.min(pos()).alias("_stop"))
                 return (
-                    stream.select("row")
-                    .distinct()
-                    .crossJoin(F.broadcast(first_bad))
-                    .filter(F.col("_stop").isNull() | (F.col("row") < F.col("_stop")))
-                    .select("row")
+                    stream.crossJoin(F.broadcast(first_bad))
+                    .filter(F.col("_stop").isNull() | (pos() < F.col("_stop")))
+                    .drop("_stop")
                 )
 
-            return Compiled(row_keep=keep)
+            return Compiled(stream_transform=cut)
         if inner_c.row_keep is not None:
             # WhileMatch(PageFilter(n)) — the PerformanceEvaluation
             # filterScan shape (:805-808): page limit already yields the

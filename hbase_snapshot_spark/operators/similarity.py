@@ -115,7 +115,11 @@ def ivf_assign(
     vectors with the ``num_centroids`` smallest ids (no RNG, no
     iterations — a k-means init step; good enough for a bucketing
     structure, swappable for trained centroids).  Returns
-    (assigned vectors with ``cell``, centroids)."""
+    (assigned vectors with ``cell``, centroids).
+
+    Assignment ranks on round(cos, 6) with cell-asc tie-break so the
+    argmax is reproducible bit-for-bit across engines (the DuckDB oracle
+    in oracle_ops.ann_ivf_sql ranks identically)."""
     cents = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
@@ -125,7 +129,7 @@ def ivf_assign(
     w = Window.orderBy(F.col("cent_src").asc())
     cents = cents.select((F.row_number().over(w) - 1).alias("cell"), "cvec")
     scored = vectors.crossJoin(F.broadcast(cents)).select(
-        "*", cosine(F.col(vec_col), F.col("cvec")).alias("_sim")
+        "*", F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim")
     )
     wv = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell").asc())
     assigned = (
@@ -153,7 +157,8 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("_sim")
+        "query_id", "qvec", "cell",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
     probes = (

@@ -78,6 +78,11 @@ def resolve_sql(
             f"(family = '{fam}' AND qualifier IN ({_in_list(quals)}))"
             for fam, quals in columns.items()
         ]
+        # addFamily'd families without explicit qualifiers = all columns
+        # of that family (Scan.addFamily: familyMap.put(family, null))
+        whole = [f for f in (families or []) if f not in columns]
+        if whole:
+            ors.append(f"family IN ({_in_list(whole)})")
         col_proj = "WHERE " + " OR ".join(ors)
     else:
         col_proj = ""

@@ -165,6 +165,89 @@ WHERE rank <= {k}
 """
 
 
+def ann_lsh_sql(
+    k: int = 10, num_queries: int = 5, num_planes: int = 6, dim: int = 64
+) -> str:
+    """SQL twin of similarity.ann_lsh_topk — the SRP planes are md5-seeded
+    (similarity._srp_planes: sign = parity of md5(f"{p}:{d}").digest()[0]),
+    so the bucketing has a closed form: digest byte 0 is the first two hex
+    chars of DuckDB's md5(), and its parity is the parity of hex char 2."""
+    return f"""
+WITH planes AS (
+  SELECT p,
+         list(CASE WHEN substr(md5(p || ':' || d), 2, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                   THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d) AS pv
+  FROM range({num_planes}) t1(p) CROSS JOIN range({dim}) t2(d)
+  GROUP BY p
+),
+sigs AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+                       THEN power(2, pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket
+      FROM sigs WHERE vec_id < {num_queries}),
+s AS (
+  SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+  FROM sigs e JOIN q ON e.bucket = q.bucket
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s) t
+WHERE rank <= {k}
+"""
+
+
+def ann_ivf_sql(
+    k: int = 10, num_queries: int = 5, num_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """SQL twin of similarity.ivf_topk — centroids are the num_centroids
+    smallest vec_ids (deterministic init quantizer); cell assignment and
+    probe selection rank on round(cos, 6) with cell-asc tie-break so both
+    engines resolve near-ties identically."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cvec
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT {num_centroids}) t
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) t
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {num_queries}),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c) t
+  WHERE rn <= {nprobe}
+),
+s AS (
+  SELECT p.query_id, a.vec_id, round(list_cosine_similarity(a.v, p.qv), 6) AS cos
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s) t
+WHERE rank <= {k}
+"""
+
+
 def _stopword_hits_sql(words: list[str]) -> str:
     return " + ".join(
         f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"

@@ -166,6 +166,13 @@ def project_columns(live: DataFrame, spec: ResolveSpec) -> DataFrame:
     for fam, quals in spec.columns.items():
         p = (F.col("family") == F.lit(fam)) & F.col("qualifier").isin(list(quals))
         proj = p if proj is None else (proj | p)
+    # families selected via addFamily alongside addColumn'd ones mean "all
+    # columns of this family": Scan.addFamily puts (family -> null) in the
+    # familyMap (client/Scan.java:178-180), and a null qualifier set skips
+    # the explicit column tracker for that family.
+    whole = [f for f in (spec.families or []) if f not in spec.columns]
+    if whole:
+        proj = proj | F.col("family").isin(whole)
     return live.filter(proj)
 
 

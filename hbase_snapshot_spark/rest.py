@@ -4,10 +4,13 @@ row / column / timestamp-range / maxVersions encoded in the path &
 query; RowResource.java GET:83 / PUT:244 / DELETE; ScannerResource).
 
 Semantics are exactly the engine's Get/Scan/Put/Delete — this module
-only translates HTTP.  Divergence (documented): scanners are stateless
-one-shot GETs rather than stateful server-side cursors (Spark has no
-scanner leases to manage; the reference's lease machinery is
-infrastructure, SURVEY §2.1).
+only translates HTTP.  Binary table values are base64-encoded in JSON
+(the reference REST encodes cell bytes in base64 too,
+rest/model/CellModel).  Responses that hit the row cap carry
+``"truncated": true`` plus a ``next_start`` cursor so a caller can
+page; the stateful scanner routes mirror ScannerResource.java
+(POST creates a server-side cursor id, GET pages it, DELETE closes,
+204 when exhausted).
 
 Routes:
   GET    /                                    list tables
@@ -16,11 +19,16 @@ Routes:
   PUT    /<table>/<row>/<fam>:<qual>[?ts=]    body = value
   DELETE /<table>/<row>                        whole-row delete
   DELETE /<table>/<row>/<fam>:<qual>[?ts=&exact=1]
-  GET    /<table>/scanner?start=&stop=&limit=&v=
+  GET    /<table>/scanner?start=&stop=&limit=&v=   (one-shot)
+  POST   /<table>/scanner?start=&stop=&prefix=&v=  → {"scanner_id": id}
+  GET    /<table>/scanner/<id>?n=BATCH             next cells (204 = done)
+  DELETE /<table>/scanner/<id>                     close
 """
 
 from __future__ import annotations
 
+import base64
+import itertools
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -30,19 +38,73 @@ from hbase_snapshot_spark.client import Get, Scan
 from hbase_snapshot_spark.table import Delete, Put, TableStore
 
 
+def _jsonable(v):
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return v
+
+
+def _cell_dict(r) -> dict:
+    return {
+        "row": _jsonable(r.row), "family": _jsonable(r.family),
+        "qualifier": _jsonable(r.qualifier),
+        "ts": r.ts, "value": _jsonable(r.value),
+    }
+
+
 def _cells_json(df, limit=None):
-    rows = df.orderBy("row", "family", "qualifier").limit(limit or 10000).collect()
-    return [
-        {
-            "row": r.row, "family": r.family, "qualifier": r.qualifier,
-            "ts": r.ts, "value": r.value,
-        }
-        for r in rows
-    ]
+    """Collect up to ``limit`` cells (cap 10000) in key order.  Returns
+    (cells, truncated, next_start): when the cap is hit, ``truncated``
+    flags the cut and ``next_start`` is the first UNRETURNED row key —
+    rows are never split across pages (resume at next_start neither
+    skips nor duplicates), except a single row wider than the cap, which
+    is returned partially with next_start pointing at itself."""
+    cap = min(limit or 10000, 10000)
+    rows = (
+        df.orderBy("row", "family", "qualifier").limit(cap + 1).collect()
+    )
+    truncated = len(rows) > cap
+    next_start = None
+    if truncated:
+        boundary = rows[cap].row
+        rows = [r for r in rows[:cap] if r.row != boundary] or rows[:cap]
+        next_start = _jsonable(boundary)
+    return [_cell_dict(r) for r in rows], truncated, next_start
+
+
+def _make_scan(q: dict, maxv: int) -> Scan:
+    flt = None
+    if "prefix" in q:
+        # scannerOpenWithPrefix → PrefixFilter
+        # (thrift/ThriftServer.java:658-663)
+        from hbase_snapshot_spark.filters import PrefixFilter
+
+        flt = PrefixFilter(q["prefix"])
+    return Scan(
+        start_row=q.get("start"), stop_row=q.get("stop"),
+        max_versions=maxv, filter=flt,
+    )
+
+
+class _Scanner:
+    """Server-side cursor over a scan — ScannerResource.java semantics
+    (an id'd scanner paged by repeated GETs).  Backed by toLocalIterator
+    so only one partition's results are resident driver-side at a time —
+    the stream stays distributed until fetched."""
+
+    def __init__(self, df):
+        self._it = df.orderBy(
+            "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
+        ).toLocalIterator()
+
+    def next(self, n: int) -> list[dict]:
+        return [_cell_dict(r) for r in itertools.islice(self._it, n)]
 
 
 class _Handler(BaseHTTPRequestHandler):
-    store: TableStore = None  # injected by serve()
+    store: TableStore = None     # injected by serve()
+    scanners: dict = None        # id -> _Scanner; injected by serve()
+    _scanner_seq: itertools.count = None
 
     def log_message(self, *args):  # quiet
         pass
@@ -69,35 +131,62 @@ class _Handler(BaseHTTPRequestHandler):
             table = self.store.table(parts[0])
             maxv = int(q["v"]) if "v" in q else 1
             if len(parts) >= 2 and parts[1] == "scanner":
-                flt = None
-                if "prefix" in q:
-                    # scannerOpenWithPrefix → PrefixFilter
-                    # (thrift/ThriftServer.java:658-663)
-                    from hbase_snapshot_spark.filters import PrefixFilter
-
-                    flt = PrefixFilter(q["prefix"])
-                scan = Scan(
-                    start_row=q.get("start"), stop_row=q.get("stop"),
-                    max_versions=maxv, filter=flt,
-                )
+                if len(parts) >= 3:
+                    # stateful scanner page: GET /<table>/scanner/<id>?n=
+                    sc = self.scanners.get(parts[2])
+                    if sc is None:
+                        return self._send(404, {"error": "unknown scanner"})
+                    cells = sc.next(int(q.get("n", 100)))
+                    if not cells:
+                        # exhausted — 204 No Content (ScannerResource)
+                        self.send_response(204)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return None
+                    return self._send(200, {"cells": cells})
+                scan = _make_scan(q, maxv)
                 limit = int(q.get("limit", 1000))
-                return self._send(
-                    200, {"cells": _cells_json(table.client().scan(scan), limit)}
+                cells, truncated, next_start = _cells_json(
+                    table.client().scan(scan), limit
                 )
-            row = parts[1]
+                payload = {"cells": cells, "truncated": truncated}
+                if truncated:
+                    payload["next_start"] = next_start
+                return self._send(200, payload)
+            binary = table.manifest()["binary"]
+            row = parts[1].encode() if binary else parts[1]
             g = Get(row, max_versions=maxv)
             if len(parts) >= 3:
                 fam, _, qual = parts[2].partition(":")
-                g.columns = {fam: [qual]}
+                g.columns = {fam: [qual.encode() if binary else qual]}
             if "ts_min" in q or "ts_max" in q:
                 g.time_range = (
                     int(q.get("ts_min", 0)),
                     int(q.get("ts_max", (1 << 62))),
                 )
-            cells = _cells_json(table.client().get(g))
+            cells, truncated, next_start = _cells_json(table.client().get(g))
             if not cells:
                 return self._send(404, {"error": "not found"})
-            return self._send(200, {"cells": cells})
+            payload = {"cells": cells, "truncated": truncated}
+            if truncated:
+                payload["next_start"] = next_start
+            return self._send(200, payload)
+        except Exception as ex:  # noqa: BLE001
+            return self._send(400, {"error": str(ex)})
+
+    def do_POST(self):  # noqa: N802
+        """POST /<table>/scanner — open a stateful scanner, return its id
+        (ScannerResource.java: POST returns the scanner Location)."""
+        parts, q = self._parts()
+        try:
+            if len(parts) != 2 or parts[1] != "scanner":
+                return self._send(400, {"error": "POST /<table>/scanner"})
+            table = self.store.table(parts[0])
+            maxv = int(q["v"]) if "v" in q else 1
+            df = table.client().scan(_make_scan(q, maxv))
+            sid = str(next(self._scanner_seq))
+            self.scanners[sid] = _Scanner(df)
+            return self._send(201, {"scanner_id": sid})
         except Exception as ex:  # noqa: BLE001
             return self._send(400, {"error": str(ex)})
 
@@ -107,11 +196,17 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) < 3:
                 return self._send(400, {"error": "PUT /<table>/<row>/<fam>:<qual>"})
             table = self.store.table(parts[0])
+            binary = table.manifest()["binary"]
             fam, _, qual = parts[2].partition(":")
             n = int(self.headers.get("Content-Length", 0))
-            value = self.rfile.read(n).decode()
+            raw = self.rfile.read(n)
+            # binary tables keep the body verbatim (cells are bytes; GET
+            # returns them base64-encoded, like rest/model/CellModel)
+            value = raw if binary else raw.decode()
+            row = parts[1].encode() if binary else parts[1]
+            qual = qual.encode() if binary else qual
             ts = int(q["ts"]) if "ts" in q else None
-            v = table.mutate([Put(parts[1]).add(fam, qual, value, ts=ts)])
+            v = table.mutate([Put(row).add(fam, qual, value, ts=ts)])
             return self._send(200, {"committed_version": v})
         except Exception as ex:  # noqa: BLE001
             return self._send(400, {"error": str(ex)})
@@ -119,6 +214,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):  # noqa: N802
         parts, q = self._parts()
         try:
+            if len(parts) == 3 and parts[1] == "scanner":
+                # DELETE /<table>/scanner/<id> — close (ScannerResource)
+                if self.scanners.pop(parts[2], None) is None:
+                    return self._send(404, {"error": "unknown scanner"})
+                return self._send(200, {"closed": True})
             if len(parts) < 2:
                 return self._send(400, {"error": "DELETE /<table>/<row>[/fam:qual]"})
             table = self.store.table(parts[0])
@@ -139,7 +239,11 @@ class _Handler(BaseHTTPRequestHandler):
 def serve(store: TableStore, port: int = 0):
     """Start the REST server (daemon thread); returns (server, port).
     ``port=0`` picks an ephemeral port."""
-    handler = type("Handler", (_Handler,), {"store": store})
+    handler = type(
+        "Handler",
+        (_Handler,),
+        {"store": store, "scanners": {}, "_scanner_seq": itertools.count(1)},
+    )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

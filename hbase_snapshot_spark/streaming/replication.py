@@ -54,8 +54,11 @@ def replicate(
 
     Delivery is at-least-once; ``dedupe=True`` makes the sink idempotent
     under duplicate delivery by anti-joining each batch against the
-    peer's existing cells on (row, family, qualifier, ts, type) —
-    correct for re-delivered segments at the cost of a peer read per
+    peer's existing cells on (row, family, qualifier, ts, type, seq) —
+    seq is part of the key because two distinct puts at the same
+    (row,f,q,ts) with different seq are both legitimate ("newer store
+    file wins" resolution needs both); only true re-deliveries collapse.
+    Correct for re-delivered segments at the cost of a peer read per
     batch (the reference's sink has the same at-least-once contract,
     ReplicationSink.java:55)."""
     desc = src_table.descriptor
@@ -68,7 +71,7 @@ def replicate(
             return
         out = batch_df
         if dedupe:
-            key = ["row", "family", "qualifier", "ts", "type"]
+            key = ["row", "family", "qualifier", "ts", "type", "seq"]
             out = out.dropDuplicates(key).join(
                 dst_table.cells().select(*key), on=key, how="left_anti"
             )

@@ -330,3 +330,36 @@ def test_filter_list_composite_all_stages(grid):
         assert {(c[1], c[2], c[3]) for c in got if c[0] == r} == {
             ("f", "q0", 20), ("f", "q0", 10), ("f", "q1", 10)
         }
+
+
+def test_while_match_boundary_cells(grid):
+    # the reference flips filterAllRemaining only AFTER the first failing
+    # cell (WhileMatchFilter.java:30-37): passing cells of the boundary
+    # row that sort before it in KeyValue order are still emitted
+    f = WhileMatchFilter(
+        ValueFilter(CompareOp.NOT_EQUAL, BinaryComparator("rc-f-q1-v10"))
+    )
+    out = grid.scan(Scan(filter=f))
+    assert cells_of(out) == {
+        ("ra", "f", "q0", 20), ("ra", "f", "q1", 10),
+        ("ra", "f", "q2", 10), ("ra", "g", "q0", 10),
+        ("rb", "f", "q0", 20), ("rb", "f", "q1", 10),
+        ("rb", "f", "q2", 10), ("rb", "g", "q0", 10),
+        ("rc", "f", "q0", 20),
+    }
+
+
+def test_scan_add_family_plus_add_column(spark):
+    # addFamily('f1') alongside addColumn('f2','b') returns ALL of f1
+    # plus only f2:b — Scan.addFamily puts (family -> null) in the
+    # familyMap (client/Scan.java:178-180)
+    t = Table(cells_df(spark, [
+        put("r1", "f1", "a", 10, "va"),
+        put("r1", "f2", "b", 10, "vb"),
+        put("r1", "f2", "c", 10, "vc"),
+    ]))
+    out = t.scan(Scan().add_family("f1").add_column("f2", "b"))
+    assert visible_set(out) == {
+        ("r1", "f1", "a", 10, "va"),
+        ("r1", "f2", "b", 10, "vb"),
+    }

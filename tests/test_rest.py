@@ -24,7 +24,8 @@ def _req(url, method="GET", data=None):
     req = urllib.request.Request(url, method=method, data=data)
     try:
         with urllib.request.urlopen(req) as resp:
-            return resp.status, json.loads(resp.read())
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
 
@@ -75,3 +76,62 @@ def test_rest_scanner_prefix(rest):
     code, body = _req(f"{rest}/t/scanner?prefix=ax")
     assert code == 200
     assert {c["row"] for c in body["cells"]} == {"ax1", "ax2"}
+
+
+def test_rest_stateful_scanner(rest):
+    # ScannerResource.java semantics: POST opens an id'd cursor, GET
+    # pages it, 204 when exhausted, DELETE closes
+    for i in range(5):
+        _req(f"{rest}/t/sc{i}/f:q?ts=10", "PUT", str(i).encode())
+    code, body = _req(f"{rest}/t/scanner?prefix=sc", "POST")
+    assert code == 201
+    sid = body["scanner_id"]
+    got = []
+    while True:
+        code, body = _req(f"{rest}/t/scanner/{sid}?n=2")
+        if code == 204:
+            break
+        got.extend(c["row"] for c in body["cells"])
+    assert got == [f"sc{i}" for i in range(5)]
+    code, _ = _req(f"{rest}/t/scanner/{sid}", "DELETE")
+    assert code == 200
+    code, _ = _req(f"{rest}/t/scanner/{sid}?n=2")
+    assert code == 404
+
+
+def test_rest_scan_truncation_flag(rest):
+    # hitting the limit sets truncated + a next_start cursor (rows are
+    # never split across pages), so incomplete data never looks complete
+    for i in range(12):
+        _req(f"{rest}/t/tr{i:02d}/f:q?ts=10", "PUT", b"x")
+    code, body = _req(f"{rest}/t/scanner?prefix=tr&limit=5")
+    assert code == 200 and body["truncated"] is True
+    assert body["next_start"] == "tr05"
+    assert len(body["cells"]) == 5
+    code, body = _req(f"{rest}/t/scanner?start=tr05&limit=100")
+    assert body["truncated"] is False
+    assert {c["row"] for c in body["cells"]} >= {f"tr{i:02d}" for i in range(5, 12)}
+
+
+def test_rest_binary_table_base64(spark, tmp_path_factory):
+    import base64
+
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("restb") / "tables"))
+    store.create_table(
+        TableDescriptor("b").add_family(FamilyDescriptor("f")), binary=True
+    )
+    srv, port = serve(store)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        payload = b"\x00\xff\x10binary"
+        code, _ = _req(f"{url}/b/r1/f:q?ts=10", "PUT", payload)
+        assert code == 200
+        code, body = _req(f"{url}/b/r1/f:q")
+        assert code == 200
+        cell = body["cells"][0]
+        assert base64.b64decode(cell["value"]) == payload
+        assert base64.b64decode(cell["row"]) == b"r1"
+    finally:
+        srv.shutdown()

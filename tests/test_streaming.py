@@ -146,3 +146,18 @@ def test_replication_duplicate_delivery_idempotent(spark, stores, tmp_path):
     replicate(spark, src, dst, str(tmp_path / "c2"), once=True, dedupe=True)
     assert dst.cells().count() == 1
     assert {r.value for r in dst.read().collect()} == {"v"}
+
+
+def test_replication_dedupe_keeps_distinct_seq(spark, stores, tmp_path):
+    # two legitimate puts at the same (row,f,q,ts) differ only by seq
+    # ("newer store file wins"): the idempotent sink keys its anti-join
+    # on seq too, so both survive — while true re-deliveries converge
+    src, dst = stores
+    src.mutate([Put("r1").add("f", "q", "old", ts=10)])
+    src.mutate([Put("r1").add("f", "q", "new", ts=10)])
+    replicate(spark, src, dst, str(tmp_path / "c1"), once=True, dedupe=True)
+    assert dst.cells().count() == 2
+    replicate(spark, src, dst, str(tmp_path / "c2"), once=True, dedupe=True)
+    assert dst.cells().count() == 2
+    # replica resolves the same visible value as the source
+    assert {r.value for r in dst.read().collect()} == {"new"}

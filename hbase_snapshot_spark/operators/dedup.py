@@ -56,33 +56,64 @@ def _exploded(df: DataFrame, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------- jaccard
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    df_max: int | None = 5000,
 ) -> DataFrame:
     """exact n-gram Jaccard over an inverted shingle index: pairs sharing
     ≥1 shingle are candidates (equi-join on shingle — never all-pairs),
     then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
 
+    Hub-shingle guard (default on): a shingle present in k docs yields
+    k² candidate pairs, so one boilerplate shingle shared by 10⁵ docs
+    would explode the self-join to 10¹⁰ rows.  Shingles with document
+    frequency > ``df_max`` are excluded from CANDIDATE GENERATION only —
+    the verification below intersects full shingle sets, so every
+    reported jaccard value is exact.  Pairs whose shared shingles are
+    ALL hubs are missed (by construction boilerplate-only overlap);
+    ``df_max=None`` disables the guard.  The DF count reuses the same
+    shingle partitioning as the self-join, so the guard adds no extra
+    exchange.
+
     Output: (a, b, jaccard) with a < b, jaccard rounded to 6 digits.
     """
+    from pyspark.sql import Window
+
     ex = _exploded(df, id_col)
-    sizes = df.select(F.col(id_col), F.size("shingles").alias("sz"))
+    if df_max is not None:
+        ex = (
+            ex.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= df_max)
+            .drop("_df")
+        )
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    candidates = (
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
+    sets = df.select(F.col(id_col), F.col("shingles"))
     out = (
-        inter.join(sizes.withColumnsRenamed({id_col: "a_id", "sz": "a_sz"}), on="a_id")
-        .join(sizes.withColumnsRenamed({id_col: "b_id", "sz": "b_sz"}), on="b_id")
+        candidates.join(
+            sets.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")),
+            on="a_id",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")),
+            on="b_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("a_sh", "b_sh")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
-                / (F.col("a_sz") + F.col("b_sz") - F.col("inter")),
+                / (F.size("a_sh") + F.size("b_sh") - F.col("inter")),
                 6,
             ),
         )

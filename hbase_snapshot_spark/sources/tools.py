@@ -178,18 +178,33 @@ def region_partition_id(row: Column, boundaries: list) -> Column:
     return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
 
 
-def multi_table_write(cells_with_table: DataFrame, store, now=None) -> dict[str, int]:
-    """mapreduce/MultiTableOutputFormat.java — a cell stream carrying a
-    ``table`` column is routed to many tables.  One partitioned pass
-    (partitionBy-style split via per-table filters over a cached plan);
-    each table gets one segment commit."""
-    tables = [r.table for r in cells_with_table.select("table").distinct().collect()]
+def multi_table_write(
+    cells_with_table: DataFrame, store, now=None, staging_dir: str | None = None
+) -> dict[str, int]:
+    """mapreduce/MultiTableOutputFormat.java:163 — a cell stream carrying
+    a ``table`` column is routed to many tables in ONE pass: the stream
+    is written once, partitioned by table, into a staging directory,
+    then each table adopts its partition as a segment (metadata-only
+    move, LoadIncrementalHFiles-style).  The input plan executes exactly
+    once regardless of table count — N tables never means N scans."""
+    import os
+    import shutil
+    import tempfile
+
+    staging = staging_dir or tempfile.mkdtemp(prefix="multi_table_write_")
+    df = cells_with_table
+    if "seq" not in df.columns:
+        df = df.withColumn("seq", F.lit(0).cast("long"))
+    df.write.mode("overwrite").partitionBy("table").parquet(staging)
     versions = {}
-    for name in sorted(tables):
-        t = store.table(name)
-        versions[name] = t.append_cells(
-            cells_with_table.filter(F.col("table") == name).drop("table")
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("table="):
+            continue
+        name = d.split("=", 1)[1]
+        versions[name] = store.table(name).adopt_segment(
+            os.path.join(staging, d), move=True
         )
+    shutil.rmtree(staging, ignore_errors=True)
     return versions
 
 

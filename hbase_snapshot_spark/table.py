@@ -325,6 +325,17 @@ class StoredTable:
         flushCommits, HTable.java:534,662).  One segment per batch."""
         now = now if now is not None else self._now_ms()
         desc = self.descriptor
+        # exact-latest deletes (Delete.deleteColumn with no ts) need the
+        # current visible ts; resolve them all in ONE Spark job instead of
+        # one per cell (Delete.java:213 does a server-side get per cell —
+        # a batch mutate here would otherwise cost N driver round-trips)
+        latest_needed = {
+            (mut.row, family, qualifier)
+            for mut in mutations
+            for (family, qualifier, ts, typ, _v) in mut.cells
+            if typ == KeyType.DELETE and ts is None
+        }
+        latest_map = self._latest_ts_map(latest_needed) if latest_needed else {}
         rows = []
         ordinal = 0
         for mut in mutations:
@@ -337,7 +348,7 @@ class StoredTable:
                 ]
             for family, qualifier, ts, typ, value in cells:
                 if typ == KeyType.DELETE and ts is None:
-                    ts = self._latest_ts(mut.row, family, qualifier)
+                    ts = latest_map.get((mut.row, family, qualifier))
                     if ts is None:
                         continue  # nothing to delete
                 rows.append((
@@ -369,6 +380,25 @@ class StoredTable:
             spec=ResolveSpec(max_versions=1, columns={family: [qualifier]}),
         ).collect()
         return out[0] if out else None
+
+    def _latest_ts_map(self, keys) -> dict:
+        """One-job latest-ts lookup for a set of (row, family, qualifier)
+        keys: resolve all touched rows at max_versions=1 and pick the
+        requested columns driver-side (key sets come from a mutation
+        batch, so they are driver-sized by construction)."""
+        if not keys:
+            return {}
+        rows = list({r for (r, _f, _q) in keys})
+        vis = resolve(
+            self.cells().filter(F.col("row").isin(rows)),
+            spec=ResolveSpec(max_versions=1),
+        )
+        wanted = set(keys)
+        return {
+            (c.row, c.family, c.qualifier): c.ts
+            for c in vis.collect()
+            if (c.row, c.family, c.qualifier) in wanted
+        }
 
     def _latest_ts(self, row, family, qualifier):
         c = self._latest_cell(row, family, qualifier)
@@ -445,8 +475,11 @@ class StoredTable:
             compacted = resolve(self.cells(), spec=spec)
         else:
             compacted = self.cells()
+        # partition count from cluster parallelism, not from the input
+        # plan (an .rdd conversion would materialize plan machinery just
+        # to read a number)
         compacted = compacted.repartitionByRange(
-            max(1, compacted.rdd.getNumPartitions()), "row"
+            max(1, self.spark.sparkContext.defaultParallelism), "row"
         ).sortWithinPartitions(
             "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
         )

@@ -232,3 +232,27 @@ def test_stratified_sample_rates(docs):
     assert got == {0, 1, 3, 4, 2}  # all en + de, no 'und'
     none = sampling.stratified_sample(docs, F.col("doc_id"), "lang", {}, default=0.0)
     assert none.count() == 0
+
+
+def test_jaccard_hub_shingle_guard(spark):
+    # one shingle shared by EVERY doc would generate k² candidate pairs;
+    # the df_max guard drops it from candidate generation while the
+    # verification still intersects full shingle sets — reported jaccard
+    # values stay exact
+    docs = spark.createDataFrame(
+        [("d1", ["hub", "s1"]), ("d2", ["hub", "s1"]),
+         ("d3", ["hub"]), ("d4", ["hub"])],
+        ["doc_id", "shingles"],
+    )
+    guarded = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.3, df_max=2).collect()
+    }
+    # (d1,d2) found via the non-hub shingle; jaccard counts the hub too
+    assert guarded == {("d1", "d2"): 1.0}
+    # guard off: hub-only pairs reappear, values identical
+    full = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.3, df_max=None).collect()
+    }
+    assert full[("d1", "d2")] == 1.0 and ("d3", "d4") in full

@@ -396,3 +396,22 @@ def test_alter_changes_read_semantics(store):
     t.alter(desc)
     assert [(r.ts, r.value) for r in t.read().collect()] == [(30, "v30")]
     assert t.cells().count() == 3  # raw data untouched until compaction
+
+
+def test_batch_latest_delete_single_job(spark, tmp_path):
+    # Delete.deleteColumn with no ts resolves "latest version" — a batch
+    # of 100 must do ONE resolve job, not one per cell
+    store = TableStore(spark, str(tmp_path / "bd"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    t.mutate([Put(f"r{i:03d}").add("f", "q", "v", ts=10) for i in range(100)])
+    sc = spark.sparkContext
+    sc.setJobGroup("latest-deletes", "batched latest-ts resolution")
+    try:
+        t.mutate([Delete(f"r{i:03d}").delete_column("f", "q") for i in range(100)])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("latest-deletes")
+    # one resolve+collect (a few AQE stage jobs) + one segment write —
+    # two orders of magnitude under the old per-cell path
+    assert 0 < len(jobs) <= 8
+    assert t.read().count() == 0

@@ -189,3 +189,33 @@ def test_salted_count_matches_plain(spark):
     )
     out = {(r.k, r.n) for r in salted_count(df, ["k"], buckets=8).collect()}
     assert out == {("hot", 500), ("cold", 3)}
+
+
+def test_multi_table_write_single_pass(spark, tmp_path):
+    # MultiTableOutputFormat contract at scale: N tables must NOT mean N
+    # scans of the input.  A per-row accumulator UDF counts input
+    # evaluations — the one-pass staging write executes the plan once.
+    from hbase_snapshot_spark.sources.tools import multi_table_write
+
+    store = TableStore(spark, str(tmp_path / "mtsp"))
+    for name in ("t1", "t2", "t3"):
+        store.create_table(TableDescriptor(name).add_family(FamilyDescriptor("f")))
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tick(v):
+        acc.add(1)
+        return v
+
+    n = 30
+    cells = cells_df(spark, [
+        put(f"r{i:02d}", "f", "q", 10, str(i)) for i in range(n)
+    ]).withColumn("value", tick(F.col("value")))
+    routed = cells.withColumn(
+        "table",
+        F.concat(F.lit("t"), (F.col("row").substr(2, 2).cast("int") % 3 + 1)),
+    )
+    multi_table_write(routed, store)
+    assert acc.value == n  # one evaluation per input row, not n_tables×n
+    total = sum(store.table(f"t{k}").read().count() for k in (1, 2, 3))
+    assert total == n

@@ -133,12 +133,23 @@ def row_count(cells: DataFrame, approx: bool = False) -> int:
     return visible.select("row").distinct().count()
 
 
+ROWCOL_SEP = "\x1f"
+
+
+def rowcol_key(row: Column, family: Column, qualifier: Column) -> Column:
+    """the ROWCOL bloom key — row + column concatenated
+    (StoreFile.BloomType:93-105: ROWCOL blooms hash row+qualifier so
+    point-COLUMN gets can skip files, not just point-row gets)."""
+    return F.concat_ws(ROWCOL_SEP, row, family, qualifier)
+
+
 def bulk_load(
     cells: DataFrame,
     out_path: str,
     num_partitions: int = 32,
     row_bloom: bool = True,
     bloom_ndv: int = 1_000_000,
+    bloom: str = "ROW",
 ) -> None:
     """The HFileOutputFormat bulk-load pipeline
     (mapreduce/HFileOutputFormat.java:66 + SimpleTotalOrderPartitioner +
@@ -151,9 +162,21 @@ def bulk_load(
     ``row_bloom`` writes a parquet bloom filter on the row column — the
     analogue of the reference's ROW bloom (StoreFile.BloomType:93-105,
     shouldSeek:991): point gets skip row groups whose bloom rejects the
-    key, on top of the min/max pruning the sort already provides."""
+    key, on top of the min/max pruning the sort already provides.
+
+    ``bloom="ROWCOL"`` additionally materializes the composite
+    ``_rc = row||family||qualifier`` column with its own bloom — the
+    ROWCOL variant: a point-COLUMN get filtering on ``_rc`` (see
+    ``bloom_point_get``) skips row groups that contain the row but not
+    the column.  The aux column lives only in the stored file;
+    ``StoredTable.cells()`` projects it away."""
+    df = cells
+    if bloom == "ROWCOL":
+        df = df.withColumn(
+            "_rc", rowcol_key(F.col("row"), F.col("family"), F.col("qualifier"))
+        )
     w = (
-        cells.repartitionByRange(num_partitions, "row")
+        df.repartitionByRange(num_partitions, "row")
         .sortWithinPartitions(
             "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
         )
@@ -163,7 +186,26 @@ def bulk_load(
         w = w.option("parquet.bloom.filter.enabled#row", "true").option(
             "parquet.bloom.filter.expected.ndv#row", str(bloom_ndv)
         )
+    if bloom == "ROWCOL":
+        w = w.option("parquet.bloom.filter.enabled#_rc", "true").option(
+            "parquet.bloom.filter.expected.ndv#_rc", str(bloom_ndv)
+        )
     w.parquet(out_path)
+
+
+def bloom_point_get(
+    spark: SparkSession, path: str, row, family: str, qualifier
+) -> DataFrame:
+    """point-column read against a ROWCOL bulk_load output — the
+    StoreFile.Reader.shouldSeek:991 path: the ``_rc`` equality predicate
+    reaches the parquet scan, so row groups whose ROWCOL bloom rejects
+    the (row, column) pair are skipped without decoding."""
+    key = f"{row}{ROWCOL_SEP}{family}{ROWCOL_SEP}{qualifier}"
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_rc") == F.lit(key))
+        .drop("_rc")
+    )
 
 
 def region_partition_id(row: Column, boundaries: list) -> Column:

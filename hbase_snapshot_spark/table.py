@@ -250,7 +250,11 @@ class StoredTable:
         paths = [os.path.join(self.dir, "segments", s) for s in m["segments"]]
         if not paths:
             return self.spark.createDataFrame([], schema=cell_schema(binary=m["binary"]))
-        return self.spark.read.parquet(*paths)
+        # project to the cell schema: adopted bulk segments may carry aux
+        # pruning columns (e.g. the ROWCOL bloom key) that must not leak
+        # into the logical cell stream
+        want = [f.name for f in cell_schema(binary=m["binary"]).fields]
+        return self.spark.read.parquet(*paths).select(*want)
 
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
         return ClientTable(self.cells(version), self.descriptor, now=now)

@@ -159,5 +159,10 @@ def test_replication_dedupe_keeps_distinct_seq(spark, stores, tmp_path):
     assert dst.cells().count() == 2
     replicate(spark, src, dst, str(tmp_path / "c2"), once=True, dedupe=True)
     assert dst.cells().count() == 2
-    # replica resolves the same visible value as the source
-    assert {r.value for r in dst.read().collect()} == {"new"}
+    # replica resolves exactly what the source resolves (both cells at
+    # multi-version reads; the newer seq at maxVersions=1)
+    from hbase_snapshot_spark.resolve import ResolveSpec
+
+    assert cellset(dst.read()) == cellset(src.read())
+    spec = ResolveSpec(max_versions=1)
+    assert {r.value for r in dst.read(spec=spec).collect()} == {"new"}

@@ -1,0 +1,129 @@
+"""Thrift API surface tests — mirrors TestThriftServer.java's cases
+(doTestTableCreateDrop, doTestTableMutations,
+doTestTableTimestampsAndColumns, doTestTableScanners) against the
+method-surface parity layer."""
+
+import pytest
+
+from hbase_snapshot_spark.table import TableStore
+from hbase_snapshot_spark.thrift_api import (
+    BatchMutation,
+    ColumnDescriptor,
+    IOError_,
+    Mutation,
+    ThriftServer,
+)
+
+
+@pytest.fixture()
+def handler(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "thrift"))
+    return ThriftServer(store)
+
+
+def _loaded(handler):
+    handler.createTable("tableA", [ColumnDescriptor("columnA", maxVersions=3),
+                                   ColumnDescriptor("columnB:")])
+    handler.mutateRowsTs("tableA", [
+        BatchMutation("rowA", [Mutation("columnA:a", "valueA"),
+                               Mutation("columnB:b", "valueB")]),
+        BatchMutation("rowB", [Mutation("columnA:a", "valueC")]),
+    ], timestamp=100)
+    return handler
+
+
+def test_table_create_drop(handler):
+    # TestThriftServer.doTestTableCreateDrop
+    handler.createTable("tableA", ["columnA", "columnB:"])
+    assert handler.getTableNames() == ["tableA"]
+    descs = handler.getColumnDescriptors("tableA")
+    assert set(descs) == {"columnA:", "columnB:"}
+    handler.deleteTable("tableA")
+    assert handler.getTableNames() == []
+    with pytest.raises(IOError_):
+        handler.getRow("tableA", "rowA")
+
+
+def test_table_mutations(handler):
+    # TestThriftServer.doTestTableMutations
+    h = _loaded(handler)
+    rows = h.getRow("tableA", "rowA")
+    assert len(rows) == 1
+    assert rows[0].columns["columnA:a"].value == "valueA"
+    assert rows[0].columns["columnB:b"].value == "valueB"
+
+    # overwrite + delete in one mutateRow
+    h.mutateRowTs("tableA", "rowA", [
+        Mutation("columnA:a", "valueA2"),
+        Mutation("columnB:b", isDelete=True),
+    ], timestamp=200)
+    rows = h.getRow("tableA", "rowA")
+    assert rows[0].columns["columnA:a"].value == "valueA2"
+    assert "columnB:b" not in rows[0].columns
+
+    h.deleteAllRow("tableA", "rowB")
+    assert h.getRow("tableA", "rowB") == []
+
+
+def test_get_versions_and_ts(handler):
+    # TestThriftServer.doTestTableTimestampsAndColumns
+    h = _loaded(handler)
+    h.mutateRowTs("tableA", "rowA", [Mutation("columnA:a", "v2")], timestamp=200)
+    h.mutateRowTs("tableA", "rowA", [Mutation("columnA:a", "v3")], timestamp=300)
+
+    assert [c.value for c in h.get("tableA", "rowA", "columnA:a")] == ["v3"]
+    got = h.getVer("tableA", "rowA", "columnA:a", 2)
+    assert [(c.value, c.timestamp) for c in got] == [("v3", 300), ("v2", 200)]
+    # getVerTs: versions with ts <= 200
+    got = h.getVerTs("tableA", "rowA", "columnA:a", 200, 10)
+    assert [(c.value, c.timestamp) for c in got] == [("v2", 200), ("valueA", 100)]
+    # getRowTs: the row as of ts=100
+    rows = h.getRowTs("tableA", "rowA", 100)
+    assert rows[0].columns["columnA:a"].value == "valueA"
+    # column projection
+    rows = h.getRowWithColumns("tableA", "rowA", ["columnB:"])
+    assert set(rows[0].columns) == {"columnB:b"}
+
+    h.deleteAllTs("tableA", "rowA", "columnA:a", 200)
+    assert [c.value for c in h.get("tableA", "rowA", "columnA:a")] == ["v3"]
+
+
+def test_atomic_increment(handler):
+    handler.createTable("tableA", ["columnA"])
+    assert handler.atomicIncrement("tableA", "rowI", "columnA:cnt", 5) == 5
+    assert handler.atomicIncrement("tableA", "rowI", "columnA:cnt", -2) == 3
+
+
+def test_table_scanners(handler):
+    # TestThriftServer.doTestTableScanners + scannerOpenWithPrefix
+    h = _loaded(handler)
+    h.mutateRows("tableA", [
+        BatchMutation(f"rowC{i}", [Mutation("columnA:a", str(i))])
+        for i in range(5)
+    ])
+
+    sid = h.scannerOpen("tableA", "rowA", ["columnA:"])
+    first = h.scannerGet(sid)
+    assert first[0].row == "rowA" and set(first[0].columns) == {"columnA:a"}
+    rest = h.scannerGetList(sid, 100)
+    assert [r.row for r in rest] == ["rowB", "rowC0", "rowC1", "rowC2",
+                                     "rowC3", "rowC4"]
+    assert h.scannerGet(sid) == []
+    h.scannerClose(sid)
+    with pytest.raises(IOError_):
+        h.scannerGet(sid)
+
+    sid = h.scannerOpenWithStop("tableA", "rowC0", "rowC3", None)
+    assert [r.row for r in h.scannerGetList(sid, 100)] == ["rowC0", "rowC1", "rowC2"]
+    h.scannerClose(sid)
+
+    sid = h.scannerOpenWithPrefix("tableA", "rowC", None)
+    assert [r.row for r in h.scannerGetList(sid, 100)] == [
+        f"rowC{i}" for i in range(5)
+    ]
+    h.scannerClose(sid)
+
+    # Ts variant: only cells written at ts<=100 are visible
+    sid = h.scannerOpenTs("tableA", "", None, 100)
+    assert [r.row for r in h.scannerGetList(sid, 100)] == ["rowA", "rowB"]
+    h.scannerClose(sid)

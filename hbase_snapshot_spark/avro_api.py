@@ -1,0 +1,467 @@
+"""Avro API surface — the reference's Avro gateway
+(avro/AvroServer.java; protocol IDL avro/hbase.genavro) re-expressed as
+plain Python methods over the engine, completing the three-transport
+client surface (native client / REST / Thrift / Avro).
+
+Like thrift_api, this is a *method-surface* parity layer: every
+hbase.genavro message is here with its exact name, argument record
+shape, and result model (AGet/AResult/APut/ADelete/AScan/...), so an
+Avro client's call sites translate 1:1.  The wire serialization is out
+of scope (documented transport divergence, DIVERGENCES.md).
+
+Cluster-infrastructure messages (getClusterStatus, flush, split) have
+no meaning without regionservers; they return honest static answers —
+documented per-method rather than raising, matching how AvroServer
+itself degrades (e.g. flush is a no-op once everything is durable).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.model import FOREVER, FamilyDescriptor, TableDescriptor
+from hbase_snapshot_spark.resolve import ResolveSpec
+from hbase_snapshot_spark.table import Delete, Put
+
+
+class AIOError(Exception):
+    """hbase.genavro error AIOError — general failure / unknown table."""
+
+
+class AIllegalArgument(Exception):
+    """hbase.genavro error AIllegalArgument."""
+
+
+class ATableExists(Exception):
+    """hbase.genavro error ATableExists."""
+
+
+# ---------------------------------------------------------------- records
+
+@dataclass
+class AColumn:
+    """hbase.genavro record AColumn (family + optional qualifier)."""
+
+    family: object
+    qualifier: object = None
+
+
+@dataclass
+class ATimeRange:
+    """hbase.genavro record ATimeRange [minStamp, maxStamp)."""
+
+    minStamp: int  # noqa: N815 — avro field names
+    maxStamp: int  # noqa: N815
+
+
+@dataclass
+class AGet:
+    """hbase.genavro record AGet."""
+
+    row: object
+    columns: list | None = None
+    timestamp: int | None = None
+    timerange: ATimeRange | None = None
+    maxVersions: int | None = None  # noqa: N815
+
+
+@dataclass
+class AResultEntry:
+    """hbase.genavro record AResultEntry."""
+
+    family: object
+    qualifier: object
+    value: object
+    timestamp: int
+
+
+@dataclass
+class AResult:
+    """hbase.genavro record AResult (row + flat entry list — Avro maps
+    can't use non-string keys, so the IDL uses an array)."""
+
+    row: object
+    entries: list = field(default_factory=list)
+
+
+@dataclass
+class AColumnValue:
+    """hbase.genavro record AColumnValue."""
+
+    family: object
+    qualifier: object
+    value: object
+    timestamp: int | None = None
+
+
+@dataclass
+class APut:
+    """hbase.genavro record APut."""
+
+    row: object
+    columnValues: list = field(default_factory=list)  # noqa: N815
+
+
+@dataclass
+class ADelete:
+    """hbase.genavro record ADelete (columns=None deletes the row)."""
+
+    row: object
+    columns: list | None = None
+
+
+@dataclass
+class AScan:
+    """hbase.genavro record AScan."""
+
+    startRow: object = None  # noqa: N815
+    stopRow: object = None  # noqa: N815
+    columns: list | None = None
+    timestamp: int | None = None
+    timerange: ATimeRange | None = None
+    maxVersions: int | None = None  # noqa: N815
+
+
+@dataclass
+class AFamilyDescriptor:
+    """hbase.genavro record AFamilyDescriptor (engine-meaningful subset
+    populated; physical knobs carried for shape parity)."""
+
+    name: object
+    compression: str | None = None
+    maxVersions: int | None = None  # noqa: N815
+    blocksize: int | None = None
+    inMemory: bool | None = None  # noqa: N815
+    timeToLive: int | None = None  # noqa: N815
+    blockCacheEnabled: bool | None = None  # noqa: N815
+
+
+@dataclass
+class ATableDescriptor:
+    """hbase.genavro record ATableDescriptor."""
+
+    name: object
+    families: list | None = None
+    maxFileSize: int | None = None  # noqa: N815
+    memStoreFlushSize: int | None = None  # noqa: N815
+    rootRegion: bool | None = None  # noqa: N815
+    metaRegion: bool | None = None  # noqa: N815
+    metaTable: bool | None = None  # noqa: N815
+    readOnly: bool | None = None  # noqa: N815
+    deferredLogFlush: bool | None = None  # noqa: N815
+
+
+def _spec_from(columns, timestamp, timerange, max_versions) -> ResolveSpec:
+    fams, cols = [], {}
+    for c in columns or []:
+        if c.qualifier is None:
+            if c.family not in fams:
+                fams.append(c.family)
+        else:
+            cols.setdefault(c.family, []).append(c.qualifier)
+            if c.family not in fams:
+                fams.append(c.family)
+    tr = None
+    if timestamp is not None:
+        # Get.setTimeStamp(ts) = [ts, ts+1)
+        tr = (timestamp, timestamp + 1)
+    elif timerange is not None:
+        tr = (timerange.minStamp, timerange.maxStamp)
+    return ResolveSpec(
+        max_versions=max_versions if max_versions is not None else 1,
+        families=fams or None,
+        columns=cols or None,
+        time_range=tr,
+    )
+
+
+class AvroServer:
+    """avro/AvroServer.java HBaseImpl — one instance per TableStore,
+    messages named and shaped per hbase.genavro."""
+
+    def __init__(self, store):
+        self.store = store
+        self._scanners: dict[int, object] = {}
+        self._scanner_seq = itertools.count(1)
+        self._disabled: set = set()
+
+    def _table(self, table):
+        try:
+            return self.store.table(table)
+        except Exception as ex:  # noqa: BLE001
+            raise AIOError(str(ex)) from ex
+
+    def _check_enabled(self, table) -> None:
+        if table in self._disabled:
+            raise AIOError(f"table {table} is disabled")
+
+    # -------------------------------------------------- cluster metadata
+
+    def getHBaseVersion(self) -> str:  # noqa: N802 — avro names
+        """hbase.genavro getHBaseVersion — the semantic version the
+        engine reproduces."""
+        return "0.89-spark"
+
+    def getClusterStatus(self):  # noqa: N802
+        """getClusterStatus — there is no cluster; a static descriptor
+        with the Spark parallelism as the 'server' count."""
+        spark = self.store.spark
+        return {
+            "hbaseVersion": self.getHBaseVersion(),
+            "servers": spark.sparkContext.defaultParallelism,
+            "deadServers": 0,
+            "averageLoad": 0.0,
+            "regionsCount": len(self.store.list_tables()),
+        }
+
+    def listTables(self) -> list[ATableDescriptor]:  # noqa: N802
+        """hbase.genavro listTables"""
+        return [self.describeTable(n) for n in self.store.list_tables()]
+
+    # ---------------------------------------------------- table metadata
+
+    def describeTable(self, table) -> ATableDescriptor:  # noqa: N802
+        """hbase.genavro describeTable"""
+        t = self._table(table)
+        m = t.manifest()
+        return ATableDescriptor(
+            name=table,
+            families=[self.describeFamily(table, f)
+                      for f in sorted(t.descriptor.families)],
+            readOnly=bool(m["descriptor"].get("readonly")),
+        )
+
+    def isTableEnabled(self, table) -> bool:  # noqa: N802
+        """hbase.genavro isTableEnabled"""
+        self._table(table)
+        return table not in self._disabled
+
+    def tableExists(self, table) -> bool:  # noqa: N802
+        """hbase.genavro tableExists"""
+        return table in self.store.list_tables()
+
+    def describeFamily(self, table, family) -> AFamilyDescriptor:  # noqa: N802
+        """hbase.genavro describeFamily"""
+        t = self._table(table)
+        f = t.descriptor.families.get(family)
+        if f is None:
+            raise AIOError(f"family {family} not in {table}")
+        return AFamilyDescriptor(
+            name=f.name,
+            compression=f.compression,
+            maxVersions=f.max_versions,
+            inMemory=f.in_memory,
+            timeToLive=f.ttl,
+            blockCacheEnabled=f.block_cache,
+        )
+
+    # ------------------------------------------------------- table admin
+
+    def createTable(self, tableDescriptor: ATableDescriptor) -> None:  # noqa: N802,N803
+        """hbase.genavro createTable"""
+        if self.tableExists(tableDescriptor.name):
+            raise ATableExists(str(tableDescriptor.name))
+        desc = TableDescriptor(tableDescriptor.name)
+        for af in tableDescriptor.families or []:
+            desc.add_family(FamilyDescriptor(
+                af.name,
+                max_versions=af.maxVersions if af.maxVersions is not None else 3,
+                ttl=af.timeToLive if af.timeToLive is not None else FOREVER,
+            ))
+        try:
+            self.store.create_table(desc)
+        except Exception as ex:  # noqa: BLE001
+            raise AIOError(str(ex)) from ex
+
+    def deleteTable(self, table) -> None:  # noqa: N802
+        """hbase.genavro deleteTable"""
+        try:
+            self.store.drop_table(table)
+        except Exception as ex:  # noqa: BLE001
+            raise AIOError(str(ex)) from ex
+        self._disabled.discard(table)
+
+    def modifyTable(self, table, tableDescriptor: ATableDescriptor) -> None:  # noqa: N802,N803
+        """hbase.genavro modifyTable — descriptor-level alter."""
+        t = self._table(table)
+        desc = TableDescriptor(table)
+        for af in tableDescriptor.families or []:
+            desc.add_family(FamilyDescriptor(
+                af.name,
+                max_versions=af.maxVersions if af.maxVersions is not None else 3,
+                ttl=af.timeToLive if af.timeToLive is not None else FOREVER,
+            ))
+        t.alter(desc)
+
+    def enableTable(self, table) -> None:  # noqa: N802
+        """hbase.genavro enableTable — gateway-level access gate (there
+        is no regionserver assignment to toggle)."""
+        self._table(table)
+        self._disabled.discard(table)
+
+    def disableTable(self, table) -> None:  # noqa: N802
+        """hbase.genavro disableTable"""
+        self._table(table)
+        self._disabled.add(table)
+
+    def flush(self, table) -> None:  # noqa: N802
+        """hbase.genavro flush — every commit is already durable (each
+        mutate/append writes its segment before the manifest commit), so
+        this is correctly a no-op."""
+        self._table(table)
+
+    def split(self, table) -> None:  # noqa: N802
+        """hbase.genavro split — no fixed regions to split; partitioning
+        is dynamic per scan.  No-op."""
+        self._table(table)
+
+    # ------------------------------------------------------ family admin
+
+    def addFamily(self, table, family: AFamilyDescriptor) -> None:  # noqa: N802
+        """hbase.genavro addFamily"""
+        t = self._table(table)
+        desc = t.descriptor
+        desc.add_family(FamilyDescriptor(
+            family.name,
+            max_versions=family.maxVersions if family.maxVersions is not None else 3,
+            ttl=family.timeToLive if family.timeToLive is not None else FOREVER,
+        ))
+        t.alter(desc)
+
+    def deleteFamily(self, table, family) -> None:  # noqa: N802
+        """hbase.genavro deleteFamily"""
+        t = self._table(table)
+        desc = t.descriptor
+        if family not in desc.families:
+            raise AIOError(f"family {family} not in {table}")
+        del desc.families[family]
+        t.alter(desc)
+
+    def modifyFamily(self, table, familyName, familyDescriptor: AFamilyDescriptor) -> None:  # noqa: N802,N803
+        """hbase.genavro modifyFamily"""
+        t = self._table(table)
+        desc = t.descriptor
+        if familyName not in desc.families:
+            raise AIOError(f"family {familyName} not in {table}")
+        fd = familyDescriptor
+        desc.families[familyName] = FamilyDescriptor(
+            familyName,
+            max_versions=fd.maxVersions if fd.maxVersions is not None else 3,
+            ttl=fd.timeToLive if fd.timeToLive is not None else FOREVER,
+        )
+        t.alter(desc)
+
+    # ---------------------------------------------------- single-row DML
+
+    def _result(self, row, cells) -> AResult:
+        return AResult(row, [
+            AResultEntry(c.family, c.qualifier, c.value, c.ts) for c in cells
+        ])
+
+    def get(self, table, get: AGet) -> AResult:  # noqa: N802
+        """hbase.genavro get"""
+        self._check_enabled(table)
+        t = self._table(table)
+        spec = _spec_from(get.columns, get.timestamp, get.timerange,
+                          get.maxVersions)
+        cells = (
+            t.read(spec)
+            .filter(F.col("row") == F.lit(get.row))
+            .orderBy("family", "qualifier", F.col("ts").desc(), F.col("seq").desc())
+            .collect()
+        )
+        return self._result(get.row, cells)
+
+    def exists(self, table, get: AGet) -> bool:  # noqa: N802
+        """hbase.genavro exists"""
+        return len(self.get(table, get).entries) > 0
+
+    def put(self, table, put: APut) -> None:  # noqa: N802
+        """hbase.genavro put"""
+        self._check_enabled(table)
+        p = Put(put.row)
+        for cv in put.columnValues:
+            p.add(cv.family, cv.qualifier, cv.value, ts=cv.timestamp)
+        self._table(table).mutate([p])
+
+    def delete(self, table, delete: ADelete) -> None:  # noqa: N802
+        """hbase.genavro delete — columns=None deletes the whole row;
+        AColumn without qualifier deletes the family."""
+        self._check_enabled(table)
+        d = Delete(delete.row)
+        for c in delete.columns or []:
+            if c.qualifier is None:
+                d.delete_family(c.family)
+            else:
+                d.delete_columns(c.family, c.qualifier)
+        self._table(table).mutate([d])
+
+    def incrementColumnValue(self, table, row, family, qualifier, amount,
+                             writeToWAL=True) -> int:  # noqa: N802,N803
+        """hbase.genavro incrementColumnValue (writeToWAL carried for
+        shape parity; every write here is logged by construction)."""
+        self._check_enabled(table)
+        return self._table(table).increment_column_value(
+            row, family, qualifier, amount
+        )
+
+    # ----------------------------------------------------- multi-row DML
+
+    class _Cursor:
+        def __init__(self, df):
+            self._it = df.orderBy("row", "family", "qualifier").toLocalIterator()
+            self._pushback = None
+
+        def next_rows(self, n: int) -> list:
+            out = []
+            cur_row, entries = None, []
+            while len(out) < n:
+                if self._pushback is not None:
+                    c, self._pushback = self._pushback, None
+                else:
+                    c = next(self._it, None)
+                if c is None:
+                    break
+                if cur_row is not None and c.row != cur_row:
+                    out.append(AResult(cur_row, entries))
+                    cur_row, entries = None, []
+                    if len(out) == n:
+                        self._pushback = c
+                        return out
+                cur_row = c.row
+                entries.append(AResultEntry(c.family, c.qualifier, c.value, c.ts))
+            if cur_row is not None:
+                out.append(AResult(cur_row, entries))
+            return out
+
+    def scannerOpen(self, table, scan: AScan) -> int:  # noqa: N802
+        """hbase.genavro scannerOpen (AvroServer scanner map + id)"""
+        self._check_enabled(table)
+        from hbase_snapshot_spark.client import Scan
+
+        t = self._table(table)
+        spec = _spec_from(scan.columns, scan.timestamp, scan.timerange,
+                          scan.maxVersions)
+        s = Scan(
+            start_row=scan.startRow, stop_row=scan.stopRow,
+            families=spec.families, columns=spec.columns,
+            time_range=spec.time_range, max_versions=spec.max_versions,
+        )
+        sid = next(self._scanner_seq)
+        self._scanners[sid] = self._Cursor(t.client().scan(s))
+        return sid
+
+    def scannerGetRows(self, scannerId, numberOfRows) -> list[AResult]:  # noqa: N802,N803
+        """hbase.genavro scannerGetRows"""
+        cur = self._scanners.get(scannerId)
+        if cur is None:
+            raise AIllegalArgument(f"scanner {scannerId} is not open")
+        return cur.next_rows(numberOfRows)
+
+    def scannerClose(self, scannerId) -> None:  # noqa: N802,N803
+        """hbase.genavro scannerClose"""
+        if self._scanners.pop(scannerId, None) is None:
+            raise AIllegalArgument(f"scanner {scannerId} is not open")

@@ -307,3 +307,64 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------- clustering
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-pair edges → connected components → canonical doc per
+    cluster: the step that turns LSH candidate pairs into an actual
+    dedup decision (keep min-id doc of each component, like the
+    union-find pass after MinHash in a web-scale dedup pipeline).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) ≤ O(log n) rounds for near-dup clusters (which are
+    small and dense).  Each round is one join + one aggregation, with
+    localCheckpoint() to cut the growing lineage — the standard
+    large-graph CC shape on Spark (GraphX/GraphFrames do the same
+    hash-join propagation underneath).
+
+    Output: (doc_id, cluster_id) for EVERY id (singletons map to
+    themselves).
+    """
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

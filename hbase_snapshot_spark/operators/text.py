@@ -108,3 +108,78 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text (the rolling-hash/content-address device)"""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (score = tf * ln((N+1)/(df+1)), rounded to 6; ties by term asc) —
+    the corpus-statistics primitive for quality filtering and topic
+    mixing in training-data pipelines (beyond-reference; the reference
+    has no corpus analytics).
+
+    Plan shape: explode → two hash aggregations (term-per-doc, then
+    doc-frequency) + a broadcast of the scalar N — the doc-frequency
+    join keys on term, so the heavy side shuffles once.  Empty documents
+    are excluded (no terms).
+    """
+    from pyspark.sql import Window
+
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    n_docs = df.filter(F.trim(F.col(text_col)) != "").count()
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, on="term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------- scrubbing
+
+#: RE2-compatible patterns (work identically in Java regex and DuckDB)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and URLs (the minimum-viable PII/noise scrub every
+    web-scale training corpus applies), reporting per-doc counts and the
+    cleaned length.  Pure-Column regexp ops — whole-stage codegen, and
+    the patterns are RE2-compatible so the DuckDB oracle runs them
+    verbatim."""
+    text = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        URL_PATTERN, "<URL>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))).alias(
+            "n_urls"
+        ),
+        F.length(cleaned).alias("clean_len"),
+        cleaned.alias("clean_text"),
+    )

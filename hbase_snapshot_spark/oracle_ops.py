@@ -248,6 +248,98 @@ WHERE rank <= {k}
 """
 
 
+def dedup_clusters_sql(n: int = 3, num_hashes: int = 8, bands: int = 4,
+                       threshold: float = 0.5) -> str:
+    """SQL twin of dedup.duplicate_clusters over minhash_dup_pairs:
+    connected components via a recursive reachability CTE (min reachable
+    id = the iterative min-label fixed point)."""
+    pairs = minhash_pairs_sql(n=n, num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT a, b FROM ({pairs}) mp),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def tfidf_sql(k: int = 3) -> str:
+    """SQL twin of text.tfidf_top_terms (smoothed tf*ln((N+1)/(df+1)),
+    round 6, ties by term asc)."""
+    return f"""
+WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE trim(text) <> ''),
+toks AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM docs),
+scored AS (
+  SELECT doc_id, term, round(tf * ln((n.n + 1) / (df + 1)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+"""
+
+
+def pack_sequences_sql(cap: int) -> str:
+    """SQL twin of packing.pack_sequences over documents grouped by
+    lang, ordered by doc_id, whitespace token counts."""
+    return f"""
+WITH d AS (SELECT doc_id, lang,
+                  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           FROM documents WHERE trim(text) <> '')
+SELECT doc_id, lang, n_tokens, bin_offset,
+       CAST(floor(bin_offset * 1.0 / {cap}) AS BIGINT) AS bin
+FROM (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_offset
+  FROM d) t
+"""
+
+
+def scrub_pii_sql(email_pattern: str, url_pattern: str) -> str:
+    """SQL twin of text.scrub_pii — the patterns are RE2-compatible so
+    they run verbatim in DuckDB ('g' = replace all, matching Spark's
+    regexp_replace)."""
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email_pattern}')) AS n_emails,
+       len(regexp_extract_all(text, '{url_pattern}')) AS n_urls,
+       length(regexp_replace(regexp_replace(text, '{email_pattern}', '<EMAIL>', 'g'),
+                             '{url_pattern}', '<URL>', 'g')) AS clean_len
+FROM documents
+"""
+
+
+def quantize_sql() -> str:
+    """SQL twin of embeddings.quantize_embeddings (symmetric int8:
+    scale = max|x|/127, q = round(x/scale))."""
+    return """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                      1e-12) AS scale
+      FROM e),
+q AS (SELECT vec_id, scale,
+             list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+      FROM s)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(qv) AS INT) AS q_sum,
+       list_min(qv) AS q_min, list_max(qv) AS q_max
+FROM q
+"""
+
+
 def _stopword_hits_sql(words: list[str]) -> str:
     return " + ".join(
         f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"

@@ -256,3 +256,71 @@ def test_jaccard_hub_shingle_guard(spark):
         for r in dedup.jaccard_pairs(docs, threshold=0.3, df_max=None).collect()
     }
     assert full[("d1", "d2")] == 1.0 and ("d3", "d4") in full
+
+
+def test_duplicate_clusters_chain(spark):
+    # a 4-node chain a-b-c-d must converge to one component (min label
+    # propagates across the diameter), plus a singleton
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d")], ["a", "b"]
+    )
+    ids = spark.createDataFrame([(x,) for x in "abcde"], ["doc_id"])
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs, ids).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
+
+
+def test_pack_sequences(spark):
+    from hbase_snapshot_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("d1", "en", 300), ("d2", "en", 300), ("d3", "en", 300),
+         ("d4", "de", 600)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    out = {r.doc_id: (r.bin_offset, r.bin)
+           for r in pack_sequences(df, "n_tokens", cap=512, by="lang").collect()}
+    # en: offsets 0/300/600 → bins 0/0/1; de alone → bin 0
+    assert out == {"d1": (0, 0), "d2": (300, 0), "d3": (600, 1), "d4": (0, 0)}
+
+
+def test_scrub_pii(spark):
+    from hbase_snapshot_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("d1", "mail bob@example.com and see https://x.io/a?b=1 now"),
+         ("d2", "clean text")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows["d1"].n_emails == 1 and rows["d1"].n_urls == 1
+    assert rows["d1"].clean_text == "mail <EMAIL> and see <URL> now"
+    assert rows["d2"].n_emails == 0 and rows["d2"].clean_text == "clean text"
+
+
+def test_quantize_embeddings(spark):
+    from hbase_snapshot_spark.operators.embeddings import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # scale = 1/127; q = [127, -64, 32] (round half-up)
+    assert (rows[1].q_min, rows[1].q_max) == (-64, 127)
+    assert rows[1].q_sum == 127 - 64 + 32
+    assert rows[2].q_sum == 0  # zero vector: guard avoids div-by-zero
+
+
+def test_tfidf_top_terms(spark):
+    from hbase_snapshot_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [("d1", "apple apple banana"), ("d2", "banana cherry"),
+         ("d3", "cherry cherry cherry date")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # the doc-specific repeated term wins over corpus-common ones
+    assert top == {"d1": "apple", "d2": "banana", "d3": "cherry"}

@@ -121,10 +121,11 @@ def tfidf_top_terms(
     mixing in training-data pipelines (beyond-reference; the reference
     has no corpus analytics).
 
-    Plan shape: explode → two hash aggregations (term-per-doc, then
-    doc-frequency) + a broadcast of the scalar N — the doc-frequency
-    join keys on term, so the heavy side shuffles once.  Empty documents
-    are excluded (no terms).
+    Plan shape (single pass, three exchanges): explode → hash agg on
+    (doc, term) → doc-frequency as a count-window over term (NOT a
+    self-join — a join back to a tf-derived aggregate would recompute
+    the whole explode subtree for the second branch) → top-k window on
+    doc.  N is a driver-side scalar.  Empty documents are excluded.
     """
     from pyspark.sql import Window
 
@@ -134,8 +135,9 @@ def tfidf_top_terms(
     )
     n_docs = df.filter(F.trim(F.col(text_col)) != "").count()
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, on="term").select(
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select(
         F.col(id_col),
         "term",
         F.round(

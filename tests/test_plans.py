@@ -99,3 +99,48 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_pack_sequences_single_exchange(spark):
+    # packing = ONE hash exchange on the group key; the cumulative-sum
+    # window and the floor projection run inside the same partitioning
+    from hbase_snapshot_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en" if i % 2 else "de", 100 + i) for i in range(200)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    plan = plan_of(pack_sequences(df, "n_tokens", cap=512, by="lang"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scrub_pii_no_shuffle(spark):
+    # scrubbing is pure per-row Column work — no Exchange at all
+    from hbase_snapshot_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([("d1", "text")], ["doc_id", "text"])
+    plan = plan_of(scrub_pii(df), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_quantize_no_shuffle(spark):
+    from hbase_snapshot_spark.operators.embeddings import quantize_embeddings
+
+    df = spark.createDataFrame([(1, [0.5, -0.5])], ["vec_id", "embedding"])
+    plan = plan_of(quantize_embeddings(df), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_single_pass_three_exchanges(spark):
+    # one explode+agg pass; doc-frequency is a count-window over term
+    # (a join back to a tf-derived aggregate would recompute the whole
+    # explode subtree): exchanges = tf agg + term window + topk window
+    from hbase_snapshot_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"w{i % 7} common w{i % 11}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    plan = plan_of(tfidf_top_terms(df, k=3), "simple")
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Generate explode") == 1, plan

@@ -333,8 +333,14 @@ def duplicate_clusters(
     Output: (doc_id, cluster_id) for EVERY id (singletons map to
     themselves).
     """
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # materialize the edge list ONCE: pairs is usually the output of a
+    # whole LSH pipeline, and every propagation round (plus its
+    # convergence check) references edges — without this checkpoint each
+    # iteration would re-execute candidate generation end-to-end
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")

@@ -105,21 +105,73 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    cents: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over the coarse quantizer: re-assign vectors to
+    their best cell, recompute centroids as elementwise means.  Improves
+    cell balance (and therefore IVF recall per probe) over the init-only
+    quantizer; a handful of iterations suffices for a bucketing
+    structure.
+
+    Scale shape per iteration: one broadcast cross-score (centroids are
+    tiny), one posexplode + (cell, dim) aggregation — dimension fan-out
+    is bounded (dim × n vectors), all JVM-side.  The result is
+    deterministic up to float-sum ordering inside the mean, which is why
+    the ORACLE-facing ivf query keeps the init-only quantizer
+    (iterations=0); refined quantizers are for production recall, pinned
+    by the recall tests instead."""
+    for _ in range(iterations):
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            id_col, vec_col, "cell",
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, "cell")
+        )
+        cents = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("dm")
+            )
+            .select("cell", F.transform(F.col("dm"), lambda s: s.m).alias("cvec"))
+        )
+    return cents
+
+
 def ivf_assign(
     vectors: DataFrame,
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer with deterministic seeding: centroids are the
-    vectors with the ``num_centroids`` smallest ids (no RNG, no
-    iterations — a k-means init step; good enough for a bucketing
-    structure, swappable for trained centroids).  Returns
-    (assigned vectors with ``cell``, centroids).
+    vectors with the ``num_centroids`` smallest ids (no RNG — a k-means
+    init step), optionally refined with ``kmeans_iterations`` Lloyd
+    rounds (kmeans_refine).  Returns (assigned vectors with ``cell``,
+    centroids).
 
     Assignment ranks on round(cos, 6) with cell-asc tie-break so the
     argmax is reproducible bit-for-bit across engines (the DuckDB oracle
-    in oracle_ops.ann_ivf_sql ranks identically)."""
+    in oracle_ops.ann_ivf_sql ranks identically for the init-only
+    quantizer)."""
     cents = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
@@ -128,6 +180,10 @@ def ivf_assign(
     # stable cell ids: rank of the source id
     w = Window.orderBy(F.col("cent_src").asc())
     cents = cents.select((F.row_number().over(w) - 1).alias("cell"), "cvec")
+    if kmeans_iterations > 0:
+        cents = kmeans_refine(
+            vectors, cents, kmeans_iterations, id_col, vec_col
+        )
     scored = vectors.crossJoin(F.broadcast(cents)).select(
         "*", F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim")
     )
@@ -149,10 +205,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query, exact
-    cosine within probed cells only."""
-    assigned, cents = ivf_assign(vectors, num_centroids, id_col, vec_col)
+    cosine within probed cells only.  ``kmeans_iterations > 0`` trains
+    the quantizer (better-balanced cells → higher recall per probe)."""
+    assigned, cents = ivf_assign(
+        vectors, num_centroids, id_col, vec_col, kmeans_iterations
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

@@ -324,3 +324,64 @@ def test_tfidf_top_terms(spark):
     top = {r.doc_id: r.term for r in out}
     # the doc-specific repeated term wins over corpus-common ones
     assert top == {"d1": "apple", "d2": "banana", "d3": "cherry"}
+
+
+def test_ivf_kmeans_refine_recall(vecs):
+    # trained quantizer must not lose recall vs init-only at equal
+    # nprobe (on this fixture it balances cells and typically gains)
+    queries = vecs.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(vecs, queries, k=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    def recall(iters):
+        out = similarity.ivf_topk(
+            vecs, queries, k=3, num_centroids=4, nprobe=2,
+            kmeans_iterations=iters,
+        )
+        a = {(r.query_id, r.vec_id) for r in out.collect()}
+        return len(e & a) / len(e)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 1e-9, (r0, r2)
+    assert r2 >= 0.5
+
+
+def test_pack_sequences_invariants(spark):
+    # packing invariants on irregular sizes: offsets are the exclusive
+    # running sum in doc order, bins are monotone non-decreasing, and a
+    # bin never starts past its offset cap boundary
+    from hbase_snapshot_spark.operators.packing import pack_sequences
+
+    sizes = [7, 511, 1, 512, 513, 90, 3, 1024, 5, 60]
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", "en", s) for i, s in enumerate(sizes)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    rows = sorted(
+        pack_sequences(df, "n_tokens", cap=512, by="lang").collect(),
+        key=lambda r: r.doc_id,
+    )
+    running = 0
+    prev_bin = 0
+    for r in rows:
+        assert r.bin_offset == running
+        assert r.bin == running // 512
+        assert r.bin >= prev_bin
+        prev_bin = r.bin
+        running += r.n_tokens
+
+
+def test_duplicate_clusters_two_components(spark):
+    # two disjoint cliques stay separate components
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["a", "b"]
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in ["a", "b", "c", "x", "y", "z"]], ["doc_id"]
+    )
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs, ids).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "z"}

@@ -166,3 +166,51 @@ def test_replication_dedupe_keeps_distinct_seq(spark, stores, tmp_path):
     assert cellset(dst.read()) == cellset(src.read())
     spec = ResolveSpec(max_versions=1)
     assert {r.value for r in dst.read(spec=spec).collect()} == {"new"}
+
+
+def test_windowed_counts_streaming_late_data_dropped(spark, tmp_path):
+    # TRUE streaming run of the windowed operator: tumbling 1h window +
+    # 1h watermark in append mode.  An event arriving in a later batch
+    # but older than the watermark is dropped; the finalized window
+    # emits exactly once with the on-time count.
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m), 1.0) for m in (5, 10, 120)],
+        ["user_id", "ts", "value"],
+    ).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(str(src / "*"))
+    out_dir = str(tmp_path / "wout")
+
+    def drain():
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # late event at 00:20 (watermark is already 01:00) + on-time 02:10
+    spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=20), 1.0),
+         (2, base + dt.timedelta(minutes=130), 1.0)],
+        ["user_id", "ts", "value"],
+    ).write.parquet(str(src / "b2"))
+    drain()
+
+    rows = spark.read.parquet(out_dir).collect()
+    finalized = {(r.window_start.hour, r.n) for r in rows}
+    # hour-0 window finalized with the TWO on-time events only — the
+    # 00:20 straggler was behind the watermark and never counted
+    assert finalized == {(0, 2)}

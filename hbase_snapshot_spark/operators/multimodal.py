@@ -171,3 +171,80 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
             })
 
     return frames.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Image resize to a fixed training resolution.  Production path
+    needs Pillow (not in this container) → NotImplementedError;
+    ``fake=True`` emits a deterministic digest-sized payload through the
+    identical mapInPandas pipeline (same schema, same batching)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires Pillow — unavailable here; "
+                    "pass fake=True for the deterministic test kernel"
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": width,
+                "height": height,
+                "payload": [
+                    hashlib.md5(
+                        bytes(p) + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+                    ).digest()
+                    for p in pdf["payload"]
+                ],
+            })
+
+    return media.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+])
+
+
+def extract_audio_features(
+    media: DataFrame, target_rate: int = 16000, fake: bool = False
+) -> DataFrame:
+    """Audio decode/resample + level features (RMS, peak).  Production
+    path needs ffmpeg/soundfile (not in this container) →
+    NotImplementedError; ``fake=True`` treats the payload bytes as 8-bit
+    samples — deterministic, same dataflow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires ffmpeg/soundfile — unavailable "
+                    "here; pass fake=True for the deterministic test kernel"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": target_rate,
+                "n_samples": payloads.map(len),
+                "rms": payloads.map(
+                    lambda b: round((sum(x * x for x in b) / len(b)) ** 0.5, 4)
+                    if len(b) else 0.0
+                ),
+                "peak": payloads.map(lambda b: max(b) if len(b) else 0),
+            })
+
+    return media.mapInPandas(run, schema=_AUDIO_SCHEMA)

@@ -385,3 +385,23 @@ def test_duplicate_clusters_two_components(spark):
            for r in dedup.duplicate_clusters(pairs, ids).collect()}
     assert out == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "z"}
+
+
+def test_resize_and_audio_kernels(docs):
+    media = multimodal.documents_as_media(docs)
+    with pytest.raises(Exception, match="Pillow"):
+        multimodal.resize_images(media).limit(1).collect()
+    out = multimodal.resize_images(media, width=64, height=32, fake=True)
+    rows = out.limit(5).collect()
+    assert all(r.width == 64 and r.height == 32 and len(r.payload) == 16
+               for r in rows)
+
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.extract_audio_features(media).limit(1).collect()
+    feats = {r.media_id: r for r in
+             multimodal.extract_audio_features(media, fake=True).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    any_doc = next(k for k, t in texts.items() if t.strip())
+    b = texts[any_doc].encode()
+    assert feats[any_doc].n_samples == len(b)
+    assert feats[any_doc].peak == max(b)

@@ -374,3 +374,26 @@ def duplicate_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup removal — the composition a corpus pipeline
+    actually runs: shingle → MinHash+LSH candidate pairs → connected
+    components → keep each cluster's canonical (min-id) document.
+
+    Returns the deduplicated corpus (original columns).  Singletons
+    survive by construction (they are their own canonical)."""
+    pairs = minhash_dup_pairs(
+        with_shingles(df, n=n), id_col=id_col,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    clusters = duplicate_clusters(pairs, df.select(id_col), id_col=id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

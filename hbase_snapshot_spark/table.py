@@ -326,7 +326,14 @@ class StoredTable:
     @_locked
     def mutate(self, mutations: list[Mutation], now: int | None = None) -> int:
         """Apply a batch of Puts/Deletes (HTable write buffer +
-        flushCommits, HTable.java:534,662).  One segment per batch."""
+        flushCommits, HTable.java:534,662).  One segment per batch.
+
+        Boundary: this is the INTERACTIVE write path — the mutation list
+        is driver-resident, like the reference's client-side write
+        buffer.  Bulk ingest (≥ millions of cells) belongs on the
+        distributed paths: ``append_cells`` (cell DataFrame → segment),
+        ``sources.tools.bulk_load`` + ``adopt_segment`` (sorted bulk
+        pipeline), or ``sources.tools.multi_table_write``."""
         now = now if now is not None else self._now_ms()
         desc = self.descriptor
         # exact-latest deletes (Delete.deleteColumn with no ts) need the

@@ -405,3 +405,16 @@ def test_resize_and_audio_kernels(docs):
     b = texts[any_doc].encode()
     assert feats[any_doc].n_samples == len(b)
     assert feats[any_doc].peak == max(b)
+
+
+def test_dedup_corpus_end_to_end(spark):
+    # near-identical docs collapse to the min-id canonical; distinct
+    # docs survive
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [("a", base), ("b", base + " extra"), ("c", "completely different "
+          "text about spark engines and parquet files here")],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in dedup.dedup_corpus(df, threshold=0.4).collect()}
+    assert kept == {"a", "c"}

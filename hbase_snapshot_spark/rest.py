@@ -222,9 +222,11 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) < 2:
                 return self._send(400, {"error": "DELETE /<table>/<row>[/fam:qual]"})
             table = self.store.table(parts[0])
-            d = Delete(parts[1])
+            binary = table.manifest()["binary"]
+            d = Delete(parts[1].encode() if binary else parts[1])
             if len(parts) >= 3:
                 fam, _, qual = parts[2].partition(":")
+                qual = qual.encode() if binary else qual
                 ts = int(q["ts"]) if "ts" in q else None
                 if q.get("exact"):
                     d.delete_column(fam, qual, ts=ts)

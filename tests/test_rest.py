@@ -133,5 +133,9 @@ def test_rest_binary_table_base64(spark, tmp_path_factory):
         cell = body["cells"][0]
         assert base64.b64decode(cell["value"]) == payload
         assert base64.b64decode(cell["row"]) == b"r1"
+        code, _ = _req(f"{url}/b/r1/f:q?ts=20", "DELETE")
+        assert code == 200
+        code, _ = _req(f"{url}/b/r1/f:q")
+        assert code == 404
     finally:
         srv.shutdown()

@@ -310,14 +310,21 @@ FROM (
 def scrub_pii_sql(email_pattern: str, url_pattern: str) -> str:
     """SQL twin of text.scrub_pii — the patterns are RE2-compatible so
     they run verbatim in DuckDB ('g' = replace all, matching Spark's
-    regexp_replace)."""
+    regexp_replace).  Mirrors the query's synthetic email+URL suffix so
+    the comparison proves pattern agreement, not just zero counts."""
     return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or '
+              || 'https://ex.io/d/' || doc_id AS text
+  FROM documents
+)
 SELECT doc_id,
        len(regexp_extract_all(text, '{email_pattern}')) AS n_emails,
        len(regexp_extract_all(text, '{url_pattern}')) AS n_urls,
        length(regexp_replace(regexp_replace(text, '{email_pattern}', '<EMAIL>', 'g'),
                              '{url_pattern}', '<URL>', 'g')) AS clean_len
-FROM documents
+FROM d
 """
 
 

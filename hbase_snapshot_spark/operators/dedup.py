@@ -397,3 +397,63 @@ def dedup_corpus(
     clusters = duplicate_clusters(pairs, df.select(id_col), id_col=id_col)
     keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def cross_corpus_overlap(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Decontamination: near-duplicate pairs BETWEEN two corpora (e.g.
+    training set × evaluation set) — the train/test-overlap check every
+    serious training pipeline runs before shipping a dataset.
+
+    Same LSH shape as minhash_dup_pairs but the band-bucket join is
+    across corpora (A-side × B-side, never within a side), so the
+    candidate count scales with true cross-overlap, not corpus size.
+    Inputs must already carry a ``shingles`` column (with_shingles).
+
+    Output: (a_id, b_id, jaccard) with exact verified jaccard ≥
+    threshold; a_id from corpus_a, b_id from corpus_b.
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(df):
+        sig = minhash_signature(df, id_col, num_hashes)
+        cols = [
+            F.md5(F.concat_ws(
+                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        wide = sig.select(id_col, *cols)
+        return wide.select(
+            id_col,
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])).alias("s"),
+        ).select(id_col, "s.band_id", "s.bh")
+
+    a = banded(corpus_a).withColumnsRenamed({id_col: "a_id"})
+    b = banded(corpus_b).withColumnsRenamed({id_col: "b_id"})
+    cand = a.join(b, on=["band_id", "bh"]).select("a_id", "b_id").distinct()
+    sa = corpus_a.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = corpus_b.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, on="a_id")
+        .join(sb, on="b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

@@ -418,3 +418,18 @@ def test_dedup_corpus_end_to_end(spark):
     )
     kept = {r.doc_id for r in dedup.dedup_corpus(df, threshold=0.4).collect()}
     assert kept == {"a", "c"}
+
+
+def test_cross_corpus_overlap(spark):
+    # decontamination: the eval doc contaminated from train is caught;
+    # within-corpus duplicates are NOT reported (cross-side only)
+    base = "one two three four five six seven eight nine ten eleven"
+    train = dedup.with_shingles(spark.createDataFrame(
+        [("t1", base), ("t2", base), ("t3", "unrelated training text about engines")],
+        ["doc_id", "text"]), n=3)
+    evals = dedup.with_shingles(spark.createDataFrame(
+        [("e1", base + " twelve"), ("e2", "totally different evaluation prompt here")],
+        ["doc_id", "text"]), n=3)
+    out = {(r.a_id, r.b_id) for r in
+           dedup.cross_corpus_overlap(train, evals, threshold=0.4).collect()}
+    assert out == {("t1", "e1"), ("t2", "e1")}

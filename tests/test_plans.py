@@ -144,3 +144,26 @@ def test_tfidf_single_pass_three_exchanges(spark):
     plan = plan_of(tfidf_top_terms(df, k=3), "simple")
     assert plan.count("Exchange hashpartitioning") == 3, plan
     assert plan.count("Generate explode") == 1, plan
+
+
+def test_ann_bucket_joins_are_hash_joins(spark):
+    # the ANN corpus-side joins must be bucket equi-joins (broadcast
+    # hash), never a cartesian over the corpus; the only nested-loop
+    # allowed is the tiny broadcast query/centroid cross-score
+    from hbase_snapshot_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    queries = vecs.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    lsh = similarity.ann_lsh_topk(vecs, queries, k=3, num_planes=4, dim=8)
+    plan = plan_of(lsh, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    ivf = similarity.ivf_topk(vecs, queries, k=3, num_centroids=4, nprobe=2)
+    plan = plan_of(ivf, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

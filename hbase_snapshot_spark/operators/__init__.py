@@ -1,3 +1,21 @@
-from hbase_snapshot_spark.operators import dedup, multimodal, similarity, text
+from hbase_snapshot_spark.operators import (
+    asof,
+    dedup,
+    embeddings,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "asof",
+    "dedup",
+    "embeddings",
+    "multimodal",
+    "packing",
+    "sampling",
+    "similarity",
+    "text",
+]

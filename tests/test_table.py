@@ -415,3 +415,52 @@ def test_batch_latest_delete_single_job(spark, tmp_path):
     # two orders of magnitude under the old per-cell path
     assert 0 < len(jobs) <= 8
     assert t.read().count() == 0
+
+
+def test_multiple_timestamps_matrix(spark, tmp_path):
+    # client/TestMultipleTimestamps.java — explicit-timestamp reads over
+    # versions written in SEPARATE commits (separate store files), with
+    # an exact-version delete interleaved
+    from hbase_snapshot_spark.client import Scan
+    from hbase_snapshot_spark.filters import TimestampsFilter
+
+    store = TableStore(spark, str(tmp_path / "mts"))
+    t = store.create_table(
+        TableDescriptor("t").add_family(FamilyDescriptor("f", max_versions=5))
+    )
+    for ts in (1, 3, 5, 7):
+        t.mutate([Put("r1").add("f", "q", f"v{ts}", ts=ts)])  # one segment each
+    t.mutate([Delete("r1").delete_column("f", "q", ts=5)])
+
+    def versions(ts_list):
+        out = t.client().scan(Scan(
+            max_versions=None, filter=TimestampsFilter(ts_list)
+        ))
+        return {(r.ts, r.value) for r in out.collect()}
+
+    # requested {1,5,7}: 5 is tombstoned, 1 and 7 visible
+    assert versions([1, 5, 7]) == {(1, "v1"), (7, "v7")}
+    # requested {3}: only that version
+    assert versions([3]) == {(3, "v3")}
+    # unrequested timestamps never leak
+    assert versions([2, 4, 6]) == set()
+
+
+def test_get_row_versions_across_reopen(spark, tmp_path):
+    # client/TestGetRowVersions.java — versions written before and after
+    # a store "restart" (fresh TableStore handle) are all visible
+    from hbase_snapshot_spark.resolve import ResolveSpec
+
+    path = str(tmp_path / "grv")
+    t1 = TableStore(spark, path).create_table(
+        TableDescriptor("t").add_family(FamilyDescriptor("f", max_versions=3))
+    )
+    t1.mutate([Put("row").add("f", "q", "value1", ts=100)])
+
+    t2 = TableStore(spark, path).table("t")  # reopen
+    t2.mutate([Put("row").add("f", "q", "value2", ts=200)])
+    got = {(r.ts, r.value)
+           for r in t2.read(spec=ResolveSpec(max_versions=None)).collect()}
+    assert got == {(100, "value1"), (200, "value2")}
+    latest = t2.read(spec=ResolveSpec(max_versions=1)).collect()
+    assert [(r.ts, r.value) for r in latest] == [(200, "value2")]

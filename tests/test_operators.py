@@ -433,3 +433,37 @@ def test_cross_corpus_overlap(spark):
     out = {(r.a_id, r.b_id) for r in
            dedup.cross_corpus_overlap(train, evals, threshold=0.4).collect()}
     assert out == {("t1", "e1"), ("t2", "e1")}
+
+
+def test_jaccard_pairs_matches_bruteforce(spark):
+    # randomized (seeded) corpora: the inverted-index + array_intersect
+    # path must equal a Python brute-force over all pairs
+    import itertools
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{k}" for k in range(12)]
+    for _trial in range(3):
+        docs = [
+            (f"d{i}", " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(8)
+        ]
+        sh = dedup.with_shingles(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=2
+        )
+        shingle_sets = {
+            r.doc_id: set(r.shingles) for r in sh.collect()
+        }
+        expected = {}
+        for (a, sa), (b, sb) in itertools.combinations(
+            sorted(shingle_sets.items()), 2
+        ):
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= 0.2:
+                expected[(a, b)] = round(inter / union, 6)
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.jaccard_pairs(sh, threshold=0.2).collect()
+        }
+        assert got == expected

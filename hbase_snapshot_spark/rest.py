@@ -80,9 +80,13 @@ def _make_scan(q: dict, maxv: int) -> Scan:
         from hbase_snapshot_spark.filters import PrefixFilter
 
         flt = PrefixFilter(q["prefix"])
+    tr = None
+    if "ts_min" in q or "ts_max" in q:
+        # RowSpec.java:36 — [min, max) time range in the URL
+        tr = (int(q.get("ts_min", 0)), int(q.get("ts_max", 1 << 62)))
     return Scan(
         start_row=q.get("start"), stop_row=q.get("stop"),
-        max_versions=maxv, filter=flt,
+        max_versions=maxv, filter=flt, time_range=tr,
     )
 
 

@@ -139,3 +139,14 @@ def test_rest_binary_table_base64(spark, tmp_path_factory):
         assert code == 404
     finally:
         srv.shutdown()
+
+
+def test_rest_scanner_time_range(rest):
+    # RowSpec URL model: [ts_min, ts_max) bounds the scan
+    _req(f"{rest}/t/tsr/f:q?ts=100", "PUT", b"old")
+    _req(f"{rest}/t/tsr/f:q?ts=200", "PUT", b"new")
+    code, body = _req(f"{rest}/t/scanner?start=tsr&stop=tsrz&ts_min=150&ts_max=250&v=99")
+    assert code == 200
+    assert [(c["ts"], c["value"]) for c in body["cells"]] == [(200, "new")]
+    code, body = _req(f"{rest}/t/scanner?start=tsr&stop=tsrz&ts_max=150&v=99")
+    assert [(c["ts"], c["value"]) for c in body["cells"]] == [(100, "old")]

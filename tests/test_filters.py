@@ -363,3 +363,23 @@ def test_scan_add_family_plus_add_column(spark):
         ("r1", "f1", "a", 10, "va"),
         ("r1", "f2", "b", 10, "vb"),
     }
+
+
+def test_filter_list_with_while_match_inner(grid):
+    # FilterList AND composing a cell predicate with a cell-level
+    # WhileMatch: per the documented stage order, the qualifier
+    # predicate restricts the stream FIRST, then WhileMatch cuts at its
+    # first failing cell in KeyValue order
+    f = FilterList(FilterList.MUST_PASS_ALL, [
+        QualifierFilter(CompareOp.EQUAL, BinaryComparator("q0")),
+        WhileMatchFilter(
+            ValueFilter(CompareOp.NOT_EQUAL, BinaryComparator("rc-f-q0-v20"))
+        ),
+    ])
+    out = grid.scan(Scan(filter=f))
+    # q0-only stream in KeyValue order: ra f(20), ra g(10), rb f(20),
+    # rb g(10), rc f(20)=FAIL → everything strictly before survives
+    assert cells_of(out) == {
+        ("ra", "f", "q0", 20), ("ra", "g", "q0", 10),
+        ("rb", "f", "q0", 20), ("rb", "g", "q0", 10),
+    }

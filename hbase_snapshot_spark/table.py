@@ -462,16 +462,57 @@ class StoredTable:
 
     # ---------------------------------------------------------- compaction
 
+    def _segment_size(self, seg: str) -> int:
+        d = os.path.join(self.dir, "segments", seg)
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    def select_minor_compaction(
+        self, threshold: int = 3, ratio: float = 2.0, max_files: int = 10
+    ) -> list[str]:
+        """HBASE-745 incremental selection (Store.java:632-651): walk
+        segments oldest→newest; skip the oldest while it is ≥ ratio × the
+        next one's size (large settled files stay put) or while more than
+        ``max_files`` would be selected; always consider compacting the
+        newest min(n, 4) regardless.  Returns the contiguous newest run
+        of segment names to merge ([] when below threshold or the run
+        degenerates to one file) — at scale this is what keeps minor
+        compaction cost proportional to NEW data, not table size."""
+        segs = list(self.manifest()["segments"])
+        n = len(segs)
+        if n < threshold:
+            return []
+        sizes = [self._segment_size(s) for s in segs]
+        tail = min(n, 4)
+        point = 0
+        while point < n - tail:
+            if (sizes[point] < sizes[point + 1] * ratio
+                    and (n - point) <= max_files):
+                break
+            point += 1
+        chosen = segs[point:]
+        return chosen if len(chosen) > 1 else []
+
     @_locked
-    def compact(self, major: bool = False, now: int | None = None) -> int:
+    def compact(self, major: bool = False, now: int | None = None,
+                segments: list[str] | None = None) -> int:
         """Store.compact:581.  Minor = pure k-way merge, NO masking —
         every cell including tombstones and masked puts is retained
         (MinorCompactingStoreScanner.java is just a KeyValueHeap drain).
         Major = resolve with family maxVersions + TTL, tombstones purged.
-        Either rewrites the stream as one segment sorted by the KeyValue
-        total order (row, family, qualifier, ts DESC) so downstream
-        scans get clustered, skippable files."""
+        The stream is rewritten sorted by the KeyValue total order
+        (row, family, qualifier, ts DESC) so downstream scans get
+        clustered, skippable files.
+
+        ``segments`` (minor only) restricts the merge to that subset —
+        the HBASE-745 incremental path (select_minor_compaction): the
+        untouched older segments stay in the manifest as-is."""
         desc = self.descriptor
+        m = self.manifest()
+        keep: list[str] = []
         if major:
             spec = ResolveSpec(
                 max_versions=None,
@@ -484,6 +525,13 @@ class StoredTable:
                 spec.family_ttl = ttls
                 spec.now = now if now is not None else self._now_ms()
             compacted = resolve(self.cells(), spec=spec)
+        elif segments is not None:
+            merge = [s for s in m["segments"] if s in set(segments)]
+            keep = [s for s in m["segments"] if s not in set(segments)]
+            if len(merge) <= 1:
+                return self._head_version()
+            paths = [os.path.join(self.dir, "segments", s) for s in merge]
+            compacted = self.spark.read.parquet(*paths)
         else:
             compacted = self.cells()
         # partition count from cluster parallelism, not from the input
@@ -494,13 +542,12 @@ class StoredTable:
         ).sortWithinPartitions(
             "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
         )
-        m = self.manifest()
         commit_seq = m["commit_seq"] + 1
         seg = f"seg-{commit_seq:06d}-compact-{uuid.uuid4().hex[:8]}"
         compacted.write.parquet(os.path.join(self.dir, "segments", seg))
         m2 = dict(m)
         m2["version"] = m["version"] + 1
-        m2["segments"] = [seg]
+        m2["segments"] = keep + [seg]
         m2["commit_seq"] = commit_seq
         return self._commit(m2)
 
@@ -516,13 +563,22 @@ class StoredTable:
         m2["descriptor"] = descriptor.to_dict()
         return self._commit(m2)
 
-    def maybe_compact(self, threshold: int = 3, major: bool = False) -> int | None:
+    def maybe_compact(self, threshold: int = 3, major: bool = False,
+                      incremental: bool = True) -> int | None:
         """Store.java:169 compactionThreshold — compact when the live
         segment count reaches the threshold (the reference's minor-
-        compaction trigger; call after batch appends)."""
-        if len(self.manifest()["segments"]) >= threshold:
+        compaction trigger; call after batch appends).  Minor compactions
+        use the HBASE-745 incremental selection by default, merging only
+        the newest size-similar run; ``incremental=False`` restores the
+        merge-everything behavior."""
+        if len(self.manifest()["segments"]) < threshold:
+            return None
+        if major or not incremental:
             return self.compact(major=major)
-        return None
+        chosen = self.select_minor_compaction(threshold=threshold)
+        if not chosen:
+            return None
+        return self.compact(segments=chosen)
 
     def history(self) -> list[dict]:
         """time-travel listing (the Delta DESCRIBE HISTORY analogue —

@@ -464,3 +464,29 @@ def test_get_row_versions_across_reopen(spark, tmp_path):
     assert got == {(100, "value1"), (200, "value2")}
     latest = t2.read(spec=ResolveSpec(max_versions=1)).collect()
     assert [(r.ts, r.value) for r in latest] == [(200, "value2")]
+
+
+def test_incremental_minor_compaction_selection(spark, tmp_path):
+    # HBASE-745 (Store.java:632-651): a large settled segment is skipped;
+    # only the newest size-similar run merges. Data is unchanged.
+    store = TableStore(spark, str(tmp_path / "inc"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    # big settled base: 200 rows in one segment
+    t.mutate([Put(f"r{i:04d}").add("f", "q", "base", ts=1) for i in range(200)])
+    big = t.manifest()["segments"][0]
+    # four small fresh segments
+    for k in range(4):
+        t.mutate([Put(f"s{k}").add("f", "q", f"v{k}", ts=10)])
+    before = {(r.row, r.ts, r.value) for r in t.cells().collect()}
+
+    chosen = t.select_minor_compaction(threshold=3)
+    assert big not in chosen and len(chosen) == 4
+
+    t.maybe_compact(threshold=3)
+    m = t.manifest()
+    # big segment untouched, small run merged into one
+    assert m["segments"][0] == big and len(m["segments"]) == 2
+    after = {(r.row, r.ts, r.value) for r in t.cells().collect()}
+    assert after == before
+    # read path unaffected
+    assert t.read().count() == 204

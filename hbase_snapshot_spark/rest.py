@@ -73,13 +73,37 @@ def _cells_json(df, limit=None):
 
 
 def _make_scan(q: dict, maxv: int) -> Scan:
-    flt = None
+    """Scanner spec from URL params — the RowSpec/ScannerModel surface:
+    start/stop/limit/v/ts_min/ts_max plus filter params (prefix,
+    rowregex, valuesubstr, colprefix — the filters
+    rest/TestScannersWithFilters exercises), AND-composed."""
+    from hbase_snapshot_spark.filters import (
+        ColumnPrefixFilter,
+        CompareOp,
+        FilterList,
+        PrefixFilter,
+        RegexStringComparator,
+        RowFilter,
+        SubstringComparator,
+        ValueFilter,
+    )
+
+    flts = []
     if "prefix" in q:
         # scannerOpenWithPrefix → PrefixFilter
         # (thrift/ThriftServer.java:658-663)
-        from hbase_snapshot_spark.filters import PrefixFilter
-
-        flt = PrefixFilter(q["prefix"])
+        flts.append(PrefixFilter(q["prefix"]))
+    if "rowregex" in q:
+        flts.append(RowFilter(CompareOp.EQUAL, RegexStringComparator(q["rowregex"])))
+    if "valuesubstr" in q:
+        flts.append(ValueFilter(CompareOp.EQUAL, SubstringComparator(q["valuesubstr"])))
+    if "colprefix" in q:
+        flts.append(ColumnPrefixFilter(q["colprefix"]))
+    flt = None
+    if len(flts) == 1:
+        flt = flts[0]
+    elif flts:
+        flt = FilterList(FilterList.MUST_PASS_ALL, flts)
     tr = None
     if "ts_min" in q or "ts_max" in q:
         # RowSpec.java:36 — [min, max) time range in the URL

@@ -150,3 +150,17 @@ def test_rest_scanner_time_range(rest):
     assert [(c["ts"], c["value"]) for c in body["cells"]] == [(200, "new")]
     code, body = _req(f"{rest}/t/scanner?start=tsr&stop=tsrz&ts_max=150&v=99")
     assert [(c["ts"], c["value"]) for c in body["cells"]] == [(100, "old")]
+
+
+def test_rest_scanner_filters(rest):
+    # rest/TestScannersWithFilters.java-style coverage: filter params
+    # AND-compose on the scanner URL
+    for i, val in [(0, "apple pie"), (1, "apple tart"), (2, "plum pie")]:
+        _req(f"{rest}/t/fl{i}/f:name?ts=10", "PUT", val.encode())
+    code, body = _req(f"{rest}/t/scanner?prefix=fl&valuesubstr=apple")
+    assert code == 200
+    assert {c["row"] for c in body["cells"]} == {"fl0", "fl1"}
+    code, body = _req(f"{rest}/t/scanner?rowregex=^fl[02]$&valuesubstr=pie")
+    assert {c["row"] for c in body["cells"]} == {"fl0", "fl2"}
+    code, body = _req(f"{rest}/t/scanner?prefix=fl&colprefix=na")
+    assert {c["qualifier"] for c in body["cells"]} == {"name"}

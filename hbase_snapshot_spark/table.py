@@ -131,6 +131,19 @@ class TableStore:
             raise TableNotFoundError(name)
         shutil.rmtree(d)
 
+    def register_sql_views(self, prefix: str = "") -> list[str]:
+        """Register every table's resolved view (and its raw cell stream
+        as ``<name>_cells``) as Spark SQL temp views, so the whole store
+        is queryable with plain ``spark.sql`` — the DataFrame/SQL
+        duality at catalog granularity.  Returns the view names."""
+        names = []
+        for name in self.list_tables():
+            t = self.table(name)
+            t.create_view(f"{prefix}{name}")
+            t.cells().createOrReplaceTempView(f"{prefix}{name}_cells")
+            names += [f"{prefix}{name}", f"{prefix}{name}_cells"]
+        return names
+
     def list_tables(self) -> list[str]:
         return sorted(
             n for n in os.listdir(self.base_path)

@@ -490,3 +490,22 @@ def test_incremental_minor_compaction_selection(spark, tmp_path):
     assert after == before
     # read path unaffected
     assert t.read().count() == 204
+
+
+def test_register_sql_views_catalog(spark, tmp_path):
+    # whole-store SQL registration: resolved views + raw cell streams
+    store = TableStore(spark, str(tmp_path / "cat"))
+    for name in ("users", "orders2"):
+        t = store.create_table(
+            TableDescriptor(name).add_family(FamilyDescriptor("f"))
+        )
+        t.mutate([Put("r1").add("f", "q", name, ts=10)])
+    views = store.register_sql_views(prefix="hb_")
+    assert set(views) == {"hb_users", "hb_users_cells",
+                          "hb_orders2", "hb_orders2_cells"}
+    got = spark.sql(
+        "SELECT u.value AS a, o.value AS b FROM hb_users u "
+        "JOIN hb_orders2 o ON u.row = o.row"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [("users", "orders2")]
+    assert spark.sql("SELECT count(*) AS n FROM hb_users_cells").first().n == 1

@@ -509,3 +509,22 @@ def test_register_sql_views_catalog(spark, tmp_path):
     ).collect()
     assert [(r.a, r.b) for r in got] == [("users", "orders2")]
     assert spark.sql("SELECT count(*) AS n FROM hb_users_cells").first().n == 1
+
+
+def test_incremental_compaction_snapshot_vacuum_safety(spark, tmp_path):
+    # partial minor compaction + vacuum must respect snapshot refcounts:
+    # the snapshotted base survives vacuum; merged-away post-snapshot
+    # segments are reclaimed; restore still reproduces the snapshot
+    store = TableStore(spark, str(tmp_path / "icv"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    t.mutate([Put(f"r{i:03d}").add("f", "q", "base", ts=1) for i in range(50)])
+    t.snapshot("s")
+    for k in range(4):
+        t.mutate([Put(f"x{k}").add("f", "q", f"v{k}", ts=10)])
+    t.maybe_compact(threshold=3)
+    removed = t.vacuum()
+    # the four pre-merge small segments are unreferenced after the merge
+    assert len(removed) >= 4
+    assert t.read().count() == 54  # live data intact post-vacuum
+    t.restore_snapshot("s")
+    assert t.read().count() == 50  # snapshot state reproduced exactly

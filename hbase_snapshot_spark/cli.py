@@ -29,6 +29,9 @@ Commands (reference analogue in parens):
   copytable <base> <src> <dst>                            (Driver copytable)
   rowcounter <base> <table>                               (Driver rowcounter)
   completebulkload <base> <table> <prepared_dir>          (Driver completebulkload)
+  query <base> "<sql>"                                    (shell scan generalized:
+                                                           every table is a view,
+                                                           raw cells as <name>_cells)
 """
 
 from __future__ import annotations
@@ -208,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "completebulkload":
         v = store(args[0]).table(args[1]).adopt_segment(args[2])
         print(f"committed v{v}")
+    elif cmd == "query":
+        # ad-hoc SQL over every table's resolved view (+ _cells raw
+        # streams) — the shell's scan generalized to full SQL
+        store(args[0]).register_sql_views()
+        for row in spark.sql(args[1]).collect():
+            print("\t".join("" if v is None else str(v) for v in row))
     else:
         print(f"unknown command: {cmd}", file=sys.stderr)
         return 2

@@ -412,7 +412,11 @@ class AvroServer:
 
     class _Cursor:
         def __init__(self, df):
-            self._it = df.orderBy("row", "family", "qualifier").toLocalIterator()
+            # full KeyValue order incl. newest-version-first within a
+            # qualifier (multi-version scanners must emit newest first)
+            self._it = df.orderBy(
+                "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
+            ).toLocalIterator()
             self._pushback = None
 
         def next_rows(self, n: int) -> list:

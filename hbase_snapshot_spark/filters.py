@@ -564,12 +564,12 @@ class FilterList(Filter):
             return out
 
         # MUST_PASS_ONE
-        if any(p.stream_transform or p.post for p in parts):
+        if any(p.post for p in parts):
             raise NotImplementedError(
-                "FilterList OR over pagination/stream filters is not supported"
+                "FilterList OR over pagination/post filters is not supported"
             )
-        pure = [p.cell_pred for p in parts if p.cell_pred is not None and not (p.row_keep or p.row_drop)]
-        rowish = [p for p in parts if p.row_keep or p.row_drop]
+        pure = [p.cell_pred for p in parts if p.cell_pred is not None and not (p.row_keep or p.row_drop or p.stream_transform)]
+        rowish = [p for p in parts if p.row_keep or p.row_drop or p.stream_transform]
         if not rowish:
             pred = pure[0]
             for p in pure[1:]:
@@ -583,6 +583,13 @@ class FilterList(Filter):
             for p in rowish:
                 if p.row_keep:
                     frames.append(p.row_keep(stream))
+                elif p.stream_transform:
+                    # a stream-cutting child (WhileMatch) contributes the
+                    # rows that survive its cut — OR = union of each
+                    # child's kept rows, same as the row_keep branch
+                    frames.append(
+                        p.stream_transform(stream).select("row").distinct()
+                    )
                 else:
                     all_rows = stream.select("row").distinct()
                     frames.append(all_rows.join(p.row_drop(stream), on="row", how="left_anti"))

@@ -371,6 +371,14 @@ def duplicate_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # silently-wrong clusters are worse than a loud failure: a chain
+        # longer than max_iter hops would exit split — callers can raise
+        # max_iter (rounds needed = component diameter)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} iterations; "
+            "increase max_iter (one round per hop of component diameter)"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

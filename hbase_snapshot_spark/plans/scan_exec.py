@@ -50,23 +50,28 @@ def run_scan(cells: DataFrame, scan) -> DataFrame:
     # ---- stage 2: the masked "filter slot" stream
     stream = mask(cells, spec)
 
-    # ---- stages 3-4: filter hooks that run before version counting
+    # ---- stage 3: cell predicate (filterKeyValue SKIP path)
     if compiled is not None and compiled.cell_pred is not None:
         stream = stream.filter(compiled.cell_pred)
-    if compiled is not None and compiled.stream_transform is not None:
-        stream = compiled.stream_transform(stream)
 
-    # row-level hooks consume the stream a second (and third) time for
-    # their row-key sets; persist it so the mask shuffle runs once
-    # instead of relying on plan-level exchange reuse (MEMORY_AND_DISK:
-    # spills rather than recomputes at scale)
+    # stream transforms (DependentColumn's stamp join, WhileMatch's
+    # first-failing-cell cut) and row-level hooks all consume the stream
+    # more than once; persist it so the mask shuffle runs once instead
+    # of relying on plan-level exchange reuse (MEMORY_AND_DISK: spills
+    # rather than recomputes at scale)
     multi_use = compiled is not None and (
-        compiled.row_keep is not None or compiled.row_drop is not None
+        compiled.stream_transform is not None
+        or compiled.row_keep is not None
+        or compiled.row_drop is not None
     )
     if multi_use:
         from pyspark import StorageLevel
 
         stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- stage 4: stream transforms (per-row/cell counting filters)
+    if compiled is not None and compiled.stream_transform is not None:
+        stream = compiled.stream_transform(stream)
 
     # ---- stages 5-6
     out = project_columns(stream, spec)

@@ -72,11 +72,15 @@ def _cells_json(df, limit=None):
     return [_cell_dict(r) for r in rows], truncated, next_start
 
 
-def _make_scan(q: dict, maxv: int) -> Scan:
+def _make_scan(q: dict, maxv: int, binary: bool = False) -> Scan:
     """Scanner spec from URL params — the RowSpec/ScannerModel surface:
     start/stop/limit/v/ts_min/ts_max plus filter params (prefix,
     rowregex, valuesubstr, colprefix — the filters
-    rest/TestScannersWithFilters exercises), AND-composed."""
+    rest/TestScannersWithFilters exercises), AND-composed.
+
+    Binary tables: start/stop are base64-encoded (matching the base64
+    ``next_start`` cursor the truncation response returns, so a cursor
+    can be passed straight back); string filter params are rejected."""
     from hbase_snapshot_spark.filters import (
         ColumnPrefixFilter,
         CompareOp,
@@ -87,6 +91,22 @@ def _make_scan(q: dict, maxv: int) -> Scan:
         SubstringComparator,
         ValueFilter,
     )
+
+    if binary:
+        unsupported = {"prefix", "rowregex", "valuesubstr", "colprefix"} & set(q)
+        if unsupported:
+            raise ValueError(
+                f"string filter params {sorted(unsupported)} are not "
+                "supported on binary tables"
+            )
+        tr = None
+        if "ts_min" in q or "ts_max" in q:
+            tr = (int(q.get("ts_min", 0)), int(q.get("ts_max", 1 << 62)))
+        dec = lambda k: base64.b64decode(q[k]) if k in q else None  # noqa: E731
+        return Scan(
+            start_row=dec("start"), stop_row=dec("stop"),
+            max_versions=maxv, time_range=tr,
+        )
 
     flts = []
     if "prefix" in q:
@@ -172,7 +192,7 @@ class _Handler(BaseHTTPRequestHandler):
                         self.end_headers()
                         return None
                     return self._send(200, {"cells": cells})
-                scan = _make_scan(q, maxv)
+                scan = _make_scan(q, maxv, binary=table.manifest()["binary"])
                 limit = int(q.get("limit", 1000))
                 cells, truncated, next_start = _cells_json(
                     table.client().scan(scan), limit
@@ -211,7 +231,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(400, {"error": "POST /<table>/scanner"})
             table = self.store.table(parts[0])
             maxv = int(q["v"]) if "v" in q else 1
-            df = table.client().scan(_make_scan(q, maxv))
+            df = table.client().scan(
+                _make_scan(q, maxv, binary=table.manifest()["binary"])
+            )
             sid = str(next(self._scanner_seq))
             self.scanners[sid] = _Scanner(df)
             return self._send(201, {"scanner_id": sid})

@@ -224,28 +224,40 @@ def multi_table_write(
     cells_with_table: DataFrame, store, now=None, staging_dir: str | None = None
 ) -> dict[str, int]:
     """mapreduce/MultiTableOutputFormat.java:163 — a cell stream carrying
-    a ``table`` column is routed to many tables in ONE pass: the stream
-    is written once, partitioned by table, into a staging directory,
-    then each table adopts its partition as a segment (metadata-only
-    move, LoadIncrementalHFiles-style).  The input plan executes exactly
-    once regardless of table count — N tables never means N scans."""
+    a ``table`` column is routed to many tables in ONE compute pass: the
+    stream is written once, partitioned by table, into a staging
+    directory; each table then appends its own partition (reading only
+    that slice's files).  The input plan executes exactly once
+    regardless of table count — N tables never means N scans.
+
+    The per-table attach goes through ``append_cells`` (not a raw
+    segment adoption) so each batch gets that table's commit-seq stamp —
+    preserving the "newer store file wins" (ts, seq) tie-break against
+    earlier and later commits — and READONLY descriptors are enforced.
+    Cost: one extra IO pass over the routed data (staging + segment),
+    never a recompute of the input."""
     import os
     import shutil
     import tempfile
 
     staging = staging_dir or tempfile.mkdtemp(prefix="multi_table_write_")
-    df = cells_with_table
-    if "seq" not in df.columns:
-        df = df.withColumn("seq", F.lit(0).cast("long"))
-    df.write.mode("overwrite").partitionBy("table").parquet(staging)
+    spark = cells_with_table.sparkSession
+    # a caller-provided seq column is preserved (replication-style
+    # routing); otherwise append_cells stamps each table's commit seq
+    cells_with_table.write.mode("overwrite").partitionBy("table").parquet(staging)
+    names = [
+        d.split("=", 1)[1]
+        for d in sorted(os.listdir(staging))
+        if d.startswith("table=")
+    ]
+    # fail BEFORE committing anywhere if any destination is read-only
+    tables = {name: store.table(name) for name in names}
+    for t in tables.values():
+        t._check_writable(t.manifest())
     versions = {}
-    for d in sorted(os.listdir(staging)):
-        if not d.startswith("table="):
-            continue
-        name = d.split("=", 1)[1]
-        versions[name] = store.table(name).adopt_segment(
-            os.path.join(staging, d), move=True
-        )
+    for name in names:
+        slice_df = spark.read.parquet(os.path.join(staging, f"table={name}"))
+        versions[name] = tables[name].append_cells(slice_df)
     shutil.rmtree(staging, ignore_errors=True)
     return versions
 

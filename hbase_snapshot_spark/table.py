@@ -372,7 +372,10 @@ class StoredTable:
                 ]
             for family, qualifier, ts, typ, value in cells:
                 if typ == KeyType.DELETE and ts is None:
-                    ts = latest_map.get((mut.row, family, qualifier))
+                    ts = latest_map.get((
+                        self._hashable(mut.row), self._hashable(family),
+                        self._hashable(qualifier),
+                    ))
                     if ts is None:
                         continue  # nothing to delete
                 rows.append((
@@ -405,6 +408,13 @@ class StoredTable:
         ).collect()
         return out[0] if out else None
 
+    @staticmethod
+    def _hashable(v):
+        # binary tables collect BinaryType as bytearray (unhashable);
+        # normalize both the requested keys and the collected cells so
+        # bytes-keyed lookups match
+        return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+
     def _latest_ts_map(self, keys) -> dict:
         """One-job latest-ts lookup for a set of (row, family, qualifier)
         keys: resolve all touched rows at max_versions=1 and pick the
@@ -412,16 +422,17 @@ class StoredTable:
         batch, so they are driver-sized by construction)."""
         if not keys:
             return {}
-        rows = list({r for (r, _f, _q) in keys})
+        h = self._hashable
+        rows = list({h(r) for (r, _f, _q) in keys})
         vis = resolve(
             self.cells().filter(F.col("row").isin(rows)),
             spec=ResolveSpec(max_versions=1),
         )
-        wanted = set(keys)
+        wanted = {(h(r), h(f), h(q)) for (r, f, q) in keys}
         return {
-            (c.row, c.family, c.qualifier): c.ts
+            (h(c.row), h(c.family), h(c.qualifier)): c.ts
             for c in vis.collect()
-            if (c.row, c.family, c.qualifier) in wanted
+            if (h(c.row), h(c.family), h(c.qualifier)) in wanted
         }
 
     def _latest_ts(self, row, family, qualifier):

@@ -322,7 +322,11 @@ class ThriftServer:
 
     class _Cursor:
         def __init__(self, df):
-            self._it = df.orderBy("row", "family", "qualifier").toLocalIterator()
+            # full KeyValue order incl. newest-version-first within a
+            # qualifier (multi-version scanners must emit newest first)
+            self._it = df.orderBy(
+                "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
+            ).toLocalIterator()
             self._pushback = None
 
         def next_rows(self, n: int) -> list[TRowResult]:
@@ -342,7 +346,9 @@ class ThriftServer:
                         self._pushback = c
                         return out
                 cur_row = c.row
-                cols[f"{c.family}:{c.qualifier}"] = TCell(c.value, c.ts)
+                # newest-first iteration: keep the first (latest) cell
+                # per column — TRowResult's map holds one TCell
+                cols.setdefault(f"{c.family}:{c.qualifier}", TCell(c.value, c.ts))
             if cur_row is not None:
                 out.append(TRowResult(cur_row, cols))
             return out

@@ -383,3 +383,14 @@ def test_filter_list_with_while_match_inner(grid):
         ("ra", "f", "q0", 20), ("ra", "g", "q0", 10),
         ("rb", "f", "q0", 20), ("rb", "g", "q0", 10),
     }
+
+
+def test_filter_list_or_with_while_match(grid):
+    # OR of a cell-level WhileMatch (stream cut) with a row filter:
+    # union of each child's surviving rows
+    f = FilterList(FilterList.MUST_PASS_ONE, [
+        WhileMatchFilter(RowFilter(CompareOp.LESS, BinaryComparator("rb"))),
+        PrefixFilter("rd"),
+    ])
+    out = grid.scan(Scan(filter=f))
+    assert rows_of(out) == {"ra", "rd"}

@@ -167,3 +167,23 @@ def test_ann_bucket_joins_are_hash_joins(spark):
     plan = plan_of(ivf, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_while_match_stream_is_persisted(spark, stored):
+    # the cell-level WhileMatch cut consumes the masked stream twice
+    # (first-failing-cell aggregate + the cut join); the scan pipeline
+    # must persist the stream so the mask shuffle runs once
+    from hbase_snapshot_spark.client import Scan, Table
+    from hbase_snapshot_spark.filters import (
+        BinaryComparator,
+        CompareOp,
+        ValueFilter,
+        WhileMatchFilter,
+    )
+
+    t = Table(stored)
+    df = t.scan(Scan(filter=WhileMatchFilter(
+        ValueFilter(CompareOp.NOT_EQUAL, BinaryComparator("v250"))
+    )))
+    plan = plan_of(df, "simple")
+    assert "InMemoryTableScan" in plan, plan

@@ -164,3 +164,41 @@ def test_rest_scanner_filters(rest):
     assert {c["row"] for c in body["cells"]} == {"fl0", "fl2"}
     code, body = _req(f"{rest}/t/scanner?prefix=fl&colprefix=na")
     assert {c["qualifier"] for c in body["cells"]} == {"name"}
+
+
+def test_rest_binary_scanner_base64_range(spark, tmp_path_factory):
+    # binary tables: scanner start/stop are base64 (same encoding as the
+    # truncation next_start cursor, so a cursor round-trips); string
+    # filter params are rejected
+    import base64
+
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("restbs") / "tables"))
+    t = store.create_table(
+        TableDescriptor("b").add_family(FamilyDescriptor("f")), binary=True
+    )
+    srv, port = serve(store)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        from hbase_snapshot_spark.table import Put
+
+        t.mutate([Put(b"r%d" % i).add("f", b"q", b"v%d" % i, ts=10)
+                  for i in range(6)])
+        b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+        code, body = _req(
+            f"{url}/b/scanner?start={b64(b'r1')}&stop={b64(b'r4')}"
+        )
+        assert code == 200
+        rows = [base64.b64decode(c["row"]) for c in body["cells"]]
+        assert rows == [b"r1", b"r2", b"r3"]
+        # truncation cursor round-trips through the same base64 contract
+        code, body = _req(f"{url}/b/scanner?limit=2")
+        assert body["truncated"] is True
+        code, body2 = _req(f"{url}/b/scanner?start={body['next_start']}&limit=100")
+        assert base64.b64decode(body2["cells"][0]["row"]) == b"r2"
+        # string filters rejected
+        code, _ = _req(f"{url}/b/scanner?prefix=r")
+        assert code == 400
+    finally:
+        srv.shutdown()

@@ -528,3 +528,20 @@ def test_incremental_compaction_snapshot_vacuum_safety(spark, tmp_path):
     assert t.read().count() == 54  # live data intact post-vacuum
     t.restore_snapshot("s")
     assert t.read().count() == 50  # snapshot state reproduced exactly
+
+
+def test_binary_table_latest_delete(spark, tmp_path):
+    # exact-latest delete on a BINARY table: the batched latest-ts
+    # lookup must handle bytes keys (collected as bytearray)
+    store = TableStore(spark, str(tmp_path / "bld"))
+    t = store.create_table(
+        TableDescriptor("b").add_family(FamilyDescriptor("f")), binary=True
+    )
+    t.mutate([Put(b"r1").add("f", b"q", b"v1", ts=10)])
+    t.mutate([Put(b"r1").add("f", b"q", b"v2", ts=20)])
+    t.mutate([Delete(b"r1").delete_column("f", b"q")])  # no ts = latest
+    from hbase_snapshot_spark.resolve import ResolveSpec
+
+    left = [(r.ts, bytes(r.value))
+            for r in t.read(spec=ResolveSpec(max_versions=None)).collect()]
+    assert left == [(10, b"v1")]

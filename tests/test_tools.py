@@ -246,3 +246,32 @@ def test_rowcol_bloom_bulk_load(spark, tmp_path):
     t.adopt_segment(out)
     assert "_rc" not in t.cells().columns
     assert t.cells().count() == 100
+
+
+def test_multi_table_write_seq_tiebreak_and_readonly(spark, tmp_path):
+    # two successive routed writes at the same (row,f,q,ts): the later
+    # one must win resolution ("newer store file wins" needs per-commit
+    # seq stamping through the staged path); READONLY still enforced
+    from hbase_snapshot_spark.model import cell_schema
+    from hbase_snapshot_spark.resolve import ResolveSpec
+    from hbase_snapshot_spark.sources.tools import multi_table_write
+
+    store = TableStore(spark, str(tmp_path / "mtsq"))
+    store.create_table(TableDescriptor("t1").add_family(FamilyDescriptor("f")))
+
+    def routed(value):
+        df = spark.createDataFrame(
+            [("r1", "f", "q", 10, 4, value)],
+            ["row", "family", "qualifier", "ts", "type", "value"],
+        )
+        return df.withColumn("table", F.lit("t1"))
+
+    multi_table_write(routed("old"), store)
+    multi_table_write(routed("new"), store)
+    got = store.table("t1").read(spec=ResolveSpec(max_versions=1)).collect()
+    assert [r.value for r in got] == ["new"]
+
+    ro_desc = TableDescriptor("ro", readonly=True).add_family(FamilyDescriptor("f"))
+    store.create_table(ro_desc)
+    with pytest.raises(PermissionError):
+        multi_table_write(routed("x").withColumn("table", F.lit("ro")), store)

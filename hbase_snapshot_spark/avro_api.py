@@ -410,41 +410,16 @@ class AvroServer:
 
     # ----------------------------------------------------- multi-row DML
 
-    class _Cursor:
-        def __init__(self, df):
-            # full KeyValue order incl. newest-version-first within a
-            # qualifier (multi-version scanners must emit newest first)
-            self._it = df.orderBy(
-                "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
-            ).toLocalIterator()
-            self._pushback = None
-
-        def next_rows(self, n: int) -> list:
-            out = []
-            cur_row, entries = None, []
-            while len(out) < n:
-                if self._pushback is not None:
-                    c, self._pushback = self._pushback, None
-                else:
-                    c = next(self._it, None)
-                if c is None:
-                    break
-                if cur_row is not None and c.row != cur_row:
-                    out.append(AResult(cur_row, entries))
-                    cur_row, entries = None, []
-                    if len(out) == n:
-                        self._pushback = c
-                        return out
-                cur_row = c.row
-                entries.append(AResultEntry(c.family, c.qualifier, c.value, c.ts))
-            if cur_row is not None:
-                out.append(AResult(cur_row, entries))
-            return out
+    @staticmethod
+    def _row_result(row_key, cells) -> AResult:
+        return AResult(row_key, [
+            AResultEntry(c.family, c.qualifier, c.value, c.ts) for c in cells
+        ])
 
     def scannerOpen(self, table, scan: AScan) -> int:  # noqa: N802
         """hbase.genavro scannerOpen (AvroServer scanner map + id)"""
         self._check_enabled(table)
-        from hbase_snapshot_spark.client import Scan
+        from hbase_snapshot_spark.client import RowCursor, Scan
 
         t = self._table(table)
         spec = _spec_from(scan.columns, scan.timestamp, scan.timerange,
@@ -455,7 +430,7 @@ class AvroServer:
             time_range=spec.time_range, max_versions=spec.max_versions,
         )
         sid = next(self._scanner_seq)
-        self._scanners[sid] = self._Cursor(t.client().scan(s))
+        self._scanners[sid] = RowCursor(t.client().scan(s), self._row_result)
         return sid
 
     def scannerGetRows(self, scannerId, numberOfRows) -> list[AResult]:  # noqa: N802,N803

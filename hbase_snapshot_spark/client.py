@@ -81,6 +81,48 @@ class Get:
     filter: Optional[Filter] = None
 
 
+class RowCursor:
+    """Server-side row-grouping cursor over a scanned cell DataFrame —
+    the ClientScanner paging contract shared by the Thrift and Avro
+    front-ends (scannerGetList / scannerGetRows): full KeyValue order
+    (row, family, qualifier asc; ts, seq desc so multi-version results
+    come newest-first), toLocalIterator so at most one partition is
+    driver-resident, rows assembled by consecutive grouping with a
+    pushback cell at page boundaries.
+
+    ``make_row(row_key, cells)`` builds the front-end's row model from
+    the ordered cell list."""
+
+    def __init__(self, df: DataFrame, make_row):
+        self._it = df.orderBy(
+            "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
+        ).toLocalIterator()
+        self._pushback = None
+        self._make_row = make_row
+
+    def next_rows(self, n: int) -> list:
+        out = []
+        cur_row, cells = None, []
+        while len(out) < n:
+            if self._pushback is not None:
+                c, self._pushback = self._pushback, None
+            else:
+                c = next(self._it, None)
+            if c is None:
+                break
+            if cur_row is not None and c.row != cur_row:
+                out.append(self._make_row(cur_row, cells))
+                cur_row, cells = None, []
+                if len(out) == n:
+                    self._pushback = c
+                    return out
+            cur_row = c.row
+            cells.append(c)
+        if cur_row is not None:
+            out.append(self._make_row(cur_row, cells))
+        return out
+
+
 class Table:
     """client/HTable.java — read surface over a cell DataFrame."""
 

@@ -320,43 +320,21 @@ class ThriftServer:
 
     # -------------------------------------------------------- scanners
 
-    class _Cursor:
-        def __init__(self, df):
-            # full KeyValue order incl. newest-version-first within a
-            # qualifier (multi-version scanners must emit newest first)
-            self._it = df.orderBy(
-                "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
-            ).toLocalIterator()
-            self._pushback = None
-
-        def next_rows(self, n: int) -> list[TRowResult]:
-            out = []
-            cur_row, cols = None, {}
-            while len(out) < n:
-                if self._pushback is not None:
-                    c, self._pushback = self._pushback, None
-                else:
-                    c = next(self._it, None)
-                if c is None:
-                    break
-                if cur_row is not None and c.row != cur_row:
-                    out.append(TRowResult(cur_row, cols))
-                    cur_row, cols = None, {}
-                    if len(out) == n:
-                        self._pushback = c
-                        return out
-                cur_row = c.row
-                # newest-first iteration: keep the first (latest) cell
-                # per column — TRowResult's map holds one TCell
-                cols.setdefault(f"{c.family}:{c.qualifier}", TCell(c.value, c.ts))
-            if cur_row is not None:
-                out.append(TRowResult(cur_row, cols))
-            return out
+    @staticmethod
+    def _row_result(row_key, cells) -> TRowResult:
+        # newest-first cell order: keep the first (latest) cell per
+        # column — TRowResult's map holds one TCell
+        cols: dict = {}
+        for c in cells:
+            cols.setdefault(f"{c.family}:{c.qualifier}", TCell(c.value, c.ts))
+        return TRowResult(row_key, cols)
 
     def _open(self, tableName, scan: Scan) -> int:
+        from hbase_snapshot_spark.client import RowCursor
+
         df = self._table(tableName).client().scan(scan)
         sid = next(self._scanner_seq)
-        self._scanners[sid] = self._Cursor(df)
+        self._scanners[sid] = RowCursor(df, self._row_result)
         return sid
 
     def scannerOpen(self, tableName, startRow, columns=None) -> int:  # noqa: N802,N803

@@ -394,3 +394,49 @@ def test_filter_list_or_with_while_match(grid):
     ])
     out = grid.scan(Scan(filter=f))
     assert rows_of(out) == {"ra", "rd"}
+
+
+def test_while_match_model_random(spark):
+    # adversarial model check of the boundary-cell cut: engine output ==
+    # a literal Python transcription of the reference loop (iterate the
+    # masked stream in KeyValue order, include until the first failing
+    # cell, then count versions) over randomized cell tables
+    import random
+
+    from hbase_snapshot_spark.resolve import ResolveSpec, mask
+
+    rng = random.Random(77)
+    for _trial in range(4):
+        rows = []
+        values = []
+        for r in range(6):
+            for fam in ("f", "g"):
+                for q in ("qa", "qb"):
+                    for ts in rng.sample([10, 20, 30], k=rng.randint(1, 3)):
+                        v = f"v{rng.randint(0, 6)}"
+                        values.append(v)
+                        rows.append(put(f"r{r}", fam, q, ts, v, seq=ts))
+        t = Table(cells_df(spark, rows))
+        target = rng.choice(values)
+
+        f = WhileMatchFilter(ValueFilter(CompareOp.NOT_EQUAL, BinaryComparator(target)))
+        got = {(r.row, r.family, r.qualifier, r.ts)
+               for r in t.scan(Scan(max_versions=1, filter=f)).collect()}
+
+        # model: masked stream in KeyValue order, cut at first failing
+        stream = mask(cells_df(spark, rows), ResolveSpec(max_versions=None)).collect()
+        ordered = sorted(stream, key=lambda c: (c.row, c.family, c.qualifier,
+                                                -c.ts, -c.seq))
+        surviving = []
+        for c in ordered:
+            if c.value == target:
+                break
+            surviving.append(c)
+        seen = set()
+        expected = set()
+        for c in surviving:  # newest-first within qualifier: first wins
+            k = (c.row, c.family, c.qualifier)
+            if k not in seen:
+                seen.add(k)
+                expected.add((c.row, c.family, c.qualifier, c.ts))
+        assert got == expected, (target, got ^ expected)

@@ -75,10 +75,15 @@ def model_resolve(cells, spec: ResolveSpec, model_pred=None):
         # the caller passes the model twin of spec.cell_filter
         if model_pred is not None and not model_pred(row, fam, qual, ts, val):
             continue
-        # qualifier projection (column tracker, after filter slot)
+        # qualifier projection (column tracker, after filter slot).
+        # A family selected via addFamily but without explicit columns
+        # means all columns of that family (familyMap.put(family, null))
         if spec.columns is not None:
             quals = spec.columns.get(fam)
-            if quals is None or qual not in quals:
+            if quals is None:
+                if spec.families is None or fam not in spec.families:
+                    continue
+            elif qual not in quals:
                 continue
         # version counting
         n = spec.max_versions if spec.max_versions is not None else 1 << 31
@@ -134,6 +139,9 @@ def _specs():
         (ResolveSpec(max_versions=1, time_range=(20, 41)), None),
         (ResolveSpec(max_versions=2, families=["f"]), None),
         (ResolveSpec(max_versions=None, columns={"f": ["q0", "q1"]}), None),
+        # mixed addFamily + addColumn: g fully, f only q0
+        (ResolveSpec(max_versions=1, families=["f", "g"],
+                     columns={"f": ["q0"]}), None),
         (ResolveSpec(max_versions=2, family_max_versions={"f": 1, "g": 3}), None),
         (ResolveSpec(max_versions=None, family_ttl={"f": 10}, now=25_000), None),
     ]

@@ -134,6 +134,11 @@ class Compiled:
     post: Optional[Callable[[DataFrame], DataFrame]] = None       # resolved -> resolved
     # optional row-range hint for scan pruning: (start_inclusive, stop_exclusive)
     range_hint: Optional[tuple] = None
+    # stream_transform is row-semantic (WhileMatch's cut): the rows in
+    # its output ARE the filter's row verdict, so an OR may union them.
+    # Per-row cell-counting transforms (pagination family) keep cells of
+    # every row and must NOT be row-unioned.
+    row_cut: bool = False
 
 
 _KV_ORDER = lambda: (  # noqa: E731 — KeyValue total order within a row
@@ -197,7 +202,14 @@ class PrefixFilter(Filter):
         p = self.prefix
         end = bytes_util.prefix_end(p.encode() if isinstance(p, str) else p)
         if isinstance(p, str) and end is not None:
-            end = end.decode("utf-8", errors="surrogateescape")
+            try:
+                end = end.decode("utf-8")
+            except UnicodeDecodeError:
+                # incrementing the last byte can leave invalid UTF-8
+                # (e.g. 'a\x7f' -> b'a\x80'); a lone-surrogate stop key
+                # would crash py4j's lit() — drop the stop hint, the
+                # startswith predicate alone stays correct
+                end = None
         return Compiled(
             cell_pred=_startswith(F.col("row"), p),
             range_hint=(p, end),
@@ -484,7 +496,7 @@ class WhileMatchFilter(Filter):
                     .drop("_stop")
                 )
 
-            return Compiled(stream_transform=cut)
+            return Compiled(stream_transform=cut, row_cut=True)
         if inner_c.row_keep is not None:
             # WhileMatch(PageFilter(n)) — the PerformanceEvaluation
             # filterScan shape (:805-808): page limit already yields the
@@ -564,12 +576,20 @@ class FilterList(Filter):
             return out
 
         # MUST_PASS_ONE
-        if any(p.post for p in parts):
+        if any(p.post or (p.stream_transform and not p.row_cut) for p in parts):
+            # a per-row cell-counting transform (pagination family) keeps
+            # cells of EVERY row, so row-unioning it would degenerate the
+            # OR to keep-everything — reject loudly, as documented
             raise NotImplementedError(
-                "FilterList OR over pagination/post filters is not supported"
+                "FilterList OR over pagination/stream-counting filters is "
+                "not supported"
             )
         pure = [p.cell_pred for p in parts if p.cell_pred is not None and not (p.row_keep or p.row_drop or p.stream_transform)]
         rowish = [p for p in parts if p.row_keep or p.row_drop or p.stream_transform]
+        if not pure and not rowish:
+            raise ValueError(
+                "FilterList MUST_PASS_ONE needs at least one usable child"
+            )
         if not rowish:
             pred = pure[0]
             for p in pure[1:]:

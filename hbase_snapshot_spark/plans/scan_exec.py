@@ -67,6 +67,10 @@ def run_scan(cells: DataFrame, scan) -> DataFrame:
     if multi_use:
         from pyspark import StorageLevel
 
+        # not explicitly unpersisted: the result is lazy, so there is no
+        # safe point to release it here; cached blocks are bounded by
+        # the storage fraction and evicted LRU, which is the intended
+        # behavior for repeated scans of the same table (block cache)
         stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- stage 4: stream transforms (per-row/cell counting filters)

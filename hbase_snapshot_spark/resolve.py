@@ -77,15 +77,23 @@ def _effective_max_versions(spec: ResolveSpec) -> Column | None:
 
 def _ttl_predicate(spec: ResolveSpec) -> Column | None:
     """ts >= now - family.ttl*1000 — ScanQueryMatcher.isExpired (:151-154).
-    Applied to tombstones too (expiry is checked before delete tracking)."""
-    bounded = {f: t for f, t in spec.family_ttl.items() if t < FOREVER}
+    Applied to tombstones too (expiry is checked before delete tracking).
+
+    Only families the scan actually reads matter (a TTL on an unscanned
+    family must not affect the read); ``now`` defaults to wall clock like
+    the reference — inject it for deterministic tests (DIVERGENCES)."""
+    bounded = {
+        f: t for f, t in spec.family_ttl.items()
+        if t < FOREVER and (spec.families is None or f in spec.families)
+    }
     if not bounded:
         return None
-    if spec.now is None:
-        raise ValueError("family_ttl requires an explicit `now` (ms) for determinism")
+    import time as _time
+
+    now = spec.now if spec.now is not None else int(_time.time() * 1000)
     pred = None
     for fam, ttl_s in bounded.items():
-        cutoff = spec.now - ttl_s * 1000
+        cutoff = now - ttl_s * 1000
         p = (F.col("family") != F.lit(fam)) | (F.col("ts") >= F.lit(cutoff))
         pred = p if pred is None else (pred & p)
     return pred
@@ -238,6 +246,18 @@ def resolved_to_rows(visible: DataFrame, binary: bool = False) -> DataFrame:
     HBase performs region-locally — range-partitioned input keeps it
     skew-free.
     """
+    # duplicate (row,f,q,ts) cells (same-ts rewrites, distinct seq) must
+    # collapse to the newer-seq value before the map build — TreeMap.put
+    # overwrite semantics in Result.getMap; map_from_entries would throw
+    # on duplicate keys
+    w = Window.partitionBy("row", "family", "qualifier", "ts").orderBy(
+        F.col("seq").desc()
+    )
+    visible = (
+        visible.withColumn("_dup", F.row_number().over(w))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
+    )
     by_qual = visible.groupBy("row", "family", "qualifier").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("ts").alias("k"), F.col("value").alias("v")))

@@ -440,3 +440,26 @@ def test_while_match_model_random(spark):
                 seen.add(k)
                 expected.add((c.row, c.family, c.qualifier, c.ts))
         assert got == expected, (target, got ^ expected)
+
+
+def test_filter_list_or_rejects_pagination(grid):
+    # OR over a per-row cell-counting filter would degenerate to
+    # keep-everything; it must raise, per the documented contract
+    f = FilterList(FilterList.MUST_PASS_ONE, [
+        ColumnPaginationFilter(1, 0),
+        RowFilter(CompareOp.EQUAL, BinaryComparator("ra")),
+    ])
+    with pytest.raises(NotImplementedError):
+        grid.scan(Scan(filter=f))
+    with pytest.raises(ValueError):
+        FilterList(FilterList.MUST_PASS_ONE, []).compile()
+
+
+def test_prefix_filter_non_utf8_increment(grid):
+    # a prefix whose last byte increments into invalid UTF-8 must not
+    # produce a lone-surrogate stop key (crashes lit()); the hint is
+    # dropped, the predicate still applies
+    out = grid.scan(Scan(filter=PrefixFilter("a\x7f")))
+    assert out.count() == 0  # no such rows; the point is it runs
+    out = grid.scan(Scan(filter=PrefixFilter("r")))
+    assert rows_of(out) == {"ra", "rb", "rc", "rd"}

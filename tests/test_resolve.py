@@ -265,3 +265,31 @@ def test_keep_tombstones_minor_compaction(spark):
     out = resolve(df, spec=ResolveSpec(max_versions=None, keep_tombstones=True))
     types = sorted(r.type for r in out.collect())
     assert types == [4, 12]  # surviving put + kept tombstone
+
+
+def test_resolved_to_rows_duplicate_ts(spark):
+    # same (row,f,q,ts) rewritten with a newer seq: the nested-map
+    # materialization collapses to the newer value (TreeMap.put
+    # overwrite) instead of crashing on duplicate map keys
+    from hbase_snapshot_spark.resolve import resolved_to_rows
+
+    df = cells_df(spark, [
+        put("r1", "f", "q", 10, "old", seq=1),
+        put("r1", "f", "q", 10, "new", seq=2),
+    ])
+    vis = resolve(df, max_versions=None)
+    rows = resolved_to_rows(vis).collect()
+    assert rows[0].families["f"]["q"] == {10: "new"}
+
+
+def test_ttl_on_unscanned_family_ignored(spark):
+    # a bounded TTL on family 'a' must not affect (or block) a scan that
+    # only reads family 'b' — and no injected `now` is needed for it
+    df = cells_df(spark, [
+        put("r1", "a", "q", 10, "expired"),
+        put("r1", "b", "q", 10, "kept"),
+    ])
+    out = resolve(df, spec=ResolveSpec(
+        max_versions=1, families=["b"], family_ttl={"a": 60}
+    ))
+    assert visible_set(out) == {("r1", "b", "q", 10, "kept")}

@@ -60,8 +60,45 @@ WHERE rn = 1
 """
 
 
-def dedup_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
-    return f"WITH {_shingle_cte(n)}, {_jaccard_core(threshold)}"
+def dedup_jaccard_sql(
+    n: int = 3, threshold: float = 0.5, df_max: int | None = 5000
+) -> str:
+    """SQL twin of dedup.jaccard_pairs INCLUDING its default hub-shingle
+    guard: candidate pairs come only from shingles with document
+    frequency <= df_max, while the intersection count runs over the full
+    shingle sets (reported jaccard stays exact) — keeping both sides in
+    lock-step at every scale, not just where no shingle is hot."""
+    if df_max is None:
+        return f"WITH {_shingle_cte(n)}, {_jaccard_core(threshold)}"
+    return f"""
+WITH {_shingle_cte(n)},
+exg AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc
+    FROM ex) t
+  WHERE dfc <= {df_max}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM exg a JOIN exg b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.a_id
+  JOIN ex b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id AS a, b_id AS b,
+         round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a_id
+  JOIN sz sb ON sb.doc_id = b_id
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
 
 
 def minhash_signature_sql(n: int = 3, num_hashes: int = 8) -> str:

@@ -55,13 +55,23 @@ def melt(
 
 def unmelt(cells: DataFrame, columns: dict[tuple[str, str], str]) -> DataFrame:
     """Resolved cell stream → relational row view (the Result.getMap
-    materialization narrowed to named columns).  One groupBy(row)."""
+    materialization narrowed to named columns).  One groupBy(row).
+
+    Multi-version inputs pick the NEWEST version per column (max_by on
+    (ts, seq) — Result.getValue returns the latest), not the
+    lexicographically greatest value."""
+    seq = F.col("seq") if "seq" in cells.columns else F.lit(0)
+    ts_seq = F.struct(F.col("ts"), seq.alias("seq"))
     aggs = [
-        F.max(
+        F.max_by(
             F.when(
                 (F.col("family") == fam) & (F.col("qualifier") == qual),
                 F.col("value"),
-            )
+            ),
+            F.when(
+                (F.col("family") == fam) & (F.col("qualifier") == qual),
+                ts_seq,
+            ),
         ).alias(out)
         for (fam, qual), out in columns.items()
     ]
@@ -245,18 +255,23 @@ def multi_table_write(
     # a caller-provided seq column is preserved (replication-style
     # routing); otherwise append_cells stamps each table's commit seq
     cells_with_table.write.mode("overwrite").partitionBy("table").parquet(staging)
-    names = [
-        d.split("=", 1)[1]
+    from urllib.parse import unquote
+
+    # partition directory names are Hive/URI-escaped by Spark
+    # (e.g. 'a b' → 'table=a%20b'); unescape to recover table names but
+    # keep the raw directory for the slice read
+    dirs = {
+        unquote(d.split("=", 1)[1]): d
         for d in sorted(os.listdir(staging))
         if d.startswith("table=")
-    ]
+    }
     # fail BEFORE committing anywhere if any destination is read-only
-    tables = {name: store.table(name) for name in names}
+    tables = {name: store.table(name) for name in dirs}
     for t in tables.values():
         t._check_writable(t.manifest())
     versions = {}
-    for name in names:
-        slice_df = spark.read.parquet(os.path.join(staging, f"table={name}"))
+    for name in sorted(dirs):
+        slice_df = spark.read.parquet(os.path.join(staging, dirs[name]))
         versions[name] = tables[name].append_cells(slice_df)
     shutil.rmtree(staging, ignore_errors=True)
     return versions

@@ -31,11 +31,16 @@ from hbase_snapshot_spark.model import cell_schema
 
 
 def cell_stream(spark: SparkSession, table_dir: str, binary: bool = False) -> DataFrame:
-    """readStream over a stored table's edit-log segments."""
+    """readStream over a stored table's WAL segments ONLY (the
+    ``seg-*-wal-*`` names written by mutate/append_cells).  Compaction
+    rewrites and adopted bulk segments are excluded on purpose: a
+    compaction re-files existing edits (re-shipping would double the
+    peer per compaction), and bulk loads bypass the WAL in the reference
+    too — HBase famously does not replicate bulk-loaded HFiles."""
     return (
         spark.readStream.schema(cell_schema(binary=binary))
         .option("maxFilesPerTrigger", 64)
-        .parquet(f"{table_dir}/segments/*")
+        .parquet(f"{table_dir}/segments/seg-*-wal-*")
     )
 
 
@@ -72,9 +77,16 @@ def replicate(
         out = batch_df
         if dedupe:
             key = ["row", "family", "qualifier", "ts", "type", "seq"]
-            out = out.dropDuplicates(key).join(
-                dst_table.cells().select(*key), on=key, how="left_anti"
-            )
+            # eqNullSafe on every key column: tombstones carry NULL
+            # qualifiers (DeleteFamily), and NULL = NULL is NULL under
+            # plain equality — a family tombstone would never match its
+            # already-delivered copy and re-append forever
+            existing = dst_table.cells().select(*key)
+            cond = None
+            for k in key:
+                c = out[k].eqNullSafe(existing[k])
+                cond = c if cond is None else cond & c
+            out = out.dropDuplicates(key).join(existing, on=cond, how="left_anti")
         # ReplicationSink.replicateEntries: apply preserving ts (and seq,
         # so duplicate-ts resolution order survives replication)
         if not out.isEmpty():

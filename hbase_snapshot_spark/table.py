@@ -281,11 +281,22 @@ class StoredTable:
         self.read(spec=spec, version=version).createOrReplaceTempView(view_name)
 
     def read(self, spec: ResolveSpec | None = None, version: int | None = None) -> DataFrame:
-        spec = spec or ResolveSpec(max_versions=None)
+        """Resolved view under the table descriptor: per-family
+        maxVersions AND TTLs apply (TTL `now` = wall clock unless the
+        caller's spec injects one — same contract as scans).  The
+        caller's spec is never mutated; caller-set family caps compose
+        with the descriptor's (min wins, Store.versionsToReturn)."""
+        from dataclasses import replace
+
+        spec = replace(spec) if spec is not None else ResolveSpec(max_versions=None)
         desc = self.descriptor
-        spec.family_max_versions = {
-            f.name: f.max_versions for f in desc.families.values()
-        }
+        eff_versions = {f.name: f.max_versions for f in desc.families.values()}
+        for fam, n in (spec.family_max_versions or {}).items():
+            eff_versions[fam] = min(n, eff_versions.get(fam, n))
+        spec.family_max_versions = eff_versions
+        eff_ttl = {f.name: f.ttl for f in desc.families.values()}
+        eff_ttl.update(spec.family_ttl or {})  # caller override wins
+        spec.family_ttl = eff_ttl
         return resolve(self.cells(version), spec=spec)
 
     # ---------------------------------------------------------- writes
@@ -304,7 +315,7 @@ class StoredTable:
         commit_seq = m["commit_seq"] + 1
         if "seq" not in df.columns:
             df = df.withColumn("seq", F.lit(commit_seq << _SEQ_SHIFT).cast("long"))
-        seg = f"seg-{commit_seq:06d}-{uuid.uuid4().hex[:8]}"
+        seg = f"seg-{commit_seq:06d}-wal-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self.dir, "segments", seg))
         m2 = dict(m)
         m2["version"] = m["version"] + 1
@@ -323,6 +334,7 @@ class StoredTable:
         table — metadata-only (copy/move + manifest commit; no
         region-boundary re-splitting needed, there are no fixed regions)."""
         m = self.manifest()
+        self._check_writable(m)
         commit_seq = m["commit_seq"] + 1
         seg = f"seg-{commit_seq:06d}-adopted-{uuid.uuid4().hex[:8]}"
         dst = os.path.join(self.dir, "segments", seg)
@@ -360,6 +372,10 @@ class StoredTable:
             if typ == KeyType.DELETE and ts is None
         }
         latest_map = self._latest_ts_map(latest_needed) if latest_needed else {}
+        # "latest" is resolved at APPLY time in the reference (a server-
+        # side get per Delete), so a Put earlier in the same batch is
+        # visible to a later latest-delete — track in-batch puts too
+        in_batch_put_ts: dict = {}
         rows = []
         ordinal = 0
         for mut in mutations:
@@ -371,18 +387,38 @@ class StoredTable:
                     for fam in desc.families
                 ]
             for family, qualifier, ts, typ, value in cells:
+                key = (
+                    self._hashable(mut.row), self._hashable(family),
+                    self._hashable(qualifier),
+                )
                 if typ == KeyType.DELETE and ts is None:
-                    ts = latest_map.get((
-                        self._hashable(mut.row), self._hashable(family),
-                        self._hashable(qualifier),
-                    ))
+                    stored = latest_map.get(key)
+                    batched = in_batch_put_ts.get(key)
+                    if batched is not None and (stored is None or batched >= stored):
+                        ts = batched  # in-batch put is the latest (newer seq)
+                    else:
+                        ts = stored
                     if ts is None:
                         continue  # nothing to delete
+                if typ == KeyType.PUT:
+                    eff = ts if ts is not None else now
+                    prev = in_batch_put_ts.get(key)
+                    if prev is None or eff >= prev:
+                        in_batch_put_ts[key] = eff
                 rows.append((
                     mut.row, family, qualifier,
                     ts if ts is not None else now, typ, ordinal, value,
                 ))
                 ordinal += 1
+        if ordinal >= (1 << _SEQ_SHIFT):
+            # seq = commit_seq << 20 | ordinal: a larger batch would
+            # overflow into the next commit's seq range and corrupt the
+            # newer-commit-wins tie-break — route bulk ingest through
+            # append_cells/bulk_load instead
+            raise ValueError(
+                f"mutation batch too large ({ordinal} cells >= 2^{_SEQ_SHIFT}); "
+                "use append_cells/bulk_load for bulk ingest"
+            )
         if not rows:
             return self._head_version()
         m = self.manifest()
@@ -393,7 +429,7 @@ class StoredTable:
             (r, f, q, ts, t, base_seq + o, v) for (r, f, q, ts, t, o, v) in rows
         ]
         df = self.spark.createDataFrame(rows, schema=cell_schema(binary=m["binary"]))
-        seg = f"seg-{commit_seq:06d}-{uuid.uuid4().hex[:8]}"
+        seg = f"seg-{commit_seq:06d}-wal-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self.dir, "segments", seg))
         m2 = dict(m)
         m2["version"] = m["version"] + 1
@@ -401,10 +437,14 @@ class StoredTable:
         m2["commit_seq"] = commit_seq
         return self._commit(m2)
 
+    def _family_ttls(self) -> dict:
+        return {f.name: f.ttl for f in self.descriptor.families.values()}
+
     def _latest_cell(self, row, family, qualifier):
         out = resolve(
             self.cells().filter(F.col("row") == F.lit(row)),
-            spec=ResolveSpec(max_versions=1, columns={family: [qualifier]}),
+            spec=ResolveSpec(max_versions=1, columns={family: [qualifier]},
+                             family_ttl=self._family_ttls()),
         ).collect()
         return out[0] if out else None
 
@@ -426,7 +466,7 @@ class StoredTable:
         rows = list({h(r) for (r, _f, _q) in keys})
         vis = resolve(
             self.cells().filter(F.col("row").isin(rows)),
-            spec=ResolveSpec(max_versions=1),
+            spec=ResolveSpec(max_versions=1, family_ttl=self._family_ttls()),
         )
         wanted = {(h(r), h(f), h(q)) for (r, f, q) in keys}
         return {

@@ -214,3 +214,30 @@ def test_windowed_counts_streaming_late_data_dropped(spark, tmp_path):
     # hour-0 window finalized with the TWO on-time events only — the
     # 00:20 straggler was behind the watermark and never counted
     assert finalized == {(0, 2)}
+
+
+def test_replication_family_tombstone_idempotent(spark, stores, tmp_path):
+    # whole-row deletes ship DeleteFamily cells with NULL qualifiers;
+    # the idempotent sink must null-safely match them on re-delivery
+    src, dst = stores
+    src.mutate([Put("r1").add("f", "q", "v", ts=10)])
+    src.mutate([Delete("r1")])
+    replicate(spark, src, dst, str(tmp_path / "f1"), once=True, dedupe=True)
+    n1 = dst.cells().count()
+    replicate(spark, src, dst, str(tmp_path / "f2"), once=True, dedupe=True)
+    assert dst.cells().count() == n1  # tombstones converge too
+    assert dst.read().count() == 0
+
+
+def test_replication_skips_compaction_rewrites(spark, stores, tmp_path):
+    # a compaction re-files existing edits; the WAL tail must not
+    # re-ship them (and bulk-adopted segments bypass the WAL, like the
+    # reference's bulk-loaded HFiles)
+    src, dst = stores
+    for k in range(4):
+        src.mutate([Put(f"r{k}").add("f", "q", str(k), ts=10)])
+    replicate(spark, src, dst, str(tmp_path / "ckpt"), once=True)
+    n1 = dst.cells().count()
+    src.compact()  # full rewrite into a -compact- segment
+    replicate(spark, src, dst, str(tmp_path / "ckpt"), once=True)
+    assert dst.cells().count() == n1  # nothing new shipped

@@ -545,3 +545,51 @@ def test_binary_table_latest_delete(spark, tmp_path):
     left = [(r.ts, bytes(r.value))
             for r in t.read(spec=ResolveSpec(max_versions=None)).collect()]
     assert left == [(10, b"v1")]
+
+
+def test_read_path_applies_family_ttl(spark, tmp_path):
+    # descriptor TTLs must gate the DataFrame/SQL read path too, not
+    # only client scans; `now` injectable through the spec
+    from hbase_snapshot_spark.resolve import ResolveSpec
+
+    store = TableStore(spark, str(tmp_path / "ttlr"))
+    t = store.create_table(
+        TableDescriptor("t").add_family(FamilyDescriptor("f", ttl=60))
+    )
+    t.mutate([Put("r1").add("f", "q", "stale", ts=1_000)])
+    t.mutate([Put("r2").add("f", "q", "fresh", ts=90_000)])
+    out = t.read(spec=ResolveSpec(max_versions=None, now=100_000))
+    assert {r.value for r in out.collect()} == {"fresh"}
+    # caller's spec is not mutated
+    spec = ResolveSpec(max_versions=None, now=100_000)
+    t.read(spec=spec)
+    assert spec.family_ttl == {}
+
+
+def test_mutate_batch_put_then_latest_delete(spark, tmp_path):
+    # "latest" resolves at apply time: a Put earlier in the SAME batch
+    # is the latest version a following latest-delete targets
+    store = TableStore(spark, str(tmp_path / "ibl"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    t.mutate([Put("r").add("f", "q", "old", ts=10)])
+    t.mutate([
+        Put("r").add("f", "q", "new", ts=50),
+        Delete("r").delete_column("f", "q"),  # must target ts=50
+    ])
+    got = {(r.ts, r.value) for r in t.read().collect()}
+    assert got == {(10, "old")}
+
+
+def test_adopt_segment_respects_readonly(spark, tmp_path):
+    from hbase_snapshot_spark.sources.tools import bulk_load
+    from tests.cells import cells_df, put as mkput
+
+    cells = cells_df(spark, [mkput("r1", "f", "q", 10, "v")])
+    prepared = str(tmp_path / "prep")
+    bulk_load(cells, prepared, num_partitions=1)
+    store = TableStore(spark, str(tmp_path / "ro"))
+    store.create_table(
+        TableDescriptor("t", readonly=True).add_family(FamilyDescriptor("f"))
+    )
+    with pytest.raises(PermissionError):
+        store.table("t").adopt_segment(prepared)

@@ -275,3 +275,31 @@ def test_multi_table_write_seq_tiebreak_and_readonly(spark, tmp_path):
     store.create_table(ro_desc)
     with pytest.raises(PermissionError):
         multi_table_write(routed("x").withColumn("table", F.lit("ro")), store)
+
+
+def test_unmelt_multi_version_newest_wins(spark):
+    # multi-version input: unmelt picks the newest (ts, seq) value, not
+    # the lexicographically greatest
+    from hbase_snapshot_spark.sources.tools import unmelt
+
+    cells = cells_df(spark, [
+        put("r1", "f", "q", 1, "b"),   # older but lexicographically larger
+        put("r1", "f", "q", 2, "a"),
+    ])
+    out = unmelt(cells, {("f", "q"): "col"}).collect()
+    assert [(r.row, r.col) for r in out] == [("r1", "a")]
+
+
+def test_multi_table_write_escaped_names(spark, tmp_path):
+    # table names with URI-escapable characters survive partition-dir
+    # round-tripping ('a b' → 'table=a%20b')
+    from hbase_snapshot_spark.sources.tools import multi_table_write
+
+    store = TableStore(spark, str(tmp_path / "esc"))
+    store.create_table(TableDescriptor("a b").add_family(FamilyDescriptor("f")))
+    routed = cells_df(spark, [put("r1", "f", "q", 10, "v")]).withColumn(
+        "table", F.lit("a b")
+    )
+    versions = multi_table_write(routed, store)
+    assert versions == {"a b": 1}
+    assert store.table("a b").read().count() == 1

@@ -268,7 +268,9 @@ def main() -> int:
                         break  # throttle window: don't double down
                 timings[name] = best
             except Exception as ex:  # noqa: BLE001
-                timings[name] = None
+                # keep a successful earlier attempt's timing — a crash
+                # on attempt 2 must not discard attempt 1's measurement
+                timings[name] = best
                 print(f"# {name} FAILED: {ex}", file=sys.stderr)
                 if name == "bulk_write":
                     break  # later workloads need the table

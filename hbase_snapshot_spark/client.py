@@ -133,13 +133,24 @@ class Table:
         self.now = now
 
     def _apply_descriptor(self, scan: Scan) -> Scan:
+        """compose the descriptor's family caps with the caller's Scan
+        on a COPY — the caller's Scan object is never mutated (reusing
+        one Scan across tables must not leak one table's caps into the
+        next): effective maxVersions = min(user, descriptor); a
+        user-set family TTL overrides the descriptor's."""
+        import copy
+
+        scan = copy.copy(scan)
         if self.descriptor is not None:
-            scan.family_max_versions = {
+            eff_v = {
                 f.name: f.max_versions for f in self.descriptor.families.values()
             }
-            scan.family_ttl = {
-                f.name: f.ttl for f in self.descriptor.families.values()
-            }
+            for fam, n in (scan.family_max_versions or {}).items():
+                eff_v[fam] = min(n, eff_v.get(fam, n))
+            scan.family_max_versions = eff_v
+            eff_t = {f.name: f.ttl for f in self.descriptor.families.values()}
+            eff_t.update(scan.family_ttl or {})
+            scan.family_ttl = eff_t
             if scan.now is None:
                 scan.now = self.now
         return scan

@@ -8,9 +8,16 @@ Spark lacks a native as-of join; the naive formulation (range-condition
 join) degenerates to a per-key sort-merge with duplicate explosion.
 This implementation uses the union + last_value window trick:
 tag and union both sides, sort within key by (ts, side), and carry the
-most recent right-side values forward with ``last(..., ignorenulls)`` —
+most recent right-side ROW forward with ``last(struct, ignorenulls)`` —
 ONE shuffle on the key, no range join, no explosion; skew only if a
-single key dominates (then salt the key upstream)."""
+single key dominates (then salt the key upstream).
+
+The carried payload is a single struct, not per-column fills: carrying
+columns independently would stitch values from DIFFERENT right rows
+together whenever a newer right row has a NULL in one column (the older
+row's value would leak through ignorenulls).  Ties among right rows at
+the same (key, ts) break deterministically toward the greatest carried
+struct, so repeated runs (and the DuckDB ASOF oracle) agree."""
 
 from __future__ import annotations
 
@@ -36,29 +43,34 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
 
-    lhs = left.withColumn("_side", F.lit(1))
+    lhs = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(
+        "struct<" + ",".join(
+            [f"`{on}`:" + dict(right.dtypes)[on]]
+            + [f"`{c}`:" + dict(right.dtypes)[c] for c in right_cols]
+        ) + ">"
+    ))
     rhs = right.select(
-        *by, on, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+        *by,
+        F.col(on),
+        F.struct(F.col(on), *[F.col(c) for c in right_cols]).alias("_r"),
     ).withColumn("_side", F.lit(0))
-
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
-    rhs = rhs.withColumn(f"{on}{suffix}", F.col(on))
     for c in left.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None))
-    for c in carried:
-        if c not in lhs.columns:
-            lhs = lhs.withColumn(c, F.lit(None))
 
     unioned = lhs.unionByName(rhs.select(lhs.columns))
     # right rows sort before left rows at equal ts (_side asc) so a right
-    # row AT the left row's ts is visible to it — "at or before"
+    # row AT the left row's ts is visible to it — "at or before".  The
+    # trailing _r ordering makes same-(key, ts) right-row ties
+    # deterministic: the greatest struct is the one last() carries.
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in carried:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    filled = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    out = out.withColumn(f"{on}{suffix}", F.col(f"_r.{on}"))
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_r.{c}"))
+    return out.drop("_side", "_r")

@@ -21,10 +21,16 @@ from hbase_snapshot_spark.functions import cosine, word_tokens, hex4_to_int
 
 def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
     """hash-groupBy exact dedup: keep the smallest id per key; adds
-    ``dup_count``.  One shuffle on the (hashed) key."""
+    ``dup_count``.  One shuffle on the (hashed) key.
+
+    NULL keys are never duplicates of each other (md5(NULL) is NULL and
+    a window would lump every NULL-key row into ONE group, silently
+    dropping all but one unrelated document) — each gets a unique
+    sentinel key."""
     w = Window.partitionBy("_key").orderBy(F.col(id_col).asc())
+    null_sentinel = F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
     return (
-        df.withColumn("_key", F.md5(key))
+        df.withColumn("_key", F.coalesce(F.md5(key), null_sentinel))
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("_key")))
         .filter(F.col("_rn") == 1)
@@ -240,20 +246,28 @@ def simhash_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """near-dup via SimHash: pigeonhole on the two 8-bit halves (pairs
-    within hamming ≤ max_hamming < 8 must agree on at least one half →
-    candidates come from two equi-joins, not all-pairs), then exact
-    hamming distance filter."""
+    """near-dup via SimHash: pigeonhole on ``max_hamming + 1`` blocks of
+    the 16-bit fingerprint — with at most max_hamming differing bits,
+    at least one of max_hamming+1 disjoint blocks is identical (two
+    halves would ONLY be complete for max_hamming ≤ 1: hamming 2-3 can
+    straddle both halves).  Candidates come from one equi-join per
+    block, never all-pairs; exact hamming filter verifies."""
+    n_blocks = max_hamming + 1
+    if n_blocks > 16:
+        raise ValueError("max_hamming must be < 16 for 16-bit fingerprints")
+    bounds = [round(i * 16 / n_blocks) for i in range(n_blocks + 1)]
     fp = simhash(df, id_col, text_col)
-    halves = fp.select(
-        id_col,
-        "simhash",
-        (F.col("simhash") % 256).alias("lo"),
-        F.floor(F.col("simhash") / 256).alias("hi"),
-    )
-    x, y = halves.alias("x"), halves.alias("y")
+    block_cols = []
+    blocked = fp
+    for i in range(n_blocks):
+        lo, hi = bounds[i], bounds[i + 1]
+        width = hi - lo
+        col = (F.floor(F.col("simhash") / (1 << lo)) % (1 << width))
+        blocked = blocked.withColumn(f"blk{i}", col)
+        block_cols.append(f"blk{i}")
+    x, y = blocked.alias("x"), blocked.alias("y")
     cands = None
-    for part in ("lo", "hi"):
+    for part in block_cols:
         c = (
             x.join(y, on=F.col(f"x.{part}") == F.col(f"y.{part}"))
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))

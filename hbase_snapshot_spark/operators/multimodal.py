@@ -116,11 +116,13 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
             payloads = pdf["payload"]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "width": payloads.map(lambda b: len(b) % 512),
-                "height": payloads.map(lambda b: len(b) % 384),
+                "width": payloads.map(
+                    lambda b: len(b) % 512 if b is not None else None),
+                "height": payloads.map(
+                    lambda b: len(b) % 384 if b is not None else None),
                 "channels": 3,
                 "mean_intensity": payloads.map(
-                    lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
+                    lambda b: round(sum(b) / len(b), 4) if b else 0.0
                 ),
             })
 
@@ -165,7 +167,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                 "frame": [
                     hashlib.md5(
                         bytes(p) + int(i).to_bytes(4, "big")
-                    ).digest()
+                    ).digest() if p is not None else None
                     for p, i in zip(pdf["payload"], pdf["frame_idx"])
                 ],
             })
@@ -203,7 +205,7 @@ def resize_images(
                 "payload": [
                     hashlib.md5(
                         bytes(p) + width.to_bytes(2, "big") + height.to_bytes(2, "big")
-                    ).digest()
+                    ).digest() if p is not None else None
                     for p in pdf["payload"]
                 ],
             })
@@ -239,12 +241,13 @@ def extract_audio_features(
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "sample_rate": target_rate,
-                "n_samples": payloads.map(len),
+                "n_samples": payloads.map(
+                    lambda b: len(b) if b is not None else None),
                 "rms": payloads.map(
                     lambda b: round((sum(x * x for x in b) / len(b)) ** 0.5, 4)
-                    if len(b) else 0.0
+                    if b else 0.0
                 ),
-                "peak": payloads.map(lambda b: max(b) if len(b) else 0),
+                "peak": payloads.map(lambda b: max(b) if b else 0),
             })
 
     return media.mapInPandas(run, schema=_AUDIO_SCHEMA)

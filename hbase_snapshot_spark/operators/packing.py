@@ -30,7 +30,20 @@ def pack_sequences(
 
     One window shuffle on the group key; within a group the cumulative
     sum is a single pass in ``order_col`` order.
+
+    ``by=None`` computes ONE global sequence — every row funnels through
+    a single task (Spark's no-partition window).  That is occasionally
+    what you want for a small final corpus, never for a large one: at
+    scale always pass a group key (language, shard, source).
     """
+    if by is None:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(by=None) runs the cumulative sum in a single "
+            "task; pass a group key for large inputs",
+            stacklevel=2,
+        )
     keys = [by] if by else []
     w = (
         Window.partitionBy(*keys)

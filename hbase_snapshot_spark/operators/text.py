@@ -25,7 +25,7 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 #: BPE-ish token pattern: word pieces or single non-space symbols
-TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"  # whitespace is neither a token nor punctuation
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
@@ -73,7 +73,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .otherwise(F.lit(0.0)), 4),
         "punct_ratio": F.round(
             F.when(F.length(t) > 0,
-                   F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")) / F.length(t))
+                   F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")) / F.length(t))
             .otherwise(F.lit(0.0)), 4),
         "stopword_hits_en": stopword_hits(t, STOPWORDS["en"]),
     })
@@ -92,7 +92,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     sw_ok = F.when(sw >= 2, F.lit(1.0)).otherwise(sw.cast("double") / 2)
     punct = F.when(
         F.length(t) > 0,
-        F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")) / F.length(t),
+        F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")) / F.length(t),
     ).otherwise(F.lit(0.0))
     punct_ok = F.when(punct <= 0.2, F.lit(1.0)).otherwise(
         F.greatest(F.lit(0.0), 1.0 - (punct - 0.2) * 2)

@@ -463,3 +463,18 @@ def test_prefix_filter_non_utf8_increment(grid):
     assert out.count() == 0  # no such rows; the point is it runs
     out = grid.scan(Scan(filter=PrefixFilter("r")))
     assert rows_of(out) == {"ra", "rb", "rc", "rd"}
+
+
+def test_scan_object_not_mutated_across_tables(spark):
+    # reusing one Scan object across tables must not leak descriptor
+    # caps between them
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+
+    cells = cells_df(spark, [put("r1", "f", "q", t, f"v{t}") for t in (1, 2, 3)])
+    desc = TableDescriptor("t").add_family(FamilyDescriptor("f", max_versions=1))
+    with_desc = Table(cells, descriptor=desc)
+    bare = Table(cells)
+    s = Scan(max_versions=None)
+    assert with_desc.scan(s).count() == 1   # descriptor cap applies
+    assert s.family_max_versions == {}      # caller's Scan untouched
+    assert bare.scan(s).count() == 3        # no leak into the next table

@@ -467,3 +467,63 @@ def test_jaccard_pairs_matches_bruteforce(spark):
             for r in dedup.jaccard_pairs(sh, threshold=0.2).collect()
         }
         assert got == expected
+
+
+def test_asof_join_null_not_torn(spark):
+    # the carried right row is atomic: a newer right row with a NULL
+    # value must NOT inherit an older row's value through the fill
+    from hbase_snapshot_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], ["user_id", "ts", "value"]
+    )
+    left = spark.createDataFrame([(1, 30, 9.9)], ["user_id", "ts", "value"])
+    out = asof_join(left, right, on="ts", by=["user_id"]).collect()
+    assert [(r.ts_right, r.value_right) for r in out] == [(20, None)]
+
+
+def test_simhash_pairs_straddling_halves(spark):
+    # hamming-2 pair whose differing bits straddle both 8-bit halves:
+    # the old two-half pigeonhole missed it; max_hamming+1 blocks cannot
+    import pandas as pd  # noqa: F401
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d2", "y")], ["doc_id", "text"]
+    )
+    # patch simhash to return fingerprints differing in bit 0 and bit 15
+    fp = spark.createDataFrame(
+        [("d1", 0b1000000000000001), ("d2", 0b0000000000000000)],
+        ["doc_id", "simhash"],
+    )
+    with mock.patch.object(dedup, "simhash", return_value=fp):
+        out = dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    assert [(r.a, r.b, r.hamming) for r in out] == [("d1", "d2", 2)]
+
+
+def test_exact_dedup_null_keys_not_grouped(spark):
+    # NULL-key documents are never duplicates of each other
+    df = spark.createDataFrame(
+        [("d1", None), ("d2", None), ("d3", "same"), ("d4", "same")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.dup_count
+           for r in dedup.exact_dedup(df, F.col("text")).collect()}
+    assert out == {"d1": 1, "d2": 1, "d3": 2}
+
+
+def test_multimodal_null_payload(spark):
+    # NULL payloads flow through every fake kernel as NULL stats, not
+    # executor crashes (MEDIA_SCHEMA declares payload nullable)
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=None,
+             meta=Row(mime=None, width=None, height=None,
+                      sample_rate=None, duration_ms=1000))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.decode_images(media, fake=True).first().width is None
+    assert multimodal.resize_images(media, fake=True).first().payload is None
+    assert multimodal.extract_audio_features(media, fake=True).first().n_samples is None
+    assert multimodal.sample_frames(media, fake=True).first().frame is None

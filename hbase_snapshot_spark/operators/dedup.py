@@ -148,6 +148,60 @@ def minhash_signature(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _banded_long(df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """minhash signature → long-format LSH band buckets
+    (id, band_id, bh) — the ONE band-hash construction shared by
+    within-corpus and cross-corpus candidate generation."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws(
+            "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        )).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select(id_col, *band_cols).select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band_id", "b.bh")
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """exact-Jaccard verification restricted to candidate pairs only —
+    the LSH point.  Two plain equi-joins fetch both shingle sets, then
+    |A∩B| is a JVM-side array_intersect: no exploded self-join, no
+    chance of a nested-loop plan, candidate set stays broadcastable.
+    ``sets_a``/``sets_b`` carry (a_col|b_col, shingles)."""
+    joined = (
+        cand.join(sets_a.withColumnsRenamed({"shingles": "sh_a"}), on=a_col)
+        .join(sets_b.withColumnsRenamed({"shingles": "sh_b"}), on=b_col)
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold).select(
+        a_col, b_col, "jaccard"
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -159,24 +213,7 @@ def minhash_dup_pairs(
     num_hashes/bands rows; docs agreeing on ANY full band are
     candidates (bucket equi-join); candidates verified with exact
     Jaccard ≥ threshold.  The scale path for near-dup at 100 TB."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, num_hashes)
-    band_cols = [
-        F.md5(F.concat_ws(
-            "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        )).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(id_col, *band_cols)
-    bands_long = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("b"),
-    ).select(id_col, "b.band_id", "b.bh")
+    bands_long = _banded_long(df, id_col, num_hashes, bands)
     x, y = bands_long.alias("x"), bands_long.alias("y")
     cand = (
         x.join(y, on=["band_id", "bh"])
@@ -186,27 +223,13 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
-    # exact-Jaccard verification restricted to the candidate pairs only —
-    # the LSH point.  Two plain equi-joins fetch both shingle sets, then
-    # |A∩B| is a JVM-side array_intersect: no exploded self-join, no
-    # chance of a nested-loop plan, candidate set stays broadcastable.
     sets = df.select(F.col(id_col), F.col("shingles"))
-    joined = (
-        cand.join(
-            sets.withColumnsRenamed({id_col: "a", "shingles": "sh_a"}), on="a"
-        )
-        .join(sets.withColumnsRenamed({id_col: "b", "shingles": "sh_b"}), on="b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-                6,
-            ),
-        )
+    return _verify_jaccard(
+        cand,
+        sets.withColumnsRenamed({id_col: "a"}),
+        sets.withColumnsRenamed({id_col: "b"}),
+        threshold,
     )
-    return joined.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 # ---------------------------------------------------------------- simhash
@@ -433,7 +456,8 @@ def cross_corpus_overlap(
     training set × evaluation set) — the train/test-overlap check every
     serious training pipeline runs before shipping a dataset.
 
-    Same LSH shape as minhash_dup_pairs but the band-bucket join is
+    Same LSH shape as minhash_dup_pairs — shared ``_banded_long`` /
+    ``_verify_jaccard`` construction — but the band-bucket join is
     across corpora (A-side × B-side, never within a side), so the
     candidate count scales with true cross-overlap, not corpus size.
     Inputs must already carry a ``shingles`` column (with_shingles).
@@ -441,41 +465,13 @@ def cross_corpus_overlap(
     Output: (a_id, b_id, jaccard) with exact verified jaccard ≥
     threshold; a_id from corpus_a, b_id from corpus_b.
     """
-    rows_per_band = num_hashes // bands
-
-    def banded(df):
-        sig = minhash_signature(df, id_col, num_hashes)
-        cols = [
-            F.md5(F.concat_ws(
-                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-            )).alias(f"band{b}")
-            for b in range(bands)
-        ]
-        wide = sig.select(id_col, *cols)
-        return wide.select(
-            id_col,
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])).alias("s"),
-        ).select(id_col, "s.band_id", "s.bh")
-
-    a = banded(corpus_a).withColumnsRenamed({id_col: "a_id"})
-    b = banded(corpus_b).withColumnsRenamed({id_col: "b_id"})
-    cand = a.join(b, on=["band_id", "bh"]).select("a_id", "b_id").distinct()
-    sa = corpus_a.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sh_a"))
-    sb = corpus_b.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b"))
-    return (
-        cand.join(sa, on="a_id")
-        .join(sb, on="b_id")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+    a = _banded_long(corpus_a, id_col, num_hashes, bands).withColumnsRenamed(
+        {id_col: "a_id"}
     )
+    b = _banded_long(corpus_b, id_col, num_hashes, bands).withColumnsRenamed(
+        {id_col: "b_id"}
+    )
+    cand = a.join(b, on=["band_id", "bh"]).select("a_id", "b_id").distinct()
+    sa = corpus_a.select(F.col(id_col).alias("a_id"), "shingles")
+    sb = corpus_b.select(F.col(id_col).alias("b_id"), "shingles")
+    return _verify_jaccard(cand, sa, sb, threshold, a_col="a_id", b_col="b_id")

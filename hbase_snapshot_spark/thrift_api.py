@@ -118,6 +118,7 @@ class ThriftServer:
         self.store = store
         self._scanners: dict[int, object] = {}
         self._scanner_seq = itertools.count(1)
+        self._disabled: set = set()
 
     # ------------------------------------------------------------ admin
 
@@ -165,11 +166,47 @@ class ThriftServer:
             for f in t.descriptor.families.values()
         }
 
-    def _table(self, tableName):  # noqa: N803
+    def _table(self, tableName, check_enabled: bool = True):  # noqa: N803
+        if check_enabled and tableName in self._disabled:
+            raise IOError_(f"table {tableName} is disabled")
         try:
             return self.store.table(tableName)
         except Exception as ex:  # noqa: BLE001
             raise IOError_(str(ex)) from ex
+
+    def enableTable(self, tableName) -> None:  # noqa: N802,N803
+        """Hbase.thrift enableTable:155 — gateway-level access gate
+        (there is no regionserver assignment to toggle)."""
+        self._table(tableName, check_enabled=False)
+        self._disabled.discard(tableName)
+
+    def disableTable(self, tableName) -> None:  # noqa: N802,N803
+        """Hbase.thrift disableTable:164"""
+        self._table(tableName, check_enabled=False)
+        self._disabled.add(tableName)
+
+    def isTableEnabled(self, tableName) -> bool:  # noqa: N802,N803
+        """Hbase.thrift isTableEnabled:172"""
+        self._table(tableName, check_enabled=False)
+        return tableName not in self._disabled
+
+    def compact(self, tableNameOrRegionName) -> None:  # noqa: N802,N803
+        """Hbase.thrift compact:177 (no regions — table granularity)"""
+        self._table(tableNameOrRegionName, check_enabled=False).compact()
+
+    def majorCompact(self, tableNameOrRegionName) -> None:  # noqa: N802,N803
+        """Hbase.thrift majorCompact:180"""
+        self._table(tableNameOrRegionName, check_enabled=False).compact(major=True)
+
+    def getTableRegions(self, tableName) -> list[dict]:  # noqa: N802,N803
+        """Hbase.thrift getTableRegions:206 — the table is one logical
+        region (partitioning is dynamic per scan); one TRegionInfo-shaped
+        row covering the full key space."""
+        t = self._table(tableName, check_enabled=False)
+        return [{
+            "startKey": "", "endKey": "", "id": 0,
+            "name": f"{tableName},,0", "version": t.manifest()["version"],
+        }]
 
     # ----------------------------------------------------------- reads
 
@@ -315,8 +352,17 @@ class ThriftServer:
         self._table(tableName).mutate([d])
 
     def deleteAllRow(self, tableName, row) -> None:  # noqa: N802
-        """Hbase.thrift deleteAllRow:477 — whole-row delete."""
+        """Hbase.thrift deleteAllRow:487 — whole-row delete."""
         self._table(tableName).mutate([Delete(row)])
+
+    def deleteAllRowTs(self, tableName, row, timestamp) -> None:  # noqa: N802
+        """Hbase.thrift deleteAllRowTs:499 — whole-row delete of
+        versions <= timestamp (DeleteFamily at ts per family)."""
+        t = self._table(tableName)
+        d = Delete(row)
+        for fam in t.descriptor.families:
+            d.delete_family(fam, ts=timestamp)
+        t.mutate([d])
 
     # -------------------------------------------------------- scanners
 

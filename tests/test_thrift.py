@@ -127,3 +127,28 @@ def test_table_scanners(handler):
     sid = h.scannerOpenTs("tableA", "", None, 100)
     assert [r.row for r in h.scannerGetList(sid, 100)] == ["rowA", "rowB"]
     h.scannerClose(sid)
+
+
+def test_admin_enable_disable_compact_regions(handler):
+    h = _loaded(handler)
+    assert h.isTableEnabled("tableA")
+    h.disableTable("tableA")
+    assert not h.isTableEnabled("tableA")
+    with pytest.raises(IOError_):
+        h.getRow("tableA", "rowA")
+    h.enableTable("tableA")
+    assert h.getRow("tableA", "rowA")
+
+    h.compact("tableA")
+    h.majorCompact("tableA")
+    assert h.getRow("tableA", "rowA")  # data intact through compactions
+    regions = h.getTableRegions("tableA")
+    assert len(regions) == 1 and regions[0]["startKey"] == ""
+
+
+def test_delete_all_row_ts(handler):
+    h = _loaded(handler)
+    h.mutateRowTs("tableA", "rowA", [Mutation("columnA:a", "late")], timestamp=500)
+    h.deleteAllRowTs("tableA", "rowA", 200)  # wipes ts<=200, keeps 500
+    rows = h.getRow("tableA", "rowA")
+    assert [c.value for c in rows[0].columns.values()] == ["late"]

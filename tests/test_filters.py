@@ -478,3 +478,32 @@ def test_scan_object_not_mutated_across_tables(spark):
     assert with_desc.scan(s).count() == 1   # descriptor cap applies
     assert s.family_max_versions == {}      # caller's Scan untouched
     assert bare.scan(s).count() == 3        # no leak into the next table
+
+
+def test_row_cursor_paging_invariant(spark):
+    # RowCursor: any page-size sequence yields the same rows in the same
+    # order as one big fetch; rows never split across pages
+    import random
+
+    from hbase_snapshot_spark.client import RowCursor
+
+    cells = cells_df(spark, [
+        put(f"r{i:02d}", "f", f"q{j}", 10 + v, f"x{v}")
+        for i in range(7) for j in range(2) for v in range(2)
+    ])
+
+    def make_row(row_key, cs):
+        return (row_key, tuple((c.family, c.qualifier, c.ts) for c in cs))
+
+    full = RowCursor(cells, make_row).next_rows(1000)
+    rng = random.Random(5)
+    for _ in range(3):
+        cur = RowCursor(cells, make_row)
+        paged = []
+        while True:
+            page = cur.next_rows(rng.randint(1, 4))
+            if not page:
+                break
+            paged.extend(page)
+        assert paged == full
+    assert [r[0] for r in full] == [f"r{i:02d}" for i in range(7)]

@@ -527,3 +527,44 @@ def test_multimodal_null_payload(spark):
     assert multimodal.resize_images(media, fake=True).first().payload is None
     assert multimodal.extract_audio_features(media, fake=True).first().n_samples is None
     assert multimodal.sample_frames(media, fake=True).first().frame is None
+
+
+def test_jaccard_df_max_oracle_lockstep(spark, tmp_path):
+    # the df_max-guarded oracle SQL must agree with the engine on a
+    # corpus where the guard actually fires (a hub shingle shared by
+    # every doc) — this is what keeps CORRECTNESS green at scale factors
+    # where some shingle's document frequency crosses the cap
+    import duckdb
+
+    from hbase_snapshot_spark import oracle_ops
+
+    hub = "alpha beta gamma"
+    docs = [
+        ("d1", f"{hub} one two three"),
+        ("d2", f"{hub} one two four"),
+        ("d3", f"{hub} five six seven"),
+        ("d4", f"{hub} five six eight"),
+    ]
+    pdf_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(pdf_path)
+
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            dedup.with_shingles(
+                spark.createDataFrame(docs, ["doc_id", "text"]), n=3
+            ),
+            threshold=0.2, df_max=3,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdf_path}/*.parquet')"
+    )
+    want = {
+        (a, b): j
+        for a, b, j in con.sql(
+            oracle_ops.dedup_jaccard_sql(n=3, threshold=0.2, df_max=3)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

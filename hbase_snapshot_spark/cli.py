@@ -63,7 +63,11 @@ def _fq(s: str) -> tuple[str, str]:
 
 
 def _print_cells(df, limit=None):
-    it = df.orderBy("row", "family", "qualifier").toLocalIterator()
+    # full KeyValue order incl. newest-version-first so multi-version
+    # output (and --limit truncation) is deterministic across runs
+    it = df.orderBy(
+        "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
+    ).toLocalIterator()
     n = 0
     for r in it:
         print(f"{r.row}  column={r.family}:{r.qualifier}, timestamp={r.ts}, value={r.value}")
@@ -115,9 +119,12 @@ def main(argv: list[str] | None = None) -> int:
         store(base).table(name).mutate([Put(row).add(fam, qual, value, ts=ts)])
         print("ok")
     elif cmd == "get":
+        # shell get defaults to VERSIONS => 1 (get.rb); --versions N for more
         base, name, row, *rest = args
-        g = Get(row, max_versions=None)
-        if rest:
+        opts = dict(zip(rest[::2], rest[1::2])) if rest and rest[0].startswith("--") else {}
+        maxv = int(opts.get("--versions", 1)) if opts else 1
+        g = Get(row, max_versions=maxv if maxv > 0 else None)
+        if rest and not rest[0].startswith("--"):
             fam, qual = _fq(rest[0])
             g.columns = {fam: [qual]}
         _print_cells(store(base).table(name).client().get(g))
@@ -144,14 +151,25 @@ def main(argv: list[str] | None = None) -> int:
         fam, qual = _fq(fq)
         t = store(base).table(name)
         cur = t._latest_cell(row, fam, qual)
-        print(f"COUNTER VALUE = {int(cur.value) if cur is not None else 0}")
+        if cur is None:
+            val = 0
+        elif t.manifest()["binary"]:
+            # binary tables pack counters as 8-byte big-endian
+            from hbase_snapshot_spark import bytes_util
+
+            val = bytes_util.to_long(bytes(cur.value))
+        else:
+            val = int(cur.value)
+        print(f"COUNTER VALUE = {val}")
     elif cmd == "scan":
         base, name, *rest = args
         opts = dict(zip(rest[::2], rest[1::2]))
+        # shell scan defaults to VERSIONS => 1 (scan.rb); --versions N
+        maxv = int(opts.get("--versions", 1))
         s = Scan(
             start_row=opts.get("--start"),
             stop_row=opts.get("--stop"),
-            max_versions=None,
+            max_versions=maxv if maxv > 0 else None,
         )
         limit = int(opts["--limit"]) if "--limit" in opts else None
         _print_cells(store(base).table(name).client().scan(s), limit=limit)
@@ -199,14 +217,23 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "export":
         base, name, out, *rest = args
         versions = int(rest[rest.index("--versions") + 1]) if "--versions" in rest else 1
-        tools.export_table(store(base).table(name).cells(), out, max_versions=versions)
+        t = store(base).table(name)
+        tools.export_table(
+            t.cells(), out, max_versions=versions,
+            family_ttl=t._family_ttls(),
+            family_max_versions={
+                f.name: f.max_versions for f in t.descriptor.families.values()
+            },
+        )
         print("ok")
     elif cmd == "import":
         v = tools.import_cells(spark, args[2], store(args[0]).table(args[1]))
         print(f"committed v{v}")
     elif cmd == "copytable":
         st = store(args[0])
-        tools.copy_table(st.table(args[1]).cells(), st.table(args[2]))
+        src = st.table(args[1])
+        tools.copy_table(src.cells(), st.table(args[2]),
+                         family_ttl=src._family_ttls())
         print("ok")
     elif cmd == "completebulkload":
         v = store(args[0]).table(args[1]).adopt_segment(args[2])

@@ -15,9 +15,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: stand-in hashed for NULL keys — md5(NULL) is NULL, and a NULL
+#: fraction would silently DROP every null-keyed row at any rate (even
+#: 1.0).  All NULL-key rows share this sentinel, so they sample as one
+#: deterministic unit.  Mirrored in oracle_ops.hash_fraction_sql.
+NULL_KEY_SENTINEL = "<NULL>"
+
+
 def hash_fraction(key: Column) -> Column:
     """uniform [0,1) fraction from the first 8 hex chars of md5(key)"""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+    k = F.coalesce(key.cast("string"), F.lit(NULL_KEY_SENTINEL))
+    return F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast(
         "double"
     ) / float(1 << 32)
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_snapshot_spark.functions import cosine, hex4_to_int
+from hbase_snapshot_spark.functions import cosine
 
 
 def cosine_topk(
@@ -87,10 +87,22 @@ def ann_lsh_topk(
     score only same-bucket candidates.  Recall < 1 by design; tests
     measure it against cosine_topk."""
     planes = _srp_planes(dim, num_planes)
-    v = vectors.withColumn("bucket", srp_signature(F.col(vec_col), planes))
+
+    def checked_sig(col):
+        # a dim mismatch would NULL-pad zip_with, NULL the projections,
+        # and silently collapse EVERY vector into bucket 0 (turning the
+        # bucket join into a cross product) — fail loudly instead
+        return F.when(
+            F.size(col) == dim, srp_signature(col, planes)
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"ann_lsh_topk: embedding length != dim={dim} (got "),
+            F.size(col).cast("string"), F.lit(")"),
+        )))
+
+    v = vectors.withColumn("bucket", checked_sig(F.col(vec_col)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("bucket", srp_signature(F.col("qvec"), planes))
+    ).withColumn("bucket", checked_sig(F.col("qvec")))
     scored = v.join(F.broadcast(q), on="bucket").select(
         "query_id",
         F.col(id_col).alias("vec_id"),

@@ -466,10 +466,12 @@ FROM documents
 
 def hash_fraction_sql(key_expr: str) -> str:
     """DuckDB twin of sampling.hash_fraction: first 8 md5 hex chars →
-    uint32 via nibble arithmetic (no hex-cast needed), / 2^32"""
+    uint32 via nibble arithmetic (no hex-cast needed), / 2^32.
+    NULL keys share the sentinel, mirroring sampling.NULL_KEY_SENTINEL."""
+    keyed = f"coalesce(CAST({key_expr} AS VARCHAR), '<NULL>')"
     nib = (
         "(strpos('0123456789abcdef', "
-        f"substr(md5(CAST({key_expr} AS VARCHAR)), {{i}}, 1)) - 1)"
+        f"substr(md5({keyed}), {{i}}, 1)) - 1)"
     )
     terms = " + ".join(
         f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)

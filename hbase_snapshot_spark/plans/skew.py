@@ -12,11 +12,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def salted(df: DataFrame, key_cols: list[str], buckets: int = 16) -> DataFrame:
-    """add a deterministic salt derived from all columns (content hash),
-    spreading a hot key over ``buckets`` partitions"""
+def salted(df: DataFrame, buckets: int = 16) -> DataFrame:
+    """add a per-row salt spreading hot keys over ``buckets`` partitions.
+
+    The salt must vary WITHIN identical rows — duplicate rows of one hot
+    key are exactly the skew shape — so it derives from the physical row
+    position (monotonically_increasing_id), never a content hash (a
+    content hash gives every duplicate the same salt and spreads
+    nothing).  Aggregation results don't depend on salt values, only the
+    partial/final split does."""
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )
 
 
@@ -24,7 +30,7 @@ def salted_count(df: DataFrame, key_cols: list[str], buckets: int = 16) -> DataF
     """two-phase count: partial count per (key, salt) — map-side-combinable
     and skew-free — then final sum per key"""
     partial = (
-        salted(df, key_cols, buckets)
+        salted(df, buckets)
         .groupBy(*key_cols, "_salt")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

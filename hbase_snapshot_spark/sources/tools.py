@@ -108,11 +108,21 @@ def export_table(
     out_path: str,
     max_versions: int | None = 1,
     time_range: tuple[int, int] | None = None,
+    family_ttl: dict | None = None,
+    family_max_versions: dict | None = None,
 ) -> None:
     """mapreduce/Export.java:41-103 — resolved cells → parquet.
-    Args mirror the tool's (versions, startTime, endTime)."""
+    Args mirror the tool's (versions, startTime, endTime); pass the
+    table descriptor's TTL/version caps so the export contains exactly
+    what a scan would see (Export runs a server-side Scan — expired
+    cells never leave the server)."""
     resolve(
-        cells, spec=ResolveSpec(max_versions=max_versions, time_range=time_range)
+        cells,
+        spec=ResolveSpec(
+            max_versions=max_versions, time_range=time_range,
+            family_ttl=family_ttl or {},
+            family_max_versions=family_max_versions or {},
+        ),
     ).write.parquet(out_path)
 
 
@@ -126,10 +136,14 @@ def copy_table(
     dst_table,
     time_range: tuple[int, int] | None = None,
     families: list[str] | None = None,
+    family_ttl: dict | None = None,
 ) -> int:
     """mapreduce/CopyTable.java:56-81 — table→table copy with
-    --starttime/--endtime/--families; preserves versions & timestamps."""
-    spec = ResolveSpec(max_versions=None, time_range=time_range, families=families)
+    --starttime/--endtime/--families; preserves versions & timestamps.
+    Pass the source descriptor's TTLs so expired cells don't resurrect
+    in the copy (the tool's scan applies them server-side)."""
+    spec = ResolveSpec(max_versions=None, time_range=time_range,
+                       families=families, family_ttl=family_ttl or {})
     return dst_table.append_cells(resolve(src_cells, spec=spec))
 
 

@@ -69,6 +69,12 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently skipping everything would report a green
+        # gate that checked nothing
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -568,3 +568,25 @@ def test_jaccard_df_max_oracle_lockstep(spark, tmp_path):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_ann_lsh_dim_mismatch_raises(spark, vecs):
+    # a wrong dim would NULL the projections and collapse every vector
+    # into bucket 0 (bucket join -> cross product); it must raise instead
+    queries = vecs.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(Exception, match="embedding length"):
+        similarity.ann_lsh_topk(vecs, queries, k=3, num_planes=4, dim=99).collect()
+
+
+def test_sampling_null_keys_deterministic(spark):
+    # NULL keys sample as one deterministic unit via the shared sentinel
+    # (md5(NULL) would otherwise silently drop them at ANY rate)
+    from hbase_snapshot_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(None, "de"), (None, "de"), ("k1", "de")], ["id", "lang"]
+    )
+    kept = sampling.stratified_sample(df, F.col("id"), "lang", {"de": 1.0})
+    assert kept.count() == 3  # rate 1.0 keeps everything, NULL keys included

@@ -303,3 +303,39 @@ def test_multi_table_write_escaped_names(spark, tmp_path):
     versions = multi_table_write(routed, store)
     assert versions == {"a b": 1}
     assert store.table("a b").read().count() == 1
+
+
+def test_salted_spreads_duplicate_rows(spark):
+    # duplicates of a hot key are THE skew shape; the salt must vary
+    # within identical rows (a content hash would not spread them)
+    from hbase_snapshot_spark.plans.skew import salted
+
+    df = spark.createDataFrame([("hot",)] * 500, ["k"])
+    n_salts = salted(df, buckets=8).select("_salt").distinct().count()
+    assert n_salts > 1
+
+
+def test_export_applies_descriptor_ttl(spark, tmp_path):
+    # Export runs a server-side scan in the reference: expired cells
+    # never leave the server; the tool mirrors that when given the
+    # descriptor caps
+    from hbase_snapshot_spark.sources.tools import export_table
+
+    cells = cells_df(spark, [
+        put("r1", "f", "q", 1_000, "stale"),
+        put("r2", "f", "q", 90_000, "fresh"),
+    ])
+    out = str(tmp_path / "exp")
+    # ttl 60s, now=100_000ms → cutoff 40_000: r1 expired
+    from hbase_snapshot_spark.resolve import ResolveSpec, resolve  # noqa: F401
+
+    export_table(cells, out, max_versions=None, family_ttl={"f": 60})
+    # family_ttl without injected now uses wall clock; emulate via resolve
+    # check instead: export with explicit spec-equivalent
+    got = {r.value for r in spark.read.parquet(out).collect()}
+    # wall-clock now >> 90_000ms epoch — both cells are 'expired' relative
+    # to wall clock, so assert the mechanism instead with a huge ttl
+    out2 = str(tmp_path / "exp2")
+    export_table(cells, out2, max_versions=None, family_ttl={"f": 1 << 40})
+    got2 = {r.value for r in spark.read.parquet(out2).collect()}
+    assert got == set() and got2 == {"stale", "fresh"}

@@ -475,3 +475,34 @@ def cross_corpus_overlap(
     sa = corpus_a.select(F.col(id_col).alias("a_id"), "shingles")
     sb = corpus_b.select(F.col(id_col).alias("b_id"), "shingles")
     return _verify_jaccard(cand, sa, sb, threshold, a_col="a_id", b_col="b_id")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/eval split that cannot leak near-duplicates across sides:
+    documents are clustered (LSH pairs → connected components) and the
+    WHOLE cluster is assigned to one side by a deterministic hash of its
+    canonical id — the split every careful pretraining pipeline needs
+    (a random per-document split puts one copy of a near-dup pair in
+    train and the other in eval, silently inflating eval scores).
+
+    Adds ``split`` ('train' | 'test'); deterministic across runs,
+    engines, and cluster sizes (md5-fraction on cluster_id)."""
+    from hbase_snapshot_spark.operators.sampling import hash_fraction
+
+    pairs = minhash_dup_pairs(
+        with_shingles(df, n=n), id_col=id_col,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    clusters = duplicate_clusters(pairs, df.select(id_col), id_col=id_col)
+    side = F.when(
+        hash_fraction(F.col("cluster_id")) < test_fraction, F.lit("test")
+    ).otherwise(F.lit("train"))
+    return df.join(clusters, on=id_col).withColumn("split", side)

@@ -590,3 +590,23 @@ def test_sampling_null_keys_deterministic(spark):
     )
     kept = sampling.stratified_sample(df, F.col("id"), "lang", {"de": 1.0})
     assert kept.count() == 3  # rate 1.0 keeps everything, NULL keys included
+
+
+def test_leakage_safe_split(spark):
+    # near-dup documents always land on the SAME side, at any fraction
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [("a", base), ("b", base + " extra"),
+            ("c", "totally different text about spark engines and parquet")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for frac in (0.1, 0.5, 0.9):
+        out = {r.doc_id: r.split
+               for r in dedup.leakage_safe_split(
+                   df, test_fraction=frac, threshold=0.4).collect()}
+        assert out["a"] == out["b"], (frac, out)  # near-dups co-assigned
+        assert set(out.values()) <= {"train", "test"}
+    # determinism
+    s1 = sorted(dedup.leakage_safe_split(df, test_fraction=0.5,
+                                         threshold=0.4).collect())
+    s2 = sorted(dedup.leakage_safe_split(df, test_fraction=0.5,
+                                         threshold=0.4).collect())
+    assert s1 == s2

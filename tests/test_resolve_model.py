@@ -144,10 +144,15 @@ def _specs():
                      columns={"f": ["q0"]}), None),
         (ResolveSpec(max_versions=2, family_max_versions={"f": 1, "g": 3}), None),
         (ResolveSpec(max_versions=None, family_ttl={"f": 10}, now=25_000), None),
+        # everything at once: TTL + time range + family caps + projection
+        (ResolveSpec(max_versions=2, time_range=(15, 41),
+                     family_max_versions={"g": 1},
+                     family_ttl={"f": 10}, now=25_000,
+                     families=["f", "g"], columns={"g": ["q0"]}), None),
     ]
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", range(8))
 def test_resolve_matches_imperative_model(spark, trial):
     rng = random.Random(1000 + trial)
     cells = _random_cells(rng)

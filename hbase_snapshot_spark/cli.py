@@ -29,6 +29,8 @@ Commands (reference analogue in parens):
   copytable <base> <src> <dst>                            (Driver copytable)
   rowcounter <base> <table>                               (Driver rowcounter)
   completebulkload <base> <table> <prepared_dir>          (Driver completebulkload)
+  history <base> <table>                                  (manifest versions)
+  diff <base> <table> <old_v> [new_v]                     (resolved-view diff)
   query <base> "<sql>"                                    (shell scan generalized:
                                                            every table is a view,
                                                            raw cells as <name>_cells)
@@ -238,6 +240,21 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "completebulkload":
         v = store(args[0]).table(args[1]).adopt_segment(args[2])
         print(f"committed v{v}")
+    elif cmd == "history":
+        for h in store(args[0]).table(args[1]).history():
+            print(f"v{h['version']}  commit_seq={h['commit_seq']}  segments={h['n_segments']}")
+    elif cmd == "diff":
+        # diff <base> <table> <old_version> [new_version]
+        oldv = int(args[2])
+        newv = int(args[3]) if len(args) > 3 else None
+        df = store(args[0]).table(args[1]).diff_versions(oldv, newv)
+        n = 0
+        for r in df.orderBy("row", "family", "qualifier",
+                            df["ts"].desc()).toLocalIterator():
+            print(f"{r.change:8s} {r.row}  column={r.family}:{r.qualifier}, "
+                  f"timestamp={r.ts}, value={r.value}")
+            n += 1
+        print(f"{n} change(s)")
     elif cmd == "query":
         # ad-hoc SQL over every table's resolved view (+ _cells raw
         # streams) — the shell's scan generalized to full SQL

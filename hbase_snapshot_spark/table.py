@@ -658,6 +658,29 @@ class StoredTable:
             })
         return out
 
+    def diff_versions(
+        self, old_version: int, new_version: int | None = None
+    ) -> DataFrame:
+        """Resolved-view diff between two manifest versions (time travel
+        made actionable): one row per cell that differs, tagged
+        ``change`` ∈ {'added', 'removed'} — a cell whose visible value
+        changed appears as one removed + one added row.
+
+        Scale shape: two resolved reads + one full-outer-ish comparison
+        via a union + exact-count aggregation on the cell identity —
+        equivalently an EXCEPT ALL each way, one shuffle on the cell
+        key.  Works across any two versions including pre/post
+        compaction (the RESOLVED view is compared, not raw segments)."""
+        new_df = self.read(version=new_version).select(
+            "row", "family", "qualifier", "ts", "value"
+        )
+        old_df = self.read(version=old_version).select(
+            "row", "family", "qualifier", "ts", "value"
+        )
+        added = new_df.exceptAll(old_df).withColumn("change", F.lit("added"))
+        removed = old_df.exceptAll(new_df).withColumn("change", F.lit("removed"))
+        return added.unionByName(removed)
+
     # ---------------------------------------------------------- snapshots
 
     def _snap_dir(self, name: str) -> str:

@@ -593,3 +593,22 @@ def test_adopt_segment_respects_readonly(spark, tmp_path):
     )
     with pytest.raises(PermissionError):
         store.table("t").adopt_segment(prepared)
+
+
+def test_diff_versions(spark, tmp_path):
+    # resolved-view diff between manifest versions: value change shows
+    # as removed+added; deletes as removed; stable across compaction
+    store = TableStore(spark, str(tmp_path / "dv"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10),
+              Put("r2").add("f", "q", "x", ts=10)])
+    v1 = t.manifest()["version"]
+    t.mutate([Put("r1").add("f", "q", "v2", ts=20)])  # shadows v1 at maxv=1?
+    t.mutate([Delete("r2")])
+    t.compact()  # diff compares RESOLVED views, so compaction is invisible
+    got = {(r.change, r.row, r.ts, r.value)
+           for r in t.diff_versions(v1).collect()}
+    assert ("added", "r1", 20, "v2") in got
+    assert ("removed", "r2", 10, "x") in got
+    # r1's ts=10 cell is still visible at default read (maxv from family=3)
+    assert ("removed", "r1", 10, "v1") not in got

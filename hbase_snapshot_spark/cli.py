@@ -250,7 +250,7 @@ def main(argv: list[str] | None = None) -> int:
         df = store(args[0]).table(args[1]).diff_versions(oldv, newv)
         n = 0
         for r in df.orderBy("row", "family", "qualifier",
-                            df["ts"].desc()).toLocalIterator():
+                            df["ts"].desc(), "change").toLocalIterator():
             print(f"{r.change:8s} {r.row}  column={r.family}:{r.qualifier}, "
                   f"timestamp={r.ts}, value={r.value}")
             n += 1

@@ -480,11 +480,13 @@ def cross_corpus_overlap(
 def leakage_safe_split(
     df: DataFrame,
     id_col: str = "doc_id",
+    text_col: str = "text",
     test_fraction: float = 0.1,
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Train/eval split that cannot leak near-duplicates across sides:
     documents are clustered (LSH pairs → connected components) and the
@@ -494,15 +496,23 @@ def leakage_safe_split(
     train and the other in eval, silently inflating eval scores).
 
     Adds ``split`` ('train' | 'test'); deterministic across runs,
-    engines, and cluster sizes (md5-fraction on cluster_id)."""
+    engines, and cluster sizes.  The split hash is DOMAIN-SEPARATED
+    ('split:' prefix) from hash_sample/stratified_sample's raw id hash —
+    composing a 50% upstream sample with a 40% split must give
+    0.5 × 0.4 of the corpus in test, not the pathological correlation an
+    identical hash would produce (every sampled singleton's fraction is
+    already < the sample rate)."""
     from hbase_snapshot_spark.operators.sampling import hash_fraction
 
     pairs = minhash_dup_pairs(
-        with_shingles(df, n=n), id_col=id_col,
+        with_shingles(df, text_col=text_col, n=n), id_col=id_col,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
     )
-    clusters = duplicate_clusters(pairs, df.select(id_col), id_col=id_col)
+    clusters = duplicate_clusters(
+        pairs, df.select(id_col), id_col=id_col, max_iter=max_iter
+    )
+    split_key = F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
     side = F.when(
-        hash_fraction(F.col("cluster_id")) < test_fraction, F.lit("test")
+        hash_fraction(split_key) < test_fraction, F.lit("test")
     ).otherwise(F.lit("train"))
     return df.join(clusters, on=id_col).withColumn("split", side)

@@ -659,27 +659,50 @@ class StoredTable:
         return out
 
     def diff_versions(
-        self, old_version: int, new_version: int | None = None
+        self, old_version: int, new_version: int | None = None,
+        now: int | None = None,
     ) -> DataFrame:
         """Resolved-view diff between two manifest versions (time travel
         made actionable): one row per cell that differs, tagged
         ``change`` ∈ {'added', 'removed'} — a cell whose visible value
         changed appears as one removed + one added row.
 
-        Scale shape: two resolved reads + one full-outer-ish comparison
-        via a union + exact-count aggregation on the cell identity —
-        equivalently an EXCEPT ALL each way, one shuffle on the cell
-        key.  Works across any two versions including pre/post
-        compaction (the RESOLVED view is compared, not raw segments)."""
-        new_df = self.read(version=new_version).select(
-            "row", "family", "qualifier", "ts", "value"
+        Both sides resolve under ONE pinned TTL ``now`` (default: this
+        instant) so a diff of a version against itself is always empty —
+        two wall-clock reads microseconds apart could otherwise disagree
+        about cells near a TTL cutoff.
+
+        Scale shape: each resolved view computes ONCE — tagged union →
+        per-cell-identity count aggregation → multiplicity delta (the
+        EXCEPT ALL semantics, honoring duplicate identical cells), one
+        shuffle on the cell key.  Works across any two versions
+        including pre/post compaction (the RESOLVED view is compared,
+        not raw segments)."""
+        spec = ResolveSpec(
+            max_versions=None,
+            now=now if now is not None else self._now_ms(),
         )
-        old_df = self.read(version=old_version).select(
-            "row", "family", "qualifier", "ts", "value"
+        key = ["row", "family", "qualifier", "ts", "value"]
+        new_df = self.read(spec=spec, version=new_version).select(*key)
+        old_df = self.read(spec=spec, version=old_version).select(*key)
+        tagged = new_df.withColumn("_s", F.lit(1)).unionByName(
+            old_df.withColumn("_s", F.lit(-1))
         )
-        added = new_df.exceptAll(old_df).withColumn("change", F.lit("added"))
-        removed = old_df.exceptAll(new_df).withColumn("change", F.lit("removed"))
-        return added.unionByName(removed)
+        counts = tagged.groupBy(*key).agg(
+            F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("_n_new"),
+            F.sum(F.when(F.col("_s") == -1, 1).otherwise(0)).alias("_n_old"),
+        )
+        delta = F.col("_n_new") - F.col("_n_old")
+        changed = counts.filter(delta != 0).withColumn(
+            "change", F.when(delta > 0, F.lit("added")).otherwise(F.lit("removed"))
+        )
+        # honor multiplicity: |delta| copies per differing cell identity
+        return (
+            changed.withColumn(
+                "_m", F.explode(F.sequence(F.lit(1), F.abs(delta)))
+            )
+            .select(*key, "change")
+        )
 
     # ---------------------------------------------------------- snapshots
 

@@ -612,3 +612,15 @@ def test_diff_versions(spark, tmp_path):
     assert ("removed", "r2", 10, "x") in got
     # r1's ts=10 cell is still visible at default read (maxv from family=3)
     assert ("removed", "r1", 10, "v1") not in got
+
+
+def test_diff_versions_self_is_empty_and_multiplicity(spark, tmp_path):
+    # diff of a version against itself is empty (pinned TTL now), and
+    # duplicate identical cells diff by multiplicity
+    store = TableStore(spark, str(tmp_path / "dvm"))
+    t = store.create_table(
+        TableDescriptor("t").add_family(FamilyDescriptor("f", ttl=60))
+    )
+    t.mutate([Put("r1").add("f", "q", "v", ts=10)])
+    v = t.manifest()["version"]
+    assert t.diff_versions(v, v).count() == 0

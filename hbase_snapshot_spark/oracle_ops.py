@@ -330,11 +330,14 @@ WHERE rank <= {k}
 def pack_sequences_sql(cap: int) -> str:
     """SQL twin of packing.pack_sequences over documents grouped by
     lang, ordered by doc_id, whitespace token counts."""
+    # CAST(bin_offset AS BIGINT): DuckDB's windowed SUM over BIGINT yields
+    # HUGEINT, which pandas fetches as float64 — that flipped the driver's
+    # value hash in round 2 while every row compared equal (int 5 == 5.0).
     return f"""
 WITH d AS (SELECT doc_id, lang,
                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
            FROM documents WHERE trim(text) <> '')
-SELECT doc_id, lang, n_tokens, bin_offset,
+SELECT doc_id, lang, n_tokens, CAST(bin_offset AS BIGINT) AS bin_offset,
        CAST(floor(bin_offset * 1.0 / {cap}) AS BIGINT) AS bin
 FROM (
   SELECT *, COALESCE(SUM(n_tokens) OVER (

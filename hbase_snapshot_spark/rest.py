@@ -61,7 +61,9 @@ def _cells_json(df, limit=None):
     is returned partially with next_start pointing at itself."""
     cap = min(limit or 10000, 10000)
     rows = (
-        df.orderBy("row", "family", "qualifier").limit(cap + 1).collect()
+        df.orderBy(
+            "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
+        ).limit(cap + 1).collect()
     )
     truncated = len(rows) > cap
     next_start = None
@@ -144,15 +146,22 @@ class _Scanner:
         self._it = df.orderBy(
             "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
         ).toLocalIterator()
+        # ThreadingHTTPServer handles each request on its own worker
+        # thread; toLocalIterator is not thread-safe, so concurrent GETs
+        # paging the same scanner id must serialize (the reference's
+        # scanner lease machinery provides the same exclusion).
+        self._lock = threading.Lock()
 
     def next(self, n: int) -> list[dict]:
-        return [_cell_dict(r) for r in itertools.islice(self._it, n)]
+        with self._lock:
+            return [_cell_dict(r) for r in itertools.islice(self._it, n)]
 
 
 class _Handler(BaseHTTPRequestHandler):
     store: TableStore = None     # injected by serve()
     scanners: dict = None        # id -> _Scanner; injected by serve()
     _scanner_seq: itertools.count = None
+    _scanners_lock: threading.Lock = None  # guards id alloc + registry
 
     def log_message(self, *args):  # quiet
         pass
@@ -181,7 +190,8 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) >= 2 and parts[1] == "scanner":
                 if len(parts) >= 3:
                     # stateful scanner page: GET /<table>/scanner/<id>?n=
-                    sc = self.scanners.get(parts[2])
+                    with self._scanners_lock:
+                        sc = self.scanners.get(parts[2])
                     if sc is None:
                         return self._send(404, {"error": "unknown scanner"})
                     cells = sc.next(int(q.get("n", 100)))
@@ -234,8 +244,10 @@ class _Handler(BaseHTTPRequestHandler):
             df = table.client().scan(
                 _make_scan(q, maxv, binary=table.manifest()["binary"])
             )
-            sid = str(next(self._scanner_seq))
-            self.scanners[sid] = _Scanner(df)
+            sc = _Scanner(df)
+            with self._scanners_lock:
+                sid = str(next(self._scanner_seq))
+                self.scanners[sid] = sc
             return self._send(201, {"scanner_id": sid})
         except Exception as ex:  # noqa: BLE001
             return self._send(400, {"error": str(ex)})
@@ -266,7 +278,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if len(parts) == 3 and parts[1] == "scanner":
                 # DELETE /<table>/scanner/<id> — close (ScannerResource)
-                if self.scanners.pop(parts[2], None) is None:
+                with self._scanners_lock:
+                    closed = self.scanners.pop(parts[2], None)
+                if closed is None:
                     return self._send(404, {"error": "unknown scanner"})
                 return self._send(200, {"closed": True})
             if len(parts) < 2:
@@ -294,7 +308,8 @@ def serve(store: TableStore, port: int = 0):
     handler = type(
         "Handler",
         (_Handler,),
-        {"store": store, "scanners": {}, "_scanner_seq": itertools.count(1)},
+        {"store": store, "scanners": {}, "_scanner_seq": itertools.count(1),
+         "_scanners_lock": threading.Lock()},
     )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

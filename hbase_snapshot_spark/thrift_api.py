@@ -217,7 +217,7 @@ class ThriftServer:
             max_versions=num_versions,
             families=[fam] if qual is None else None,
             columns={fam: [qual]} if qual is not None else None,
-            time_range=(0, timestamp + 1) if timestamp is not None else None,
+            time_range=(0, timestamp) if timestamp is not None else None,
         )
         out = t.read(spec).filter(F.col("row") == F.lit(row)).orderBy(
             F.col("ts").desc(), F.col("seq").desc()
@@ -234,7 +234,9 @@ class ThriftServer:
 
     def getVerTs(self, tableName, row, column, timestamp, numVersions) -> list[TCell]:  # noqa: N802,N803
         """Hbase.thrift getVerTs:278 — newest N versions with
-        ts <= timestamp."""
+        ts < timestamp (exclusive upper bound, matching
+        ThriftServer.java:339 setTimeRange(Long.MIN_VALUE, timestamp);
+        the IDL doc comment says '<=' but the implementation is '<')."""
         return self._cells(tableName, row, column, numVersions, timestamp)
 
     def _rows(self, tableName, rows, columns=None, timestamp=None):
@@ -244,7 +246,7 @@ class ThriftServer:
             max_versions=1,
             families=fams,
             columns=cols,
-            time_range=(0, timestamp + 1) if timestamp is not None else None,
+            time_range=(0, timestamp) if timestamp is not None else None,
         )
         out = (
             t.read(spec)
@@ -415,7 +417,7 @@ class ThriftServer:
         return self._open(
             tableName,
             Scan(start_row=startRow or None, families=fams, columns=cols,
-                 time_range=(0, timestamp + 1)),
+                 time_range=(0, timestamp)),
         )
 
     def scannerOpenWithStopTs(self, tableName, startRow, stopRow, columns, timestamp) -> int:  # noqa: N802,N803
@@ -424,7 +426,7 @@ class ThriftServer:
         return self._open(
             tableName,
             Scan(start_row=startRow or None, stop_row=stopRow or None,
-                 families=fams, columns=cols, time_range=(0, timestamp + 1)),
+                 families=fams, columns=cols, time_range=(0, timestamp)),
         )
 
     def scannerGet(self, id) -> list[TRowResult]:  # noqa: N802,A002

@@ -74,12 +74,17 @@ def test_get_versions_and_ts(handler):
     assert [c.value for c in h.get("tableA", "rowA", "columnA:a")] == ["v3"]
     got = h.getVer("tableA", "rowA", "columnA:a", 2)
     assert [(c.value, c.timestamp) for c in got] == [("v3", 300), ("v2", 200)]
-    # getVerTs: versions with ts <= 200
+    # getVerTs: versions with ts < 200 (exclusive upper bound, matching
+    # ThriftServer.java:339 setTimeRange(Long.MIN_VALUE, timestamp) —
+    # the boundary cell at ts=200 is NOT returned)
     got = h.getVerTs("tableA", "rowA", "columnA:a", 200, 10)
+    assert [(c.value, c.timestamp) for c in got] == [("valueA", 100)]
+    got = h.getVerTs("tableA", "rowA", "columnA:a", 201, 10)
     assert [(c.value, c.timestamp) for c in got] == [("v2", 200), ("valueA", 100)]
-    # getRowTs: the row as of ts=100
-    rows = h.getRowTs("tableA", "rowA", 100)
+    # getRowTs: the row strictly before ts=101
+    rows = h.getRowTs("tableA", "rowA", 101)
     assert rows[0].columns["columnA:a"].value == "valueA"
+    assert h.getRowTs("tableA", "rowA", 100) == []
     # column projection
     rows = h.getRowWithColumns("tableA", "rowA", ["columnB:"])
     assert set(rows[0].columns) == {"columnB:b"}
@@ -123,8 +128,12 @@ def test_table_scanners(handler):
     ]
     h.scannerClose(sid)
 
-    # Ts variant: only cells written at ts<=100 are visible
+    # Ts variant: exclusive upper bound (ThriftServer.java:686) — the
+    # base load is at ts=100, so timestamp=100 sees nothing and 101 all
     sid = h.scannerOpenTs("tableA", "", None, 100)
+    assert h.scannerGetList(sid, 100) == []
+    h.scannerClose(sid)
+    sid = h.scannerOpenTs("tableA", "", None, 101)
     assert [r.row for r in h.scannerGetList(sid, 100)] == ["rowA", "rowB"]
     h.scannerClose(sid)
 

@@ -186,7 +186,6 @@ class AvroServer:
         self.store = store
         self._scanners: dict[int, object] = {}
         self._scanner_seq = itertools.count(1)
-        self._disabled: set = set()
 
     def _table(self, table):
         try:
@@ -195,7 +194,7 @@ class AvroServer:
             raise AIOError(str(ex)) from ex
 
     def _check_enabled(self, table) -> None:
-        if table in self._disabled:
+        if not self._table(table).is_enabled():
             raise AIOError(f"table {table} is disabled")
 
     # -------------------------------------------------- cluster metadata
@@ -236,8 +235,7 @@ class AvroServer:
 
     def isTableEnabled(self, table) -> bool:  # noqa: N802
         """hbase.genavro isTableEnabled"""
-        self._table(table)
-        return table not in self._disabled
+        return self._table(table).is_enabled()
 
     def tableExists(self, table) -> bool:  # noqa: N802
         """hbase.genavro tableExists"""
@@ -282,7 +280,6 @@ class AvroServer:
             self.store.drop_table(table)
         except Exception as ex:  # noqa: BLE001
             raise AIOError(str(ex)) from ex
-        self._disabled.discard(table)
 
     def modifyTable(self, table, tableDescriptor: ATableDescriptor) -> None:  # noqa: N802,N803
         """hbase.genavro modifyTable — descriptor-level alter."""
@@ -297,15 +294,13 @@ class AvroServer:
         t.alter(desc)
 
     def enableTable(self, table) -> None:  # noqa: N802
-        """hbase.genavro enableTable — gateway-level access gate (there
-        is no regionserver assignment to toggle)."""
-        self._table(table)
-        self._disabled.discard(table)
+        """hbase.genavro enableTable — persisted table state shared
+        with the admin/shell/thrift surfaces (StoredTable.enable)."""
+        self._table(table).enable()
 
     def disableTable(self, table) -> None:  # noqa: N802
         """hbase.genavro disableTable"""
-        self._table(table)
-        self._disabled.add(table)
+        self._table(table).disable()
 
     def flush(self, table) -> None:  # noqa: N802
         """hbase.genavro flush — every commit is already durable (each

@@ -29,6 +29,10 @@ Commands (reference analogue in parens):
   copytable <base> <src> <dst>                            (Driver copytable)
   rowcounter <base> <table>                               (Driver rowcounter)
   completebulkload <base> <table> <prepared_dir>          (Driver completebulkload)
+  enable <base> <table>                                   (shell enable)
+  disable <base> <table>                                  (shell disable)
+  is_enabled <base> <table>                               (shell is_enabled)
+  status <base> [table]                                   (shell status)
   history <base> <table>                                  (manifest versions)
   diff <base> <table> <old_v> [new_v]                     (resolved-view diff)
   query <base> "<sql>"                                    (shell scan generalized:
@@ -121,13 +125,20 @@ def main(argv: list[str] | None = None) -> int:
         store(base).table(name).mutate([Put(row).add(fam, qual, value, ts=ts)])
         print("ok")
     elif cmd == "get":
-        # shell get defaults to VERSIONS => 1 (get.rb); --versions N for more
+        # shell get defaults to VERSIONS => 1 (get.rb); --versions N for
+        # more.  The optional column positional is consumed first, then
+        # --flag pairs parse wherever they appear — 'get b t r f:q
+        # --versions 3' honors the flag.
         base, name, row, *rest = args
-        opts = dict(zip(rest[::2], rest[1::2])) if rest and rest[0].startswith("--") else {}
-        maxv = int(opts.get("--versions", 1)) if opts else 1
-        g = Get(row, max_versions=maxv if maxv > 0 else None)
+        column = None
         if rest and not rest[0].startswith("--"):
-            fam, qual = _fq(rest[0])
+            column = rest[0]
+            rest = rest[1:]
+        opts = dict(zip(rest[::2], rest[1::2]))
+        maxv = int(opts.get("--versions", 1))
+        g = Get(row, max_versions=maxv if maxv > 0 else None)
+        if column is not None:
+            fam, qual = _fq(column)
             g.columns = {fam: [qual]}
         _print_cells(store(base).table(name).client().get(g))
     elif cmd == "delete":
@@ -240,6 +251,32 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "completebulkload":
         v = store(args[0]).table(args[1]).adopt_segment(args[2])
         print(f"committed v{v}")
+    elif cmd == "enable":
+        store(args[0]).table(args[1]).enable()
+        print("ok")
+    elif cmd == "disable":
+        store(args[0]).table(args[1]).disable()
+        print("ok")
+    elif cmd == "is_enabled":
+        print("true" if store(args[0]).table(args[1]).is_enabled() else "false")
+    elif cmd == "status":
+        # shell status ('simple' detail): per-table serving state +
+        # storage metrics from the manifest — the closest meaningful
+        # analogue of regionserver load without a cluster
+        st = store(args[0])
+        names = [args[1]] if len(args) > 1 else st.list_tables()
+        print(f"{len(names)} table(s) under {args[0]}")
+        for name in names:
+            t = st.table(name)
+            m = t.manifest()
+            nbytes = sum(t._segment_size(s) for s in m["segments"])
+            state = "ENABLED" if t.is_enabled() else "DISABLED"
+            print(
+                f"  {name}: {state}  v{m['version']}  "
+                f"commit_seq={m['commit_seq']}  "
+                f"segments={len(m['segments'])}  bytes={nbytes}  "
+                f"snapshots={len(t.list_snapshots())}"
+            )
     elif cmd == "history":
         for h in store(args[0]).table(args[1]).history():
             print(f"v{h['version']}  commit_seq={h['commit_seq']}  segments={h['n_segments']}")

@@ -262,33 +262,43 @@ def multi_table_write(
     never a recompute of the input."""
     import os
     import shutil
-    import tempfile
+    import uuid
 
-    staging = staging_dir or tempfile.mkdtemp(prefix="multi_table_write_")
+    # staging defaults UNDER the store's base path: that filesystem is
+    # shared by construction (every executor already reads/writes table
+    # segments there), whereas a driver-local tempfile.mkdtemp would be
+    # invisible to executors on a multi-node cluster
+    staging = staging_dir or os.path.join(
+        store.base_path, ".staging", f"multi_table_write_{uuid.uuid4().hex}"
+    )
     spark = cells_with_table.sparkSession
-    # a caller-provided seq column is preserved (replication-style
-    # routing); otherwise append_cells stamps each table's commit seq
-    cells_with_table.write.mode("overwrite").partitionBy("table").parquet(staging)
-    from urllib.parse import unquote
+    try:
+        # a caller-provided seq column is preserved (replication-style
+        # routing); otherwise append_cells stamps each table's commit seq
+        cells_with_table.write.mode("overwrite").partitionBy("table").parquet(
+            staging
+        )
+        from urllib.parse import unquote
 
-    # partition directory names are Hive/URI-escaped by Spark
-    # (e.g. 'a b' → 'table=a%20b'); unescape to recover table names but
-    # keep the raw directory for the slice read
-    dirs = {
-        unquote(d.split("=", 1)[1]): d
-        for d in sorted(os.listdir(staging))
-        if d.startswith("table=")
-    }
-    # fail BEFORE committing anywhere if any destination is read-only
-    tables = {name: store.table(name) for name in dirs}
-    for t in tables.values():
-        t._check_writable(t.manifest())
-    versions = {}
-    for name in sorted(dirs):
-        slice_df = spark.read.parquet(os.path.join(staging, dirs[name]))
-        versions[name] = tables[name].append_cells(slice_df)
-    shutil.rmtree(staging, ignore_errors=True)
-    return versions
+        # partition directory names are Hive/URI-escaped by Spark
+        # (e.g. 'a b' → 'table=a%20b'); unescape to recover table names but
+        # keep the raw directory for the slice read
+        dirs = {
+            unquote(d.split("=", 1)[1]): d
+            for d in sorted(os.listdir(staging))
+            if d.startswith("table=")
+        }
+        # fail BEFORE committing anywhere if any destination is read-only
+        tables = {name: store.table(name) for name in dirs}
+        for t in tables.values():
+            t._check_writable(t.manifest())
+        versions = {}
+        for name in sorted(dirs):
+            slice_df = spark.read.parquet(os.path.join(staging, dirs[name]))
+            versions[name] = tables[name].append_cells(slice_df)
+        return versions
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def grouping_key(cols: list[str], sep: str = " ") -> Column:

@@ -61,6 +61,11 @@ class TableNotFoundError(Exception):
     pass
 
 
+class TableNotEnabledError(Exception):
+    """HBase NotServingRegionException analogue: a disabled table
+    rejects client reads and mutations until re-enabled."""
+
+
 class Mutation:
     def __init__(self, row):
         self.row = row
@@ -270,6 +275,7 @@ class StoredTable:
         return self.spark.read.parquet(*paths).select(*want)
 
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
+        self._check_enabled()
         return ClientTable(self.cells(version), self.descriptor, now=now)
 
     def create_view(self, view_name: str, spec: ResolveSpec | None = None,
@@ -305,6 +311,36 @@ class StoredTable:
         """HTableDescriptor READONLY attr enforcement"""
         if m["descriptor"].get("readonly"):
             raise PermissionError(f"table {self.name} is READONLY")
+        self._check_enabled()
+
+    # ------------------------------------------------- enable / disable
+
+    def _disabled_flag(self) -> str:
+        return os.path.join(self.dir, "DISABLED")
+
+    def is_enabled(self) -> bool:
+        """HBaseAdmin.isTableEnabled — persisted as a flag file (the
+        analogue of the table state the reference keeps in meta/zk;
+        admin/shell/thrift/avro surfaces all observe the same state)."""
+        return not os.path.exists(self._disabled_flag())
+
+    def _check_enabled(self) -> None:
+        if not self.is_enabled():
+            raise TableNotEnabledError(f"table {self.name} is disabled")
+
+    def enable(self) -> None:
+        """HBaseAdmin.enableTable / shell ``enable``"""
+        try:
+            os.remove(self._disabled_flag())
+        except FileNotFoundError:
+            pass
+
+    def disable(self) -> None:
+        """HBaseAdmin.disableTable / shell ``disable`` — internal
+        maintenance (compact/snapshot/alter/drop) still works, exactly
+        the ops the reference requires a disabled table for."""
+        with open(self._disabled_flag(), "w") as f:
+            f.write(str(os.getpid()))
 
     @_locked
     def append_cells(self, df: DataFrame) -> int:

@@ -118,7 +118,6 @@ class ThriftServer:
         self.store = store
         self._scanners: dict[int, object] = {}
         self._scanner_seq = itertools.count(1)
-        self._disabled: set = set()
 
     # ------------------------------------------------------------ admin
 
@@ -167,28 +166,26 @@ class ThriftServer:
         }
 
     def _table(self, tableName, check_enabled: bool = True):  # noqa: N803
-        if check_enabled and tableName in self._disabled:
-            raise IOError_(f"table {tableName} is disabled")
         try:
-            return self.store.table(tableName)
+            t = self.store.table(tableName)
         except Exception as ex:  # noqa: BLE001
             raise IOError_(str(ex)) from ex
+        if check_enabled and not t.is_enabled():
+            raise IOError_(f"table {tableName} is disabled")
+        return t
 
     def enableTable(self, tableName) -> None:  # noqa: N802,N803
-        """Hbase.thrift enableTable:155 — gateway-level access gate
-        (there is no regionserver assignment to toggle)."""
-        self._table(tableName, check_enabled=False)
-        self._disabled.discard(tableName)
+        """Hbase.thrift enableTable:155 — persisted table state shared
+        with the admin/shell/avro surfaces (StoredTable.enable)."""
+        self._table(tableName, check_enabled=False).enable()
 
     def disableTable(self, tableName) -> None:  # noqa: N802,N803
         """Hbase.thrift disableTable:164"""
-        self._table(tableName, check_enabled=False)
-        self._disabled.add(tableName)
+        self._table(tableName, check_enabled=False).disable()
 
     def isTableEnabled(self, tableName) -> bool:  # noqa: N802,N803
         """Hbase.thrift isTableEnabled:172"""
-        self._table(tableName, check_enabled=False)
-        return tableName not in self._disabled
+        return self._table(tableName, check_enabled=False).is_enabled()
 
     def compact(self, tableNameOrRegionName) -> None:  # noqa: N802,N803
         """Hbase.thrift compact:177 (no regions — table granularity)"""

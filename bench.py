@@ -157,6 +157,61 @@ class Bench:
             self.table.cells(), spec=ResolveSpec(max_versions=3)
         ).count()
 
+    # -- randomSeekScan (PerformanceEvaluation.java:156-157): seek to a
+    # random row, scan forward <=100 rows, x100 seeks.  Spark form: the
+    # 100 seek points are a broadcast dim; a bounded read-ahead band
+    # ([start, start+120) — the scanner's sequential read-ahead window,
+    # sized so >=100 rows always fall inside it for this keyspace) turns
+    # the "no stop row" seek into a pruneable range predicate, then a
+    # per-seek rank caps the scan at exactly 100 rows.  At 100 TB the
+    # band join stays bucketable; an unbounded `row >= start` join would
+    # multiply every trailing cell by every seek and is the wrong plan.
+    def random_seek_scan(self):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+        rng = random.Random(59)
+        seeks = [
+            (i, f"{rng.randrange(max(1, self.n_orders - 120)):012d}")
+            for i in range(100)
+        ]
+        seek_df = self.spark.createDataFrame(seeks, "seek_id INT, start STRING")
+        rows = resolve(self.table.cells(), spec=ResolveSpec(max_versions=1))
+        joined = rows.join(
+            F.broadcast(seek_df),
+            (F.col("row") >= F.col("start"))
+            & (
+                F.col("row")
+                < F.format_string("%012d", F.col("start").cast("long") + 120)
+            ),
+        )
+        w = Window.partitionBy("seek_id").orderBy("row")
+        out = joined.withColumn("rk", F.dense_rank().over(w)).filter(
+            F.col("rk") <= 100
+        )
+        return out.count()
+
+    # -- sequentialRead (PerformanceEvaluation.java:168-173): the whole
+    # table read back in row order (ClientScanner full-order iteration),
+    # distinct from full_scan's order-free resolve count.  Spark form:
+    # resolve maxv=1, range-partition by row + local sort (global order
+    # without a single-node sort — the scale-correct plan), materialize.
+    def sequential_read(self):
+        from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+        out_dir = os.path.join(self.workdir, "seqread")
+        rows = resolve(self.table.cells(), spec=ResolveSpec(max_versions=1))
+        t0 = time.time()
+        (
+            rows.repartitionByRange(CPUS, "row")
+            .sortWithinPartitions("row", "family", "qualifier")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return {"sec": time.time() - t0}
+
     # -- filterScan: SCVF + WhileMatch(PageFilter(120))
     def filter_scan(self):
         from hbase_snapshot_spark.client import Scan, Table
@@ -224,6 +279,8 @@ WORKLOAD_ORDER = [
     "range_scan_1000",
     "range_scan_10000",
     "full_scan",
+    "random_seek_scan",
+    "sequential_read",
     "filter_scan",
     "dedup_minhash",
     "ann_topk",
@@ -233,10 +290,23 @@ WORKLOAD_ORDER = [
 ]
 
 
+def calibrate(spark) -> float:
+    """Fixed CPU-bound probe (one codegen sum over 20M longs) timed
+    immediately before every workload attempt.  Its runtime tracks the
+    host's CPU-throttle state (BASELINE.md §D documents the same op
+    swinging 2s <-> 160s across runs with identical code), so an
+    elevated calibration sample next to an elevated workload sample
+    proves throttle rather than a code regression — the bench becomes
+    self-interpreting (VERDICT r3 item 1)."""
+    t0 = time.time()
+    spark.range(20_000_000).selectExpr("sum(id * 3 + 7)").collect()
+    return time.time() - t0
+
+
 def main() -> int:
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()  # codegen warmup
+    calibrate(spark)  # codegen warmup, discarded
 
     sf = None
     try:
@@ -246,42 +316,73 @@ def main() -> int:
 
     workdir = tempfile.mkdtemp(prefix="bench-")
     bench = Bench(spark, SF_DIR, workdir)
-    timings = {}
+    timings = {}       # best RAW seconds per op (the headline numbers)
+    normalized = {}    # best throttle-normalized seconds per op
+    attempts_log = {}  # per-attempt [{"sec": raw, "calib": probe_sec}, ...]
+    calib_samples = []
     try:
         for name in WORKLOAD_ORDER:
-            # best-of-2 everywhere: the host shows intermittent
-            # CPU-throttle windows (BASELINE.md §D) that can poison a
-            # single timed run; two attempts bound that noise.  Write
-            # workloads are self-timed (fresh table per attempt, setup
-            # and verification excluded) and return {"sec": dt}.
-            best = None
+            # best-of-3: the host shows intermittent CPU-throttle
+            # windows that can poison any single timed run.  Each
+            # attempt is preceded by a calibration probe; a >45s attempt
+            # aborts further attempts for the op (a throttled host won't
+            # recover by hammering it — the calibration column carries
+            # the evidence instead).  Write workloads are self-timed
+            # (fresh table per attempt, setup and verification excluded)
+            # and return {"sec": dt}.
+            att = []
             try:
-                for attempt in range(2):
+                for attempt in range(3):
+                    c = round(calibrate(spark), 3)
+                    calib_samples.append(c)
                     t0 = time.time()
                     result = getattr(bench, name)()
                     if isinstance(result, dict) and "sec" in result:
                         dt = round(result["sec"], 3)
                     else:
                         dt = round(time.time() - t0, 3)
-                    best = dt if best is None else min(best, dt)
+                    att.append({"sec": dt, "calib": c})
                     if dt > 45:
                         break  # throttle window: don't double down
-                timings[name] = best
+                attempts_log[name] = att
+                timings[name] = min(a["sec"] for a in att)
             except Exception as ex:  # noqa: BLE001
-                # keep a successful earlier attempt's timing — a crash
-                # on attempt 2 must not discard attempt 1's measurement
-                timings[name] = best
+                # keep successful earlier attempts' timings — a crash on
+                # attempt 2 must not discard attempt 1's measurement
+                attempts_log[name] = att
+                timings[name] = min((a["sec"] for a in att), default=None)
                 print(f"# {name} FAILED: {ex}", file=sys.stderr)
                 if name == "bulk_write":
                     break  # later workloads need the table
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+    # throttle normalization: an attempt whose calibration probe ran
+    # slower than the run's MEDIAN probe was throttled by that factor;
+    # scale its time down accordingly (never up — the factor clamps at
+    # 1, so clean attempts keep their raw time).  Raw stays the
+    # headline; normalized + the per-attempt log make a throttled run
+    # diagnosable after the fact.
+    calib_ref = (
+        sorted(calib_samples)[len(calib_samples) // 2] if calib_samples else None
+    )
+    for name, att in attempts_log.items():
+        norm = [
+            round(a["sec"] / max(1.0, a["calib"] / calib_ref), 3)
+            for a in att
+            if a["calib"] > 0
+        ]
+        normalized[name] = min(norm) if norm else None
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": normalized,
+        "attempts": attempts_log,
+        "calibration_ref_sec": calib_ref,
         "sf": sf,
     }))
     return 0 if all(v is not None for v in timings.values()) else 1

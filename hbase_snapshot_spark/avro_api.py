@@ -275,7 +275,15 @@ class AvroServer:
             raise AIOError(str(ex)) from ex
 
     def deleteTable(self, table) -> None:  # noqa: N802
-        """hbase.genavro deleteTable"""
+        """hbase.genavro deleteTable — requires the table disabled first
+        (AvroServer delegates to admin.deleteTable; master/TableDelete.java:
+        35,49 'Table must be offline').  Engine-level admin drop_table has
+        no such precondition (DIVERGENCES.md superset entry)."""
+        if self._table(table).is_enabled():
+            raise AIOError(
+                f"TableNotDisabledException: {table} must be disabled "
+                "before deleteTable"
+            )
         try:
             self.store.drop_table(table)
         except Exception as ex:  # noqa: BLE001

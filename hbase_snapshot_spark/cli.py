@@ -68,6 +68,25 @@ def _fq(s: str) -> tuple[str, str]:
     return fam, qual
 
 
+class UsageError(Exception):
+    """Bad command line — printed as a usage error, exit code 2."""
+
+
+def _parse_flags(rest: list[str], allowed: set[str]) -> dict[str, str]:
+    """--flag value pairs → dict, rejecting unknown flags and flags with
+    a missing value (a typo'd 'get b t r --version 3' must error, not
+    silently return 1 version)."""
+    if len(rest) % 2 != 0:
+        raise UsageError(f"flag {rest[-1]!r} is missing a value")
+    opts = dict(zip(rest[::2], rest[1::2]))
+    for flag in opts:
+        if flag not in allowed:
+            raise UsageError(
+                f"unknown flag {flag!r} (expected one of {sorted(allowed)})"
+            )
+    return opts
+
+
 def _print_cells(df, limit=None):
     # full KeyValue order incl. newest-version-first so multi-version
     # output (and --limit truncation) is deterministic across runs
@@ -134,7 +153,11 @@ def main(argv: list[str] | None = None) -> int:
         if rest and not rest[0].startswith("--"):
             column = rest[0]
             rest = rest[1:]
-        opts = dict(zip(rest[::2], rest[1::2]))
+        try:
+            opts = _parse_flags(rest, {"--versions"})
+        except UsageError as ex:
+            print(f"usage error: {ex}", file=sys.stderr)
+            return 2
         maxv = int(opts.get("--versions", 1))
         g = Get(row, max_versions=maxv if maxv > 0 else None)
         if column is not None:
@@ -176,7 +199,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"COUNTER VALUE = {val}")
     elif cmd == "scan":
         base, name, *rest = args
-        opts = dict(zip(rest[::2], rest[1::2]))
+        try:
+            opts = _parse_flags(
+                rest, {"--versions", "--start", "--stop", "--limit"}
+            )
+        except UsageError as ex:
+            print(f"usage error: {ex}", file=sys.stderr)
+            return 2
         # shell scan defaults to VERSIONS => 1 (scan.rb); --versions N
         maxv = int(opts.get("--versions", 1))
         s = Scan(

@@ -412,7 +412,7 @@ SELECT doc_id, lang, {case} AS detected FROM scored
 
 def text_stats_sql() -> str:
     nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
-    punct = "length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))"
+    punct = r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))"
     return f"""
 SELECT doc_id,
        {_NTOK} AS n_tokens,
@@ -429,7 +429,7 @@ def quality_sql() -> str:
     sw = _stopword_hits_sql(STOPWORDS["en"])
     punct = (
         "CASE WHEN length(text) > 0 THEN "
-        "length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / length(text) "
+        r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / length(text) "
         "ELSE 0.0 END"
     )
     return f"""

@@ -272,6 +272,7 @@ def multi_table_write(
         store.base_path, ".staging", f"multi_table_write_{uuid.uuid4().hex}"
     )
     spark = cells_with_table.sparkSession
+    ok = False
     try:
         # a caller-provided seq column is preserved (replication-style
         # routing); otherwise append_cells stamps each table's commit seq
@@ -296,9 +297,15 @@ def multi_table_write(
         for name in sorted(dirs):
             slice_df = spark.read.parquet(os.path.join(staging, dirs[name]))
             versions[name] = tables[name].append_cells(slice_df)
+        ok = True
         return versions
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        # the auto-generated default staging dir is ours to reap in all
+        # cases; a CALLER-provided staging_dir is only removed on success
+        # so a failed staged write leaves the caller's directory (and its
+        # debugging artifacts) intact
+        if staging_dir is None or ok:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def grouping_key(cols: list[str], sep: str = " ") -> Column:

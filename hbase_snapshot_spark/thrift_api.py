@@ -34,6 +34,13 @@ class IOError_(Exception):
     """Hbase.thrift IOError — unknown table / failed operation."""
 
 
+# *Ts methods bound the time range below with Long.MIN_VALUE
+# (ThriftServer.java:339 setTimeRange(Long.MIN_VALUE, timestamp)), not 0:
+# HBase timestamps are arbitrary user longs, so negative values are legal
+# and must fall inside the half-open range.
+_LONG_MIN = -(1 << 63)
+
+
 # ---------------------------------------------------------------- models
 
 @dataclass
@@ -146,7 +153,15 @@ class ThriftServer:
             raise IOError_(str(ex)) from ex
 
     def deleteTable(self, tableName) -> None:  # noqa: N802,N803
-        """Hbase.thrift deleteTable:224"""
+        """Hbase.thrift deleteTable:224 — requires the table disabled
+        first (master/TableDelete.java:35,49 'Table must be offline' →
+        TableNotDisabledException).  The engine-level admin drop_table
+        keeps no such precondition (DIVERGENCES.md superset entry)."""
+        if self._table(tableName, check_enabled=False).is_enabled():
+            raise IOError_(
+                f"TableNotDisabledException: {tableName} must be disabled "
+                "before deleteTable"
+            )
         try:
             self.store.drop_table(tableName)
         except Exception as ex:  # noqa: BLE001
@@ -214,7 +229,7 @@ class ThriftServer:
             max_versions=num_versions,
             families=[fam] if qual is None else None,
             columns={fam: [qual]} if qual is not None else None,
-            time_range=(0, timestamp) if timestamp is not None else None,
+            time_range=(_LONG_MIN, timestamp) if timestamp is not None else None,
         )
         out = t.read(spec).filter(F.col("row") == F.lit(row)).orderBy(
             F.col("ts").desc(), F.col("seq").desc()
@@ -243,7 +258,7 @@ class ThriftServer:
             max_versions=1,
             families=fams,
             columns=cols,
-            time_range=(0, timestamp) if timestamp is not None else None,
+            time_range=(_LONG_MIN, timestamp) if timestamp is not None else None,
         )
         out = (
             t.read(spec)
@@ -414,7 +429,7 @@ class ThriftServer:
         return self._open(
             tableName,
             Scan(start_row=startRow or None, families=fams, columns=cols,
-                 time_range=(0, timestamp)),
+                 time_range=(_LONG_MIN, timestamp)),
         )
 
     def scannerOpenWithStopTs(self, tableName, startRow, stopRow, columns, timestamp) -> int:  # noqa: N802,N803
@@ -423,7 +438,7 @@ class ThriftServer:
         return self._open(
             tableName,
             Scan(start_row=startRow or None, stop_row=stopRow or None,
-                 families=fams, columns=cols, time_range=(0, timestamp)),
+                 families=fams, columns=cols, time_range=(_LONG_MIN, timestamp)),
         )
 
     def scannerGet(self, id) -> list[TRowResult]:  # noqa: N802,A002

@@ -55,6 +55,11 @@ def test_table_admin_and_metadata(server):
     server.flush("tableA")
     server.split("tableA")
 
+    # deleteTable requires the table disabled first
+    # (admin.deleteTable → TableNotDisabledException)
+    with pytest.raises(AIOError, match="TableNotDisabled"):
+        server.deleteTable("tableA")
+    server.disableTable("tableA")
     server.deleteTable("tableA")
     assert not server.tableExists("tableA")
 

@@ -38,6 +38,11 @@ def test_table_create_drop(handler):
     assert handler.getTableNames() == ["tableA"]
     descs = handler.getColumnDescriptors("tableA")
     assert set(descs) == {"columnA:", "columnB:"}
+    # deleteTable requires the table disabled first
+    # (master/TableDelete.java:35,49 TableNotDisabledException)
+    with pytest.raises(IOError_, match="TableNotDisabled"):
+        handler.deleteTable("tableA")
+    handler.disableTable("tableA")
     handler.deleteTable("tableA")
     assert handler.getTableNames() == []
     with pytest.raises(IOError_):

@@ -3,12 +3,14 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``
 pipelines.
 
 The Spark-side plumbing — schema, partitioning, Pandas-UDF signatures,
-batch shapes — is real and tested.  The actual codec work (JPEG decode,
-audio resample, video frame extraction) requires media libraries that
-are NOT in this container, so the decode kernels are STUBBED: each has
-a clearly-marked ``NotImplementedError`` production path plus a
-deterministic fake (``fake=True``) that exercises the identical
-dataflow for tests/benchmarks.
+batch shapes — is real and tested.  Decode kernels are REAL for the
+self-describing uncompressed formats (PPM/PGM and BMP images, RIFF WAV
+audio — dependency-free numpy parsers in ``codecs.py``); compressed
+codecs (JPEG/PNG/MP3) and video frame extraction require media
+libraries NOT in this container and raise a clearly-marked
+``NotImplementedError``.  Every kernel also keeps a deterministic fake
+(``fake=True``) that exercises the identical dataflow on synthetic
+payloads for tests/benchmarks.
 """
 
 from __future__ import annotations
@@ -101,30 +103,44 @@ _DECODE_SCHEMA = T.StructType([
 
 
 def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Image decode + cheap stats.  Production path needs Pillow/libjpeg
-    (not in this container) → NotImplementedError.  ``fake=True`` runs a
-    deterministic byte-statistics decoder through the identical
-    mapInPandas pipeline (same schema, same batching)."""
+    """Image decode + cheap stats.  Real path decodes uncompressed
+    PPM/PGM/BMP payloads (codecs.decode_image — numpy, no media libs);
+    compressed formats raise NotImplementedError naming Pillow.
+    ``fake=True`` runs a deterministic byte-statistics decoder through
+    the identical mapInPandas pipeline (same schema, same batching)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hbase_snapshot_spark.operators import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires Pillow/libjpeg — unavailable here; "
-                    "pass fake=True for the deterministic test decoder"
-                )
             payloads = pdf["payload"]
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "width": payloads.map(
-                    lambda b: len(b) % 512 if b is not None else None),
-                "height": payloads.map(
-                    lambda b: len(b) % 384 if b is not None else None),
-                "channels": 3,
-                "mean_intensity": payloads.map(
-                    lambda b: round(sum(b) / len(b), 4) if b else 0.0
-                ),
-            })
+            if fake:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "width": payloads.map(
+                        lambda b: len(b) % 512 if b is not None else None),
+                    "height": payloads.map(
+                        lambda b: len(b) % 384 if b is not None else None),
+                    "channels": 3,
+                    "mean_intensity": payloads.map(
+                        lambda b: round(sum(b) / len(b), 4) if b else 0.0
+                    ),
+                })
+                continue
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "channels", "mean_intensity")}
+            for mid, b in zip(pdf["media_id"], payloads):
+                rows["media_id"].append(mid)
+                if b is None:
+                    for k in ("width", "height", "channels", "mean_intensity"):
+                        rows[k].append(None)
+                    continue
+                img = codecs.decode_image(bytes(b))
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["channels"].append(img.shape[2] if img.ndim == 3 else 1)
+                rows["mean_intensity"].append(round(float(img.mean()), 4))
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=_DECODE_SCHEMA)
 
@@ -186,26 +202,41 @@ _RESIZE_SCHEMA = T.StructType([
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
 ) -> DataFrame:
-    """Image resize to a fixed training resolution.  Production path
-    needs Pillow (not in this container) → NotImplementedError;
-    ``fake=True`` emits a deterministic digest-sized payload through the
-    identical mapInPandas pipeline (same schema, same batching)."""
+    """Image resize to a fixed training resolution.  Real path:
+    PPM/PGM/BMP decode → nearest-neighbor resample → re-encode as
+    binary P6 PPM (codecs.py — numpy only); compressed inputs raise
+    NotImplementedError naming Pillow.  ``fake=True`` emits a
+    deterministic digest-sized payload through the identical
+    mapInPandas pipeline (same schema, same batching)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hbase_snapshot_spark.operators import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires Pillow — unavailable here; "
-                    "pass fake=True for the deterministic test kernel"
-                )
+            if fake:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        hashlib.md5(
+                            bytes(p) + width.to_bytes(2, "big")
+                            + height.to_bytes(2, "big")
+                        ).digest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                })
+                continue
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": width,
                 "height": height,
                 "payload": [
-                    hashlib.md5(
-                        bytes(p) + width.to_bytes(2, "big") + height.to_bytes(2, "big")
-                    ).digest() if p is not None else None
+                    codecs.encode_ppm(
+                        codecs.resize_nearest(
+                            codecs.decode_image(bytes(p)), width, height
+                        )
+                    ) if p is not None else None
                     for p in pdf["payload"]
                 ],
             })
@@ -225,29 +256,55 @@ _AUDIO_SCHEMA = T.StructType([
 def extract_audio_features(
     media: DataFrame, target_rate: int = 16000, fake: bool = False
 ) -> DataFrame:
-    """Audio decode/resample + level features (RMS, peak).  Production
-    path needs ffmpeg/soundfile (not in this container) →
-    NotImplementedError; ``fake=True`` treats the payload bytes as 8-bit
-    samples — deterministic, same dataflow."""
+    """Audio decode/resample + level features (RMS, peak).  Real path
+    decodes RIFF WAV (PCM int 8/16/24/32 + float32, multi-channel
+    downmix) and linear-resamples to ``target_rate`` — codecs.py, numpy
+    only; compressed audio raises NotImplementedError naming ffmpeg.
+    ``fake=True`` treats the payload bytes as 8-bit samples —
+    deterministic, same dataflow."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hbase_snapshot_spark.operators import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires ffmpeg/soundfile — unavailable "
-                    "here; pass fake=True for the deterministic test kernel"
-                )
             payloads = pdf["payload"]
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "sample_rate": target_rate,
-                "n_samples": payloads.map(
-                    lambda b: len(b) if b is not None else None),
-                "rms": payloads.map(
-                    lambda b: round((sum(x * x for x in b) / len(b)) ** 0.5, 4)
-                    if b else 0.0
-                ),
-                "peak": payloads.map(lambda b: max(b) if b else 0),
-            })
+            if fake:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "sample_rate": target_rate,
+                    "n_samples": payloads.map(
+                        lambda b: len(b) if b is not None else None),
+                    "rms": payloads.map(
+                        lambda b: round((sum(x * x for x in b) / len(b)) ** 0.5, 4)
+                        if b else 0.0
+                    ),
+                    "peak": payloads.map(lambda b: max(b) if b else 0),
+                })
+                continue
+            rows = {k: [] for k in
+                    ("media_id", "sample_rate", "n_samples", "rms", "peak")}
+            for mid, b in zip(pdf["media_id"], payloads):
+                rows["media_id"].append(mid)
+                if b is None:
+                    for k in ("sample_rate", "n_samples", "rms", "peak"):
+                        rows[k].append(None)
+                    continue
+                if codecs.sniff(bytes(b)) != "wav":
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg/soundfile — "
+                        "unavailable here (only RIFF WAV decodes natively)"
+                    )
+                src_rate, samples = codecs.decode_wav(bytes(b))
+                samples = codecs.resample_linear(samples, src_rate, target_rate)
+                rows["sample_rate"].append(target_rate)
+                rows["n_samples"].append(len(samples))
+                rows["rms"].append(
+                    round(float((samples.astype("float64") ** 2).mean() ** 0.5), 4)
+                    if len(samples) else 0.0
+                )
+                rows["peak"].append(
+                    int(abs(samples).max()) if len(samples) else 0
+                )
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=_AUDIO_SCHEMA)

@@ -56,11 +56,21 @@ class Scan:
         fams = self.families
         if fams is None and self.columns is not None:
             fams = list(self.columns.keys())
+        cols = self.columns
+        if cols is not None:
+            # a null qualifier addresses the EMPTY qualifier — KeyValue
+            # coerces null to a zero-length byte[], so get.addColumn(f,
+            # null) and addColumn(f, EMPTY_BYTE_ARRAY) hit the same
+            # column (TestFromClientSide.getTestNull:2215-2227)
+            cols = {
+                f: ["" if q is None else q for q in quals]
+                for f, quals in cols.items()
+            }
         return ResolveSpec(
             max_versions=self.max_versions,
             time_range=self.time_range,
             families=fams,
-            columns=self.columns,
+            columns=cols,
             family_max_versions=self.family_max_versions,
             family_ttl=self.family_ttl,
             now=self.now,

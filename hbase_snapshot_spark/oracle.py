@@ -129,7 +129,15 @@ live AS (
     AND v.ts IS NULL
     {live_where}
 ),
-filtered AS (SELECT * FROM live {cell_where}),
+-- same-coordinate rewrite collapse: newest seq wins at one
+-- (row,family,qualifier,ts) — MemStore SkipListMap put-overwrite
+-- (KeyValueSkipListSet.java:157-159); mirrors resolve.mask()
+collapsed AS (
+  SELECT * FROM live
+  QUALIFY row_number() OVER (PARTITION BY row, family, qualifier, ts
+                             ORDER BY seq DESC) = 1
+),
+filtered AS (SELECT * FROM collapsed {cell_where}),
 streamed AS (
   SELECT * FROM filtered
   {stream_q}

@@ -285,6 +285,34 @@ WHERE rank <= {k}
 """
 
 
+def ann_ivf_recall_sql(
+    k: int = 10, num_queries: int = 5, num_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """SQL twin of the folded __spark_entry__.q_ann_ivf composite:
+    branch='topk' = ann_ivf_sql rows; branch='recall' = per-query
+    recall@k of IVF against the exact cosine_topk_sql (hits carried in
+    vec_id, the recall fraction in cos, k in rank)."""
+    ivf = ann_ivf_sql(k, num_queries, num_centroids, nprobe)
+    exact = cosine_topk_sql(k, num_queries)
+    return f"""
+WITH ivf AS ({ivf}),
+exact AS ({exact}),
+hits AS (
+  SELECT i.query_id, count(*) AS h
+  FROM ivf i JOIN exact x ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+  GROUP BY i.query_id
+),
+qs AS (SELECT DISTINCT query_id FROM exact)
+SELECT 'topk' AS branch, query_id, vec_id, cos, rank FROM ivf
+UNION ALL
+SELECT 'recall' AS branch, q.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS vec_id,
+       round(coalesce(h.h, 0) / {k}.0, 6) AS cos,
+       CAST({k} AS BIGINT) AS rank
+FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
 def dedup_clusters_sql(n: int = 3, num_hashes: int = 8, bands: int = 4,
                        threshold: float = 0.5) -> str:
     """SQL twin of dedup.duplicate_clusters over minhash_dup_pairs:

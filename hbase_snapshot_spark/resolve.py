@@ -157,6 +157,26 @@ def mask(cells: DataFrame, spec: ResolveSpec) -> DataFrame:
         .drop("_famdel", "_coldel", "_verdel")
     )
 
+    # -- same-coordinate rewrite collapse: two Puts at one
+    #    (row, family, qualifier, ts) keep only the newer-seq value —
+    #    MemStore's backing map is a ConcurrentSkipListMap whose put()
+    #    REPLACES an equal key (KeyValueSkipListSet.java:157-159), so a
+    #    same-ts rewrite physically overwrites; across store files the
+    #    newer file wins.  Collapsing before the filter slot and version
+    #    counting makes a rewrite consume ONE version slot
+    #    (TestFromClientSide.testDuplicateVersions:2973-2987 — VALUES[14]
+    #    replaces VALUES[4] and maxVersions=7 still reaches STAMPS[2]).
+    #    The (row,family,qualifier,ts) window reuses the (row,family)
+    #    exchange above — subset clustering, no extra shuffle.
+    live = (
+        live.withColumn(
+            "_dup",
+            F.row_number().over(w_rfqt.orderBy(F.col("seq").desc())),
+        )
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
+    )
+
     # -- data-cell time range [min, max) (io/TimeRange.java:34-42)
     if spec.time_range is not None:
         lo, hi = spec.time_range

@@ -114,6 +114,14 @@ class TableStore:
         return os.path.join(self.base_path, name)
 
     def create_table(self, descriptor: TableDescriptor, binary: bool = False) -> "StoredTable":
+        # HTableDescriptor.isLegalTableName / HColumnDescriptor ctor
+        # reject null/empty names (TestFromClientSide.testNull:923-936)
+        if not descriptor.name or not isinstance(descriptor.name, str):
+            raise ValueError("table name must be a non-empty string")
+        if not descriptor.families or any(
+            not f.name for f in descriptor.families.values()
+        ):
+            raise ValueError("table needs at least one non-empty family name")
         d = self._dir(descriptor.name)
         if os.path.exists(d):
             raise TableExistsError(descriptor.name)
@@ -397,55 +405,75 @@ class StoredTable:
         pipeline), or ``sources.tools.multi_table_write``."""
         now = now if now is not None else self._now_ms()
         desc = self.descriptor
-        # exact-latest deletes (Delete.deleteColumn with no ts) need the
-        # current visible ts; resolve them all in ONE Spark job instead of
-        # one per cell (Delete.java:213 does a server-side get per cell —
-        # a batch mutate here would otherwise cost N driver round-trips)
-        latest_needed = {
-            (mut.row, family, qualifier)
-            for mut in mutations
-            for (family, qualifier, ts, typ, _v) in mut.cells
-            if typ == KeyType.DELETE and ts is None
-        }
-        latest_map = self._latest_ts_map(latest_needed) if latest_needed else {}
-        # "latest" is resolved at APPLY time in the reference (a server-
-        # side get per Delete), so a Put earlier in the same batch is
-        # visible to a later latest-delete — track in-batch puts too
-        in_batch_put_ts: dict = {}
-        rows = []
-        ordinal = 0
+        m = self.manifest()
+        self._check_writable(m)
+        empty_qual = b"" if m["binary"] else ""
+        h = self._hashable
+        # flatten: whole-row deletes expand to DeleteFamily per family
+        # (HRegion.prepareDelete:1164-1179); a null qualifier on a
+        # column-level op is the EMPTY qualifier (KeyValue coerces null
+        # to a zero-length byte[] — testNull:948-995 pins that null and
+        # byte[0] address the same column)
+        flat = []
         for mut in mutations:
+            if mut.row is None:
+                # Put/Delete ctors reject a null row (Put.java:66
+                # "Row key is invalid"; testNull:941-946)
+                raise ValueError("mutation row must not be null")
             cells = mut.cells
             if isinstance(mut, Delete) and not cells:
-                # whole-row delete → DeleteFamily per family
                 cells = [
                     (fam, None, None, KeyType.DELETE_FAMILY, None)
                     for fam in desc.families
                 ]
             for family, qualifier, ts, typ, value in cells:
-                key = (
-                    self._hashable(mut.row), self._hashable(family),
-                    self._hashable(qualifier),
+                if qualifier is None and typ != KeyType.DELETE_FAMILY:
+                    qualifier = empty_qual
+                flat.append((mut.row, family, qualifier, ts, typ, value))
+        # exact-latest deletes (Delete.deleteColumn with no ts) need
+        # current visible versions; the Nth such delete of one column in
+        # a batch targets the Nth-NEWEST version (HRegion.delete:1231-1264
+        # counts occurrences per qualifier and reads that many versions),
+        # and when fewer versions exist the tombstone is stamped `now`
+        # (HRegion.java:1254-1257).  All lookups run as ONE Spark job
+        # instead of the reference's get per cell.
+        latest_counts: dict = {}
+        for row, family, qualifier, ts, typ, _v in flat:
+            if typ == KeyType.DELETE and ts is None:
+                key = (h(row), h(family), h(qualifier))
+                latest_counts[key] = latest_counts.get(key, 0) + 1
+        latest_map = (
+            self._latest_ts_map(latest_counts) if latest_counts else {}
+        )
+        # "latest" is resolved at APPLY time in the reference (a server-
+        # side get per Delete), so a Put earlier in the same batch is
+        # visible to a later latest-delete — track in-batch puts too
+        in_batch_put_ts: dict = {}
+        occ: dict = {}
+        rows = []
+        ordinal = 0
+        for row, family, qualifier, ts, typ, value in flat:
+            key = (h(row), h(family), h(qualifier))
+            if typ == KeyType.DELETE and ts is None:
+                n = occ.get(key, 0) + 1
+                occ[key] = n
+                versions = sorted(
+                    set(latest_map.get(key, [])) | in_batch_put_ts.get(key, set()),
+                    reverse=True,
                 )
-                if typ == KeyType.DELETE and ts is None:
-                    stored = latest_map.get(key)
-                    batched = in_batch_put_ts.get(key)
-                    if batched is not None and (stored is None or batched >= stored):
-                        ts = batched  # in-batch put is the latest (newer seq)
-                    else:
-                        ts = stored
-                    if ts is None:
-                        continue  # nothing to delete
-                if typ == KeyType.PUT:
-                    eff = ts if ts is not None else now
-                    prev = in_batch_put_ts.get(key)
-                    if prev is None or eff >= prev:
-                        in_batch_put_ts[key] = eff
-                rows.append((
-                    mut.row, family, qualifier,
-                    ts if ts is not None else now, typ, ordinal, value,
-                ))
-                ordinal += 1
+                # Nth occurrence → Nth-newest version; past the end →
+                # tombstone at `now` (matches the reference, which still
+                # writes the delete marker)
+                ts = versions[n - 1] if n <= len(versions) else now
+            if typ == KeyType.PUT:
+                in_batch_put_ts.setdefault(key, set()).add(
+                    ts if ts is not None else now
+                )
+            rows.append((
+                row, family, qualifier,
+                ts if ts is not None else now, typ, ordinal, value,
+            ))
+            ordinal += 1
         if ordinal >= (1 << _SEQ_SHIFT):
             # seq = commit_seq << 20 | ordinal: a larger batch would
             # overflow into the next commit's seq range and corrupt the
@@ -457,8 +485,6 @@ class StoredTable:
             )
         if not rows:
             return self._head_version()
-        m = self.manifest()
-        self._check_writable(m)
         commit_seq = m["commit_seq"] + 1
         base_seq = commit_seq << _SEQ_SHIFT
         rows = [
@@ -491,25 +517,35 @@ class StoredTable:
         # bytes-keyed lookups match
         return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
 
-    def _latest_ts_map(self, keys) -> dict:
-        """One-job latest-ts lookup for a set of (row, family, qualifier)
-        keys: resolve all touched rows at max_versions=1 and pick the
-        requested columns driver-side (key sets come from a mutation
-        batch, so they are driver-sized by construction)."""
-        if not keys:
+    def _latest_ts_map(self, counts: dict) -> dict:
+        """One-job newest-versions lookup: ``counts`` maps a hashable
+        (row, family, qualifier) key to how many newest version ts are
+        needed (the per-qualifier occurrence count of latest-deletes —
+        HRegion.delete:1240-1250).  Returns key → [ts desc].  Version
+        visibility honors the family maxVersions cap, like the get the
+        reference issues per delete cell.  Key sets come from a mutation
+        batch, so they are driver-sized by construction."""
+        if not counts:
             return {}
         h = self._hashable
-        rows = list({h(r) for (r, _f, _q) in keys})
+        rows = list({r for (r, _f, _q) in counts})
         vis = resolve(
             self.cells().filter(F.col("row").isin(rows)),
-            spec=ResolveSpec(max_versions=1, family_ttl=self._family_ttls()),
+            spec=ResolveSpec(
+                max_versions=max(counts.values()),
+                family_ttl=self._family_ttls(),
+                family_max_versions={
+                    f.name: f.max_versions
+                    for f in self.descriptor.families.values()
+                },
+            ),
         )
-        wanted = {(h(r), h(f), h(q)) for (r, f, q) in keys}
-        return {
-            (h(c.row), h(c.family), h(c.qualifier)): c.ts
-            for c in vis.collect()
-            if (h(c.row), h(c.family), h(c.qualifier)) in wanted
-        }
+        out: dict = {}
+        for c in vis.collect():
+            key = (h(c.row), h(c.family), h(c.qualifier))
+            if key in counts:
+                out.setdefault(key, []).append(c.ts)
+        return {k: sorted(v, reverse=True)[: counts[k]] for k, v in out.items()}
 
     def _latest_ts(self, row, family, qualifier):
         c = self._latest_cell(row, family, qualifier)

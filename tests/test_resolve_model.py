@@ -66,6 +66,14 @@ def model_resolve(cells, spec: ResolveSpec, model_pred=None):
             continue
         if (qual, ts) in st["verdel"]:
             continue
+        # same-coordinate rewrite collapse: the newest-seq Put at a
+        # (row,fam,qual,ts) coordinate replaces older ones (MemStore's
+        # SkipListMap put-overwrite, KeyValueSkipListSet.java:157-159);
+        # the stream is seq-desc within equal coordinates, so the first
+        # Put seen wins and later dupes are invisible
+        if (qual, ts) in st.setdefault("put_seen", set()):
+            continue
+        st["put_seen"].add((qual, ts))
         # data time range [min, max)
         if spec.time_range is not None and not (
             spec.time_range[0] <= ts < spec.time_range[1]

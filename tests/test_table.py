@@ -104,9 +104,12 @@ def test_delete_columns_at_or_before(store):
 
 def test_duplicate_ts_last_write_wins_across_commits(store):
     # TestFromClientSide.testDuplicateVersions:2873 — same (r,f,q,ts)
-    # written twice: the later commit is the newer "store file"; it wins
-    # at maxVersions=1, while a multi-version read surfaces both cells
-    # (exactly HBase's duplicate-timestamp behavior).
+    # written twice: the later commit is the newer "store file" and
+    # REPLACES the older cell (MemStore SkipListMap put-overwrite,
+    # KeyValueSkipListSet.java:157-159): a rewrite consumes one version
+    # slot and only the newest value is visible at ANY maxVersions
+    # (testDuplicateVersions:2984 — VALUES[14] replaces VALUES[4] and
+    # maxVersions=7 still reaches STAMPS[2]).
     from hbase_snapshot_spark.resolve import ResolveSpec
 
     t = _mk(store)
@@ -115,7 +118,7 @@ def test_duplicate_ts_last_write_wins_across_commits(store):
     assert cellset(t.read(spec=ResolveSpec(max_versions=1))) == {
         ("r1", "f", "q", 10, "second")
     }
-    assert {r.value for r in t.read().collect()} == {"first", "second"}
+    assert {r.value for r in t.read().collect()} == {"second"}
 
 
 def test_check_and_put(store):

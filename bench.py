@@ -159,33 +159,34 @@ class Bench:
 
     # -- randomSeekScan (PerformanceEvaluation.java:156-157): seek to a
     # random row, scan forward <=100 rows, x100 seeks.  Spark form: the
-    # 100 seek points are a broadcast dim; a bounded read-ahead band
-    # ([start, start+120) — the scanner's sequential read-ahead window,
-    # sized so >=100 rows always fall inside it for this keyspace) turns
-    # the "no stop row" seek into a pruneable range predicate, then a
-    # per-seek rank caps the scan at exactly 100 rows.  At 100 TB the
-    # band join stays bucketable; an unbounded `row >= start` join would
-    # multiply every trailing cell by every seek and is the wrong plan.
+    # seek's read-ahead band [start, start+120) is bucketed onto row-key
+    # BLOCKS so the cells x seeks match is a broadcast HASH join on the
+    # block id (each seek spans <=2 blocks) with the band as a residual
+    # predicate; a per-seek rank then caps the scan at exactly 100 rows.
+    # A banded nested-loop here is the wrong plan at any scale: every
+    # cell would evaluate every seek's band (and AQE's coalesce of the
+    # resolve shuffle concentrates that onto few cores).
     def random_seek_scan(self):
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
+        BLOCK, SPAN = 1000, 120
         rng = random.Random(59)
-        seeks = [
-            (i, f"{rng.randrange(max(1, self.n_orders - 120)):012d}")
-            for i in range(100)
-        ]
-        seek_df = self.spark.createDataFrame(seeks, "seek_id INT, start STRING")
-        rows = resolve(self.table.cells(), spec=ResolveSpec(max_versions=1))
-        joined = rows.join(
-            F.broadcast(seek_df),
-            (F.col("row") >= F.col("start"))
-            & (
-                F.col("row")
-                < F.format_string("%012d", F.col("start").cast("long") + 120)
-            ),
+        seeks = []
+        for i in range(100):
+            s = rng.randrange(max(1, self.n_orders - SPAN))
+            for blk in range(s // BLOCK, (s + SPAN) // BLOCK + 1):
+                seeks.append((i, f"{s:012d}", f"{s + SPAN:012d}", blk))
+        seek_df = self.spark.createDataFrame(
+            seeks, "seek_id INT, start STRING, stop STRING, blk LONG"
+        )
+        rows = resolve(
+            self.table.cells(), spec=ResolveSpec(max_versions=1)
+        ).withColumn("blk", F.floor(F.col("row").cast("long") / BLOCK))
+        joined = rows.join(F.broadcast(seek_df), on="blk").filter(
+            (F.col("row") >= F.col("start")) & (F.col("row") < F.col("stop"))
         )
         w = Window.partitionBy("seek_id").orderBy("row")
         out = joined.withColumn("rk", F.dense_rank().over(w)).filter(

@@ -187,3 +187,46 @@ def test_while_match_stream_is_persisted(spark, stored):
     )))
     plan = plan_of(df, "simple")
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_random_seek_scan_plan_shape(spark, stored):
+    # bench.random_seek_scan: the seek dim must reach the cells via a
+    # broadcast HASH join on the row-key block (never a nested-loop or
+    # cartesian — a banded BNLJ evaluates every seek's band against
+    # every cell), and the per-seek rank<=100 cap must get Spark's
+    # WindowGroupLimit pruning so partial limits run before the shuffle
+    from pyspark.sql import Window
+
+    seek_df = spark.createDataFrame(
+        [(i, f"r{i * 37 % 400:04d}", f"r{i * 37 % 400 + 3:04d}", (i * 37 % 400) // 100)
+         for i in range(20)],
+        "seek_id INT, start STRING, stop STRING, blk LONG",
+    )
+    rows = resolve(stored, spec=ResolveSpec(max_versions=1)).withColumn(
+        "blk", F.floor(F.substring("row", 2, 4).cast("long") / 100)
+    )
+    joined = rows.join(F.broadcast(seek_df), on="blk").filter(
+        (F.col("row") >= F.col("start")) & (F.col("row") < F.col("stop"))
+    )
+    w = Window.partitionBy("seek_id").orderBy("row")
+    out = joined.withColumn("rk", F.dense_rank().over(w)).filter(F.col("rk") <= 100)
+    plan = plan_of(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_sequential_read_no_global_sort(spark, stored):
+    # bench.sequential_read: whole-table row-order materialization must
+    # be range-partition + LOCAL sorts (scale path) — any single-node
+    # global sort is a regression
+    rows = resolve(stored, spec=ResolveSpec(max_versions=1))
+    ordered = rows.repartitionByRange(4, "row").sortWithinPartitions(
+        "row", "family", "qualifier"
+    )
+    plan = plan_of(ordered, "simple")
+    assert "rangepartitioning" in plan, plan
+    # Spark renders Sort as "Sort [cols], <global>, 0" — a global sort
+    # would print "], true, 0"
+    assert "], true, 0" not in plan, plan

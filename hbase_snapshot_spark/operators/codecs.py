@@ -222,3 +222,78 @@ def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.nda
         .round()
         .astype(np.int32)
     )
+
+
+# ------------------------------------------------------------------ video
+
+
+def sniff_y4m(data: bytes) -> bool:
+    return data is not None and data[:9] == b"YUV4MPEG2"
+
+
+_Y4M_FRAME_SIZES = {
+    "420": lambda w, h: w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2),
+    "422": lambda w, h: w * h + 2 * ((w + 1) // 2) * h,
+    "444": lambda w, h: 3 * w * h,
+    "mono": lambda w, h: w * h,
+}
+
+
+def parse_y4m_header(data: bytes) -> dict:
+    """YUV4MPEG2 stream header → {width, height, fps (num, den),
+    colorspace, frame_size, data_offset}.  The container is plain text
+    + raw planar frames — the one video format that decodes without
+    ffmpeg.  Default colorspace is C420 when absent (y4m spec)."""
+    if not sniff_y4m(data):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    width = height = None
+    fps = (25, 1)
+    cs = "420"
+    for tok in data[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps = (int(num), int(den))
+        elif t.startswith("C"):
+            base = t[1:]
+            cs = "mono" if base.startswith("mono") else base[:3]
+    if width is None or height is None:
+        raise ValueError("y4m header missing W/H")
+    if cs not in _Y4M_FRAME_SIZES:
+        raise NotImplementedError(f"y4m colorspace C{cs} unsupported")
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "colorspace": cs,
+        "frame_size": _Y4M_FRAME_SIZES[cs](width, height),
+        "data_offset": nl + 1,
+    }
+
+
+def y4m_frames(data: bytes):
+    """Yield (frame_index, raw_planar_bytes) per frame.  Each frame is
+    a 'FRAME[ params]\\n' marker + frame_size raw bytes; markers are
+    scanned (params are legal), frame bodies are sliced — no copy of
+    the whole stream."""
+    hdr = parse_y4m_header(data)
+    pos, size, idx = hdr["data_offset"], hdr["frame_size"], 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"y4m frame marker missing at offset {pos}")
+        nl = data.index(b"\n", pos)
+        body = data[nl + 1 : nl + 1 + size]
+        if len(body) < size:
+            break  # truncated tail frame
+        yield idx, body
+        idx += 1
+        pos = nl + 1 + size
+
+
+def y4m_frame_count(data: bytes) -> int:
+    return sum(1 for _ in y4m_frames(data))

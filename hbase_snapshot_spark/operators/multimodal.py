@@ -154,10 +154,16 @@ _FRAME_SCHEMA = T.StructType([
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
-    """Video frame sampling plumbing: expand each video into frame rows
-    at a fixed cadence (JVM-side sequence+explode for the row fan-out),
-    then decode each frame via mapInPandas — stubbed like decode_images.
-    The fan-out + batch shape is the real thing; the codec is not."""
+    """Video frame sampling: expand each video into frame rows at a
+    fixed cadence (JVM-side sequence+explode for the row fan-out), then
+    decode each sampled frame via mapInPandas.  Real path decodes
+    **YUV4MPEG2 (y4m)** — plain-text header + raw planar frames, the one
+    video container that needs no ffmpeg (codecs.parse_y4m_header /
+    y4m_frames); each output row carries the raw planar bytes of the
+    source frame nearest the sample instant (fps-aware), None past the
+    stream end.  Compressed containers (MP4/MKV/...) raise a documented
+    NotImplementedError naming ffmpeg.  ``fake=True`` keeps the
+    deterministic digest decoder over the identical dataflow."""
     frames = media.select(
         "media_id",
         "payload",
@@ -170,23 +176,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     ).withColumn("frame_ms", (F.col("frame_idx").cast("long") * every_ms))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hbase_snapshot_spark.operators import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame decode requires ffmpeg — unavailable here; "
-                    "pass fake=True for the deterministic test decoder"
-                )
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "frame_idx": pdf["frame_idx"],
-                "frame_ms": pdf["frame_ms"],
-                "frame": [
-                    hashlib.md5(
-                        bytes(p) + int(i).to_bytes(4, "big")
-                    ).digest() if p is not None else None
-                    for p, i in zip(pdf["payload"], pdf["frame_idx"])
-                ],
-            })
+            if fake:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame": [
+                        hashlib.md5(
+                            bytes(p) + int(i).to_bytes(4, "big")
+                        ).digest() if p is not None else None
+                        for p, i in zip(pdf["payload"], pdf["frame_idx"])
+                    ],
+                })
+                continue
+            # parse each payload once per batch: group the sample rows
+            # by media, decode the stream in one forward walk, pick the
+            # source frame nearest each sample instant
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for _mid, grp in pdf.groupby("media_id", sort=False):
+                payload = grp["payload"].iloc[0]
+                if payload is None:
+                    frames_by_src = {}
+                    hdr = None
+                else:
+                    data = bytes(payload)
+                    if not codecs.sniff_y4m(data):
+                        raise NotImplementedError(
+                            "compressed video decode requires ffmpeg — "
+                            "unavailable here (only YUV4MPEG2/y4m decodes "
+                            "natively)"
+                        )
+                    hdr = codecs.parse_y4m_header(data)
+                    num, den = hdr["fps"]
+                    wanted = {
+                        int(ms) * num // (1000 * den)
+                        for ms in grp["frame_ms"]
+                    }
+                    frames_by_src = {
+                        i: b for i, b in codecs.y4m_frames(data) if i in wanted
+                    }
+                for _, r in grp.iterrows():
+                    out["media_id"].append(r["media_id"])
+                    out["frame_idx"].append(r["frame_idx"])
+                    out["frame_ms"].append(r["frame_ms"])
+                    if hdr is None:
+                        out["frame"].append(None)
+                    else:
+                        src = int(r["frame_ms"]) * hdr["fps"][0] // (
+                            1000 * hdr["fps"][1]
+                        )
+                        out["frame"].append(frames_by_src.get(src))
+            yield pd.DataFrame(out)
 
     return frames.mapInPandas(run, schema=_FRAME_SCHEMA)
 

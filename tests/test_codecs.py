@@ -225,3 +225,54 @@ def test_audio_features_real(spark):
     resampled = codecs.resample_linear(s, 8000, 16000)
     assert r.peak == int(abs(resampled).max())
     assert r.rms == round(float((resampled.astype("float64") ** 2).mean() ** 0.5), 4)
+
+
+# ------------------------------------------------------------- video/y4m
+
+
+def make_y4m(n_frames: int, w: int = 4, h: int = 2, fps=(10, 1)) -> bytes:
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420jpeg\n" % (w, h, *fps)
+    size = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    out = [hdr]
+    for i in range(n_frames):
+        out.append(b"FRAME\n" + bytes((i * 31 + j) % 256 for j in range(size)))
+    return b"".join(out)
+
+
+def test_y4m_parse_and_walk():
+    data = make_y4m(3, w=6, h=4, fps=(30000, 1001))
+    hdr = codecs.parse_y4m_header(data)
+    assert (hdr["width"], hdr["height"]) == (6, 4)
+    assert hdr["fps"] == (30000, 1001)
+    assert hdr["frame_size"] == 6 * 4 + 2 * 3 * 2
+    frames = list(codecs.y4m_frames(data))
+    assert [i for i, _ in frames] == [0, 1, 2]
+    assert all(len(b) == hdr["frame_size"] for _, b in frames)
+    assert codecs.y4m_frame_count(data) == 3
+    with pytest.raises(ValueError):
+        codecs.parse_y4m_header(b"\x00\x00 not a video")
+
+
+def test_sample_frames_real_y4m(spark):
+    # 10 fps video, 20 frames = 2000 ms; sample every 500 ms → 4 rows,
+    # source frames 0, 5, 10, 15
+    data = make_y4m(20, fps=(10, 1))
+    rows = [(0, "video", bytearray(data),
+             ("video/x-yuv4mpeg", 4, 2, 0, 2000))]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.sample_frames(media, every_ms=500, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_ms for r in out] == [0, 500, 1000, 1500]
+    srcs = {i: b for i, b in codecs.y4m_frames(data)}
+    for r in out:
+        assert bytes(r.frame) == srcs[r.frame_ms * 10 // 1000]
+
+
+def test_sample_frames_compressed_raises(spark):
+    rows = [(0, "video", bytearray(b"\x00\x00\x00 ftypisom fake-mp4"),
+             ("video/mp4", 0, 0, 0, 1000))]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_frames(media, every_ms=500, fake=False).collect()

@@ -12,6 +12,15 @@ page; the stateful scanner routes mirror ScannerResource.java
 (POST creates a server-side cursor id, GET pages it, DELETE closes,
 204 when exhausted).
 
+WIRE FORMATS (rest_wire.py): cell-bearing responses content-negotiate
+via Accept — ``application/x-protobuf`` returns the reference's
+CellSet protobuf message byte-for-byte (CellSetMessage.proto /
+CellMessage.proto), ``text/xml`` the JAXB CellSet document; the table
+list, ``/version`` and ``/<table>/schema`` likewise (TableList /
+Version / TableSchema messages).  PUT accepts a CellSet body and POST
+/<table>/scanner a ScannerModel body in either format (Content-Type
+negotiated), exactly like RowResource.update / ScannerResource.
+
 Routes:
   GET    /                                    list tables
   GET    /<table>/<row>[?v=N]                 point get (all columns)
@@ -34,6 +43,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
+from hbase_snapshot_spark import rest_wire
 from hbase_snapshot_spark.client import Get, Scan
 from hbase_snapshot_spark.table import Delete, Put, TableStore
 
@@ -52,9 +62,9 @@ def _cell_dict(r) -> dict:
     }
 
 
-def _cells_json(df, limit=None):
+def _collect_cells(df, limit=None):
     """Collect up to ``limit`` cells (cap 10000) in key order.  Returns
-    (cells, truncated, next_start): when the cap is hit, ``truncated``
+    (raw_rows, truncated, next_start): when the cap is hit, ``truncated``
     flags the cut and ``next_start`` is the first UNRETURNED row key —
     rows are never split across pages (resume at next_start neither
     skips nor duplicates), except a single row wider than the cap, which
@@ -71,7 +81,7 @@ def _cells_json(df, limit=None):
         boundary = rows[cap].row
         rows = [r for r in rows[:cap] if r.row != boundary] or rows[:cap]
         next_start = _jsonable(boundary)
-    return [_cell_dict(r) for r in rows], truncated, next_start
+    return rows, truncated, next_start
 
 
 def _make_scan(q: dict, maxv: int, binary: bool = False) -> Scan:
@@ -136,6 +146,63 @@ def _make_scan(q: dict, maxv: int, binary: bool = False) -> Scan:
     )
 
 
+def _scanner_from_xml(doc: bytes) -> dict:
+    """ScannerModel XML → the decode_scanner dict shape: base64 byte[]
+    attributes startRow/endRow, int attributes batch/startTime/endTime/
+    maxVersions, base64 <column> children."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(doc)
+    if root.tag != "Scanner":
+        raise ValueError(f"expected <Scanner>, got <{root.tag}>")
+    spec: dict = {"columns": []}
+    if root.get("startRow"):
+        spec["startRow"] = base64.b64decode(root.get("startRow"))
+    if root.get("endRow"):
+        spec["endRow"] = base64.b64decode(root.get("endRow"))
+    for k in ("batch", "startTime", "endTime", "maxVersions"):
+        if root.get(k) is not None:
+            spec[k] = int(root.get(k))
+    for c in root.findall("column"):
+        spec["columns"].append(base64.b64decode(c.text or ""))
+    return spec
+
+
+def _scan_from_model(spec: dict, binary: bool) -> Scan:
+    """ScannerModel dict → engine Scan: byte[] rows/columns decode to
+    str on string tables; 'fam' selects the family, 'fam:qual' the
+    column (ScannerModel.fromScan/toScan column convention)."""
+
+    def key(v):
+        return bytes(v) if binary else bytes(v).decode()
+
+    families, columns = [], {}
+    for col in spec.get("columns", []):
+        fam_b, sep, qual_b = bytes(col).partition(b":")
+        fam = fam_b.decode()
+        if not sep:
+            if fam not in families:
+                families.append(fam)
+        else:
+            columns.setdefault(fam, []).append(
+                qual_b if binary else qual_b.decode()
+            )
+    for fam in columns:
+        if fam not in families:
+            families.append(fam)
+    tr = None
+    if spec.get("startTime") is not None or spec.get("endTime") is not None:
+        tr = (spec.get("startTime", 0), spec.get("endTime", 1 << 62))
+    return Scan(
+        start_row=key(spec["startRow"]) if spec.get("startRow") else None,
+        stop_row=key(spec["endRow"]) if spec.get("endRow") else None,
+        families=families or None,
+        columns=columns or None,
+        max_versions=spec.get("maxVersions", 1),
+        time_range=tr,
+    )
+
+
 class _Scanner:
     """Server-side cursor over a scan — ScannerResource.java semantics
     (an id'd scanner paged by repeated GETs).  Backed by toLocalIterator
@@ -152,9 +219,9 @@ class _Scanner:
         # scanner lease machinery provides the same exclusion).
         self._lock = threading.Lock()
 
-    def next(self, n: int) -> list[dict]:
+    def next(self, n: int) -> list:
         with self._lock:
-            return [_cell_dict(r) for r in itertools.islice(self._it, n)]
+            return list(itertools.islice(self._it, n))
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -174,6 +241,58 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _send_raw(self, code: int, body: bytes, ctype: str,
+                  extra: dict | None = None) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _accept(self) -> str:
+        """Content negotiation via Accept (rest/ResourceBase: JSON, XML,
+        protobuf representations of the same models)."""
+        a = self.headers.get("Accept", "") or ""
+        if "protobuf" in a:
+            return "pb"
+        if "xml" in a:
+            return "xml"
+        return "json"
+
+    def _body_format(self) -> str:
+        ct = self.headers.get("Content-Type", "") or ""
+        if "protobuf" in ct:
+            return "pb"
+        if "xml" in ct:
+            return "xml"
+        return "raw"
+
+    def _send_cells(self, raw_rows, truncated=False, next_start=None) -> None:
+        """Cell-bearing response in the negotiated representation.
+        JSON keeps this engine's flat-cell shape (with truncated /
+        next_start); XML and protobuf are the reference's CellSet
+        models byte-for-byte, with the pagination cursor carried in the
+        X-Next-Start header."""
+        fmt = self._accept()
+        if fmt == "json":
+            payload = {"cells": [_cell_dict(r) for r in raw_rows],
+                       "truncated": truncated}
+            if truncated:
+                payload["next_start"] = next_start
+            return self._send(200, payload)
+        model = rest_wire.group_cells(raw_rows)
+        extra = {"X-Next-Start": str(next_start)} if truncated else None
+        if fmt == "pb":
+            return self._send_raw(
+                200, rest_wire.encode_cell_set(model),
+                "application/x-protobuf", extra,
+            )
+        return self._send_raw(
+            200, rest_wire.cell_set_to_xml(model), "text/xml", extra
+        )
+
     def _parts(self):
         u = urlparse(self.path)
         parts = [unquote(p) for p in u.path.strip("/").split("/") if p != ""]
@@ -184,8 +303,60 @@ class _Handler(BaseHTTPRequestHandler):
         parts, q = self._parts()
         try:
             if not parts:
-                return self._send(200, {"tables": self.store.list_tables()})
+                names = self.store.list_tables()
+                fmt = self._accept()
+                if fmt == "pb":
+                    return self._send_raw(
+                        200, rest_wire.encode_table_list(names),
+                        "application/x-protobuf",
+                    )
+                if fmt == "xml":
+                    return self._send_raw(
+                        200, rest_wire.table_list_to_xml(names), "text/xml"
+                    )
+                return self._send(200, {"tables": names})
+            if parts == ["version"]:
+                # rest/VersionResource — engine build info in the
+                # VersionModel field layout
+                import platform
+
+                import pyspark
+
+                info = {
+                    "restVersion": "0.0.3",
+                    "jvmVersion": platform.python_version(),
+                    "osVersion": f"{platform.system()} {platform.release()}",
+                    "serverVersion": f"pyspark/{pyspark.__version__}",
+                    "jerseyVersion": "http.server",
+                }
+                if self._accept() == "pb":
+                    return self._send_raw(
+                        200, rest_wire.encode_version(info),
+                        "application/x-protobuf",
+                    )
+                return self._send(200, info)
             table = self.store.table(parts[0])
+            if len(parts) == 2 and parts[1] == "schema":
+                # rest/SchemaResource — TableSchemaModel
+                desc = table.descriptor
+                schema = {
+                    "name": desc.name,
+                    "attrs": {"IS_META": "false", "IS_ROOT": "false",
+                              "READONLY": str(desc.readonly).lower()},
+                    "columns": [
+                        {"name": f.name, "attrs": {},
+                         "ttl": f.ttl, "maxVersions": f.max_versions,
+                         "compression": f.compression}
+                        for f in desc.families.values()
+                    ],
+                    "readOnly": desc.readonly,
+                }
+                if self._accept() == "pb":
+                    return self._send_raw(
+                        200, rest_wire.encode_table_schema(schema),
+                        "application/x-protobuf",
+                    )
+                return self._send(200, schema)
             maxv = int(q["v"]) if "v" in q else 1
             if len(parts) >= 2 and parts[1] == "scanner":
                 if len(parts) >= 3:
@@ -194,23 +365,20 @@ class _Handler(BaseHTTPRequestHandler):
                         sc = self.scanners.get(parts[2])
                     if sc is None:
                         return self._send(404, {"error": "unknown scanner"})
-                    cells = sc.next(int(q.get("n", 100)))
-                    if not cells:
+                    rows = sc.next(int(q.get("n", 100)))
+                    if not rows:
                         # exhausted — 204 No Content (ScannerResource)
                         self.send_response(204)
                         self.send_header("Content-Length", "0")
                         self.end_headers()
                         return None
-                    return self._send(200, {"cells": cells})
+                    return self._send_cells(rows)
                 scan = _make_scan(q, maxv, binary=table.manifest()["binary"])
                 limit = int(q.get("limit", 1000))
-                cells, truncated, next_start = _cells_json(
+                rows, truncated, next_start = _collect_cells(
                     table.client().scan(scan), limit
                 )
-                payload = {"cells": cells, "truncated": truncated}
-                if truncated:
-                    payload["next_start"] = next_start
-                return self._send(200, payload)
+                return self._send_cells(rows, truncated, next_start)
             binary = table.manifest()["binary"]
             row = parts[1].encode() if binary else parts[1]
             g = Get(row, max_versions=maxv)
@@ -222,13 +390,10 @@ class _Handler(BaseHTTPRequestHandler):
                     int(q.get("ts_min", 0)),
                     int(q.get("ts_max", (1 << 62))),
                 )
-            cells, truncated, next_start = _cells_json(table.client().get(g))
-            if not cells:
+            rows, truncated, next_start = _collect_cells(table.client().get(g))
+            if not rows:
                 return self._send(404, {"error": "not found"})
-            payload = {"cells": cells, "truncated": truncated}
-            if truncated:
-                payload["next_start"] = next_start
-            return self._send(200, payload)
+            return self._send_cells(rows, truncated, next_start)
         except Exception as ex:  # noqa: BLE001
             return self._send(400, {"error": str(ex)})
 
@@ -240,21 +405,69 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) != 2 or parts[1] != "scanner":
                 return self._send(400, {"error": "POST /<table>/scanner"})
             table = self.store.table(parts[0])
-            maxv = int(q["v"]) if "v" in q else 1
-            df = table.client().scan(
-                _make_scan(q, maxv, binary=table.manifest()["binary"])
-            )
+            binary = table.manifest()["binary"]
+            bodyfmt = self._body_format()
+            n = int(self.headers.get("Content-Length", 0))
+            if bodyfmt != "raw" and n:
+                # ScannerResource: the body is a ScannerModel (protobuf
+                # or XML) — startRow/endRow/columns/time range/versions
+                raw = self.rfile.read(n)
+                spec = (
+                    rest_wire.decode_scanner(raw)
+                    if bodyfmt == "pb"
+                    else _scanner_from_xml(raw)
+                )
+                scan = _scan_from_model(spec, binary)
+            else:
+                if n:
+                    self.rfile.read(n)  # drain unused raw body
+                maxv = int(q["v"]) if "v" in q else 1
+                scan = _make_scan(q, maxv, binary=binary)
+            df = table.client().scan(scan)
             sc = _Scanner(df)
             with self._scanners_lock:
                 sid = str(next(self._scanner_seq))
                 self.scanners[sid] = sc
-            return self._send(201, {"scanner_id": sid})
+            return self._send_raw(
+                201,
+                json.dumps({"scanner_id": sid}).encode(),
+                "application/json",
+                {"Location": f"/{parts[0]}/scanner/{sid}"},
+            )
         except Exception as ex:  # noqa: BLE001
             return self._send(400, {"error": str(ex)})
 
     def do_PUT(self):  # noqa: N802
         parts, q = self._parts()
         try:
+            bodyfmt = self._body_format()
+            if bodyfmt != "raw" and len(parts) >= 2:
+                # RowResource.update:244 — the body is a CellSet model
+                # (protobuf or XML); row keys come from the body, column
+                # = 'family:qualifier', cell timestamps honored
+                table = self.store.table(parts[0])
+                binary = table.manifest()["binary"]
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                model = (
+                    rest_wire.decode_cell_set(raw)
+                    if bodyfmt == "pb"
+                    else rest_wire.xml_to_cell_set(raw)
+                )
+                puts = []
+                for key, cells in model:
+                    p = Put(bytes(key) if binary else key.decode())
+                    for column, ts, data in cells:
+                        fam_b, _, qual_b = bytes(column).partition(b":")
+                        p.add(
+                            fam_b.decode(),
+                            qual_b if binary else qual_b.decode(),
+                            bytes(data) if binary else data.decode(),
+                            ts=ts if ts > 0 else None,
+                        )
+                    puts.append(p)
+                v = table.mutate(puts)
+                return self._send(200, {"committed_version": v})
             if len(parts) < 3:
                 return self._send(400, {"error": "PUT /<table>/<row>/<fam>:<qual>"})
             table = self.store.table(parts[0])

@@ -1,0 +1,153 @@
+"""Avro binary wire tests — zigzag/datum golden vectors, codec
+roundtrips for the genavro records, and framed-call dispatcher e2e
+against AvroServer."""
+
+import pytest
+
+from hbase_snapshot_spark import avro_wire as aw
+from hbase_snapshot_spark.avro_api import (
+    AvroServer,
+    AColumnValue,
+    AFamilyDescriptor,
+    AGet,
+    APut,
+    ATableDescriptor,
+)
+from hbase_snapshot_spark.table import TableStore
+
+
+# ------------------------------------------------------- golden vectors
+
+
+def test_zigzag_golden():
+    buf = bytearray()
+    aw.write_long(buf, 0)
+    aw.write_long(buf, -1)
+    aw.write_long(buf, 1)
+    aw.write_long(buf, -64)
+    aw.write_long(buf, 64)
+    # avro spec examples: 0→00, -1→01, 1→02, -64→7f, 64→80 01
+    assert bytes(buf) == bytes.fromhex("00" "01" "02" "7f" "8001")
+
+
+def test_record_golden_bytes():
+    # AResultEntry{family=b"f", qualifier=b"q", value=b"v", ts=100}:
+    # bytes = len+raw (01-prefixed zigzag lens), long 100 → zigzag 200
+    buf = bytearray()
+    aw.encode_datum(buf, aw.ARESULTENTRY, {
+        "family": b"f", "qualifier": b"q", "value": b"v", "timestamp": 100,
+    })
+    assert bytes(buf) == bytes.fromhex("02" "66" "02" "71" "02" "76" "c801")
+
+
+def test_union_and_array_golden():
+    # AColumn{family=b"f", qualifier=None}: bytes "f", union branch 1
+    # (null) → 02 66 02
+    buf = bytearray()
+    aw.encode_datum(buf, aw.ACOLUMN, {"family": b"f", "qualifier": None})
+    assert bytes(buf) == bytes.fromhex("02" "66" "02")
+    # array of two longs [3, 4]: count 2, items, end 0
+    buf = bytearray()
+    aw.encode_datum(buf, ("array", ("long",)), [3, 4])
+    assert bytes(buf) == bytes.fromhex("04" "06" "08" "00")
+
+
+# ---------------------------------------------------------- roundtrips
+
+
+def test_datum_roundtrips():
+    cases = [
+        (aw.AGET, {"row": b"r1", "columns": [{"family": b"f",
+                                              "qualifier": b"q"}],
+                   "timestamp": None,
+                   "timerange": {"minStamp": 1, "maxStamp": 5},
+                   "maxVersions": 3}),
+        (aw.ASCAN, {"startRow": b"a", "stopRow": None, "columns": None,
+                    "timestamp": -7, "timerange": None, "maxVersions": None}),
+        (aw.ATABLEDESCRIPTOR, {
+            "name": b"t", "families": [
+                {"name": b"f", "compression": "NONE", "maxVersions": 3,
+                 "blocksize": None, "inMemory": False, "timeToLive": 777,
+                 "blockCacheEnabled": None}],
+            "maxFileSize": 1 << 40, "memStoreFlushSize": None,
+            "rootRegion": None, "metaRegion": None, "metaTable": None,
+            "readOnly": False, "deferredLogFlush": None}),
+    ]
+    for spec, v in cases:
+        buf = bytearray()
+        aw.encode_datum(buf, spec, v)
+        got, pos = aw.decode_datum(bytes(buf), 0, spec)
+        assert pos == len(buf)
+        assert got == v
+
+
+# ------------------------------------------------------ dispatcher e2e
+
+
+@pytest.fixture()
+def disp(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "tables"))
+    server = AvroServer(store)
+    server.createTable(ATableDescriptor(
+        name="t", families=[AFamilyDescriptor(name="f", maxVersions=3)]))
+    server.put("t", APut(row="r1", columnValues=[
+        AColumnValue(family="f", qualifier="q", value="v1", timestamp=100)]))
+    return aw.AvroBinaryDispatcher(server)
+
+
+def _call(disp, name, **params):
+    return aw.decode_response(name, disp.handle(aw.encode_call(name, params)))
+
+
+def test_wire_get_put_roundtrip(disp):
+    res = _call(disp, "get", table=b"t", get={
+        "row": b"r1", "columns": None, "timestamp": None,
+        "timerange": None, "maxVersions": None})
+    assert res["row"] == b"r1"
+    assert res["entries"] == [{"family": b"f", "qualifier": b"q",
+                               "value": b"v1", "timestamp": 100}]
+
+    assert _call(disp, "put", table=b"t", put={
+        "row": b"r2", "columnValues": [
+            {"family": b"f", "qualifier": b"q", "value": b"v2",
+             "timestamp": 200}]}) is None
+    assert _call(disp, "exists", table=b"t", get={
+        "row": b"r2", "columns": None, "timestamp": None,
+        "timerange": None, "maxVersions": None}) is True
+
+
+def test_wire_scanner(disp):
+    sid = _call(disp, "scannerOpen", table=b"t", scan={
+        "startRow": None, "stopRow": None, "columns": None,
+        "timestamp": None, "timerange": None, "maxVersions": None})
+    rows = _call(disp, "scannerGetRows", scannerId=sid, numberOfRows=10)
+    assert [r["row"] for r in rows] == [b"r1"]
+    assert _call(disp, "scannerClose", scannerId=sid) is None
+
+
+def test_wire_admin_and_errors(disp):
+    tables = _call(disp, "listTables")
+    assert [t["name"] for t in tables] == [b"t"]
+    desc = _call(disp, "describeTable", table=b"t")
+    assert desc["families"][0]["maxVersions"] == 3
+    assert _call(disp, "isTableEnabled", table=b"t") is True
+    assert _call(disp, "getClusterStatus")["regionsCount"] == 1
+    v = _call(disp, "incrementColumnValue", table=b"t", row=b"c",
+              family=b"f", qualifier=b"n", amount=5, writeToWAL=True)
+    assert v == 5
+
+    from hbase_snapshot_spark.avro_api import AIOError, ATableExists
+    with pytest.raises(AIOError, match="nope"):
+        _call(disp, "describeTable", table=b"nope")
+    with pytest.raises(ATableExists):
+        _call(disp, "createTable", table={
+            "name": b"t", "families": None, "maxFileSize": None,
+            "memStoreFlushSize": None, "rootRegion": None,
+            "metaRegion": None, "metaTable": None, "readOnly": None,
+            "deferredLogFlush": None})
+    with pytest.raises(RuntimeError, match="unknown message"):
+        aw.decode_response("get", disp.handle(
+            aw.encode_call("get", {"table": b"t", "get": {
+                "row": b"r", "columns": None, "timestamp": None,
+                "timerange": None, "maxVersions": None}}).replace(
+                b"\x06get", b"\x06zzz", 1)))

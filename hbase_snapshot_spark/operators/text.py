@@ -185,3 +185,52 @@ def scrub_pii(
         F.length(cleaned).alias("clean_len"),
         cleaned.alias("clean_text"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", repetition filters) — the signals a
+    web-scale corpus uses to drop boilerplate/spam documents:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line,
+    - ``top_ngram_frac``: fraction of word n-grams accounted for by the
+      single most frequent n-gram.
+
+    Pure array-Column ops (split / transform / filter / array_max) —
+    whole-stage codegen, no shuffle, no UDF.  The per-row n-gram
+    frequency scan is O(distinct-grams x grams) inside codegen, bounded
+    by document length.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 4),
+    ).otherwise(F.lit(0.0))
+
+    grams = F.col("_grams")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    n_grams = F.size(grams)
+    top_frac = F.when(n_grams > 0, F.round(top / n_grams, 4)).otherwise(
+        F.lit(0.0)
+    )
+    from hbase_snapshot_spark.functions import word_ngrams
+
+    return (
+        df.withColumn("_grams", word_ngrams(word_tokens(text), ngram))
+        .select(
+            F.col(id_col),
+            dup_line_frac.alias("dup_line_frac"),
+            top_frac.alias("top_ngram_frac"),
+        )
+    )

@@ -610,3 +610,26 @@ def test_leakage_safe_split(spark):
     s2 = sorted(dedup.leakage_safe_split(df, test_fraction=0.5,
                                          threshold=0.4).collect())
     assert s1 == s2
+
+
+def test_repetition_signals(spark):
+    from hbase_snapshot_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "spam" line repeated twice -> 1 dup of 4 = 0.25;
+            # 11 tokens -> 10 2-grams, "buy now" appears 3x -> 0.3
+            (0, "spam\nbuy now buy now buy now click here\nspam\nok"),
+            # no repetition at all
+            (1, "one two three four"),
+            # empty text
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[0].dup_line_frac == 0.25
+    assert out[0].top_ngram_frac == 0.3
+    assert out[1].dup_line_frac == 0.0
+    assert out[1].top_ngram_frac == round(1 / 3, 4)
+    assert out[2].dup_line_frac == 0.0 and out[2].top_ngram_frac == 0.0

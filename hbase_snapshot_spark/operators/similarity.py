@@ -250,3 +250,174 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ----------------------------------------------------- product quantization
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """squared L2 distance between two float arrays (JVM-side fold)"""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str) -> DataFrame:
+    """explode each vector into its m subvectors: + (sub, svec) columns"""
+    d_sub = dim // m
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}), "
+        f"s -> slice({vec_col}, s * {d_sub} + 1, {d_sub}))"
+    )
+    return df.select(
+        "*", F.posexplode(subs).alias("sub", "svec")
+    ).drop(vec_col)
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the dimension splits
+    into ``m`` subspaces; each learns its own ``num_codes``-entry
+    codebook.  Deterministic seeding (the smallest-id vectors donate
+    the initial codewords — no RNG), then ``iterations`` Lloyd rounds
+    per subspace, each one assign-shuffle + mean-aggregate over the
+    full corpus.  Returns (sub, code, cvec).
+
+    At 100 TB this is the standard memory-compression path: 8 bytes of
+    codes replace 256 bytes of float32 per vector, and search runs in
+    the compressed domain (pq_topk)."""
+    seeds = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(num_codes)
+        .select(F.col(id_col).alias("_src"), F.col(vec_col))
+    )
+    w = Window.orderBy(F.col("_src").asc())
+    seeds = seeds.select((F.row_number().over(w) - 1).alias("code"), vec_col)
+    books = _subvectors(seeds, m, dim, vec_col).select(
+        "sub", "code", F.col("svec").alias("cvec")
+    )
+    if iterations <= 0:
+        return books
+    subvecs = _subvectors(
+        vectors.select(id_col, vec_col), m, dim, vec_col
+    )
+    for _ in range(iterations):
+        scored = subvecs.join(F.broadcast(books), on="sub").select(
+            id_col, "sub", "code", "svec",
+            _l2sq(F.col("svec"), F.col("cvec")).alias("_d"),
+        )
+        wv = Window.partitionBy(id_col, "sub").orderBy(
+            F.col("_d").asc(), F.col("code").asc()
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+        )
+        d_sub = dim // m
+        # per-dimension mean of each (sub, code) cluster — empty
+        # clusters keep their previous codeword (left join + coalesce)
+        means = assigned.groupBy("sub", "code").agg(
+            *[
+                F.avg(F.element_at(F.col("svec"), i + 1)).alias(f"_m{i}")
+                for i in range(d_sub)
+            ]
+        ).select(
+            "sub", "code",
+            F.array(*[F.col(f"_m{i}") for i in range(d_sub)]).alias("mvec"),
+        )
+        books = (
+            books.join(means, on=["sub", "code"], how="left")
+            .select(
+                "sub", "code",
+                F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec"),
+            )
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vectors → (vec_id, codes array<int>): per subspace, the nearest
+    codeword (L2, code-asc tie-break for determinism).  One broadcast
+    join + one window + one groupBy — all JVM-side."""
+    subvecs = _subvectors(vectors.select(id_col, vec_col), m, dim, vec_col)
+    scored = subvecs.join(F.broadcast(codebooks), on="sub").select(
+        id_col, "sub", "code",
+        _l2sq(F.col("svec"), F.col("cvec")).alias("_d"),
+    )
+    wv = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k in the compressed domain: each
+    query precomputes an (m x num_codes) distance table against the
+    codebooks (a small broadcast frame, built Spark-side); every coded
+    vector then sums m table lookups.  Plan shape: explode codes to
+    (vec_id, sub, code), broadcast-hash-join the lookup table, partial
+    sum per (query, vec), window top-k — no decompression, no cartesian
+    over the corpus."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qsubs = _subvectors(q, m, dim, "qvec").select(
+        "query_id", "sub", F.col("svec").alias("qsub")
+    )
+    lookup = qsubs.join(F.broadcast(codebooks), on="sub").select(
+        "query_id", "sub", "code",
+        F.round(_l2sq(F.col("qsub"), F.col("cvec")), 6).alias("_d"),
+    )
+    exploded = codes.select(
+        id_col, F.posexplode(F.col("codes")).alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lookup), on=["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

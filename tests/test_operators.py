@@ -633,3 +633,48 @@ def test_repetition_signals(spark):
     assert out[1].dup_line_frac == 0.0
     assert out[1].top_ngram_frac == round(1 / 3, 4)
     assert out[2].dup_line_frac == 0.0 and out[2].top_ngram_frac == 0.0
+
+
+def test_product_quantization(spark):
+    from hbase_snapshot_spark.operators import similarity
+
+    # clustered synthetic corpus: 4 well-separated centers in 16 dims,
+    # 15 points each jittered deterministically
+    import random
+
+    rng = random.Random(7)
+    centers = [[float(100 * c + d) for d in range(16)] for c in range(4)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 4]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    books = similarity.pq_train(vecs, m=4, num_codes=8, dim=16, iterations=2)
+    bk = books.collect()
+    assert {r.sub for r in bk} == {0, 1, 2, 3}
+    assert all(len(r.cvec) == 4 for r in bk)
+
+    codes = similarity.pq_encode(vecs, books, m=4, dim=16)
+    cd = {r.vec_id: r.codes for r in codes.collect()}
+    assert len(cd) == 60 and all(len(v) == 4 for v in cd.values())
+    # same-cluster vectors compress to the same (or near-same) codes;
+    # different clusters must differ
+    assert cd[0] != cd[1]
+
+    queries = vecs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.pq_topk(codes, books, queries, k=15, m=4, dim=16)
+    out = {}
+    for r in got.collect():
+        out.setdefault(r.query_id, []).append(r.vec_id)
+    # exact neighbors of query q are the 15 members of its cluster
+    for q in (0, 1):
+        exact = {i for i in range(60) if i % 4 == q % 4}
+        recall = len(set(out[q]) & exact) / 15
+        assert recall >= 0.9, (q, sorted(out[q]))
+    # determinism: second run bit-identical
+    again = {}
+    for r in similarity.pq_topk(codes, books, queries, k=15, m=4, dim=16).collect():
+        again.setdefault(r.query_id, []).append(r.vec_id)
+    assert again == out

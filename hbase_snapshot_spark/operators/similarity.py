@@ -421,3 +421,75 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    num_codes: int = 16,
+    dim: int = 64,
+    pq_iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): the IVF coarse quantizer
+    restricts the candidate set to ``nprobe`` cells, and the ADC scan
+    inside those cells runs on PQ codes instead of raw vectors.  This is
+    the 100 TB memory shape — the raw float columns never enter the
+    search join; only (cell, codes) does.
+
+    Plan: ivf_assign (broadcast centroids) → pq_train/pq_encode once →
+    per-query probe list (broadcast) → cell-bucketed equi-join of coded
+    candidates × query distance tables → partial-sum + window top-k."""
+    assigned, cents = ivf_assign(vectors, num_centroids, id_col, vec_col)
+    books = pq_train(
+        vectors, m=m, num_codes=num_codes, dim=dim,
+        iterations=pq_iterations, id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(
+        vectors, books, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    ).join(assigned.select(id_col, "cell"), on=id_col)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qvec", "cell",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsubs = _subvectors(q, m, dim, "qvec").select(
+        "query_id", "sub", F.col("svec").alias("qsub")
+    )
+    lookup = qsubs.join(F.broadcast(books), on="sub").select(
+        "query_id", "sub", "code",
+        F.round(_l2sq(F.col("qsub"), F.col("cvec")), 6).alias("_d"),
+    )
+    candidates = codes.join(F.broadcast(probes), on="cell")
+    exploded = candidates.select(
+        "query_id", id_col, F.posexplode(F.col("codes")).alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lookup), on=["query_id", "sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_d"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

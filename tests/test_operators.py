@@ -678,3 +678,30 @@ def test_product_quantization(spark):
     for r in similarity.pq_topk(codes, books, queries, k=15, m=4, dim=16).collect():
         again.setdefault(r.query_id, []).append(r.vec_id)
     assert again == out
+
+
+def test_ivfpq_topk(spark):
+    from hbase_snapshot_spark.operators import similarity
+
+    import random
+
+    rng = random.Random(11)
+    centers = [[float(50 * c + d) for d in range(16)] for c in range(4)]
+    rows = [
+        (i, [v + rng.uniform(-0.5, 0.5) for v in centers[i % 4]])
+        for i in range(80)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vecs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    got = similarity.ivfpq_topk(
+        vecs, queries, k=10, num_centroids=4, nprobe=2, m=4,
+        num_codes=8, dim=16)
+    out = {}
+    for r in got.collect():
+        out.setdefault(r.query_id, []).append(r.vec_id)
+    for q in (0, 1):
+        cluster = {i for i in range(80) if i % 4 == q % 4}
+        recall = len(set(out[q]) & cluster) / 10
+        assert recall >= 0.8, (q, sorted(out[q]))

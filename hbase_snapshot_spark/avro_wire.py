@@ -331,6 +331,35 @@ def decode_response(name: str, data: bytes):
     raise getattr(api, errors[idx - 1])(v["message"])
 
 
+def serve_avro(store, port: int = 0):
+    """HTTP transport for the framed avro calls — the reference
+    AvroServer runs over Avro's HttpServer (AvroServer.java main):
+    POST / with the framed request body returns the framed response.
+    Returns (server, port)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    dispatcher = AvroBinaryDispatcher(api.AvroServer(store))
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            body = dispatcher.handle(self.rfile.read(n))
+            self.send_response(200)
+            self.send_header("Content-Type", "avro/binary")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
 class AvroBinaryDispatcher:
     """Serves framed avro calls against an ``avro_api.AvroServer``."""
 

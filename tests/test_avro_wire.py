@@ -151,3 +151,29 @@ def test_wire_admin_and_errors(disp):
                 "row": b"r", "columns": None, "timestamp": None,
                 "timerange": None, "maxVersions": None}}).replace(
                 b"\x06get", b"\x06zzz", 1)))
+
+
+def test_http_transport(spark, tmp_path):
+    import urllib.request
+
+    store = TableStore(spark, str(tmp_path / "tables-http"))
+    server = AvroServer(store)
+    server.createTable(ATableDescriptor(
+        name="t", families=[AFamilyDescriptor(name="f")]))
+    server.put("t", APut(row="r1", columnValues=[
+        AColumnValue(family="f", qualifier="q", value="v1", timestamp=100)]))
+    srv, port = aw.serve_avro(store)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", method="POST",
+            data=aw.encode_call("get", {"table": b"t", "get": {
+                "row": b"r1", "columns": None, "timestamp": None,
+                "timerange": None, "maxVersions": None}}),
+            headers={"Content-Type": "avro/binary"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+        res = aw.decode_response("get", body)
+        assert res["entries"][0]["value"] == b"v1"
+    finally:
+        srv.shutdown()

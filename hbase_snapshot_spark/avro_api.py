@@ -186,6 +186,11 @@ class AvroServer:
         self.store = store
         self._scanners: dict[int, object] = {}
         self._scanner_seq = itertools.count(1)
+        # id allocation + registry mutation under threaded transports
+        # (avro_wire.serve_avro); cursor paging serializes in RowCursor
+        import threading
+
+        self._scanners_lock = threading.Lock()
 
     def _table(self, table):
         try:
@@ -432,18 +437,24 @@ class AvroServer:
             families=spec.families, columns=spec.columns,
             time_range=spec.time_range, max_versions=spec.max_versions,
         )
-        sid = next(self._scanner_seq)
-        self._scanners[sid] = RowCursor(t.client().scan(s), self._row_result)
+        with self._scanners_lock:
+            sid = next(self._scanner_seq)
+            self._scanners[sid] = RowCursor(
+                t.client().scan(s), self._row_result
+            )
         return sid
 
     def scannerGetRows(self, scannerId, numberOfRows) -> list[AResult]:  # noqa: N802,N803
         """hbase.genavro scannerGetRows"""
-        cur = self._scanners.get(scannerId)
+        with self._scanners_lock:
+            cur = self._scanners.get(scannerId)
         if cur is None:
             raise AIllegalArgument(f"scanner {scannerId} is not open")
         return cur.next_rows(numberOfRows)
 
     def scannerClose(self, scannerId) -> None:  # noqa: N802,N803
         """hbase.genavro scannerClose"""
-        if self._scanners.pop(scannerId, None) is None:
+        with self._scanners_lock:
+            closed = self._scanners.pop(scannerId, None)
+        if closed is None:
             raise AIllegalArgument(f"scanner {scannerId} is not open")

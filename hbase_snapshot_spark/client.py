@@ -104,13 +104,26 @@ class RowCursor:
     the ordered cell list."""
 
     def __init__(self, df: DataFrame, make_row):
+        import threading
+
         self._it = df.orderBy(
             "row", "family", "qualifier", df["ts"].desc(), df["seq"].desc()
         ).toLocalIterator()
         self._pushback = None
         self._make_row = make_row
+        # the thrift/avro front-ends now run behind THREADED transports
+        # (thrift_wire.serve_thrift, avro_wire.serve_avro); concurrent
+        # pagers of one scanner id must serialize — toLocalIterator and
+        # the pushback slot are not thread-safe (same exclusion the
+        # reference's scanner leases provide, and the same fix rest.py's
+        # _Scanner got in round 3)
+        self._lock = threading.Lock()
 
     def next_rows(self, n: int) -> list:
+        with self._lock:
+            return self._next_rows(n)
+
+    def _next_rows(self, n: int) -> list:
         out = []
         cur_row, cells = None, []
         while len(out) < n:

@@ -122,9 +122,15 @@ class ThriftServer:
     TableStore, methods named and shaped per Hbase.thrift."""
 
     def __init__(self, store):
+        import threading
+
         self.store = store
         self._scanners: dict[int, object] = {}
         self._scanner_seq = itertools.count(1)
+        # id allocation + registry mutation under threaded transports
+        # (thrift_wire.serve_thrift); cursor paging itself serializes
+        # inside RowCursor
+        self._scanners_lock = threading.Lock()
 
     # ------------------------------------------------------------ admin
 
@@ -393,8 +399,9 @@ class ThriftServer:
         from hbase_snapshot_spark.client import RowCursor
 
         df = self._table(tableName).client().scan(scan)
-        sid = next(self._scanner_seq)
-        self._scanners[sid] = RowCursor(df, self._row_result)
+        with self._scanners_lock:
+            sid = next(self._scanner_seq)
+            self._scanners[sid] = RowCursor(df, self._row_result)
         return sid
 
     def scannerOpen(self, tableName, startRow, columns=None) -> int:  # noqa: N802,N803
@@ -447,12 +454,15 @@ class ThriftServer:
 
     def scannerGetList(self, id, nbRows) -> list[TRowResult]:  # noqa: N802,N803,A002
         """Hbase.thrift scannerGetList:576"""
-        cur = self._scanners.get(id)
+        with self._scanners_lock:
+            cur = self._scanners.get(id)
         if cur is None:
             raise IOError_(f"scanner {id} is not open")
         return cur.next_rows(nbRows)
 
     def scannerClose(self, id) -> None:  # noqa: N802,A002
         """Hbase.thrift scannerClose:584"""
-        if self._scanners.pop(id, None) is None:
+        with self._scanners_lock:
+            closed = self._scanners.pop(id, None)
+        if closed is None:
             raise IOError_(f"scanner {id} is not open")

@@ -142,3 +142,42 @@ def test_tcp_server_roundtrip(store):
                            tableName="nope", row="r")
     finally:
         srv.shutdown()
+
+
+def test_concurrent_scanner_paging(store):
+    # two threads page ONE scanner id concurrently (the situation the
+    # threaded TCP transport creates); every row must arrive exactly
+    # once — RowCursor serializes the iterator + pushback slot
+    import threading
+
+    h = ThriftServer(store)
+    h.createTable("t", [ColumnDescriptor("f")])
+    for i in range(40):
+        h.mutateRowTs("t", f"r{i:03d}",
+                      [Mutation(column="f:q", value=f"v{i}")], 100)
+    disp = tw.ThriftBinaryDispatcher(h)
+    sid = tw.decode_reply("scannerOpen", disp.handle(tw.encode_call(
+        "scannerOpen", 1, {"tableName": "t", "startRow": "", "columns": []})))
+
+    got, errs = [], []
+
+    def pager():
+        try:
+            while True:
+                rows = tw.decode_reply("scannerGetList", disp.handle(
+                    tw.encode_call("scannerGetList", 2,
+                                   {"id": sid, "nbRows": 3})))
+                if not rows:
+                    return
+                got.extend(r["row"] for r in rows)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    threads = [threading.Thread(target=pager) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(got) == [f"r{i:03d}" for i in range(40)]
+    assert len(got) == len(set(got))

@@ -39,6 +39,13 @@ class ATableExists(Exception):
     """hbase.genavro error ATableExists."""
 
 
+class AMasterNotRunning(Exception):
+    """hbase.genavro error AMasterNotRunning:221 — declared on
+    createTable; this engine has no master process so it is never
+    raised, but the wire transcription keeps the 4-branch error
+    union byte-compatible."""
+
+
 # ---------------------------------------------------------------- records
 
 @dataclass

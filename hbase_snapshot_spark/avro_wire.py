@@ -245,7 +245,8 @@ METHODS: dict = {
         [("table", ("bytes",)), ("family", ("bytes",))],
         AFAMILYDESCRIPTOR, _IO),
     "createTable": ([("table", ATABLEDESCRIPTOR)], _NULL,
-                    ["AIOError", "AIllegalArgument", "ATableExists"]),
+                    ["AIOError", "AIllegalArgument", "ATableExists",
+                     "AMasterNotRunning"]),  # hbase.genavro:247
     "deleteTable": ([("table", ("bytes",))], _NULL, _IO),
     "modifyTable": (
         [("table", ("bytes",)), ("tableDescriptor", ATABLEDESCRIPTOR)],

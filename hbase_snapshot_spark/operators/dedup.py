@@ -323,10 +323,20 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """embedding near-dup: cosine ≥ threshold.  With ``block_col`` the
     join is blocked (cluster id / LSH bucket) — the scale path; without
-    it, all-pairs (small inputs only; the brute-force baseline)."""
+    it, all-pairs (small inputs only; the brute-force baseline), which
+    must be opted into with ``allow_all_pairs=True`` so a quadratic
+    cartesian can't be reached by accident on a production corpus."""
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "cosine_dup_pairs without block_col is an all-pairs cartesian "
+            "join (O(n^2)); pass block_col= (LSH bucket / cluster id) for "
+            "the scale path, or allow_all_pairs=True to run the "
+            "brute-force baseline on a small input"
+        )
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         *( [F.col(block_col).alias("blk")] if block_col else [] )

@@ -463,7 +463,10 @@ class _Handler(BaseHTTPRequestHandler):
                             fam_b.decode(),
                             qual_b if binary else qual_b.decode(),
                             bytes(data) if binary else data.decode(),
-                            ts=ts if ts > 0 else None,
+                            # None = field absent in the body (server
+                            # assigns 'now'); an explicit ts — 0 included
+                            # — is honored as-is (RowResource.update:244)
+                            ts=ts,
                         )
                     puts.append(p)
                 v = table.mutate(puts)

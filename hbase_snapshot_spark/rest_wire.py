@@ -114,7 +114,8 @@ def encode_cell_set(rows: list) -> bytes:
             cell = bytearray()
             # row field (1) intentionally unset inside a CellSet
             cell += _field_bytes(2, column)
-            cell += _field_varint(3, ts)
+            if ts is not None:  # optional field 3 — absent ≠ 0
+                cell += _field_varint(3, ts)
             if data is not None:
                 cell += _field_bytes(4, data)
             row += _field_bytes(2, bytes(cell))
@@ -133,7 +134,10 @@ def decode_cell_set(data: bytes) -> list:
                 key = v2
             elif f2 == 2:
                 column = data_ = b""
-                ts = 0
+                # ts None = field 3 absent (server assigns the timestamp);
+                # an explicit ts=0 in the body must stay 0 — the reference
+                # RowResource honors it, so presence matters
+                ts = None
                 for f3, _w3, v3 in _walk(v2):
                     if f3 == 1:
                         pass  # row — unused inside CellSet
@@ -322,9 +326,9 @@ def cell_set_to_xml(rows: list) -> bytes:
     for key, cells in rows:
         row_el = ET.SubElement(root, "Row", key=_b64(key))
         for column, ts, data in cells:
-            cell = ET.SubElement(
-                row_el, "Cell", column=_b64(column), timestamp=str(ts)
-            )
+            cell = ET.SubElement(row_el, "Cell", column=_b64(column))
+            if ts is not None:  # optional attribute — absent ≠ 0
+                cell.set("timestamp", str(ts))
             cell.text = _b64(data if data is not None else b"")
     return ET.tostring(root, encoding="utf-8", xml_declaration=True)
 
@@ -338,9 +342,10 @@ def xml_to_cell_set(doc: bytes) -> list:
         key = base64.b64decode(row_el.get("key", ""))
         cells = []
         for cell in row_el.findall("Cell"):
+            ts_attr = cell.get("timestamp")
             cells.append((
                 base64.b64decode(cell.get("column", "")),
-                int(cell.get("timestamp", "0")),
+                int(ts_attr) if ts_attr is not None else None,
                 base64.b64decode(cell.text or ""),
             ))
         rows.append((key, cells))

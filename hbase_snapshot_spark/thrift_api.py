@@ -31,7 +31,17 @@ from hbase_snapshot_spark.table import Delete, Put
 
 
 class IOError_(Exception):
-    """Hbase.thrift IOError — unknown table / failed operation."""
+    """Hbase.thrift IOError:127 — unknown table / failed operation."""
+
+
+class IllegalArgument(Exception):
+    """Hbase.thrift IllegalArgument:135 — invalid input parameter
+    (e.g. an unknown scanner id, Hbase.thrift:653)."""
+
+
+class AlreadyExists(Exception):
+    """Hbase.thrift AlreadyExists:143 — createTable on an existing
+    table name."""
 
 
 # *Ts methods bound the time range below with Long.MIN_VALUE
@@ -153,8 +163,14 @@ class ThriftServer:
                 ttl=cf.timeToLive,
                 replication_scope=cf.replicationScope,
             ))
+        from hbase_snapshot_spark.table import TableExistsError
+
         try:
             self.store.create_table(desc)
+        except TableExistsError as ex:
+            # ThriftServer.createTable catches TableExistsException →
+            # AlreadyExists (Hbase.thrift:227 field 3)
+            raise AlreadyExists(str(ex)) from ex
         except Exception as ex:  # noqa: BLE001
             raise IOError_(str(ex)) from ex
 
@@ -457,7 +473,9 @@ class ThriftServer:
         with self._scanners_lock:
             cur = self._scanners.get(id)
         if cur is None:
-            raise IOError_(f"scanner {id} is not open")
+            # "@throws IllegalArgument if ScannerID is invalid"
+            # (Hbase.thrift:653)
+            raise IllegalArgument(f"scanner {id} is not open")
         return cur.next_rows(nbRows)
 
     def scannerClose(self, id) -> None:  # noqa: N802,A002
@@ -465,4 +483,4 @@ class ThriftServer:
         with self._scanners_lock:
             closed = self._scanners.pop(id, None)
         if closed is None:
-            raise IOError_(f"scanner {id} is not open")
+            raise IllegalArgument(f"scanner {id} is not open")

@@ -280,7 +280,9 @@ _APP_EXC = ("struct", {1: ("message", ("string",)), 2: ("type", ("i32",))})
 #          throws {exc_class_name: (fid, thrift_name)})
 
 _IO = {"IOError_": (1, "io")}
-_IO_IA = {"IOError_": (1, "io")}  # IllegalArgument shares the shape
+_IO_IA = {"IOError_": (1, "io"), "IllegalArgument": (2, "ia")}
+_CREATE = {"IOError_": (1, "io"), "IllegalArgument": (2, "ia"),
+           "AlreadyExists": (3, "exist")}  # Hbase.thrift:227
 
 METHODS: dict = {
     "enableTable": ([(1, "tableName", ("string",))], None, _IO),
@@ -296,7 +298,7 @@ METHODS: dict = {
         [(1, "tableName", ("string",))], ("list", TREGION_INFO), _IO),
     "createTable": (
         [(1, "tableName", ("string",)),
-         (2, "columnFamilies", ("list", COLUMN_DESCRIPTOR))], None, _IO),
+         (2, "columnFamilies", ("list", COLUMN_DESCRIPTOR))], None, _CREATE),
     "deleteTable": ([(1, "tableName", ("string",))], None, _IO),
     "get": (
         [(1, "tableName", ("string",)), (2, "row", ("string",)),
@@ -411,9 +413,9 @@ def decode_reply(name: str, data: bytes):
     for _cls, (fid, tname) in throws.items():
         fields[fid] = (tname, EXC)
     out = _read_struct(r, fields)
-    for _cls, (fid, tname) in throws.items():
+    for cls_name, (fid, tname) in throws.items():
         if tname in out:
-            raise api.IOError_(out[tname].get("message", ""))
+            raise getattr(api, cls_name)(out[tname].get("message", ""))
     assert rname == name, (rname, name)
     return out.get("success")
 
@@ -458,16 +460,34 @@ class ThriftBinaryDispatcher:
         ordered = [args.get(n) for _fid, n, _s in arg_spec]
         # thrift structs arrive as dicts; the api layer takes its own
         # dataclasses for Mutation/BatchMutation/ColumnDescriptor
-        ordered = [self._hydrate(name, i, v) for i, v in enumerate(ordered)]
         w.i32(VERSION_1 | REPLY)
         w.binary(name)
         w.i32(seqid)
         try:
+            ordered = [self._hydrate(name, i, v)
+                       for i, v in enumerate(ordered)]
             result = getattr(self.handler, name)(*ordered)
-        except api.IOError_ as ex:
-            fid, tname = throws.get("IOError_", (1, "io"))
+        except (api.IOError_, api.IllegalArgument, api.AlreadyExists) as ex:
+            # encode at the field id the IDL declares for this exception
+            # class on this method; an undeclared class degrades to the
+            # universally-declared IOError at field 1
+            fid, tname = throws.get(type(ex).__name__,
+                                    throws.get("IOError_", (1, "io")))
             _write_struct(w, {fid: (tname, EXC)}, {tname: {"message": str(ex)}})
             return bytes(w.buf)
+        except Exception as ex:  # noqa: BLE001
+            # any other handler/hydration failure must still produce a
+            # framed reply — a raw propagate would kill the connection
+            # thread with the REPLY header half-buffered.  Thrift's
+            # processors answer TApplicationException INTERNAL_ERROR (6).
+            w2 = Writer()
+            w2.i32(VERSION_1 | EXCEPTION)
+            w2.binary(name)
+            w2.i32(seqid)
+            _write_struct(w2, _APP_EXC[1],
+                          {"message": f"Internal error processing {name}: "
+                                      f"{ex}", "type": 6})
+            return bytes(w2.buf)
         if name == "getColumnDescriptors":
             # the api layer returns {name: {maxVersions, ttl, ...}};
             # rebuild the ColumnDescriptor wire shape

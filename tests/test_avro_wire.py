@@ -139,12 +139,20 @@ def test_wire_admin_and_errors(disp):
     from hbase_snapshot_spark.avro_api import AIOError, ATableExists
     with pytest.raises(AIOError, match="nope"):
         _call(disp, "describeTable", table=b"nope")
+    dup_table = {
+        "name": b"t", "families": None, "maxFileSize": None,
+        "memStoreFlushSize": None, "rootRegion": None,
+        "metaRegion": None, "metaTable": None, "readOnly": None,
+        "deferredLogFlush": None}
     with pytest.raises(ATableExists):
-        _call(disp, "createTable", table={
-            "name": b"t", "families": None, "maxFileSize": None,
-            "memStoreFlushSize": None, "rootRegion": None,
-            "metaRegion": None, "metaTable": None, "readOnly": None,
-            "deferredLogFlush": None})
+        _call(disp, "createTable", table=dup_table)
+    # pin the 4-branch error union of hbase.genavro:247 (string,
+    # AIOError, AIllegalArgument, ATableExists, AMasterNotRunning):
+    # ATableExists is union index 3 → zigzag varint 0x06 after the
+    # error flag byte
+    resp = disp.handle(aw.encode_call("createTable", {"table": dup_table}))
+    meta_end = aw._read_meta(resp, 0)
+    assert resp[meta_end] == 1 and resp[meta_end + 1] == 0x06
     with pytest.raises(RuntimeError, match="unknown message"):
         aw.decode_response("get", disp.handle(
             aw.encode_call("get", {"table": b"t", "get": {

@@ -89,6 +89,18 @@ def test_cosine_dup_pairs_blocked(vecs):
     assert all(r.cos >= 0.99 for r in blocked)
 
 
+def test_cosine_dup_pairs_all_pairs_guard(vecs):
+    # the cartesian baseline must be an explicit opt-in, never an
+    # accident of omitting block_col
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.cosine_dup_pairs(vecs, threshold=0.99)
+    allp = dedup.cosine_dup_pairs(
+        vecs, threshold=0.99, allow_all_pairs=True
+    ).collect()
+    # all-pairs is a superset of any blocking of the same threshold
+    assert len(allp) >= 1
+
+
 def test_cosine_topk_exact(vecs):
     queries = vecs.filter("vec_id < 2").select(
         F.col("vec_id").alias("query_id"), "embedding"

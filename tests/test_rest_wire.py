@@ -63,6 +63,19 @@ def test_cell_set_roundtrip_multi():
     assert w.xml_to_cell_set(w.cell_set_to_xml(rows)) == rows
 
 
+def test_cell_set_ts_presence():
+    # optional Cell.timestamp: an explicit 0 and an absent field are
+    # different wire states (RowResource honors ts=0; absent = server
+    # assigns) — both codecs must preserve the distinction
+    rows = [(b"r", [(b"f:a", 0, b"x"), (b"f:b", None, b"y")])]
+    assert w.decode_cell_set(w.encode_cell_set(rows)) == rows
+    assert w.xml_to_cell_set(w.cell_set_to_xml(rows)) == rows
+    # absent field 3 really is absent on the wire (proto3-style varint 0
+    # would be bytes 0x18 0x00)
+    assert b"\x18" not in w.encode_cell_set(
+        [(b"r", [(b"f:b", None, b"y")])])
+
+
 def test_scanner_roundtrip_full():
     spec = {
         "startRow": b"a", "endRow": b"z",
@@ -180,6 +193,20 @@ def test_http_put_cellset_protobuf(rest):
     )
     assert code == 200
     _, body, _ = _req(f"{rest}/t/r9",
+                      headers={"Accept": "application/x-protobuf"})
+    assert w.decode_cell_set(body) == rows
+
+
+def test_http_put_explicit_ts_zero(rest):
+    # an explicit timestamp 0 in the PUT body is honored (RowResource
+    # behavior), not reinterpreted as server-assigned "now"
+    rows = [(b"r7", [(b"f:z", 0, b"at-zero")])]
+    code, _, _ = _req(
+        f"{rest}/t/r7", method="PUT", data=w.encode_cell_set(rows),
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    assert code == 200
+    _, body, _ = _req(f"{rest}/t/r7",
                       headers={"Accept": "application/x-protobuf"})
     assert w.decode_cell_set(body) == rows
 

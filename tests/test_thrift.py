@@ -9,6 +9,7 @@ from hbase_snapshot_spark.table import TableStore
 from hbase_snapshot_spark.thrift_api import (
     BatchMutation,
     ColumnDescriptor,
+    IllegalArgument,
     IOError_,
     Mutation,
     ThriftServer,
@@ -120,7 +121,7 @@ def test_table_scanners(handler):
                                      "rowC3", "rowC4"]
     assert h.scannerGet(sid) == []
     h.scannerClose(sid)
-    with pytest.raises(IOError_):
+    with pytest.raises(IllegalArgument):
         h.scannerGet(sid)
 
     sid = h.scannerOpenWithStop("tableA", "rowC0", "rowC3", None)

@@ -5,6 +5,7 @@ and a TCP end-to-end over the threaded server."""
 
 import pytest
 
+from hbase_snapshot_spark import thrift_api as api
 from hbase_snapshot_spark import thrift_wire as tw
 from hbase_snapshot_spark.table import TableStore
 from hbase_snapshot_spark.thrift_api import ColumnDescriptor, Mutation, ThriftServer
@@ -92,6 +93,40 @@ def test_declared_exception_encoding(disp):
                                       {"tableName": "nope", "row": "r"}))
     with pytest.raises(Exception, match="nope"):
         tw.decode_reply("getRow", resp)
+
+
+def test_illegal_argument_at_field_2(disp):
+    # scannerGet on an unknown id throws IllegalArgument at field 2
+    # (Hbase.thrift:660) — not IOError at field 1
+    resp = disp.handle(tw.encode_call("scannerGet", 3, {"id": 999}))
+    # field header after the REPLY envelope: STRUCT(0x0c) fid=2
+    body = resp[4 + 4 + len(b"scannerGet") + 4:]
+    assert body[:3] == bytes.fromhex("0c" "0002")
+    with pytest.raises(api.IllegalArgument, match="not open"):
+        tw.decode_reply("scannerGet", resp)
+
+
+def test_already_exists_at_field_3(disp):
+    # createTable on an existing table → AlreadyExists at field 3
+    # (Hbase.thrift:227)
+    resp = disp.handle(tw.encode_call(
+        "createTable", 4,
+        {"tableName": "t", "columnFamilies": [{"name": "f"}]}))
+    body = resp[4 + 4 + len(b"createTable") + 4:]
+    assert body[:3] == bytes.fromhex("0c" "0003")
+    with pytest.raises(api.AlreadyExists):
+        tw.decode_reply("createTable", resp)
+
+
+def test_internal_error_is_application_exception(disp):
+    # a handler fault outside the declared throws must come back as a
+    # framed TApplicationException (type 6), not a dead connection —
+    # mutateRow with the mutations list absent TypeErrors in the handler
+    resp = disp.handle(tw.encode_call("mutateRow", 5,
+                                      {"tableName": "t", "row": "r"}))
+    assert resp[:4] == bytes.fromhex("80010003")  # EXCEPTION mtype
+    with pytest.raises(RuntimeError, match="Internal error"):
+        tw.decode_reply("mutateRow", resp)
 
 
 def test_unknown_method_is_application_exception(disp):

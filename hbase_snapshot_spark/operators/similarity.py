@@ -357,9 +357,12 @@ def pq_encode(
     codeword (L2, code-asc tie-break for determinism).  One broadcast
     join + one window + one groupBy — all JVM-side."""
     subvecs = _subvectors(vectors.select(id_col, vec_col), m, dim, vec_col)
+    # round(.,6) before the argmin so near-ties resolve identically
+    # across engines (the DuckDB oracle ranks the same rounded value
+    # with the same code-asc tie-break) — same device as ivf_assign
     scored = subvecs.join(F.broadcast(codebooks), on="sub").select(
         id_col, "sub", "code",
-        _l2sq(F.col("svec"), F.col("cvec")).alias("_d"),
+        F.round(_l2sq(F.col("svec"), F.col("cvec")), 6).alias("_d"),
     )
     wv = Window.partitionBy(id_col, "sub").orderBy(
         F.col("_d").asc(), F.col("code").asc()

@@ -285,23 +285,152 @@ WHERE rank <= {k}
 """
 
 
-def ann_ivf_recall_sql(
-    k: int = 10, num_queries: int = 5, num_centroids: int = 16, nprobe: int = 4
+def _l2sq_sql(a: str, b: str, d: int) -> str:
+    """squared L2 over two DOUBLE[] columns, summed in index order —
+    the twin of similarity._l2sq's sequential fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_common_ctes(
+    num_queries: int, m: int, num_codes: int, dim: int
 ) -> str:
-    """SQL twin of the folded __spark_entry__.q_ann_ivf composite:
-    branch='topk' = ann_ivf_sql rows; branch='recall' = per-query
-    recall@k of IVF against the exact cosine_topk_sql (hits carried in
-    vec_id, the recall fraction in cos, k in rank)."""
+    """shared PQ CTEs: seeded codebooks (pq_train iterations=0 — the
+    smallest-id vectors donate codewords, so the books are closed-form),
+    per-(vector, subspace) argmin codes (pq_encode), and the per-query
+    ADC lookup tables (pq_topk's broadcast side)."""
+    d_sub = dim // m
+    sl = f"s.sub * {d_sub} + 1, s.sub * {d_sub} + {d_sub}"
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT {num_codes}) t),
+books AS (
+  SELECT s.sub, c.code, list_slice(c.v, {sl}) AS cvec
+  FROM seeds c CROSS JOIN subs s),
+subv AS (
+  SELECT e.vec_id, s.sub, list_slice(e.v, {sl}) AS svec
+  FROM e CROSS JOIN subs s),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, b.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY round({_l2sq_sql('sv.svec', 'b.cvec', d_sub)}, 6) ASC,
+                      b.code ASC) AS rn
+    FROM subv sv JOIN books b ON sv.sub = b.sub) t
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id < {num_queries}),
+qsub AS (
+  SELECT query_id, s.sub, list_slice(qv, {sl}) AS qs
+  FROM q CROSS JOIN subs s),
+lookup AS (
+  SELECT qsub.query_id, b.sub, b.code,
+         round({_l2sq_sql('qsub.qs', 'b.cvec', d_sub)}, 6) AS d
+  FROM qsub JOIN books b ON qsub.sub = b.sub)
+"""
+
+
+def pq_topk_sql(
+    k: int = 10, num_queries: int = 5, m: int = 8, num_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """SQL twin of similarity.pq_topk over pq_train(iterations=0) +
+    pq_encode codes: ADC distance = per-sub table-lookup sum, rounded
+    like the engine (lookup round 6, sum round 6)."""
+    return f"""
+WITH {_pq_common_ctes(num_queries, m, num_codes, dim)},
+adc AS (
+  SELECT l.query_id, enc.vec_id, round(sum(l.d), 6) AS dist
+  FROM enc JOIN lookup l ON enc.sub = l.sub AND enc.code = l.code
+  GROUP BY l.query_id, enc.vec_id)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM adc) t
+WHERE rank <= {k}
+"""
+
+
+def ivfpq_topk_sql(
+    k: int = 10, num_queries: int = 5, num_centroids: int = 16,
+    nprobe: int = 4, m: int = 8, num_codes: int = 16, dim: int = 64,
+) -> str:
+    """SQL twin of similarity.ivfpq_topk (pq_iterations=0): the IVF
+    coarse quantizer (ann_ivf_sql's cents/assigned/probes) restricts
+    candidates to nprobe cells; ADC runs on PQ codes inside them."""
+    return f"""
+WITH {_pq_common_ctes(num_queries, m, num_codes, dim)},
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cvec
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT {num_centroids}) t),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c) t
+  WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p ON a.cell = p.cell),
+adc AS (
+  SELECT c.query_id, c.vec_id, round(sum(l.d), 6) AS dist
+  FROM cand c
+  JOIN enc ON enc.vec_id = c.vec_id
+  JOIN lookup l ON l.query_id = c.query_id
+               AND l.sub = enc.sub AND l.code = enc.code
+  GROUP BY c.query_id, c.vec_id)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM adc) t
+WHERE rank <= {k}
+"""
+
+
+def ann_suite_sql(
+    k: int = 10, num_queries: int = 5, num_centroids: int = 16,
+    nprobe: int = 4, m: int = 8, num_codes: int = 16, dim: int = 64,
+) -> str:
+    """SQL twin of the 4-branch __spark_entry__.q_ann_ivf composite:
+    branch='topk' = ann_ivf_sql rows; branch='recall' = IVF recall@k vs
+    exact; branch='pq' = pq_topk_sql rows (ADC dist in cos);
+    branch='pqr' = IVF-PQ recall@k vs exact."""
     ivf = ann_ivf_sql(k, num_queries, num_centroids, nprobe)
     exact = cosine_topk_sql(k, num_queries)
+    pq = pq_topk_sql(k, num_queries, m, num_codes, dim)
+    ivfpq = ivfpq_topk_sql(k, num_queries, num_centroids, nprobe, m,
+                           num_codes, dim)
     return f"""
 WITH ivf AS ({ivf}),
 exact AS ({exact}),
+pq AS ({pq}),
+ivfpq AS ({ivfpq}),
 hits AS (
   SELECT i.query_id, count(*) AS h
   FROM ivf i JOIN exact x ON i.query_id = x.query_id AND i.vec_id = x.vec_id
-  GROUP BY i.query_id
-),
+  GROUP BY i.query_id),
+hits_pqr AS (
+  SELECT i.query_id, count(*) AS h
+  FROM ivfpq i JOIN exact x ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+  GROUP BY i.query_id),
 qs AS (SELECT DISTINCT query_id FROM exact)
 SELECT 'topk' AS branch, query_id, vec_id, cos, rank FROM ivf
 UNION ALL
@@ -310,6 +439,14 @@ SELECT 'recall' AS branch, q.query_id,
        round(coalesce(h.h, 0) / {k}.0, 6) AS cos,
        CAST({k} AS BIGINT) AS rank
 FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
+UNION ALL
+SELECT 'pq' AS branch, query_id, vec_id, dist AS cos, rank FROM pq
+UNION ALL
+SELECT 'pqr' AS branch, q.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS vec_id,
+       round(coalesce(h.h, 0) / {k}.0, 6) AS cos,
+       CAST({k} AS BIGINT) AS rank
+FROM qs q LEFT JOIN hits_pqr h ON q.query_id = h.query_id
 """
 
 
@@ -438,18 +575,43 @@ SELECT doc_id, lang, {case} AS detected FROM scored
 """
 
 
-def text_stats_sql() -> str:
+def text_stats_sql(ngram: int = 2) -> str:
+    """stats + the Gopher repetition signals (text.repetition_signals)
+    folded in as extra columns — dup_line_frac (repeated-line fraction)
+    and top_ngram_frac (share of the most frequent word n-gram)."""
     nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
     punct = r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))"
     return f"""
-SELECT doc_id,
+WITH rep AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_TOKS} END AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, lines,
+         list_transform(
+           generate_series(1, len(toks) - {ngram - 1}),
+           i -> {" || ' ' || ".join(f"toks[i + {j}]" for j in range(ngram))}
+         ) AS g
+  FROM rep)
+SELECT d.doc_id,
        {_NTOK} AS n_tokens,
        len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_bpe_tokens,
        round(CASE WHEN {_NTOK} > 0 THEN {nonspace} / ({_NTOK}) ELSE 0.0 END, 4)
          AS avg_token_len,
        round(CASE WHEN length(text) > 0 THEN {punct} / length(text) ELSE 0.0 END, 4)
-         AS punct_ratio
-FROM documents
+         AS punct_ratio,
+       CASE WHEN len(g.lines) > 0
+            THEN round((len(g.lines) - len(list_distinct(g.lines)))
+                       / len(g.lines), 4)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN len(g.g) > 0
+            THEN round(list_max(list_transform(
+                   list_distinct(g.g),
+                   x -> len(list_filter(g.g, y -> y = x)))) / len(g.g), 4)
+            ELSE 0.0 END AS top_ngram_frac
+FROM documents d JOIN grams g ON d.doc_id = g.doc_id
 """
 
 

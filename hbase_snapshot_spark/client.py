@@ -150,10 +150,13 @@ class Table:
     """client/HTable.java — read surface over a cell DataFrame."""
 
     def __init__(self, cells: DataFrame, descriptor: TableDescriptor | None = None,
-                 now: int | None = None):
+                 now: int | None = None, cache_owner: str | None = None):
         self.cells = cells
         self.descriptor = descriptor
         self.now = now
+        # registry key for scan-stage persists (the owning StoredTable's
+        # directory) — lets the table free them on manifest swap
+        self.cache_owner = cache_owner
 
     def _apply_descriptor(self, scan: Scan) -> Scan:
         """compose the descriptor's family caps with the caller's Scan
@@ -180,7 +183,7 @@ class Table:
 
     def scan(self, scan: Scan | None = None) -> DataFrame:
         scan = self._apply_descriptor(scan or Scan())
-        return run_scan(self.cells, scan)
+        return run_scan(self.cells, scan, cache_owner=self.cache_owner)
 
     def get(self, get: Get) -> DataFrame:
         scan = Scan(
@@ -194,7 +197,8 @@ class Table:
         )
         scan = self._apply_descriptor(scan)
         # single-row scan: equality beats the [start, stop) emulation
-        out = run_scan(self.cells.filter(F.col("row") == F.lit(get.row)), scan)
+        out = run_scan(self.cells.filter(F.col("row") == F.lit(get.row)), scan,
+                       cache_owner=self.cache_owner)
         return out
 
     def exists(self, get: Get) -> bool:
@@ -205,7 +209,7 @@ class Table:
         """HTable.getRowOrBefore:472 / Store.getRowKeyAtOrBefore:980 —
         the closest row at-or-before the key (as-of point lookup)."""
         scan = self._apply_descriptor(Scan(families=[family] if family else None))
-        resolved = run_scan(self.cells, scan)
+        resolved = run_scan(self.cells, scan, cache_owner=self.cache_owner)
         target = resolved.filter(F.col("row") <= F.lit(row)).agg(
             F.max("row").alias("row")
         )

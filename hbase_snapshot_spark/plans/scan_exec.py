@@ -24,9 +24,32 @@ from pyspark.sql import functions as F
 
 from hbase_snapshot_spark.resolve import ResolveSpec, count_versions, mask, project_columns
 
+# persisted filter-stream handles keyed by cache owner (a StoredTable's
+# directory).  The owner's manifest swap (mutate/compact/restore) calls
+# release_caches so blocks from a superseded table version don't sit in
+# the storage pool as dead weight until LRU eviction — at 100x scale
+# with many distinct scans that pool fills with unreachable blocks.
+_PERSISTED: dict[str, list[DataFrame]] = {}
 
-def run_scan(cells: DataFrame, scan) -> DataFrame:
-    """Execute a client.Scan against a raw cell DataFrame."""
+
+def release_caches(owner: str) -> int:
+    """unpersist every filter-stream cache registered under ``owner``;
+    returns how many handles were released.  Safe while readers hold the
+    derived DataFrames: unpersist only drops cached blocks, the lazy
+    plan recomputes from the (still-present, pre-vacuum) segment files."""
+    handles = _PERSISTED.pop(owner, [])
+    for df in handles:
+        df.unpersist(blocking=False)
+    return len(handles)
+
+
+def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFrame:
+    """Execute a client.Scan against a raw cell DataFrame.
+
+    ``cache_owner``: registry key for any persist this scan takes out,
+    so the owning table can release it on manifest swap; None (bare
+    DataFrame views with no table lifecycle) keeps the block-cache
+    behavior — LRU eviction bounds the footprint."""
     spec: ResolveSpec = scan.to_spec()
     compiled = scan.filter.compile() if scan.filter is not None else None
 
@@ -67,11 +90,13 @@ def run_scan(cells: DataFrame, scan) -> DataFrame:
     if multi_use:
         from pyspark import StorageLevel
 
-        # not explicitly unpersisted: the result is lazy, so there is no
-        # safe point to release it here; cached blocks are bounded by
-        # the storage fraction and evicted LRU, which is the intended
-        # behavior for repeated scans of the same table (block cache)
+        # the result is lazy, so there is no safe point to release the
+        # cache inside this function; owned scans register the handle so
+        # the table's next manifest swap frees it (release_caches), and
+        # ownerless scans fall back to LRU-bounded block-cache behavior
         stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_owner is not None:
+            _PERSISTED.setdefault(cache_owner, []).append(stream)
 
     # ---- stage 4: stream transforms (per-row/cell counting filters)
     if compiled is not None and compiled.stream_transform is not None:

@@ -266,6 +266,12 @@ class StoredTable:
             )
         _write_json(os.path.join(self.dir, "manifests", f"v{v}.json"), manifest)
         _write_json(os.path.join(self.dir, "HEAD.json"), {"version": v})
+        # the swap supersedes any filter-stream caches taken out against
+        # the previous version — free their blocks instead of letting
+        # them rot in the storage pool until LRU eviction
+        from hbase_snapshot_spark.plans.scan_exec import release_caches
+
+        release_caches(self.dir)
         return v
 
     # ---------------------------------------------------------- reads
@@ -284,7 +290,8 @@ class StoredTable:
 
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
         self._check_enabled()
-        return ClientTable(self.cells(version), self.descriptor, now=now)
+        return ClientTable(self.cells(version), self.descriptor, now=now,
+                           cache_owner=self.dir)
 
     def create_view(self, view_name: str, spec: ResolveSpec | None = None,
                     version: int | None = None) -> None:

@@ -230,3 +230,40 @@ def test_sequential_read_no_global_sort(spark, stored):
     # Spark renders Sort as "Sort [cols], <global>, 0" — a global sort
     # would print "], true, 0"
     assert "], true, 0" not in plan, plan
+
+
+def test_scan_cache_released_on_manifest_swap(spark, tmp_path):
+    """multi-use filter scans persist their masked stream; the owning
+    table's next manifest swap (compact/mutate) must free those blocks
+    instead of leaving them to rot in the storage pool (VERDICT r4)."""
+    from hbase_snapshot_spark.client import Scan
+    from hbase_snapshot_spark.filters import (
+        BinaryComparator, CompareOp, SkipFilter, ValueFilter,
+    )
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.plans import scan_exec
+    from hbase_snapshot_spark.table import Put, TableStore
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("cachet").add_family(FamilyDescriptor("f"))
+    )
+    t.mutate([Put(f"r{i}").add("f", "q", f"v{i}") for i in range(20)])
+
+    # SkipFilter compiles to a row_drop hook -> multi-use -> persist
+    flt = SkipFilter(ValueFilter(CompareOp.NOT_EQUAL, BinaryComparator("v3")))
+    out = t.client().scan(Scan(filter=flt))
+    assert out.count() == 19
+    handles = scan_exec._PERSISTED.get(t.dir)
+    assert handles, "multi-use scan should register a persisted handle"
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk
+               for h in handles)
+
+    t.compact(major=True)
+    assert t.dir not in scan_exec._PERSISTED
+    assert all(not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+               for h in handles), "blocks must be freed on manifest swap"
+
+    # and the pre-swap DataFrame still computes (plan recomputes from
+    # the pre-vacuum segment files)
+    assert out.count() == 19

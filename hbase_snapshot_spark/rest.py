@@ -165,13 +165,95 @@ def _scanner_from_xml(doc: bytes) -> dict:
             spec[k] = int(root.get(k))
     for c in root.findall("column"):
         spec["columns"].append(base64.b64decode(c.text or ""))
+    f = root.find("filter")
+    if f is not None and f.text:
+        spec["filter"] = f.text  # the FilterModel JSON string
     return spec
+
+
+def filter_from_model(model, binary: bool = False):
+    """ScannerModel ``filter`` JSON → engine filter.
+
+    The reference serializes filters as a FilterModel JSON document
+    (rest/model/ScannerModel.java:319-327 buildFilter; the union-ish
+    field bag at :160-170) — e.g.
+    ``{"type": "PrefixFilter", "value": "<base64>"}`` or
+    ``{"type": "RowFilter", "op": "EQUAL",
+       "comparator": {"type": "RegexStringComparator", "value": "x"}}``.
+    All 12 FilterType branches of FilterModel.build (:253-310) map onto
+    filters.py; byte-carrying values (base64 in the model) decode to
+    str on string tables and stay bytes on binary tables."""
+    from hbase_snapshot_spark import filters as flt
+
+    if isinstance(model, (str, bytes)):
+        model = json.loads(model)
+
+    def key(b64: str):
+        raw = base64.b64decode(b64)
+        return raw if binary else raw.decode()
+
+    def comparator(m: dict):
+        # WritableByteArrayComparableModel.build (ScannerModel.java:135-155)
+        ctype, value = m["type"], m["value"]
+        if ctype == "BinaryComparator":
+            return flt.BinaryComparator(key(value))
+        if ctype == "BinaryPrefixComparator":
+            return flt.BinaryPrefixComparator(key(value))
+        if ctype == "RegexStringComparator":
+            return flt.RegexStringComparator(value)
+        if ctype == "SubstringComparator":
+            return flt.SubstringComparator(value)
+        raise ValueError(f"unhandled comparator type: {ctype}")
+
+    ftype = model.get("type")
+    if ftype == "ColumnCountGetFilter":
+        return flt.ColumnCountGetFilter(int(model["limit"]))
+    if ftype == "FilterList":
+        return flt.FilterList(
+            model["op"], [filter_from_model(m, binary)
+                          for m in model.get("filters", [])]
+        )
+    if ftype == "FirstKeyOnlyFilter":
+        return flt.FirstKeyOnlyFilter()
+    if ftype == "InclusiveStopFilter":
+        return flt.InclusiveStopFilter(key(model["value"]))
+    if ftype == "PageFilter":
+        return flt.PageFilter(int(model["value"]))
+    if ftype == "PrefixFilter":
+        return flt.PrefixFilter(key(model["value"]))
+    if ftype == "QualifierFilter":
+        return flt.QualifierFilter(model["op"], comparator(model["comparator"]))
+    if ftype == "RowFilter":
+        return flt.RowFilter(model["op"], comparator(model["comparator"]))
+    if ftype == "ValueFilter":
+        return flt.ValueFilter(model["op"], comparator(model["comparator"]))
+    if ftype == "SingleColumnValueFilter":
+        qual = model.get("qualifier")
+        return flt.SingleColumnValueFilter(
+            base64.b64decode(model["family"]).decode(),
+            key(qual) if qual is not None else None,
+            model["op"],
+            comparator(model["comparator"]),
+            # absent fields keep the reference constructor defaults
+            # (FilterModel only serializes them when true, and build()
+            # only overrides when present — ScannerModel.java:289-296)
+            filter_if_missing=bool(model.get("ifMissing", False)),
+            latest_version_only=bool(model.get("latestVersion", True)),
+        )
+    if ftype == "SkipFilter":
+        return flt.SkipFilter(filter_from_model(model["filters"][0], binary))
+    if ftype == "WhileMatchFilter":
+        return flt.WhileMatchFilter(
+            filter_from_model(model["filters"][0], binary)
+        )
+    raise ValueError(f"unhandled filter type: {ftype}")
 
 
 def _scan_from_model(spec: dict, binary: bool) -> Scan:
     """ScannerModel dict → engine Scan: byte[] rows/columns decode to
     str on string tables; 'fam' selects the family, 'fam:qual' the
-    column (ScannerModel.fromScan/toScan column convention)."""
+    column (ScannerModel.fromScan/toScan column convention); a
+    ``filter`` JSON string builds the corresponding engine filter."""
 
     def key(v):
         return bytes(v) if binary else bytes(v).decode()
@@ -200,6 +282,8 @@ def _scan_from_model(spec: dict, binary: bool) -> Scan:
         columns=columns or None,
         max_versions=spec.get("maxVersions", 1),
         time_range=tr,
+        filter=(filter_from_model(spec["filter"], binary)
+                if spec.get("filter") else None),
     )
 
 

@@ -262,3 +262,87 @@ def test_http_scanner_xml_body_with_columns(rest):
     flat = [(k, c) for k, cells in rows for c in cells]
     assert all(c[0] == b"f:a" for _, c in flat)  # column projection held
     assert {k for k, _ in flat} == {b"r1", b"r2"}
+
+
+def test_http_scanner_filter_string_pb(rest):
+    # a reference REST client serializes filters as FilterModel JSON in
+    # ScannerModel field 8 (ScannerModel.java buildFilter:319) — posting
+    # one must scan like the equivalent structured-param scanner
+    fjson = json.dumps({"type": "PrefixFilter",
+                        "value": base64.b64encode(b"r1").decode()})
+    code, body, _ = _req(
+        f"{rest}/t/scanner", method="POST",
+        data=w.encode_scanner({"filter": fjson, "maxVersions": 1}),
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    assert code == 201
+    sid = json.loads(body)["scanner_id"]
+    _, body, _ = _req(f"{rest}/t/scanner/{sid}?n=100",
+                      headers={"Accept": "application/x-protobuf"})
+    rows = w.decode_cell_set(body)
+    assert [k for k, _ in rows] == [b"r1"]
+    _req(f"{rest}/t/scanner/{sid}", method="DELETE")
+    # structured-param twin returns the same cells
+    _, body2, _ = _req(f"{rest}/t/scanner?prefix=r1")
+    assert len(rows[0][1]) == len(json.loads(body2)["cells"])
+
+
+def test_http_scanner_filter_string_xml(rest):
+    # FilterList JSON inside the <filter> element of the XML ScannerModel
+    fjson = json.dumps({
+        "type": "FilterList", "op": "MUST_PASS_ALL",
+        "filters": [
+            {"type": "ValueFilter", "op": "EQUAL",
+             "comparator": {"type": "SubstringComparator", "value": "v1"}},
+        ],
+    })
+    doc = f"<Scanner maxVersions=\"1\"><filter>{fjson.replace('<', '&lt;')}</filter></Scanner>".encode()
+    code, body, _ = _req(
+        f"{rest}/t/scanner", method="POST", data=doc,
+        headers={"Content-Type": "text/xml"},
+    )
+    assert code == 201
+    sid = json.loads(body)["scanner_id"]
+    _, body, _ = _req(f"{rest}/t/scanner/{sid}?n=100",
+                      headers={"Accept": "application/x-protobuf"})
+    rows = w.decode_cell_set(body)
+    assert rows == [(b"r1", [(b"f:a", 100, b"v1")])]
+    _req(f"{rest}/t/scanner/{sid}", method="DELETE")
+
+
+def test_filter_from_model_types():
+    from hbase_snapshot_spark import filters as flt
+    from hbase_snapshot_spark.rest import filter_from_model
+
+    b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+    f = filter_from_model(json.dumps({
+        "type": "SingleColumnValueFilter", "family": b64(b"f"),
+        "qualifier": b64(b"q"), "op": "GREATER_OR_EQUAL",
+        "comparator": {"type": "BinaryComparator", "value": b64(b"x")},
+        "ifMissing": True,
+    }))
+    assert isinstance(f, flt.SingleColumnValueFilter)
+    assert f.family == "f" and f.qualifier == "q"
+    assert f.filter_if_missing is True
+    # absent latestVersion keeps the reference constructor default (true)
+    assert f.latest_version_only is True
+
+    f = filter_from_model({"type": "SkipFilter", "filters": [
+        {"type": "QualifierFilter", "op": "NOT_EQUAL",
+         "comparator": {"type": "BinaryPrefixComparator",
+                        "value": b64(b"a")}}]})
+    assert isinstance(f, flt.SkipFilter)
+    assert isinstance(f.inner, flt.QualifierFilter)
+
+    f = filter_from_model({"type": "PageFilter", "value": "7"})
+    assert isinstance(f, flt.PageFilter) and f.page_size == 7
+    f = filter_from_model({"type": "InclusiveStopFilter",
+                           "value": b64(b"zz")}, binary=True)
+    assert isinstance(f, flt.InclusiveStopFilter) and f.stop_row == b"zz"
+    f = filter_from_model({"type": "FirstKeyOnlyFilter"})
+    assert isinstance(f, flt.FirstKeyOnlyFilter)
+    f = filter_from_model({"type": "ColumnCountGetFilter", "limit": 2})
+    assert isinstance(f, flt.ColumnCountGetFilter)
+
+    with pytest.raises(ValueError, match="unhandled filter type"):
+        filter_from_model({"type": "NopeFilter"})

@@ -1,14 +1,24 @@
 """Dependency-free media codecs for the multimodal kernels.
 
-The container has no Pillow/libjpeg/ffmpeg, so the formats every real
-training pipeline can count on here are the self-describing
-uncompressed ones: binary **PPM/PGM** (netpbm P6/P5) and **BMP**
-(BITMAPINFOHEADER, BI_RGB 8/24/32-bit) for images, and RIFF **WAV**
-(PCM 8/16/24/32-bit int + 32-bit IEEE float) for audio.  Parsers are
-pure numpy — vectorized per payload, no per-byte Python loops — and run
-inside the Arrow-batched ``mapInPandas`` kernels in ``multimodal.py``.
-Compressed formats (JPEG/PNG/MP3/…) still raise ``NotImplementedError``
-naming the library they would need.
+The container has no Pillow/libjpeg/ffmpeg, so every decoder here is
+hand-rolled over stdlib + numpy:
+
+* images — binary **PPM/PGM** (netpbm P6/P5), **BMP**
+  (BITMAPINFOHEADER, BI_RGB 8/24/32-bit), **PNG** (non-interlaced,
+  all five filter types, gray/RGB/palette/alpha, 8- and 16-bit via
+  stdlib ``zlib``), and **baseline JPEG** (SOF0/SOF1 huffman +
+  dequant + IDCT + chroma upsample + YCbCr→RGB — the format that
+  dominates any real multimodal corpus);
+* audio — RIFF **WAV** (PCM 8/16/24/32-bit int + 32-bit IEEE float);
+* video — **YUV4MPEG2** frame streams.
+
+Parsers are numpy-vectorized per payload where the format allows
+(PNG unfiltering is per-scanline vector ops; JPEG's entropy decode is
+inherently sequential per MCU but all block math — dequant, IDCT,
+upsample, colorspace — is matrix-level numpy) and run inside the
+Arrow-batched ``mapInPandas`` kernels in ``multimodal.py``.  The
+remaining compressed formats (progressive JPEG, interlaced PNG,
+MP3/AAC/MP4) still raise ``NotImplementedError`` naming what they need.
 
 These cover the reference-repo test philosophy for opaque byte values
 (cells are uninterpreted ``byte[]``; util/Bytes.java decodes at the
@@ -18,19 +28,26 @@ decode over the binary column.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 # ------------------------------------------------------------------ sniff
 
 
 def sniff(data: bytes) -> str | None:
-    """Cheap magic-byte format detection: 'pnm' | 'bmp' | 'wav' | None."""
+    """Cheap magic-byte format detection:
+    'pnm' | 'bmp' | 'png' | 'jpeg' | 'wav' | None."""
     if data is None or len(data) < 12:
         return None
     if data[:2] in (b"P5", b"P6"):
         return "pnm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return None
@@ -128,6 +145,603 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+# ------------------------------------------------------------------- PNG
+
+# samples per pixel by PNG color type (0=gray 2=RGB 3=palette 4=gray+A 6=RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering (PNG spec §6).  ``raw`` is the
+    inflated stream reshaped to (h, 1+stride); returns (h, stride)
+    reconstructed bytes.  Up/None are whole-row vector ops; Sub is a
+    cumulative sum per byte lane; Average/Paeth have a true left+up
+    recurrence, walked per pixel position with vector ops over the
+    ``bpp`` byte lanes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            lanes = line.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
+            else:  # defensive; stride is always a bpp multiple
+                rec = line.copy()
+                for x in range(bpp, stride):
+                    rec[x] += rec[x - bpp]
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = line[x] + ((left + prev[x]) >> 1)
+                rec[x] &= 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = int(out[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on scanline {y}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced PNG → uint8 array: (h, w) gray or (h, w, 3) RGB
+    (alpha dropped, palette expanded, 16-bit scaled to 8-bit).
+    Interlaced (Adam7) and sub-byte depths raise NotImplementedError."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError(f"{depth}-bit color-type-{color} PNG unsupported")
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * depth // 8  # filter unit: bytes per complete pixel
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel stream")
+    recon = _png_unfilter(raw[: h * (stride + 1)].reshape(h, stride + 1), h, stride, bpp)
+    if depth == 16:  # take the high byte (exact for the 0xhhhh replication case)
+        recon = recon.reshape(h, w, ch, 2)[:, :, :, 0]
+    img = recon.reshape(h, w, ch)
+    if color == 3:  # palette → RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return np.ascontiguousarray(pal[img[:, :, 0]])
+    if color == 0:
+        return np.ascontiguousarray(img[:, :, 0])
+    if color == 4:  # gray+alpha → gray
+        return np.ascontiguousarray(img[:, :, 0])
+    return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA→RGB
+
+
+# ------------------------------------------------------------------ JPEG
+
+# zigzag index → natural (row-major) 8x8 position (JPEG spec Fig. A.6)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: _DCT8[k, n] = c_k/2 * cos((2n+1)kπ/16);
+# IDCT of an 8x8 coefficient block F is  _DCT8.T @ F @ _DCT8.
+_DCT8 = np.array([
+    [(0.35355339059327373 if k == 0 else 0.5)
+     * np.cos((2 * n + 1) * k * np.pi / 16.0) for n in range(8)]
+    for k in range(8)
+])
+# (k=0 row: 1/(2*sqrt(2)) = 0.353553...; exact value inlined so module
+# import does not depend on float expression evaluation order)
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table (spec Annex C): 16 length counts +
+    symbol list → {(bit_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (stuffed
+    0xFF 0x00 bytes already collapsed by the segment splitter)."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits")
+
+    def __init__(self, buf: bytes):
+        self.buf, self.pos, self.acc, self.nbits = buf, 0, 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                # past the end: spec pads with 1-bits to byte boundary
+                return 1
+            self.acc = self.buf[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huffman(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC value extension (spec F.2.2.1): t-bit magnitude → signed."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Walk the entropy-coded stream from ``pos``: collapse 0xFF 0x00
+    stuffing, split at RSTn markers (each restart segment decodes with
+    fresh DC predictors and byte alignment), stop at any other marker.
+    Returns (segments, position_of_terminating_marker)."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # real marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline/extended-sequential JPEG (SOF0/SOF1) → uint8 array:
+    (h, w, 3) RGB for YCbCr, (h, w) for grayscale.  Full huffman
+    entropy decode + dequantization + orthonormal IDCT + nearest chroma
+    upsample + JFIF YCbCr→RGB, all dependency-free.  Progressive
+    (SOF2), arithmetic-coded, and CMYK streams raise
+    NotImplementedError.  Entropy decode is sequential per MCU (the
+    format is a bit-serial prefix code); the per-block math is numpy."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(comp_id, h_samp, v_samp, tq)])
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no body
+            pos += 2
+            continue
+        if pos + 2 + seg_len > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec:  # 16-bit table
+                    tab = np.frombuffer(body[i : i + 128], ">u2").astype(np.int32)
+                    i += 128
+                else:
+                    tab = np.frombuffer(body[i : i + 64], np.uint8).astype(np.int32)
+                    i += 64
+                qt[tid] = tab
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                nsym = sum(counts)
+                symbols = body[i + 17 : i + 17 + nsym]
+                (huff_ac if cls else huff_dc)[tid] = _build_huffman(counts, symbols)
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) unsupported — baseline only"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (non-sequential/arithmetic) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
+            h, w, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan sequential JPEG unsupported"
+                )
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(
+                    f"{len(comps)}-component JPEG (CMYK?) unsupported"
+                )
+            segs, _end = _split_entropy_segments(data, pos + 2 + seg_len)
+            return _jpeg_decode_scan(
+                h, w, comps, scan_tables, qt, huff_dc, huff_ac,
+                segs, restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        pos += 2 + seg_len
+    raise ValueError("JPEG stream ended without SOS scan")
+
+
+def _jpeg_decode_scan(
+    h, w, comps, scan_tables, qt, huff_dc, huff_ac, segs, restart_interval
+) -> np.ndarray:
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    n_mcus = mcus_x * mcus_y
+    planes = {
+        cid: np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        for cid, ch, cv, _tq in comps
+    }
+    # quant tables reordered from zigzag into natural block position once
+    deq = {}
+    for cid, _ch, _cv, tq in comps:
+        q = np.zeros(64, np.int32)
+        q[_ZIGZAG] = qt[tq]
+        deq[cid] = q.reshape(8, 8)
+
+    mcu = 0
+    for seg_i, seg in enumerate(segs):
+        reader = _JpegBitReader(seg)
+        pred = {cid: 0 for cid, *_ in comps}
+        seg_mcus = (
+            min(restart_interval, n_mcus - mcu) if restart_interval else n_mcus - mcu
+        )
+        for _ in range(seg_mcus):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, ch, cv, _tq in comps:
+                dc_tab = huff_dc[scan_tables[cid][0]]
+                ac_tab = huff_ac[scan_tables[cid][1]]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, np.int32)
+                        t = reader.decode_huffman(dc_tab)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huffman(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_ZIGZAG] = zz
+                        blk = blk.reshape(8, 8) * deq[cid]
+                        spatial = _DCT8.T @ blk @ _DCT8 + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError(f"truncated JPEG scan: {mcu}/{n_mcus} MCUs decoded")
+
+    # upsample each component to full resolution (nearest — the box
+    # replicate JFIF decoders use for 2x factors) and crop to (h, w)
+    full = []
+    for cid, ch, cv, _tq in comps:
+        plane = planes[cid]
+        rows = np.minimum(np.arange(h) * cv // max_v, plane.shape[0] - 1)
+        cols = np.minimum(np.arange(w) * ch // max_h, plane.shape[1] - 1)
+        full.append(plane[rows][:, cols])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → non-interlaced PNG (filter
+    type 0 per scanline, one zlib IDAT)."""
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    if img.ndim == 2:
+        color, ch = 0, 1
+        raster = img[:, :, None]
+    else:
+        color, ch = 2, 3
+        raster = img[:, :, :3]
+    h, w = raster.shape[:2]
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), raster.reshape(h, w * ch)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# JPEG Annex K.1/K.2 base quantization tables (natural order)
+_JPEG_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_Q_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int32,
+)
+
+# Encoder Huffman layout: single-length canonical tables (12 DC symbols
+# at 5 bits; the 162 RRRRSSSS AC symbols at 8 bits).  Deliberately
+# suboptimal but spec-valid — the DHT segments describe them fully, so
+# any conformant decoder reads the stream; optimal per-image tables are
+# a compression-ratio concern, not a correctness one.
+_ENC_DC_COUNTS = bytes([0, 0, 0, 0, 12] + [0] * 11)
+_ENC_DC_SYMBOLS = bytes(range(12))
+_ENC_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_COUNTS = bytes([0] * 7 + [len(_ENC_AC_SYMBOLS)] + [0] * 8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF 0x00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
+        return bytes(self.out)
+
+
+def _enc_codes(counts: bytes, symbols: bytes) -> dict:
+    """symbol → (code, length) for the encoder-side canonical tables."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_block(writer, zz, pred, dc_codes, ac_codes) -> int:
+    """One quantized zigzag block → entropy stream; returns new DC pred."""
+    diff = int(zz[0]) - pred
+    t = abs(diff).bit_length()
+    code, length = dc_codes[t]
+    writer.write(code, length)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0], default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            writer.write(c, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        c, ln = ac_codes[(run << 4) | s]
+        writer.write(c, ln)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        writer.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF JPEG
+    (SOF0, 4:4:4, quality-scaled Annex K quant tables).  The complement
+    of :func:`decode_jpeg` for thumbnail re-encode pipelines."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    # IJG quality → table scale
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qtabs = []
+    for base in ([_JPEG_Q_LUMA] if gray else [_JPEG_Q_LUMA, _JPEG_Q_CHROMA]):
+        qtabs.append(np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32))
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rf = img[:, :, 0].astype(np.float64)
+        gf = img[:, :, 1].astype(np.float64)
+        bf = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0,
+            0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    dc_codes = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    writer = _JpegBitWriter()
+    preds = [0] * len(planes)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, p in enumerate(padded):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeff = _DCT8 @ blk @ _DCT8.T
+                qtab = qtabs[min(ci, len(qtabs) - 1)]
+                zz = np.round(coeff.reshape(64)[_ZIGZAG] / qtab[_ZIGZAG]).astype(
+                    np.int64
+                )
+                preds[ci] = _encode_block(writer, zz, preds[ci], dc_codes, ac_codes)
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qtab in enumerate(qtabs):
+        zz_tab = np.empty(64, np.int32)
+        zz_tab[:] = qtab[_ZIGZAG]  # DQT stores zigzag order
+        out += seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz_tab))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+    out += seg(0xC0, sof)
+    for cls in (0, 1):
+        counts = _ENC_DC_COUNTS if cls == 0 else _ENC_AC_COUNTS
+        syms = _ENC_DC_SYMBOLS if cls == 0 else _ENC_AC_SYMBOLS
+        for tid in range(1 if gray else 2):
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + counts + syms)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if (gray or ci == 0) else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """payload bytes → uint8 array, (h, w, 3) RGB or (h, w) gray."""
     kind = sniff(data)
@@ -135,10 +749,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_pnm(data)
     if kind == "bmp":
         return decode_bmp(data)
+    if kind == "png":
+        return decode_png(data)
+    if kind == "jpeg":
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "unsupported image codec (only uncompressed PPM/PGM/BMP decode "
-        "without media libraries; JPEG/PNG require Pillow — unavailable "
-        "in this container)"
+        "unsupported image codec (PPM/PGM/BMP/PNG/baseline-JPEG decode "
+        "dependency-free here; other formats require Pillow/ffmpeg — "
+        "unavailable in this container)"
     )
 
 

@@ -3,12 +3,12 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``
 pipelines.
 
 The Spark-side plumbing — schema, partitioning, Pandas-UDF signatures,
-batch shapes — is real and tested.  Decode kernels are REAL for the
-self-describing uncompressed formats (PPM/PGM and BMP images, RIFF WAV
-audio — dependency-free numpy parsers in ``codecs.py``); compressed
-codecs (JPEG/PNG/MP3) and video frame extraction require media
-libraries NOT in this container and raise a clearly-marked
-``NotImplementedError``.  Every kernel also keeps a deterministic fake
+batch shapes — is real and tested.  Decode kernels are REAL for
+PPM/PGM, BMP, non-interlaced PNG, and baseline JPEG images, RIFF WAV
+audio, and YUV4MPEG2 video — dependency-free numpy/stdlib codecs in
+``codecs.py``.  The remaining compressed codecs (progressive JPEG,
+MP3/AAC audio, MP4/H.264 video) require media libraries NOT in this
+container and raise a clearly-marked ``NotImplementedError``.  Every kernel also keeps a deterministic fake
 (``fake=True``) that exercises the identical dataflow on synthetic
 payloads for tests/benchmarks.
 """
@@ -103,9 +103,10 @@ _DECODE_SCHEMA = T.StructType([
 
 
 def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Image decode + cheap stats.  Real path decodes uncompressed
-    PPM/PGM/BMP payloads (codecs.decode_image — numpy, no media libs);
-    compressed formats raise NotImplementedError naming Pillow.
+    """Image decode + cheap stats.  Real path decodes PPM/PGM/BMP/
+    PNG/baseline-JPEG payloads (codecs.decode_image — numpy + stdlib
+    zlib, no media libs); the remaining formats (progressive JPEG,
+    WebP, …) raise NotImplementedError naming Pillow.
     ``fake=True`` runs a deterministic byte-statistics decoder through
     the identical mapInPandas pipeline (same schema, same batching)."""
 
@@ -246,8 +247,9 @@ def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
 ) -> DataFrame:
     """Image resize to a fixed training resolution.  Real path:
-    PPM/PGM/BMP decode → nearest-neighbor resample → re-encode as
-    binary P6 PPM (codecs.py — numpy only); compressed inputs raise
+    PPM/PGM/BMP/PNG/baseline-JPEG decode → nearest-neighbor resample →
+    re-encode as binary P6 PPM (codecs.py — numpy + stdlib zlib);
+    unsupported inputs (progressive JPEG, WebP, …) raise
     NotImplementedError naming Pillow.  ``fake=True`` emits a
     deterministic digest-sized payload through the identical
     mapInPandas pipeline (same schema, same batching)."""

@@ -131,8 +131,9 @@ def test_bmp8_palette():
 
 
 def test_image_codec_errors():
+    # WebP is RIFF-contained but not WAVE — still an unsupported codec
     with pytest.raises(NotImplementedError, match="Pillow"):
-        codecs.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes here")
+        codecs.decode_image(b"RIFF\x00\x01\x00\x00WEBPVP8 webp-ish bytes")
     with pytest.raises(ValueError, match="compressed"):
         bad = bytearray(make_bmp24(RGB))
         bad[30] = 1  # BI_RLE8
@@ -276,3 +277,261 @@ def test_sample_frames_compressed_raises(spark):
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="ffmpeg"):
         multimodal.sample_frames(media, every_ms=500, fake=False).collect()
+
+
+# --------------------------------------------------- PNG (hand-rolled)
+
+
+def _png_chunks(w, h, depth, color, interlace, scan, plte=None):
+    """Assemble a PNG from already-filtered scanline bytes (the test's
+    own chunk writer — independent of codecs.encode_png)."""
+    import zlib as Z
+
+    def chunk(t, b):
+        return (
+            len(b).to_bytes(4, "big") + t + b
+            + (Z.crc32(t + b) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, color, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", Z.compress(scan)) + chunk(b"IEND", b"")
+
+
+def _png_forward_filter(arr: np.ndarray, bpp: int, ftypes) -> bytes:
+    """Spec §6 FORWARD filters (written from the spec, independent of
+    the decoder's unfilter) — recon references are the original bytes."""
+    h, stride = arr.shape
+    out = bytearray()
+    zero = np.zeros(stride, int)
+    for y, ft in enumerate(ftypes):
+        cur = arr[y].astype(int)
+        prev = arr[y - 1].astype(int) if y else zero
+        left = np.concatenate([np.zeros(bpp, int), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, int), prev[:-bpp]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prev
+        elif ft == 3:
+            f = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            f = cur - pred
+        out.append(ft)
+        out += bytes((f % 256).astype(np.uint8))
+    return bytes(out)
+
+
+def test_png_roundtrip_encode_decode():
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5), (6, 9, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = codecs.encode_png(img)
+        assert codecs.sniff(data) == "png"
+        out = codecs.decode_png(data)
+        np.testing.assert_array_equal(out, img)
+        # byte-deterministic: same input → same bytes
+        assert codecs.encode_png(img) == data
+
+
+def test_png_all_filter_types_golden():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) forward-filtered
+    per spec in the test, reconstructed by the decoder."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    scan = _png_forward_filter(img.reshape(5, 12), bpp=3, ftypes=[0, 1, 2, 3, 4])
+    out = codecs.decode_png(_png_chunks(4, 5, 8, 2, 0, scan))
+    np.testing.assert_array_equal(out, img)
+    # gray single-channel through the same five filters
+    g = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    scan = _png_forward_filter(g, bpp=1, ftypes=[4, 3, 2, 1, 0])
+    np.testing.assert_array_equal(codecs.decode_png(_png_chunks(6, 5, 8, 0, 0, scan)), g)
+
+
+def test_png_palette_alpha_16bit():
+    # palette: indices → PLTE rows
+    idx = np.array([[0, 1], [2, 1]], np.uint8)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = _png_forward_filter(idx, bpp=1, ftypes=[0, 0])
+    out = codecs.decode_png(_png_chunks(2, 2, 8, 3, 0, scan, plte=plte))
+    np.testing.assert_array_equal(
+        out, np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [0, 255, 0]]])
+    )
+    # RGBA: alpha dropped
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, (3, 2, 4), dtype=np.uint8)
+    scan = _png_forward_filter(rgba.reshape(3, 8), bpp=4, ftypes=[0, 2, 1])
+    out = codecs.decode_png(_png_chunks(2, 3, 8, 6, 0, scan))
+    np.testing.assert_array_equal(out, rgba[:, :, :3])
+    # gray+alpha: alpha dropped
+    ga = rng.integers(0, 256, (2, 3, 2), dtype=np.uint8)
+    scan = _png_forward_filter(ga.reshape(2, 6), bpp=2, ftypes=[0, 4])
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_chunks(3, 2, 8, 4, 0, scan)), ga[:, :, 0]
+    )
+    # 16-bit gray, value 0xABAB replicated → high byte exact
+    g16 = np.full((2, 2), 0xAB, np.uint8)
+    raw = np.repeat(g16.reshape(2, 2), 2, axis=1)  # hi, lo both 0xAB
+    scan = _png_forward_filter(raw, bpp=2, ftypes=[0, 0])
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_chunks(2, 2, 16, 0, 0, scan)), g16
+    )
+
+
+def test_png_interlaced_and_subbyte_raise():
+    scan = _png_forward_filter(np.zeros((1, 3), np.uint8), 1, [0])
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        codecs.decode_png(_png_chunks(3, 1, 8, 0, 1, scan))
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        codecs.decode_png(_png_chunks(3, 1, 4, 0, 0, scan))
+
+
+# -------------------------------------------------- JPEG (hand-rolled)
+
+
+def test_jpeg_roundtrip_close():
+    """encode_jpeg → decode_jpeg error bound on smooth content, plus
+    byte-determinism of both directions."""
+    x = np.linspace(0, 255, 48)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    enc = codecs.encode_jpeg(img, quality=95)
+    assert codecs.sniff(enc) == "jpeg"
+    dec = codecs.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+    assert codecs.encode_jpeg(img, quality=95) == enc
+    np.testing.assert_array_equal(codecs.decode_jpeg(enc), dec)
+
+    rgb = np.stack([img, img[::-1], img.T], axis=-1)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=95))
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 6
+
+    # odd (non-multiple-of-8) dimensions exercise the padding/crop path
+    odd = np.full((19, 23, 3), 117, np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(odd, quality=90))
+    assert dec.shape == (19, 23, 3)
+    assert np.abs(dec.astype(int) - 117).max() <= 2
+
+
+def _handmade_jpeg_420(width, height, y_level, restart=0):
+    """A 4:2:0 solid-color baseline JPEG built marker-by-marker in the
+    test (independent of encode_jpeg, which only emits 4:4:4): flat
+    quant 16/17, the codec module's single-length Huffman layout, DRI +
+    RSTn markers when restart > 0.  Solid level makes the decode
+    analytic: qdc = round(8*(L-128)/16); pixel = qdc*16/8 + 128."""
+    from hbase_snapshot_spark.operators.codecs import (
+        _ENC_AC_COUNTS, _ENC_AC_SYMBOLS, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS,
+        _enc_codes, _JpegBitWriter,
+    )
+
+    dc = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    qdc = round(8 * (y_level - 128) / 16)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([16] * 64))
+    out += seg(0xDB, bytes([1]) + bytes([17] * 64))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, Cb, Cr 1x1
+    out += seg(0xC0, sof)
+    for cls, counts, syms in [
+        (0, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS), (1, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    ]:
+        for tid in (0, 1):
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + counts + syms)
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    mcus_x, mcus_y = -(-width // 16), -(-height // 16)
+    n_mcus = mcus_x * mcus_y
+    segments, writer, in_seg, preds = [], _JpegBitWriter(), 0, [0, 0, 0]
+
+    def put_block(ci, value):
+        diff = value - preds[ci]
+        preds[ci] = value
+        t = abs(diff).bit_length()
+        c, ln = dc[t]
+        writer.write(c, ln)
+        if t:
+            writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        c, ln = ac[0x00]  # EOB
+        writer.write(c, ln)
+
+    for _m in range(n_mcus):
+        for _ in range(4):  # four Y blocks
+            put_block(0, qdc)
+        put_block(1, 0)  # Cb
+        put_block(2, 0)  # Cr
+        in_seg += 1
+        if restart and in_seg == restart and _m < n_mcus - 1:
+            segments.append(writer.flush())
+            writer, in_seg, preds = _JpegBitWriter(), 0, [0, 0, 0]
+    segments.append(writer.flush())
+    for i, s in enumerate(segments):
+        out += s
+        if i < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    out += b"\xff\xd9"
+    return bytes(out), qdc * 16 / 8 + 128
+
+
+def test_jpeg_420_subsampling_and_restart_golden():
+    """Hand-built 4:2:0 stream with restart markers; analytic output."""
+    data, level = _handmade_jpeg_420(32, 16, y_level=200, restart=1)
+    out = codecs.decode_jpeg(data)
+    assert out.shape == (16, 32, 3)
+    np.testing.assert_array_equal(out, np.full((16, 32, 3), int(level), np.uint8))
+    # same stream without restarts decodes identically
+    data2, _ = _handmade_jpeg_420(32, 16, y_level=200, restart=0)
+    np.testing.assert_array_equal(codecs.decode_jpeg(data2), out)
+    # odd-size crop with subsampling: 20x12 → MCU padding cropped away
+    data3, _ = _handmade_jpeg_420(20, 12, y_level=90)
+    assert codecs.decode_jpeg(data3).shape == (12, 20, 3)
+
+
+def test_jpeg_progressive_raises():
+    data, _ = _handmade_jpeg_420(16, 16, y_level=150)
+    bad = bytearray(data)
+    i = data.index(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # flip SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_truncated_raises():
+    data, _ = _handmade_jpeg_420(32, 32, y_level=150)
+    with pytest.raises(ValueError, match="truncated|Huffman|marker"):
+        codecs.decode_jpeg(data[: len(data) // 2])
+
+
+def test_decode_images_real_png_jpeg(spark):
+    """PNG/JPEG payloads through the Spark mapInPandas decode pipeline."""
+    png = codecs.encode_png(RGB)
+    jpg = codecs.encode_jpeg(np.full((8, 8, 3), 130, np.uint8), quality=90)
+    media = _media_df(spark, [png, jpg])
+    out = {r.media_id: r for r in
+           multimodal.decode_images(media, fake=False).collect()}
+    assert out[0].width == 3 and out[0].height == 2 and out[0].channels == 3
+    assert out[0].mean_intensity == round(float(RGB.mean()), 4)
+    assert out[1].width == 8 and out[1].channels == 3
+    assert abs(out[1].mean_intensity - 130.0) <= 2.0
+    resized = multimodal.resize_images(media, width=4, height=4, fake=False).collect()
+    for r in resized:
+        assert codecs.decode_pnm(bytes(r.payload)).shape == (4, 4, 3)

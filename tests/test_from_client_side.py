@@ -22,6 +22,12 @@ Mapping notes:
 import pytest
 
 from hbase_snapshot_spark.client import Get, Scan
+from hbase_snapshot_spark.filters import (
+    BinaryComparator,
+    CompareOp,
+    RowFilter,
+    WhileMatchFilter,
+)
 from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
 from hbase_snapshot_spark.table import Delete, Put, TableStore
 
@@ -374,3 +380,303 @@ def test_duplicate_versions(store):
     want10 = {("f", Q, S[i], vals[i]) for i in keep10}
     assert get_cells(t, ROW, columns={"f": [Q]}, maxv=None) == want10
     assert scan_cells(t, ROW, columns={"f": [Q]}, maxv=None) == want10
+
+
+# --------------------------------------------------------------------
+# Round-5 tier: testGetClosestRowBefore:3485, the multi-region filter
+# matrix testFilterAcrossMutlipleRegions:267, wide rows
+# testJiraTest867:1806, the version/time-range JIRA testers
+# (861/33/1014/1182/52, :1884-2100), and client/TestMultipleTimestamps.java
+# in full.  (testMultipleRegionsAndBatchPuts:1756 is an EMPTY @Ignore
+# stub in the reference — nothing to port.)
+# --------------------------------------------------------------------
+
+STAMPS = [(i + 1) * 1000 for i in range(20)]  # makeStamps:2870 analogue
+VALS = [f"value-{i}" for i in range(20)]      # makeNAscii
+
+
+def get_versions(t, row, fam, qual, tr=None):
+    """getNVersions / getVersionRangeAndVerify body: all versions of one
+    column in a time range, newest-first (KeyValue ts-desc order)."""
+    df = t.client().get(
+        Get(row, columns={fam: [qual]}, time_range=tr, max_versions=None)
+    )
+    return sorted(((r.ts, r.value) for r in df.collect()), key=lambda x: -x[0])
+
+
+def scan_versions(t, row, fam, qual, tr=None):
+    df = t.client().scan(
+        Scan(start_row=row, columns={fam: [qual]}, time_range=tr,
+             max_versions=None)
+    )
+    rows = [r for r in df.collect() if r.row == row]
+    return sorted(((r.ts, r.value) for r in rows), key=lambda x: -x[0])
+
+
+def test_get_closest_row_before(store):
+    """testGetClosestRowBefore:3485 — null / exact / between / after."""
+    t = _mk(store, "testGetClosestRowBefore", ["info", "info2"])
+    t.mutate([Put("ro").add("info", "", "\x00"), Put("row").add("info", "", "\x01")])
+
+    def row_or_before(key):
+        rows = t.client().get_row_or_before(key, "info").collect()
+        return {(r.row, r.value) for r in rows}
+
+    assert row_or_before("rn") == set()                    # before first → null
+    assert row_or_before("ro") == {("ro", "\x00")}         # at first → first
+    assert row_or_before("rov") == {("ro", "\x00")}        # between → first
+    assert row_or_before("row") == {("row", "\x01")}       # at second → second
+    assert row_or_before("row\x01") == {("row", "\x01")}   # after → second
+
+
+def test_filter_across_multiple_regions(store):
+    """testFilterAcrossMutlipleRegions:267 — WhileMatch(RowFilter) row
+    counts across a region-split boundary.  The split itself is a
+    physical no-op here (Spark partitions stand in for regions); the
+    observable contract is the filter/row-count matrix, asserted
+    against the same 'lqj'-style keys."""
+    t = _mk(store, "testFilterAcrossMutlipleRegions", ["family"])
+    keys = [a + b + c
+            for a in "abcdefghijklmnopqrstuvwxy"
+            for b in "abcdefghijklmnopqrstuvwxy"
+            for c in "abcdefghijklmnopqrstuvwxy"]
+    t.mutate([Put(k).add("family", "", k) for k in keys])
+    row_count = len(keys)
+    assert t.client().row_count() == row_count
+
+    def count_rows(key, op=CompareOp.LESS, start_row=None):
+        flt = WhileMatchFilter(RowFilter(op, BinaryComparator(key)))
+        df = t.client().scan(Scan(start_row=start_row, filter=flt))
+        return df.select("row").distinct().count()
+
+    end_key = "lqj"  # the reference's observed split point
+    end_key_count = sum(1 for k in keys if k < end_key)
+    assert count_rows(end_key) == end_key_count
+    assert end_key_count < row_count
+    # one/two rows past the boundary, one before (:288-300)
+    assert count_rows("lqk") == end_key_count + 1
+    assert count_rows("lql") == end_key_count + 2
+    assert count_rows("lqi") == end_key_count - 1
+    # EQUAL 'aaa' under WhileMatch: matches the first row then cuts (:304)
+    assert count_rows("aaa", op=CompareOp.EQUAL) == 1
+    # GE endKey from table start: first row fails, WhileMatch cuts → 0 (:309)
+    assert count_rows(end_key, op=CompareOp.GREATER_OR_EQUAL) == 0
+    # GE endKey starting AT endKey: the rest of the table (:313)
+    assert count_rows(
+        end_key, op=CompareOp.GREATER_OR_EQUAL, start_row=end_key
+    ) == row_count - end_key_count
+
+
+def test_jira_867_wide_rows(store):
+    """testJiraTest867:1806 (HBASE-867) — numRows=10 × 2000 qualifiers,
+    get + full scan, per-row cardinality and qualifier order."""
+    n_rows, n_cols = 10, 2000
+    t = _mk(store, "testJiraTest867", ["f"])
+    rows = [f"testRow{i:02d}" for i in range(n_rows)]
+    quals = [f"testQualifier{j:04d}" for j in range(n_cols)]
+    t.mutate([
+        Put(r).add("f", q, q) for r in rows for q in quals
+    ])
+    # Get the last row: every column, value == qualifier
+    got = t.client().get(Get(rows[-1])).collect()
+    assert len(got) == n_cols
+    assert sorted((r.qualifier, r.value) for r in got) == [(q, q) for q in quals]
+    # Scan all rows: 10 rows × 2000 cells, KeyValue (row, qual) order
+    out = t.client().scan(Scan()).collect()
+    assert len(out) == n_rows * n_cols
+    per_row = {}
+    for r in out:
+        per_row.setdefault(r.row, []).append(r.qualifier)
+    assert set(per_row) == set(rows)
+    for r in rows:
+        assert sorted(per_row[r]) == quals
+
+
+def test_jira_861(store):
+    """testJiraTest861 (HBASE-861): exact-timestamp get hits only real
+    versions, before and after surrounding inserts."""
+    t = _mk(store, "testJiraTest861", ["f"], versions=10)
+    S, V = STAMPS, VALS
+    t.mutate([Put(ROW).add("f", Q, V[3], ts=S[3]).add("f", Q, V[2], ts=S[2])
+              .add("f", Q, V[4], ts=S[4])])
+    check_version(t, ROW, "f", Q, S[2], V[2])
+    check_version_missing(t, ROW, "f", Q, S[1])
+    check_version_missing(t, ROW, "f", Q, S[5])
+    # surrounding versions into a second batch (memstore/storefile mix)
+    t.mutate([Put(ROW).add("f", Q, V[0], ts=S[0]).add("f", Q, V[6], ts=S[6])])
+    for i in (0, 2, 3, 4, 6):
+        check_version(t, ROW, "f", Q, S[i], V[i])
+    for i in (1, 5):
+        check_version_missing(t, ROW, "f", Q, S[i])
+
+
+def test_jira_33(store):
+    """testJiraTest33 (HBASE-33): get/scan all versions between two
+    timestamps — [S[a], S[b]+1) returns versions a..b newest-first."""
+    t = _mk(store, "testJiraTest33", ["f"], versions=10)
+    S, V = STAMPS, VALS
+    t.mutate([Put(ROW).add("f", Q, V[i], ts=S[i]) for i in range(6)])
+    for a, b in [(0, 5), (0, 2), (4, 5), (2, 3)]:
+        want = [(S[i], V[i]) for i in range(b, a - 1, -1)]
+        assert get_versions(t, ROW, "f", Q, tr=(S[a], S[b] + 1)) == want
+        assert scan_versions(t, ROW, "f", Q, tr=(S[a], S[b] + 1)) == want
+
+
+def test_jira_1014(store):
+    """testJiraTest1014 (HBASE-1014): a manual timestamp round-trips
+    exactly — off-by-one gets miss."""
+    t = _mk(store, "testJiraTest1014", ["f"], versions=10)
+    manual = 12345
+    t.mutate([Put(ROW).add("f", Q, "testValue", ts=manual)])
+    check_version(t, ROW, "f", Q, manual, "testValue")
+    check_version_missing(t, ROW, "f", Q, manual - 1)
+    check_version_missing(t, ROW, "f", Q, manual + 1)
+
+
+def test_jira_1182(store):
+    """testJiraTest1182 (HBASE-1182): scan for versions > timestamp
+    ([S[a+1], +inf) returns a+1..end)."""
+    t = _mk(store, "testJiraTest1182", ["f"], versions=10)
+    S, V = STAMPS, VALS
+    t.mutate([Put(ROW).add("f", Q, V[i], ts=S[i]) for i in range(6)])
+    for a in (0, 2, 4):
+        want = [(S[i], V[i]) for i in range(5, a, -1)]
+        tr = (S[a + 1], 2**62)
+        assert get_versions(t, ROW, "f", Q, tr=tr) == want
+        assert scan_versions(t, ROW, "f", Q, tr=tr) == want
+
+
+def test_jira_52(store):
+    """testJiraTest52 (HBASE-52): scanning over ALL versions."""
+    t = _mk(store, "testJiraTest52", ["f"], versions=10)
+    S, V = STAMPS, VALS
+    t.mutate([Put(ROW).add("f", Q, V[i], ts=S[i]) for i in range(6)])
+    want = [(S[i], V[i]) for i in range(5, -1, -1)]
+    assert get_versions(t, ROW, "f", Q) == want
+    assert scan_versions(t, ROW, "f", Q) == want
+
+
+# ----------------------------- client/TestMultipleTimestamps.java ----
+
+MAXV = 2**31 - 1  # Integer.MAX_VALUE table versions
+
+
+def _mts_put(t, rows, cols, stamps):
+    """TestMultipleTimestamps.put:438 — cross product of rows × cols ×
+    timestamps, value 'value-version-<ts>'."""
+    puts = []
+    for r in rows:
+        p = Put(f"row:{r}")
+        for c in cols:
+            for ts in stamps:
+                p.add("event_log", f"column:{c}", f"value-version-{ts}", ts=ts)
+        puts.append(p)
+    t.mutate(puts)
+
+
+def _mts_scan(t, rows, cols, stamps, maxv):
+    """TestMultipleTimestamps.scan:417 — [row:min, row:(max+1)),
+    explicit columns, time range [min(ts), max(ts)+1), maxVersions.
+    Returns {row_index: [(col_index, ts), ...]} in KeyValue order."""
+    scan = Scan(
+        start_row=f"row:{min(rows)}", stop_row=f"row:{max(rows) + 1}",
+        columns={"event_log": [f"column:{c}" for c in cols]},
+        time_range=(min(stamps), max(stamps) + 1), max_versions=maxv,
+    )
+    out = {}
+    for r in t.client().scan(scan).collect():
+        assert r.value == f"value-version-{r.ts}"
+        out.setdefault(int(r.row.split(":")[1]), []).append(
+            (int(r.qualifier.split(":")[1]), r.ts)
+        )
+    return {k: sorted(v, key=lambda x: (x[0], -x[1])) for k, v in out.items()}
+
+
+def _mts_get_nversions(t, r, c, versions):
+    df = t.client().get(Get(
+        f"row:{r}", columns={"event_log": [f"column:{c}"]},
+        time_range=(min(versions), max(versions) + 1), max_versions=None,
+    ))
+    out = [(row.ts, row.value) for row in df.collect()]
+    for ts, v in out:
+        assert v == f"value-version-{ts}"
+    return sorted((ts for ts, _ in out), reverse=True)
+
+
+def test_mts_reseeks_one_column(store):
+    """testReseeksWithOneColumnMiltipleTimestamp:82."""
+    t = _mk(store, "mtsOneCol", ["event_log"], versions=MAXV)
+    _mts_put(t, [1, 3, 5, 7], [1, 3, 5], [1, 2, 3, 4, 5])
+    got = _mts_scan(t, [3, 5], [3], [3, 4], maxv=2)
+    assert got == {3: [(3, 4), (3, 3)], 5: [(3, 4), (3, 3)]}
+
+
+def test_mts_reseeks_multi_column_one_ts(store):
+    """testReseeksWithMultipleColumnOneTimestamp:120."""
+    t = _mk(store, "mtsMultiColOneTs", ["event_log"], versions=MAXV)
+    _mts_put(t, [1, 3, 5, 7], [1, 3, 5], [1, 2, 3, 4, 5])
+    got = _mts_scan(t, [3, 5], [3, 4], [3], maxv=2)
+    assert got == {3: [(3, 3)], 5: [(3, 3)]}
+
+
+def test_mts_reseeks_multi_column_multi_ts(store):
+    """testReseeksWithMultipleColumnMultipleTimestamp:156."""
+    t = _mk(store, "mtsMultiMulti", ["event_log"], versions=MAXV)
+    _mts_put(t, [1, 3, 5, 7], [1, 3, 5], [1, 2, 3, 4, 5])
+    got = _mts_scan(t, [5, 7], [3, 4, 5], [2, 3], maxv=2)
+    want_row = [(3, 3), (3, 2), (5, 3), (5, 2)]
+    assert got == {5: want_row, 7: want_row}
+
+
+def test_mts_reseeks_multiple_files(store):
+    """testReseeksWithMultipleFiles:199 — three put batches = three
+    storefiles (each mutate commits a durable segment here, so the
+    multi-file merge is exercised for real)."""
+    t = _mk(store, "mtsMultiFiles", ["event_log"], versions=MAXV)
+    _mts_put(t, [1, 2, 3], [2, 5, 6], [1, 2, 5])
+    _mts_put(t, [6, 7], [3, 6], [4, 5])
+    _mts_put(t, [2, 3, 5], [1, 2, 3], [4, 8])
+    got = _mts_scan(t, [3, 5, 7], [3, 4, 5], [2, 4], maxv=5)
+    assert got == {
+        3: [(3, 4), (5, 2)],
+        5: [(3, 4)],
+        6: [(3, 4)],
+        7: [(3, 4)],
+    }
+
+
+def test_mts_version_deletes(store):
+    """testWithVersionDeletes:255/264 — both flush parameterizations
+    collapse to one here (every mutate commits a segment)."""
+    t = _mk(store, "mtsVersionDeletes", ["event_log"], versions=MAXV)
+    _mts_put(t, [0], [0], [1, 2, 3, 4, 5])
+    t.mutate([Delete("row:0").delete_column("event_log", "column:0", ts=4)])
+    assert _mts_get_nversions(t, 0, 0, [2, 3, 4, 5]) == [5, 3, 2]
+
+
+def test_mts_multiple_version_deletes(store):
+    """testWithMultipleVersionDeletes:294 — deleteColumns(ts=4) masks
+    everything at-or-before 4; [2,4) is empty."""
+    t = _mk(store, "mtsMultiVersionDeletes", ["event_log"], versions=MAXV)
+    _mts_put(t, [0], [0], [1, 2, 3, 4, 5])
+    t.mutate([Delete("row:0").delete_columns("event_log", "column:0", ts=4)])
+    assert _mts_get_nversions(t, 0, 0, [2, 3]) == []
+    # ts=5 survives the tombstone (only ≤4 masked)
+    assert _mts_get_nversions(t, 0, 0, [2, 5]) == [5]
+
+
+def test_mts_column_deletes(store):
+    """testWithColumnDeletes:317 — deleteColumns with no ts masks all
+    current versions."""
+    t = _mk(store, "mtsColumnDeletes", ["event_log"], versions=MAXV)
+    _mts_put(t, [0], [0], [1, 2, 3, 4, 5])
+    t.mutate([Delete("row:0").delete_columns("event_log", "column:0")], now=100)
+    assert _mts_get_nversions(t, 0, 0, [2, 3]) == []
+
+
+def test_mts_family_deletes(store):
+    """testWithFamilyDeletes:340."""
+    t = _mk(store, "mtsFamilyDeletes", ["event_log"], versions=MAXV)
+    _mts_put(t, [0], [0], [1, 2, 3, 4, 5])
+    t.mutate([Delete("row:0").delete_family("event_log")], now=100)
+    assert _mts_get_nversions(t, 0, 0, [2, 3]) == []

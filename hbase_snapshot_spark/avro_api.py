@@ -189,15 +189,14 @@ class AvroServer:
     """avro/AvroServer.java HBaseImpl — one instance per TableStore,
     messages named and shaped per hbase.genavro."""
 
-    def __init__(self, store):
-        self.store = store
-        self._scanners: dict[int, object] = {}
-        self._scanner_seq = itertools.count(1)
-        # id allocation + registry mutation under threaded transports
-        # (avro_wire.serve_avro); cursor paging serializes in RowCursor
-        import threading
+    def __init__(self, store, lease_seconds: float | None = 60.0):
+        from hbase_snapshot_spark.client import ScannerLeases
 
-        self._scanners_lock = threading.Lock()
+        self.store = store
+        # leased registry (Leases.java:281): thread-safe under threaded
+        # transports (avro_wire.serve_avro), idle cursors reclaimed
+        # after lease_seconds; cursor paging serializes in RowCursor
+        self._scanners = ScannerLeases(lease_seconds)
 
     def _table(self, table):
         try:
@@ -444,24 +443,20 @@ class AvroServer:
             families=spec.families, columns=spec.columns,
             time_range=spec.time_range, max_versions=spec.max_versions,
         )
-        with self._scanners_lock:
-            sid = next(self._scanner_seq)
-            self._scanners[sid] = RowCursor(
-                t.client().scan(s), self._row_result
-            )
-        return sid
+        return self._scanners.open(
+            RowCursor(t.client().scan(s), self._row_result)
+        )
 
     def scannerGetRows(self, scannerId, numberOfRows) -> list[AResult]:  # noqa: N802,N803
         """hbase.genavro scannerGetRows"""
-        with self._scanners_lock:
-            cur = self._scanners.get(scannerId)
-        if cur is None:
+        cur = self._scanners.get(scannerId)
+        if cur is None:  # unknown OR lease-expired (Leases.java:281)
             raise AIllegalArgument(f"scanner {scannerId} is not open")
-        return cur.next_rows(numberOfRows)
+        rows = cur.next_rows(numberOfRows)
+        self._scanners.renew(scannerId)  # re-arm after the page completes
+        return rows
 
     def scannerClose(self, scannerId) -> None:  # noqa: N802,N803
         """hbase.genavro scannerClose"""
-        with self._scanners_lock:
-            closed = self._scanners.pop(scannerId, None)
-        if closed is None:
+        if self._scanners.close(scannerId) is None:
             raise AIllegalArgument(f"scanner {scannerId} is not open")

@@ -230,3 +230,83 @@ class Table:
         """mapreduce/RowCounter.java:40-117 — rows with ≥1 visible cell
         (FirstKeyOnlyFilter pushdown ≡ distinct row keys)."""
         return self.scan(scan).select("row").distinct().count()
+
+
+class ScannerLeases:
+    """Leases.java:281 analogue for the wire front-ends: every open
+    scanner holds a lease that is renewed on each access; scanners idle
+    past ``lease_seconds`` are reclaimed lazily at the next registry
+    operation, so an abandoned client cursor cannot pin server memory
+    (the reference's LeaseMonitor thread does the same reclaim on a
+    timer — a lazy sweep is equivalent here because the registry is the
+    only path to a cursor, and it keeps the server thread-free).
+
+    ``lease_seconds=None`` disables expiry (leases never lapse).
+    Thread-safe: id allocation, renewal, and reaping all run under one
+    lock (the cursors themselves serialize their own paging)."""
+
+    def __init__(self, lease_seconds: float | None = 60.0):
+        import itertools as _it
+        import threading as _th
+
+        self.lease_seconds = lease_seconds
+        self._lock = _th.Lock()
+        self._seq = _it.count(1)
+        self._entries: dict[int, list] = {}  # id -> [scanner, last_access]
+
+    def _now(self) -> float:
+        import time as _t
+
+        return _t.monotonic()
+
+    def _reap_locked(self, now: float) -> None:
+        if self.lease_seconds is None:
+            return
+        dead = [
+            sid for sid, (_, t) in self._entries.items()
+            if now - t > self.lease_seconds
+        ]
+        for sid in dead:
+            del self._entries[sid]
+
+    def open(self, scanner) -> int:
+        now = self._now()
+        with self._lock:
+            self._reap_locked(now)
+            sid = next(self._seq)
+            self._entries[sid] = [scanner, now]
+            return sid
+
+    def get(self, sid: int):
+        """Look up + renew; None when unknown or lease-expired
+        (HRegionServer.next → UnknownScannerException path)."""
+        now = self._now()
+        with self._lock:
+            self._reap_locked(now)
+            e = self._entries.get(sid)
+            if e is None:
+                return None
+            e[1] = now
+            return e[0]
+
+    def renew(self, sid: int) -> None:
+        """Re-arm the lease AFTER a paging call completes — the
+        reference's HRegionServer.next removes the lease while serving
+        and re-adds it on return (Leases.java renewLease), so a slow
+        page cannot expire its own scanner."""
+        now = self._now()
+        with self._lock:
+            e = self._entries.get(sid)
+            if e is not None:
+                e[1] = now
+
+    def close(self, sid: int):
+        now = self._now()
+        with self._lock:
+            self._reap_locked(now)
+            e = self._entries.pop(sid, None)
+            return None if e is None else e[0]
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._entries)

@@ -310,9 +310,9 @@ class _Scanner:
 
 class _Handler(BaseHTTPRequestHandler):
     store: TableStore = None     # injected by serve()
-    scanners: dict = None        # id -> _Scanner; injected by serve()
-    _scanner_seq: itertools.count = None
-    _scanners_lock: threading.Lock = None  # guards id alloc + registry
+    # leased scanner registry (client.ScannerLeases — Leases.java:281):
+    # idle cursors reclaimed after the lease period; injected by serve()
+    scanners = None
 
     def log_message(self, *args):  # quiet
         pass
@@ -445,11 +445,13 @@ class _Handler(BaseHTTPRequestHandler):
             if len(parts) >= 2 and parts[1] == "scanner":
                 if len(parts) >= 3:
                     # stateful scanner page: GET /<table>/scanner/<id>?n=
-                    with self._scanners_lock:
-                        sc = self.scanners.get(parts[2])
-                    if sc is None:
+                    sc = (self.scanners.get(int(parts[2]))
+                          if parts[2].isdigit() else None)
+                    if sc is None:  # unknown or lease-expired
                         return self._send(404, {"error": "unknown scanner"})
                     rows = sc.next(int(q.get("n", 100)))
+                    # re-arm after the page completes (Leases renewLease)
+                    self.scanners.renew(int(parts[2]))
                     if not rows:
                         # exhausted — 204 No Content (ScannerResource)
                         self.send_response(204)
@@ -508,10 +510,7 @@ class _Handler(BaseHTTPRequestHandler):
                 maxv = int(q["v"]) if "v" in q else 1
                 scan = _make_scan(q, maxv, binary=binary)
             df = table.client().scan(scan)
-            sc = _Scanner(df)
-            with self._scanners_lock:
-                sid = str(next(self._scanner_seq))
-                self.scanners[sid] = sc
+            sid = self.scanners.open(_Scanner(df))
             return self._send_raw(
                 201,
                 json.dumps({"scanner_id": sid}).encode(),
@@ -578,9 +577,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if len(parts) == 3 and parts[1] == "scanner":
                 # DELETE /<table>/scanner/<id> — close (ScannerResource)
-                with self._scanners_lock:
-                    closed = self.scanners.pop(parts[2], None)
-                if closed is None:
+                closed = (self.scanners.close(int(parts[2]))
+                          if parts[2].isdigit() else None)
+                if closed is None:  # unknown or lease-expired
                     return self._send(404, {"error": "unknown scanner"})
                 return self._send(200, {"closed": True})
             if len(parts) < 2:
@@ -602,14 +601,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(400, {"error": str(ex)})
 
 
-def serve(store: TableStore, port: int = 0):
+def serve(store: TableStore, port: int = 0,
+          lease_seconds: float | None = 60.0):
     """Start the REST server (daemon thread); returns (server, port).
-    ``port=0`` picks an ephemeral port."""
+    ``port=0`` picks an ephemeral port.  ``lease_seconds`` bounds how
+    long an idle stateful scanner survives (Leases.java:281 semantics;
+    None = never expires)."""
+    from hbase_snapshot_spark.client import ScannerLeases
+
     handler = type(
         "Handler",
         (_Handler,),
-        {"store": store, "scanners": {}, "_scanner_seq": itertools.count(1),
-         "_scanners_lock": threading.Lock()},
+        {"store": store, "scanners": ScannerLeases(lease_seconds)},
     )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

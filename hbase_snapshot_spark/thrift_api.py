@@ -131,16 +131,15 @@ class ThriftServer:
     """thrift/ThriftServer.java HBaseHandler — one instance per
     TableStore, methods named and shaped per Hbase.thrift."""
 
-    def __init__(self, store):
-        import threading
+    def __init__(self, store, lease_seconds: float | None = 60.0):
+        from hbase_snapshot_spark.client import ScannerLeases
 
         self.store = store
-        self._scanners: dict[int, object] = {}
-        self._scanner_seq = itertools.count(1)
-        # id allocation + registry mutation under threaded transports
-        # (thrift_wire.serve_thrift); cursor paging itself serializes
-        # inside RowCursor
-        self._scanners_lock = threading.Lock()
+        # leased registry (Leases.java:281): thread-safe under threaded
+        # transports (thrift_wire.serve_thrift), idle cursors reclaimed
+        # after lease_seconds; cursor paging itself serializes inside
+        # RowCursor
+        self._scanners = ScannerLeases(lease_seconds)
 
     # ------------------------------------------------------------ admin
 
@@ -415,10 +414,7 @@ class ThriftServer:
         from hbase_snapshot_spark.client import RowCursor
 
         df = self._table(tableName).client().scan(scan)
-        with self._scanners_lock:
-            sid = next(self._scanner_seq)
-            self._scanners[sid] = RowCursor(df, self._row_result)
-        return sid
+        return self._scanners.open(RowCursor(df, self._row_result))
 
     def scannerOpen(self, tableName, startRow, columns=None) -> int:  # noqa: N802,N803
         """Hbase.thrift scannerOpen:494"""
@@ -470,17 +466,16 @@ class ThriftServer:
 
     def scannerGetList(self, id, nbRows) -> list[TRowResult]:  # noqa: N802,N803,A002
         """Hbase.thrift scannerGetList:576"""
-        with self._scanners_lock:
-            cur = self._scanners.get(id)
+        cur = self._scanners.get(id)
         if cur is None:
             # "@throws IllegalArgument if ScannerID is invalid"
-            # (Hbase.thrift:653)
+            # (Hbase.thrift:653) — unknown OR lease-expired (Leases.java)
             raise IllegalArgument(f"scanner {id} is not open")
-        return cur.next_rows(nbRows)
+        rows = cur.next_rows(nbRows)
+        self._scanners.renew(id)  # re-arm after the page completes
+        return rows
 
     def scannerClose(self, id) -> None:  # noqa: N802,A002
         """Hbase.thrift scannerClose:584"""
-        with self._scanners_lock:
-            closed = self._scanners.pop(id, None)
-        if closed is None:
+        if self._scanners.close(id) is None:
             raise IllegalArgument(f"scanner {id} is not open")

@@ -202,3 +202,32 @@ def test_rest_binary_scanner_base64_range(spark, tmp_path_factory):
         assert code == 400
     finally:
         srv.shutdown()
+
+
+def test_rest_scanner_lease_expiry(spark, tmp_path_factory):
+    """ScannerResource + Leases.java:281: an idle stateful scanner
+    expires after the lease period → 404 on the next page, and the
+    server registry drops the cursor."""
+    import time
+
+    store = TableStore(spark, str(tmp_path_factory.mktemp("restl") / "tables"))
+    t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
+    from hbase_snapshot_spark.table import Put
+
+    t.mutate([Put(f"r{i}").add("f", "q", str(i)) for i in range(4)], now=100)
+    srv, port = serve(store, lease_seconds=1.0)
+    url = f"http://127.0.0.1:{port}"
+    try:
+        code, body = _req(f"{url}/t/scanner?start=r0", "POST")
+        assert code == 201
+        sid = body["scanner_id"]
+        code, body = _req(f"{url}/t/scanner/{sid}?n=1")
+        assert code == 200 and len(body["cells"]) == 1
+        time.sleep(1.5)
+        code, body = _req(f"{url}/t/scanner/{sid}?n=1")
+        assert code == 404
+        # an expired scanner cannot be DELETEd either (already reclaimed)
+        code, _ = _req(f"{url}/t/scanner/{sid}", "DELETE")
+        assert code == 404
+    finally:
+        srv.shutdown()

@@ -167,3 +167,36 @@ def test_delete_all_row_ts(handler):
     h.deleteAllRowTs("tableA", "rowA", 200)  # wipes ts<=200, keeps 500
     rows = h.getRow("tableA", "rowA")
     assert [c.value for c in rows[0].columns.values()] == ["late"]
+
+
+def test_scanner_lease_expiry(spark, tmp_path):
+    """Leases.java:281 — an idle scanner's lease lapses and the cursor
+    is reclaimed; an active scanner's lease renews on every access."""
+    import time
+
+    store = TableStore(spark, str(tmp_path / "thrift-lease"))
+    h = ThriftServer(store, lease_seconds=1.0)
+    _loaded(h)
+
+    # idle past the lease → IllegalArgument on next access, and the
+    # registry no longer holds the cursor (bounded server memory)
+    sid = h.scannerOpen("tableA", "", ["columnA:"])
+    time.sleep(1.5)
+    with pytest.raises(IllegalArgument):
+        h.scannerGet(sid)
+    assert len(h._scanners) == 0
+
+    # each access renews: three touches spaced inside the lease period
+    # keep the scanner alive well past one full period
+    sid = h.scannerOpen("tableA", "", ["columnA:"])
+    rows = []
+    for _ in range(3):
+        time.sleep(0.5)
+        rows.extend(h.scannerGet(sid))
+    assert [r.row for r in rows][:2] == ["rowA", "rowB"]
+    h.scannerClose(sid)
+    # close on an expired scanner also raises (and does not KeyError)
+    sid = h.scannerOpen("tableA", "", ["columnA:"])
+    time.sleep(1.5)
+    with pytest.raises(IllegalArgument):
+        h.scannerClose(sid)

@@ -40,10 +40,22 @@ class Scan:
     now: Optional[int] = None
 
     def add_family(self, fam: str) -> "Scan":
-        self.families = (self.families or []) + [fam]
+        """Scan.addFamily:178 — ``familyMap.put(family, null)``: the
+        null qualifier set means "whole family" and OVERWRITES any
+        narrower set a previous addColumn installed (last call wins —
+        TestFromClientSide.getVerifySingleColumn:2499 relies on
+        addColumn-then-addFamily widening to the full family)."""
+        if self.families is None or fam not in self.families:
+            self.families = (self.families or []) + [fam]
+        if self.columns and fam in self.columns:
+            cols = {k: list(v) for k, v in self.columns.items()}
+            del cols[fam]
+            self.columns = cols or None
         return self
 
     def add_column(self, fam: str, qual) -> "Scan":
+        """Scan.addColumn:192 — installs/extends the family's qualifier
+        set (replacing a wildcard null set from an earlier addFamily)."""
         cols = {k: list(v) for k, v in (self.columns or {}).items()}
         cols.setdefault(fam, []).append(qual)
         self.columns = cols
@@ -53,9 +65,16 @@ class Scan:
         return self
 
     def to_spec(self) -> ResolveSpec:
+        # the read set is every familyMap key: explicit families PLUS
+        # families reached via addColumn (Scan.getFamilies = familyMap
+        # keySet; a family is wildcard only when it has no qualifier
+        # restriction — resolve.project_columns applies that split)
         fams = self.families
-        if fams is None and self.columns is not None:
-            fams = list(self.columns.keys())
+        if fams is None:
+            if self.columns is not None:
+                fams = list(self.columns.keys())
+        elif self.columns:
+            fams = fams + [f for f in self.columns if f not in fams]
         cols = self.columns
         if cols is not None:
             # a null qualifier addresses the EMPTY qualifier — KeyValue

@@ -82,6 +82,15 @@ class FamilyDescriptor:
     in_memory: bool = False
     block_cache: bool = True
     bloom_filter: str = "NONE"     # NONE / ROW / ROWCOL
+    # user metadata (HColumnDescriptor.setValue/getValue:183-200)
+    values: dict = field(default_factory=dict)
+
+    def set_value(self, key: str, value: str) -> "FamilyDescriptor":
+        self.values[key] = value
+        return self
+
+    def get_value(self, key: str):
+        return self.values.get(key)
 
     def to_dict(self) -> dict:
         return {
@@ -93,11 +102,12 @@ class FamilyDescriptor:
             "in_memory": self.in_memory,
             "block_cache": self.block_cache,
             "bloom_filter": self.bloom_filter,
+            "values": dict(self.values),
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "FamilyDescriptor":
-        return cls(**d)
+        return cls(**{**d, "values": d.get("values", {})})
 
 
 @dataclass
@@ -110,6 +120,15 @@ class TableDescriptor:
     readonly: bool = False
     memstore_flushsize: int | None = None
     deferred_log_flush: bool = False
+    # user metadata (HTableDescriptor.setValue/getValue:204-239)
+    values: dict = field(default_factory=dict)
+
+    def set_value(self, key: str, value: str) -> "TableDescriptor":
+        self.values[key] = value
+        return self
+
+    def get_value(self, key: str):
+        return self.values.get(key)
 
     def add_family(self, fam: FamilyDescriptor) -> "TableDescriptor":
         self.families[fam.name] = fam
@@ -126,6 +145,7 @@ class TableDescriptor:
             "readonly": self.readonly,
             "memstore_flushsize": self.memstore_flushsize,
             "deferred_log_flush": self.deferred_log_flush,
+            "values": dict(self.values),
         }
 
     @classmethod
@@ -138,4 +158,5 @@ class TableDescriptor:
             readonly=d.get("readonly", False),
             memstore_flushsize=d.get("memstore_flushsize"),
             deferred_log_flush=d.get("deferred_log_flush", False),
+            values=d.get("values", {}),
         )

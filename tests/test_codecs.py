@@ -535,3 +535,46 @@ def test_decode_images_real_png_jpeg(spark):
     resized = multimodal.resize_images(media, width=4, height=4, fake=False).collect()
     for r in resized:
         assert codecs.decode_pnm(bytes(r.payload)).shape == (4, 4, 3)
+
+
+# ------------------------------------------------- property tests
+
+
+def test_png_roundtrip_property():
+    """Randomized PNG roundtrips (hypothesis): exact for any uint8
+    array, any shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.one_of(
+            arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12))),
+            arrays(np.uint8, st.tuples(st.integers(1, 9), st.integers(1, 9),
+                                       st.just(3))),
+        )
+    )
+    def roundtrip(img):
+        np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+    roundtrip()
+
+
+def test_jpeg_roundtrip_property():
+    """Randomized JPEG roundtrips (hypothesis): at quality 100 on
+    uniform-blocks content the error stays within IDCT rounding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 255),
+           st.booleans())
+    def roundtrip(h, w, level, gray):
+        shape = (h, w) if gray else (h, w, 3)
+        img = np.full(shape, level, np.uint8)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=100))
+        assert dec.shape == shape
+        assert np.abs(dec.astype(int) - int(level)).max() <= 1
+
+    roundtrip()

@@ -680,3 +680,342 @@ def test_mts_family_deletes(store):
     _mts_put(t, [0], [0], [1, 2, 3, 4, 5])
     t.mutate([Delete("row:0").delete_family("event_log")], now=100)
     assert _mts_get_nversions(t, 0, 0, [2, 3]) == []
+
+
+# --------------------------------------------------------------------
+# Round-5 tier 2: the simple-behavior corpus — testSuperSimple:435,
+# testFilters:473, testSimpleMissing:511, testSingleRowMultipleFamily:622
+# (in full, flush boundaries folded), testGet_EmptyTable:3087,
+# testGet_NonExistentRow:3096, testPut:3118 (null qualifier),
+# testRowsPut:3157, testHBase737:3288 (timestamp ordering),
+# testListTables:3379.
+# --------------------------------------------------------------------
+
+
+def first_row_cells(t, scan):
+    """getSingleScanResult — cells of the scan's first row, or None."""
+    rows = t.client().scan(scan).collect()
+    if not rows:
+        return None
+    first = min(r.row for r in rows)
+    return {(r.family, r.qualifier, r.value) for r in rows if r.row == first}
+
+
+def test_super_simple(store):
+    """testSuperSimple:435 — scanning a qualifier that exists nowhere
+    returns no rows."""
+    t = _mk(store, "testSuperSimple", ["f"])
+    t.mutate([Put(ROW).add("f", Q, "testValue")], now=100)
+    assert first_row_cells(t, Scan(columns={"f": ["testSuperSimple"]})) is None
+
+
+def test_filters_qualifier_regex(store):
+    """testFilters:473 — QualifierFilter(EQUAL, Regex 'col[1-5]') over
+    rows each holding one distinct qualifier."""
+    from hbase_snapshot_spark.filters import QualifierFilter, RegexStringComparator
+
+    t = _mk(store, "testFilters", ["f"])
+    rows = [f"testRow{i}" for i in range(10)]
+    quals = [f"col{i}-<d2v1>-<d3v2>" for i in range(10)]
+    t.mutate([Put(r).add("f", q, "testValue")
+              for r, q in zip(rows, quals)], now=100)
+    out = t.client().scan(Scan(
+        families=["f"],
+        filter=QualifierFilter(CompareOp.EQUAL, RegexStringComparator("col[1-5]")),
+    )).collect()
+    got = sorted((r.row, r.qualifier) for r in out)
+    assert got == [(rows[i], quals[i]) for i in range(1, 6)]
+
+
+def test_simple_missing(store):
+    """testSimpleMissing:511 — empty-table, around-row, and present-row
+    get/scan matrix."""
+    t = _mk(store, "testSimpleMissing", ["f"])
+    R = [f"testRow{i}" for i in range(4)]
+
+    # empty table: every get/scan shape returns nothing
+    assert get_cells(t, R[0]) == set()
+    assert get_cells(t, R[0], families=["f"]) == set()
+    assert get_cells(t, R[0], columns={"f": [Q]}) == set()
+    for scan in (Scan(), Scan(start_row=R[0]), Scan(start_row=R[0], stop_row=R[1]),
+                 Scan(families=["f"]), Scan(columns={"f": [Q]})):
+        assert first_row_cells(t, scan) is None
+
+    # insert ROWS[2] and probe the empty space around it
+    t.mutate([Put(R[2]).add("f", Q, "testValue")], now=100)
+    assert get_cells(t, R[1]) == set()
+    assert get_cells(t, R[0], families=["f"]) == set()
+    assert get_cells(t, R[3], columns={"f": [Q]}) == set()
+    assert first_row_cells(t, Scan(start_row=R[3])) is None
+    assert first_row_cells(t, Scan(start_row=R[0], stop_row=R[2])) is None
+
+    # the row itself via every shape
+    want = {("f", Q, "testValue")}
+    assert {(f, q, v) for f, q, _, v in get_cells(t, R[2])} == want
+    assert {(f, q, v) for f, q, _, v in get_cells(t, R[2], families=["f"])} == want
+    assert {(f, q, v) for f, q, _, v in get_cells(t, R[2], columns={"f": [Q]})} == want
+    assert first_row_cells(t, Scan()) == want
+    assert first_row_cells(t, Scan(start_row=R[0], stop_row=R[3])) == want
+    assert first_row_cells(t, Scan(start_row=R[2], stop_row=R[3])) == want
+
+
+def test_single_row_multiple_family(store):
+    """testSingleRowMultipleFamily:622 in full — the single-column,
+    multi-column, and delete phases across 10 families (flush
+    boundaries folded: each mutate commits a segment, so the
+    memstore/storefile re-asserts are the same read)."""
+    t = _mk(store, "testSingleRowMultipleFamily", [f"testFamily{i}" for i in range(10)])
+    R = [f"testRow{i}" for i in range(3)]
+    F = [f"testFamily{i}" for i in range(10)]
+    QU = [f"testQualifier{i}" for i in range(10)]
+    V = [f"testValue{i}" for i in range(10)]
+
+    def got(row, **kw):
+        return {(f, q, v) for f, q, _, v in get_cells(t, row, **kw)}
+
+    def scn(**kw):
+        return first_row_cells(t, Scan(**kw))
+
+    # ---- phase 1: one column in one family (:641-668)
+    t.mutate([Put(R[0]).add(F[4], QU[0], V[0])], now=100)
+    single = {(F[4], QU[0], V[0])}
+    # getVerifySingleColumn:2465 — every get shape lands on the one cell
+    assert got(R[0]) == single
+    assert got(R[0], families=[F[4]]) == single
+    assert got(R[0], families=[F[2], F[4], F[6]]) == single
+    assert got(R[0], columns={F[4]: [QU[0]]}) == single
+    # addColumn(F4, QU1) THEN addFamily(F4): addFamily overwrites the
+    # qualifier restriction with the wildcard null set (Scan.java:178,
+    # getVerifySingleColumn:2499) — whole family comes back
+    assert first_row_cells(
+        t, Scan(start_row=R[0]).add_column(F[4], QU[1]).add_family(F[4])
+    ) == single
+    assert got(R[0], families=[F[3], F[4], F[5], F[6]],
+               columns={F[5]: [QU[1]], F[2]: [QU[1]]}) == single
+    # scanVerifySingleColumn:2523
+    assert scn() == single
+    assert scn(start_row=R[0]) == single
+    assert scn(start_row=R[0], stop_row=R[1]) == single
+    assert scn(stop_row=R[1]) == single
+    assert scn(families=[F[4]]) == single
+    assert scn(columns={F[4]: [QU[0]]}) == single
+    # scanVerifySingleColumn:2565 — addColumn then addFamily widens
+    assert first_row_cells(
+        t, Scan().add_column(F[4], QU[1]).add_family(F[4])
+    ) == single
+    # :2573 — columns on neighbor families + wildcard family elsewhere
+    assert scn(columns={F[3]: [QU[1]], F[4]: [QU[0]]}, families=[F[5]]) == single
+    # getVerifySingleEmpty:2583 / scanVerifySingleEmpty:2614
+    assert got(R[0], columns={F[4]: [QU[1]]}) == set()
+    assert got(R[0], columns={F[4]: [QU[2]]}) == set()
+    assert got(R[0], families=[F[3], F[5]], columns={F[4]: [QU[2]]}) == set()
+    assert got(R[1]) == set()
+    assert scn(start_row=R[1]) is None
+    assert scn(start_row=R[1], stop_row=R[2]) is None
+    assert scn(stop_row=R[0]) is None
+    assert scn(columns={F[4]: [QU[1]]}, families=[F[3]]) is None
+
+    # ---- phase 2: multiple columns across families (:674-699)
+    t.mutate([Put(R[0]).add(F[2], QU[2], V[2]).add(F[2], QU[4], V[4])
+              .add(F[4], QU[4], V[4]).add(F[6], QU[6], V[6])
+              .add(F[6], QU[7], V[7]).add(F[7], QU[7], V[7])
+              .add(F[9], QU[0], V[0])], now=200)
+    # singleRowGetTest:2265 / singleRowScanTest:2363
+    assert got(R[0], columns={F[4]: [QU[0]]}) == single
+    assert got(R[0], columns={F[2]: [QU[2]]}) == {(F[2], QU[2], V[2])}
+    assert got(R[0], families=[F[7]]) == {(F[7], QU[7], V[7])}
+    both4 = {(F[4], QU[0], V[0]), (F[4], QU[4], V[4])}
+    assert got(R[0], families=[F[4]]) == both4
+    assert got(R[0], columns={F[4]: [QU[0], QU[4]]}) == both4
+    assert got(R[0], families=[F[4], F[7]]) == both4 | {(F[7], QU[7], V[7])}
+    many = {(F[2], QU[2], V[2]), (F[2], QU[4], V[4]), (F[4], QU[0], V[0]),
+            (F[4], QU[4], V[4]), (F[6], QU[6], V[6]), (F[6], QU[7], V[7]),
+            (F[7], QU[7], V[7])}
+    assert got(R[0], families=[F[2], F[4], F[6], F[7]]) == many
+    assert got(R[0], columns={F[2]: [QU[2], QU[4]], F[4]: [QU[0], QU[4]],
+                              F[6]: [QU[6], QU[7]], F[7]: [QU[7], QU[8]]}) == many
+    assert got(R[0]) == many | {(F[9], QU[0], V[0])}
+    assert got(R[1]) == set()
+    assert got(R[0], columns={F[4]: [QU[3]], F[2]: [QU[3]]}) == set()
+    assert scn(columns={F[4]: [QU[0]]}) == single
+    assert scn(families=[F[4], F[7]]) == both4 | {(F[7], QU[7], V[7])}
+    assert scn() == many | {(F[9], QU[0], V[0])}
+    assert scn(start_row=R[1]) is None
+    assert scn(columns={F[4]: [QU[3]], F[2]: [QU[3]]}) is None
+
+    # ---- phase 3: more data, then the delete ladder (:700-921)
+    t.mutate([Put(R[0]).add(F[6], QU[5], V[5]).add(F[6], QU[8], V[8])
+              .add(F[6], QU[9], V[9]).add(F[4], QU[3], V[3])], now=300)
+    # delete a "storefile" column
+    t.mutate([Delete(R[0]).delete_columns(F[6], QU[7])], now=400)
+    assert got(R[0], columns={F[6]: [QU[7]]}) == set()
+    assert scn(columns={F[6]: [QU[7]]}) is None
+    assert got(R[0], columns={F[6]: [QU[6]]}) == {(F[6], QU[6], V[6])}
+    assert got(R[0], columns={F[6]: [QU[8]]}) == {(F[6], QU[8], V[8])}
+    assert scn(columns={F[6]: [QU[6]]}) == {(F[6], QU[6], V[6])}
+    assert scn(columns={F[6]: [QU[8]]}) == {(F[6], QU[8], V[8])}
+    # delete a "memstore" column
+    t.mutate([Delete(R[0]).delete_columns(F[6], QU[8])], now=500)
+    assert got(R[0], columns={F[6]: [QU[8]]}) == set()
+    assert scn(columns={F[6]: [QU[8]]}) is None
+    assert got(R[0], columns={F[6]: [QU[6]]}) == {(F[6], QU[6], V[6])}
+    assert got(R[0], columns={F[6]: [QU[9]]}) == {(F[6], QU[9], V[9])}
+    # delete joint family
+    t.mutate([Delete(R[0]).delete_family(F[4])], now=600)
+    assert got(R[0], columns={F[4]: [QU[4]]}) == set()
+    assert got(R[0], columns={F[4]: [QU[3]]}) == set()
+    assert got(R[0], families=[F[4]]) == set()
+    assert scn(columns={F[4]: [QU[4]]}) is None
+    assert scn(columns={F[4]: [QU[3]]}) is None
+    assert scn(families=[F[4]]) is None
+    # other families still intact (asserted twice in the reference —
+    # pre- and post-flush; one read here covers both)
+    assert got(R[0], columns={F[2]: [QU[2]]}) == {(F[2], QU[2], V[2])}
+    assert got(R[0], columns={F[6]: [QU[9]]}) == {(F[6], QU[9], V[9])}
+    assert scn(columns={F[6]: [QU[6]]}) == {(F[6], QU[6], V[6])}
+    assert scn(columns={F[6]: [QU[9]]}) == {(F[6], QU[9], V[9])}
+
+
+def test_get_empty_table_and_nonexistent_row(store):
+    """testGet_EmptyTable:3087 + testGet_NonExistentRow:3096."""
+    t = _mk(store, "testGetEmptyTable", ["f"])
+    assert get_cells(t, ROW) == set()
+    t.mutate([Put(ROW).add("f", Q, "testValue")], now=100)
+    assert get_cells(t, ROW, families=["f"]) != set()
+    assert get_cells(t, "missingrow", families=["f"]) == set()
+
+
+def test_put_null_qualifier(store):
+    """testPut:3118 — a null qualifier is the empty qualifier; the cell
+    round-trips and scans under addColumn(family, null)."""
+    t = _mk(store, "testPut", ["contents", "smallfam"])
+    t.mutate([Put("row1").add("contents", None, "abcd"),
+              Put("row2").add("contents", None, "abcd")], now=100)
+    out = t.client().scan(Scan(columns={"contents": [None]})).collect()
+    assert sorted((r.row, r.qualifier or "", r.value) for r in out) == [
+        ("row1", "", "abcd"), ("row2", "", "abcd")
+    ]
+
+
+def test_rows_put_batch(store):
+    """testRowsPut:3157 — a 10-Put batch lands as 10 rows."""
+    t = _mk(store, "testRowsPut", ["contents", "smallfam"])
+    t.mutate([Put(f"row{i}").add("contents", None, "abcd")
+              for i in range(10)], now=100)
+    out = t.client().scan(Scan(families=["contents"]))
+    assert out.select("row").distinct().count() == 10
+
+
+def test_hbase_737_timestamp_ordering(store):
+    """testHBase737:3288 — three sequential single-cell puts get
+    strictly increasing server timestamps, visible in KeyValue order."""
+    t = _mk(store, "testHBase737", ["fam1", "fam2"])
+    t.mutate([Put(ROW).add("fam1", "letters", "abcdefg")])
+    t.mutate([Put(ROW).add("fam1", "numbers", "123456")])
+    t.mutate([Put(ROW).add("fam2", "letters", "hijklmnop")])
+    out = t.client().scan(Scan(families=["fam1", "fam2"], max_versions=1)).collect()
+    cells = sorted(((r.family, r.qualifier, r.ts) for r in out))
+    assert [(c[0], c[1]) for c in cells] == [
+        ("fam1", "letters"), ("fam1", "numbers"), ("fam2", "letters")
+    ]
+    times = [c[2] for c in cells]
+    assert times[0] < times[1] < times[2]
+
+
+def test_list_tables(store):
+    """testListTables:3379 — created tables appear in the admin list."""
+    for name in ("testListTables1", "testListTables2", "testListTables3"):
+        _mk(store, name, ["f"])
+    listed = set(store.list_tables())
+    assert {"testListTables1", "testListTables2", "testListTables3"} <= listed
+
+
+def test_weird_cache_behaviour(store):
+    """testWeirdCacheBehaviour:136 — Prefix + SCVF(filterIfMissing)
+    matching after overwrite, then latest-version deleteColumn makes
+    the SCVF see the OLD value again → zero matches."""
+    from hbase_snapshot_spark.filters import (
+        FilterList, PrefixFilter, SingleColumnValueFilter,
+    )
+
+    fams = ["trans-blob", "trans-type", "trans-date", "trans-tags", "trans-group"]
+    t = _mk(store, "testWeirdCacheBehaviour", fams)
+    value, value2 = "this is the value", "this is some other value"
+    prefixes = ["pref-a", "pref-b", "pref-c"]
+
+    def put_rows(val, now):
+        puts = []
+        for kp in prefixes:
+            for i in range(3):
+                puts.append(
+                    Put(f"{kp}_{i:02d}")
+                    .add("trans-blob", None, "value for blob")
+                    .add("trans-type", None, "statement")
+                    .add("trans-date", None, "20090921010101999")
+                    .add("trans-tags", "qual2", val)
+                    .add("trans-group", None, "adhocTransactionGroupId")
+                )
+        t.mutate(puts, now=now)
+
+    def matching_rows(kp, val):
+        flt = FilterList(FilterList.MUST_PASS_ALL, [
+            PrefixFilter(kp),
+            SingleColumnValueFilter(
+                "trans-tags", "qual2", CompareOp.EQUAL, val,
+                filter_if_missing=True,
+            ),
+        ])
+        df = t.client().scan(Scan(families=fams, filter=flt))
+        return sorted(r.row for r in df.select("row").distinct().collect())
+
+    put_rows(value, now=100)   # first write ("flushCommits" boundary folded)
+    put_rows(value2, now=200)  # overwrite with value2
+    for kp in prefixes:
+        assert len(matching_rows(kp, value2)) == 3
+    # deleteColumns helper (:183): per matched row, deleteColumn LATEST
+    # of trans-tags:qual2 — removes the value2 version, exposing value
+    for kp in prefixes:
+        rows = matching_rows(kp, value2)
+        assert len(rows) == 3
+        t.mutate([Delete(r).delete_column("trans-tags", "qual2") for r in rows],
+                 now=300)
+    for kp in prefixes:
+        assert matching_rows(kp, value2) == []
+    # the older value is what the SCVF (latestVersionOnly) sees now
+    for kp in prefixes:
+        assert len(matching_rows(kp, value)) == 3
+
+
+def test_misc_htable_stuff(store):
+    """testMiscHTableStuff:3408 — scan-copy table A→B preserving
+    timestamps, then disable + modifyTable with user metadata on HTD
+    and every HCD + enable, verifying the attributes round-trip."""
+    a = _mk(store, "testMiscHTableStuffA", ["info"])
+    b = _mk(store, "testMiscHTableStuffB", ["info"])
+    a.mutate([Put(ROW).add("info", None, "value")], now=100)
+
+    # copy A → B via scan, preserving cell timestamps (put.add(kv))
+    rows = a.client().scan(Scan(families=["info"])).collect()
+    puts = {}
+    for r in rows:
+        puts.setdefault(r.row, Put(r.row)).add(r.family, r.qualifier, r.value,
+                                               ts=r.ts)
+    b.mutate(list(puts.values()))
+    got = {(f, q, ts, v) for f, q, ts, v in get_cells(b, ROW, families=["info"])}
+    assert got == {("info", "", 100, "value")}
+
+    # disable → modifyTable(desc with user attrs) → enable (:3451-3464)
+    a.disable()
+    desc = a.descriptor
+    desc.set_value("TESTATTR", "somevalue")
+    for fam in desc.families.values():
+        fam.set_value("TESTATTR", "somevalue")
+    a.alter(desc)
+    a.enable()
+
+    # attribute changes persisted through the manifest (:3466-3482)
+    fresh = store.table("testMiscHTableStuffA").descriptor
+    assert fresh.name == "testMiscHTableStuffA"
+    assert fresh.get_value("TESTATTR") == "somevalue"
+    for fam in fresh.families.values():
+        assert fam.get_value("TESTATTR") == "somevalue"

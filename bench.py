@@ -388,10 +388,34 @@ BASELINE_SEC = {
 # VERDICT r4 item 1); everything else stays best-of-3.
 N_ATTEMPTS = {"bulk_write": 5, "dedup_minhash": 5}
 
+# Clean-host probe references: cpu frozen in BASELINE §F (0.111s);
+# shuffle measured on the same class of clean window (r5).  Normalizing
+# against FIXED constants keeps the normalized column meaningful even
+# when an ENTIRE run lands in a throttle window — a within-run median
+# reference only removes per-attempt variance and silently accepts a
+# run-wide slowdown as the new normal.
+CLEAN_CALIB_SEC = 0.111 + 0.55  # cpu + shuffle
+
 
 def _median(xs):
     s = sorted(xs)
     return s[len(s) // 2] if s else None
+
+
+def wait_for_calm(spark, calib_samples, max_wait: float = 240.0) -> dict:
+    """The host throttles in minutes-long windows and RECOVERS (observed
+    r5: bulk_write 78s at minute 0, dedup_minhash at its clean-host 3.2s
+    at minute 25 of the same run).  After a blown attempt, probe every
+    ~10s until the combined probe drops under 3x the clean-host
+    reference (or the wait budget runs out) so the retry lands in a calm
+    window instead of hammering a throttled host."""
+    deadline = time.time() + max_wait
+    while True:
+        c = calibrate(spark)
+        calib_samples.append(c["total"])
+        if c["total"] < 3 * CLEAN_CALIB_SEC or time.time() >= deadline:
+            return c
+        time.sleep(10)
 
 
 def main() -> int:
@@ -412,6 +436,7 @@ def main() -> int:
     normalized = {}    # best throttle-normalized seconds per op
     attempts_log = {}  # per-attempt [{"sec", "calib", "stages"?}, ...]
     calib_samples = []
+    probe_prev = None  # rolling probe: attempt i's post = attempt i+1's pre
     try:
         for name in WORKLOAD_ORDER:
             # best-of-N: the host shows intermittent CPU/IO-throttle
@@ -425,22 +450,44 @@ def main() -> int:
             # phase instrumentation also return {"stages": {...}}.
             att = []
             try:
-                for attempt in range(N_ATTEMPTS.get(name, 3)):
-                    c = calibrate(spark)
-                    calib_samples.append(c["total"])
+                budget = N_ATTEMPTS.get(name, 3)
+                attempt = 0
+                waited_calm = False
+                while attempt < budget:
+                    # bracket the attempt with probes: the pre-probe is
+                    # the previous attempt's post-probe (shared), so a
+                    # throttle window that OPENS mid-attempt is caught
+                    # by whichever probe saw it
+                    if probe_prev is None:
+                        probe_prev = calibrate(spark)
+                        calib_samples.append(probe_prev["total"])
+                    c = probe_prev
                     t0 = time.time()
                     result = getattr(bench, name)()
-                    entry = {"calib": c["total"], "calib_cpu": c["cpu"],
-                             "calib_shuffle": c["shuffle"]}
+                    wall = time.time() - t0
+                    probe_prev = calibrate(spark)
+                    calib_samples.append(probe_prev["total"])
+                    entry = {
+                        "calib": c["total"], "calib_cpu": c["cpu"],
+                        "calib_shuffle": c["shuffle"],
+                        "calib_after": probe_prev["total"],
+                    }
                     if isinstance(result, dict) and "sec" in result:
                         entry["sec"] = round(result["sec"], 3)
                         if "stages" in result:
                             entry["stages"] = result["stages"]
                     else:
-                        entry["sec"] = round(time.time() - t0, 3)
+                        entry["sec"] = round(wall, 3)
                     att.append(entry)
+                    attempt += 1
                     if entry["sec"] > 45:
-                        break  # throttle window: don't double down
+                        if waited_calm:
+                            break  # blown again after a calm retry: stop
+                        # blown attempt: wait (bounded) for a calm
+                        # window before spending the remaining budget —
+                        # the host demonstrably recovers between windows
+                        waited_calm = True
+                        probe_prev = wait_for_calm(spark, calib_samples)
                 attempts_log[name] = att
                 timings[name] = min(a["sec"] for a in att)
                 medians[name] = _median([a["sec"] for a in att])
@@ -451,22 +498,29 @@ def main() -> int:
                 timings[name] = min((a["sec"] for a in att), default=None)
                 medians[name] = _median([a["sec"] for a in att])
                 print(f"# {name} FAILED: {ex}", file=sys.stderr)
+                probe_prev = None  # re-probe fresh after a crash
                 if name == "bulk_write":
                     break  # later workloads need the table
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
     # throttle normalization: an attempt whose calibration probes ran
-    # slower than the run's MEDIAN probe was throttled by that factor;
-    # scale its time down accordingly (never up — the factor clamps at
-    # 1, so clean attempts keep their raw time).  Raw stays the
-    # headline; normalized + the per-attempt log make a throttled run
-    # diagnosable after the fact.
-    calib_ref = _median(calib_samples)
+    # slower than the CLEAN-HOST reference was throttled by that
+    # factor; scale its time down accordingly (never up — the factor
+    # clamps at 1, so clean attempts keep their raw time).  Raw stays
+    # the headline; normalized + the per-attempt log make a throttled
+    # run diagnosable after the fact.
+    calib_ref = _median(calib_samples)  # run-level context, not the ref
     norm_medians = {}
     for name, att in attempts_log.items():
         norm = [
-            round(a["sec"] / max(1.0, a["calib"] / calib_ref), 3)
+            round(
+                a["sec"]
+                / max(1.0,
+                      max(a["calib"], a.get("calib_after", 0.0))
+                      / CLEAN_CALIB_SEC),
+                3,
+            )
             for a in att
             if a["calib"] > 0
         ]
@@ -506,7 +560,8 @@ def main() -> int:
         "vs_baseline": vs_baseline,
         "vs_baseline_normalized": vs_baseline_normalized,
         "attempts": attempts_log,
-        "calibration_ref_sec": calib_ref,
+        "calibration_run_median_sec": calib_ref,
+        "calibration_clean_ref_sec": CLEAN_CALIB_SEC,
         "sf": sf,
     }))
     return 0 if all(v is not None for v in timings.values()) else 1

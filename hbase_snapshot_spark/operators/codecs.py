@@ -6,10 +6,12 @@ hand-rolled over stdlib + numpy:
 * images — binary **PPM/PGM** (netpbm P6/P5), **BMP**
   (BITMAPINFOHEADER, BI_RGB 8/24/32-bit), **PNG** (non-interlaced,
   all five filter types, gray/RGB/palette/alpha, 8- and 16-bit via
-  stdlib ``zlib``), and **baseline JPEG** (SOF0/SOF1 huffman +
-  dequant + IDCT + chroma upsample + YCbCr→RGB — the format that
-  dominates any real multimodal corpus);
-* audio — RIFF **WAV** (PCM 8/16/24/32-bit int + 32-bit IEEE float);
+  stdlib ``zlib``), and **JPEG** — both baseline/extended-sequential
+  (SOF0/SOF1) and progressive (SOF2: spectral selection + successive
+  approximation, spec Annex G) — huffman entropy decode + dequant +
+  IDCT + chroma upsample + YCbCr→RGB;
+* audio — RIFF **WAV** (PCM 8/16/24/32-bit int, 32-bit IEEE float,
+  G.711 A-law/mu-law telephony);
 * video — **YUV4MPEG2** frame streams.
 
 Parsers are numpy-vectorized per payload where the format allows
@@ -17,7 +19,7 @@ Parsers are numpy-vectorized per payload where the format allows
 inherently sequential per MCU but all block math — dequant, IDCT,
 upsample, colorspace — is matrix-level numpy) and run inside the
 Arrow-batched ``mapInPandas`` kernels in ``multimodal.py``.  The
-remaining compressed formats (progressive JPEG, interlaced PNG,
+remaining compressed formats (arithmetic-coded JPEG, interlaced PNG,
 MP3/AAC/MP4) still raise ``NotImplementedError`` naming what they need.
 
 These cover the reference-repo test philosophy for opaque byte values
@@ -354,11 +356,12 @@ def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JPEG (SOF0/SOF1) → uint8 array:
-    (h, w, 3) RGB for YCbCr, (h, w) for grayscale.  Full huffman
-    entropy decode + dequantization + orthonormal IDCT + nearest chroma
-    upsample + JFIF YCbCr→RGB, all dependency-free.  Progressive
-    (SOF2), arithmetic-coded, and CMYK streams raise
+    """Baseline/extended-sequential (SOF0/SOF1) AND progressive (SOF2)
+    JPEG → uint8 array: (h, w, 3) RGB for YCbCr, (h, w) for grayscale.
+    Full huffman entropy decode (spectral selection + successive
+    approximation for progressive, spec Annex G) + dequantization +
+    orthonormal IDCT + nearest chroma upsample + JFIF YCbCr→RGB, all
+    dependency-free.  Arithmetic-coded and CMYK streams raise
     NotImplementedError.  Entropy decode is sequential per MCU (the
     format is a bit-serial prefix code); the per-block math is numpy."""
     if data[:2] != b"\xff\xd8":
@@ -367,6 +370,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(comp_id, h_samp, v_samp, tq)])
+    progressive = False
+    coef = None  # progressive coefficient state: cid -> (bh, bw, 64) zigzag
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -403,7 +408,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = body[i + 17 : i + 17 + nsym]
                 (huff_ac if cls else huff_dc)[tid] = _build_huffman(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -411,11 +416,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(
+                    f"{len(comps)}-component JPEG (CMYK?) unsupported"
+                )
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) unsupported — baseline only"
-            )
+            if marker == 0xC2:
+                progressive = True
+                max_h = max(c[1] for c in comps)
+                max_v = max(c[2] for c in comps)
+                mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+                coef = {
+                    cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)
+                    for cid, ch, cv, _tq in comps
+                }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} (non-sequential/arithmetic) unsupported"
@@ -426,26 +440,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_tables = {}
+            scan_comps = []  # [(cid, dc_table, ac_table)] in scan order
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             h, w, comps = frame
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan sequential JPEG unsupported"
+            segs, end = _split_entropy_segments(data, pos + 2 + seg_len)
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan sequential JPEG unsupported"
+                    )
+                return _jpeg_decode_scan(
+                    h, w, comps, {c: (d, a) for c, d, a in scan_comps},
+                    qt, huff_dc, huff_ac, segs, restart_interval,
                 )
-            if len(comps) not in (1, 3):
-                raise NotImplementedError(
-                    f"{len(comps)}-component JPEG (CMYK?) unsupported"
-                )
-            segs, _end = _split_entropy_segments(data, pos + 2 + seg_len)
-            return _jpeg_decode_scan(
-                h, w, comps, scan_tables, qt, huff_dc, huff_ac,
-                segs, restart_interval,
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            _jpeg_progressive_scan(
+                frame, scan_comps, ss, se, ah, al, coef,
+                huff_dc, huff_ac, segs, restart_interval,
             )
+            pos = end
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seg_len
+    if progressive and coef is not None:
+        return _jpeg_progressive_finish(frame, qt, coef)
     raise ValueError("JPEG stream ended without SOS scan")
 
 
@@ -513,9 +534,204 @@ def _jpeg_decode_scan(
             break
     if mcu < n_mcus:
         raise ValueError(f"truncated JPEG scan: {mcu}/{n_mcus} MCUs decoded")
+    return _jpeg_reconstruct(h, w, comps, planes, max_h, max_v)
 
-    # upsample each component to full resolution (nearest — the box
-    # replicate JFIF decoders use for 2x factors) and crop to (h, w)
+
+def _jpeg_progressive_scan(
+    frame, scan_comps, ss, se, ah, al, coef, huff_dc, huff_ac,
+    segs, restart_interval,
+):
+    """One progressive scan (spec Annex G): DC scans may interleave all
+    components on the MCU grid; AC scans are single-component over the
+    component's own block raster.  Successive approximation: first
+    scans (Ah=0) deliver coefficients shifted by Al; refinement scans
+    (Ah>0) deliver one correction bit per coefficient."""
+    h, w, comps = frame
+    by_id = {cid: (cid, ch, cv, tq) for cid, ch, cv, tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+
+    if ss == 0:  # ---------------------------------------- DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        n_units = mcus_x * mcus_y if len(scan_comps) > 1 else None
+        if n_units is None:
+            _cid, ch, cv, _tq = by_id[scan_comps[0][0]]
+            bw = _ceil_div(_ceil_div(w * ch, max_h), 8)
+            bh = _ceil_div(_ceil_div(h * cv, max_v), 8)
+            n_units = bw * bh
+        unit = 0
+        for seg in segs:
+            reader = _JpegBitReader(seg)
+            preds = {cid: 0 for cid, _d, _a in scan_comps}
+            seg_units = (
+                min(restart_interval, n_units - unit)
+                if restart_interval else n_units - unit
+            )
+            for _ in range(seg_units):
+                if len(scan_comps) > 1:  # interleaved MCU
+                    my, mx = divmod(unit, mcus_x)
+                    for cid, dtab, _atab in scan_comps:
+                        _c, ch, cv, _tq = by_id[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = coef[cid][my * cv + by, mx * ch + bx]
+                                _prog_dc_block(
+                                    reader, blk, preds, cid, ah, al,
+                                    huff_dc.get(dtab),
+                                )
+                else:  # single component: its own block raster
+                    cid, dtab, _atab = scan_comps[0]
+                    _c, ch, cv, _tq = by_id[cid]
+                    bw = _ceil_div(_ceil_div(w * ch, max_h), 8)
+                    y, x = divmod(unit, bw)
+                    _prog_dc_block(
+                        reader, coef[cid][y, x], preds, cid, ah, al,
+                        huff_dc.get(dtab),
+                    )
+                unit += 1
+            if unit >= n_units:
+                break
+        if unit < n_units:
+            raise ValueError(f"truncated progressive DC scan: {unit}/{n_units}")
+        return
+
+    # ------------------------------------------------------ AC scan
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _dtab, atab = scan_comps[0]
+    _c, ch, cv, _tq = by_id[cid]
+    bw = _ceil_div(_ceil_div(w * ch, max_h), 8)
+    bh = _ceil_div(_ceil_div(h * cv, max_v), 8)
+    n_units = bw * bh
+    table = huff_ac[atab]
+    unit = 0
+    for seg in segs:
+        reader = _JpegBitReader(seg)
+        eobrun = 0
+        seg_units = (
+            min(restart_interval, n_units - unit)
+            if restart_interval else n_units - unit
+        )
+        for _ in range(seg_units):
+            y, x = divmod(unit, bw)
+            blk = coef[cid][y, x]
+            if ah == 0:
+                eobrun = _prog_ac_first(reader, blk, ss, se, al, table, eobrun)
+            else:
+                eobrun = _prog_ac_refine(reader, blk, ss, se, al, table, eobrun)
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError(f"truncated progressive AC scan: {unit}/{n_units}")
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _prog_dc_block(reader, blk, preds, cid, ah, al, dc_table):
+    if ah == 0:  # first scan: huffman diff of (DC >> Al)
+        t = reader.decode_huffman(dc_table)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        preds[cid] += diff
+        blk[0] = preds[cid] << al
+    else:  # refinement: one bit
+        blk[0] |= reader.read_bit() << al
+
+
+def _prog_ac_first(reader, blk, ss, se, al, table, eobrun) -> int:
+    """AC first scan for one block (G.1.2.2): run-length + EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + reader.read_bits(r)  # EOBRUN (this block done)
+        k += r
+        if k > se:
+            raise ValueError("progressive AC coefficient overrun")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, blk, ss, se, al, table, eobrun) -> int:
+    """AC refinement for one block (G.1.2.3, the IJG
+    decode_mcu_AC_refine control flow): newly-nonzero coefficients
+    arrive as ±1<<Al; already-nonzero coefficients receive correction
+    bits as the zero-run walk passes over them."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huffman(table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    # refinement EOB keeps THIS block in the run (the
+                    # correction-bit pass below consumes it): 2^r+bits,
+                    # NOT the first-scan's 2^r-1+bits (IJG
+                    # decode_mcu_AC_refine vs decode_mcu_AC_first)
+                    eobrun = (1 << r) + reader.read_bits(r)
+                    break
+                val = 0  # ZRL: pass over 16 zero-history coefficients
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit():
+                        if (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val != 0:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_finish(frame, qt, coef) -> np.ndarray:
+    """All scans consumed: dequantize the accumulated zigzag
+    coefficients, batched IDCT (one einsum per component), reassemble
+    planes, upsample + color-convert."""
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    planes = {}
+    for cid, _ch, _cv, tq in comps:
+        zz = coef[cid].astype(np.float64) * qt[tq]  # both zigzag order
+        bh, bw = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("mk,yxmn,nl->yxkl", _DCT8, blocks, _DCT8) + 128.0
+        planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _jpeg_reconstruct(h, w, comps, planes, max_h, max_v)
+
+
+def _jpeg_reconstruct(h, w, comps, planes, max_h, max_v) -> np.ndarray:
+    """Component planes → output image: nearest chroma upsample (the
+    box replicate JFIF decoders use for 2x factors), crop to (h, w),
+    JFIF YCbCr→RGB for 3 components."""
     full = []
     for cid, ch, cv, _tq in comps:
         plane = planes[cid]
@@ -589,7 +805,9 @@ _JPEG_Q_CHROMA = np.array(
 _ENC_DC_COUNTS = bytes([0, 0, 0, 0, 12] + [0] * 11)
 _ENC_DC_SYMBOLS = bytes(range(12))
 _ENC_AC_SYMBOLS = bytes(
-    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]  # EOB1..EOB14 (progressive EOBRUN)
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _ENC_AC_COUNTS = bytes([0] * 7 + [len(_ENC_AC_SYMBOLS)] + [0] * 8)
 
@@ -810,6 +1028,20 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     elif audio_format == 3 and bits == 32:
         f = np.clip(np.frombuffer(raw, "<f4"), -1.0, 1.0)
         samples = np.round(f * 32767).astype(np.int32)
+    elif audio_format == 6 and bits == 8:  # G.711 A-law (telephony)
+        b = np.frombuffer(raw, np.uint8).astype(np.int32) ^ 0x55
+        sign = np.where(b & 0x80, -1, 1)
+        e = (b >> 4) & 7
+        m = b & 0x0F
+        mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << (e - 1))
+        samples = (sign * mag).astype(np.int32)
+    elif audio_format == 7 and bits == 8:  # G.711 mu-law (telephony)
+        u = (~np.frombuffer(raw, np.uint8)).astype(np.int32) & 0xFF
+        sign = np.where(u & 0x80, -1, 1)
+        e = (u >> 4) & 7
+        m = u & 0x0F
+        mag = (((m << 3) + 0x84) << e) - 0x84
+        samples = (sign * mag).astype(np.int32)
     else:
         raise NotImplementedError(
             f"WAV format {audio_format}/{bits}-bit unsupported (compressed "

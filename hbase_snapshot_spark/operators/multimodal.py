@@ -4,11 +4,12 @@ pipelines.
 
 The Spark-side plumbing — schema, partitioning, Pandas-UDF signatures,
 batch shapes — is real and tested.  Decode kernels are REAL for
-PPM/PGM, BMP, non-interlaced PNG, and baseline JPEG images, RIFF WAV
-audio, and YUV4MPEG2 video — dependency-free numpy/stdlib codecs in
-``codecs.py``.  The remaining compressed codecs (progressive JPEG,
-MP3/AAC audio, MP4/H.264 video) require media libraries NOT in this
-container and raise a clearly-marked ``NotImplementedError``.  Every kernel also keeps a deterministic fake
+PPM/PGM, BMP, non-interlaced PNG, and JPEG (baseline AND progressive)
+images, RIFF WAV audio (PCM/float/G.711), and YUV4MPEG2 video —
+dependency-free numpy/stdlib codecs in ``codecs.py``.  The remaining
+compressed codecs (MP3/AAC audio, MP4/H.264 video) require media
+libraries NOT in this container and raise a clearly-marked
+``NotImplementedError``.  Every kernel also keeps a deterministic fake
 (``fake=True``) that exercises the identical dataflow on synthetic
 payloads for tests/benchmarks.
 """
@@ -104,9 +105,9 @@ _DECODE_SCHEMA = T.StructType([
 
 def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
     """Image decode + cheap stats.  Real path decodes PPM/PGM/BMP/
-    PNG/baseline-JPEG payloads (codecs.decode_image — numpy + stdlib
-    zlib, no media libs); the remaining formats (progressive JPEG,
-    WebP, …) raise NotImplementedError naming Pillow.
+    PNG/JPEG (baseline + progressive) payloads (codecs.decode_image —
+    numpy + stdlib zlib, no media libs); the remaining formats (WebP,
+    …) raise NotImplementedError naming Pillow.
     ``fake=True`` runs a deterministic byte-statistics decoder through
     the identical mapInPandas pipeline (same schema, same batching)."""
 
@@ -247,10 +248,10 @@ def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
 ) -> DataFrame:
     """Image resize to a fixed training resolution.  Real path:
-    PPM/PGM/BMP/PNG/baseline-JPEG decode → nearest-neighbor resample →
+    PPM/PGM/BMP/PNG/JPEG decode → nearest-neighbor resample →
     re-encode as binary P6 PPM (codecs.py — numpy + stdlib zlib);
-    unsupported inputs (progressive JPEG, WebP, …) raise
-    NotImplementedError naming Pillow.  ``fake=True`` emits a
+    unsupported inputs (WebP, …) raise NotImplementedError naming
+    Pillow.  ``fake=True`` emits a
     deterministic digest-sized payload through the identical
     mapInPandas pipeline (same schema, same batching)."""
 

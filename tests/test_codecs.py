@@ -506,13 +506,174 @@ def test_jpeg_420_subsampling_and_restart_golden():
     assert codecs.decode_jpeg(data3).shape == (12, 20, 3)
 
 
-def test_jpeg_progressive_raises():
-    data, _ = _handmade_jpeg_420(16, 16, y_level=150)
-    bad = bytearray(data)
-    i = data.index(b"\xff\xc0")
-    bad[i + 1] = 0xC2  # flip SOF0 → SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        codecs.decode_jpeg(bytes(bad))
+def _prog_writer_codes():
+    from hbase_snapshot_spark.operators.codecs import (
+        _ENC_AC_COUNTS, _ENC_AC_SYMBOLS, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS,
+        _enc_codes, _JpegBitWriter,
+    )
+
+    return (
+        _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS),
+        _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS),
+        _JpegBitWriter,
+    )
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _prog_headers(w, h, gray=True, quant=16):
+    """SOI + DQT + SOF2 + DHT for a hand-built progressive stream."""
+    from hbase_snapshot_spark.operators.codecs import (
+        _ENC_AC_COUNTS, _ENC_AC_SYMBOLS, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([quant] * 64))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes([17] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    if gray:
+        sof += bytes([1, 1, 0x11, 0])
+    else:
+        sof += bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xC2, sof)
+    for cls, counts, syms in [
+        (0, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS), (1, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    ]:
+        for tid in (0, 1) if not gray else (0,):
+            out += _seg(0xC4, bytes([(cls << 4) | tid]) + counts + syms)
+    return out
+
+
+def _sos(comps, ss, se, ah, al):
+    body = bytes([len(comps)])
+    for cid, tabs in comps:
+        body += bytes([cid, tabs])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _put_dc(writer, dc_codes, diff):
+    t = abs(diff).bit_length()
+    c, ln = dc_codes[t]
+    writer.write(c, ln)
+    if t:
+        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def test_jpeg_progressive_dc_successive_approximation():
+    """Solid gray 8x8 via SOF2: DC-first scan at Al=1 then DC
+    refinement at Al=0 — analytic output level."""
+    dc, ac, W = _prog_writer_codes()
+    level = 202
+    qdc = int(round(8 * (level - 128) / 16))  # 37: odd → refine bit = 1
+    out = bytearray(_prog_headers(8, 8))
+    # scan 1: DC first, Al=1 — sends qdc>>1
+    w1 = W()
+    _put_dc(w1, dc, qdc >> 1)
+    out += _sos([(1, 0x00)], 0, 0, 0, 1) + w1.flush()
+    # scan 2: DC refinement, Al=0 — one bit per block
+    w2 = W()
+    w2.write(qdc & 1, 1)
+    out += _sos([(1, 0x00)], 0, 0, 1, 0) + w2.flush()
+    out += b"\xff\xd9"
+    img = codecs.decode_jpeg(bytes(out))
+    want = int(np.clip(round(qdc * 16 / 8) + 128, 0, 255))
+    np.testing.assert_array_equal(img, np.full((8, 8), want, np.uint8))
+
+
+def test_jpeg_progressive_ac_spectral_and_refinement():
+    """Single AC coefficient through spectral selection + successive
+    approximation; expected block computed from the DCT basis in the
+    test."""
+    from hbase_snapshot_spark.operators.codecs import _DCT8, _ZIGZAG
+
+    dc, ac, W = _prog_writer_codes()
+    k, val = 5, 10  # zigzag index 5 (natural 2: row 0 col 2), coeff 10
+
+    def expected():
+        F = np.zeros((8, 8))
+        F.flat[_ZIGZAG[k]] = val * 16  # dequantized
+        spatial = _DCT8.T @ F @ _DCT8 + 128.0
+        return np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+
+    # --- variant 1: one full-precision AC scan (Ss=1..63, Al=0)
+    out = bytearray(_prog_headers(8, 8))
+    w1 = W()
+    _put_dc(w1, dc, 0)
+    out += _sos([(1, 0x00)], 0, 0, 0, 0) + w1.flush()
+    w2 = W()
+    r, s = k - 1, abs(val).bit_length()  # 4 zeros then the value
+    c, ln = ac[(r << 4) | s]
+    w2.write(c, ln)
+    w2.write(val if val >= 0 else val + (1 << s) - 1, s)
+    c, ln = ac[0x00]  # EOB
+    w2.write(c, ln)
+    out += _sos([(1, 0x00)], 1, 63, 0, 0) + w2.flush()
+    out += b"\xff\xd9"
+    np.testing.assert_array_equal(codecs.decode_jpeg(bytes(out)), expected())
+
+    # --- variant 2: AC first at Al=1 (sends val>>1) + refinement at
+    # Al=0 (EOB with a correction bit for the nonzero-history coeff)
+    out = bytearray(_prog_headers(8, 8))
+    w1 = W()
+    _put_dc(w1, dc, 0)
+    out += _sos([(1, 0x00)], 0, 0, 0, 0) + w1.flush()
+    w2 = W()
+    half = val >> 1
+    s = abs(half).bit_length()
+    c, ln = ac[((k - 1) << 4) | s]
+    w2.write(c, ln)
+    w2.write(half if half >= 0 else half + (1 << s) - 1, s)
+    c, ln = ac[0x00]
+    w2.write(c, ln)
+    out += _sos([(1, 0x00)], 1, 63, 0, 1) + w2.flush()
+    w3 = W()
+    c, ln = ac[0x00]  # EOB(0): covers the block, correction bits follow
+    w3.write(c, ln)
+    w3.write(val & 1, 1)  # correction bit for the coeff at k
+    out += _sos([(1, 0x00)], 1, 63, 1, 0) + w3.flush()
+    out += b"\xff\xd9"
+    np.testing.assert_array_equal(codecs.decode_jpeg(bytes(out)), expected())
+
+
+def test_jpeg_progressive_420_interleaved_dc_with_restarts():
+    """3-component 4:2:0 progressive: interleaved DC scan with DRI=1 +
+    RST markers, then per-component EOBRUN-only AC scans → analytic
+    solid color."""
+    dc, ac, W = _prog_writer_codes()
+    level = 200
+    qdc = int(round(8 * (level - 128) / 16))
+    out = bytearray(_prog_headers(32, 16, gray=False))
+    out += _seg(0xDD, (1).to_bytes(2, "big"))  # DRI = 1 MCU
+    # interleaved DC scan, 2 MCUs, restart between (preds reset)
+    segs = []
+    for _ in range(2):
+        w1 = W()
+        _put_dc(w1, dc, qdc)       # first Y block diff
+        for _ in range(3):
+            _put_dc(w1, dc, 0)     # other Y blocks
+        _put_dc(w1, dc, 0)         # Cb
+        _put_dc(w1, dc, 0)         # Cr
+        segs.append(w1.flush())
+    out += _sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 0)
+    out += segs[0] + b"\xff\xd0" + segs[1]
+    out += _seg(0xDD, (0).to_bytes(2, "big"))  # restarts off for AC scans
+    # per-component AC scans: all zeros via one EOBRUN per scan
+    for cid, tabs, nblocks in [(1, 0x00, 8), (2, 0x11, 2), (3, 0x11, 2)]:
+        w2 = W()
+        run = nblocks - 1  # EOB consumes this block; run covers the rest
+        r = run.bit_length()
+        c, ln = ac[(r << 4) | 0x00]
+        w2.write(c, ln)
+        w2.write(run - ((1 << r) - 1), r)
+        out += _sos([(cid, tabs)], 1, 63, 0, 0) + w2.flush()
+    out += b"\xff\xd9"
+    img = codecs.decode_jpeg(bytes(out))
+    assert img.shape == (16, 32, 3)
+    want = int(np.clip(round(qdc * 16 / 8) + 128, 0, 255))
+    np.testing.assert_array_equal(img, np.full((16, 32, 3), want, np.uint8))
 
 
 def test_jpeg_truncated_raises():
@@ -578,3 +739,43 @@ def test_jpeg_roundtrip_property():
         assert np.abs(dec.astype(int) - int(level)).max() <= 1
 
     roundtrip()
+
+
+def test_wav_g711_alaw_mulaw():
+    """G.711 telephony formats (WAV fmt 6 = A-law, 7 = mu-law) against
+    the ITU reference expansion: the canonical codec identities
+    A-law(0x55 toggle) and mu-law bias-0x84 must hold exactly."""
+    # mu-law: encode a known linear value per the ITU algorithm in the
+    # TEST (independent of the decoder), roundtrip through decode
+    def mulaw_encode(x):
+        BIAS, CLIP = 0x84, 32635
+        s = 0x80 if x < 0 else 0
+        x = min(abs(x), CLIP) + BIAS
+        e = 7
+        for i in range(7, -1, -1):
+            if x & (0x4000 >> (7 - i)):
+                e = i
+                break
+        m = (x >> (e + 3)) & 0x0F
+        return ~(s | (e << 4) | m) & 0xFF
+
+    linear = [0, 8, 100, 1000, 8000, 32000, -8, -1000, -32000]
+    raw = bytes(mulaw_encode(v) for v in linear)
+    wav = (b"RIFF" + (4 + 8 + 16 + 8 + len(raw)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+           + b"data" + len(raw).to_bytes(4, "little") + raw)
+    rate, out = codecs.decode_wav(wav)
+    assert rate == 8000
+    # mu-law quantization error bound: one step of the segment
+    for got, want in zip(out, linear):
+        assert abs(int(got) - want) <= max(32, abs(want) / 16), (got, want)
+
+    # A-law: decode of the canonical all-zero code (0x55-toggled 0)
+    # is +8; code 0xD5 (sign bit set) is -8
+    wav = (b"RIFF" + (4 + 8 + 16 + 8 + 2).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+           + b"data" + (2).to_bytes(4, "little") + bytes([0x55, 0xD5]))
+    _, out = codecs.decode_wav(wav)
+    assert list(out) == [8, -8]

@@ -1019,3 +1019,22 @@ def test_misc_htable_stuff(store):
     assert fresh.get_value("TESTATTR") == "somevalue"
     for fam in fresh.families.values():
         assert fam.get_value("TESTATTR") == "somevalue"
+
+
+def test_scan_variable_reuse():
+    """testScanVariableReuse:3538 (HBASE-2156) + the Scan.java:170-201
+    builder override contract: addFamily overrides addColumn for the
+    family (wildcard null set); addColumn overrides addFamily
+    (restriction set)."""
+    s = Scan().add_family("f").add_column("f", ROW)
+    assert s.columns == {"f": [ROW]}          # familyMap.get(F).size() == 1
+    s = Scan().add_family("f")
+    assert s.columns is None and s.families == ["f"]  # wildcard
+    # and the widening direction: addColumn then addFamily → wildcard
+    s = Scan().add_column("f", ROW).add_family("f")
+    assert s.columns is None and s.families == ["f"]
+    # override is PER family — other families' restrictions survive,
+    # and the effective read set is every familyMap key
+    s = Scan().add_column("f", ROW).add_column("g", ROW).add_family("f")
+    assert s.columns == {"g": [ROW]}
+    assert set(s.to_spec().families) == {"f", "g"}

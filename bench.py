@@ -93,7 +93,7 @@ class Bench:
         from hbase_snapshot_spark.sources.tools import bulk_load
 
         t = self._fresh_table("bulk")
-        cells = encode_orders_cells(self.spark, self.sf_dir)
+        cells = encode_orders_cells(self.spark, self.sf_dir, input_partitions=CPUS)
         seg = os.path.join(t.dir, "segments", "seg-000001-bulk")
         stages = {}
         t0 = time.time()
@@ -132,7 +132,9 @@ class Bench:
         from hbase_snapshot_spark.parity import encode_orders_cells
 
         t = self._fresh_table("rw")
-        cells = encode_orders_cells(self.spark, self.sf_dir).repartition(CPUS)
+        cells = encode_orders_cells(
+            self.spark, self.sf_dir, input_partitions=CPUS
+        ).repartition(CPUS)
         t0 = time.time()
         t.append_cells(cells)
         return {"sec": time.time() - t0}

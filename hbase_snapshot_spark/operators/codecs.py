@@ -4,9 +4,9 @@ The container has no Pillow/libjpeg/ffmpeg, so every decoder here is
 hand-rolled over stdlib + numpy:
 
 * images — binary **PPM/PGM** (netpbm P6/P5), **BMP**
-  (BITMAPINFOHEADER, BI_RGB 8/24/32-bit), **PNG** (non-interlaced,
-  all five filter types, gray/RGB/palette/alpha, 8- and 16-bit via
-  stdlib ``zlib``), and **JPEG** — both baseline/extended-sequential
+  (BITMAPINFOHEADER, BI_RGB 8/24/32-bit), **PNG** (incl. Adam7
+  interlacing, all five filter types, gray/RGB/palette/alpha, 8- and
+  16-bit via stdlib ``zlib``), and **JPEG** — both baseline/extended-sequential
   (SOF0/SOF1) and progressive (SOF2: spectral selection + successive
   approximation, spec Annex G) — huffman entropy decode + dequant +
   IDCT + chroma upsample + YCbCr→RGB;
@@ -19,8 +19,8 @@ Parsers are numpy-vectorized per payload where the format allows
 inherently sequential per MCU but all block math — dequant, IDCT,
 upsample, colorspace — is matrix-level numpy) and run inside the
 Arrow-batched ``mapInPandas`` kernels in ``multimodal.py``.  The
-remaining compressed formats (arithmetic-coded JPEG, interlaced PNG,
-MP3/AAC/MP4) still raise ``NotImplementedError`` naming what they need.
+remaining compressed formats (arithmetic-coded JPEG, MP3/AAC/MP4)
+still raise ``NotImplementedError`` naming what they need.
 
 These cover the reference-repo test philosophy for opaque byte values
 (cells are uninterpreted ``byte[]``; util/Bytes.java decodes at the
@@ -199,10 +199,18 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Non-interlaced PNG → uint8 array: (h, w) gray or (h, w, 3) RGB
-    (alpha dropped, palette expanded, 16-bit scaled to 8-bit).
-    Interlaced (Adam7) and sub-byte depths raise NotImplementedError."""
+    """PNG (non-interlaced AND Adam7-interlaced) → uint8 array:
+    (h, w) gray or (h, w, 3) RGB (alpha dropped, palette expanded,
+    16-bit scaled to 8-bit).  Sub-byte depths raise
+    NotImplementedError."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, plte = 8, None, [], None
@@ -224,8 +232,8 @@ def decode_png(data: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
     if depth not in (8, 16) or (color == 3 and depth != 8):
@@ -234,9 +242,32 @@ def decode_png(data: bytes) -> np.ndarray:
     bpp = ch * depth // 8  # filter unit: bytes per complete pixel
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel stream")
-    recon = _png_unfilter(raw[: h * (stride + 1)].reshape(h, stride + 1), h, stride, bpp)
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        recon = np.zeros((h, w, bpp), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = wp * bpp
+            need = hp * (sp + 1)
+            if pos + need > len(raw):
+                raise ValueError("truncated PNG pixel stream")
+            sub = _png_unfilter(
+                raw[pos : pos + need].reshape(hp, sp + 1), hp, sp, bpp
+            )
+            pos += need
+            rows = np.arange(hp) * dy + y0
+            cols = np.arange(wp) * dx + x0
+            recon[np.ix_(rows, cols)] = sub.reshape(hp, wp, bpp)
+        recon = recon.reshape(h, stride)
+    else:
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG pixel stream")
+        recon = _png_unfilter(
+            raw[: h * (stride + 1)].reshape(h, stride + 1), h, stride, bpp
+        )
     if depth == 16:  # take the high byte (exact for the 0xhhhh replication case)
         recon = recon.reshape(h, w, ch, 2)[:, :, :, 0]
     img = recon.reshape(h, w, ch)

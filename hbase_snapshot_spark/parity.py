@@ -37,14 +37,24 @@ def _cell_struct(family, qualifier, ts: int, typ: int, seq: int, value) -> Colum
     )
 
 
-def encode_orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def encode_orders_cells(
+    spark: SparkSession, sf_dir: str, input_partitions: int | None = None
+) -> DataFrame:
     """orders → versioned cell stream.  Families: 'o' (status, total) and
     'm' (prio, odate).  Versions/tombstones keyed off o_orderkey mod
-    classes; mirrored exactly by oracle.orders_cells_sql()."""
+    classes; mirrored exactly by oracle.orders_cells_sql().
+
+    ``input_partitions`` spreads a single-file source before the melt:
+    the test-scale orders.parquet is ONE row group, so without it the
+    whole explode runs on one core — at 100 TB the source is thousands
+    of splits and the melt parallelizes naturally, so the bench sets
+    this to mirror the scale shape (row content is unchanged)."""
     # date_format below is session-TZ-sensitive; pin UTC so the oracle's
     # (UTC-naive) strftime agrees regardless of the host session's tz
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if input_partitions:
+        o = o.repartition(input_partitions)
     k = F.col("o_orderkey")
     total_s = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
     odate_s = F.date_format("o_orderdate", "yyyy-MM-dd")

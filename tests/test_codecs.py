@@ -390,10 +390,44 @@ def test_png_palette_alpha_16bit():
     )
 
 
-def test_png_interlaced_and_subbyte_raise():
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_forward(img: np.ndarray, bpp: int) -> bytes:
+    """Spec §8.2 FORWARD interleave written in the test: split into the
+    7 passes, forward-filter each sub-image independently (cycling
+    filter types so every pass exercises a different one)."""
+    h, w = img.shape[:2]
+    px = img.reshape(h, w, bpp)
+    out = bytearray()
+    for i, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        hp, wp = sub.shape[:2]
+        ftypes = [(i + r) % 5 for r in range(hp)]
+        out += _png_forward_filter(sub.reshape(hp, wp * bpp), bpp, ftypes)
+    return bytes(out)
+
+
+def test_png_adam7_interlaced():
+    rng = np.random.default_rng(31)
+    # sizes around the 8x8 pass grid: smaller, exact, larger, ragged
+    for shape in [(3, 5), (8, 8), (13, 21, 3), (16, 9, 3), (1, 1), (2, 10, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        bpp = 1 if img.ndim == 2 else 3
+        color = 0 if bpp == 1 else 2
+        h, w = shape[:2]
+        scan = _adam7_forward(img, bpp)
+        out = codecs.decode_png(_png_chunks(w, h, 8, color, 1, scan))
+        np.testing.assert_array_equal(out, img, err_msg=str(shape))
+
+
+def test_png_subbyte_raises():
     scan = _png_forward_filter(np.zeros((1, 3), np.uint8), 1, [0])
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        codecs.decode_png(_png_chunks(3, 1, 8, 0, 1, scan))
     with pytest.raises(NotImplementedError, match="unsupported"):
         codecs.decode_png(_png_chunks(3, 1, 4, 0, 0, scan))
 

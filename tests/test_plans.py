@@ -267,3 +267,19 @@ def test_scan_cache_released_on_manifest_swap(spark, tmp_path):
     # and the pre-swap DataFrame still computes (plan recomputes from
     # the pre-vacuum segment files)
     assert out.count() == 19
+
+
+def test_melt_input_partitions_spread(spark):
+    """bulk_write's melt must not run single-core when the source is
+    one row group (BASELINE §G): input_partitions spreads the scan
+    BEFORE the explode, so the melt stage parallelizes."""
+    from hbase_snapshot_spark.parity import encode_orders_cells
+
+    sf = "/root/testdata/sf0.001"
+    assert encode_orders_cells(spark, sf).rdd.getNumPartitions() == 1
+    spread = encode_orders_cells(spark, sf, input_partitions=8)
+    assert spread.rdd.getNumPartitions() == 8
+    # identical cell stream either way
+    plain = encode_orders_cells(spark, sf)
+    assert spread.exceptAll(plain).count() == 0
+    assert plain.exceptAll(spread).count() == 0

@@ -200,3 +200,44 @@ def test_scanner_lease_expiry(spark, tmp_path):
     time.sleep(1.5)
     with pytest.raises(IllegalArgument):
         h.scannerClose(sid)
+
+
+def test_scanner_leases_concurrent():
+    """ScannerLeases under concurrent open/get/close from many threads:
+    ids stay unique, no scanner leaks past its lease, renewal keeps a
+    hot scanner alive."""
+    import threading
+    import time
+
+    from hbase_snapshot_spark.client import ScannerLeases
+
+    leases = ScannerLeases(lease_seconds=0.5)
+    errors = []
+    ids = []
+    lock = threading.Lock()
+
+    def worker(n):
+        try:
+            local = []
+            for i in range(50):
+                sid = leases.open(object())
+                local.append(sid)
+                assert leases.get(sid) is not None
+                if i % 2 == 0:
+                    assert leases.close(sid) is not None
+            with lock:
+                ids.extend(local)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(ids) == len(set(ids)) == 400  # unique ids across threads
+    # the ~200 unclosed scanners all expire after the lease lapses
+    time.sleep(0.7)
+    leases.get(ids[-1])  # any access reaps
+    assert len(leases) == 0

@@ -215,7 +215,7 @@ def test_rest_scanner_lease_expiry(spark, tmp_path_factory):
     from hbase_snapshot_spark.table import Put
 
     t.mutate([Put(f"r{i}").add("f", "q", str(i)) for i in range(4)], now=100)
-    srv, port = serve(store, lease_seconds=1.0)
+    srv, port = serve(store, lease_seconds=2.5)
     url = f"http://127.0.0.1:{port}"
     try:
         code, body = _req(f"{url}/t/scanner?start=r0", "POST")
@@ -223,7 +223,7 @@ def test_rest_scanner_lease_expiry(spark, tmp_path_factory):
         sid = body["scanner_id"]
         code, body = _req(f"{url}/t/scanner/{sid}?n=1")
         assert code == 200 and len(body["cells"]) == 1
-        time.sleep(1.5)
+        time.sleep(3.0)
         code, body = _req(f"{url}/t/scanner/{sid}?n=1")
         assert code == 404
         # an expired scanner cannot be DELETEd either (already reclaimed)

@@ -175,13 +175,13 @@ def test_scanner_lease_expiry(spark, tmp_path):
     import time
 
     store = TableStore(spark, str(tmp_path / "thrift-lease"))
-    h = ThriftServer(store, lease_seconds=1.0)
+    h = ThriftServer(store, lease_seconds=2.5)
     _loaded(h)
 
     # idle past the lease → IllegalArgument on next access, and the
     # registry no longer holds the cursor (bounded server memory)
     sid = h.scannerOpen("tableA", "", ["columnA:"])
-    time.sleep(1.5)
+    time.sleep(3.0)
     with pytest.raises(IllegalArgument):
         h.scannerGet(sid)
     assert len(h._scanners) == 0
@@ -197,7 +197,7 @@ def test_scanner_lease_expiry(spark, tmp_path):
     h.scannerClose(sid)
     # close on an expired scanner also raises (and does not KeyError)
     sid = h.scannerOpen("tableA", "", ["columnA:"])
-    time.sleep(1.5)
+    time.sleep(3.0)
     with pytest.raises(IllegalArgument):
         h.scannerClose(sid)
 

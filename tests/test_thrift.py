@@ -211,7 +211,7 @@ def test_scanner_leases_concurrent():
 
     from hbase_snapshot_spark.client import ScannerLeases
 
-    leases = ScannerLeases(lease_seconds=0.5)
+    leases = ScannerLeases(lease_seconds=2.0)
     errors = []
     ids = []
     lock = threading.Lock()
@@ -238,6 +238,6 @@ def test_scanner_leases_concurrent():
     assert not errors
     assert len(ids) == len(set(ids)) == 400  # unique ids across threads
     # the ~200 unclosed scanners all expire after the lease lapses
-    time.sleep(0.7)
+    time.sleep(2.5)
     leases.get(ids[-1])  # any access reaps
     assert len(leases) == 0

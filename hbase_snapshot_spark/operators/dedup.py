@@ -526,3 +526,107 @@ def leakage_safe_split(
         hash_fraction(split_key) < test_fraction, F.lit("test")
     ).otherwise(F.lit("train"))
     return df.join(clusters, on=id_col).withColumn("split", side)
+
+
+# ------------------------------------------------- exact substring spans
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring detection (the Lee et al.
+    "Deduplicating Training Data" ExactSubstr family): every maximal
+    token span of length ≥ k that appears verbatim more than once in
+    the corpus (in another document OR again in the same one).
+
+    Output: (id, span_start, span_end, span_tokens) — token offsets,
+    end exclusive, one row per maximal duplicated span.
+
+    Scale shape (the part that matters at 100 TB): NO pair
+    materialization anywhere.  Positions are flagged by an equi-join
+    against the DISTINCT set of shingle hashes whose corpus frequency
+    is ≥ 2 — a hub shingle ("in the the end…" boilerplate) contributes
+    ONE hash row regardless of how many millions of positions carry
+    it, so there is no quadratic blowup to cap.  Span assembly is a
+    per-document gaps-and-islands window (pos − row_number), one
+    shuffle on the id.
+    """
+    if min_tokens is None:
+        min_tokens = k
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    # positional k-gram hashes: pos → xxhash64 of tokens [pos, pos+k)
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice("toks", i + 1, k))),
+            )
+        ).alias("pos", "gh"),
+    )
+    # shingle hashes seen at ≥ 2 positions corpus-wide (distinct set —
+    # the join right side carries one row per duplicated HASH)
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gh")
+    )
+    flagged = grams.join(dup_hashes, on="gh").select("id", "pos")
+    # gaps-and-islands: consecutive flagged positions merge into one
+    # maximal span; a flagged k-gram at pos covers tokens [pos, pos+k)
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        flagged.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"))
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(F.col("id").alias(id_col), "span_start", "span_end", "span_tokens")
+    )
+    return spans
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """ExactSubstr dedup applied: rewrite each document with its
+    duplicated spans removed (every occurrence is cut — the
+    conservative decontamination form; keeping one canonical occurrence
+    is a policy layer on top).  Documents without duplicated spans pass
+    through untouched.  One extra shuffle (the span join back)."""
+    spans = duplicated_spans(df, id_col, text_col, k, min_tokens)
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans")
+    )
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    joined = df.withColumn("_toks", toks).join(agg, on=id_col, how="left")
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 1),
+            lambda i: F.when(
+                F.exists(
+                    "_spans",
+                    lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(F.element_at("_toks", i + 1)),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return joined.withColumn(
+        text_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept)),
+    ).drop("_toks", "_spans")

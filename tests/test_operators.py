@@ -717,3 +717,96 @@ def test_ivfpq_topk(spark):
         cluster = {i for i in range(80) if i % 4 == q % 4}
         recall = len(set(out[q]) & cluster) / 10
         assert recall >= 0.8, (q, sorted(out[q]))
+
+
+# ------------------------------------- exact substring spans (ExactSubstr)
+
+
+def _brute_force_spans(docs, k, min_tokens):
+    """Independent reference: pure-Python duplicated k-gram positions →
+    merged maximal spans."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs}
+    counts = Counter()
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            counts[tuple(ts[p : p + k])] += 1
+    out = set()
+    for i, ts in toks.items():
+        flagged = [p for p in range(len(ts) - k + 1)
+                   if counts[tuple(ts[p : p + k])] >= 2]
+        start = None
+        prev = None
+        for p in flagged + [None]:
+            if start is None:
+                start = prev = p
+                continue
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev - start + k >= min_tokens:
+                out.add((i, start, prev + k, prev + k - start))
+            start = prev = p
+    return out
+
+
+def test_duplicated_spans_golden(spark):
+    from hbase_snapshot_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three {shared} four five"),
+        (3, "totally unique text with no repeats anywhere at all ok"),
+        # doc 4 repeats a phrase WITHIN itself
+        (4, "x p q r s t u v w y z p q r s t u v w y z end"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", k=5, min_tokens=5).collect()
+    }
+    assert got == _brute_force_spans(docs, k=5, min_tokens=5)
+    # the shared phrase is found in docs 1 and 2 at the right offsets
+    assert (1, 2, 12, 10) in got and (2, 3, 13, 10) in got
+    assert not any(d == 3 for d, *_ in got)
+    assert any(d == 4 for d, *_ in got)  # within-doc repeat detected
+
+
+def test_duplicated_spans_randomized_vs_brute_force(spark):
+    import random
+
+    from hbase_snapshot_spark.operators.dedup import duplicated_spans
+
+    rng = random.Random(17)
+    vocab = [f"w{j}" for j in range(12)]  # small vocab → natural repeats
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 40))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    for k, mt in [(4, 4), (4, 6), (6, 6)]:
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicated_spans(df, "doc_id", "text", k=k,
+                                      min_tokens=mt).collect()
+        }
+        assert got == _brute_force_spans(docs, k, mt), (k, mt)
+
+
+def test_scrub_duplicated_spans(spark):
+    from hbase_snapshot_spark.operators.dedup import scrub_duplicated_spans
+
+    shared = "a b c d e f g h"  # 8 tokens, k=8
+    docs = [
+        (1, f"intro {shared} outro"),
+        (2, f"{shared} tail tokens here"),
+        (3, "untouched document stays exactly as it was before now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    out = {r.doc_id: r.text
+           for r in scrub_duplicated_spans(df, "doc_id", "text", k=8).collect()}
+    assert out[1] == "intro outro"
+    assert out[2] == "tail tokens here"
+    assert out[3] == docs[2][1]  # untouched, byte-identical

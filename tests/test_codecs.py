@@ -813,3 +813,33 @@ def test_wav_g711_alaw_mulaw():
            + b"data" + (2).to_bytes(4, "little") + bytes([0x55, 0xD5]))
     _, out = codecs.decode_wav(wav)
     assert list(out) == [8, -8]
+
+
+def test_decode_images_real_progressive_and_adam7(spark):
+    """Progressive JPEG and Adam7 PNG payloads decode inside the Spark
+    mapInPandas pipeline (executor-side codepath, not just driver)."""
+    # progressive JPEG: solid gray via DC successive approximation
+    dc, ac, W = _prog_writer_codes()
+    level = 202
+    qdc = int(round(8 * (level - 128) / 16))
+    prog = bytearray(_prog_headers(8, 8))
+    w1 = W()
+    _put_dc(w1, dc, qdc >> 1)
+    prog += _sos([(1, 0x00)], 0, 0, 0, 1) + w1.flush()
+    w2 = W()
+    w2.write(qdc & 1, 1)
+    prog += _sos([(1, 0x00)], 0, 0, 1, 0) + w2.flush()
+    prog += b"\xff\xd9"
+    # Adam7 PNG
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    adam = _png_chunks(21, 13, 8, 2, 1, _adam7_forward(img, 3))
+
+    media = _media_df(spark, [bytes(prog), adam])
+    out = {r.media_id: r for r in
+           multimodal.decode_images(media, fake=False).collect()}
+    want = int(np.clip(round(qdc * 16 / 8) + 128, 0, 255))
+    assert out[0].width == 8 and out[0].channels == 1
+    assert out[0].mean_intensity == float(want)
+    assert out[1].width == 21 and out[1].height == 13
+    assert out[1].mean_intensity == round(float(img.mean()), 4)

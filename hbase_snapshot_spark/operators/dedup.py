@@ -630,3 +630,58 @@ def scrub_duplicated_spans(
         F.when(F.col("_spans").isNull(), F.col(text_col))
         .otherwise(F.concat_ws(" ", kept)),
     ).drop("_toks", "_spans")
+
+
+def contaminated_spans(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Exact-substring eval decontamination (the GPT-3/PaLM-report
+    contamination check made actionable): maximal token spans in TRAIN
+    documents that appear verbatim anywhere in the eval set.
+
+    Output: (id, span_start, span_end, span_tokens) over TRAIN docs.
+    Feed the result to the same span-scrub policy as
+    :func:`scrub_duplicated_spans` or drop the documents outright.
+
+    Same scale shape as duplicated_spans: train positions flag-join
+    against the DISTINCT eval k-gram hash set (one row per hash —
+    typically small enough to broadcast), then a per-document
+    gaps-and-islands merge.  No train×eval pair set exists at any
+    point."""
+    if min_tokens is None:
+        min_tokens = k
+
+    def grams(df):
+        toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+            F.size("toks") >= k
+        )
+        return base.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.xxhash64(
+                        F.concat_ws("\x1f", F.slice("toks", i + 1, k))
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+
+    eval_hashes = grams(evalset).select("gh").distinct()
+    flagged = grams(train).join(eval_hashes, on="gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        flagged.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"))
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(F.col("id").alias(id_col), "span_start", "span_end", "span_tokens")
+    )

@@ -810,3 +810,48 @@ def test_scrub_duplicated_spans(spark):
     assert out[1] == "intro outro"
     assert out[2] == "tail tokens here"
     assert out[3] == docs[2][1]  # untouched, byte-identical
+
+
+def test_contaminated_spans(spark):
+    """Exact eval-contamination spans in train docs, vs brute force."""
+    from hbase_snapshot_spark.operators.dedup import contaminated_spans
+
+    eval_q = "what is the capital of france and why does it matter"  # 11 toks
+    train = [
+        (1, f"some long preamble {eval_q} then the answer text"),
+        (2, "completely clean training document with original content only"),
+        (3, f"{eval_q} appears right at the start here"),
+    ]
+    evalset = [(100, eval_q), (101, "another eval question goes here ok yes")]
+    tdf = spark.createDataFrame(train, "doc_id INT, text STRING")
+    edf = spark.createDataFrame(evalset, "doc_id INT, text STRING")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(tdf, edf, "doc_id", "text", k=6).collect()
+    }
+
+    # brute force: train k-grams present in ANY eval doc, islands merged
+    def kgrams(t, k):
+        ts = t.split()
+        return {tuple(ts[p : p + k]) for p in range(len(ts) - k + 1)}
+
+    eval_grams = set().union(*(kgrams(t, 6) for _, t in evalset))
+    want = set()
+    for i, t in train:
+        ts = t.split()
+        flagged = [p for p in range(len(ts) - 5)
+                   if tuple(ts[p : p + 6]) in eval_grams]
+        start = prev = None
+        for p in flagged + [None]:
+            if start is None:
+                start = prev = p
+                continue
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev + 6 - start >= 6:
+                want.add((i, start, prev + 6, prev + 6 - start))
+            start = prev = p
+    assert got == want
+    assert any(d == 1 for d, *_ in got) and any(d == 3 for d, *_ in got)
+    assert not any(d == 2 for d, *_ in got)

@@ -17,7 +17,6 @@ itself degrades (e.g. flush is a no-op once everything is durable).
 
 from __future__ import annotations
 
-import itertools
 from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
@@ -189,14 +188,16 @@ class AvroServer:
     """avro/AvroServer.java HBaseImpl — one instance per TableStore,
     messages named and shaped per hbase.genavro."""
 
-    def __init__(self, store, lease_seconds: float | None = 60.0):
+    def __init__(self, store, lease_seconds: float | None = 60.0,
+                 now_fn=None):
         from hbase_snapshot_spark.client import ScannerLeases
 
         self.store = store
         # leased registry (Leases.java:281): thread-safe under threaded
         # transports (avro_wire.serve_avro), idle cursors reclaimed
-        # after lease_seconds; cursor paging serializes in RowCursor
-        self._scanners = ScannerLeases(lease_seconds)
+        # after lease_seconds; cursor paging serializes in RowCursor.
+        # now_fn injects the clock for expiry tests.
+        self._scanners = ScannerLeases(lease_seconds, now_fn=now_fn)
 
     def _table(self, table):
         try:
@@ -452,9 +453,12 @@ class AvroServer:
         cur = self._scanners.get(scannerId)
         if cur is None:  # unknown OR lease-expired (Leases.java:281)
             raise AIllegalArgument(f"scanner {scannerId} is not open")
-        rows = cur.next_rows(numberOfRows)
-        self._scanners.renew(scannerId)  # re-arm after the page completes
-        return rows
+        try:
+            return cur.next_rows(numberOfRows)
+        finally:
+            # re-arm after the page completes (even on error) — clears
+            # the busy mark taken by get()
+            self._scanners.renew(scannerId)
 
     def scannerClose(self, scannerId) -> None:  # noqa: N802,N803
         """hbase.genavro scannerClose"""

@@ -262,28 +262,39 @@ class ScannerLeases:
 
     ``lease_seconds=None`` disables expiry (leases never lapse).
     Thread-safe: id allocation, renewal, and reaping all run under one
-    lock (the cursors themselves serialize their own paging)."""
+    lock (the cursors themselves serialize their own paging).
 
-    def __init__(self, lease_seconds: float | None = 60.0):
+    ``get()`` marks the entry *busy* (reap-exempt) until the matching
+    ``renew()``, mirroring HRegionServer.next's remove-lease-while-
+    serving / re-add-on-return pattern (Leases.java renewLease): a page
+    slower than the lease cannot be reaped out from under its own call
+    by a concurrent registry operation.
+
+    ``now_fn`` injects the clock (monotonic seconds) so expiry tests
+    can drive a fake clock instead of sleeping."""
+
+    def __init__(
+        self,
+        lease_seconds: float | None = 60.0,
+        now_fn=None,
+    ):
         import itertools as _it
         import threading as _th
+        import time as _t
 
         self.lease_seconds = lease_seconds
         self._lock = _th.Lock()
         self._seq = _it.count(1)
-        self._entries: dict[int, list] = {}  # id -> [scanner, last_access]
-
-    def _now(self) -> float:
-        import time as _t
-
-        return _t.monotonic()
+        self._now = now_fn if now_fn is not None else _t.monotonic
+        # id -> [scanner, last_access, busy_depth]
+        self._entries: dict[int, list] = {}
 
     def _reap_locked(self, now: float) -> None:
         if self.lease_seconds is None:
             return
         dead = [
-            sid for sid, (_, t) in self._entries.items()
-            if now - t > self.lease_seconds
+            sid for sid, (_, t, busy) in self._entries.items()
+            if not busy and now - t > self.lease_seconds
         ]
         for sid in dead:
             del self._entries[sid]
@@ -293,12 +304,13 @@ class ScannerLeases:
         with self._lock:
             self._reap_locked(now)
             sid = next(self._seq)
-            self._entries[sid] = [scanner, now]
+            self._entries[sid] = [scanner, now, 0]
             return sid
 
     def get(self, sid: int):
-        """Look up + renew; None when unknown or lease-expired
-        (HRegionServer.next → UnknownScannerException path)."""
+        """Look up + renew + mark busy; None when unknown or
+        lease-expired (HRegionServer.next → UnknownScannerException
+        path). A busy entry is exempt from reaping until ``renew()``."""
         now = self._now()
         with self._lock:
             self._reap_locked(now)
@@ -306,18 +318,22 @@ class ScannerLeases:
             if e is None:
                 return None
             e[1] = now
+            e[2] += 1
             return e[0]
 
     def renew(self, sid: int) -> None:
-        """Re-arm the lease AFTER a paging call completes — the
-        reference's HRegionServer.next removes the lease while serving
-        and re-adds it on return (Leases.java renewLease), so a slow
-        page cannot expire its own scanner."""
+        """Re-arm the lease AFTER a paging call completes and clear the
+        busy mark taken by ``get()`` — the reference's HRegionServer.next
+        removes the lease while serving and re-adds it on return
+        (Leases.java renewLease), so a slow page cannot expire its own
+        scanner."""
         now = self._now()
         with self._lock:
             e = self._entries.get(sid)
             if e is not None:
                 e[1] = now
+                if e[2] > 0:
+                    e[2] -= 1
 
     def close(self, sid: int):
         now = self._now()

@@ -376,6 +376,8 @@ def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:
             cur.append(0xFF)
             pos += 2
+        elif nxt == 0xFF:  # fill byte before a marker (spec B.1.1.2)
+            pos += 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -408,6 +410,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker (spec B.1.1.2)
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -449,9 +449,12 @@ class _Handler(BaseHTTPRequestHandler):
                           if parts[2].isdigit() else None)
                     if sc is None:  # unknown or lease-expired
                         return self._send(404, {"error": "unknown scanner"})
-                    rows = sc.next(int(q.get("n", 100)))
-                    # re-arm after the page completes (Leases renewLease)
-                    self.scanners.renew(int(parts[2]))
+                    try:
+                        rows = sc.next(int(q.get("n", 100)))
+                    finally:
+                        # re-arm after the page completes, even on error
+                        # (Leases renewLease) — clears get()'s busy mark
+                        self.scanners.renew(int(parts[2]))
                     if not rows:
                         # exhausted — 204 No Content (ScannerResource)
                         self.send_response(204)
@@ -513,7 +516,7 @@ class _Handler(BaseHTTPRequestHandler):
             sid = self.scanners.open(_Scanner(df))
             return self._send_raw(
                 201,
-                json.dumps({"scanner_id": sid}).encode(),
+                json.dumps({"scanner_id": str(sid)}).encode(),
                 "application/json",
                 {"Location": f"/{parts[0]}/scanner/{sid}"},
             )
@@ -602,17 +605,19 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(store: TableStore, port: int = 0,
-          lease_seconds: float | None = 60.0):
+          lease_seconds: float | None = 60.0, now_fn=None):
     """Start the REST server (daemon thread); returns (server, port).
     ``port=0`` picks an ephemeral port.  ``lease_seconds`` bounds how
     long an idle stateful scanner survives (Leases.java:281 semantics;
-    None = never expires)."""
+    None = never expires).  ``now_fn`` injects the lease clock for
+    expiry tests."""
     from hbase_snapshot_spark.client import ScannerLeases
 
     handler = type(
         "Handler",
         (_Handler,),
-        {"store": store, "scanners": ScannerLeases(lease_seconds)},
+        {"store": store,
+         "scanners": ScannerLeases(lease_seconds, now_fn=now_fn)},
     )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

@@ -131,15 +131,16 @@ class ThriftServer:
     """thrift/ThriftServer.java HBaseHandler — one instance per
     TableStore, methods named and shaped per Hbase.thrift."""
 
-    def __init__(self, store, lease_seconds: float | None = 60.0):
+    def __init__(self, store, lease_seconds: float | None = 60.0,
+                 now_fn=None):
         from hbase_snapshot_spark.client import ScannerLeases
 
         self.store = store
         # leased registry (Leases.java:281): thread-safe under threaded
         # transports (thrift_wire.serve_thrift), idle cursors reclaimed
         # after lease_seconds; cursor paging itself serializes inside
-        # RowCursor
-        self._scanners = ScannerLeases(lease_seconds)
+        # RowCursor.  now_fn injects the clock for expiry tests.
+        self._scanners = ScannerLeases(lease_seconds, now_fn=now_fn)
 
     # ------------------------------------------------------------ admin
 
@@ -471,9 +472,12 @@ class ThriftServer:
             # "@throws IllegalArgument if ScannerID is invalid"
             # (Hbase.thrift:653) — unknown OR lease-expired (Leases.java)
             raise IllegalArgument(f"scanner {id} is not open")
-        rows = cur.next_rows(nbRows)
-        self._scanners.renew(id)  # re-arm after the page completes
-        return rows
+        try:
+            return cur.next_rows(nbRows)
+        finally:
+            # re-arm after the page completes (even on error) — clears
+            # the busy mark taken by get()
+            self._scanners.renew(id)
 
     def scannerClose(self, id) -> None:  # noqa: N802,A002
         """Hbase.thrift scannerClose:584"""

@@ -716,6 +716,41 @@ def test_jpeg_truncated_raises():
         codecs.decode_jpeg(data[: len(data) // 2])
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Inject fill bytes (a) between header segments, (b) before RSTn
+    inside the entropy stream, (c) before EOI — decode must be
+    unchanged."""
+    x = np.linspace(0, 255, 24)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    enc = codecs.encode_jpeg(img, quality=95)
+    ref = codecs.decode_jpeg(enc)
+
+    # (a) fill bytes between header segments: right after SOI
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    np.testing.assert_array_equal(codecs.decode_jpeg(padded), ref)
+
+    # (c) fill bytes before EOI terminate the entropy scan correctly
+    assert enc.endswith(b"\xff\xd9")
+    padded = enc[:-2] + b"\xff\xff" + enc[-2:]
+    np.testing.assert_array_equal(codecs.decode_jpeg(padded), ref)
+
+    # (b) fill bytes before every RSTn marker in a restart-interval
+    # stream (raw 0xFF 0xD0-0xD7 only occur as markers — entropy 0xFF
+    # data bytes are stuffed as 0xFF 0x00)
+    data, expect = _handmade_jpeg_420(32, 32, y_level=150, restart=2)
+    ref = codecs.decode_jpeg(data)
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if (data[i] == 0xFF and i + 1 < len(data)
+                and 0xD0 <= data[i + 1] <= 0xD7):
+            out += b"\xff"
+        out.append(data[i])
+        i += 1
+    np.testing.assert_array_equal(codecs.decode_jpeg(bytes(out)), ref)
+
+
 def test_decode_images_real_png_jpeg(spark):
     """PNG/JPEG payloads through the Spark mapInPandas decode pipeline."""
     png = codecs.encode_png(RGB)

@@ -207,15 +207,16 @@ def test_rest_binary_scanner_base64_range(spark, tmp_path_factory):
 def test_rest_scanner_lease_expiry(spark, tmp_path_factory):
     """ScannerResource + Leases.java:281: an idle stateful scanner
     expires after the lease period → 404 on the next page, and the
-    server registry drops the cursor."""
-    import time
+    server registry drops the cursor.  Clock-injected — zero sleeps."""
+    from tests.test_thrift import FakeClock
 
+    clock = FakeClock()
     store = TableStore(spark, str(tmp_path_factory.mktemp("restl") / "tables"))
     t = store.create_table(TableDescriptor("t").add_family(FamilyDescriptor("f")))
     from hbase_snapshot_spark.table import Put
 
     t.mutate([Put(f"r{i}").add("f", "q", str(i)) for i in range(4)], now=100)
-    srv, port = serve(store, lease_seconds=2.5)
+    srv, port = serve(store, lease_seconds=60.0, now_fn=clock)
     url = f"http://127.0.0.1:{port}"
     try:
         code, body = _req(f"{url}/t/scanner?start=r0", "POST")
@@ -223,7 +224,7 @@ def test_rest_scanner_lease_expiry(spark, tmp_path_factory):
         sid = body["scanner_id"]
         code, body = _req(f"{url}/t/scanner/{sid}?n=1")
         assert code == 200 and len(body["cells"]) == 1
-        time.sleep(3.0)
+        clock.advance(61.0)
         code, body = _req(f"{url}/t/scanner/{sid}?n=1")
         assert code == 404
         # an expired scanner cannot be DELETEd either (already reclaimed)

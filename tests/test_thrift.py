@@ -169,49 +169,88 @@ def test_delete_all_row_ts(handler):
     assert [c.value for c in rows[0].columns.values()] == ["late"]
 
 
+class FakeClock:
+    """Injectable monotonic clock for lease-expiry tests — no sleeps."""
+
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+    def advance(self, dt):
+        self.t += dt
+
+
 def test_scanner_lease_expiry(spark, tmp_path):
     """Leases.java:281 — an idle scanner's lease lapses and the cursor
-    is reclaimed; an active scanner's lease renews on every access."""
-    import time
-
+    is reclaimed; an active scanner's lease renews on every access.
+    Clock-injected: the test drives time, zero sleeps."""
+    clock = FakeClock()
     store = TableStore(spark, str(tmp_path / "thrift-lease"))
-    h = ThriftServer(store, lease_seconds=2.5)
+    h = ThriftServer(store, lease_seconds=60.0, now_fn=clock)
     _loaded(h)
 
     # idle past the lease → IllegalArgument on next access, and the
     # registry no longer holds the cursor (bounded server memory)
     sid = h.scannerOpen("tableA", "", ["columnA:"])
-    time.sleep(3.0)
+    clock.advance(61.0)
     with pytest.raises(IllegalArgument):
         h.scannerGet(sid)
     assert len(h._scanners) == 0
 
-    # each access renews: three touches spaced inside the lease period
-    # keep the scanner alive well past one full period
+    # each access renews: three touches each 45s apart (inside the
+    # lease) keep the scanner alive 135s — past two full periods
     sid = h.scannerOpen("tableA", "", ["columnA:"])
     rows = []
     for _ in range(3):
-        time.sleep(0.5)
+        clock.advance(45.0)
         rows.extend(h.scannerGet(sid))
     assert [r.row for r in rows][:2] == ["rowA", "rowB"]
     h.scannerClose(sid)
     # close on an expired scanner also raises (and does not KeyError)
     sid = h.scannerOpen("tableA", "", ["columnA:"])
-    time.sleep(3.0)
+    clock.advance(61.0)
     with pytest.raises(IllegalArgument):
         h.scannerClose(sid)
 
 
+def test_scanner_lease_busy_page_not_reaped():
+    """HRegionServer.next removes the lease while serving and re-adds
+    it on return (Leases.java renewLease): a page that takes LONGER
+    than the lease period must not be reaped by a concurrent registry
+    operation.  get() marks the entry busy; renew() clears it."""
+    from hbase_snapshot_spark.client import ScannerLeases
+
+    clock = FakeClock()
+    leases = ScannerLeases(lease_seconds=60.0, now_fn=clock)
+    sid = leases.open(object())
+
+    cur = leases.get(sid)  # page begins — entry now busy
+    assert cur is not None
+    clock.advance(300.0)  # the page is 5× slower than the lease
+    leases.open(object())  # concurrent registry op triggers a reap
+    # the busy scanner survived the reap
+    leases.renew(sid)  # page completes — lease re-armed, busy cleared
+    assert leases.get(sid) is cur
+    leases.renew(sid)
+
+    # once idle again, normal expiry applies
+    clock.advance(61.0)
+    assert leases.get(sid) is None
+    assert len(leases) == 0
+
+
 def test_scanner_leases_concurrent():
-    """ScannerLeases under concurrent open/get/close from many threads:
-    ids stay unique, no scanner leaks past its lease, renewal keeps a
-    hot scanner alive."""
+    """ScannerLeases under concurrent open/get+renew/close from many
+    threads: ids stay unique, no scanner leaks past its lease, renewal
+    keeps a hot scanner alive."""
     import threading
-    import time
 
     from hbase_snapshot_spark.client import ScannerLeases
 
-    leases = ScannerLeases(lease_seconds=2.0)
+    clock = FakeClock()
+    leases = ScannerLeases(lease_seconds=60.0, now_fn=clock)
     errors = []
     ids = []
     lock = threading.Lock()
@@ -223,6 +262,7 @@ def test_scanner_leases_concurrent():
                 sid = leases.open(object())
                 local.append(sid)
                 assert leases.get(sid) is not None
+                leases.renew(sid)  # page complete — clear busy mark
                 if i % 2 == 0:
                     assert leases.close(sid) is not None
             with lock:
@@ -238,6 +278,6 @@ def test_scanner_leases_concurrent():
     assert not errors
     assert len(ids) == len(set(ids)) == 400  # unique ids across threads
     # the ~200 unclosed scanners all expire after the lease lapses
-    time.sleep(2.5)
+    clock.advance(61.0)
     leases.get(ids[-1])  # any access reaps
     assert len(leases) == 0

@@ -1,7 +1,11 @@
 """Benchmark harness — PE-workload analogues (BASELINE.md §C) on the
-driver's parquet data.  Prints ONE JSON line:
+driver's parquet data.  Prints TWO JSON lines — a full record (per-
+attempt probes, stage timings) followed by a compact headline whose
+LAST-line position survives the driver's tail capture:
   {"metric": "total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "queries_median": ..., "vs_baseline":
+   ..., "vs_baseline_normalized": ..., "stability": ...,
+   "probe_medians": ..., "sf": <sf>}
 
 Shape mirrors PerformanceEvaluation (src/test/.../PerformanceEvaluation.java):
 the table is loaded once (bulk_write — the HFileOutputFormat pipeline),
@@ -414,7 +418,7 @@ def wait_for_calm(spark, calib_samples, max_wait: float = 240.0) -> dict:
     deadline = time.time() + max_wait
     while True:
         c = calibrate(spark)
-        calib_samples.append(c["total"])
+        calib_samples.append(c)
         if c["total"] < 3 * CLEAN_CALIB_SEC or time.time() >= deadline:
             return c
         time.sleep(10)
@@ -462,13 +466,13 @@ def main() -> int:
                     # by whichever probe saw it
                     if probe_prev is None:
                         probe_prev = calibrate(spark)
-                        calib_samples.append(probe_prev["total"])
+                        calib_samples.append(probe_prev)
                     c = probe_prev
                     t0 = time.time()
                     result = getattr(bench, name)()
                     wall = time.time() - t0
                     probe_prev = calibrate(spark)
-                    calib_samples.append(probe_prev["total"])
+                    calib_samples.append(probe_prev)
                     entry = {
                         "calib": c["total"], "calib_cpu": c["cpu"],
                         "calib_shuffle": c["shuffle"],
@@ -509,18 +513,22 @@ def main() -> int:
     # throttle normalization: an attempt whose calibration probes ran
     # slower than the CLEAN-HOST reference was throttled by that
     # factor; scale its time down accordingly (never up — the factor
-    # clamps at 1, so clean attempts keep their raw time).  Raw stays
-    # the headline; normalized + the per-attempt log make a throttled
-    # run diagnosable after the fact.
-    calib_ref = _median(calib_samples)  # run-level context, not the ref
+    # clamps at 1, so clean attempts keep their raw time — and never
+    # by more than 2x: probe noise must not manufacture sub-raw
+    # numbers like r5's dedup 0.29x; a real storm is carried by the
+    # per-attempt probe columns instead).  Raw stays the headline;
+    # normalized + the per-attempt log make a throttled run
+    # diagnosable after the fact.
+    calib_ref = _median([c["total"] for c in calib_samples])  # run context
     norm_medians = {}
     for name, att in attempts_log.items():
         norm = [
             round(
                 a["sec"]
-                / max(1.0,
-                      max(a["calib"], a.get("calib_after", 0.0))
-                      / CLEAN_CALIB_SEC),
+                / min(2.0,
+                      max(1.0,
+                          max(a["calib"], a.get("calib_after", 0.0))
+                          / CLEAN_CALIB_SEC)),
                 3,
             )
             for a in att
@@ -529,14 +537,21 @@ def main() -> int:
         normalized[name] = min(norm) if norm else None
         norm_medians[name] = _median(norm)
 
-    # stability gate: median/min of the NORMALIZED attempts — after
-    # throttle correction, attempts should agree (ratio ≲ 1.5); a high
-    # ratio flags residual unexplained variance for that op.
-    stability = {
-        n: round(norm_medians[n] / normalized[n], 3)
-        for n in normalized
-        if normalized[n] and norm_medians[n] is not None
-    }
+    # stability gate: when the RAW attempts already agree (median/min
+    # <= 1.2) the op is stable, full stop — report the raw ratio and
+    # don't let probe noise in the normalization invent instability
+    # (r5 judge run: dedup stability 3.8 normalized with agreeing raw
+    # attempts).  Only when raw attempts disagree does the normalized
+    # ratio carry the signal (did throttle explain the spread?).
+    stability = {}
+    for n in timings:
+        if not timings[n] or medians[n] is None:
+            continue
+        raw_stab = round(medians[n] / timings[n], 3)
+        if raw_stab <= 1.2 or not normalized.get(n) or norm_medians.get(n) is None:
+            stability[n] = raw_stab
+        else:
+            stability[n] = round(norm_medians[n] / normalized[n], 3)
     vs_baseline = {
         n: round(timings[n] / BASELINE_SEC[n], 2)
         for n in timings
@@ -549,20 +564,37 @@ def main() -> int:
     }
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    probe_medians = {
+        "cpu": _median([c["cpu"] for c in calib_samples]),
+        "shuffle": _median([c["shuffle"] for c in calib_samples]),
+        "total": calib_ref,
+    }
+    # full record first (per-attempt probes + stage timings — the
+    # diagnosable evidence), compact headline LAST: the driver captures
+    # the tail of stdout, and r5's full JSON alone was long enough that
+    # the tail cut off its head and nothing parsed (BENCH_r05 parsed:
+    # null).  The final line is small and self-sufficient, so the tail
+    # capture always contains one complete parseable record.
+    print(json.dumps({
+        "metric": "total_sec_full",
+        "value": total,
+        "unit": "sec",
+        "queries_normalized": normalized,
+        "queries_median_normalized": norm_medians,
+        "baseline_sec": BASELINE_SEC,
+        "attempts": attempts_log,
+        "sf": sf,
+    }))
     print(json.dumps({
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        "queries_normalized": normalized,
-        "queries_median_normalized": norm_medians,
-        "stability_median_over_min_normalized": stability,
-        "baseline_sec": BASELINE_SEC,
         "vs_baseline": vs_baseline,
         "vs_baseline_normalized": vs_baseline_normalized,
-        "attempts": attempts_log,
-        "calibration_run_median_sec": calib_ref,
+        "stability": stability,
+        "probe_medians": probe_medians,
         "calibration_clean_ref_sec": CLEAN_CALIB_SEC,
         "sf": sf,
     }))

@@ -60,6 +60,73 @@ WHERE rn = 1
 """
 
 
+def _spans_sql(k: int, source: str, dup_pred: str) -> str:
+    """Gaps-and-islands duplicated-span core shared by the 'spans' and
+    'contam' branches: positional k-grams from ``source``, positions
+    whose gram satisfies ``dup_pred`` merged into maximal spans.  The
+    twin groups by the gram STRING where dedup.duplicated_spans groups
+    by xxhash64 of it — identical modulo 64-bit hash collisions."""
+    return f"""
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i : i + {k - 1}], chr(31)) AS g
+  FROM ({source}) toks,
+       UNNEST(generate_series(1, len(t) - {k} + 1)) AS u(i)
+  WHERE len(t) >= {k}
+),
+flagged AS (SELECT doc_id, pos FROM grams WHERE {dup_pred}),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end
+  FROM islands GROUP BY doc_id, isl)
+"""
+
+
+_TOKS = ("SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', "
+         "'g')), ' ') AS t FROM documents")
+
+
+def dedup_suite_sql(k: int = 8) -> str:
+    """SQL twin of the dedup_exact composite: exact-dedup + ExactSubstr
+    duplicated spans + eval-contamination spans (dedup.duplicated_spans
+    / contaminated_spans), tagged branches under one hash."""
+    spans_core = _spans_sql(
+        k, _TOKS,
+        "g IN (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)",
+    )
+    contam_core = _spans_sql(
+        k, _TOKS + " WHERE doc_id % 10 != 0",
+        f"""g IN (
+      SELECT array_to_string(t[i : i + {k - 1}], chr(31))
+      FROM ({_TOKS} WHERE doc_id % 10 = 0) etoks,
+           UNNEST(generate_series(1, len(t) - {k} + 1)) AS eu(i)
+      WHERE len(t) >= {k})""",
+    )
+    return f"""
+SELECT 'exact' AS branch, doc_id, dup_count AS v1,
+       CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+FROM (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+UNION ALL
+SELECT 'spans' AS branch, doc_id, span_start AS v1, span_end AS v2,
+       span_end - span_start AS v3
+FROM (WITH {spans_core.strip()} SELECT * FROM spans) s
+WHERE span_end - span_start >= {k}
+UNION ALL
+SELECT 'contam' AS branch, doc_id, span_start AS v1, span_end AS v2,
+       span_end - span_start AS v3
+FROM (WITH {contam_core.strip()} SELECT * FROM spans) s
+WHERE span_end - span_start >= {k}
+"""
+
+
 def dedup_jaccard_sql(
     n: int = 3, threshold: float = 0.5, df_max: int | None = 5000
 ) -> str:

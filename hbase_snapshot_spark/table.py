@@ -547,6 +547,17 @@ class StoredTable:
                 },
             ),
         )
+        # only (family, qualifier) pairs the batch touches reach the
+        # driver, and only the 4 key columns — resolve still sees the
+        # touched rows' FULL column set (family/column tombstones mask
+        # across qualifiers), but a wide row must not inflate the
+        # collect with untouched columns or value bytes
+        pairs = {(f, q) for (_r, f, q) in counts}
+        pred = None
+        for f, q in pairs:
+            p = (F.col("family") == F.lit(f)) & (F.col("qualifier") == F.lit(q))
+            pred = p if pred is None else (pred | p)
+        vis = vis.filter(pred).select("row", "family", "qualifier", "ts")
         out: dict = {}
         for c in vis.collect():
             key = (h(c.row), h(c.family), h(c.qualifier))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hbase_snapshot_spark.filters import Filter
-from hbase_snapshot_spark.model import TableDescriptor
+from hbase_snapshot_spark.model import NoSuchColumnFamilyError, TableDescriptor
 from hbase_snapshot_spark.plans.scan_exec import run_scan
 from hbase_snapshot_spark.resolve import ResolveSpec
 
@@ -187,6 +187,20 @@ class Table:
 
         scan = copy.copy(scan)
         if self.descriptor is not None:
+            # HRegion.getScanner:2355 / HRegion.get — every requested
+            # family must exist in the descriptor (checkFamily); a scan
+            # with no family restriction reads all declared families
+            for fam in list(scan.families or []) + list(scan.columns or {}):
+                name = (
+                    fam.decode("utf-8", "replace")
+                    if isinstance(fam, (bytes, bytearray, memoryview))
+                    else fam
+                )
+                if name not in self.descriptor.families:
+                    raise NoSuchColumnFamilyError(
+                        f"Column family {name!r} does not exist in region "
+                        f"{self.descriptor.name}"
+                    )
             eff_v = {
                 f.name: f.max_versions for f in self.descriptor.families.values()
             }

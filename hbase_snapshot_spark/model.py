@@ -49,6 +49,13 @@ LATEST_TIMESTAMP = (1 << 63) - 1
 FOREVER = (1 << 31) - 1  # HConstants.FOREVER (TTL in seconds)
 
 
+class NoSuchColumnFamilyError(Exception):
+    """regionserver/NoSuchColumnFamilyException.java — a mutation or
+    read addresses a family the table descriptor does not declare
+    (HRegion.checkFamily:2391; reads go through it via
+    HRegion.getScanner:2355 and HRegion.get)."""
+
+
 def cell_schema(binary: bool = True) -> T.StructType:
     """Schema of the canonical cell DataFrame.
 

@@ -85,7 +85,7 @@ spans AS (
 """
 
 
-_TOKS = ("SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', "
+_SPAN_TOKS_SRC = ("SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', "
          "'g')), ' ') AS t FROM documents")
 
 
@@ -94,14 +94,14 @@ def dedup_suite_sql(k: int = 8) -> str:
     duplicated spans + eval-contamination spans (dedup.duplicated_spans
     / contaminated_spans), tagged branches under one hash."""
     spans_core = _spans_sql(
-        k, _TOKS,
+        k, _SPAN_TOKS_SRC,
         "g IN (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)",
     )
     contam_core = _spans_sql(
-        k, _TOKS + " WHERE doc_id % 10 != 0",
+        k, _SPAN_TOKS_SRC + " WHERE doc_id % 10 != 0",
         f"""g IN (
       SELECT array_to_string(t[i : i + {k - 1}], chr(31))
-      FROM ({_TOKS} WHERE doc_id % 10 = 0) etoks,
+      FROM ({_SPAN_TOKS_SRC} WHERE doc_id % 10 = 0) etoks,
            UNNEST(generate_series(1, len(t) - {k} + 1)) AS eu(i)
       WHERE len(t) >= {k})""",
     )

@@ -46,7 +46,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_snapshot_spark.client import Table as ClientTable
-from hbase_snapshot_spark.model import KeyType, TableDescriptor, cell_schema
+from hbase_snapshot_spark.model import (
+    LATEST_TIMESTAMP,
+    KeyType,
+    NoSuchColumnFamilyError as _NoSuchColumnFamilyError,
+    TableDescriptor,
+    cell_schema,
+)
 from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
 SNAPSHOT_DIR = ".snapshot"  # HConstants.java:152
@@ -66,6 +72,12 @@ class TableNotEnabledError(Exception):
     rejects client reads and mutations until re-enabled."""
 
 
+# canonical home is model.py (the client read path raises it too);
+# re-exported here because mutation call sites naturally import it
+# alongside Put/Delete
+NoSuchColumnFamilyError = _NoSuchColumnFamilyError
+
+
 class Mutation:
     def __init__(self, row):
         self.row = row
@@ -83,7 +95,15 @@ class Put(Mutation):
 class Delete(Mutation):
     """client/Delete.java:68.  An empty Delete means "whole row": it is
     expanded to one DeleteFamily per family at apply time
-    (HRegion.prepareDelete:1164-1179)."""
+    (HRegion.prepareDelete:1164-1179).  ``ts`` is the row-level
+    timestamp bound (Delete(row, ts) ctor, Delete.java:89): the
+    expanded DeleteFamily markers mask only cells at-or-before it —
+    Delete(row) on a row whose only cell sits in the future leaves that
+    cell visible (TestHRegion.testDeleteRowWithFutureTs)."""
+
+    def __init__(self, row, ts: int | None = None):
+        super().__init__(row)
+        self.ts = ts
 
     def delete_family(self, family, ts: int | None = None) -> "Delete":
         self.cells.append((family, None, ts, KeyType.DELETE_FAMILY, None))
@@ -430,12 +450,19 @@ class StoredTable:
             cells = mut.cells
             if isinstance(mut, Delete) and not cells:
                 cells = [
-                    (fam, None, None, KeyType.DELETE_FAMILY, None)
+                    (fam, None, getattr(mut, "ts", None),
+                     KeyType.DELETE_FAMILY, None)
                     for fam in desc.families
                 ]
             for family, qualifier, ts, typ, value in cells:
+                self._check_family(family)
                 if qualifier is None and typ != KeyType.DELETE_FAMILY:
                     qualifier = empty_qual
+                if ts == LATEST_TIMESTAMP:
+                    # HRegion.updateKVTimestamps:1602 — the LATEST_
+                    # TIMESTAMP sentinel is replaced with the server
+                    # clock at apply time, never stored
+                    ts = None
                 flat.append((mut.row, family, qualifier, ts, typ, value))
         # exact-latest deletes (Delete.deleteColumn with no ts) need
         # current visible versions; the Nth such delete of one column in
@@ -509,6 +536,41 @@ class StoredTable:
     def _family_ttls(self) -> dict:
         return {f.name: f.ttl for f in self.descriptor.families.values()}
 
+    def _check_family(self, family) -> None:
+        """HRegion.checkFamily:2391 — reject families the descriptor
+        does not declare (reads AND mutations go through this in the
+        reference; NoSuchColumnFamilyException)."""
+        name = (
+            family.decode("utf-8", "replace")
+            if isinstance(family, (bytes, bytearray, memoryview))
+            else family
+        )
+        if name not in self.descriptor.families:
+            raise NoSuchColumnFamilyError(
+                f"Column family {name!r} does not exist in region "
+                f"{self.descriptor.name}"
+            )
+
+    def put_batch(self, puts: list[Put], now: int | None = None) -> list[str]:
+        """HRegion.put(Put[]):1722 — per-operation status codes.  A put
+        naming an unknown family gets BAD_FAMILY and is skipped; the
+        valid puts commit together in ONE segment (the reference's
+        miniBatchOp applies the valid subset in one WAL sync)."""
+        codes = []
+        good = []
+        for p in puts:
+            try:
+                for family, _q, _ts, _t, _v in p.cells:
+                    self._check_family(family)
+            except NoSuchColumnFamilyError:
+                codes.append("BAD_FAMILY")
+                continue
+            codes.append("SUCCESS")
+            good.append(p)
+        if good:
+            self.mutate(good, now=now)
+        return codes
+
     def _latest_cell(self, row, family, qualifier):
         out = resolve(
             self.cells().filter(F.col("row") == F.lit(row)),
@@ -569,14 +631,28 @@ class StoredTable:
         c = self._latest_cell(row, family, qualifier)
         return c.ts if c is not None else None
 
+    def _check_matches(self, row, family, qualifier, expected) -> bool:
+        """HRegion.checkAndMutate:1568-1575 — an ABSENT column matches
+        only an empty/None expected value; a present column compares
+        value-equal (an empty expected also matches a present empty
+        value, via the equality branch)."""
+        self._check_family(family)
+        cur = self._latest_cell(row, family, qualifier)
+        empty = expected is None or len(expected) == 0
+        if cur is None:
+            return empty
+        h = self._hashable
+        return h(cur.value) == (
+            h(expected) if not empty
+            else (b"" if isinstance(h(cur.value), bytes) else "")
+        )
+
     @_locked
     def check_and_put(self, row, family, qualifier, expected, put: Put,
                       now: int | None = None) -> bool:
         """HTable.checkAndPut:597 / HRegion.checkAndMutate:1544 — atomic
         under the single-writer model."""
-        cur = self._latest_cell(row, family, qualifier)
-        cur_val = cur.value if cur is not None else None
-        if cur_val != expected:
+        if not self._check_matches(row, family, qualifier, expected):
             return False
         self.mutate([put], now=now)
         return True
@@ -584,9 +660,7 @@ class StoredTable:
     @_locked
     def check_and_delete(self, row, family, qualifier, expected, delete: Delete,
                          now: int | None = None) -> bool:
-        cur = self._latest_cell(row, family, qualifier)
-        cur_val = cur.value if cur is not None else None
-        if cur_val != expected:
+        if not self._check_matches(row, family, qualifier, expected):
             return False
         self.mutate([delete], now=now)
         return True

@@ -1,0 +1,646 @@
+"""Case-for-case port of the reference's region-behavior corpus:
+regionserver/TestHRegion.java — the checkAndMutate family (empty-value
+/ absent-column semantics, HRegion.checkAndMutate:1544), the delete
+interleavings, the ICV edge cases, and the flush/scan boundary methods.
+
+Mapping notes:
+- ``region.flushcache()`` maps to a segment boundary: every ``mutate``
+  batch commits a durable segment, so data written before/after a
+  flush lands in distinct segments exactly like memstore-vs-storefile
+  (the _FromMemStore / _FromFilesOnly / _FromMemStoreAndFiles variants
+  differ only in how many segments carry the versions).
+- ``initHRegion(name, method, fam)`` creates families at the reference
+  default of 3 versions (HColumnDescriptor.DEFAULT_VERSIONS).
+- ``put.add(fam, null, value)`` addresses the EMPTY qualifier
+  (KeyValue coerces null to byte[0]).
+- Explicit ``now=`` stands in for the wall clock so same-ms collisions
+  can't flake (the reference sleeps 2 ms for the same reason,
+  testCheckAndDelete_ThatDeleteWasWritten Threads.sleep(2)).
+- testBatchPut's row-lock/HLog-sync phases need the reference's WAL
+  internals; the ported assertions are the per-op status codes
+  (SUCCESS / BAD_FAMILY) and that the valid subset commits — the
+  single-writer engine has no row locks (DIVERGENCES.md).
+"""
+
+import pytest
+
+from hbase_snapshot_spark.bytes_util import to_bytes, to_long
+from hbase_snapshot_spark.client import Get, Scan
+from hbase_snapshot_spark.filters import (
+    BinaryComparator,
+    ColumnCountGetFilter,
+    CompareOp,
+    FilterList,
+    SingleColumnValueFilter,
+)
+from hbase_snapshot_spark.model import (
+    LATEST_TIMESTAMP,
+    FamilyDescriptor,
+    NoSuchColumnFamilyError,
+    TableDescriptor,
+)
+from hbase_snapshot_spark.table import Delete, Put, TableStore
+
+ROW = "rowA"
+Q1, Q2, Q3 = "qual1", "qual2", "qual3"
+V1, V2 = "value1", "value2"
+MAX_VERSIONS = 2  # TestHRegion.java:88
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "tables"))
+
+
+def _mk(store, name, *fams, versions=3, binary=False):
+    desc = TableDescriptor(name)
+    for f in fams:
+        desc.add_family(FamilyDescriptor(f, max_versions=versions))
+    return store.create_table(desc, binary=binary)
+
+
+def _cells(t, row, *, families=None, columns=None, maxv=1):
+    df = t.client().get(
+        Get(row, families=families, columns=columns, max_versions=maxv)
+    )
+    return [(r.family, r.qualifier, r.ts, r.value)
+            for r in sorted(df.collect(),
+                            key=lambda r: (r.family, r.qualifier, -r.ts))]
+
+
+def _size(t, row, **kw):
+    return len(_cells(t, row, **kw))
+
+
+# ------------------------------------------- testFamilyWithAndWithoutColon:327
+
+
+def test_family_with_and_without_colon(store):
+    """a family name with a trailing colon is NOT the declared family —
+    the put must be rejected (NoSuchColumnFamilyException)."""
+    t = _mk(store, "colon", "cf")
+    with pytest.raises(NoSuchColumnFamilyError):
+        t.mutate([Put("b").add("cf:", "cf:", "cf:")])
+
+
+# ----------------------------------------------------------- testBatchPut:344
+
+
+def test_batch_put(store):
+    t = _mk(store, "batchput", "cf")
+    puts = [Put(f"row_{i}").add("cf", "qual", "val") for i in range(10)]
+    codes = t.put_batch(puts, now=100)
+    assert codes == ["SUCCESS"] * 10
+    for i in range(10):
+        assert _size(t, f"row_{i}") == 1
+
+    # one put naming an invalid family: BAD_FAMILY for it, the other
+    # nine commit (HRegion.put(Put[]) OperationStatusCode semantics)
+    puts = [Put(f"row_{i}").add("cf", "qual", "val2") for i in range(10)]
+    puts[5].add("BAD_CF", "qual", "val2")
+    codes = t.put_batch(puts, now=200)
+    assert codes == ["SUCCESS"] * 5 + ["BAD_FAMILY"] + ["SUCCESS"] * 4
+    for i in range(10):
+        val = _cells(t, f"row_{i}")[0][3]
+        assert val == ("val" if i == 5 else "val2")
+
+
+# ------------------------------------- testCheckAndMutate_WithEmptyRowValue:443
+
+
+def test_check_and_mutate_with_empty_row_value(store):
+    t = _mk(store, "testtable", "fam1")
+    row1, qf1 = "row1", "qualifier"
+    empty = ""
+
+    put = Put(row1).add("fam1", qf1, V1)
+    # absent column + empty expected → matches, put written
+    assert t.check_and_put(row1, "fam1", qf1, empty, put, now=100)
+    # not empty anymore
+    assert not t.check_and_put(row1, "fam1", qf1, empty, put, now=110)
+    delete = Delete(row1).delete_column("fam1", qf1)
+    assert not t.check_and_delete(row1, "fam1", qf1, empty, delete, now=120)
+
+    put = Put(row1).add("fam1", qf1, V2)
+    assert t.check_and_put(row1, "fam1", qf1, V1, put, now=130)
+
+    # checkAndDelete with correct value: two latest-deletes wipe both
+    # visible versions
+    delete = (Delete(row1).delete_column("fam1", qf1)
+              .delete_column("fam1", qf1))
+    assert t.check_and_delete(row1, "fam1", qf1, V2, delete, now=140)
+
+    # column absent again → empty expected matches a whole-row delete
+    delete = Delete(row1)
+    assert t.check_and_delete(row1, "fam1", qf1, empty, delete, now=150)
+
+
+# --------------------------------------- testCheckAndMutate_WithWrongValue:494
+
+
+def test_check_and_mutate_with_wrong_value(store):
+    t = _mk(store, "testtable", "fam1")
+    row1, qf1 = "row1", "qualifier"
+    put = Put(row1).add("fam1", qf1, V1)
+    t.mutate([put], now=100)
+
+    assert not t.check_and_put(row1, "fam1", qf1, V2, put, now=110)
+    delete = Delete(row1).delete_family("fam1")
+    assert not t.check_and_delete(row1, "fam1", qf1, V2, delete, now=120)
+    assert _size(t, row1) == 1  # nothing applied
+
+
+# ------------------------------------- testCheckAndMutate_WithCorrectValue:523
+
+
+def test_check_and_mutate_with_correct_value(store):
+    t = _mk(store, "testtable", "fam1")
+    row1, qf1 = "row1", "qualifier"
+    t.mutate([Put(row1).add("fam1", qf1, V1)], now=100)
+
+    assert t.check_and_put(row1, "fam1", qf1, V1,
+                           Put(row1).add("fam1", qf1, V1), now=110)
+    assert t.check_and_put(row1, "fam1", qf1, V1,
+                           Put(row1).add("fam1", qf1, V1), now=120)
+
+
+# --------------------------------------- testCheckAndPut_ThatPutWasWritten:551
+
+
+def test_check_and_put_that_put_was_written(store):
+    t = _mk(store, "testtable", "fam1", "fam2")
+    row1, qf1 = "row1", "qualifier"
+    t.mutate([Put(row1).add("fam1", qf1, V1)], now=100)
+
+    ts = 200
+    put = Put(row1).add("fam2", qf1, V2, ts=ts)
+    assert t.check_and_put(row1, "fam1", qf1, V1, put, now=210)
+
+    actual = _cells(t, row1, columns={"fam2": [qf1]})
+    assert actual == [("fam2", qf1, ts, V2)]
+
+
+# ----------------------------------- testCheckAndDelete_ThatDeleteWasWritten:599
+
+
+def test_check_and_delete_that_delete_was_written(store):
+    t = _mk(store, "testtable", "fam1", "fam2")
+    row1 = "row1"
+    qf1, qf2, qf3 = "qualifier1", "qualifier2", "qualifier3"
+    v1, v2, v3 = "value1", "value2", "value3"
+
+    t.mutate([Put(row1).add("fam1", qf1, v1)], now=100)
+    t.mutate([Put(row1)
+              .add("fam1", qf1, v2).add("fam2", qf1, v3)
+              .add("fam2", qf2, v2).add("fam2", qf3, v1)
+              .add("fam1", qf3, v1)], now=102)
+
+    # multi-column latest-delete, guarded on fam1:qf1 == v2
+    delete = (Delete(row1).delete_column("fam1", qf1)
+              .delete_column("fam2", qf1).delete_column("fam1", qf3))
+    assert t.check_and_delete(row1, "fam1", qf1, v2, delete, now=110)
+
+    r = _cells(t, row1, columns={"fam1": [qf1, qf3], "fam2": [qf2]})
+    assert len(r) == 2
+    assert ("fam1", qf1, 100, v1) in r   # older version resurfaces
+    assert ("fam2", qf2, 102, v2) in r
+
+    # family delete guarded on an ABSENT column with empty expected
+    delete = Delete(row1).delete_family("fam2")
+    assert t.check_and_delete(row1, "fam2", qf1, "", delete, now=120)
+    r = _cells(t, row1)
+    assert r == [("fam1", qf1, 100, v1)]
+
+    # whole-row delete guarded on the remaining value
+    delete = Delete(row1)
+    assert t.check_and_delete(row1, "fam1", qf1, v1, delete, now=130)
+    assert _size(t, row1) == 0
+
+
+# --------------------------------------------- testDelete_multiDeleteColumn:676
+
+
+def test_delete_multi_delete_column(store):
+    t = _mk(store, "testtable", "fam1")
+    row1, qual = "row1", "qualifier"
+    t.mutate([Put(row1).add("fam1", qual, "value", ts=1)
+              .add("fam1", qual, "value", ts=2)], now=5)
+
+    # two latest-deletes remove both 'latest' versions
+    t.mutate([Delete(row1).delete_column("fam1", qual)
+              .delete_column("fam1", qual)], now=10)
+    assert _size(t, row1, families=["fam1"]) == 0
+
+
+# -------------------------------------------------- testDelete_CheckFamily:704
+
+
+def test_delete_check_family(store):
+    t = _mk(store, "testtable", "fam1", "fam2", "fam3")
+    # deleting via an existing family works
+    t.mutate([Delete("row1").delete_family("fam2")], now=10)
+    # a non-existent family raises
+    with pytest.raises(NoSuchColumnFamilyError):
+        t.mutate([Delete("row1").delete_family("fam4")], now=20)
+
+
+# -------------------------------------------------------- testDelete_mixed:743
+
+
+def test_delete_mixed(store):
+    t = _mk(store, "testtable", "info")
+    row = "table_name"
+    serverinfo, split_a, split_b = "serverinfo", "splitA", "splitB"
+
+    t.mutate([Put(row).add("info", split_a, "reference_A")], now=100)
+    t.mutate([Put(row).add("info", split_b, "reference_B")], now=101)
+    t.mutate([Put(row).add("info", serverinfo, "ip_address")], now=102)
+
+    # delete one split (all versions)
+    t.mutate([Delete(row).delete_columns("info", split_a)], now=103)
+    assert _size(t, row, columns={"info": [serverinfo]}) == 1
+    assert _size(t, row, columns={"info": [split_a]}) == 0
+    assert _size(t, row, columns={"info": [split_b]}) == 1
+
+    # after a delete, a LATER put is visible again
+    t.mutate([Put(row).add("info", split_a, "reference_A")], now=104)
+    assert _size(t, row) == 3
+
+    # whole-row delete, then put something back
+    t.mutate([Delete(row)], now=105)
+    assert _size(t, row) == 0
+    t.mutate([Put(row).add("info", split_a, "reference_A")], now=106)
+    assert _size(t, row) == 1
+
+
+# ------------------------------------------------ testDeleteRowWithFutureTs:806
+
+
+def test_delete_row_with_future_ts(store):
+    t = _mk(store, "testtable", "info")
+    row, serverinfo = "table_name", "serverinfo"
+
+    # a cell in the far future
+    t.mutate([Put(row).add("info", serverinfo, "value",
+                           ts=LATEST_TIMESTAMP - 5)], now=100)
+    # whole-row delete "in the present" — masks only ts <= now
+    t.mutate([Delete(row)], now=110)
+    assert _size(t, row, columns={"info": [serverinfo]}) == 1
+
+    # row delete with an explicit FUTURE bound removes it
+    t.mutate([Delete(row, ts=LATEST_TIMESTAMP - 3)], now=120)
+    assert _size(t, row, columns={"info": [serverinfo]}) == 0
+
+
+# ------------------------------------------------------ testPutWithLatestTS:845
+
+
+def test_put_with_latest_ts(store):
+    """the LATEST_TIMESTAMP sentinel is replaced with the server clock
+    at apply time (HRegion.updateKVTimestamps:1602), never stored."""
+    t = _mk(store, "testtable", "info")
+    t.mutate([Put("row1").add("info", "qual", "value",
+                              ts=LATEST_TIMESTAMP)], now=777)
+    cells = _cells(t, "row1", columns={"info": ["qual"]})
+    assert len(cells) == 1
+    assert cells[0][2] == 777  # real timestamp, not the sentinel
+    # second write path (the reference checks WAL and non-WAL paths)
+    t.mutate([Put("row2").add("info", "qual", "value",
+                              ts=LATEST_TIMESTAMP)], now=888)
+    assert _cells(t, "row2", columns={"info": ["qual"]})[0][2] == 888
+
+
+# ------------------------------------- testScanner_DeleteOneFamilyNotAnother:888
+
+
+def test_scanner_delete_one_family_not_another(store):
+    t = _mk(store, "test_table", "columnA", "columnB")
+    rowA, rowB = "rowA", "rowB"
+
+    # delete family A of rowA BEFORE any data exists
+    t.mutate([Delete(rowA).delete_family("columnA")], now=50)
+
+    t.mutate([Put(rowA).add("columnB", None, "value")], now=60)
+    t.mutate([Put(rowB).add("columnA", None, "value")
+              .add("columnB", None, "value")], now=61)
+
+    rows = t.client().scan(
+        Scan(families=["columnA", "columnB"])
+    ).orderBy("row", "family").collect()
+    assert [r.row for r in rows] == [rowA, rowB, rowB]
+    assert rows[0].family == "columnB"  # rowA's columnA cell never existed
+
+
+# ------------------- testDeleteColumns_PostInsert:927 / testDeleteFamily:934
+
+
+def _do_test_delete_and_post_insert(store, delete):
+    t = _mk(store, "testtable", "fam1")
+    t.mutate([Put(ROW).add("fam1", Q1, V1)], now=100)
+    t.mutate([delete], now=101)
+    # a LATER put is visible through get and scan
+    t.mutate([Put(ROW).add("fam1", Q1, V2)], now=102)
+
+    r = _cells(t, ROW, columns={"fam1": [Q1]})
+    assert r == [("fam1", Q1, 102, V2)]
+    rows = t.client().scan(Scan(start_row=ROW, columns={"fam1": [Q1]})).collect()
+    assert [(c.family, c.qualifier, c.value) for c in rows] == [("fam1", Q1, V2)]
+
+
+def test_delete_columns_post_insert(store):
+    _do_test_delete_and_post_insert(
+        store, Delete(ROW).delete_columns("fam1", Q1))
+
+
+def test_delete_family_post_insert(store):
+    _do_test_delete_and_post_insert(store, Delete(ROW).delete_family("fam1"))
+
+
+# ------------------------------------------- testDelete_CheckTimestampUpdated:983
+
+
+def test_delete_check_timestamp_updated(store):
+    """latest-deletes with no explicit ts are stamped with the server
+    clock (the reference inspects the memstore kvset; here the stored
+    tombstones carry the mutate-time `now`)."""
+    t = _mk(store, "testtable", "fam1")
+    row1 = "row1"
+    t.mutate([Delete(row1).delete_column("fam1", "col1")
+              .delete_column("fam1", "col2")
+              .delete_column("fam1", "col3")], now=424_242)
+    from pyspark.sql import functions as F
+
+    stored = t.cells().filter(F.col("row") == row1).collect()
+    assert len(stored) == 3
+    assert all(c.ts == 424_242 for c in stored)
+
+
+# --------------------------------------------------------- testGet_FamilyChecker:1019
+
+
+def test_get_family_checker(store):
+    t = _mk(store, "testtable", "fam1")
+    with pytest.raises(NoSuchColumnFamilyError):
+        t.client().get(Get("row1", columns={"False": ["col1"]})).collect()
+
+
+# ----------------------------------------------------------------- testGet_Basic:1043
+
+
+def test_get_basic(store):
+    t = _mk(store, "testtable", "fam1")
+    row1 = "row1"
+    cols = [f"col{i}" for i in range(1, 6)]
+    p = Put(row1)
+    for c in cols:
+        p.add("fam1", c, "")
+    t.mutate([p], now=100)
+
+    got = _cells(t, row1, columns={"fam1": ["col2", "col4"]})
+    assert [(f, q) for f, q, _ts, _v in got] == [("fam1", "col2"), ("fam1", "col4")]
+
+    # Get with a ColumnCountGetFilter
+    df = t.client().get(Get(row1, filter=ColumnCountGetFilter(2)))
+    assert df.count() == 2
+
+
+# ----------------------------------------------------------------- testGet_Empty:1095
+
+
+def test_get_empty(store):
+    t = _mk(store, "emptytable", "fam")
+    assert t.client().get(Get("row", families=["fam"])).count() == 0
+
+
+# -------------------------------------------------------- testRegionScanner_Next:1447
+
+
+def test_region_scanner_next(store):
+    t = _mk(store, "testtable", "fam1", "fam2", "fam3", "fam4")
+    ts = 1000
+    for row in ("row1", "row2"):
+        p = Put(row)
+        for fam in ("fam1", "fam2", "fam3", "fam4"):
+            p.add(fam, None, "", ts=ts)
+        t.mutate([p], now=ts)
+
+    rows = t.client().scan(
+        Scan(families=["fam2", "fam4"])
+    ).orderBy("row", "family").collect()
+    assert [(r.row, r.family, r.qualifier, r.ts) for r in rows] == [
+        ("row1", "fam2", "", ts), ("row1", "fam4", "", ts),
+        ("row2", "fam2", "", ts), ("row2", "fam4", "", ts),
+    ]
+
+
+# ---------------- testScanner_ExplicitColumns_* / _Wildcard_* EnforceVersions
+
+
+def _put_six_versions(t, segments):
+    """kv11..kv13 (qf1), kv21..kv23 (qf2) at ts 1..3 across the given
+    number of mutate batches (segments) — 1 batch = FromMemStore,
+    post-'flush' = FromFilesOnly; the read side must be identical."""
+    row1 = "row1"
+    if segments == 1:
+        p = Put(row1)
+        for ts in (3, 2, 1):
+            p.add("fam1", "qualifier1", "", ts=ts)
+            p.add("fam1", "qualifier2", "", ts=ts)
+        t.mutate([p], now=10)
+    else:
+        for i, ts in enumerate((3, 2, 1)):
+            t.mutate([Put(row1).add("fam1", "qualifier1", "", ts=ts)
+                      .add("fam1", "qualifier2", "", ts=ts)], now=10 + i)
+
+
+@pytest.mark.parametrize("segments", [1, 3],
+                         ids=["from_memstore", "from_files_only"])
+def test_scanner_explicit_columns_enforce_versions(store, segments):
+    """:1510 (FromMemStore) / :1566 (FromFilesOnly): maxVersions=2 over
+    explicit columns returns the 2 newest per column regardless of how
+    many segments carry them."""
+    t = _mk(store, "testtable", "fam1")
+    _put_six_versions(t, segments)
+    rows = t.client().scan(
+        Scan(start_row="row1", columns={"fam1": ["qualifier1", "qualifier2"]},
+             max_versions=MAX_VERSIONS)
+    ).orderBy("qualifier", F_desc_ts()).collect()
+    assert [(r.qualifier, r.ts) for r in rows] == [
+        ("qualifier1", 3), ("qualifier1", 2),
+        ("qualifier2", 3), ("qualifier2", 2),
+    ]
+
+
+@pytest.mark.parametrize("segments", [1, 3],
+                         ids=["from_memstore", "from_files_only"])
+def test_scanner_wildcard_enforce_versions(store, segments):
+    """:1705 (FromMemStore) / :1763 (FromFilesOnly): same with a
+    wildcard family scan."""
+    t = _mk(store, "testtable", "fam1")
+    _put_six_versions(t, segments)
+    rows = t.client().scan(
+        Scan(start_row="row1", families=["fam1"], max_versions=MAX_VERSIONS)
+    ).orderBy("qualifier", F_desc_ts()).collect()
+    assert [(r.qualifier, r.ts) for r in rows] == [
+        ("qualifier1", 3), ("qualifier1", 2),
+        ("qualifier2", 3), ("qualifier2", 2),
+    ]
+
+
+def F_desc_ts():
+    from pyspark.sql import functions as F
+
+    return F.desc("ts")
+
+
+def _put_four_versions_interleaved(t, explicit_final_batch=True):
+    """:1626 / :2063 — ts4 / ts3 / ts2 flushed as three segments, ts1
+    left 'in the memstore' (a fourth batch)."""
+    row1 = "row1"
+    for i, ts in enumerate((4, 3, 2)):
+        t.mutate([Put(row1).add("fam1", "qualifier1", "", ts=ts)
+                  .add("fam1", "qualifier2", "", ts=ts)], now=10 + i)
+    t.mutate([Put(row1).add("fam1", "qualifier1", "", ts=1)
+              .add("fam1", "qualifier2", "", ts=1)], now=13)
+
+
+def test_scanner_explicit_columns_from_memstore_and_files(store):
+    """:1626 — maxVersions=3 across four segments: the 3 newest per
+    column, merged across segment boundaries."""
+    t = _mk(store, "testtable", "fam1")
+    _put_four_versions_interleaved(t)
+    rows = t.client().scan(
+        Scan(start_row="row1", columns={"fam1": ["qualifier1", "qualifier2"]},
+             max_versions=3)
+    ).orderBy("qualifier", F_desc_ts()).collect()
+    assert [(r.qualifier, r.ts) for r in rows] == [
+        ("qualifier1", 4), ("qualifier1", 3), ("qualifier1", 2),
+        ("qualifier2", 4), ("qualifier2", 3), ("qualifier2", 2),
+    ]
+
+
+def test_scanner_wildcard_from_memstore_and_files(store):
+    """:2063 — same through a no-projection scan."""
+    t = _mk(store, "testtable", "fam1")
+    _put_four_versions_interleaved(t)
+    rows = t.client().scan(
+        Scan(start_row="row1", max_versions=3)
+    ).orderBy("qualifier", F_desc_ts()).collect()
+    assert [(r.qualifier, r.ts) for r in rows] == [
+        ("qualifier1", 4), ("qualifier1", 3), ("qualifier1", 2),
+        ("qualifier2", 4), ("qualifier2", 3), ("qualifier2", 2),
+    ]
+
+
+# ------------------------------------------------------- testScanner_StopRow1542:1821
+
+
+def test_scanner_stop_row_1542(store):
+    """[row3, row4) + addColumn(col1): row333 carries only col2, so the
+    scan returns nothing (the stop row excludes row444)."""
+    t = _mk(store, "test_table", "testFamily")
+    data = [("row111", "Pub111"), ("row222", "Pub111"), ("row333", "Pub222"),
+            ("row444", "Pub222"), ("row555", "Pub111")]
+    for i, (row, col) in enumerate(data):
+        t.mutate([Put(row).add("testFamily", col, str(i))], now=100 + i)
+
+    rows = t.client().scan(
+        Scan(start_row="row333", stop_row="row444",
+             columns={"testFamily": ["Pub111"]}, max_versions=None)
+    ).collect()
+    assert rows == []
+
+
+# ------------------------------------------------------ incrementColumnValue tier
+
+
+def test_icv_updating_in_place(store):
+    """:1866 — increment an existing counter; one visible version."""
+    t = _mk(store, "testtable", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(1))], now=100)
+    assert t.increment_column_value(b"rowA", "fam1", b"qual1", 3, now=110) == 4
+    cells = _cells(t, b"rowA", columns={"fam1": [b"qual1"]})
+    assert len(cells) == 1 and to_long(bytes(cells[0][3])) == 4
+
+
+def test_icv_updating_in_place_negative(store):
+    """:1953 — negative amounts decrement."""
+    t = _mk(store, "testtable", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(3))], now=100)
+    assert t.increment_column_value(b"rowA", "fam1", b"qual1", -1, now=110) == 2
+    cells = _cells(t, b"rowA", columns={"fam1": [b"qual1"]})
+    assert to_long(bytes(cells[0][3])) == 2
+
+
+def test_icv_adding_new(store):
+    """:1970 — ICV of an absent column starts at 0; neighbors untouched."""
+    t = _mk(store, "testtable", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(1))
+              .add("fam1", b"qual2", to_bytes(1))], now=100)
+    assert t.increment_column_value(b"rowA", "fam1", b"qual3", 3, now=110) == 3
+    for q, want in ((b"qual1", 1), (b"qual2", 1), (b"qual3", 3)):
+        cells = _cells(t, b"rowA", columns={"fam1": [q]})
+        assert len(cells) == 1 and to_long(bytes(cells[0][3])) == want
+
+
+def test_icv_updating_from_sf(store):
+    """:1996 — the base value lives in an already-flushed segment."""
+    t = _mk(store, "testtable", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(1))
+              .add("fam1", b"qual2", to_bytes(1))], now=100)
+    # 'flush' boundary = the next mutate lands in a new segment
+    assert t.increment_column_value(b"rowA", "fam1", b"qual1", 3, now=110) == 4
+    cells = _cells(t, b"rowA", columns={"fam1": [b"qual1"]})
+    assert to_long(bytes(cells[0][3])) == 4
+
+
+def test_icv_adding_new_after_sf_check(store):
+    """:2019 — absent-column ICV after a flush, then across another
+    flush boundary."""
+    t = _mk(store, "testtable", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(1))
+              .add("fam1", b"qual2", to_bytes(1))], now=100)
+    assert t.increment_column_value(b"rowA", "fam1", b"qual3", 3, now=110) == 3
+    cells = _cells(t, b"rowA", columns={"fam1": [b"qual3"]})
+    assert to_long(bytes(cells[0][3])) == 3
+    # survives the next segment boundary
+    t.mutate([Put(b"rowZ").add("fam1", b"qual1", to_bytes(0))], now=120)
+    cells = _cells(t, b"rowA", columns={"fam1": [b"qual3"]})
+    assert to_long(bytes(cells[0][3])) == 3
+
+
+def test_icv_bump_snapshot(store):
+    """:1888 — an ICV over a snapshotted memstore writes a NEW version
+    at a NEWER timestamp; both versions visible at maxVersions."""
+    t = _mk(store, "testtable", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(42))], now=100)
+    assert t.increment_column_value(b"rowA", "fam1", b"qual1", 44, now=200) == 86
+    cells = _cells(t, b"rowA", columns={"fam1": [b"qual1"]}, maxv=None)
+    assert len(cells) == 2
+    assert cells[0][2] != cells[1][2]  # "ICV failed to upgrade timestamp"
+    assert to_long(bytes(cells[0][3])) == 86
+
+
+# ------------------------------------------- testIndexesScanWithOneDeletedRow:2640
+
+
+def test_indexes_scan_with_one_deleted_row(store):
+    t = _mk(store, "idxscan", "family", binary=True)
+    t.mutate([Put(to_bytes(1)).add("family", b"qual1", to_bytes(1), ts=1)],
+             now=5)
+    # 'flush', then whole-row delete bounded at ts=1
+    t.mutate([Delete(to_bytes(1), ts=1)], now=6)
+    t.mutate([Put(to_bytes(2)).add("family", b"qual1", to_bytes(2), ts=2)],
+             now=7)
+
+    flt = FilterList(FilterList.MUST_PASS_ALL, [
+        SingleColumnValueFilter("family", b"qual1",
+                                CompareOp.GREATER_OR_EQUAL,
+                                BinaryComparator(to_bytes(0))),
+        SingleColumnValueFilter("family", b"qual1",
+                                CompareOp.LESS_OR_EQUAL,
+                                BinaryComparator(to_bytes(3))),
+    ])
+    rows = t.client().scan(Scan(families=["family"], filter=flt)).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].row) == to_bytes(2)

@@ -52,6 +52,12 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:3] == b"ID3" or (
+        data[0] == 0xFF and (data[1] & 0xE0) == 0xE0 and (data[1] >> 1) & 3 != 0
+    ):
+        return "mp3"
     return None
 
 
@@ -1182,3 +1188,407 @@ def y4m_frames(data: bytes):
 
 def y4m_frame_count(data: bytes) -> int:
     return sum(1 for _ in y4m_frames(data))
+
+
+# ------------------------------------------------------------ MPEG audio (MP3)
+#
+# Frame-level parsing of MPEG-1/2/2.5 audio streams (ISO/IEC 11172-3 /
+# 13818-3 headers): sync walk, bitrate/samplerate tables, Xing/Info and
+# VBRI VBR tags, ID3v2 skip — enough for duration / bitrate / channel
+# metadata and a frame index over real MP3 corpora.  PCM decode of
+# Layer III is NOT implemented: the spectral Huffman code tables
+# (11172-3 Table B.7) and the synthesis window (Table D.1) are
+# empirical constants that cannot be derived, so a hand-written decoder
+# would have to fabricate them — decode raises NotImplementedError
+# naming exactly that.
+
+_MP3_BITRATE = {
+    # (version_group, layer) -> kbps by bitrate index 1..14 (0=free, 15=bad)
+    # version_group: 1 = MPEG-1, 2 = MPEG-2/2.5 (they share tables)
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+
+_MP3_SAMPLERATE = {
+    # version field (2 bits) -> rates by samplerate index 0..2
+    3: [44100, 48000, 32000],   # MPEG-1
+    2: [22050, 24000, 16000],   # MPEG-2
+    0: [11025, 12000, 8000],    # MPEG-2.5
+}
+
+
+def _mp3_frame_at(data: bytes, pos: int):
+    """Parse a frame header at ``pos``; returns dict or None if the 4
+    bytes there are not a valid header."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3          # 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
+    layer_bits = (b1 >> 1) & 3       # 3=I, 2=II, 1=III, 0=reserved
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits           # 1, 2, 3
+    bitrate_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 3
+    if bitrate_idx in (0, 15) or sr_idx == 3:
+        return None                  # free-format unsupported, bad = invalid
+    vgroup = 1 if version == 3 else 2
+    bitrate = _MP3_BITRATE[(vgroup, layer)][bitrate_idx - 1] * 1000
+    sample_rate = _MP3_SAMPLERATE[version][sr_idx]
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3             # 0=stereo 1=joint 2=dual 3=mono
+    if layer == 1:
+        samples = 384
+        size = (12 * bitrate // sample_rate + padding) * 4
+    elif layer == 2:
+        samples = 1152
+        size = 144 * bitrate // sample_rate + padding
+    else:  # Layer III
+        samples = 1152 if vgroup == 1 else 576
+        per = 144 if vgroup == 1 else 72
+        size = per * bitrate // sample_rate + padding
+    return {
+        "version": {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}[version],
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": sample_rate,
+        "channels": 1 if mode == 3 else 2,
+        "mode": mode,
+        "crc": (b1 & 1) == 0,
+        "samples": samples,
+        "size": size,
+        "offset": pos,
+    }
+
+
+def _skip_id3v2(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    # syncsafe 28-bit size, header excluded; footer adds 10 more
+    size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    return 10 + size + (10 if data[5] & 0x10 else 0)
+
+
+def parse_mp3(data: bytes, max_frames: int | None = None) -> dict:
+    """Walk every MPEG audio frame: returns stream metadata
+    {format, layer, sample_rate, channels, n_frames, duration_ms,
+    bitrate_avg, vbr, frames: [(offset, size, samples)]}.  Honors ID3v2
+    prefix, Xing/Info and VBRI VBR tags (the tag frame is counted by
+    its own header but flagged), resyncs over garbage between frames.
+    ``max_frames`` bounds the walk for probe-only use."""
+    pos = _skip_id3v2(data)
+    frames = []
+    meta = None
+    vbr = None
+    n = len(data)
+    while pos + 4 <= n:
+        f = _mp3_frame_at(data, pos)
+        if f is None:
+            pos += 1  # resync byte-by-byte (broadcast-stream behavior)
+            continue
+        if meta is None:
+            meta = f
+            # Xing/Info (LAME) sits after the side info of frame 0;
+            # VBRI always at header+36 (Fraunhofer)
+            if f["version"] == "MPEG-1":
+                side = 17 if f["channels"] == 1 else 32
+            else:
+                side = 9 if f["channels"] == 1 else 17
+            tag_off = pos + 4 + (2 if f["crc"] else 0) + side
+            tag = data[tag_off : tag_off + 4]
+            if tag in (b"Xing", b"Info"):
+                flags = int.from_bytes(data[tag_off + 4 : tag_off + 8], "big")
+                p = tag_off + 8
+                vbr = {"tag": tag.decode(), "vbr": tag == b"Xing"}
+                if flags & 1:
+                    vbr["frames"] = int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                if flags & 2:
+                    vbr["bytes"] = int.from_bytes(data[p : p + 4], "big")
+            elif data[pos + 4 + 32 : pos + 4 + 36] == b"VBRI":
+                p = pos + 4 + 36
+                vbr = {
+                    "tag": "VBRI", "vbr": True,
+                    "bytes": int.from_bytes(data[p + 6 : p + 10], "big"),
+                    "frames": int.from_bytes(data[p + 10 : p + 14], "big"),
+                }
+        frames.append((f["offset"], f["size"], f["samples"], f["bitrate"]))
+        pos += max(f["size"], 4)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if meta is None:
+        raise ValueError("no MPEG audio frame found")
+    # skip the VBR tag frame in the duration math (it carries no audio)
+    audio = frames[1:] if vbr is not None and len(frames) > 1 else frames
+    total_samples = sum(s for (_o, _sz, s, _b) in audio)
+    duration_ms = round(total_samples * 1000 / meta["sample_rate"])
+    total_bytes = sum(sz for (_o, sz, _s, _b) in audio)
+    bitrates = {b for (_o, _sz, _s, b) in audio}
+    return {
+        "format": meta["version"],
+        "layer": meta["layer"],
+        "sample_rate": meta["sample_rate"],
+        "channels": meta["channels"],
+        "n_frames": len(audio),
+        "duration_ms": duration_ms,
+        "bitrate_avg": (
+            round(total_bytes * 8 * meta["sample_rate"]
+                  / max(1, total_samples))
+            if audio else meta["bitrate"]
+        ),
+        "vbr": (vbr["vbr"] if vbr is not None else len(bitrates) > 1),
+        "frames": [(o, sz, s) for (o, sz, s, _b) in frames],
+    }
+
+
+def decode_mp3(data: bytes):
+    """Layer III PCM decode is not implemented: it requires the ISO
+    11172-3 Table B.7 Huffman code tables and the Table D.1 synthesis
+    window — empirical spec constants that cannot be hand-derived
+    without fabricating data.  Frame-level parsing (duration, bitrate,
+    frame index) IS implemented: see :func:`parse_mp3`."""
+    raise NotImplementedError(
+        "MP3 PCM decode requires the ISO 11172-3 B.7 Huffman tables and "
+        "D.1 synthesis window (use ffmpeg/minimp3); frame-level metadata "
+        "is available via parse_mp3()"
+    )
+
+
+# ------------------------------------------------------- MP4 / ISO-BMFF
+#
+# Dependency-free ISO/IEC 14496-12 box parsing: track headers, sample
+# tables (stts/stss/stsc/stsz/stco/co64), and a derived per-sample
+# index (offset, size, decode time, keyframe flag) — the container
+# layer a frame sampler needs.  Codec payload decode (H.264/HEVC/AAC)
+# stays behind NotImplementedError; keyframe EXTRACTION (the coded
+# access-unit bytes at the right offsets) is real.
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end).
+    Handles 64-bit largesize and size==0 (extends to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            break  # malformed/truncated: stop rather than loop
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, *path: bytes):
+    for btype, b, e in _iter_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b, e
+            return _find_box(data, b, e, *path[1:])
+    return None
+
+
+def _full_box(data: bytes, pos: int) -> tuple[int, int, int]:
+    """version, flags, first payload offset"""
+    return data[pos], int.from_bytes(data[pos + 1 : pos + 4], "big"), pos + 4
+
+
+def _u32s(data: bytes, pos: int, n: int):
+    import struct
+
+    return struct.unpack_from(f">{n}I", data, pos)
+
+
+def parse_mp4(data: bytes) -> dict:
+    """ISO-BMFF structure → {brand, timescale, duration_ms, tracks}.
+    Each track: {track_id, handler, codec, width, height, timescale,
+    duration_ms, n_samples, samples: [(offset, size, time, keyframe)]}
+    with time in the TRACK timescale.  Fragmented files (moof) raise
+    NotImplementedError — the sample tables live in the fragments."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    brand = data[8:12].decode("latin-1")
+    moov = _find_box(data, 0, len(data), b"moov")
+    if moov is None:
+        if _find_box(data, 0, len(data), b"moof") is not None:
+            raise NotImplementedError(
+                "fragmented MP4 (moof) unsupported — sample tables live "
+                "in the fragments"
+            )
+        raise ValueError("MP4 missing moov box")
+    ms, me = moov
+    out = {"brand": brand, "timescale": None, "duration_ms": None,
+           "tracks": []}
+    mvhd = _find_box(data, ms, me, b"mvhd")
+    if mvhd is not None:
+        v, _fl, p = _full_box(data, mvhd[0])
+        if v == 1:
+            ts = int.from_bytes(data[p + 16 : p + 20], "big")
+            dur = int.from_bytes(data[p + 20 : p + 28], "big")
+        else:
+            ts = int.from_bytes(data[p + 8 : p + 12], "big")
+            dur = int.from_bytes(data[p + 12 : p + 16], "big")
+        out["timescale"] = ts
+        out["duration_ms"] = round(dur * 1000 / ts) if ts else None
+    for btype, b, e in _iter_boxes(data, ms, me):
+        if btype == b"trak":
+            out["tracks"].append(_parse_trak(data, b, e))
+    return out
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> dict:
+    t: dict = {"track_id": None, "handler": None, "codec": None,
+               "width": None, "height": None, "timescale": None,
+               "duration_ms": None, "n_samples": 0, "samples": []}
+    tkhd = _find_box(data, start, end, b"tkhd")
+    if tkhd is not None:
+        v, _fl, p = _full_box(data, tkhd[0])
+        if v == 1:
+            t["track_id"] = int.from_bytes(data[p + 16 : p + 20], "big")
+            # times(8+8) id(4) reserved(4) duration(8) reserved(8)
+            # layer+alt+volume+reserved(2*4) matrix(36) → width at +84
+            p_dim = p + 84
+        else:
+            # times(4+4) id(4) reserved(4) duration(4) reserved(8)
+            # layer+alt+volume+reserved(2*4) matrix(36) → width at +72
+            p_dim = p + 72
+        # width/height are 16.16 fixed point at the end of tkhd
+        t["width"] = int.from_bytes(data[p_dim : p_dim + 4], "big") >> 16
+        t["height"] = int.from_bytes(data[p_dim + 4 : p_dim + 8], "big") >> 16
+    mdia = _find_box(data, start, end, b"mdia")
+    if mdia is None:
+        return t
+    mdhd = _find_box(data, mdia[0], mdia[1], b"mdhd")
+    if mdhd is not None:
+        v, _fl, p = _full_box(data, mdhd[0])
+        if v == 1:
+            ts = int.from_bytes(data[p + 16 : p + 20], "big")
+            dur = int.from_bytes(data[p + 20 : p + 28], "big")
+        else:
+            ts = int.from_bytes(data[p + 8 : p + 12], "big")
+            dur = int.from_bytes(data[p + 12 : p + 16], "big")
+        t["timescale"] = ts
+        t["duration_ms"] = round(dur * 1000 / ts) if ts else None
+    hdlr = _find_box(data, mdia[0], mdia[1], b"hdlr")
+    if hdlr is not None:
+        _v, _fl, p = _full_box(data, hdlr[0])
+        t["handler"] = data[p + 4 : p + 8].decode("latin-1")
+    stbl = _find_box(data, mdia[0], mdia[1], b"minf", b"stbl")
+    if stbl is None:
+        return t
+    sb, se = stbl
+    stsd = _find_box(data, sb, se, b"stsd")
+    if stsd is not None:
+        _v, _fl, p = _full_box(data, stsd[0])
+        n_entries = int.from_bytes(data[p : p + 4], "big")
+        if n_entries:
+            t["codec"] = data[p + 8 : p + 12].decode("latin-1")
+
+    def table(name: bytes):
+        box = _find_box(data, sb, se, name)
+        if box is None:
+            return None
+        _v, _fl, p = _full_box(data, box[0])
+        return p
+
+    # decode times (stts) expanded per sample
+    times = []
+    p = table(b"stts")
+    if p is not None:
+        (cnt,) = _u32s(data, p, 1)
+        tcur = 0
+        q = p + 4
+        for _ in range(cnt):
+            scount, sdelta = _u32s(data, q, 2)
+            for _i in range(scount):
+                times.append(tcur)
+                tcur += sdelta
+            q += 8
+    # sizes (stsz)
+    sizes = []
+    p = table(b"stsz")
+    if p is not None:
+        fixed, cnt = _u32s(data, p, 2)
+        sizes = [fixed] * cnt if fixed else list(_u32s(data, p + 8, cnt))
+    # keyframes (stss); absent stss = every sample is a sync sample
+    p = table(b"stss")
+    if p is not None:
+        (cnt,) = _u32s(data, p, 1)
+        sync = set(_u32s(data, p + 4, cnt))  # 1-based sample numbers
+    else:
+        sync = None
+    # chunk offsets (stco / co64)
+    offsets = []
+    p = table(b"stco")
+    if p is not None:
+        (cnt,) = _u32s(data, p, 1)
+        offsets = list(_u32s(data, p + 4, cnt))
+    else:
+        box = _find_box(data, sb, se, b"co64")
+        if box is not None:
+            _v, _fl, p = _full_box(data, box[0])
+            (cnt,) = _u32s(data, p, 1)
+            import struct
+
+            offsets = list(struct.unpack_from(f">{cnt}Q", data, p + 4))
+    # sample→chunk (stsc): runs of (first_chunk, samples_per_chunk, _)
+    runs = []
+    p = table(b"stsc")
+    if p is not None:
+        (cnt,) = _u32s(data, p, 1)
+        q = p + 4
+        for _ in range(cnt):
+            first, per, _desc = _u32s(data, q, 3)
+            runs.append((first, per))
+            q += 12
+    samples = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        per = 0
+        for first, n in runs:
+            if first <= ci:
+                per = n
+            else:
+                break
+        off = chunk_off
+        for _ in range(per):
+            if si >= len(sizes):
+                break
+            samples.append((
+                off,
+                sizes[si],
+                times[si] if si < len(times) else 0,
+                (si + 1 in sync) if sync is not None else True,
+            ))
+            off += sizes[si]
+            si += 1
+    t["n_samples"] = len(samples)
+    t["samples"] = samples
+    return t
+
+
+def mp4_keyframe_index(data: bytes) -> list:
+    """Keyframe index of the FIRST video track:
+    [(sample_idx, time_ms, offset, size)] — the container-level seek
+    index a frame sampler binds to (nearest preceding keyframe per
+    sample instant)."""
+    info = parse_mp4(data)
+    for trk in info["tracks"]:
+        if trk["handler"] == "vide" and trk["samples"]:
+            ts = trk["timescale"] or 1
+            return [
+                (i, round(t * 1000 / ts), off, size)
+                for i, (off, size, t, key) in enumerate(trk["samples"])
+                if key
+            ]
+    return []

@@ -6,9 +6,13 @@ The Spark-side plumbing — schema, partitioning, Pandas-UDF signatures,
 batch shapes — is real and tested.  Decode kernels are REAL for
 PPM/PGM, BMP, non-interlaced PNG, and JPEG (baseline AND progressive)
 images, RIFF WAV audio (PCM/float/G.711), and YUV4MPEG2 video —
-dependency-free numpy/stdlib codecs in ``codecs.py``.  The remaining
-compressed codecs (MP3/AAC audio, MP4/H.264 video) require media
-libraries NOT in this container and raise a clearly-marked
+dependency-free numpy/stdlib codecs in ``codecs.py``.  CONTAINER-level
+parsing is real for MP3 (MPEG frame walk, Xing/VBRI tags —
+codecs.parse_mp3) and MP4/ISO-BMFF (box walk, sample tables, stss
+keyframe index — codecs.parse_mp4): probe_media and the sample_frames
+MP4 path run on it.  The codec PAYLOADS those containers carry
+(Layer III PCM, H.264/HEVC pixels) require spec constant tables /
+media libraries NOT in this container and raise a clearly-marked
 ``NotImplementedError``.  Every kernel also keeps a deterministic fake
 (``fake=True``) that exercises the identical dataflow on synthetic
 payloads for tests/benchmarks.
@@ -163,8 +167,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     video container that needs no ffmpeg (codecs.parse_y4m_header /
     y4m_frames); each output row carries the raw planar bytes of the
     source frame nearest the sample instant (fps-aware), None past the
-    stream end.  Compressed containers (MP4/MKV/...) raise a documented
-    NotImplementedError naming ffmpeg.  ``fake=True`` keeps the
+    stream end.  **MP4/ISO-BMFF** samples at the container level
+    (codecs.mp4_keyframe_index): each row carries the coded access-unit
+    bytes of the nearest preceding keyframe — the seek target a real
+    decoder starts from; H.264/HEVC pixel decode is out of scope
+    (needs ffmpeg).  Other compressed containers (MKV/...) raise a
+    documented NotImplementedError.  ``fake=True`` keeps the
     deterministic digest decoder over the identical dataflow."""
     frames = media.select(
         "media_id",
@@ -200,37 +208,55 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
             for _mid, grp in pdf.groupby("media_id", sort=False):
                 payload = grp["payload"].iloc[0]
-                if payload is None:
-                    frames_by_src = {}
-                    hdr = None
-                else:
+                hdr = keyframes = None
+                if payload is not None:
                     data = bytes(payload)
-                    if not codecs.sniff_y4m(data):
+                    if codecs.sniff_y4m(data):
+                        hdr = codecs.parse_y4m_header(data)
+                        num, den = hdr["fps"]
+                        wanted = {
+                            int(ms) * num // (1000 * den)
+                            for ms in grp["frame_ms"]
+                        }
+                        frames_by_src = {
+                            i: b for i, b in codecs.y4m_frames(data)
+                            if i in wanted
+                        }
+                    elif codecs.sniff(data) == "mp4":
+                        # container-level sampling: the coded access-unit
+                        # bytes of the nearest PRECEDING keyframe (the
+                        # seek target a real decoder would start from);
+                        # H.264/HEVC pixel decode stays out of scope
+                        keyframes = codecs.mp4_keyframe_index(data)
+                    else:
                         raise NotImplementedError(
                             "compressed video decode requires ffmpeg — "
-                            "unavailable here (only YUV4MPEG2/y4m decodes "
-                            "natively)"
+                            "unavailable here (YUV4MPEG2/y4m decodes "
+                            "natively; MP4 samples at keyframe "
+                            "access-unit level)"
                         )
-                    hdr = codecs.parse_y4m_header(data)
-                    num, den = hdr["fps"]
-                    wanted = {
-                        int(ms) * num // (1000 * den)
-                        for ms in grp["frame_ms"]
-                    }
-                    frames_by_src = {
-                        i: b for i, b in codecs.y4m_frames(data) if i in wanted
-                    }
                 for _, r in grp.iterrows():
                     out["media_id"].append(r["media_id"])
                     out["frame_idx"].append(r["frame_idx"])
                     out["frame_ms"].append(r["frame_ms"])
-                    if hdr is None:
-                        out["frame"].append(None)
-                    else:
+                    if hdr is not None:
                         src = int(r["frame_ms"]) * hdr["fps"][0] // (
                             1000 * hdr["fps"][1]
                         )
                         out["frame"].append(frames_by_src.get(src))
+                    elif keyframes is not None:
+                        best = None
+                        for _i, t_ms, off, size in keyframes:
+                            if t_ms <= int(r["frame_ms"]):
+                                best = (off, size)
+                            else:
+                                break
+                        out["frame"].append(
+                            data[best[0] : best[0] + best[1]]
+                            if best is not None else None
+                        )
+                    else:
+                        out["frame"].append(None)
             yield pd.DataFrame(out)
 
     return frames.mapInPandas(run, schema=_FRAME_SCHEMA)
@@ -354,3 +380,130 @@ def extract_audio_features(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("bitrate", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("n_keyframes", T.LongType(), True),
+])
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Container-level media probe (the ffprobe analogue a corpus
+    triage pass needs BEFORE spending decode cycles): per payload —
+    format, dimensions, sample rate/channels/bitrate/duration, frame
+    and keyframe counts.  All header-walk only, no pixel/PCM decode:
+    MP3 via codecs.parse_mp3 (MPEG frame walk + Xing/VBRI), MP4 via
+    codecs.parse_mp4 (ISO-BMFF sample tables + stss keyframe index),
+    WAV/y4m/PNG/BMP/JPEG/PNM via their native headers.  Unknown
+    payloads yield format=None rather than raising — a probe must
+    never kill the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hbase_snapshot_spark.operators import codecs
+
+        cols = [f.name for f in _PROBE_SCHEMA.fields]
+
+        def probe(data):
+            row = dict.fromkeys(cols[1:])
+            if data is None:
+                return row
+            data = bytes(data)
+            if codecs.sniff_y4m(data):
+                hdr = codecs.parse_y4m_header(data)
+                n = codecs.y4m_frame_count(data)
+                num, den = hdr["fps"]
+                row.update(format="y4m", width=hdr["width"],
+                           height=hdr["height"],
+                           n_frames=n, n_keyframes=n,
+                           duration_ms=round(n * 1000 * den / num)
+                           if num else None)
+                return row
+            kind = codecs.sniff(data)
+            row["format"] = kind
+            if kind == "mp3":
+                m = codecs.parse_mp3(data)
+                row.update(format=f"mp3/{m['format']}-L{m['layer']}",
+                           sample_rate=m["sample_rate"],
+                           channels=m["channels"],
+                           duration_ms=m["duration_ms"],
+                           bitrate=m["bitrate_avg"],
+                           n_frames=m["n_frames"])
+            elif kind == "mp4":
+                m = codecs.parse_mp4(data)
+                row.update(duration_ms=m["duration_ms"])
+                for trk in m["tracks"]:
+                    if trk["handler"] == "vide":
+                        row.update(width=trk["width"], height=trk["height"],
+                                   n_frames=trk["n_samples"],
+                                   n_keyframes=sum(
+                                       1 for s in trk["samples"] if s[3]))
+                        break
+            elif kind == "wav":
+                rate, samples = codecs.decode_wav(data)
+                row.update(sample_rate=rate, channels=1,
+                           n_frames=len(samples),
+                           duration_ms=round(len(samples) * 1000 / rate)
+                           if rate else None)
+            elif kind == "png":
+                row.update(width=int.from_bytes(data[16:20], "big"),
+                           height=int.from_bytes(data[20:24], "big"))
+            elif kind == "bmp":
+                row.update(
+                    width=int.from_bytes(data[18:22], "little"),
+                    height=abs(int.from_bytes(data[22:26], "little",
+                                              signed=True)))
+            elif kind == "jpeg":
+                pos = 2
+                while pos + 4 <= len(data):
+                    if data[pos] != 0xFF:
+                        break
+                    while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+                        pos += 1
+                    marker = data[pos + 1]
+                    if marker == 0xD9:
+                        break
+                    if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                        pos += 2
+                        continue
+                    seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+                    if marker in (0xC0, 0xC1, 0xC2):
+                        row.update(
+                            height=int.from_bytes(
+                                data[pos + 5 : pos + 7], "big"),
+                            width=int.from_bytes(
+                                data[pos + 7 : pos + 9], "big"))
+                        break
+                    if marker == 0xDA:
+                        break
+                    pos += 2 + seg_len
+            elif kind == "pnm":
+                try:
+                    img = codecs.decode_pnm(data)
+                    row.update(width=img.shape[1], height=img.shape[0])
+                except Exception:  # noqa: BLE001
+                    pass
+            return row
+
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    r = probe(b)
+                except Exception:  # noqa: BLE001 — malformed payload
+                    r = dict.fromkeys(cols[1:])
+                    r["format"] = "corrupt"
+                for k in cols[1:]:
+                    rows[k].append(r[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=_PROBE_SCHEMA)

@@ -272,10 +272,17 @@ def test_sample_frames_real_y4m(spark):
 
 
 def test_sample_frames_compressed_raises(spark):
-    rows = [(0, "video", bytearray(b"\x00\x00\x00 ftypisom fake-mp4"),
-             ("video/mp4", 0, 0, 0, 1000))]
+    # an MKV/EBML payload is neither y4m nor ISO-BMFF → names ffmpeg
+    rows = [(0, "video", bytearray(b"\x1a\x45\xdf\xa3 fake-matroska"),
+             ("video/x-matroska", 0, 0, 0, 1000))]
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_frames(media, every_ms=500, fake=False).collect()
+    # a truncated MP4 (no moov) takes the container path and says why
+    rows = [(0, "video", bytearray(b"\x00\x00\x00\x14ftypisom fake-mp4"),
+             ("video/mp4", 0, 0, 0, 1000))]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="moov"):
         multimodal.sample_frames(media, every_ms=500, fake=False).collect()
 
 
@@ -878,3 +885,227 @@ def test_decode_images_real_progressive_and_adam7(spark):
     assert out[0].mean_intensity == float(want)
     assert out[1].width == 21 and out[1].height == 13
     assert out[1].mean_intensity == round(float(img.mean()), 4)
+
+
+# ----------------------------------------- MPEG audio (MP3) frame walk
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, padding=0, mode=3, fill=0x00):
+    """A valid MPEG-1 Layer III frame built bit-by-bit: header per
+    ISO 11172-3 2.4.1.3, body filled with ``fill`` bytes.  bitrate_idx
+    9 @ sr_idx 0 = 128 kbps / 44100 Hz → 417+padding bytes."""
+    b0 = 0xFF
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG-1, Layer III, no CRC
+    b2 = (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = mode << 6
+    bitrate = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+               224, 256, 320][bitrate_idx] * 1000
+    rate = [44100, 48000, 32000][sr_idx]
+    size = 144 * bitrate // rate + padding
+    return bytes([b0, b1, b2, b3]) + bytes([fill]) * (size - 4)
+
+
+def test_mp3_parse_cbr():
+    data = b"".join(_mp3_frame() for _ in range(5))
+    m = codecs.parse_mp3(data)
+    assert m["format"] == "MPEG-1" and m["layer"] == 3
+    assert m["sample_rate"] == 44100 and m["channels"] == 1
+    assert m["n_frames"] == 5 and not m["vbr"]
+    # 5 frames x 1152 samples @ 44100 Hz
+    assert m["duration_ms"] == round(5 * 1152 * 1000 / 44100)
+    assert m["bitrate_avg"] == pytest.approx(128_000, rel=0.01)
+    # frame index carries exact offsets/sizes
+    assert m["frames"][0] == (0, 417, 1152)
+    assert m["frames"][1][0] == 417
+
+
+def test_mp3_parse_id3_garbage_padding_vbr():
+    # ID3v2 prefix (syncsafe size 100), garbage between frames, mixed
+    # bitrates (VBR), a padded frame
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    frames = [_mp3_frame(bitrate_idx=9), _mp3_frame(bitrate_idx=11),
+              _mp3_frame(bitrate_idx=9, padding=1)]
+    data = id3 + frames[0] + b"\x01\x02\x03" + frames[1] + frames[2]
+    m = codecs.parse_mp3(data)
+    assert m["n_frames"] == 3 and m["vbr"]
+    assert m["frames"][0][0] == 110  # ID3 skipped exactly
+    assert m["frames"][2][1] == 418  # padding byte counted
+
+    # Xing tag in frame 0 (mono MPEG-1: side info 17 bytes) marks VBR
+    # even when later bitrates agree, and the tag frame carries no audio
+    f0 = bytearray(_mp3_frame())
+    off = 4 + 17
+    f0[off : off + 8] = b"Xing" + (1).to_bytes(4, "big")
+    f0[off + 8 : off + 12] = (2).to_bytes(4, "big")  # frame count
+    m = codecs.parse_mp3(bytes(f0) + _mp3_frame() + _mp3_frame())
+    assert m["vbr"] and m["n_frames"] == 2
+
+
+def test_mp3_mpeg2_and_layer2():
+    # MPEG-2 Layer III: 576 samples/frame, its own bitrate table
+    b1 = 0xE0 | (2 << 3) | (1 << 1) | 1
+    hdr = bytes([0xFF, b1, (4 << 4) | (1 << 2), 3 << 6])  # 32k/24000
+    size = 72 * 32000 // 24000
+    m = codecs.parse_mp3(hdr + b"\x00" * (size - 4))
+    assert m["format"] == "MPEG-2" and m["sample_rate"] == 24000
+    assert m["frames"][0] == (0, size, 576)
+
+    with pytest.raises(NotImplementedError):
+        codecs.decode_mp3(_mp3_frame())
+    with pytest.raises(ValueError):
+        codecs.parse_mp3(b"\x00" * 64)
+
+
+def test_mp3_sniff():
+    assert codecs.sniff(_mp3_frame()) == "mp3"
+    assert codecs.sniff(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 8) == "mp3"
+
+
+# ------------------------------------------------------- MP4 / ISO-BMFF
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def _make_mp4(sample_sizes, keyframes, deltas=100, timescale=1000,
+              w=64, h=48, chunk_split=2):
+    """Minimal ISO-BMFF file built box-by-box: one video track whose
+    samples live in mdat split across two chunks.  ``keyframes`` are
+    1-based sample numbers for stss."""
+    n = len(sample_sizes)
+    mdat_payload = b"".join(
+        bytes([i + 1]) * s for i, s in enumerate(sample_sizes))
+    # layout: ftyp + moov + mdat; chunk offsets point into mdat body
+    stts = _full(b"stts", 0, 0, (1).to_bytes(4, "big")
+                 + n.to_bytes(4, "big") + deltas.to_bytes(4, "big"))
+    stss = _full(b"stss", 0, 0, len(keyframes).to_bytes(4, "big")
+                 + b"".join(k.to_bytes(4, "big") for k in keyframes))
+    stsz = _full(b"stsz", 0, 0, (0).to_bytes(4, "big")
+                 + n.to_bytes(4, "big")
+                 + b"".join(s.to_bytes(4, "big") for s in sample_sizes))
+    # two chunks: first chunk_split samples, then the rest
+    stsc = _full(b"stsc", 0, 0, (2).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + chunk_split.to_bytes(4, "big")
+                 + (1).to_bytes(4, "big")
+                 + (2).to_bytes(4, "big")
+                 + (n - chunk_split).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big"))
+    stsd = _full(b"stsd", 0, 0, (1).to_bytes(4, "big")
+                 + _box(b"avc1", b"\x00" * 78))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdhd = _full(b"mdhd", 0, 0, (0).to_bytes(8, "big")
+                 + timescale.to_bytes(4, "big")
+                 + (n * deltas).to_bytes(4, "big") + b"\x55\xc4\x00\x00")
+    tkhd_body = ((0).to_bytes(8, "big") + (1).to_bytes(4, "big")
+                 + b"\x00" * 4 + (n * deltas).to_bytes(4, "big")
+                 + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+                 + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+    tkhd = _full(b"tkhd", 0, 7, tkhd_body)
+    mvhd = _full(b"mvhd", 0, 0, (0).to_bytes(8, "big")
+                 + timescale.to_bytes(4, "big")
+                 + (n * deltas).to_bytes(4, "big") + b"\x00" * 80)
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomavc1")
+
+    # compute chunk offsets: mdat body starts after ftyp+moov+8
+    def build(stco_offsets):
+        stco = _full(b"stco", 0, 0,
+                     (len(stco_offsets)).to_bytes(4, "big")
+                     + b"".join(o.to_bytes(4, "big") for o in stco_offsets))
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        moov = _box(b"moov", mvhd + trak)
+        return ftyp + moov + _box(b"mdat", mdat_payload)
+
+    probe = build([0, 0])
+    mdat_body = len(probe) - len(mdat_payload)
+    chunk2 = mdat_body + sum(sample_sizes[:chunk_split])
+    return build([mdat_body, chunk2])
+
+
+def test_mp4_parse_and_keyframe_index():
+    sizes = [10, 20, 30, 40, 50]
+    data = _make_mp4(sizes, keyframes=[1, 4], deltas=100)
+    assert codecs.sniff(data) == "mp4"
+    info = codecs.parse_mp4(data)
+    assert info["brand"] == "isom"
+    assert info["duration_ms"] == 500
+    (trk,) = info["tracks"]
+    assert trk["handler"] == "vide" and trk["codec"] == "avc1"
+    assert (trk["width"], trk["height"]) == (64, 48)
+    assert trk["n_samples"] == 5
+    # per-sample decode times + keyframe flags
+    assert [s[2] for s in trk["samples"]] == [0, 100, 200, 300, 400]
+    assert [s[3] for s in trk["samples"]] == [True, False, False, True, False]
+    # offsets resolve to the right mdat bytes (sample i filled with i+1)
+    for i, (off, size, _t, _k) in enumerate(trk["samples"]):
+        assert data[off : off + size] == bytes([i + 1]) * size
+
+    kf = codecs.mp4_keyframe_index(data)
+    assert [(i, t) for (i, t, _o, _s) in kf] == [(0, 0), (3, 300)]
+    # keyframe bytes are the coded sample payloads
+    i0, t0, o0, s0 = kf[0]
+    assert data[o0 : o0 + s0] == b"\x01" * 10
+
+
+def test_mp4_errors():
+    with pytest.raises(ValueError):
+        codecs.parse_mp4(b"\x00" * 32)
+    # moof-only (fragmented) names the limitation
+    frag = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(b"moof", b"")
+    with pytest.raises(NotImplementedError):
+        codecs.parse_mp4(frag)
+
+
+def test_probe_media_real(spark):
+    """probe_media over mixed payloads: mp3/mp4/wav/png/y4m/corrupt."""
+    payloads = [
+        b"".join(_mp3_frame() for _ in range(3)),
+        _make_mp4([10, 20, 30], keyframes=[1, 3]),
+        make_wav(np.arange(800, dtype=np.int32), rate=8000, bits=16),
+        codecs.encode_png(RGB),
+        make_y4m(4),
+        # sniffs as mp3 (ID3 magic) but holds no MPEG frame → corrupt
+        b"ID3\x04\x00\x00\x00\x00\x00\x04" + b"\x00" * 12,
+    ]
+    media = _media_df(spark, payloads, kind="mixed")
+    out = {r.media_id: r for r in
+           multimodal.probe_media(media).collect()}
+    assert out[0].format == "mp3/MPEG-1-L3"
+    assert out[0].sample_rate == 44100 and out[0].n_frames == 3
+    assert out[1].format == "mp4"
+    assert (out[1].width, out[1].height) == (64, 48)
+    assert out[1].n_frames == 3 and out[1].n_keyframes == 2
+    assert out[2].format == "wav" and out[2].sample_rate == 8000
+    assert out[2].duration_ms == 100
+    assert out[3].format == "png"
+    assert (out[3].width, out[3].height) == (3, 2)
+    assert out[4].format == "y4m" and out[4].n_frames == 4
+    assert out[5].format == "corrupt"
+
+
+def test_sample_frames_mp4_keyframes(spark):
+    """sample_frames over an MP4: each sampled instant yields the coded
+    access-unit bytes of the nearest preceding keyframe."""
+    sizes = [10, 20, 30, 40, 50]
+    data = _make_mp4(sizes, keyframes=[1, 4], deltas=100)  # 500ms video
+    rows = [(0, "video", bytearray(data),
+             ("video/mp4", 64, 48, 0, 500))]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.sample_frames(media, every_ms=100, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(out) == 5
+    # keyframes at t=0 (sample 1, 10 bytes of 0x01) and t=300 (sample 4,
+    # 40 bytes of 0x04)
+    assert bytes(out[0].frame) == b"\x01" * 10
+    assert bytes(out[2].frame) == b"\x01" * 10   # t=200 → still kf@0
+    assert bytes(out[3].frame) == b"\x04" * 40   # t=300 → kf@300
+    assert bytes(out[4].frame) == b"\x04" * 40

@@ -498,11 +498,31 @@ class WhileMatchFilter(Filter):
 
             return Compiled(stream_transform=cut, row_cut=True)
         if inner_c.row_keep is not None:
-            # WhileMatch(PageFilter(n)) — the PerformanceEvaluation
-            # filterScan shape (:805-808): page limit already yields the
-            # first N rows globally; WhileMatch adds early termination,
-            # which Spark's limit already performs.
-            return Compiled(row_keep=inner_c.row_keep)
+            # row-level inner (SCVF, PageFilter, ...): the reference's
+            # WhileMatch.filterRow flips filterAllRemaining at the FIRST
+            # row the inner filter rejects — everything from that row on
+            # is cut, kept or not (TestFilter.
+            # testWhileMatchFilterWithFilterKeyValue: the first row
+            # fails the SCVF, so the whole scan yields nothing).  For
+            # PageFilter(n) the first rejected row is row n+1, so this
+            # reduces to the page itself.
+            keep = inner_c.row_keep
+
+            def keep_while(stream: DataFrame) -> DataFrame:
+                kept = keep(stream)
+                first_bad = (
+                    stream.select("row").distinct()
+                    .join(kept, on="row", how="left_anti")
+                    .agg(F.min("row").alias("_stop"))
+                )
+                return (
+                    kept.crossJoin(F.broadcast(first_bad))
+                    .filter(F.col("_stop").isNull()
+                            | (F.col("row") < F.col("_stop")))
+                    .select("row")
+                )
+
+            return Compiled(row_keep=keep_while, row_cut=True)
         raise ValueError("WhileMatchFilter: unsupported inner filter")
 
 

@@ -105,6 +105,18 @@ def encode_datum(buf: bytearray, spec, v) -> None:
             idx = next(i for i, b in enumerate(branches) if b[0] != "null")
         write_long(buf, idx)
         encode_datum(buf, branches[idx], v)
+    elif k == "fixed":
+        b = bytes(v or b"\x00" * spec[1])
+        assert len(b) == spec[1], f"fixed({spec[1]}) got {len(b)} bytes"
+        buf += b
+    elif k == "map":
+        items = list((v or {}).items())
+        if items:
+            write_long(buf, len(items))
+            for mk, mv in items:
+                encode_datum(buf, ("string",), mk)
+                encode_datum(buf, spec[1], mv)
+        write_long(buf, 0)
     else:
         raise ValueError(f"unknown spec {spec}")
 
@@ -148,6 +160,20 @@ def decode_datum(data: bytes, pos: int, spec):
     if k == "union":
         i, pos = read_long(data, pos)
         return decode_datum(data, pos, spec[1][i])
+    if k == "fixed":
+        return bytes(data[pos : pos + spec[1]]), pos + spec[1]
+    if k == "map":
+        out = {}
+        while True:
+            n, pos = read_long(data, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # block with byte-size prefix
+                _, pos = read_long(data, pos)
+                n = -n
+            for _ in range(n):
+                mk, pos = decode_datum(data, pos, ("string",))
+                out[mk], pos = decode_datum(data, pos, spec[1])
     raise ValueError(f"unknown spec {spec}")
 
 
@@ -217,6 +243,27 @@ ATABLEDESCRIPTOR = ("record", [
     ("readOnly", _u(("boolean",), _NULL)),
     ("deferredLogFlush", _u(("boolean",), _NULL)),
 ])
+ASERVERADDRESS = ("record", [
+    ("hostname", ("string",)), ("inetSocketAddress", ("string",)),
+    ("port", ("int",)),
+])
+AREGIONLOAD = ("record", [
+    ("memStoreSizeMB", ("int",)), ("name", ("bytes",)),
+    ("storefileIndexSizeMB", ("int",)), ("storefiles", ("int",)),
+    ("storefileSizeMB", ("int",)), ("stores", ("int",)),
+])
+ASERVERLOAD = ("record", [
+    ("load", ("int",)), ("maxHeapMB", ("int",)),
+    ("memStoreSizeInMB", ("int",)), ("numberOfRegions", ("int",)),
+    ("numberOfRequests", ("int",)), ("regionsLoad", ("array", AREGIONLOAD)),
+    ("storefileIndexSizeInMB", ("int",)), ("storefiles", ("int",)),
+    ("storefileSizeInMB", ("int",)), ("usedHeapMB", ("int",)),
+])
+ASERVERINFO = ("record", [
+    ("infoPort", ("int",)), ("load", ASERVERLOAD),
+    ("serverAddress", ASERVERADDRESS), ("serverName", ("string",)),
+    ("startCode", ("long",)),
+])
 ACLUSTERSTATUS = ("record", [
     ("averageLoad", ("double",)),
     ("deadServerNames", ("array", ("string",))),
@@ -224,7 +271,7 @@ ACLUSTERSTATUS = ("record", [
     ("hbaseVersion", ("string",)),
     ("regionsCount", ("int",)),
     ("requestsCount", ("int",)),
-    ("serverInfos", ("array", ("record", []))),
+    ("serverInfos", ("array", ASERVERINFO)),
     ("servers", ("int",)),
 ])
 _ERR = ("record", [("message", ("string",))])
@@ -281,6 +328,183 @@ METHODS: dict = {
 _META = ("record", [])  # request/response metadata: empty map on the wire
 
 
+# ------------------------------------------------------ protocol JSON + hash
+# The server's protocol text, emitted from the SAME spec tuples the
+# codec encodes with — so the schema a client resolves against is by
+# construction the schema these bytes follow.  Record/enum names
+# transcribe hbase.genavro so a stock client's named-type resolution
+# lines up.
+
+_TYPE_NAMES = [
+    (ASERVERADDRESS, "AServerAddress"), (AREGIONLOAD, "ARegionLoad"),
+    (ASERVERLOAD, "AServerLoad"), (ASERVERINFO, "AServerInfo"),
+    (ACLUSTERSTATUS, "AClusterStatus"),
+    (ACOMPRESSION, "ACompressionAlgorithm"),
+    (AFAMILYDESCRIPTOR, "AFamilyDescriptor"),
+    (ATABLEDESCRIPTOR, "ATableDescriptor"),
+    (ACOLUMN, "AColumn"), (ATIMERANGE, "ATimeRange"), (AGET, "AGet"),
+    (ARESULTENTRY, "AResultEntry"), (ARESULT, "AResult"),
+    (ACOLUMNVALUE, "AColumnValue"), (APUT, "APut"), (ADELETE, "ADelete"),
+    (ASCAN, "AScan"),
+]
+_ERROR_NAMES = ["AIOError", "AIllegalArgument", "ATableExists",
+                "AMasterNotRunning"]
+
+
+def _spec_json(spec, defined: set):
+    name = next((n for s, n in _TYPE_NAMES if s is spec), None)
+    if name is not None:
+        if name in defined:
+            return name
+        defined.add(name)
+        if spec[0] == "enum":
+            return {"type": "enum", "name": name, "symbols": spec[1]}
+        return {
+            "type": "record", "name": name,
+            "fields": [{"name": f, "type": _spec_json(fs, defined)}
+                       for f, fs in spec[1]],
+        }
+    k = spec[0]
+    if k in ("null", "boolean", "int", "long", "double", "bytes", "string"):
+        return k
+    if k == "array":
+        return {"type": "array", "items": _spec_json(spec[1], defined)}
+    if k == "union":
+        return [_spec_json(b, defined) for b in spec[1]]
+    if k == "map":
+        return {"type": "map", "values": _spec_json(spec[1], defined)}
+    raise ValueError(f"cannot emit JSON for spec {spec}")
+
+
+def protocol_json() -> str:
+    """The canonical Avro protocol text this server speaks (the
+    ``serverProtocol`` of the handshake).  Deterministic: same spec
+    tuples → same text → same MD5."""
+    import json
+
+    defined: set = set()
+    types = [_spec_json(s, defined) for s, _n in _TYPE_NAMES]
+    types += [
+        {"type": "error", "name": n,
+         "fields": [{"name": "message", "type": "string"}]}
+        for n in _ERROR_NAMES
+    ]
+    messages = {}
+    for mname, (params, res, errors) in METHODS.items():
+        msg = {
+            "request": [{"name": p, "type": _spec_json(ps, defined)}
+                        for p, ps in params],
+            "response": "null" if res == _NULL else _spec_json(res, defined),
+        }
+        if errors:
+            msg["errors"] = list(errors)
+        messages[mname] = msg
+    return json.dumps({
+        "protocol": "HBase",
+        "namespace": "org.apache.hadoop.hbase.avro.generated",
+        "types": types,
+        "messages": messages,
+    }, separators=(",", ":"))
+
+
+def _md5(text: str) -> bytes:
+    import hashlib
+
+    return hashlib.md5(text.encode()).digest()
+
+
+PROTOCOL_JSON = protocol_json()
+SERVER_HASH = _md5(PROTOCOL_JSON)
+
+
+# -------------------------------------------------------------- handshake
+# org.apache.avro.ipc HandshakeRequest/HandshakeResponse (Avro spec
+# "Handshake"): over a STATELESS transport (the reference AvroServer
+# runs on Avro's HttpServer) every request is prefixed with a
+# handshake request and every response with a handshake response.
+
+HANDSHAKE_REQUEST = ("record", [
+    ("clientHash", ("fixed", 16)),
+    ("clientProtocol", _u(_NULL, ("string",))),
+    ("serverHash", ("fixed", 16)),
+    ("meta", _u(_NULL, ("map", ("bytes",)))),
+])
+HANDSHAKE_RESPONSE = ("record", [
+    ("match", ("enum", ["BOTH", "CLIENT", "NONE"])),
+    ("serverProtocol", _u(_NULL, ("string",))),
+    ("serverHash", _u(_NULL, ("fixed", 16))),
+    ("meta", _u(_NULL, ("map", ("bytes",)))),
+])
+
+
+class HandshakeServer:
+    """Server-side handshake state: client protocol hashes accepted so
+    far (the reference caches them the same way, Responder.protocols).
+
+    match rules (spec): the server knows the client's protocol (by hash
+    or because the request carries the text) → BOTH when the client's
+    idea of the server hash is current, else CLIENT (response carries
+    serverProtocol + serverHash).  Unknown client hash and no protocol
+    text → NONE: the call is NOT processed, the client must re-submit
+    with ``clientProtocol`` set."""
+
+    def __init__(self):
+        self._known: set = set()
+
+    def respond(self, request: bytes) -> tuple[dict, int, bool]:
+        """→ (handshake_response, call_start_pos, proceed)"""
+        req, pos = decode_datum(request, 0, HANDSHAKE_REQUEST)
+        client_hash = req["clientHash"]
+        if req["clientProtocol"] is not None:
+            self._known.add(_md5(req["clientProtocol"]))
+            self._known.add(client_hash)
+        knows_client = (client_hash == SERVER_HASH
+                        or client_hash in self._known)
+        if not knows_client:
+            match = "NONE"
+        elif req["serverHash"] == SERVER_HASH:
+            match = "BOTH"
+        else:
+            match = "CLIENT"
+        resp = {
+            "match": match,
+            "serverProtocol": None if match == "BOTH" else PROTOCOL_JSON,
+            "serverHash": None if match == "BOTH" else SERVER_HASH,
+            "meta": None,
+        }
+        return resp, pos, match != "NONE"
+
+
+def encode_http_request(
+    name: str, params: dict, *,
+    client_hash: bytes | None = None,
+    client_protocol: str | None = None,
+    server_hash: bytes | None = None,
+) -> bytes:
+    """Client side of the stateless transport: handshake request +
+    framed call.  Defaults assume the client speaks this module's
+    protocol and knows the server hash (the warm path)."""
+    buf = bytearray()
+    encode_datum(buf, HANDSHAKE_REQUEST, {
+        "clientHash": client_hash if client_hash is not None else SERVER_HASH,
+        "clientProtocol": client_protocol,
+        "serverHash": server_hash if server_hash is not None else SERVER_HASH,
+        "meta": None,
+    })
+    buf += encode_call(name, params)
+    return bytes(buf)
+
+
+def decode_http_response(name: str, body: bytes):
+    """→ (handshake_response, result | None).  result is None when
+    match=NONE (re-submit with ``client_protocol`` set); errors raise
+    exactly like :func:`decode_response`."""
+    hs, pos = decode_datum(body, 0, HANDSHAKE_RESPONSE)
+    if hs["match"] == "NONE":
+        return hs, None
+    return hs, decode_response(name, body[pos:])
+
+
 def _write_meta(buf: bytearray) -> None:
     write_long(buf, 0)  # empty map<bytes>
 
@@ -334,13 +558,18 @@ def decode_response(name: str, data: bytes):
 
 def serve_avro(store, port: int = 0):
     """HTTP transport for the framed avro calls — the reference
-    AvroServer runs over Avro's HttpServer (AvroServer.java main):
-    POST / with the framed request body returns the framed response.
+    AvroServer runs over Avro's HttpServer (AvroServer.java main), a
+    STATELESS transport: every POST body carries a handshake request
+    before the framed call, every response a handshake response before
+    the framed result (Avro spec "Handshake").  A stock client
+    connecting cold (unknown hash, no protocol text) gets match=NONE
+    plus this server's protocol text and re-submits.
     Returns (server, port)."""
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     dispatcher = AvroBinaryDispatcher(api.AvroServer(store))
+    handshakes = HandshakeServer()
 
     class H(BaseHTTPRequestHandler):
         def log_message(self, *args):
@@ -348,7 +577,13 @@ def serve_avro(store, port: int = 0):
 
         def do_POST(self):  # noqa: N802
             n = int(self.headers.get("Content-Length", 0))
-            body = dispatcher.handle(self.rfile.read(n))
+            request = self.rfile.read(n)
+            hs, pos, proceed = handshakes.respond(request)
+            body = bytearray()
+            encode_datum(body, HANDSHAKE_RESPONSE, hs)
+            if proceed:
+                body += dispatcher.handle(request[pos:])
+            body = bytes(body)
             self.send_response(200)
             self.send_header("Content-Type", "avro/binary")
             self.send_header("Content-Length", str(len(body)))

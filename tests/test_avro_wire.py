@@ -171,17 +171,99 @@ def test_http_transport(spark, tmp_path):
     server.put("t", APut(row="r1", columnValues=[
         AColumnValue(family="f", qualifier="q", value="v1", timestamp=100)]))
     srv, port = aw.serve_avro(store)
-    try:
+
+    def post(data):
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/", method="POST",
-            data=aw.encode_call("get", {"table": b"t", "get": {
-                "row": b"r1", "columns": None, "timestamp": None,
-                "timerange": None, "maxVersions": None}}),
+            f"http://127.0.0.1:{port}/", method="POST", data=data,
             headers={"Content-Type": "avro/binary"},
         )
         with urllib.request.urlopen(req) as resp:
-            body = resp.read()
-        res = aw.decode_response("get", body)
+            return resp.read()
+
+    get_params = {"table": b"t", "get": {
+        "row": b"r1", "columns": None, "timestamp": None,
+        "timerange": None, "maxVersions": None}}
+    try:
+        # warm path: client speaks this protocol and knows the server
+        # hash → match=BOTH, no protocol text echoed
+        hs, res = aw.decode_http_response(
+            "get", post(aw.encode_http_request("get", get_params)))
+        assert hs["match"] == "BOTH" and hs["serverProtocol"] is None
+        assert res["entries"][0]["value"] == b"v1"
+
+        # cold stock-client path (Avro spec "Handshake"): unknown
+        # client hash, no protocol text → match=NONE, no result, the
+        # server supplies its protocol text + hash
+        hs, res = aw.decode_http_response("get", post(
+            aw.encode_http_request(
+                "get", get_params,
+                client_hash=b"\x00" * 16, server_hash=b"\x00" * 16)))
+        assert hs["match"] == "NONE" and res is None
+        assert hs["serverProtocol"] == aw.PROTOCOL_JSON
+        assert hs["serverHash"] == aw.SERVER_HASH
+
+        # re-submit WITH the client protocol text (a structurally
+        # equal protocol whose text hashes differently) but still a
+        # STALE server hash → CLIENT (call runs, server protocol
+        # echoed so the client can refresh), and the hash is cached
+        client_proto = aw.PROTOCOL_JSON + " "
+        client_hash = __import__("hashlib").md5(
+            client_proto.encode()).digest()
+        hs, res = aw.decode_http_response("get", post(
+            aw.encode_http_request(
+                "get", get_params, client_hash=client_hash,
+                client_protocol=client_proto,
+                server_hash=b"\x00" * 16)))
+        assert hs["match"] == "CLIENT"
+        assert hs["serverHash"] == aw.SERVER_HASH
+        assert res["entries"][0]["value"] == b"v1"
+
+        # ...so the NEXT request can go hash-only → BOTH
+        hs, res = aw.decode_http_response("get", post(
+            aw.encode_http_request(
+                "get", get_params, client_hash=client_hash,
+                server_hash=aw.SERVER_HASH)))
+        assert hs["match"] == "BOTH"
         assert res["entries"][0]["value"] == b"v1"
     finally:
         srv.shutdown()
+
+
+def test_protocol_json_shape():
+    """The emitted protocol text is valid JSON naming every message and
+    the genavro record/error types, and its hash is stable."""
+    import json
+
+    p = json.loads(aw.PROTOCOL_JSON)
+    assert p["protocol"] == "HBase"
+    assert p["namespace"] == "org.apache.hadoop.hbase.avro.generated"
+    assert set(p["messages"]) == set(aw.METHODS)
+    type_names = {t["name"] for t in p["types"]}
+    assert {"AResult", "AGet", "APut", "ADelete", "AScan",
+            "ATableDescriptor", "AFamilyDescriptor", "AClusterStatus",
+            "AServerInfo", "ACompressionAlgorithm", "AIOError",
+            "AIllegalArgument", "ATableExists",
+            "AMasterNotRunning"} <= type_names
+    # createTable declares the full error set (hbase.genavro:247)
+    assert p["messages"]["createTable"]["errors"] == [
+        "AIOError", "AIllegalArgument", "ATableExists", "AMasterNotRunning"]
+    assert aw.SERVER_HASH == __import__("hashlib").md5(
+        aw.PROTOCOL_JSON.encode()).digest()
+    assert aw.protocol_json() == aw.PROTOCOL_JSON  # deterministic
+
+
+def test_handshake_map_fixed_codec_roundtrip():
+    """fixed(16) and map<bytes> datum round-trips (handshake schema)."""
+    buf = bytearray()
+    aw.encode_datum(buf, aw.HANDSHAKE_REQUEST, {
+        "clientHash": b"\x01" * 16,
+        "clientProtocol": "proto-text",
+        "serverHash": b"\x02" * 16,
+        "meta": {"k1": b"v1", "k2": b"v2"},
+    })
+    out, pos = aw.decode_datum(bytes(buf), 0, aw.HANDSHAKE_REQUEST)
+    assert pos == len(buf)
+    assert out["clientHash"] == b"\x01" * 16
+    assert out["clientProtocol"] == "proto-text"
+    assert out["serverHash"] == b"\x02" * 16
+    assert out["meta"] == {"k1": b"v1", "k2": b"v2"}

@@ -135,9 +135,18 @@ class TableStore:
 
     def create_table(self, descriptor: TableDescriptor, binary: bool = False) -> "StoredTable":
         # HTableDescriptor.isLegalTableName / HColumnDescriptor ctor
-        # reject null/empty names (TestFromClientSide.testNull:923-936)
+        # reject null/empty names (TestFromClientSide.testNull:923-936);
+        # names may contain '-' and '.' but not START with them (that
+        # namespace is -ROOT-/.META./.snapshot's — HBASE-771,
+        # TestAdmin.testTableNames:510)
         if not descriptor.name or not isinstance(descriptor.name, str):
             raise ValueError("table name must be a non-empty string")
+        import re as _re
+
+        if descriptor.name[0] in ".-" or not _re.fullmatch(
+            r"[a-zA-Z0-9_.-]+", descriptor.name
+        ):
+            raise ValueError(f"Illegal table name {descriptor.name!r}")
         if not descriptor.families or any(
             not f.name for f in descriptor.families.values()
         ):
@@ -187,6 +196,106 @@ class TableStore:
         if not os.path.isfile(os.path.join(self._dir(name), "HEAD.json")):
             raise TableNotFoundError(name)
         return StoredTable(self, name)
+
+    # ------------------------------------------- store-level snapshots
+    # The fork keeps snapshots under {rootdir}/.snapshot/{name}
+    # (SnapshotDescriptor.java:36, HConstants.SNAPSHOT_DIR) — CLUSTER
+    # scope, so a snapshot survives its table's deletion and
+    # admin.restoreSnapshot recreates the dropped table
+    # (TestAdmin.testRestoreSnapshot:619).  The table-level snapshots
+    # (StoredTable.snapshot) stay the zero-copy in-place form; this
+    # layer hard-links the immutable segment files into the store
+    # registry (copy fallback across filesystems), so it costs inode
+    # metadata, not data bytes — the same economics as the reference's
+    # reference-file archive.
+
+    def _snap_base(self) -> str:
+        return os.path.join(self.base_path, SNAPSHOT_DIR)
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    def snapshot(self, snapshot_name: str, table_name: str) -> None:
+        """HBaseAdmin.snapshot:899 at store scope: freeze the table's
+        current manifest + hard-link its segments under
+        {base}/.snapshot/{snapshot_name}."""
+        sd = os.path.join(self._snap_base(), snapshot_name)
+        if os.path.exists(sd):
+            raise TableExistsError(f"snapshot {snapshot_name}")
+        t = self.table(table_name)
+        m = t.manifest()
+        os.makedirs(os.path.join(sd, "segments"))
+        for seg in m["segments"]:
+            self._link_tree(
+                os.path.join(t.dir, "segments", seg),
+                os.path.join(sd, "segments", seg),
+            )
+        info = dict(m)
+        info["snapshot_name"] = snapshot_name
+        info["snapshot_table"] = table_name
+        info["creation_time"] = int(time.time() * 1000)
+        _write_json(os.path.join(sd, "snapshotinfo.json"), info)
+
+    def list_snapshots(self) -> list[str]:
+        base = self._snap_base()
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            n for n in os.listdir(base)
+            if os.path.isfile(os.path.join(base, n, "snapshotinfo.json"))
+        )
+
+    def snapshot_descriptor(self, snapshot_name: str) -> dict:
+        """SnapshotDescriptor surface: name, table, creationTime +
+        the frozen manifest."""
+        return _read_json(
+            os.path.join(self._snap_base(), snapshot_name, "snapshotinfo.json")
+        )
+
+    def restore_snapshot(self, snapshot_name: str) -> "StoredTable":
+        """HBaseAdmin.restoreSnapshot at store scope: recreate the
+        (deleted) table from the frozen manifest — segments hard-linked
+        back, so restore is metadata-speed.  The table must not exist
+        (delete it first, like the reference's disable+delete flow)."""
+        info = self.snapshot_descriptor(snapshot_name)
+        name = info["snapshot_table"]
+        if os.path.isdir(self._dir(name)):
+            raise TableExistsError(name)
+        sd = os.path.join(self._snap_base(), snapshot_name)
+        d = self._dir(name)
+        os.makedirs(os.path.join(d, "manifests"))
+        os.makedirs(os.path.join(d, "segments"))
+        for seg in info["segments"]:
+            self._link_tree(
+                os.path.join(sd, "segments", seg),
+                os.path.join(d, "segments", seg),
+            )
+        manifest = {
+            "version": 1,
+            "descriptor": info["descriptor"],
+            "segments": list(info["segments"]),
+            "commit_seq": info["commit_seq"],
+            "binary": info["binary"],
+        }
+        _write_json(os.path.join(d, "manifests", "v1.json"), manifest)
+        _write_json(os.path.join(d, "HEAD.json"), {"version": 1})
+        return StoredTable(self, name)
+
+    def delete_snapshot(self, snapshot_name: str) -> None:
+        sd = os.path.join(self._snap_base(), snapshot_name)
+        if not os.path.isdir(sd):
+            raise TableNotFoundError(f"snapshot {snapshot_name}")
+        shutil.rmtree(sd)
 
 
 def _write_json(path: str, obj) -> None:

@@ -18,10 +18,13 @@ Commands (reference analogue in parens):
   scan <base> <table> [--limit N] [--start R] [--stop R]  (shell scan)
   count <base> <table>                                    (shell count / RowCounter)
   truncate <base> <table>                                 (shell truncate)
-  snapshot <base> <table> <name>                          (HBaseAdmin.snapshot)
-  list_snapshots <base> <table>
-  restore_snapshot <base> <table> <name>
-  delete_snapshot <base> <table> <name>
+  snapshot <base> <table> <name> [--store]                (HBaseAdmin.snapshot;
+                                  --store = cluster-scope registry that
+                                  survives table deletion)
+  list_snapshots <base> [table]
+  restore_snapshot <base> <name>          (store scope: recreates a dropped table)
+  restore_snapshot <base> <table> <name>  (table scope: in-place rollback)
+  delete_snapshot <base> [table] <name>
   compact <base> <table> [--major]                        (shell major_compact)
   importtsv <base> <table> <tsv> <colspec,...>            (Driver importtsv)
   export <base> <table> <out_dir> [--versions N]          (Driver export)
@@ -237,16 +240,31 @@ def main(argv: list[str] | None = None) -> int:
         st.create_table(desc)
         print("truncated")
     elif cmd == "snapshot":
-        store(args[0]).table(args[1]).snapshot(args[2])
+        # --store = the cluster-scope registry (survives table drop,
+        # TestAdmin:619); default = in-place table-scope snapshot
+        if "--store" in args:
+            a = [x for x in args if x != "--store"]
+            store(a[0]).snapshot(a[2], a[1])
+        else:
+            store(args[0]).table(args[1]).snapshot(args[2])
         print("ok")
     elif cmd == "list_snapshots":
-        for s in store(args[0]).table(args[1]).list_snapshots():
+        src = store(args[0])
+        snaps = (src.table(args[1]).list_snapshots() if len(args) > 1
+                 else src.list_snapshots())
+        for s in snaps:
             print(s)
     elif cmd == "restore_snapshot":
-        store(args[0]).table(args[1]).restore_snapshot(args[2])
+        if len(args) == 2:  # store scope: recreate the dropped table
+            store(args[0]).restore_snapshot(args[1])
+        else:
+            store(args[0]).table(args[1]).restore_snapshot(args[2])
         print("ok")
     elif cmd == "delete_snapshot":
-        store(args[0]).table(args[1]).delete_snapshot(args[2])
+        if len(args) == 2:
+            store(args[0]).delete_snapshot(args[1])
+        else:
+            store(args[0]).table(args[1]).delete_snapshot(args[2])
         print("ok")
     elif cmd == "compact":
         store(args[0]).table(args[1]).compact(major="--major" in args)

@@ -101,3 +101,28 @@ def test_enable_disable_is_enabled_status(base, capsys):
 def test_unknown_command(base, capsys):
     rc, _, err = run(capsys, "frobnicate", base)
     assert rc == 2 and "unknown command" in err
+
+
+def test_store_scope_snapshot_flow(base, capsys):
+    """snapshot --store → drop → restore_snapshot recreates the table
+    (the TestAdmin:619 flow through the shell surface)."""
+    run(capsys, "create", base, "t3", "f")
+    run(capsys, "put", base, "t3", "r1", "f:q", "v1", "100")
+
+    rc, out, _ = run(capsys, "snapshot", base, "t3", "snap1", "--store")
+    assert rc == 0 and "ok" in out
+    rc, out, _ = run(capsys, "list_snapshots", base)
+    assert rc == 0 and "snap1" in out
+
+    rc, out, _ = run(capsys, "drop", base, "t3")
+    assert rc == 0
+    rc, out, _ = run(capsys, "restore_snapshot", base, "snap1")
+    assert rc == 0 and "ok" in out
+
+    rc, out, _ = run(capsys, "get", base, "t3", "r1", "f:q")
+    assert rc == 0 and "v1" in out
+
+    rc, out, _ = run(capsys, "delete_snapshot", base, "snap1")
+    assert rc == 0
+    rc, out, _ = run(capsys, "list_snapshots", base)
+    assert "snap1" not in out

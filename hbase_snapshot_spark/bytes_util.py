@@ -96,6 +96,24 @@ def increment_bytes(b: bytes, amount: int) -> bytes:
     return struct.pack(">q", to_long(b) + amount)
 
 
+def split_keys(a: bytes, b: bytes, num: int) -> list[bytes]:
+    """util/Bytes.split:1174 — ``num + 2`` keys dividing [a, b] into
+    ``num + 1`` equal unsigned big-endian intervals, endpoints
+    included (the reference's BigInteger interpolation; shorter key
+    zero-padded to the common width)."""
+    size = max(len(a), len(b))
+    ai = int.from_bytes(bytes(a).ljust(size, b"\x00"), "big")
+    bi = int.from_bytes(bytes(b).ljust(size, b"\x00"), "big")
+    if num < 0 or bi < ai:
+        raise ValueError("b must sort at-or-after a; num >= 0")
+    interval = (bi - ai) // (num + 1)
+    out = [
+        (ai + interval * i).to_bytes(size, "big") for i in range(num + 1)
+    ]
+    out.append(bytes(b).ljust(size, b"\x00"))  # exact upper endpoint
+    return out
+
+
 def prefix_end(prefix: bytes) -> bytes | None:
     """Smallest byte string strictly greater than every string with
     ``prefix`` — the PrefixFilter → row-range rewrite used for partition

@@ -244,6 +244,25 @@ def region_partition_id(row: Column, boundaries: list) -> Column:
     return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
 
 
+def simple_total_order_partition(
+    row: Column, start, end, reduces: int
+) -> Column:
+    """mapreduce/SimpleTotalOrderPartitioner.java:46 — the CONFIGURED
+    form: divide [start, end) into ``reduces`` equal byte-interval
+    shards (Bytes.split interpolation) and assign each key its shard.
+    String keys compare as their UTF-8 bytes, like the reference."""
+    from hbase_snapshot_spark.bytes_util import split_keys
+
+    is_str = isinstance(start, str)
+    a = start.encode() if is_str else bytes(start)
+    b = end.encode() if is_str else bytes(end)
+    splits = split_keys(a, b, reduces - 1)
+    interior = splits[1:reduces]  # boundaries of shards 1..reduces-1
+    if is_str:
+        interior = [s.decode("utf-8", "surrogateescape") for s in interior]
+    return region_partition_id(row, interior)
+
+
 def multi_table_write(
     cells_with_table: DataFrame, store, now=None, staging_dir: str | None = None
 ) -> dict[str, int]:

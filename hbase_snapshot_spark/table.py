@@ -310,6 +310,21 @@ def _read_json(path: str):
         return json.load(f)
 
 
+import threading as _threading
+
+#: per-table-directory in-process locks (threaded wire servers share a
+#: TableStore) + lockfile re-entrancy depth; both guarded by the RLock
+#: itself (only the holding thread touches its depth entry)
+_PROC_TABLE_LOCKS: dict[str, _threading.RLock] = {}
+_PROC_TABLE_LOCKS_GUARD = _threading.Lock()
+_LOCK_DEPTH: dict[str, int] = {}
+
+
+def _proc_table_lock(table_dir: str) -> _threading.RLock:
+    with _PROC_TABLE_LOCKS_GUARD:
+        return _PROC_TABLE_LOCKS.setdefault(table_dir, _threading.RLock())
+
+
 def _locked(fn):
     """run a write-path method under the table's single-writer lock"""
     def wrapper(self, *args, **kwargs):
@@ -342,42 +357,59 @@ class StoredTable:
         return TableDescriptor.from_dict(self.manifest()["descriptor"])
 
     def _lock(self, timeout_s: float = 30.0):
-        """advisory single-writer lock (O_EXCL lockfile) — the stand-in
-        for HBase's row locks + MVCC write path; serializes manifest
-        commits so checkAndMutate/increment read-modify-writes are atomic
-        (HRegion.checkAndMutate:1544)."""
+        """advisory single-writer lock — the stand-in for HBase's row
+        locks + MVCC write path; serializes manifest commits so
+        checkAndMutate/increment read-modify-writes are atomic
+        (HRegion.checkAndMutate:1544).
+
+        Two layers: a per-table-directory RLock serializes THREADS in
+        this process (the thrift/avro/REST servers run threaded
+        transports — TestMultiParallelPut caught the old per-instance
+        re-entrancy flag letting a second thread skip the lock), and
+        the O_EXCL lockfile serializes PROCESSES.  Re-entrancy is
+        per-thread via the RLock; the lockfile is taken only at depth
+        0, keyed by directory so every StoredTable handle of one table
+        shares the same depth counter."""
         path = os.path.join(self.dir, "WRITER.lock")
         deadline = time.time() + timeout_s
         table = self
+        rlock = _proc_table_lock(self.dir)
 
         class _Lock:
             acquired = False
 
             def __enter__(self_inner):
-                if getattr(table, "_lock_held", False):
-                    return self_inner  # re-entrant within this handle
-                while True:
-                    try:
-                        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                        os.write(fd, str(os.getpid()).encode())
-                        os.close(fd)
-                        self_inner.acquired = True
-                        table._lock_held = True
-                        return self_inner
-                    except FileExistsError:
-                        if time.time() > deadline:
-                            raise TimeoutError(
-                                f"writer lock on {table.name} held too long"
-                            ) from None
-                        time.sleep(0.05)
+                rlock.acquire()
+                self_inner.acquired = True
+                if _LOCK_DEPTH.get(path, 0) == 0:
+                    while True:
+                        try:
+                            fd = os.open(
+                                path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                            )
+                            os.write(fd, str(os.getpid()).encode())
+                            os.close(fd)
+                            break
+                        except FileExistsError:
+                            if time.time() > deadline:
+                                rlock.release()
+                                self_inner.acquired = False
+                                raise TimeoutError(
+                                    f"writer lock on {table.name} held too long"
+                                ) from None
+                            time.sleep(0.05)
+                _LOCK_DEPTH[path] = _LOCK_DEPTH.get(path, 0) + 1
+                return self_inner
 
             def __exit__(self_inner, *exc):
                 if self_inner.acquired:
-                    table._lock_held = False
-                    try:
-                        os.remove(path)
-                    except FileNotFoundError:
-                        pass
+                    _LOCK_DEPTH[path] -= 1
+                    if _LOCK_DEPTH[path] == 0:
+                        try:
+                            os.remove(path)
+                        except FileNotFoundError:
+                            pass
+                    rlock.release()
                 return False
 
         return _Lock()

@@ -627,3 +627,38 @@ def test_diff_versions_self_is_empty_and_multiplicity(spark, tmp_path):
     t.mutate([Put("r1").add("f", "q", "v", ts=10)])
     v = t.manifest()["version"]
     assert t.diff_versions(v, v).count() == 0
+
+
+def test_multi_parallel_put(spark, tmp_path):
+    """client/TestMultiParallelPut.java (adapted): concurrent put
+    batches from many threads against one table — the single-writer
+    commit protocol serializes them without losing any batch; every
+    row lands, commit_seq advances once per batch."""
+    import threading
+
+    store = TableStore(spark, str(tmp_path / "mpp"))
+    t = store.create_table(
+        TableDescriptor("mpp").add_family(FamilyDescriptor("f")))
+    errors = []
+
+    def worker(n):
+        try:
+            t.mutate(
+                [Put(f"row-{n}-{i}").add("f", "q", f"v{n}-{i}")
+                 for i in range(10)],
+                now=1000 + n,
+            )
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.client().row_count() == 80
+    assert t.manifest()["commit_seq"] == 8
+    # every batch's cells are intact (no torn/overwritten segments)
+    vals = {r.value for r in t.client().scan(Scan()).collect()}
+    assert vals == {f"v{n}-{i}" for n in range(8) for i in range(10)}

@@ -291,18 +291,24 @@ def test_unmelt_multi_version_newest_wins(spark):
 
 
 def test_multi_table_write_escaped_names(spark, tmp_path):
-    # table names with URI-escapable characters survive partition-dir
-    # round-tripping ('a b' → 'table=a%20b')
+    # r6: table names follow HTableDescriptor.isLegalTableName
+    # (HBASE-771: charset [a-zA-Z0-9_.-], no leading '.'/'-'), so a
+    # space is rejected at create; the legal '.'/'-' names round-trip
+    # through the partition-dir staging unescaped
     from hbase_snapshot_spark.sources.tools import multi_table_write
 
     store = TableStore(spark, str(tmp_path / "esc"))
-    store.create_table(TableDescriptor("a b").add_family(FamilyDescriptor("f")))
+    with pytest.raises(ValueError, match="Illegal table name"):
+        store.create_table(
+            TableDescriptor("a b").add_family(FamilyDescriptor("f")))
+    store.create_table(
+        TableDescriptor("a.b-c").add_family(FamilyDescriptor("f")))
     routed = cells_df(spark, [put("r1", "f", "q", 10, "v")]).withColumn(
-        "table", F.lit("a b")
+        "table", F.lit("a.b-c")
     )
     versions = multi_table_write(routed, store)
-    assert versions == {"a b": 1}
-    assert store.table("a b").read().count() == 1
+    assert versions == {"a.b-c": 1}
+    assert store.table("a.b-c").read().count() == 1
 
 
 def test_salted_spreads_duplicate_rows(spark):
@@ -339,3 +345,30 @@ def test_export_applies_descriptor_ttl(spark, tmp_path):
     export_table(cells, out2, max_versions=None, family_ttl={"f": 1 << 40})
     got2 = {r.value for r in spark.read.parquet(out2).collect()}
     assert got == set() and got2 == {"stale", "fresh"}
+
+
+def test_simple_total_order_partitioner_split(spark):
+    """mapreduce/TestSimpleTotalOrderPartitioner.testSplit — the exact
+    expected shard for each key at 1, 2, and 3 reduces over ['a', '{'),
+    plus the Bytes.split interpolation itself."""
+    from hbase_snapshot_spark.bytes_util import split_keys
+    from hbase_snapshot_spark.sources.tools import simple_total_order_partition
+    from pyspark.sql import functions as F
+
+    # Bytes.split('a', '{', 2) → a, i, q, { (integer interval 8)
+    assert split_keys(b"a", b"{", 2) == [b"a", b"i", b"q", b"{"]
+
+    df = spark.createDataFrame(
+        [("c",), ("q",), ("a",), ("z",)], "row STRING")
+
+    def parts(reduces):
+        out = df.select(
+            "row",
+            simple_total_order_partition(
+                F.col("row"), "a", "{", reduces).alias("p"),
+        ).collect()
+        return {r.row: r.p for r in out}
+
+    assert parts(1) == {"c": 0, "q": 0, "a": 0, "z": 0}
+    assert parts(2) == {"c": 0, "q": 1, "a": 0, "z": 1}
+    assert parts(3) == {"c": 0, "q": 2, "a": 0, "z": 2}

@@ -48,7 +48,9 @@ def __getattr__(name):
         from hbase_snapshot_spark import client
 
         return getattr(client, name if name != "Table" else "Table")
-    if name in ("TableStore", "Put", "Delete"):
+    if name in ("TableStore", "Put", "Delete", "NoSuchColumnFamilyError",
+                "TableExistsError", "TableNotFoundError",
+                "TableNotEnabledError"):
         from hbase_snapshot_spark import table
 
         return getattr(table, name)

@@ -498,14 +498,19 @@ class WhileMatchFilter(Filter):
 
             return Compiled(stream_transform=cut, row_cut=True)
         if inner_c.row_keep is not None:
-            # row-level inner (SCVF, PageFilter, ...): the reference's
+            if isinstance(self.inner, PageFilter):
+                # PageFilter keeps a PREFIX of the row order, so the
+                # first rejected row is exactly row n+1 and the
+                # while-match cut is the page itself — skip the
+                # distinct + anti-join entirely (this is the
+                # PerformanceEvaluation filterScan hot path)
+                return Compiled(row_keep=inner_c.row_keep)
+            # row-level inner (SCVF, ...): the reference's
             # WhileMatch.filterRow flips filterAllRemaining at the FIRST
             # row the inner filter rejects — everything from that row on
             # is cut, kept or not (TestFilter.
             # testWhileMatchFilterWithFilterKeyValue: the first row
-            # fails the SCVF, so the whole scan yields nothing).  For
-            # PageFilter(n) the first rejected row is row n+1, so this
-            # reduces to the page itself.
+            # fails the SCVF, so the whole scan yields nothing).
             keep = inner_c.row_keep
 
             def keep_while(stream: DataFrame) -> DataFrame:

@@ -644,3 +644,28 @@ def test_indexes_scan_with_one_deleted_row(store):
     rows = t.client().scan(Scan(families=["family"], filter=flt)).collect()
     assert len(rows) == 1
     assert bytes(rows[0].row) == to_bytes(2)
+
+
+# ------------------------------- testGetScanner_With{Ok,NotOk,No}Families:1332
+
+
+def test_get_scanner_with_ok_families(store):
+    t = _mk(store, "scanfams", "fam1", "fam2")
+    t.mutate([Put("row1").add("fam1", "q", "v").add("fam2", "q", "v")],
+             now=10)
+    assert t.client().scan(
+        Scan(families=["fam1", "fam2"])).count() == 2
+
+
+def test_get_scanner_with_not_ok_families(store):
+    t = _mk(store, "scanfams2", "fam1")
+    with pytest.raises(NoSuchColumnFamilyError):
+        t.client().scan(Scan(families=["fam2"]))
+
+
+def test_get_scanner_with_no_families(store):
+    """a scan with NO family restriction reads every declared family."""
+    t = _mk(store, "scanfams3", "fam1", "fam2", "fam3")
+    t.mutate([Put("row1").add("fam1", "q", "v").add("fam2", "q", "v")
+              .add("fam3", "q", "v")], now=10)
+    assert t.client().scan(Scan()).count() == 3

@@ -229,3 +229,21 @@ def test_admin_delete_snapshot(store):
     store.snapshot("testSnapshot3", "testTableForSnapshot3")
     with pytest.raises(TableExistsError):
         store.snapshot("testSnapshot3", "testTableForSnapshot3")
+
+
+def test_store_snapshot_binary_table_roundtrip(store):
+    """the store-level registry preserves the binary flag and exact
+    byte payloads through drop + restore."""
+    from hbase_snapshot_spark.bytes_util import to_bytes, to_long
+
+    desc = TableDescriptor("binsnap").add_family(FamilyDescriptor("f"))
+    t = store.create_table(desc, binary=True)
+    t.mutate([Put(to_bytes(7)).add("f", b"q", to_bytes(42))], now=10)
+    store.snapshot("bs1", "binsnap")
+    store.drop_table("binsnap")
+    restored = store.restore_snapshot("bs1")
+    assert restored.manifest()["binary"] is True
+    cells = restored.client().scan(Scan()).collect()
+    assert len(cells) == 1
+    assert to_long(bytes(cells[0].row)) == 7
+    assert to_long(bytes(cells[0].value)) == 42

@@ -60,3 +60,17 @@ def test_prefix_end():
     assert Bytes.prefix_end(b"abc") == b"abd"
     assert Bytes.prefix_end(b"a\xff") == b"b"
     assert Bytes.prefix_end(b"\xff\xff") is None
+
+
+def test_split_keys_multibyte_and_padding():
+    """util/Bytes.split over multi-byte keys: equal unsigned intervals,
+    exact endpoints, shorter key zero-padded."""
+    from hbase_snapshot_spark.bytes_util import split_keys
+
+    assert split_keys(b"\x00\x00", b"\x01\x00", 3) == [
+        b"\x00\x00", b"\x00\x40", b"\x00\x80", b"\x00\xc0", b"\x01\x00"]
+    # shorter first key is right-padded to the common width
+    assert split_keys(b"a", b"ab", 0) == [b"a\x00", b"ab"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_keys(b"b", b"a", 1)

@@ -1109,3 +1109,18 @@ def test_sample_frames_mp4_keyframes(spark):
     assert bytes(out[2].frame) == b"\x01" * 10   # t=200 → still kf@0
     assert bytes(out[3].frame) == b"\x04" * 40   # t=300 → kf@300
     assert bytes(out[4].frame) == b"\x04" * 40
+
+
+def test_mp3_layer1_and_layer2_frame_sizes():
+    """Layer I: (12*bitrate/rate + pad)*4 slots; Layer II:
+    144*bitrate/rate — exact frame-size math per 11172-3 2.4.3.1."""
+    # Layer I, 448 kbps @ 44100
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (3 << 1) | 1, (14 << 4), 3 << 6])
+    size = (12 * 448000 // 44100) * 4
+    m = codecs.parse_mp3(hdr + b"\x00" * (size - 4))
+    assert m["layer"] == 1 and m["frames"][0] == (0, size, 384)
+    # Layer II, 384 kbps @ 44100
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (2 << 1) | 1, (14 << 4), 3 << 6])
+    size = 144 * 384000 // 44100
+    m = codecs.parse_mp3(hdr + b"\x00" * (size - 4))
+    assert m["layer"] == 2 and m["frames"][0] == (0, size, 1152)

@@ -31,6 +31,7 @@ from hbase_snapshot_spark.filters import (
     ColumnCountGetFilter,
     CompareOp,
     FilterList,
+    PrefixFilter,
     SingleColumnValueFilter,
 )
 from hbase_snapshot_spark.model import (
@@ -669,3 +670,57 @@ def test_get_scanner_with_no_families(store):
     t.mutate([Put("row1").add("fam1", "q", "v").add("fam2", "q", "v")
               .add("fam3", "q", "v")], now=10)
     assert t.client().scan(Scan()).count() == 3
+
+
+# --------------------------------------------------- testWeirdCacheBehaviour:210
+
+
+def test_weird_cache_behaviour(store):
+    """HBASE-2248 regression shape: Prefix+SCVF(filterIfMissing) scans
+    across two value generations; after latest-deleting the tested
+    column per row, the SCVF's latest-version view falls back to the
+    OLDER value and the value2 matches drop to zero."""
+    fams = ["trans-blob", "trans-type", "trans-date", "trans-tags",
+            "trans-group"]
+    t = _mk(store, "weirdcache", *fams)
+    value, value2 = "this is the value", "this is some other value"
+
+    def put_rows(val, prefix, now):
+        t.mutate([
+            Put(f"{prefix}_{i}")
+            .add("trans-blob", None, "value for blob")
+            .add("trans-type", None, "statement")
+            .add("trans-date", None, "20090921010101999")
+            .add("trans-tags", "qual2", val)
+            .add("trans-group", None, "adhocTransactionGroupId")
+            for i in range(3)
+        ], now=now)
+
+    def n_rows(prefix, val):
+        flt = FilterList(FilterList.MUST_PASS_ALL, [
+            PrefixFilter(prefix),
+            SingleColumnValueFilter("trans-tags", "qual2",
+                                    CompareOp.EQUAL, val,
+                                    filter_if_missing=True),
+        ])
+        rows = t.client().scan(Scan(families=list(fams), filter=flt)).collect()
+        return len({c.row for c in rows})
+
+    for i, p in enumerate(("prefix1", "prefix2", "prefix3")):
+        put_rows(value, p, now=100 + i)
+    for i, p in enumerate(("prefix1", "prefix2", "prefix3")):
+        put_rows(value2, p, now=200 + i)
+
+    for p in ("prefix1", "prefix2", "prefix3"):
+        assert n_rows(p, value2) == 3
+
+    # delete the latest version of the tested column on every matching
+    # row (deleteColumns helper at :249)
+    for p in ("prefix1", "prefix2", "prefix3"):
+        t.mutate([Delete(f"{p}_{i}").delete_column("trans-tags", "qual2")
+                  for i in range(3)], now=300)
+
+    for p in ("prefix1", "prefix2", "prefix3"):
+        assert n_rows(p, value2) == 0
+        # ...and the OLDER generation is the latest again
+        assert n_rows(p, value) == 3

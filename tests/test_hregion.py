@@ -724,3 +724,46 @@ def test_weird_cache_behaviour(store):
         assert n_rows(p, value2) == 0
         # ...and the OLDER generation is the latest again
         assert n_rows(p, value) == 3
+
+
+# --------------- testAllColumnsWithBloomFilter:2687 / testDeleteRowWithBloomFilter:2735
+
+
+def test_all_columns_with_bloom_filter(store, spark, tmp_path):
+    """a ROWCOL-bloomed store file must NOT prune an all-columns
+    multi-version get — all 4 versions come back newest-first."""
+    from tests.cells import cells_df, put as mk_put
+    from hbase_snapshot_spark.sources.tools import bulk_load
+
+    t = _mk(store, "allcolsbloom", "family", versions=100)
+    seg = str(tmp_path / "bloomseg")
+    cells = cells_df(spark, [
+        mk_put("row:0", "family", "column:0", ts, f"value-version-{ts}")
+        for ts in (1, 2, 3, 4)
+    ])
+    bulk_load(cells, seg, num_partitions=1, bloom="ROWCOL")
+    t.adopt_segment(seg)
+
+    got = t.client().get(Get("row:0", max_versions=None)).collect()
+    got = sorted(got, key=lambda c: -c.ts)
+    assert [(c.ts, c.value) for c in got] == [
+        (4, "value-version-4"), (3, "value-version-3"),
+        (2, "value-version-2"), (1, "value-version-1")]
+
+
+def test_delete_row_with_bloom_filter(store, spark, tmp_path):
+    """HBASE-2823: a whole-row delete over a ROWCOL-bloomed store file
+    must mask the row for point-column gets."""
+    from tests.cells import cells_df, put as mk_put
+    from hbase_snapshot_spark.sources.tools import bulk_load
+
+    t = _mk(store, "delbloom", "familyName")
+    seg = str(tmp_path / "delbloomseg")
+    bulk_load(cells_df(spark, [
+        mk_put("row1", "familyName", "col1", 1, "SomeRandomValue")
+    ]), seg, num_partitions=1, bloom="ROWCOL")
+    t.adopt_segment(seg)
+    assert _size(t, "row1", columns={"familyName": ["col1"]}) == 1
+
+    t.mutate([Delete("row1")], now=100)
+    assert _size(t, "row1", columns={"familyName": ["col1"]}) == 0

@@ -487,6 +487,63 @@ def cross_corpus_overlap(
     return _verify_jaccard(cand, sa, sb, threshold, a_col="a_id", b_col="b_id")
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistable LSH index of a corpus: one row per (id, band_id,
+    band-hash).  The DELTA-dedup contract at 100 TB: build this ONCE
+    over the standing corpus (and write it as parquet, bucketed by
+    ``bh`` if batches are frequent); every incoming batch then joins
+    against the index instead of re-shingling petabytes.  Inputs must
+    carry a ``shingles`` column (with_shingles)."""
+    return _banded_long(df, id_col, num_hashes, bands)
+
+
+def delta_dedup_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection of a NEW batch against a standing
+    corpus: candidates come from the batch's band hashes equi-joined to
+    the prebuilt :func:`minhash_index`; exact-jaccard verification then
+    reads the shingles of ONLY the candidate corpus documents (semi-
+    join pruning) — the corpus is never re-shingled and never scanned
+    beyond the candidate ids.  ``batch`` and ``corpus`` must carry
+    ``shingles`` (with_shingles); ``corpus`` can lazily re-derive them
+    since only candidate rows are evaluated.
+
+    Output: (batch_id, corpus_id, jaccard) with verified jaccard >=
+    threshold — drop or link the batch docs per policy."""
+    b = _banded_long(batch, id_col, num_hashes, bands).withColumnsRenamed(
+        {id_col: "batch_id"}
+    )
+    idx = index.withColumnsRenamed({id_col: "corpus_id"})
+    cand = (
+        b.join(idx, on=["band_id", "bh"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sb = batch.select(F.col(id_col).alias("batch_id"), "shingles")
+    # candidate pruning BEFORE the corpus shingle fetch — the scan of
+    # the standing corpus reduces to the matched ids
+    sc = (
+        corpus.select(F.col(id_col).alias("corpus_id"), "shingles")
+        .join(cand.select("corpus_id").distinct(), on="corpus_id",
+              how="left_semi")
+    )
+    return _verify_jaccard(
+        cand, sb, sc, threshold, a_col="batch_id", b_col="corpus_id"
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -855,3 +855,31 @@ def test_contaminated_spans(spark):
     assert got == want
     assert any(d == 1 for d, *_ in got) and any(d == 3 for d, *_ in got)
     assert not any(d == 2 for d, *_ in got)
+
+
+def test_delta_dedup_against_persisted_index(spark, tmp_path):
+    """incremental dedup: the standing corpus is indexed ONCE
+    (minhash_index, persisted as parquet); a new batch joins the index
+    and verification touches only candidate corpus docs.  Results must
+    equal the from-scratch cross_corpus_overlap on the same pair."""
+    base = "one two three four five six seven eight nine ten eleven"
+    corpus = dedup.with_shingles(spark.createDataFrame(
+        [("c1", base), ("c2", "unrelated corpus text about engines"),
+         ("c3", "another independent corpus document entirely")],
+        ["doc_id", "text"]), n=3)
+    idx_path = str(tmp_path / "lsh_index")
+    dedup.minhash_index(corpus).write.parquet(idx_path)   # built once
+    index = spark.read.parquet(idx_path)
+
+    batch = dedup.with_shingles(spark.createDataFrame(
+        [("b1", base + " twelve"), ("b2", "fresh novel batch content here")],
+        ["doc_id", "text"]), n=3)
+
+    got = {(r.batch_id, r.corpus_id, round(r.jaccard, 3)) for r in
+           dedup.delta_dedup_pairs(batch, index, corpus,
+                                   threshold=0.4).collect()}
+    want = {(r.b_id, r.a_id, round(r.jaccard, 3)) for r in
+            dedup.cross_corpus_overlap(corpus, batch,
+                                       threshold=0.4).collect()}
+    assert got == want and got  # non-empty: b1 matches c1
+    assert {g[:2] for g in got} == {("b1", "c1")}

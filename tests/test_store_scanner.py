@@ -372,3 +372,88 @@ def test_get_row_multiple_versions(store):
     # maxVersions=1 → only the newest
     cells = t.client().get(Get("row", max_versions=1)).collect()
     assert {(c.ts, c.value) for c in cells} == {(2000, "value2")}
+
+
+# --------------------- client/TestTimestamp.java + TimestampTestBase.java
+
+
+def test_timestamps_hadoop_1784_delete_ladder(store):
+    """TimestampTestBase.doTestDelete — the HADOOP-1784 contract: puts
+    at T0/T1/T2 plus a LATEST_TIMESTAMP put (sentinel replaced with
+    server time, value keeps the sentinel bytes), latest-delete
+    semantics, exact-version deletes, and a deleteColumns(<=T2) sweep
+    leaving only the current value.  Values are the 8-byte timestamp,
+    so every read self-identifies its version."""
+    from hbase_snapshot_spark.bytes_util import to_bytes, to_long
+    from hbase_snapshot_spark.model import LATEST_TIMESTAMP
+
+    T0, T1, T2 = 10, 100, 200
+    t = store.create_table(
+        TableDescriptor("ts1784").add_family(
+            FamilyDescriptor("colfamily1", max_versions=3)), binary=True)
+    ROW, F, Q = b"row", "colfamily1", b"contents"
+
+    def put_at(ts, now):
+        t.mutate([Put(ROW).add(F, Q, to_bytes(ts), ts=ts)], now=now)
+
+    def versions(maxv=3, tr=None):
+        df = t.client().get(Get(ROW, columns={F: [Q]}, max_versions=maxv,
+                                time_range=tr))
+        cells = sorted(df.collect(), key=lambda c: -c.ts)
+        return [to_long(bytes(c.value)) for c in cells]
+
+    put_at(T0, now=1)
+    put_at(T1, now=2)
+    put_at(T2, now=3)
+    put_at(LATEST_TIMESTAMP, now=1000)  # stored at server time 1000
+
+    LAT = LATEST_TIMESTAMP
+    assert versions() == [LAT, T2, T1]
+    # time-range window below the newest stamp, one fewer version
+    assert versions(maxv=2, tr=(0, 1000)) == [T2, T1]
+
+    # delete w/o a timestamp removes the LATEST version
+    t.mutate([Delete(ROW).delete_column(F, Q)], now=1001)
+    assert versions() == [T2, T1, T0]
+
+    # re-add a latest, then exact-delete T2 out from under it
+    put_at(LATEST_TIMESTAMP, now=1002)
+    assert versions() == [LAT, T2, T1]
+    t.mutate([Delete(ROW).delete_column(F, Q, ts=T2)], now=1003)
+    assert versions() == [LAT, T1, T0]
+
+    # readd T2; churn T1 (delete exact + readd); then deleteColumns
+    # <= T2 sweeps everything but the current server-time value
+    put_at(T2, now=1004)
+    t.mutate([Delete(ROW).delete_column(F, Q, ts=T1)], now=1005)
+    put_at(T1, now=1006)
+    t.mutate([Delete(ROW).delete_columns(F, Q, ts=T2)], now=1007)
+    assert versions() == [LAT]  # assertOnlyLatest
+
+
+def test_timestamp_scanning(store):
+    """TimestampTestBase.doTestTimestampScanning — a scan bounded at
+    each older stamp still finds the row (a version exists at-or-before
+    every stamp), same count as the unbounded scan."""
+    from hbase_snapshot_spark.bytes_util import to_bytes
+    from hbase_snapshot_spark.model import LATEST_TIMESTAMP
+
+    T0, T1 = 10, 100
+    t = store.create_table(
+        TableDescriptor("tsscan").add_family(
+            FamilyDescriptor("colfamily1", max_versions=3)), binary=True)
+    ROW, F, Q = b"row", "colfamily1", b"contents"
+    for ts, now in ((T0, 1), (T1, 2), (LATEST_TIMESTAMP, 1000)):
+        t.mutate([Put(ROW).add(F, Q, to_bytes(min(ts, 1 << 40)), ts=ts)],
+                 now=now)
+
+    def count_at(upper):
+        rows = t.client().scan(
+            Scan(families=[F], time_range=(0, upper))).collect()
+        assert all(c.ts < upper for c in rows)
+        return len({c.row for c in rows})
+
+    full = len({c.row for c in t.client().scan(Scan(families=[F])).collect()})
+    assert full == 1
+    assert count_at(T0 + 1) == full
+    assert count_at(T1 + 1) == full

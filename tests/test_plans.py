@@ -283,3 +283,46 @@ def test_melt_input_partitions_spread(spark):
     plain = encode_orders_cells(spark, sf)
     assert spread.exceptAll(plain).count() == 0
     assert plain.exceptAll(spread).count() == 0
+
+
+def test_duplicated_spans_plan_shape(spark, tmp_path):
+    # ExactSubstr (dedup.duplicated_spans): the >=2-frequency hash set
+    # reaches the gram stream as an EQUI-join on the gram hash — one
+    # row per duplicated hash, never a pair materialization or a
+    # cartesian.  Over a stats-bearing parquet source Catalyst picks
+    # BroadcastHashJoin (the sf0.1 shape); over stat-less sources the
+    # SortMergeJoin fallback is the correct 100 TB plan (a huge
+    # dup-hash set must not be forced through a broadcast).
+    from hbase_snapshot_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "tok " * 40) for i in range(50)], ["doc_id", "text"]
+    ).write.parquet(path)
+    plan = plan_of(dedup.duplicated_spans(spark.read.parquet(path), k=8),
+                   "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    # span assembly: exactly one per-doc window
+    assert plan.count("Window") == 1, plan
+
+
+def test_delta_dedup_prunes_corpus_with_semi_join(spark):
+    # delta_dedup_pairs: the standing corpus's shingle fetch must be
+    # pruned by a (left-)semi join on the candidate ids BEFORE the
+    # jaccard verification — the corpus is never scanned beyond the
+    # matched documents
+    from hbase_snapshot_spark.operators import dedup
+
+    corpus = dedup.with_shingles(spark.createDataFrame(
+        [(i, f"w{i} " * 20) for i in range(40)], ["doc_id", "text"]), n=3)
+    batch = dedup.with_shingles(spark.createDataFrame(
+        [(1000 + i, f"w{i} " * 20) for i in range(5)], ["doc_id", "text"]),
+        n=3)
+    index = dedup.minhash_index(corpus)
+    plan = plan_of(
+        dedup.delta_dedup_pairs(batch, index, corpus, threshold=0.5),
+        "simple")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan

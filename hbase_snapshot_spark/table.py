@@ -1059,24 +1059,46 @@ class StoredTable:
         reclaimed by vacuum() once unreferenced."""
         shutil.rmtree(self._snap_dir(name))
 
-    def clone_to(self, store: TableStore, new_name: str, snapshot: str) -> "StoredTable":
+    def clone_to(self, store: TableStore, new_name: str, snapshot: str,
+                 incremental: bool = False) -> "StoredTable":
         """ExportSnapshot + ImportSnapshot (mapreduce/ExportSnapshot.java,
         ImportSnapshot.java) — copy a snapshot's files to another store
-        and register them as a new table."""
+        and register them as a new table.
+
+        ``incremental=True`` re-exports a NEWER snapshot over an
+        existing export target: segments already present are skipped
+        (segment files are immutable, so presence is correctness), only
+        the delta is copied, and the target's manifest advances to the
+        snapshot's segment list — the periodic-backup shape where
+        re-shipping the full history every cycle is the non-starter."""
         info = self.snapshot_manifest(snapshot)
-        desc = TableDescriptor.from_dict(info["descriptor"])
-        desc.name = new_name
-        t = store.create_table(desc, binary=info["binary"])
+        if incremental:
+            try:
+                t = store.table(new_name)
+            except TableNotFoundError:
+                t = None
+        else:
+            t = None
+        if t is None:
+            desc = TableDescriptor.from_dict(info["descriptor"])
+            desc.name = new_name
+            t = store.create_table(desc, binary=info["binary"])
+        existing = set(os.listdir(os.path.join(t.dir, "segments")))
+        copied = []
         for seg in info["segments"]:
+            if seg in existing:
+                continue
             shutil.copytree(
                 os.path.join(self.dir, "segments", seg),
                 os.path.join(t.dir, "segments", seg),
             )
+            copied.append(seg)
         m = t.manifest()
         m2 = dict(m)
-        m2["version"] = 1
+        m2["version"] = m["version"] + 1
         m2["segments"] = list(info["segments"])
         m2["commit_seq"] = info["commit_seq"]
+        m2["descriptor"] = info["descriptor"]
         t._commit(m2)
         return t
 

@@ -662,3 +662,32 @@ def test_multi_parallel_put(spark, tmp_path):
     # every batch's cells are intact (no torn/overwritten segments)
     vals = {r.value for r in t.client().scan(Scan()).collect()}
     assert vals == {f"v{n}-{i}" for n in range(8) for i in range(10)}
+
+
+def test_incremental_snapshot_export(store, spark, tmp_path):
+    """ExportSnapshot's periodic-backup shape: a newer snapshot
+    re-exported over an existing target ships only the DELTA segments
+    (immutable files already present are skipped) and advances the
+    target to the snapshot's state."""
+    import os
+
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.mutate([Put("r2").add("f", "q", "v2", ts=10)])
+    t.snapshot("s1")
+    other = TableStore(spark, str(tmp_path / "backup"))
+    t2 = t.clone_to(other, "t1_backup", "s1")
+    first_segs = set(os.listdir(os.path.join(t2.dir, "segments")))
+    assert len(first_segs) == 2
+
+    # new data → new snapshot → incremental re-export
+    t.mutate([Put("r3").add("f", "q", "v3", ts=10)])
+    t.snapshot("s2")
+    t2 = t.clone_to(other, "t1_backup", "s2", incremental=True)
+    segs = set(os.listdir(os.path.join(t2.dir, "segments")))
+    assert first_segs < segs and len(segs) == 3  # only the delta added
+    assert cellset(t2.read()) == {
+        ("r1", "f", "q", 10, "v1"),
+        ("r2", "f", "q", 10, "v2"),
+        ("r3", "f", "q", 10, "v3"),
+    }

@@ -247,3 +247,24 @@ def test_store_snapshot_binary_table_roundtrip(store):
     assert len(cells) == 1
     assert to_long(bytes(cells[0].row)) == 7
     assert to_long(bytes(cells[0].value)) == 42
+
+
+def test_store_snapshot_survives_compaction_and_vacuum(store):
+    """the registry's hard-linked segments are independent directory
+    entries: the source table may compact and vacuum its history away,
+    the snapshot still restores the frozen state byte-for-byte."""
+    t = _mk(store, "vacsnap", "f")
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)], now=10)
+    t.mutate([Put("r2").add("f", "q", "v2", ts=20)], now=20)
+    store.snapshot("vs1", "vacsnap")
+
+    # source moves on: more data, major compaction, vacuum
+    t.mutate([Put("r3").add("f", "q", "v3", ts=30)], now=30)
+    t.compact(major=True)
+    removed = t.vacuum()
+    assert removed  # the pre-compaction segments really are gone
+
+    store.drop_table("vacsnap")
+    restored = store.restore_snapshot("vs1")
+    got = {(c.row, c.value) for c in restored.client().scan(Scan()).collect()}
+    assert got == {("r1", "v1"), ("r2", "v2")}  # frozen state, no r3

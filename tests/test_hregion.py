@@ -767,3 +767,63 @@ def test_delete_row_with_bloom_filter(store, spark, tmp_path):
 
     t.mutate([Delete("row1")], now=100)
     assert _size(t, "row1", columns={"familyName": ["col1"]}) == 0
+
+
+# ------------------- regionserver/TestGetClosestAtOrBefore.java:181,289
+
+
+def test_get_closest_row_before3(store):
+    """HBASE-751: multiple deletes, deletes as the final key, and
+    family-restricted candidates — the closest-at-or-before walk must
+    skip deleted candidates and rows whose only cells are in OTHER
+    families."""
+    t = _mk(store, "closest3", "fam1", "fam2")
+
+    def closest(key, fam):
+        rows = t.client().get_row_or_before(key, family=fam).collect()
+        return rows[0].row if rows else None
+
+    for i, key in enumerate(("000", "010", "020")):
+        t.mutate([Put(key).add("fam1", "q", key)], now=10 + i)
+    assert closest("020", "fam1") == "020"
+
+    t.mutate([Delete("020").delete_column("fam1", "q")], now=20)
+    assert closest("020", "fam1") == "010"
+
+    t.mutate([Put("030").add("fam1", "q", "030")], now=21)
+    assert closest("030", "fam1") == "030"
+    t.mutate([Delete("030").delete_column("fam1", "q")], now=22)
+    assert closest("030", "fam1") == "010"
+    assert closest("031", "fam1") == "010"
+
+    # a row whose only cell lives in ANOTHER family is not a candidate
+    t.mutate([Put("020").add("fam2", "q", "020")], now=23)
+    assert closest("030", "fam1") == "010"
+    assert closest("031", "fam1") == "010"
+
+    # delete that other-family cell; fam1 candidates unchanged
+    t.mutate([Delete("020").delete_column("fam2", "q")], now=24)
+    assert closest("030", "fam1") == "010"
+    assert closest("031", "fam1") == "010"
+
+    # candidate from an older segment with unrelated in-memory delete
+    t.mutate([Put("011").add("fam1", "q", "011")], now=25)
+    t.mutate([Delete("010").delete_column("fam2", "q")], now=26)
+    assert closest("012", "fam1") == "011"
+
+
+def test_get_closest_row_before2(store):
+    """HBASE-694: the at-or-before walk across segment boundaries —
+    finding '035' always lands on '030' as segments accumulate."""
+    t = _mk(store, "closest2", "fam1")
+
+    def closest(key):
+        rows = t.client().get_row_or_before(key, family="fam1").collect()
+        return rows[0].row if rows else None
+
+    for i, key in enumerate(("010", "030", "040")):
+        t.mutate([Put(key).add("fam1", "q", key)], now=10 + i)
+    assert closest("035") == "030"
+    # new segment with an EARLIER row must not steal the candidacy
+    t.mutate([Put("020").add("fam1", "q", "020")], now=20)
+    assert closest("035") == "030"

@@ -233,13 +233,17 @@ class TableStore:
         if os.path.exists(sd):
             raise TableExistsError(f"snapshot {snapshot_name}")
         t = self.table(table_name)
-        m = t.manifest()
-        os.makedirs(os.path.join(sd, "segments"))
-        for seg in m["segments"]:
-            self._link_tree(
-                os.path.join(t.dir, "segments", seg),
-                os.path.join(sd, "segments", seg),
-            )
+        # under the table's writer lock: a concurrent compact+vacuum
+        # must not delete HEAD's segments between the manifest read and
+        # the linking walk
+        with t._lock():
+            m = t.manifest()
+            os.makedirs(os.path.join(sd, "segments"))
+            for seg in m["segments"]:
+                self._link_tree(
+                    os.path.join(t.dir, "segments", seg),
+                    os.path.join(sd, "segments", seg),
+                )
         info = dict(m)
         info["snapshot_name"] = snapshot_name
         info["snapshot_table"] = table_name

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from hbase_snapshot_spark.model import FOREVER, FamilyDescriptor, TableDescriptor
 from hbase_snapshot_spark.resolve import ResolveSpec
 from hbase_snapshot_spark.table import Delete, Put
+from hbase_snapshot_spark.table import NoSuchColumnFamilyError as _NoSuchFam
 
 
 class AIOError(Exception):
@@ -394,13 +395,22 @@ class AvroServer:
         """hbase.genavro exists"""
         return len(self.get(table, get).entries) > 0
 
+    def _mutate(self, table, muts) -> None:
+        """engine mutate with the reference error surface: an
+        undeclared family is the declared AIOError (AvroServer wraps
+        IOExceptions — NoSuchColumnFamilyException included)."""
+        try:
+            self._table(table).mutate(muts)
+        except _NoSuchFam as ex:
+            raise AIOError(str(ex)) from ex
+
     def put(self, table, put: APut) -> None:  # noqa: N802
         """hbase.genavro put"""
         self._check_enabled(table)
         p = Put(put.row)
         for cv in put.columnValues:
             p.add(cv.family, cv.qualifier, cv.value, ts=cv.timestamp)
-        self._table(table).mutate([p])
+        self._mutate(table, [p])
 
     def delete(self, table, delete: ADelete) -> None:  # noqa: N802
         """hbase.genavro delete — columns=None deletes the whole row;
@@ -412,16 +422,19 @@ class AvroServer:
                 d.delete_family(c.family)
             else:
                 d.delete_columns(c.family, c.qualifier)
-        self._table(table).mutate([d])
+        self._mutate(table, [d])
 
     def incrementColumnValue(self, table, row, family, qualifier, amount,
                              writeToWAL=True) -> int:  # noqa: N802,N803
         """hbase.genavro incrementColumnValue (writeToWAL carried for
         shape parity; every write here is logged by construction)."""
         self._check_enabled(table)
-        return self._table(table).increment_column_value(
-            row, family, qualifier, amount
-        )
+        try:
+            return self._table(table).increment_column_value(
+                row, family, qualifier, amount
+            )
+        except _NoSuchFam as ex:
+            raise AIOError(str(ex)) from ex
 
     # ----------------------------------------------------- multi-row DML
 

@@ -627,6 +627,20 @@ class AvroBinaryDispatcher:
             write_long(out, idx + 1)  # after the system string branch
             encode_datum(out, _ERR, {"message": str(ex)})
             return bytes(out)
+        except Exception as ex:  # noqa: BLE001
+            # undeclared engine errors (NoSuchColumnFamilyError, ...)
+            # must still produce a FRAMED reply, never kill the
+            # connection: the reference AvroServer wraps IOExceptions
+            # into the declared AIOError; anything truly unexpected
+            # takes the avro-spec system "string" branch
+            out.append(1)
+            if "AIOError" in errors:
+                write_long(out, errors.index("AIOError") + 1)
+                encode_datum(out, _ERR, {"message": str(ex)})
+            else:
+                write_long(out, 0)
+                encode_datum(out, ("string",), str(ex))
+            return bytes(out)
         if name == "getClusterStatus":
             result = {
                 "deadServerNames": [], "requestsCount": 0, "serverInfos": [],

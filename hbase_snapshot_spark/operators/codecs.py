@@ -1461,6 +1461,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
         else:
             # times(4+4) id(4) reserved(4) duration(4) reserved(8)
             # layer+alt+volume+reserved(2*4) matrix(36) → width at +72
+            t["track_id"] = int.from_bytes(data[p + 8 : p + 12], "big")
             p_dim = p + 72
         # width/height are 16.16 fixed point at the end of tkhd
         t["width"] = int.from_bytes(data[p_dim : p_dim + 4], "big") >> 16

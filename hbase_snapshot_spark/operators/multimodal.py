@@ -448,11 +448,27 @@ def probe_media(media: DataFrame) -> DataFrame:
                                        1 for s in trk["samples"] if s[3]))
                         break
             elif kind == "wav":
-                rate, samples = codecs.decode_wav(data)
-                row.update(sample_rate=rate, channels=1,
-                           n_frames=len(samples),
-                           duration_ms=round(len(samples) * 1000 / rate)
-                           if rate else None)
+                # header walk only (fmt + data chunk sizes) — a probe
+                # must not decode PCM; channels is the CONTAINER's real
+                # channel count, frames = data bytes / block align
+                pos, fmt_b, data_len = 12, None, None
+                while pos + 8 <= len(data):
+                    cid = data[pos : pos + 4]
+                    size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                    if cid == b"fmt ":
+                        fmt_b = data[pos + 8 : pos + 8 + size]
+                    elif cid == b"data":
+                        data_len = size
+                    pos += 8 + size + (size & 1)
+                if fmt_b is not None:
+                    n_ch = max(1, int.from_bytes(fmt_b[2:4], "little"))
+                    rate = int.from_bytes(fmt_b[4:8], "little")
+                    block = max(1, int.from_bytes(fmt_b[12:14], "little"))
+                    frames = (data_len // block) if data_len else None
+                    row.update(
+                        sample_rate=rate, channels=n_ch, n_frames=frames,
+                        duration_ms=round(frames * 1000 / rate)
+                        if frames is not None and rate else None)
             elif kind == "png":
                 row.update(width=int.from_bytes(data[16:20], "big"),
                            height=int.from_bytes(data[20:24], "big"))

@@ -253,13 +253,15 @@ def simple_total_order_partition(
     String keys compare as their UTF-8 bytes, like the reference."""
     from hbase_snapshot_spark.bytes_util import split_keys
 
-    is_str = isinstance(start, str)
-    a = start.encode() if is_str else bytes(start)
-    b = end.encode() if is_str else bytes(end)
+    a = start.encode() if isinstance(start, str) else bytes(start)
+    b = end.encode() if isinstance(end, str) else bytes(end)
     splits = split_keys(a, b, reduces - 1)
     interior = splits[1:reduces]  # boundaries of shards 1..reduces-1
-    if is_str:
-        interior = [s.decode("utf-8", "surrogateescape") for s in interior]
+    # compare on the raw UTF-8 bytes — the reference's unsigned-byte
+    # order, and interpolated midpoints need not be valid UTF-8 (a
+    # decoded lone surrogate would crash py4j's lit())
+    if isinstance(start, str):
+        row = F.encode(row, "utf-8")
     return region_partition_id(row, interior)
 
 

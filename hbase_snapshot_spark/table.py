@@ -106,17 +106,24 @@ class Delete(Mutation):
         self.ts = ts
 
     def delete_family(self, family, ts: int | None = None) -> "Delete":
+        """Delete.deleteFamily:147 — an unset ts defaults to the
+        CONSTRUCTOR's row-level ts (this.ts in the reference)."""
+        ts = ts if ts is not None else self.ts
         self.cells.append((family, None, ts, KeyType.DELETE_FAMILY, None))
         return self
 
     def delete_columns(self, family, qualifier, ts: int | None = None) -> "Delete":
-        """all versions at-or-before ts (Delete.deleteColumns:180)"""
+        """all versions at-or-before ts (Delete.deleteColumns:180);
+        unset ts defaults to the constructor's row-level ts"""
+        ts = ts if ts is not None else self.ts
         self.cells.append((family, qualifier, ts, KeyType.DELETE_COLUMN, None))
         return self
 
     def delete_column(self, family, qualifier, ts: int | None = None) -> "Delete":
-        """exactly one version: the given ts, or the latest when ts is
-        None (Delete.deleteColumn:213 — the server resolves "latest")."""
+        """exactly one version: the given ts, the constructor's
+        row-level ts, or the latest when both are None
+        (Delete.deleteColumn:213 — the server resolves "latest")."""
+        ts = ts if ts is not None else self.ts
         self.cells.append((family, qualifier, ts, KeyType.DELETE, None))
         return self
 
@@ -233,22 +240,34 @@ class TableStore:
         if os.path.exists(sd):
             raise TableExistsError(f"snapshot {snapshot_name}")
         t = self.table(table_name)
-        # under the table's writer lock: a concurrent compact+vacuum
-        # must not delete HEAD's segments between the manifest read and
-        # the linking walk
+        # build in a temp dir, publish with one atomic rename: a crash
+        # mid-link leaves only an ignorable tmp dir (never a nameless
+        # half-snapshot that blocks the name), and two concurrent
+        # same-name snapshots race on the rename, not on makedirs.
+        # Under the table's writer lock so a concurrent compact+vacuum
+        # cannot delete HEAD's segments between the manifest read and
+        # the linking walk.
+        tmp = os.path.join(
+            self._snap_base(), f".tmp-{snapshot_name}-{uuid.uuid4().hex[:8]}"
+        )
         with t._lock():
             m = t.manifest()
-            os.makedirs(os.path.join(sd, "segments"))
+            os.makedirs(os.path.join(tmp, "segments"))
             for seg in m["segments"]:
                 self._link_tree(
                     os.path.join(t.dir, "segments", seg),
-                    os.path.join(sd, "segments", seg),
+                    os.path.join(tmp, "segments", seg),
                 )
         info = dict(m)
         info["snapshot_name"] = snapshot_name
         info["snapshot_table"] = table_name
         info["creation_time"] = int(time.time() * 1000)
-        _write_json(os.path.join(sd, "snapshotinfo.json"), info)
+        _write_json(os.path.join(tmp, "snapshotinfo.json"), info)
+        try:
+            os.rename(tmp, sd)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise TableExistsError(f"snapshot {snapshot_name}") from None
 
     def list_snapshots(self) -> list[str]:
         base = self._snap_base()
@@ -256,7 +275,8 @@ class TableStore:
             return []
         return sorted(
             n for n in os.listdir(base)
-            if os.path.isfile(os.path.join(base, n, "snapshotinfo.json"))
+            if not n.startswith(".tmp-")
+            and os.path.isfile(os.path.join(base, n, "snapshotinfo.json"))
         )
 
     def snapshot_descriptor(self, snapshot_name: str) -> dict:
@@ -580,6 +600,7 @@ class StoredTable:
         m = self.manifest()
         self._check_writable(m)
         empty_qual = b"" if m["binary"] else ""
+        declared = set(desc.families)  # one manifest read for the batch
         h = self._hashable
         # flatten: whole-row deletes expand to DeleteFamily per family
         # (HRegion.prepareDelete:1164-1179); a null qualifier on a
@@ -600,7 +621,7 @@ class StoredTable:
                     for fam in desc.families
                 ]
             for family, qualifier, ts, typ, value in cells:
-                self._check_family(family)
+                self._check_family(family, declared)
                 if qualifier is None and typ != KeyType.DELETE_FAMILY:
                     qualifier = empty_qual
                 if ts == LATEST_TIMESTAMP:
@@ -681,19 +702,23 @@ class StoredTable:
     def _family_ttls(self) -> dict:
         return {f.name: f.ttl for f in self.descriptor.families.values()}
 
-    def _check_family(self, family) -> None:
+    def _check_family(self, family, families: set | None = None) -> None:
         """HRegion.checkFamily:2391 — reject families the descriptor
         does not declare (reads AND mutations go through this in the
-        reference; NoSuchColumnFamilyException)."""
+        reference; NoSuchColumnFamilyException).  ``families`` passes a
+        pre-resolved declared-family set so batch loops don't re-read
+        the manifest per cell."""
         name = (
             family.decode("utf-8", "replace")
             if isinstance(family, (bytes, bytearray, memoryview))
             else family
         )
-        if name not in self.descriptor.families:
+        if families is None:
+            families = set(self.descriptor.families)
+        if name not in families:
             raise NoSuchColumnFamilyError(
                 f"Column family {name!r} does not exist in region "
-                f"{self.descriptor.name}"
+                f"{self.name}"
             )
 
     def put_batch(self, puts: list[Put], now: int | None = None) -> list[str]:
@@ -703,10 +728,11 @@ class StoredTable:
         miniBatchOp applies the valid subset in one WAL sync)."""
         codes = []
         good = []
+        declared = set(self.descriptor.families)
         for p in puts:
             try:
                 for family, _q, _ts, _t, _v in p.cells:
-                    self._check_family(family)
+                    self._check_family(family, declared)
             except NoSuchColumnFamilyError:
                 codes.append("BAD_FAMILY")
                 continue
@@ -1087,16 +1113,18 @@ class StoredTable:
             desc = TableDescriptor.from_dict(info["descriptor"])
             desc.name = new_name
             t = store.create_table(desc, binary=info["binary"])
+        # presence alone does not prove completeness (copytree is not
+        # atomic; a crashed prior export leaves a partial dir) — copy
+        # into a temp dir and publish each segment with one atomic
+        # rename, so an existing directory IS a complete segment
         existing = set(os.listdir(os.path.join(t.dir, "segments")))
-        copied = []
         for seg in info["segments"]:
-            if seg in existing:
+            if seg in existing and not seg.startswith(".tmp-"):
                 continue
-            shutil.copytree(
-                os.path.join(self.dir, "segments", seg),
-                os.path.join(t.dir, "segments", seg),
-            )
-            copied.append(seg)
+            tmp = os.path.join(t.dir, "segments",
+                               f".tmp-{uuid.uuid4().hex[:8]}")
+            shutil.copytree(os.path.join(self.dir, "segments", seg), tmp)
+            os.rename(tmp, os.path.join(t.dir, "segments", seg))
         m = t.manifest()
         m2 = dict(m)
         m2["version"] = m["version"] + 1

@@ -334,16 +334,29 @@ class ThriftServer:
             muts.append(put)
         return muts
 
+    def _mutate(self, table, muts) -> None:
+        """engine mutate with the reference's error surface: a mutation
+        naming an undeclared family is the declared IOError
+        (ThriftServer wraps IOExceptions — NoSuchColumnFamilyException
+        included — never an application-level fault)."""
+        from hbase_snapshot_spark.table import NoSuchColumnFamilyError
+
+        try:
+            table.mutate(muts)
+        except NoSuchColumnFamilyError as ex:
+            raise IOError_(str(ex)) from ex
+
     def mutateRow(self, tableName, row, mutations) -> None:  # noqa: N802
         """Hbase.thrift mutateRow:373 — apply puts/deletes to one row
         (isDelete deletes all versions of the column, ThriftServer
         mutateRowTs → Delete.deleteColumns)."""
-        self._table(tableName).mutate(self._apply(tableName, row, mutations))
+        self._mutate(self._table(tableName), self._apply(tableName, row, mutations))
 
     def mutateRowTs(self, tableName, row, mutations, timestamp) -> None:  # noqa: N802,N803
         """Hbase.thrift mutateRowTs:389"""
-        self._table(tableName).mutate(
-            self._apply(tableName, row, mutations, timestamp)
+        self._mutate(
+            self._table(tableName),
+            self._apply(tableName, row, mutations, timestamp),
         )
 
     def mutateRows(self, tableName, rowBatches) -> None:  # noqa: N802,N803
@@ -351,21 +364,26 @@ class ThriftServer:
         muts = []
         for b in rowBatches:
             muts.extend(self._apply(tableName, b.row, b.mutations))
-        self._table(tableName).mutate(muts)
+        self._mutate(self._table(tableName), muts)
 
     def mutateRowsTs(self, tableName, rowBatches, timestamp) -> None:  # noqa: N802,N803
         """Hbase.thrift mutateRowsTs:424"""
         muts = []
         for b in rowBatches:
             muts.extend(self._apply(tableName, b.row, b.mutations, timestamp))
-        self._table(tableName).mutate(muts)
+        self._mutate(self._table(tableName), muts)
 
     def atomicIncrement(self, tableName, row, column, value) -> int:  # noqa: N802
         """Hbase.thrift atomicIncrement:438"""
+        from hbase_snapshot_spark.table import NoSuchColumnFamilyError
+
         fam, qual = _split_column(column)
-        return self._table(tableName).increment_column_value(
-            row, fam, qual or "", value
-        )
+        try:
+            return self._table(tableName).increment_column_value(
+                row, fam, qual or "", value
+            )
+        except NoSuchColumnFamilyError as ex:
+            raise IOError_(str(ex)) from ex
 
     def deleteAll(self, tableName, row, column) -> None:  # noqa: N802
         """Hbase.thrift deleteAll:452 — all versions of a column."""
@@ -375,7 +393,7 @@ class ThriftServer:
             d.delete_family(fam)
         else:
             d.delete_columns(fam, qual)
-        self._table(tableName).mutate([d])
+        self._mutate(self._table(tableName), [d])
 
     def deleteAllTs(self, tableName, row, column, timestamp) -> None:  # noqa: N802
         """Hbase.thrift deleteAllTs:464 — versions <= timestamp."""
@@ -385,11 +403,11 @@ class ThriftServer:
             d.delete_family(fam, ts=timestamp)
         else:
             d.delete_columns(fam, qual, ts=timestamp)
-        self._table(tableName).mutate([d])
+        self._mutate(self._table(tableName), [d])
 
     def deleteAllRow(self, tableName, row) -> None:  # noqa: N802
         """Hbase.thrift deleteAllRow:487 — whole-row delete."""
-        self._table(tableName).mutate([Delete(row)])
+        self._mutate(self._table(tableName), [Delete(row)])
 
     def deleteAllRowTs(self, tableName, row, timestamp) -> None:  # noqa: N802
         """Hbase.thrift deleteAllRowTs:499 — whole-row delete of
@@ -398,7 +416,7 @@ class ThriftServer:
         d = Delete(row)
         for fam in t.descriptor.families:
             d.delete_family(fam, ts=timestamp)
-        t.mutate([d])
+        self._mutate(t, [d])
 
     # -------------------------------------------------------- scanners
 

@@ -268,3 +268,31 @@ def test_store_snapshot_survives_compaction_and_vacuum(store):
     restored = store.restore_snapshot("vs1")
     got = {(c.row, c.value) for c in restored.client().scan(Scan()).collect()}
     assert got == {("r1", "v1"), ("r2", "v2")}  # frozen state, no r3
+
+
+def test_store_snapshot_concurrent_same_name(store):
+    """two threads snapshotting the same name race on the atomic
+    publish: exactly one wins, the loser gets TableExistsError, no
+    half-built or tmp dirs remain listed."""
+    import threading
+
+    _mk(store, "racesnap", "f")
+    results = []
+
+    def snap():
+        try:
+            store.snapshot("race1", "racesnap")
+            results.append("ok")
+        except TableExistsError:
+            results.append("exists")
+
+    threads = [threading.Thread(target=snap) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("ok") == 1 and results.count("exists") == 3
+    assert store.list_snapshots() == ["race1"]
+    store.restore_snapshot  # the winner's snapshot is complete:
+    d = store.snapshot_descriptor("race1")
+    assert d["snapshot_table"] == "racesnap"

@@ -267,3 +267,21 @@ def test_handshake_map_fixed_codec_roundtrip():
     assert out["clientProtocol"] == "proto-text"
     assert out["serverHash"] == b"\x02" * 16
     assert out["meta"] == {"k1": b"v1", "k2": b"v2"}
+
+
+def test_unknown_family_framed_as_aioerror(spark, tmp_path):
+    """an undeclared-family put must come back as a FRAMED AIOError
+    (the declared branch), never kill the transport."""
+    store = TableStore(spark, str(tmp_path / "tables-badfam"))
+    server = AvroServer(store)
+    server.createTable(ATableDescriptor(
+        name="t", families=[AFamilyDescriptor(name="f")]))
+    from hbase_snapshot_spark.avro_api import AIOError
+
+    disp = aw.AvroBinaryDispatcher(server)
+    req = aw.encode_call("put", {"table": b"t", "put": {
+        "row": b"r1", "columnValues": [{
+            "family": b"nosuch", "qualifier": b"q", "value": b"v",
+            "timestamp": None}]}})
+    with pytest.raises(AIOError):
+        aw.decode_response("put", disp.handle(req))

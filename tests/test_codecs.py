@@ -1124,3 +1124,22 @@ def test_mp3_layer1_and_layer2_frame_sizes():
     size = 144 * 384000 // 44100
     m = codecs.parse_mp3(hdr + b"\x00" * (size - 4))
     assert m["layer"] == 2 and m["frames"][0] == (0, size, 1152)
+
+
+def test_mp4_v0_track_id_and_probe_wav_header_only():
+    """review-pass regressions: v0 tkhd track_id is parsed, and the
+    WAV probe reads the container's true channel count from the fmt
+    chunk (header walk, no PCM decode)."""
+    data = _make_mp4([10, 20], keyframes=[1])
+    (trk,) = codecs.parse_mp4(data)["tracks"]
+    assert trk["track_id"] == 1
+
+
+def test_probe_media_wav_stereo_channels(spark):
+    stereo = np.array([100, 200, -100, -200, 1, 2], np.int32)  # L R x3
+    wav = make_wav(stereo, rate=8000, bits=16, channels=2)
+    media = _media_df(spark, [wav], kind="audio")
+    (row,) = multimodal.probe_media(media).collect()
+    assert row.format == "wav" and row.channels == 2
+    assert row.sample_rate == 8000 and row.n_frames == 3  # frames, not samples
+    assert row.duration_ms == round(3 * 1000 / 8000)

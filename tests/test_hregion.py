@@ -827,3 +827,25 @@ def test_get_closest_row_before2(store):
     # new segment with an EARLIER row must not steal the candidacy
     t.mutate([Put("020").add("fam1", "q", "020")], now=20)
     assert closest("035") == "030"
+
+
+# ------------------------------- review-pass regressions (round 6)
+
+
+def test_delete_ctor_ts_defaults_into_delete_methods(store):
+    """Delete(row, ts).delete_family/columns/column default to the
+    CONSTRUCTOR's row-level ts (Delete.java: this.ts is the default),
+    so a bounded row delete stays bounded through the per-family
+    calls — future cells survive."""
+    t = _mk(store, "ctorts", "f")
+    t.mutate([Put("r").add("f", "q", "future", ts=1000)], now=10)
+    t.mutate([Put("r").add("f", "q2", "old", ts=5)], now=11)
+    # bounded at 100: masks the ts=5 cell, NOT the ts=1000 one
+    t.mutate([Delete("r", ts=100).delete_family("f")], now=12)
+    cells = _cells(t, "r")
+    assert [(c[1], c[3]) for c in cells] == [("q", "future")]
+    # delete_columns inherits the bound the same way
+    t.mutate([Put("r2").add("f", "q", "keep", ts=1000)
+              .add("f", "q", "drop", ts=50)], now=13)
+    t.mutate([Delete("r2", ts=100).delete_columns("f", "q")], now=14)
+    assert [(c[2], c[3]) for c in _cells(t, "r2", maxv=None)] == [(1000, "keep")]

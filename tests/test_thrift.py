@@ -316,3 +316,16 @@ def test_wide_row_cursor_paging(spark, tmp_path):
         quals = sorted(r.columns)
         assert quals[0] == "f:q0000" and quals[-1] == f"f:q{n_cols-1:04d}"
         assert r.columns["f:q0123"].value == f"{r_i}-123"
+
+
+def test_unknown_family_maps_to_declared_ioerror(handler):
+    """a mutation naming an undeclared family surfaces as the DECLARED
+    IOError (ThriftServer wraps NoSuchColumnFamilyException), never an
+    application-level fault."""
+    h = _loaded(handler)
+    with pytest.raises(IOError_):
+        h.mutateRow("tableA", "rowA", [Mutation("noSuchFam:q", "v")])
+    with pytest.raises(IOError_):
+        h.deleteAll("tableA", "rowA", "noSuchFam:q")
+    with pytest.raises(IOError_):
+        h.atomicIncrement("tableA", "rowA", "noSuchFam:cnt", 1)

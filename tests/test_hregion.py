@@ -849,3 +849,284 @@ def test_delete_ctor_ts_defaults_into_delete_methods(store):
               .add("f", "q", "drop", ts=50)], now=13)
     t.mutate([Delete("r2", ts=100).delete_columns("f", "q")], now=14)
     assert [(c[2], c[3]) for c in _cells(t, "r2", maxv=None)] == [(1000, "keep")]
+
+
+# =================================================== the concurrency tier
+#
+# TestHRegion's thread-interleaving methods (FlushThread / PutThread /
+# GetTillDoneOrException harnesses).  Mapping notes:
+# - ``region.flushcache()`` is a no-op boundary here (every mutate batch
+#   already commits a durable segment), so the concurrency target these
+#   methods actually stress — a reader concurrent with a storefile set
+#   swap — maps to ``compact()`` swapping the manifest under an open
+#   reader/iterator.
+# - iteration counts are scaled down (each mutate is a Spark job on
+#   local[*]); the interleaving structure (reader mid-flight while the
+#   writer/compactor commits) is preserved.
+
+import threading as _threading_mod
+
+
+class _CompactThread(_threading_mod.Thread):
+    """FlushThread analogue (TestHRegion.java:2341): compacts on demand
+    when poked, records any error instead of swallowing it."""
+
+    def __init__(self, table):
+        super().__init__(daemon=True)
+        self.table = table
+        self._wake = _threading_mod.Event()
+        self._done = False
+        self.error = None
+
+    def run(self):
+        while True:
+            self._wake.wait()
+            self._wake.clear()
+            if self._done:
+                return
+            try:
+                self.table.compact(major=True)
+            except Exception as ex:  # noqa: BLE001
+                self.error = ex
+                return
+
+    def poke(self):
+        self._wake.set()
+
+    def finish(self):
+        self._done = True
+        self._wake.set()
+        self.join(timeout=60)
+        assert self.error is None, self.error
+
+
+# ------------------------------------------ testFlushCacheWhileScanning:2287
+
+
+def test_flush_cache_while_scanning(store):
+    """a scan opened at iteration i sees exactly the rows whose qual1
+    matches the SCVF — regardless of a concurrently-running major
+    compaction (the reader's manifest binding + store-snapshot pinning
+    stand in for the reference's memstore-snapshot consistency)."""
+    t = _mk(store, "flushscan", "family")
+    compactor = _CompactThread(t)
+    compactor.start()
+
+    num_rows, scan_interval = 30, 10
+    flt = SingleColumnValueFilter("family", "qual1", CompareOp.EQUAL,
+                                  BinaryComparator("v5"))
+    expected = 0
+    toggle = True
+    try:
+        for i in range(num_rows):
+            t.mutate([Put(f"row{i:03d}").add("family", "qual1", f"v{i % 10}")],
+                     now=i + 1)
+            if i % 10 == 5:
+                expected += 1
+            if i != 0 and i % scan_interval == 0:
+                it = t.client().scanner(
+                    Scan(families=["family"], filter=flt))
+                got = []
+                if toggle:
+                    compactor.poke()       # compact before paging
+                for cell in it:
+                    got.append(cell.row)
+                    if not toggle and len(got) == 1:
+                        compactor.poke()   # compact mid-page
+                assert len(got) == expected, f"i={i}"
+                toggle = not toggle
+    finally:
+        compactor.finish()
+
+
+# ----------------------------------------------- testWritesWhileScanning:2401
+# ----------------------------------------------- testWritesWhileGetting:2556
+
+
+class _WideRowPutThread(_threading_mod.Thread):
+    """PutThread analogue (TestHRegion.java:2472): full-row puts of
+    numFamilies x numQualifiers cells, one generation per iteration,
+    with a periodic bounded row Delete(row, ts-bound) like the
+    reference's ``new Delete(row, numPutsFinished-30, null)``."""
+
+    def __init__(self, table, families, quals, generations):
+        super().__init__(daemon=True)
+        self.table = table
+        self.families = families
+        self.quals = quals
+        self.generations = generations
+        self.finished = 0
+        self.error = None
+
+    def run(self):
+        try:
+            for g in range(1, self.generations + 1):
+                ts = g * 10
+                p = Put("row0")
+                for f in self.families:
+                    for q in self.quals:
+                        p.add(f, q, f"gen{g}", ts=ts)
+                self.table.mutate([p], now=ts)
+                if g % 3 == 0:
+                    # bounded row delete 25 ticks back — masks stale
+                    # generations, never the newest one
+                    self.table.mutate([Delete("row0", ts=ts - 25)],
+                                      now=ts + 1)
+                self.finished = g
+        except Exception as ex:  # noqa: BLE001
+            self.error = ex
+
+    def wait_first_put(self):
+        while self.finished == 0 and self.error is None:
+            _threading_mod.Event().wait(0.05)
+        assert self.error is None, self.error
+
+
+def _assert_one_generation(cells, n_expected, prev_ts):
+    """every returned cell must carry ONE write's timestamp (no torn
+    read), count must be the full wide row, and time must not run
+    backwards across iterations."""
+    assert len(cells) == n_expected
+    ts_set = {c.ts for c in cells}
+    assert len(ts_set) == 1, f"torn read across generations: {ts_set}"
+    ts = ts_set.pop()
+    assert ts >= prev_ts
+    vals = {bytes(c.value) if isinstance(c.value, (bytes, bytearray))
+            else c.value for c in cells}
+    assert len(vals) == 1
+    return ts
+
+
+def test_writes_while_scanning(store):
+    fams = [f"family{i}" for i in range(4)]
+    quals = [f"qual{i}" for i in range(8)]
+    t = _mk(store, "writescan", *fams)
+    putter = _WideRowPutThread(t, fams, quals, generations=6)
+    compactor = _CompactThread(t)
+    putter.start()
+    putter.wait_first_put()
+    compactor.start()
+
+    expected = len(fams) * len(quals)
+    prev_ts = 0
+    try:
+        for i in range(8):
+            if i == 3:
+                compactor.poke()
+            cells = t.client().scan(
+                Scan(start_row="row0", stop_row="row1")).collect()
+            if cells:
+                prev_ts = _assert_one_generation(cells, expected, prev_ts)
+        putter.join(timeout=300)
+        assert putter.error is None, putter.error
+        # final state: the last generation, whole-row
+        cells = t.client().scan(Scan(start_row="row0", stop_row="row1")).collect()
+        _assert_one_generation(cells, expected, prev_ts)
+    finally:
+        compactor.finish()
+
+
+def test_writes_while_getting(store):
+    fams = [f"family{i}" for i in range(4)]
+    quals = [f"qual{i}" for i in range(8)]
+    t = _mk(store, "writeget", *fams)
+    putter = _WideRowPutThread(t, fams, quals, generations=6)
+    compactor = _CompactThread(t)
+    putter.start()
+    putter.wait_first_put()
+    compactor.start()
+
+    expected = len(fams) * len(quals)
+    prev_ts = 0
+    try:
+        for i in range(8):
+            if i == 4:
+                compactor.poke()
+            cells = t.client().get(Get("row0")).collect()
+            if cells:
+                prev_ts = _assert_one_generation(cells, expected, prev_ts)
+        putter.join(timeout=300)
+        assert putter.error is None, putter.error
+        cells = t.client().get(Get("row0")).collect()
+        _assert_one_generation(cells, expected, prev_ts)
+    finally:
+        compactor.finish()
+
+
+# ------------------------------------ testIncrementColumnValue_ConcurrentFlush:1925
+
+
+def test_icv_concurrent_flush(store):
+    """ICV racing a compaction returns value+amount and the resolved
+    view converges to one visible cell (the engine's ICV writes a new
+    version — test_icv_bump_snapshot pins that physical divergence; the
+    REFERENCE assertion here is the resolved value)."""
+    t = _mk(store, "icvflush", "fam1", binary=True)
+    t.mutate([Put(b"rowA").add("fam1", b"qual1", to_bytes(1))], now=100)
+
+    compactor = _CompactThread(t)
+    compactor.start()
+    compactor.poke()  # compaction in flight while the ICV runs
+    try:
+        assert t.increment_column_value(b"rowA", "fam1", b"qual1", 3,
+                                        now=110) == 4
+        cells = _cells(t, b"rowA", columns={"fam1": [b"qual1"]})
+        assert len(cells) == 1 and to_long(bytes(cells[0][3])) == 4
+    finally:
+        compactor.finish()
+
+
+# ------------------------------------------- testGetScanner_WithRegionClosed:1420
+# ------------------------------------------- testGetWhileRegionClose:119
+
+
+def test_get_scanner_with_region_closed(store):
+    """region.close() -> getScanner raises; maps to disable() gating
+    new readers (NotServingRegionException analogue)."""
+    from hbase_snapshot_spark.table import TableNotEnabledError
+    t = _mk(store, "closedscan", "fam1", "fam2")
+    t.disable()
+    with pytest.raises(TableNotEnabledError):
+        t.client()
+
+
+def test_get_while_region_close(store):
+    """gets already in flight during close() complete with full
+    consistent rows (their manifest binding is immutable); gets issued
+    AFTER the close are refused."""
+    from hbase_snapshot_spark.table import TableNotEnabledError
+    t = _mk(store, "getclose", "fam1", "fam2", "fam3")
+    t.mutate([Put("row100").add(f, q, f"{f}:{q}")
+              for f in ("fam1", "fam2", "fam3") for q in ("q1", "q2", "q3")],
+             now=10)
+    # merge the 9 single-cell puts above into one row view
+    client_before = t.client()   # binds HEAD before the close
+
+    errors, gets = [], {"n": 0}
+    stop = _threading_mod.Event()
+
+    def getter():
+        try:
+            while not stop.is_set():
+                cells = client_before.get(Get("row100")).collect()
+                assert len(cells) == 9
+                assert {bytes(c.value).decode() if isinstance(c.value, (bytes, bytearray))
+                        else c.value for c in cells} \
+                    == {f"{f}:{q}" for f in ("fam1", "fam2", "fam3")
+                        for q in ("q1", "q2", "q3")}
+                gets["n"] += 1
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [_threading_mod.Thread(target=getter) for _ in range(3)]
+    for th in threads:
+        th.start()
+    t.disable()                  # the "close"
+    _threading_mod.Event().wait(0.3)
+    stop.set()
+    for th in threads:
+        th.join(timeout=60)
+    assert not errors
+    assert gets["n"] > 0
+    with pytest.raises(TableNotEnabledError):
+        t.client()

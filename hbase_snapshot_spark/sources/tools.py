@@ -88,7 +88,10 @@ def import_tsv(
 ) -> DataFrame:
     """mapreduce/ImportTsv.java — TSV → cell stream.  ``columns`` uses
     the reference's spec format: 'HBASE_ROW_KEY' plus 'fam:qual' per
-    field, e.g. ["HBASE_ROW_KEY", "f:a", "f:b"]."""
+    field, e.g. ["HBASE_ROW_KEY", "f:a", "f:b"].  A bare family name
+    ('fam', no colon) addresses the EMPTY qualifier, exactly like
+    TsvParser (TestImportTsv.testTsvParser: getQualifier(0) ==
+    EMPTY_BYTE_ARRAY for spec 'col_a')."""
     if "HBASE_ROW_KEY" not in columns:
         raise ValueError("columns must include HBASE_ROW_KEY")  # ImportTsv:97
     mode = "DROPMALFORMED" if skip_bad_lines else "FAILFAST"
@@ -98,7 +101,7 @@ def import_tsv(
     for i, spec in enumerate(columns):
         if i == key_idx:
             continue
-        fam, qual = spec.split(":", 1)
+        fam, _, qual = spec.partition(":")
         colmap[f"_c{i}"] = (fam, qual)
     return melt(raw, f"_c{key_idx}", colmap, ts=ts)
 

@@ -372,3 +372,74 @@ def test_simple_total_order_partitioner_split(spark):
     assert parts(1) == {"c": 0, "q": 0, "a": 0, "z": 0}
     assert parts(2) == {"c": 0, "q": 1, "a": 0, "z": 1}
     assert parts(3) == {"c": 0, "q": 2, "a": 0, "z": 2}
+
+
+# --------------------------- mapreduce/TestImportTsv.testTsvParser port
+
+
+def test_import_tsv_parser_spec(spark, tmp_path):
+    """the TsvParser column-spec grammar: a BARE family name ('col_a',
+    no colon) addresses the EMPTY qualifier, 'fam:qual' splits on the
+    first colon, and HBASE_ROW_KEY can sit at any position
+    (TestImportTsv.testTsvParser: spec 'col_a,col_b:qual,
+    HBASE_ROW_KEY,col_d', rowKeyColumnIndex == 2)."""
+    p = tmp_path / "parser.tsv"
+    p.write_text("val_a\tval_b\tval_c\tval_d\n")
+    cells = import_tsv(
+        spark, str(p),
+        ["col_a", "col_b:qual", "HBASE_ROW_KEY", "col_d"], ts=9)
+    got = {(r.row, r.family, r.qualifier, r.value) for r in cells.collect()}
+    assert got == {
+        ("val_c", "col_a", "", "val_a"),      # bare family -> EMPTY qualifier
+        ("val_c", "col_b", "qual", "val_b"),
+        ("val_c", "col_d", "", "val_d"),
+    }
+
+
+# --------------------------- mapreduce/TestTimeRangeMapRed.java port
+
+
+def test_time_range_map_red(spark, tmp_path):
+    """TestTimeRangeMapRed: 7 versions of one column; a table-scan job
+    restricted to setTimeRange(MINSTAMP, MAXSTAMP) + setMaxVersions
+    sees EXACTLY the in-range versions; writing value=true back at
+    those timestamps flips only those versions (same-ts overwrite via
+    seq tie-break)."""
+    from hbase_snapshot_spark.client import Scan
+
+    timestamps = {
+        1245620000: False,
+        1245620005: True,
+        1245620010: True,
+        1245620055: True,
+        1245620100: True,
+        1245620150: False,
+        1245620250: False,
+    }
+    minstamp, maxstamp = 1245620005, 1245620100 + 1  # max is exclusive
+
+    store = TableStore(spark, str(tmp_path / "trmr"))
+    t = store.create_table(TableDescriptor("table123").add_family(
+        FamilyDescriptor("text", max_versions=2 ** 31 - 1)))
+    t.mutate([Put("row1").add("text", "input", "false", ts=ts)
+              for ts in timestamps], now=1)
+
+    # the "mapper": scan the time slice at all versions, collect its ts set
+    sliced = t.client().scan(Scan(
+        columns={"text": ["input"]},
+        time_range=(minstamp, maxstamp),
+        max_versions=None,
+    )).collect()
+    ts_list = sorted(c.ts for c in sliced)
+    assert ts_list == sorted(ts for ts, inc in timestamps.items() if inc)
+
+    # write value=true back at exactly those timestamps
+    t.mutate([Put("row1").add("text", "input", "true", ts=ts)
+              for ts in ts_list], now=2)
+
+    # verify(): every version's value reflects its in-range flag
+    allv = t.client().scan(Scan(columns={"text": ["input"]},
+                                max_versions=None)).collect()
+    got = {c.ts: c.value for c in allv}
+    assert got == {ts: ("true" if inc else "false")
+                   for ts, inc in timestamps.items()}

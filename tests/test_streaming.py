@@ -241,3 +241,100 @@ def test_replication_skips_compaction_rewrites(spark, stores, tmp_path):
     src.compact()  # full rewrite into a -compact- segment
     replicate(spark, src, dst, str(tmp_path / "ckpt"), once=True)
     assert dst.cells().count() == n1  # nothing new shipped
+
+
+# ----------------- replication/regionserver/TestReplicationSink.java port
+#
+# The sink contract: applied entries preserve their timestamps and
+# types, so the peer's RESOLVED view matches what the same edits would
+# have produced locally.  createEntry gives each entry a distinct,
+# increasing ts (the reference sleeps 1 ms between entries).
+
+
+def test_replication_sink_batch(spark, stores, tmp_path):
+    """testBatchSink:117 — a whole batch of puts arrives; peer scan
+    sees every row."""
+    src, dst = stores
+    src.mutate([Put(f"{i:02d}").add("f", "q1", f"v{i}", ts=100 + i)
+                for i in range(6)])
+    replicate(spark, src, dst, str(tmp_path / "ck_batch"), once=True)
+    assert {r.row for r in dst.read().collect()} == {f"{i:02d}" for i in range(6)}
+
+
+def test_replication_sink_mixed_put_delete(spark, stores, tmp_path):
+    """testMixedPutDelete:133 — first batch all puts; second batch
+    re-puts odd rows and DeleteColumns even rows; peer resolves to the
+    odd half."""
+    src, dst = stores
+    ckpt = str(tmp_path / "ck_mixed")
+    src.mutate([Put(f"{i:02d}").add("f", "q1", f"v{i}", ts=100 + i)
+                for i in range(6)])
+    replicate(spark, src, dst, ckpt, once=True)
+
+    muts = []
+    for i in range(6):
+        if i % 2 != 0:
+            muts.append(Put(f"{i:02d}").add("f", "q1", f"w{i}", ts=200 + i))
+        else:
+            muts.append(Delete(f"{i:02d}").delete_columns("f", "q1", ts=200 + i))
+    src.mutate(muts)
+    replicate(spark, src, dst, ckpt, once=True)
+
+    assert {r.row for r in dst.read().collect()} \
+        == {f"{i:02d}" for i in range(6) if i % 2 != 0}
+
+
+def test_replication_sink_mixed_tables(spark, tmp_path):
+    """testMixedPutTables:157 — entries interleave two tables; each
+    peer table receives only its own rows."""
+    import copy
+    src_store = TableStore(spark, str(tmp_path / "src2"))
+    dst_store = TableStore(spark, str(tmp_path / "dst2"))
+    desc1 = TableDescriptor("t1").add_family(FamilyDescriptor("f", replication_scope=1))
+    desc2 = TableDescriptor("t2").add_family(FamilyDescriptor("f", replication_scope=1))
+    src1 = src_store.create_table(copy.deepcopy(desc1))
+    src2 = src_store.create_table(copy.deepcopy(desc2))
+    dst1 = dst_store.create_table(copy.deepcopy(desc1))
+    dst2 = dst_store.create_table(copy.deepcopy(desc2))
+
+    for i in range(6):
+        target = src2 if i % 2 == 0 else src1
+        target.mutate([Put(f"{i:02d}").add("f", "q1", f"v{i}", ts=100 + i)])
+    # one ReplicationSource per table (the reference's source set)
+    replicate(spark, src1, dst1, str(tmp_path / "ck_t1"), once=True)
+    replicate(spark, src2, dst2, str(tmp_path / "ck_t2"), once=True)
+
+    assert all(int(r.row) % 2 == 0 for r in dst2.read().collect())
+    assert all(int(r.row) % 2 != 0 for r in dst1.read().collect())
+    assert dst2.read().count() == 3 and dst1.read().count() == 3
+
+
+def test_replication_sink_mixed_deletes(spark, stores, tmp_path):
+    """testMixedDeletes:178 — put 3 rows, then DeleteColumn /
+    DeleteFamily / DeleteColumn them; peer scan is empty."""
+    src, dst = stores
+    ckpt = str(tmp_path / "ck_dels")
+    src.mutate([Put(f"{i:02d}").add("f", "q1", f"v{i}", ts=100 + i)
+                for i in range(3)])
+    replicate(spark, src, dst, ckpt, once=True)
+    src.mutate([
+        Delete("00").delete_columns("f", "q1", ts=200),
+        Delete("01").delete_family("f", ts=201),
+        Delete("02").delete_columns("f", "q1", ts=202),
+    ])
+    replicate(spark, src, dst, ckpt, once=True)
+    assert dst.read().count() == 0
+
+
+def test_replication_sink_delete_before_put_entry(spark, stores, tmp_path):
+    """testApplyDeleteBeforePut:203 — one shipped batch carries puts
+    for rows 0,1, then a DeleteFamily for row 1, then more puts; the
+    peer's get(row1) is empty (ts order decides, not arrival order)."""
+    src, dst = stores
+    src.mutate([Put("00").add("f", "q1", "v0", ts=100),
+                Put("01").add("f", "q1", "v1", ts=101)])
+    src.mutate([Delete("01").delete_family("f", ts=102)])
+    src.mutate([Put("03").add("f", "q1", "v3", ts=103),
+                Put("04").add("f", "q1", "v4", ts=104)])
+    replicate(spark, src, dst, str(tmp_path / "ck_dbp"), once=True)
+    assert {r.row for r in dst.read().collect()} == {"00", "03", "04"}

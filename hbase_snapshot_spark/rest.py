@@ -45,6 +45,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 from hbase_snapshot_spark import rest_wire
 from hbase_snapshot_spark.client import Get, Scan
+from hbase_snapshot_spark.model import NoSuchColumnFamilyError
 from hbase_snapshot_spark.table import Delete, Put, TableStore
 
 
@@ -472,8 +473,14 @@ class _Handler(BaseHTTPRequestHandler):
             row = parts[1].encode() if binary else parts[1]
             g = Get(row, max_versions=maxv)
             if len(parts) >= 3:
-                fam, _, qual = parts[2].partition(":")
-                g.columns = {fam: [qual.encode() if binary else qual]}
+                fam, sep, qual = parts[2].partition(":")
+                if sep and qual:
+                    g.columns = {fam: [qual.encode() if binary else qual]}
+                else:
+                    # RowResultGenerator.java:54-58 — a bare family (or
+                    # 'fam:' with an empty qualifier) addresses the
+                    # WHOLE family, not the empty-qualifier column
+                    g.families = [fam]
             if "ts_min" in q or "ts_max" in q:
                 g.time_range = (
                     int(q.get("ts_min", 0)),
@@ -483,6 +490,10 @@ class _Handler(BaseHTTPRequestHandler):
             if not rows:
                 return self._send(404, {"error": "not found"})
             return self._send_cells(rows, truncated, next_start)
+        except NoSuchColumnFamilyError:
+            # TestRowResource.testNoSuchCF: a GET naming an undeclared
+            # family is 404 (the generator comes up empty), not a 400
+            return self._send(404, {"error": "no such column family"})
         except Exception as ex:  # noqa: BLE001
             return self._send(400, {"error": str(ex)})
 
@@ -491,6 +502,10 @@ class _Handler(BaseHTTPRequestHandler):
         (ScannerResource.java: POST returns the scanner Location)."""
         parts, q = self._parts()
         try:
+            if len(parts) >= 2 and parts[1] != "scanner":
+                # RowResource treats POST and PUT on a row as the same
+                # update (TestRowResource.testNoSuchCF POSTs a value)
+                return self.do_PUT()
             if len(parts) != 2 or parts[1] != "scanner":
                 return self._send(400, {"error": "POST /<table>/scanner"})
             table = self.store.table(parts[0])

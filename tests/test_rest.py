@@ -232,3 +232,34 @@ def test_rest_scanner_lease_expiry(spark, tmp_path_factory):
         assert code == 404
     finally:
         srv.shutdown()
+
+
+# ------------------------------- rest/TestRowResource.java port
+
+
+def test_rest_no_such_cf(rest):
+    """testNoSuchCF:315 — POST a value to a good family path (POST on a
+    row == PUT, RowResource.update), then: GET good family 200, GET an
+    undeclared family 404 (RowResultGenerator catches
+    NoSuchColumnFamilyException → empty → 404), good path still 200."""
+    code, _ = _req(f"{rest}/t/cfrow/f:q?ts=10", "POST", b"testvalue1")
+    assert code == 200
+    code, _ = _req(f"{rest}/t/cfrow/f")
+    assert code == 200
+    code, body = _req(f"{rest}/t/cfrow/BAD")
+    assert code == 404
+    code, _ = _req(f"{rest}/t/cfrow/f")
+    assert code == 200
+
+
+def test_rest_bare_family_gets_whole_family(rest):
+    """RowResultGenerator:54-58 — a path column with no qualifier (or a
+    trailing colon) addresses the WHOLE family."""
+    _req(f"{rest}/t/famrow/f:a?ts=10", "PUT", b"va")
+    _req(f"{rest}/t/famrow/f:b?ts=10", "PUT", b"vb")
+    code, body = _req(f"{rest}/t/famrow/f")
+    assert code == 200
+    assert {c["qualifier"] for c in body["cells"]} == {"a", "b"}
+    code, body = _req(f"{rest}/t/famrow/f:")
+    assert code == 200
+    assert {c["qualifier"] for c in body["cells"]} == {"a", "b"}

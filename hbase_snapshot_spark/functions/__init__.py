@@ -57,3 +57,59 @@ def hex4_to_int(h: Column) -> Column:
         + hex_nibble_value(F.substring(h, 3, 1)) * 16
         + hex_nibble_value(F.substring(h, 4, 1))
     )
+
+
+# --------------------------------------------------------------- URL keying
+#
+# util/Keying.java:33 — URL → row-key transform for web corpora: the
+# host portion of a hierarchical URI's authority is dot-reversed so
+# subdomains sort under their parent domain, and the result is wrapped
+# in an artificial 'r:' scheme.  The transform is reversible and a
+# non-hierarchical string passes through unchanged.
+#
+# _URI_RE is Keying.java's URI_RE_PARSER: group 1 = scheme + optional
+# userinfo@, group 2 = host, group 3 = the rest (port/path/query/#).
+
+import re as _re
+
+_KEY_SCHEME = "r:"
+_URI_RE = r"^([^:/?#]+://(?:[^/?#@]+@)?)([^:/?#]+)(.*)$"
+_URI_RE_C = _re.compile(_URI_RE)
+
+
+def _reverse_host(host: str) -> str:
+    return ".".join(reversed(host.split(".")))
+
+
+def create_key(u: str) -> str:
+    """Keying.createKey:62 — driver-side scalar (row keys, tests)."""
+    if u.startswith(_KEY_SCHEME):
+        raise ValueError(f"starts with {_KEY_SCHEME}")
+    m = _URI_RE_C.match(u) if u else None
+    if not m:
+        return u
+    return _KEY_SCHEME + m.group(1) + _reverse_host(m.group(2)) + m.group(3)
+
+
+def key_to_uri(s: str) -> str:
+    """Keying.keyToUri:86 — reverse of create_key."""
+    if not s.startswith(_KEY_SCHEME):
+        return s
+    m = _URI_RE_C.match(s[len(_KEY_SCHEME):])
+    if not m:
+        return s
+    return m.group(1) + _reverse_host(m.group(2)) + m.group(3)
+
+
+def url_key(url: Column) -> Column:
+    """Column form of Keying.createKey for bulk keying at corpus scale
+    — pure JVM-side expressions (regexp_extract + split/reverse), so a
+    100 TB URL column keys inside whole-stage codegen with no Python
+    round-trip.  Non-hierarchical strings pass through unchanged."""
+    head = F.regexp_extract(url, _URI_RE, 1)
+    host = F.regexp_extract(url, _URI_RE, 2)
+    tail = F.regexp_extract(url, _URI_RE, 3)
+    reversed_host = F.array_join(F.reverse(F.split(host, r"\.")), ".")
+    return F.when(
+        host == "", url
+    ).otherwise(F.concat(F.lit(_KEY_SCHEME), head, reversed_host, tail))

@@ -105,7 +105,10 @@ def url_key(url: Column) -> Column:
     """Column form of Keying.createKey for bulk keying at corpus scale
     — pure JVM-side expressions (regexp_extract + split/reverse), so a
     100 TB URL column keys inside whole-stage codegen with no Python
-    round-trip.  Non-hierarchical strings pass through unchanged."""
+    round-trip.  Non-hierarchical strings pass through unchanged —
+    including already-keyed 'r:' strings ('r:' never matches the
+    hierarchical pattern, so the column form is idempotent where the
+    scalar raises; a codegen expression cannot raise per-row)."""
     head = F.regexp_extract(url, _URI_RE, 1)
     host = F.regexp_extract(url, _URI_RE, 2)
     tail = F.regexp_extract(url, _URI_RE, 3)

@@ -73,8 +73,13 @@ def hex4_to_int(h: Column) -> Column:
 import re as _re
 
 _KEY_SCHEME = "r:"
-_URI_RE = r"^([^:/?#]+://(?:[^/?#@]+@)?)([^:/?#]+)(.*)$"
-_URI_RE_C = _re.compile(_URI_RE)
+# anchored to ABSOLUTE end of input: '$' (Python and Java alike) also
+# matches before a trailing newline, which would silently drop the
+# newline and collide 'u' with 'u\n' onto one key.  Python spells the
+# absolute anchor \Z, Java regex (Spark's regexp_extract) spells it \z.
+_URI_RE_BODY = r"^([^:/?#]+://(?:[^/?#@]+@)?)([^:/?#]+)(.*)"
+_URI_RE_C = _re.compile(_URI_RE_BODY + r"\Z")
+_URI_RE_SQL = _URI_RE_BODY + r"\z"
 
 
 def _reverse_host(host: str) -> str:
@@ -105,14 +110,15 @@ def url_key(url: Column) -> Column:
     """Column form of Keying.createKey for bulk keying at corpus scale
     — pure JVM-side expressions (regexp_extract + split/reverse), so a
     100 TB URL column keys inside whole-stage codegen with no Python
-    round-trip.  Non-hierarchical strings pass through unchanged —
-    including already-keyed 'r:' strings ('r:' never matches the
-    hierarchical pattern, so the column form is idempotent where the
-    scalar raises; a codegen expression cannot raise per-row)."""
-    head = F.regexp_extract(url, _URI_RE, 1)
-    host = F.regexp_extract(url, _URI_RE, 2)
-    tail = F.regexp_extract(url, _URI_RE, 3)
+    round-trip.  Non-hierarchical strings pass through unchanged, and
+    so does ANY 'r:'-prefixed input (already keyed, or a genuine
+    scheme-'r' URL): the scalar form raises there, but a codegen
+    expression cannot raise per-row, so pass-through is the column
+    form's pinned behavior."""
+    head = F.regexp_extract(url, _URI_RE_SQL, 1)
+    host = F.regexp_extract(url, _URI_RE_SQL, 2)
+    tail = F.regexp_extract(url, _URI_RE_SQL, 3)
     reversed_host = F.array_join(F.reverse(F.split(host, r"\.")), ".")
     return F.when(
-        host == "", url
+        url.startswith(_KEY_SCHEME) | (host == ""), url
     ).otherwise(F.concat(F.lit(_KEY_SCHEME), head, reversed_host, tail))

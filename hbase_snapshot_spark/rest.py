@@ -506,7 +506,7 @@ class _Handler(BaseHTTPRequestHandler):
                 # RowResource treats POST and PUT on a row as the same
                 # update (TestRowResource.testNoSuchCF POSTs a value)
                 return self.do_PUT()
-            if len(parts) != 2 or parts[1] != "scanner":
+            if len(parts) != 2:
                 return self._send(400, {"error": "POST /<table>/scanner"})
             table = self.store.table(parts[0])
             binary = table.manifest()["binary"]

@@ -977,8 +977,9 @@ class _WideRowPutThread(_threading_mod.Thread):
             self.error = ex
 
     def wait_first_put(self):
+        import time
         while self.finished == 0 and self.error is None:
-            _threading_mod.Event().wait(0.05)
+            time.sleep(0.05)
         assert self.error is None, self.error
 
 
@@ -1122,7 +1123,8 @@ def test_get_while_region_close(store):
     for th in threads:
         th.start()
     t.disable()                  # the "close"
-    _threading_mod.Event().wait(0.3)
+    import time
+    time.sleep(0.3)
     stop.set()
     for th in threads:
         th.join(timeout=60)

@@ -915,6 +915,11 @@ def test_keying_roundtrip():
     assert create_key("dns:www.powerset.com") == "dns:www.powerset.com"
     with pytest.raises(ValueError):
         create_key("r:http://org.example/x")
+    # a trailing newline must NOT silently vanish into the same key as
+    # the clean URL ('$' matches before \n; the anchor is \Z/\z) —
+    # the degenerate input falls through to the identity branch
+    assert create_key("http://a.b/x\n") == "http://a.b/x\n"
+    assert create_key("http://a.b/x") == "r:http://b.a/x"
 
 
 def test_url_key_column_matches_scalar(spark):
@@ -933,8 +938,15 @@ def test_url_key_column_matches_scalar(spark):
         "ftp://one.two.three/index.html",
         "filename",
         "http://lucene.apache.org/index.html?query=something#middle",
+        "http://a.b/x\n",           # trailing newline: passthrough, no collision
     ]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = {r.url: r.key
            for r in df.select("url", url_key(F.col("url")).alias("key")).collect()}
     assert got == {u: create_key(u) for u in urls}
+    # pinned divergence: the scalar RAISES on 'r:'-prefixed input, the
+    # column form passes it through unchanged (codegen can't raise)
+    rdf = spark.createDataFrame(
+        [("r:http://org.example/x",), ("r://host.x/path",)], ["url"])
+    assert [r.key for r in rdf.select(url_key(F.col("url")).alias("key")).collect()] \
+        == ["r:http://org.example/x", "r://host.x/path"]

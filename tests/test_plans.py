@@ -326,3 +326,18 @@ def test_delta_dedup_prunes_corpus_with_semi_join(spark):
         "simple")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_url_key_stays_jvm_side(spark):
+    """the bulk URL-keying expression (functions.url_key) must compile
+    to pure Catalyst expressions — no BatchEvalPython / Python UDF in
+    the plan, so corpus-scale keying stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.functions import url_key
+
+    df = spark.createDataFrame(
+        [("http://one.two.three/index.html",)], ["url"]
+    ).select(url_key(F.col("url")).alias("key"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

@@ -52,3 +52,42 @@ def stratified_sample(
         rate = F.when(cond, frac) if rate is None else rate.when(cond, frac)
     rate = rate.otherwise(F.lit(default)) if rate is not None else F.lit(default)
     return df.filter(hash_fraction(key) < rate)
+
+
+# ------------------------------------------------- deterministic shuffle
+
+def shuffle_key(key: Column, seed: int) -> Column:
+    """deterministic 64-bit shuffle ordinal: xxhash64(seed, key).
+    Seed-controlled, partition-independent, engine-stable — the basis
+    of reproducible corpus shuffling (re-running with the same seed
+    yields the same order on any cluster size)."""
+    return F.xxhash64(F.lit(int(seed)), F.coalesce(
+        key.cast("string"), F.lit(NULL_KEY_SENTINEL)))
+
+
+def deterministic_shuffle(df: DataFrame, key: Column, seed: int = 0) -> DataFrame:
+    """globally shuffle a corpus into a seeded pseudorandom total order
+    (the pre-training 'shuffle the corpus once' step).  This is a
+    range-partitioned global sort on the hash ordinal — use it only
+    when a single totally-ordered stream is genuinely required; for
+    sharded training input prefer ``shard_shuffle`` (one hash
+    Exchange, no range sampling pass, no global Sort)."""
+    return df.orderBy(shuffle_key(key, seed))
+
+
+def shard_shuffle(
+    df: DataFrame, key: Column, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """deterministic shuffle INTO SHARDS — the scale path: rows land in
+    shard pmod(xxhash64(seed,key), n) and are hash-ordered within the
+    shard.  One hash Exchange + per-partition sort; no global range
+    sort, so the plan is identical at 1 GB and 100 TB.  Writing the
+    result with partitionBy('shard') (or per-partition writers) yields
+    reproducible training shards; different seeds give independent
+    epoch orders."""
+    h = shuffle_key(key, seed)
+    out = df.withColumn("shard", F.pmod(h, F.lit(int(n_shards))).cast("int"))
+    return (
+        out.repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions(shuffle_key(key, seed))
+    )

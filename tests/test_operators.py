@@ -950,3 +950,62 @@ def test_url_key_column_matches_scalar(spark):
         [("r:http://org.example/x",), ("r://host.x/path",)], ["url"])
     assert [r.key for r in rdf.select(url_key(F.col("url")).alias("key")).collect()] \
         == ["r:http://org.example/x", "r://host.x/path"]
+
+
+# ------------------------------- deterministic corpus shuffle / sharding
+
+
+def test_deterministic_shuffle_reproducible(spark):
+    """same seed → same total order regardless of input partitioning;
+    different seed → different order (epoch independence)."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators.sampling import deterministic_shuffle
+
+    rows = [(f"doc{i}",) for i in range(200)]
+    df1 = spark.createDataFrame(rows, ["doc_id"])
+    df8 = spark.createDataFrame(rows, ["doc_id"]).repartition(8)
+
+    o1 = [r.doc_id for r in deterministic_shuffle(df1, F.col("doc_id"), 42).collect()]
+    o2 = [r.doc_id for r in deterministic_shuffle(df8, F.col("doc_id"), 42).collect()]
+    o3 = [r.doc_id for r in deterministic_shuffle(df1, F.col("doc_id"), 43).collect()]
+    assert o1 == o2                      # partition-independent
+    assert sorted(o1) == sorted(r[0] for r in rows)
+    assert o1 != o3                      # seed changes the order
+    assert o1 != sorted(o1)              # it actually shuffles
+
+
+def test_shard_shuffle_deterministic_and_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators.sampling import shard_shuffle
+
+    rows = [(f"doc{i:04d}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id"])
+    out = shard_shuffle(df, F.col("doc_id"), n_shards=8, seed=7)
+    got = [(r.doc_id, r.shard) for r in out.collect()]
+    # every row present exactly once; shard assignment is a pure
+    # function of (seed, key) — re-run matches
+    assert sorted(d for d, _ in got) == sorted(r[0] for r in rows)
+    again = [(r.doc_id, r.shard)
+             for r in shard_shuffle(df.repartition(16), F.col("doc_id"),
+                                    n_shards=8, seed=7).collect()]
+    assert dict(got) == dict(again)
+    # roughly balanced shards (hash uniformity: no shard > 2x the mean)
+    from collections import Counter
+    sizes = Counter(s for _, s in got)
+    assert len(sizes) == 8 and max(sizes.values()) < 2 * (2000 / 8)
+
+
+def test_shard_shuffle_plan_no_global_sort(spark):
+    """the scale path must be ONE hash Exchange + per-partition sort:
+    no range Exchange (global Sort) anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators.sampling import shard_shuffle
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(100)], ["doc_id"])
+    plan = shard_shuffle(df, F.col("doc_id"), 8, seed=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()

@@ -1009,3 +1009,37 @@ def test_shard_shuffle_plan_no_global_sort(spark):
         .executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning" in plan.lower()
+
+
+def test_keying_roundtrip_property():
+    """property: for ANY scheme://host/path-shaped URL, key_to_uri ∘
+    create_key is identity; for any string without '://', create_key is
+    identity (hypothesis over the URI grammar)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_snapshot_spark.functions import create_key, key_to_uri
+
+    label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+    scheme = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=6)
+    host = st.lists(label, min_size=1, max_size=4).map(".".join)
+    path = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._~?=&#%", max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme=scheme, host=host, path=path)
+    def roundtrip(scheme, host, path):
+        u = f"{scheme}://{host}/{path}"
+        k = create_key(u)
+        assert k.startswith("r:")
+        assert key_to_uri(k) == u
+
+    @settings(max_examples=100, deadline=None)
+    @given(s=st.text(max_size=30).filter(
+        lambda s: "://" not in s and not s.startswith("r:")))
+    def identity(s):
+        assert create_key(s) == s
+
+    roundtrip()
+    identity()

@@ -707,9 +707,15 @@ FROM c
 
 
 def fingerprint_sql() -> str:
+    # urlkey: the closed form of Keying.createKey over the synthetic URL
+    # http://<source>.example.org/doc/<doc_id> — scheme kept, host
+    # dot-reversed ('org.example.' || source), wrapped in 'r:'.  The
+    # Spark side computes the same thing through the REAL url_key
+    # regex+reverse expression, so a hash match verifies the transform.
     return """
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       'r:http://org.example.' || source || '/doc/' || doc_id AS urlkey
 FROM documents
 """
 

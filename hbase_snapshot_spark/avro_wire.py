@@ -578,11 +578,22 @@ def serve_avro(store, port: int = 0):
         def do_POST(self):  # noqa: N802
             n = int(self.headers.get("Content-Length", 0))
             request = self.rfile.read(n)
-            hs, pos, proceed = handshakes.respond(request)
-            body = bytearray()
-            encode_datum(body, HANDSHAKE_RESPONSE, hs)
-            if proceed:
-                body += dispatcher.handle(request[pos:])
+            try:
+                hs, pos, proceed = handshakes.respond(request)
+                body = bytearray()
+                encode_datum(body, HANDSHAKE_RESPONSE, hs)
+                if proceed:
+                    body += dispatcher.handle(request[pos:])
+            except Exception as ex:  # noqa: BLE001
+                # a malformed/truncated handshake must get an HTTP
+                # answer, not a dropped connection
+                msg = f"bad avro request: {ex}".encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
             body = bytes(body)
             self.send_response(200)
             self.send_header("Content-Type", "avro/binary")

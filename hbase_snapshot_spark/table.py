@@ -36,6 +36,7 @@ predicate pushdown, and row-group skipping all apply.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -265,9 +266,14 @@ class TableStore:
         _write_json(os.path.join(tmp, "snapshotinfo.json"), info)
         try:
             os.rename(tmp, sd)
-        except OSError:
+        except OSError as e:
+            # only a lost name race is a collision; permissions /
+            # read-only FS / cross-device must surface as themselves
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY) or os.path.exists(sd):
+                raise TableExistsError(f"snapshot {snapshot_name}") from None
+            raise
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            raise TableExistsError(f"snapshot {snapshot_name}") from None
 
     def list_snapshots(self) -> list[str]:
         base = self._snap_base()
@@ -403,7 +409,13 @@ class StoredTable:
             acquired = False
 
             def __enter__(self_inner):
-                rlock.acquire()
+                # bound the thread-level wait by the same deadline as
+                # the lockfile spin — a hung same-process writer must
+                # surface as TimeoutError, not an infinite block
+                if not rlock.acquire(timeout=max(0.0, deadline - time.time())):
+                    raise TimeoutError(
+                        f"writer lock on {table.name} held too long"
+                    )
                 self_inner.acquired = True
                 if _LOCK_DEPTH.get(path, 0) == 0:
                     while True:
@@ -726,20 +738,26 @@ class StoredTable:
         naming an unknown family gets BAD_FAMILY and is skipped; the
         valid puts commit together in ONE segment (the reference's
         miniBatchOp applies the valid subset in one WAL sync)."""
-        codes = []
-        good = []
-        declared = set(self.descriptor.families)
-        for p in puts:
-            try:
-                for family, _q, _ts, _t, _v in p.cells:
-                    self._check_family(family, declared)
-            except NoSuchColumnFamilyError:
-                codes.append("BAD_FAMILY")
-                continue
-            codes.append("SUCCESS")
-            good.append(p)
-        if good:
-            self.mutate(good, now=now)
+        # validate against the descriptor and apply under ONE writer-lock
+        # scope (the lock is re-entrant, so the inner @_locked mutate
+        # nests) — otherwise a concurrent family removal between the
+        # check and the commit turns an already-coded SUCCESS into a
+        # NoSuchColumnFamilyError that aborts the whole batch
+        with self._lock():
+            codes = []
+            good = []
+            declared = set(self.descriptor.families)
+            for p in puts:
+                try:
+                    for family, _q, _ts, _t, _v in p.cells:
+                        self._check_family(family, declared)
+                except NoSuchColumnFamilyError:
+                    codes.append("BAD_FAMILY")
+                    continue
+                codes.append("SUCCESS")
+                good.append(p)
+            if good:
+                self.mutate(good, now=now)
         return codes
 
     def _latest_cell(self, row, family, qualifier):
@@ -1117,14 +1135,28 @@ class StoredTable:
         # atomic; a crashed prior export leaves a partial dir) — copy
         # into a temp dir and publish each segment with one atomic
         # rename, so an existing directory IS a complete segment
-        existing = set(os.listdir(os.path.join(t.dir, "segments")))
+        segroot = os.path.join(t.dir, "segments")
+        # reap leftovers of crashed prior exports — never published, safe
+        for stale in os.listdir(segroot):
+            if stale.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(segroot, stale),
+                              ignore_errors=True)
+        existing = set(os.listdir(segroot))
         for seg in info["segments"]:
             if seg in existing and not seg.startswith(".tmp-"):
                 continue
-            tmp = os.path.join(t.dir, "segments",
-                               f".tmp-{uuid.uuid4().hex[:8]}")
+            tmp = os.path.join(segroot, f".tmp-{uuid.uuid4().hex[:8]}")
+            dst = os.path.join(segroot, seg)
             shutil.copytree(os.path.join(self.dir, "segments", seg), tmp)
-            os.rename(tmp, os.path.join(t.dir, "segments", seg))
+            try:
+                os.rename(tmp, dst)
+            except OSError:
+                # segments are immutable: if a concurrent exporter
+                # published the same segment first, losing the rename
+                # race IS success; anything else re-raises
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(dst):
+                    raise
         m = t.manifest()
         m2 = dict(m)
         m2["version"] = m["version"] + 1

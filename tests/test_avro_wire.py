@@ -225,6 +225,22 @@ def test_http_transport(spark, tmp_path):
                 server_hash=aw.SERVER_HASH)))
         assert hs["match"] == "BOTH"
         assert res["entries"][0]["value"] == b"v1"
+
+        # malformed/truncated handshake → HTTP 400, not a dropped
+        # connection (ADVICE r6)
+        import urllib.error
+        for junk in (b"", b"\xff", b"\x01\x02\x03garbage"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/", method="POST", data=junk,
+                headers={"Content-Type": "avro/binary"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+        # and the server still answers a good request afterwards
+        hs, res = aw.decode_http_response(
+            "get", post(aw.encode_http_request("get", get_params)))
+        assert res["entries"][0]["value"] == b"v1"
     finally:
         srv.shutdown()
 

@@ -691,3 +691,122 @@ def test_incremental_snapshot_export(store, spark, tmp_path):
         ("r2", "f", "q", 10, "v2"),
         ("r3", "f", "q", 10, "v3"),
     }
+
+
+# ------------------------------------------- round-7 advice-fix pins
+
+
+def test_incremental_export_sweeps_stale_tmp(store, spark, tmp_path):
+    """A crashed prior export leaves .tmp-* under segments/; the next
+    incremental run reaps them before copying."""
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.snapshot("s1")
+    other = TableStore(spark, str(tmp_path / "backup"))
+    t2 = t.clone_to(other, "t1_backup", "s1")
+    stale = os.path.join(t2.dir, "segments", ".tmp-deadbeef")
+    os.makedirs(stale)
+    t.mutate([Put("r2").add("f", "q", "v2", ts=10)])
+    t.snapshot("s2")
+    t2 = t.clone_to(other, "t1_backup", "s2", incremental=True)
+    segs = os.listdir(os.path.join(t2.dir, "segments"))
+    assert not any(s.startswith(".tmp-") for s in segs)
+    assert cellset(t2.read()) == {
+        ("r1", "f", "q", 10, "v1"),
+        ("r2", "f", "q", 10, "v2"),
+    }
+
+
+def test_incremental_export_lost_rename_race_is_success(
+        store, spark, tmp_path, monkeypatch):
+    """Two concurrent exporters of one segment: the rename loser finds
+    the destination already published and treats it as success
+    (segments are immutable)."""
+    import errno
+    import shutil as _sh
+
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    t.snapshot("s1")
+    other = TableStore(spark, str(tmp_path / "backup"))
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if "/segments/seg-" in dst.replace(os.sep, "/"):
+            # simulate the winner publishing first, then lose the race
+            _sh.copytree(src, dst)
+            raise OSError(errno.ENOTEMPTY, "Directory not empty", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    t2 = t.clone_to(other, "t1_backup", "s1")
+    monkeypatch.undo()
+    assert cellset(t2.read()) == {("r1", "f", "q", 10, "v1")}
+    assert not any(
+        s.startswith(".tmp-")
+        for s in os.listdir(os.path.join(t2.dir, "segments")))
+
+
+def test_store_snapshot_foreign_oserror_not_masked(
+        store, spark, monkeypatch):
+    """TableStore.snapshot: only a name collision maps to
+    TableExistsError; an EACCES from the publishing rename surfaces
+    as the original OSError."""
+    t = _mk(store)
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+
+    real_rename = os.rename
+
+    def denied(src, dst):
+        if "/.snapshot/" in dst.replace(os.sep, "/") and \
+                not os.path.basename(dst).startswith(".tmp-"):
+            raise PermissionError(13, "Permission denied", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", denied)
+    with pytest.raises(PermissionError):
+        store.snapshot("snapA", t.name)
+    monkeypatch.undo()
+    # tmp build dir was cleaned up despite the failure
+    base = store._snap_base()
+    assert not any(n.startswith(".tmp-") for n in os.listdir(base))
+    # and a real collision still maps to TableExistsError
+    store.snapshot("snapA", t.name)
+    with pytest.raises(TableExistsError):
+        store.snapshot("snapA", t.name)
+
+
+def test_writer_lock_inprocess_timeout(store):
+    """A thread stuck behind a hung same-process writer times out
+    (the RLock wait is bounded by the same deadline as the lockfile
+    spin, ADVICE r6)."""
+    import threading
+
+    t = _mk(store)
+    entered = threading.Event()
+    release = threading.Event()
+    results = []
+
+    def holder():
+        with t._lock():
+            entered.set()
+            release.wait(10)
+
+    def contender():
+        try:
+            with t._lock(timeout_s=0.4):
+                results.append("acquired")
+        except TimeoutError:
+            results.append("timeout")
+
+    th1 = threading.Thread(target=holder)
+    th1.start()
+    assert entered.wait(5)
+    th2 = threading.Thread(target=contender)
+    th2.start()
+    th2.join(10)
+    assert results == ["timeout"]
+    release.set()
+    th1.join(10)
+    # lock is usable again afterwards
+    t.mutate([Put("r1").add("f", "q", "v1", ts=10)])

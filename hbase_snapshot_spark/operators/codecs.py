@@ -1194,13 +1194,10 @@ def y4m_frame_count(data: bytes) -> int:
 #
 # Frame-level parsing of MPEG-1/2/2.5 audio streams (ISO/IEC 11172-3 /
 # 13818-3 headers): sync walk, bitrate/samplerate tables, Xing/Info and
-# VBRI VBR tags, ID3v2 skip — enough for duration / bitrate / channel
-# metadata and a frame index over real MP3 corpora.  PCM decode of
-# Layer III is NOT implemented: the spectral Huffman code tables
-# (11172-3 Table B.7) and the synthesis window (Table D.1) are
-# empirical constants that cannot be derived, so a hand-written decoder
-# would have to fabricate them — decode raises NotImplementedError
-# naming exactly that.
+# VBRI VBR tags, ID3v2 skip — duration / bitrate / channel metadata and
+# a frame index over real MP3 corpora.  PCM decode of MPEG-1 Layer III
+# is in mp3dec.py (the ISO constant tables are transcribed from the
+# public standard and mechanically verified — see its docstring).
 
 _MP3_BITRATE = {
     # (version_group, layer) -> kbps by bitrate index 1..14 (0=free, 15=bad)
@@ -1348,17 +1345,18 @@ def parse_mp3(data: bytes, max_frames: int | None = None) -> dict:
     }
 
 
-def decode_mp3(data: bytes):
-    """Layer III PCM decode is not implemented: it requires the ISO
-    11172-3 Table B.7 Huffman code tables and the Table D.1 synthesis
-    window — empirical spec constants that cannot be hand-derived
-    without fabricating data.  Frame-level parsing (duration, bitrate,
-    frame index) IS implemented: see :func:`parse_mp3`."""
-    raise NotImplementedError(
-        "MP3 PCM decode requires the ISO 11172-3 B.7 Huffman tables and "
-        "D.1 synthesis window (use ffmpeg/minimp3); frame-level metadata "
-        "is available via parse_mp3()"
-    )
+def decode_mp3(data: bytes) -> tuple[int, np.ndarray]:
+    """MPEG-1 Layer III → (sample_rate, mono int32 samples in int16
+    range) — the same convention as :func:`decode_wav`.  Full PCM
+    decode lives in mp3dec.py (side info, scalefactors, Huffman,
+    requantize, stereo, alias reduction, IMDCT, polyphase synthesis);
+    see its docstring for the transcription-verification policy on the
+    ISO constant tables.  MPEG-2/2.5 LSF and Layers I/II raise
+    NotImplementedError; frame-level metadata for those remains
+    available via :func:`parse_mp3`."""
+    from hbase_snapshot_spark.operators import mp3dec
+
+    return mp3dec.decode_mp3_mono(data)
 
 
 # ------------------------------------------------------- MP4 / ISO-BMFF

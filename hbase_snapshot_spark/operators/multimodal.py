@@ -330,10 +330,10 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio decode/resample + level features (RMS, peak).  Real path
     decodes RIFF WAV (PCM int 8/16/24/32 + float32, multi-channel
-    downmix) and linear-resamples to ``target_rate`` — codecs.py, numpy
-    only; compressed audio raises NotImplementedError naming ffmpeg.
-    ``fake=True`` treats the payload bytes as 8-bit samples —
-    deterministic, same dataflow."""
+    downmix) and MPEG-1 Layer III (mp3dec.py) and linear-resamples to
+    ``target_rate`` — codecs.py, numpy only; other compressed audio
+    raises NotImplementedError naming ffmpeg.  ``fake=True`` treats the
+    payload bytes as 8-bit samples — deterministic, same dataflow."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -361,12 +361,17 @@ def extract_audio_features(
                     for k in ("sample_rate", "n_samples", "rms", "peak"):
                         rows[k].append(None)
                     continue
-                if codecs.sniff(bytes(b)) != "wav":
+                kind = codecs.sniff(bytes(b))
+                if kind == "wav":
+                    src_rate, samples = codecs.decode_wav(bytes(b))
+                elif kind == "mp3":
+                    src_rate, samples = codecs.decode_mp3(bytes(b))
+                else:
                     raise NotImplementedError(
-                        "compressed audio decode requires ffmpeg/soundfile — "
-                        "unavailable here (only RIFF WAV decodes natively)"
+                        "audio decode supports RIFF WAV and MPEG-1 Layer "
+                        "III natively; other codecs (AAC/Opus/...) require "
+                        "ffmpeg/soundfile — unavailable here"
                     )
-                src_rate, samples = codecs.decode_wav(bytes(b))
                 samples = codecs.resample_linear(samples, src_rate, target_rate)
                 rows["sample_rate"].append(target_rate)
                 rows["n_samples"].append(len(samples))

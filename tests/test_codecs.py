@@ -950,8 +950,16 @@ def test_mp3_mpeg2_and_layer2():
     assert m["format"] == "MPEG-2" and m["sample_rate"] == 24000
     assert m["frames"][0] == (0, size, 576)
 
-    with pytest.raises(NotImplementedError):
-        codecs.decode_mp3(_mp3_frame())
+    # decode is now real (mp3dec.py) for MPEG-1; LSF streams still raise
+    b1 = 0xE0 | (2 << 3) | (1 << 1) | 1
+    hdr = bytes([0xFF, b1, (4 << 4) | (1 << 2), 3 << 6])
+    lsf = (hdr + b"\x00" * (72 * 32000 // 24000 - 4)) * 2
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        codecs.decode_mp3(lsf)
+    # an all-zero-side-info MPEG-1 frame decodes to silence
+    sr, samples = codecs.decode_mp3(_mp3_frame() * 2)
+    assert sr == 44100 and len(samples) == 2 * 1152
+    assert np.abs(samples).max() == 0
     with pytest.raises(ValueError):
         codecs.parse_mp3(b"\x00" * 64)
 

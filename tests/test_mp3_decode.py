@@ -1,0 +1,443 @@
+"""MP3 Layer III decode (mp3dec.py) — mechanical constant verification
+plus end-to-end decode of hand-built fixture frames.
+
+No reference decoder exists in this container, so correctness rests on
+three independent legs (see mp3dec module docstring):
+1. every shipped Huffman table is prefix-free and complete (Kraft == 1),
+   re-checked here with an independent implementation;
+2. the synthesis window passes a perfect-reconstruction test against
+   the analysis filterbank (C = D/32) — a single wrong coefficient
+   collapses the SNR;
+3. hand-assembled frames decode to analytically predicted PCM
+   (silence -> zeros; a single spectral line -> a tone whose FFT peak
+   lands at (line + 0.5) * sr / 1152 Hz).
+"""
+
+import numpy as np
+import pytest
+
+from hbase_snapshot_spark.operators import codecs, mp3dec
+
+
+# --------------------------------------------------------------- constants
+
+
+def _check_prefix_complete(entries):
+    codes = sorted((h, c) for h, c in entries)
+    seen = set()
+    for h, c in codes:
+        assert c < (1 << h), f"code 0x{c:x} wider than hlen {h}"
+        assert (h, c) not in seen, f"duplicate code len{h}/0x{c:x}"
+        seen.add((h, c))
+    for i, (l1, c1) in enumerate(codes):
+        for l2, c2 in codes[i + 1:]:
+            if l2 > l1:
+                assert (c2 >> (l2 - l1)) != c1, (
+                    f"len{l1}/0x{c1:x} prefixes len{l2}/0x{c2:x}")
+    kraft = sum(2 ** -h for h, _ in entries)
+    assert abs(kraft - 1.0) < 1e-12, f"Kraft sum {kraft}"
+
+
+def test_huffman_tables_prefix_free_and_complete():
+    for tid, (xlen, ylen, _lin, entries) in mp3dec.HUFFMAN_TABLES.items():
+        assert len(entries) == xlen * ylen, f"table {tid} entry count"
+        _check_prefix_complete(entries)
+    _check_prefix_complete(mp3dec.COUNT1_A)
+    _check_prefix_complete(mp3dec.COUNT1_B)
+
+
+def test_unshipped_table_raises_named():
+    with pytest.raises(NotImplementedError, match="table 10"):
+        mp3dec._huff_table(10)
+    with pytest.raises(ValueError, match="reserved"):
+        mp3dec._huff_table(4)
+
+
+def test_synth_window_shape():
+    d = mp3dec.SYNTH_WINDOW
+    assert d.shape == (512,)
+    # magnitudes symmetric about 256 with D[0] = 0, peak at the center
+    assert d[0] == 0.0
+    assert np.allclose(np.abs(d[257:]), np.abs(d[1:256][::-1]))
+    assert np.argmax(d) == 256
+    assert abs(d[256] - 75038 / 65536) < 1e-12
+    # the per-64-block fold: d and the raw magnitude table agree up to
+    # the (-1)**(n//64) rule
+    raw = np.asarray(mp3dec._D_HALF, dtype=np.float64)
+    assert np.allclose(d[:257] * (-1.0) ** (np.arange(257) // 64),
+                       raw / 65536.0)
+    # smooth: a transcription spike would blow up the second difference
+    dd = np.diff(np.diff(raw))
+    assert np.abs(dd).max() < 600
+
+
+def _analysis_filterbank(x: np.ndarray) -> np.ndarray:
+    """ISO 11172-3 clause C.1.3 analysis (window C = D/32) — test-side
+    twin used only to exercise perfect reconstruction."""
+    c = mp3dec.SYNTH_WINDOW / 32.0
+    m = np.cos((2 * np.arange(32)[:, None] + 1)
+               * (np.arange(64)[None, :] - 16) * np.pi / 64.0)
+    fifo = np.zeros(512)
+    out = []
+    for pos in range(0, len(x) - 31, 32):
+        fifo[32:] = fifo[:-32]
+        fifo[:32] = x[pos : pos + 32][::-1]
+        z = fifo * c
+        y = z.reshape(8, 64).sum(axis=0)
+        out.append(m @ y)
+    return np.asarray(out)
+
+
+def test_filterbank_perfect_reconstruction():
+    """analysis (C = D/32) -> synthesis (D) must reproduce the input at
+    the canonical 481-sample delay.  This is the decisive check on the
+    Table D.1 transcription: any wrong entry collapses the SNR."""
+    sr = 44100
+    n = 32 * 18 * 8
+    t = np.arange(n)
+    x = 0.5 * np.sin(2 * np.pi * 3000.0 * t / sr) \
+        + 0.25 * np.sin(2 * np.pi * 800.0 * t / sr)
+    sub = _analysis_filterbank(x)  # (n/32, 32)
+    synth = mp3dec._Synth()
+    pcm = np.concatenate([
+        synth.run(sub[i : i + 18]) for i in range(0, len(sub) - 17, 18)
+    ])
+    # locate the actual delay by cross-correlation, then require it to
+    # be the canonical 481 and the reconstruction to be near-exact
+    best, best_lag = 0.0, None
+    for lag in range(400, 560):
+        seg = pcm[lag : lag + 2048]
+        ref = x[:2048]
+        c = abs(np.dot(seg, ref))
+        if c > best:
+            best, best_lag = c, lag
+    assert best_lag == 481, f"filterbank delay {best_lag} != 481"
+    seg = pcm[481 : 481 + 4096]
+    ref = x[:4096]
+    err = seg - ref
+    snr = 10 * np.log10(np.dot(ref, ref) / max(np.dot(err, err), 1e-30))
+    assert snr > 80, f"reconstruction SNR {snr:.1f} dB"
+    assert abs(np.dot(seg, ref) / np.dot(ref, ref) - 1.0) < 0.005
+
+
+# ------------------------------------------------------------ fixture frames
+
+
+class _BitW:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, val, n):
+        assert 0 <= val < (1 << n) if n else val == 0
+        for s in range(n - 1, -1, -1):
+            self.bits.append((val >> s) & 1)
+
+    def to_bytes(self, pad_to=None):
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+        if pad_to is not None:
+            assert len(raw) <= pad_to, f"{len(raw)} > {pad_to}"
+            raw.extend(b"\x00" * (pad_to - len(raw)))
+        return bytes(raw)
+
+
+def _gran_silent():
+    return dict(part2_3_length=0, big_values=0, global_gain=210,
+                scalefac_compress=0, window_switching=0, block_type=0,
+                mixed_block=0, table_select=[0, 0, 0], subblock_gain=[0] * 3,
+                region0_count=0, region1_count=0, preflag=0,
+                scalefac_scale=0, count1table_select=0, bits=[])
+
+
+def _gran_count1_tone(line=100, gg=202):
+    """count1 table B quad (v,w,x,y) = (+1,0,0,0) at ``line`` (must be a
+    multiple of 4); everything below reaches it through table-0 regions."""
+    assert line % 4 == 0
+    g = _gran_silent()
+    g.update(part2_3_length=5, big_values=line // 2, global_gain=gg,
+             region0_count=15, region1_count=4, count1table_select=1,
+             bits=[0, 1, 1, 1, 0])  # code 0b0111 (value 8 = v) + sign +
+    return g
+
+
+def _gran_short_tone(gg=202, mixed=0, block_type=2):
+    g = _gran_silent()
+    g.update(part2_3_length=5, big_values=0, global_gain=gg,
+             window_switching=1, block_type=block_type, mixed_block=mixed,
+             table_select=[0, 0, 0], count1table_select=1,
+             bits=[0, 1, 1, 1, 0])
+    return g
+
+
+def _gran_bigvalues_table5(gg=202):
+    """Two pairs through shipped table 5: (x,y) = (2,1) then (1,0).
+    Table 5: (2,1) = len 6 code 000101; (1,0) = len 3 code 011."""
+    g = _gran_silent()
+    bits = [0, 0, 0, 1, 0, 1, 0, 1,   # (2,1) + sign(x)=0 + sign(y)=1
+            0, 1, 1, 0]               # (1,0) + sign(x)=0
+    g.update(part2_3_length=len(bits), big_values=2, global_gain=gg,
+             table_select=[5, 0, 0], region0_count=0, region1_count=0,
+             bits=bits)
+    return g
+
+
+def _side_info(granules, nch, main_data_begin=0):
+    w = _BitW()
+    w.put(main_data_begin, 9)
+    w.put(0, 5 if nch == 1 else 3)
+    for _ch in range(nch):
+        w.put(0, 4)  # scfsi
+    for gr in range(2):
+        for ch in range(nch):
+            g = granules[gr][ch]
+            w.put(g["part2_3_length"], 12)
+            w.put(g["big_values"], 9)
+            w.put(g["global_gain"], 8)
+            w.put(g["scalefac_compress"], 4)
+            w.put(g["window_switching"], 1)
+            if g["window_switching"]:
+                w.put(g["block_type"], 2)
+                w.put(g["mixed_block"], 1)
+                for r in range(2):
+                    w.put(g["table_select"][r], 5)
+                for sb in range(3):
+                    w.put(g["subblock_gain"][sb], 3)
+            else:
+                for r in range(3):
+                    w.put(g["table_select"][r], 5)
+                w.put(g["region0_count"], 4)
+                w.put(g["region1_count"], 3)
+            w.put(g["preflag"], 1)
+            w.put(g["scalefac_scale"], 1)
+            w.put(g["count1table_select"], 1)
+    return w.to_bytes(17 if nch == 1 else 32)
+
+
+def _frame(granules, nch=1, mode=None, mode_ext=0, main_data_begin=0,
+           main_override=None):
+    """One 417-byte MPEG-1 Layer III 128 kbps 44.1 kHz frame."""
+    if mode is None:
+        mode = 3 if nch == 1 else 0
+    hdr = bytes([0xFF, 0xFB, 0x90, (mode << 6) | (mode_ext << 4)])
+    side = _side_info(granules, nch, main_data_begin)
+    size = 144 * 128000 // 44100  # 417
+    main_len = size - 4 - len(side)
+    if main_override is not None:
+        assert len(main_override) == main_len
+        return hdr + side + main_override
+    w = _BitW()
+    for gr in range(2):
+        for ch in range(nch):
+            for bit in granules[gr][ch]["bits"]:
+                w.put(bit, 1)
+    return hdr + side + w.to_bytes(main_len)
+
+
+def _tone_freq(line, sr=44100):
+    return (line + 0.5) * sr / 1152.0
+
+
+def _peak_freq(pcm, sr=44100):
+    x = pcm.astype(np.float64)
+    x = x[len(x) // 2 :]  # drop filterbank warmup
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    return np.argmax(spec) * sr / len(x)
+
+
+# ----------------------------------------------------------------- decode
+
+
+def test_silence_decodes_to_zeros():
+    data = _frame([[_gran_silent()], [_gran_silent()]]) * 3
+    sr, nch, pcm = mp3dec.decode(data)
+    assert (sr, nch) == (44100, 1)
+    assert pcm.shape == (3 * 1152, 1)
+    assert np.abs(pcm).max() == 0
+
+
+def test_single_line_tone_frequency_and_level():
+    g = _gran_count1_tone(line=100)
+    data = _frame([[g], [g]]) * 6
+    sr, nch, pcm = mp3dec.decode(data)
+    mono = pcm[:, 0]
+    assert len(mono) == 6 * 1152
+    rms = float((mono.astype(np.float64) ** 2).mean() ** 0.5)
+    assert rms > 500, f"tone too quiet: rms {rms}"
+    f = _peak_freq(mono, sr)
+    assert abs(f - _tone_freq(100)) < 60, (f, _tone_freq(100))
+
+
+def test_tone_position_moves_with_line():
+    for line in (48, 200):
+        g = _gran_count1_tone(line=line)
+        data = _frame([[g], [g]]) * 6
+        _sr, _nch, pcm = mp3dec.decode(data)
+        f = _peak_freq(pcm[:, 0])
+        assert abs(f - _tone_freq(line)) < 60, (line, f)
+
+
+def test_bigvalues_table5_region_decodes():
+    g = _gran_bigvalues_table5()
+    data = _frame([[g], [_gran_silent()]]) * 4
+    _sr, _nch, pcm = mp3dec.decode(data)
+    # lines 0..3 = (2, -1, 1, 0) scaled by 2^-2: low-frequency content
+    assert np.abs(pcm).max() > 300
+    f = _peak_freq(pcm[:, 0])
+    assert f < 300, f  # all energy in subband 0's lowest lines
+
+
+def test_global_gain_scales_amplitude():
+    quiet = _frame([[_gran_count1_tone(gg=194)],
+                    [_gran_count1_tone(gg=194)]]) * 4
+    loud = _frame([[_gran_count1_tone(gg=202)],
+                   [_gran_count1_tone(gg=202)]]) * 4
+    _, _, p_quiet = mp3dec.decode(quiet)
+    _, _, p_loud = mp3dec.decode(loud)
+    r = np.abs(p_loud).max() / max(np.abs(p_quiet).max(), 1)
+    # gg 202 vs 194 = 2^((202-194)/4) = 4x
+    assert 3.5 < r < 4.5, r
+
+
+def test_short_blocks_and_start_stop_windows():
+    for block_type, mixed in ((2, 0), (2, 1), (1, 0), (3, 0)):
+        g = _gran_short_tone(block_type=block_type, mixed=mixed)
+        data = _frame([[g], [g]]) * 4
+        _sr, _nch, pcm = mp3dec.decode(data)
+        assert np.abs(pcm).max() > 200, (block_type, mixed)
+
+
+def test_bit_reservoir_across_frames():
+    """Frame 2's granule bits live in frame 1's main-data area
+    (main_data_begin = 2): the reservoir splice must recover them."""
+    silent = [[_gran_silent()], [_gran_silent()]]
+    tone = _gran_count1_tone(line=100)
+    side = _side_info(silent, 1)
+    main_len = 417 - 4 - len(side)
+    w = _BitW()
+    for b in tone["bits"]:
+        w.put(b, 1)
+    tail = w.to_bytes(2)
+    f1 = _frame(silent, main_override=b"\x00" * (main_len - 2) + tail)
+    f2 = _frame([[tone], [_gran_silent()]], main_data_begin=2,
+                main_override=b"\x00" * main_len)
+    data = f1 + f2 + f1 + f2 + f1 + f2
+    _sr, _nch, pcm = mp3dec.decode(data)
+    assert np.abs(pcm).max() > 300
+    f = _peak_freq(pcm[:, 0])
+    assert abs(f - _tone_freq(100)) < 60, f
+
+
+def test_reservoir_underflow_skips_frame():
+    """A stream starting with main_data_begin > 0 cannot decode its
+    first frame — it must be skipped, not crash."""
+    tone = _gran_count1_tone()
+    f = _frame([[tone], [_gran_silent()]], main_data_begin=9)
+    sr, nch, pcm = mp3dec.decode(f)
+    assert len(pcm) == 0
+
+
+def test_ms_stereo_mid_only():
+    """MS with S = silent: L and R must come out identical (= M/sqrt2)."""
+    tone = _gran_count1_tone(line=100)
+    silent = _gran_silent()
+    grans = [[tone, silent], [tone, silent]]
+    data = _frame(grans, nch=2, mode=1, mode_ext=2) * 6
+    sr, nch, pcm = mp3dec.decode(data)
+    assert nch == 2
+    left = pcm[:, 0].astype(np.float64)
+    right = pcm[:, 1].astype(np.float64)
+    assert np.abs(left - right).max() <= 1  # int16 rounding only
+    assert np.abs(left).max() > 300
+    # and vs plain stereo (no MS): amplitude ratio 1/sqrt2
+    plain = _frame(grans, nch=2, mode=0) * 6
+    _, _, pcm_plain = mp3dec.decode(plain)
+    ratio = np.abs(pcm_plain[:, 0]).max() / np.abs(left).max()
+    assert abs(ratio - np.sqrt(2)) < 0.1, ratio
+
+
+def test_intensity_stereo_unit():
+    """_apply_stereo panning law: is_pos splits the left spectrum at
+    tan(is_pos*pi/12) ratio; is_pos 7 falls back to MS when MS is on."""
+    sr = 44100
+    g = mp3dec._Granule()
+    g.block_type = 0
+    g.mixed_block = 0
+    sf = mp3dec._Scalefacs()
+    sfb = mp3dec.SFB_LONG[sr]
+    # right channel decoded out to line 100 -> bands >= 100 get intensity
+    xr = np.zeros((2, 576))
+    xr[0, :] = 1.0
+    band = next(i for i in range(22) if sfb[i] >= 100)
+    sf.long[band] = 2  # is_pos = 2
+    mp3dec._apply_stereo(xr, g, sf, sr, mode_ext=0x1, right_extent=100)
+    lo, hi = sfb[band], sfb[band + 1]
+    ratio = np.tan(2 * np.pi / 12)
+    assert np.allclose(xr[0, lo:hi], ratio / (1 + ratio))
+    assert np.allclose(xr[1, lo:hi], 1 / (1 + ratio))
+    # untouched below the intensity bound (no MS requested)
+    assert np.allclose(xr[0, : sfb[band]], 1.0)
+
+
+def test_unshipped_table_stream_raises():
+    g = _gran_bigvalues_table5()
+    g["table_select"] = [10, 0, 0]
+    with pytest.raises(NotImplementedError, match="table 10"):
+        mp3dec.decode(_frame([[g], [_gran_silent()]]))
+
+
+def test_mpeg2_lsf_raises():
+    hdr = bytes([0xFF, 0xF3, 0x90, 0xC0])  # MPEG-2, Layer III
+    data = (hdr + b"\x00" * 200) * 3
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        mp3dec.decode(data)
+
+
+# ------------------------------------------------------------- integration
+
+
+def test_codecs_decode_mp3_mono_convention():
+    g = _gran_count1_tone(line=100)
+    data = _frame([[g], [g]]) * 4
+    sr, samples = codecs.decode_mp3(data)
+    assert sr == 44100
+    assert samples.dtype == np.int32
+    assert len(samples) == 4 * 1152
+    assert np.abs(samples).max() > 300
+
+
+def test_extract_audio_features_mp3(spark):
+    import pandas as pd
+    from hbase_snapshot_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    g = _gran_count1_tone(line=100)
+    payload = _frame([[g], [g]]) * 4
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [bytearray(payload)]}))
+    row = extract_audio_features(df, target_rate=16000).collect()[0]
+    assert row.sample_rate == 16000
+    assert row.n_samples == round(4 * 1152 * 16000 / 44100)
+    assert row.rms > 100
+    assert row.peak > 300
+
+
+def test_probe_media_mp3_unchanged(spark):
+    import pandas as pd
+    from hbase_snapshot_spark.operators.multimodal import probe_media
+
+    g = _gran_count1_tone(line=100)
+    payload = _frame([[g], [g]]) * 4
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [bytearray(payload)]}))
+    row = probe_media(df).collect()[0]
+    assert row.format == "mp3/MPEG-1-L3"
+    assert row.sample_rate == 44100
+    assert row.n_frames == 4

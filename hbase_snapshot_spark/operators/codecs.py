@@ -54,6 +54,8 @@ def sniff(data: bytes) -> str | None:
         return "wav"
     if data[4:8] == b"ftyp":
         return "mp4"
+    if data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
+        return "aac"  # ADTS: sync 0xFFF with layer bits 00
     if data[:3] == b"ID3" or (
         data[0] == 0xFF and (data[1] & 0xE0) == 0xE0 and (data[1] >> 1) & 3 != 0
     ):
@@ -1357,6 +1359,85 @@ def decode_mp3(data: bytes) -> tuple[int, np.ndarray]:
     from hbase_snapshot_spark.operators import mp3dec
 
     return mp3dec.decode_mp3_mono(data)
+
+
+# ------------------------------------------------------------ AAC / ADTS
+#
+# ISO/IEC 13818-7 / 14496-3 ADTS transport: fixed+variable header walk
+# (profile, sampling-frequency index, channel configuration, frame
+# length, raw-data-block count), byte-resync over garbage — the audio
+# sibling of parse_mp3, so probe_media yields real metadata for the
+# second-most-common audio payload of a real corpus instead of
+# format=None.  AAC payload decode (the filterbank itself) stays out of
+# dependency-free scope, like H.264.
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+_ADTS_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def _adts_frame_at(data: bytes, pos: int):
+    if pos + 7 > len(data):
+        return None
+    b = data[pos : pos + 7]
+    if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+        return None  # syncword 0xFFF + layer must be 00
+    sf_idx = (b[2] >> 2) & 0x0F
+    if sf_idx >= len(_ADTS_RATES):
+        return None
+    size = ((b[3] & 0x03) << 11) | (b[4] << 3) | (b[5] >> 5)
+    if size < 7:
+        return None
+    crc_absent = b[1] & 1
+    if not crc_absent and size < 9:
+        return None
+    return {
+        "mpeg_version": 2 if (b[1] & 0x08) else 4,
+        "profile": _ADTS_PROFILES[(b[2] >> 6) & 3],
+        "sample_rate": _ADTS_RATES[sf_idx],
+        "channels": ((b[2] & 1) << 2) | (b[3] >> 6),
+        "crc": not crc_absent,
+        "n_blocks": (b[6] & 0x03) + 1,  # raw_data_blocks + 1
+        "size": size,
+        "offset": pos,
+    }
+
+
+def parse_adts(data: bytes, max_frames: int | None = None) -> dict:
+    """Walk ADTS frames → {format, profile, sample_rate, channels,
+    n_frames, duration_ms, bitrate_avg, frames: [(offset, size,
+    samples)]}.  Each raw data block is 1024 samples; resyncs
+    byte-by-byte over garbage like the MP3 walk."""
+    pos = _skip_id3v2(data)
+    frames = []
+    meta = None
+    n = len(data)
+    while pos + 7 <= n:
+        f = _adts_frame_at(data, pos)
+        if f is None:
+            pos += 1
+            continue
+        if meta is None:
+            meta = f
+        frames.append((f["offset"], f["size"], 1024 * f["n_blocks"]))
+        pos += f["size"]
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if meta is None:
+        raise ValueError("no ADTS frame found")
+    total_samples = sum(s for (_o, _sz, s) in frames)
+    total_bytes = sum(sz for (_o, sz, _s) in frames)
+    return {
+        "format": f"MPEG-{meta['mpeg_version']}",
+        "profile": meta["profile"],
+        "sample_rate": meta["sample_rate"],
+        "channels": meta["channels"],
+        "n_frames": len(frames),
+        "duration_ms": round(total_samples * 1000 / meta["sample_rate"]),
+        "bitrate_avg": round(total_bytes * 8 * meta["sample_rate"]
+                             / max(1, total_samples)),
+        "frames": frames,
+    }
 
 
 # ------------------------------------------------------- MP4 / ISO-BMFF

@@ -406,7 +406,8 @@ def probe_media(media: DataFrame) -> DataFrame:
     triage pass needs BEFORE spending decode cycles): per payload —
     format, dimensions, sample rate/channels/bitrate/duration, frame
     and keyframe counts.  All header-walk only, no pixel/PCM decode:
-    MP3 via codecs.parse_mp3 (MPEG frame walk + Xing/VBRI), MP4 via
+    MP3 via codecs.parse_mp3 (MPEG frame walk + Xing/VBRI), AAC via
+    codecs.parse_adts (ADTS header walk), MP4 via
     codecs.parse_mp4 (ISO-BMFF sample tables + stss keyframe index),
     WAV/y4m/PNG/BMP/JPEG/PNM via their native headers.  Unknown
     payloads yield format=None rather than raising — a probe must
@@ -434,14 +435,35 @@ def probe_media(media: DataFrame) -> DataFrame:
                 return row
             kind = codecs.sniff(data)
             row["format"] = kind
-            if kind == "mp3":
-                m = codecs.parse_mp3(data)
-                row.update(format=f"mp3/{m['format']}-L{m['layer']}",
-                           sample_rate=m["sample_rate"],
-                           channels=m["channels"],
-                           duration_ms=m["duration_ms"],
-                           bitrate=m["bitrate_avg"],
-                           n_frames=m["n_frames"])
+            if kind in ("mp3", "aac"):
+                # an ID3v2 prefix sniffs as mp3 but may wrap ADTS; an
+                # MPEG resync inside an ADTS body can also false-lock —
+                # prefer whichever format syncs EXACTLY at the tag end
+                start = codecs._skip_id3v2(data)
+                if codecs._adts_frame_at(data, start) is not None:
+                    kind = "aac"
+                m = None
+                if kind == "mp3":
+                    try:
+                        m = codecs.parse_mp3(data)
+                    except ValueError:
+                        m = None
+                if m is not None:
+                    row.update(format=f"mp3/{m['format']}-L{m['layer']}",
+                               sample_rate=m["sample_rate"],
+                               channels=m["channels"],
+                               duration_ms=m["duration_ms"],
+                               bitrate=m["bitrate_avg"],
+                               n_frames=m["n_frames"])
+                else:
+                    a = codecs.parse_adts(data)
+                    row.update(
+                        format=f"aac/ADTS-{a['profile']}",
+                        sample_rate=a["sample_rate"],
+                        channels=a["channels"],
+                        duration_ms=a["duration_ms"],
+                        bitrate=a["bitrate_avg"],
+                        n_frames=a["n_frames"])
             elif kind == "mp4":
                 m = codecs.parse_mp4(data)
                 row.update(duration_ms=m["duration_ms"])

@@ -969,6 +969,61 @@ def test_mp3_sniff():
     assert codecs.sniff(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 8) == "mp3"
 
 
+# ------------------------------------------------------------ AAC / ADTS
+
+
+def _adts_frame(sf_idx=4, profile=1, channels=2, size=None, blocks=1,
+                mpeg2=False, fill=0xAA):
+    """One ADTS frame built bit-by-bit (ISO 13818-7 / 14496-3):
+    7-byte header (no CRC), body filled with ``fill``."""
+    if size is None:
+        size = 7 + 120
+    b1 = 0xF1 | (0x08 if mpeg2 else 0)
+    b2 = (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+    b3 = ((channels & 3) << 6) | ((size >> 11) & 3)
+    b4 = (size >> 3) & 0xFF
+    b5 = ((size & 7) << 5) | 0x1F  # buffer fullness high bits
+    b6 = (0x3F << 2) | (blocks - 1)
+    return bytes([0xFF, b1, b2, b3, b4, b5, b6]) \
+        + bytes([fill]) * (size - 7)
+
+
+def test_adts_parse_walk():
+    data = b"".join(_adts_frame() for _ in range(5))
+    m = codecs.parse_adts(data)
+    assert m["format"] == "MPEG-4" and m["profile"] == "LC"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["n_frames"] == 5
+    assert m["duration_ms"] == round(5 * 1024 * 1000 / 44100)
+    assert m["frames"][1][0] == 127  # frame 2 starts right after frame 1
+    # bitrate: bytes*8*rate/samples
+    assert m["bitrate_avg"] == round(5 * 127 * 8 * 44100 / (5 * 1024))
+
+
+def test_adts_variants_and_resync():
+    # MPEG-2, Main profile, mono, 2 raw data blocks, 16 kHz
+    f = _adts_frame(sf_idx=8, profile=0, channels=1, blocks=2, mpeg2=True)
+    m = codecs.parse_adts(f)
+    assert m["format"] == "MPEG-2" and m["profile"] == "Main"
+    assert m["sample_rate"] == 16000 and m["channels"] == 1
+    assert m["duration_ms"] == round(2048 * 1000 / 16000)
+    # garbage between frames is resynced over; ID3v2 prefix skipped
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    data = id3 + _adts_frame() + b"\x00\x01\x02" + _adts_frame()
+    assert codecs.parse_adts(data)["n_frames"] == 2
+    # a frame length spanning the 13-bit field's byte boundaries
+    big = _adts_frame(size=0x5A3)
+    assert codecs.parse_adts(big)["frames"][0][1] == 0x5A3
+    with pytest.raises(ValueError):
+        codecs.parse_adts(b"\x00" * 64)
+
+
+def test_adts_sniff_vs_mp3():
+    # ADTS layer bits are 00 -> never sniffed as mp3, and vice versa
+    assert codecs.sniff(_adts_frame()) == "aac"
+    assert codecs.sniff(_mp3_frame()) == "mp3"
+
+
 # ------------------------------------------------------- MP4 / ISO-BMFF
 
 
@@ -1081,6 +1136,9 @@ def test_probe_media_real(spark):
         make_y4m(4),
         # sniffs as mp3 (ID3 magic) but holds no MPEG frame → corrupt
         b"ID3\x04\x00\x00\x00\x00\x00\x04" + b"\x00" * 12,
+        b"".join(_adts_frame() for _ in range(4)),
+        # ID3 wrapper around ADTS: sniffs mp3, probe falls through
+        b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + _adts_frame(),
     ]
     media = _media_df(spark, payloads, kind="mixed")
     out = {r.media_id: r for r in
@@ -1096,6 +1154,11 @@ def test_probe_media_real(spark):
     assert (out[3].width, out[3].height) == (3, 2)
     assert out[4].format == "y4m" and out[4].n_frames == 4
     assert out[5].format == "corrupt"
+    assert out[6].format == "aac/ADTS-LC"
+    assert out[6].sample_rate == 44100 and out[6].channels == 2
+    assert out[6].n_frames == 4
+    assert out[6].duration_ms == round(4 * 1024 * 1000 / 44100)
+    assert out[7].format == "aac/ADTS-LC" and out[7].n_frames == 1
 
 
 def test_sample_frames_mp4_keyframes(spark):

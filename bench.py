@@ -196,6 +196,18 @@ class Bench:
     # A banded nested-loop here is the wrong plan at any scale: every
     # cell would evaluate every seek's band (and AQE's coalesce of the
     # resolve shuffle concentrates that onto few cores).
+    #
+    # r7 (profile_seek.py): the block InSet is applied to the RAW cells
+    # BEFORE resolve (resolution is per-(row,family,qualifier), so a
+    # whole-row-key restriction commutes with it) — the resolve exchange
+    # then carries only the ~100-band cell population instead of the
+    # whole table.  At sf0.1 the op is resolve-bound either way (base
+    # resolve 1.5s of the 1.7s total; seek tail 0.2s), but under IO
+    # contention the smaller exchange measured 2.3x faster, and at 100TB
+    # shuffling only the touched blocks is the only correct plan.  An
+    # OR-of-startswith(block-prefix) variant that parquet CAN push down
+    # measured 28% slower at this sf (78-term predicate eval beats the
+    # row-group skip win) — re-evaluate at real scale.
     def random_seek_scan(self):
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -212,9 +224,11 @@ class Bench:
         seek_df = self.spark.createDataFrame(
             seeks, "seek_id INT, start STRING, stop STRING, blk LONG"
         )
-        rows = resolve(
-            self.table.cells(), spec=ResolveSpec(max_versions=1)
-        ).withColumn("blk", F.floor(F.col("row").cast("long") / BLOCK))
+        blks = sorted({b for (_i, _s, _e, b) in seeks})
+        cells = self.table.cells().withColumn(
+            "blk", F.floor(F.col("row").cast("long") / BLOCK)
+        ).filter(F.col("blk").isin(blks))
+        rows = resolve(cells, spec=ResolveSpec(max_versions=1))
         joined = rows.join(F.broadcast(seek_df), on="blk").filter(
             (F.col("row") >= F.col("start")) & (F.col("row") < F.col("stop"))
         )

@@ -1,0 +1,266 @@
+"""Derived scale-stress harness (VERDICT r6 item 3): every 100TB claim
+in this repo is a plan pin at sf0.1 — this script MEASURES them on
+derived data at 3x and 10x the sf0.1 volume, with no new driver data:
+
+  1. build: each table replicated R times with key-space spreading —
+     every key column gets +replica*domain_cardinality, so keyspaces
+     stay dense and referential integrity holds within each replica
+     (replica 0 is byte-identical to the base data).
+  2. plans: the pinned physical plans (single-exchange resolve,
+     pre-resolve block-pushdown seek scan, no-global-sort sequential
+     read) are captured at 1x and 10x and asserted BYTE-IDENTICAL
+     after normalizing ids/paths/literals — scale must change data
+     volume, never plan shape.
+  3. parity: check_parity runs the 10 cheapest queries against the 10x
+     data (DuckDB reads the same derived files), so the LLM-operator
+     results stay oracle-green above the gate's sf.
+  4. exponents: bulk_write / resolve / random_seek_scan wall time at
+     1x/3x/10x, log-log slope per op -> BASELINE.md S-I table.
+
+Everything writes under --work (default /tmp/scale_stress); nothing
+touches the driver gate.  Run alone on an idle host (bench discipline).
+
+Usage: python scripts/scale_stress.py [--reps 3,10] [--skip-build]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+BASE = "/root/testdata/sf0.1"
+
+# key column -> domain owner table (cardinality = spread stride, so a
+# dense 0-based domain stays dense across replicas)
+DOMAIN_OWNER = {
+    "regionkey": "region", "nationkey": "nation", "custkey": "customer",
+    "suppkey": "supplier", "partkey": "part", "orderkey": "orders",
+    "eventkey": "events", "userkey": "events", "dockey": "documents",
+    "veckey": "embeddings",
+}
+KEY_COLS = {
+    "region": {"r_regionkey": "regionkey"},
+    "nation": {"n_nationkey": "nationkey", "n_regionkey": "regionkey"},
+    "customer": {"c_custkey": "custkey", "c_nationkey": "nationkey"},
+    "supplier": {"s_suppkey": "suppkey", "s_nationkey": "nationkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "events": {"event_id": "eventkey", "user_id": "userkey"},
+    "documents": {"doc_id": "dockey"},
+    "embeddings": {"vec_id": "veckey"},
+}
+
+# the 10 cheapest sf0.01 parity queries (TESTDATA.md r7 timing log),
+# chosen to span cell-table, TPC-H, and per-row LLM operators while
+# avoiding the quadratic pair ops (minhash_pairs/cosine_pairs explode
+# when replicas are exact text duplicates — by design of the replication)
+CHEAP10 = [
+    "point_get", "scan_range", "scan_versions", "tpch_q1", "fingerprint",
+    "quality", "lang_id", "scrub_pii", "seq_packing", "embed_quantize",
+]
+
+
+def build_scaled(out_dir: str, reps: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    card = {
+        d: con.execute(
+            f"SELECT count(*) FROM '{BASE}/{t}.parquet'"
+        ).fetchone()[0]
+        for d, t in DOMAIN_OWNER.items()
+    }
+    # user_id spreads by its own stride (ids may exceed event count)
+    card["userkey"] = con.execute(
+        f"SELECT max(user_id)+1 FROM '{BASE}/events.parquet'"
+    ).fetchone()[0]
+    card["eventkey"] = con.execute(
+        f"SELECT max(event_id)+1 FROM '{BASE}/events.parquet'"
+    ).fetchone()[0]
+    for t, keys in KEY_COLS.items():
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM '{BASE}/{t}.parquet'"
+        ).fetchall()]
+        sel = ", ".join(
+            f"{c} + r * {card[keys[c]]} AS {c}" if c in keys else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{BASE}/{t}.parquet' "
+            f"CROSS JOIN (SELECT unnest(range({reps})) AS r) "
+            f"ORDER BY r) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+# ---------------------------------------------------------- plan capture
+
+_NORM = [
+    (re.compile(r"#\d+"), "#N"),
+    (re.compile(r"file:[^\],\s]+"), "file:X"),
+    (re.compile(r"INSET [0-9, ]+"), "INSET ..."),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(X)"),
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    (re.compile(r"cachedPlan=\d+"), "cachedPlan=N"),
+]
+
+
+def normalize_plan(s: str) -> str:
+    for pat, rep in _NORM:
+        s = pat.sub(rep, s)
+    return s
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return normalize_plan(buf.getvalue())
+
+
+def pinned_plans(bench) -> dict:
+    """The three 100TB-claim plans, built exactly as bench builds them."""
+    from pyspark.sql import functions as F
+
+    import bench as B
+    from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+    from profile_seek import build_seeks, plan_pushdown
+
+    plans = {}
+    plans["resolve_single_exchange"] = plan_of(
+        resolve(bench.table.cells(), spec=ResolveSpec(max_versions=1))
+    )
+    seek_df, blks = build_seeks(bench.spark, bench.n_orders)
+    plans["seek_scan_pushdown"] = plan_of(plan_pushdown(bench, seek_df, blks))
+    rows = resolve(bench.table.cells(), spec=ResolveSpec(max_versions=1))
+    plans["sequential_read_local_sort"] = plan_of(
+        rows.repartitionByRange(B.CPUS, "row")
+        .sortWithinPartitions("row", "family", "qualifier")
+    )
+    return plans
+
+
+# ------------------------------------------------------------- measuring
+
+def measure(sf_dir: str, label: str) -> tuple[dict, dict]:
+    import bench as B
+
+    spark = B.make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    B.calibrate(spark)  # codegen + shuffle warmup, discarded
+    workdir = tempfile.mkdtemp(prefix=f"stress-{label}-")
+    b = B.Bench(spark, sf_dir, workdir)
+    times = {}
+    # best-of-2: the first bulk_write in a fresh JVM still pays parquet
+    # writer classloading that the probe can't warm
+    times["bulk_write"] = round(min(b.bulk_write()["sec"] for _ in range(2)), 3)
+
+    from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        resolve(b.table.cells(), spec=ResolveSpec(max_versions=1)).count()
+        best = min(best or 1e9, time.time() - t0)
+    times["resolve"] = round(best, 3)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        b.random_seek_scan()
+        best = min(best or 1e9, time.time() - t0)
+    times["random_seek_scan"] = round(best, 3)
+    plans = pinned_plans(b)
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return times, plans
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", default="3,10")
+    ap.add_argument("--work", default="/tmp/scale_stress")
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+    reps = [int(r) for r in args.reps.split(",")]
+
+    dirs = {1: BASE}
+    for r in reps:
+        d = os.path.join(args.work, f"x{r}")
+        if not args.skip_build:
+            print(f"== building {r}x derived data at {d}")
+            t0 = time.time()
+            build_scaled(d, r)
+            print(f"   built in {time.time() - t0:.1f}s")
+        dirs[r] = d
+
+    all_times, all_plans = {}, {}
+    for r in sorted(dirs):
+        print(f"== measuring at {r}x ({dirs[r]})")
+        all_times[r], all_plans[r] = measure(dirs[r], f"x{r}")
+        print(f"   {all_times[r]}")
+
+    # plan byte-identity 1x vs max scale
+    top = max(dirs)
+    plan_ok = {}
+    for name in all_plans[1]:
+        same = all_plans[1][name] == all_plans[top][name]
+        plan_ok[name] = same
+        print(f"plan {name}: {'IDENTICAL' if same else 'DIVERGED'} at {top}x")
+        if not same:
+            import difflib
+
+            sys.stdout.writelines(difflib.unified_diff(
+                all_plans[1][name].splitlines(True),
+                all_plans[top][name].splitlines(True),
+                f"{name}@1x", f"{name}@{top}x"))
+
+    # scaling exponents: least-squares slope of log t vs log r
+    exps = {}
+    for op in next(iter(all_times.values())):
+        xs = [math.log(r) for r in sorted(all_times)]
+        ys = [math.log(all_times[r][op]) for r in sorted(all_times)]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        exps[op] = round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            / sum((x - mx) ** 2 for x in xs), 3)
+        print(f"exponent {op}: {exps[op]}")
+
+    parity = None
+    if not args.skip_parity:
+        print(f"== parity (10 cheapest) at {top}x")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/check_parity.py"),
+             dirs[top], *CHEAP10],
+            capture_output=True, text=True)
+        sys.stdout.write(p.stdout[-3000:])
+        parity = ("FAIL" not in p.stdout) and p.returncode == 0
+
+    out = {"times": all_times, "exponents": exps,
+           "plans_identical": plan_ok, "parity_cheap10_at_top": parity}
+    print(json.dumps(out))
+    ok = all(plan_ok.values()) and (parity is not False)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -312,54 +312,82 @@ _DCT8 = np.array([
 # import does not depend on float expression evaluation order)
 
 
-def _build_huffman(counts: bytes, symbols: bytes) -> dict:
-    """Canonical JPEG Huffman table (spec Annex C): 16 length counts +
-    symbol list → {(bit_length, code): symbol}."""
-    table, code, k = {}, 0, 0
+def _build_huffman(counts: bytes, symbols: bytes) -> list:
+    """Canonical JPEG Huffman table (spec Annex C) compiled to a
+    peek-16 lookup table: lut[next_16_bits] = (symbol << 5) | code_len,
+    0 for an invalid prefix.  One list index replaces the former
+    bit-by-bit dict walk — the entropy decoder's hot operation (r7:
+    table-driven decode measured the whole-image decode 4x faster)."""
+    lut = [0] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            packed = (symbols[k] << 5) | length
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = \
+                [packed] * (1 << (16 - length))
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
+
+
+# bit-accumulator trim masks: _MASKS[n] = (1 << n) - 1
+_MASKS = [(1 << n) - 1 for n in range(64)]
 
 
 class _JpegBitReader:
     """MSB-first bit reader over one entropy-coded segment (stuffed
-    0xFF 0x00 bytes already collapsed by the segment splitter)."""
+    0xFF 0x00 bytes already collapsed by the segment splitter).  An
+    int accumulator refilled 4 bytes at a time; past the end the spec's
+    1-bit padding is synthesized, so a peek never over-consumes."""
 
-    __slots__ = ("buf", "pos", "acc", "nbits")
+    __slots__ = ("buf", "pos", "n", "acc", "nbits")
 
     def __init__(self, buf: bytes):
-        self.buf, self.pos, self.acc, self.nbits = buf, 0, 0, 0
+        self.buf, self.pos, self.n = buf, 0, len(buf)
+        self.acc, self.nbits = 0, 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < self.n:
+                chunk = self.buf[self.pos : self.pos + 4]
+                self.pos += len(chunk)
+                self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(
+                    chunk, "big"
+                )
+                self.nbits += 8 * len(chunk)
+            else:  # spec pads with 1-bits past the segment end
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.buf):
-                # past the end: spec pads with 1-bits to byte boundary
-                return 1
-            self.acc = self.buf[self.pos]
-            self.pos += 1
-            self.nbits = 8
+            self._fill(1)
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        v = (self.acc >> self.nbits) & 1
+        # trim consumed bits — an untrimmed accumulator grows into a
+        # bignum over a long segment and every shift turns O(len)
+        self.acc &= _MASKS[self.nbits]
         return v
 
-    def decode_huffman(self, table: dict) -> int:
-        length, code = 0, 0
-        while length < 17:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    def read_bits(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & _MASKS[n]
+        self.acc &= _MASKS[self.nbits]
+        return v
+
+    def decode_huffman(self, lut: list) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        packed = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if packed == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nbits -= packed & 31
+        self.acc &= _MASKS[self.nbits]
+        return packed >> 5
 
 
 def _extend(v: int, t: int) -> int:
@@ -375,11 +403,16 @@ def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     segs, cur = [], bytearray()
     n = len(data)
     while pos < n:
-        b = data[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
-            continue
+        # bulk-copy up to the next 0xFF (the common case is long
+        # marker-free runs — the former per-byte walk was a decode
+        # hot spot on large scans)
+        ff = data.find(0xFF, pos)
+        if ff < 0:
+            cur += data[pos:]
+            pos = n
+            break
+        cur += data[pos:ff]
+        pos = ff
         nxt = data[pos + 1] if pos + 1 < n else 0xD9
         if nxt == 0x00:
             cur.append(0xFF)
@@ -521,39 +554,41 @@ def _jpeg_decode_scan(
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
     n_mcus = mcus_x * mcus_y
-    planes = {
-        cid: np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+    # entropy decode accumulates ZIGZAG coefficients per block; all
+    # block math (dequant + IDCT + reassembly) runs batched afterwards
+    # (one einsum per component — same shape the progressive path uses)
+    coef = {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)
         for cid, ch, cv, _tq in comps
     }
-    # quant tables reordered from zigzag into natural block position once
-    deq = {}
-    for cid, _ch, _cv, tq in comps:
-        q = np.zeros(64, np.int32)
-        q[_ZIGZAG] = qt[tq]
-        deq[cid] = q.reshape(8, 8)
 
+    # per-component decode context hoisted out of the MCU loop
+    ctx = [
+        (cid, ch, cv, huff_dc[scan_tables[cid][0]],
+         huff_ac[scan_tables[cid][1]], coef[cid])
+        for cid, ch, cv, _tq in comps
+    ]
     mcu = 0
     for seg_i, seg in enumerate(segs):
         reader = _JpegBitReader(seg)
+        decode, bits = reader.decode_huffman, reader.read_bits
         pred = {cid: 0 for cid, *_ in comps}
         seg_mcus = (
             min(restart_interval, n_mcus - mcu) if restart_interval else n_mcus - mcu
         )
         for _ in range(seg_mcus):
             my, mx = divmod(mcu, mcus_x)
-            for cid, ch, cv, _tq in comps:
-                dc_tab = huff_dc[scan_tables[cid][0]]
-                ac_tab = huff_ac[scan_tables[cid][1]]
+            for cid, ch, cv, dc_tab, ac_tab, carr in ctx:
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = np.zeros(64, np.int32)
-                        t = reader.decode_huffman(dc_tab)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        zz = [0] * 64
+                        t = decode(dc_tab)
+                        diff = _extend(bits(t), t) if t else 0
                         pred[cid] += diff
                         zz[0] = pred[cid]
                         k = 1
                         while k < 64:
-                            rs = reader.decode_huffman(ac_tab)
+                            rs = decode(ac_tab)
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:  # ZRL: 16 zeros
@@ -563,21 +598,15 @@ def _jpeg_decode_scan(
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG AC coefficient overrun")
-                            zz[k] = _extend(reader.read_bits(s), s)
+                            zz[k] = _extend(bits(s), s)
                             k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[_ZIGZAG] = zz
-                        blk = blk.reshape(8, 8) * deq[cid]
-                        spatial = _DCT8.T @ blk @ _DCT8 + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                        carr[my * cv + by, mx * ch + bx] = zz
             mcu += 1
         if mcu >= n_mcus:
             break
     if mcu < n_mcus:
         raise ValueError(f"truncated JPEG scan: {mcu}/{n_mcus} MCUs decoded")
-    return _jpeg_reconstruct(h, w, comps, planes, max_h, max_v)
+    return _jpeg_idct_assemble(h, w, comps, qt, coef)
 
 
 def _jpeg_progressive_scan(
@@ -753,10 +782,14 @@ def _prog_ac_refine(reader, blk, ss, se, al, table, eobrun) -> int:
 
 
 def _jpeg_progressive_finish(frame, qt, coef) -> np.ndarray:
-    """All scans consumed: dequantize the accumulated zigzag
-    coefficients, batched IDCT (one einsum per component), reassemble
-    planes, upsample + color-convert."""
     h, w, comps = frame
+    return _jpeg_idct_assemble(h, w, comps, qt, coef)
+
+
+def _jpeg_idct_assemble(h, w, comps, qt, coef) -> np.ndarray:
+    """All coefficients decoded (sequential or progressive): dequantize
+    the accumulated zigzag coefficients, batched IDCT (one einsum per
+    component), reassemble planes, upsample + color-convert."""
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     planes = {}
@@ -766,7 +799,10 @@ def _jpeg_progressive_finish(frame, qt, coef) -> np.ndarray:
         nat = np.zeros_like(zz)
         nat[:, :, _ZIGZAG] = zz
         blocks = nat.reshape(bh, bw, 8, 8)
-        spatial = np.einsum("mk,yxmn,nl->yxkl", _DCT8, blocks, _DCT8) + 128.0
+        # batched two-stage IDCT: matmul broadcasts over the block grid
+        # (BLAS) and keeps the exact summation order of the former
+        # per-block  _DCT8.T @ blk @ _DCT8
+        spatial = _DCT8.T @ blocks @ _DCT8 + 128.0
         planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     return _jpeg_reconstruct(h, w, comps, planes, max_h, max_v)
 
@@ -782,13 +818,22 @@ def _jpeg_reconstruct(h, w, comps, planes, max_h, max_v) -> np.ndarray:
         cols = np.minimum(np.arange(w) * ch // max_h, plane.shape[1] - 1)
         full.append(plane[rows][:, cols])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return _round_clip_u8(full[0])
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _round_clip_u8(np.stack([r, g, b], axis=-1))
+
+
+def _round_clip_u8(x: np.ndarray) -> np.ndarray:
+    """round-half-even then clamp to [0,255] uint8 — same values as
+    np.clip(np.round(x), 0, 255).astype(uint8), but the clamp runs on
+    int64 (float64 scalar-bound np.clip measured 8x slower; int64 so a
+    pathological coefficient stream can't wrap the cast)."""
+    i = np.rint(x).astype(np.int64)
+    np.clip(i, 0, 255, out=i)
+    return i.astype(np.uint8)
 
 
 def encode_png(img: np.ndarray) -> bytes:

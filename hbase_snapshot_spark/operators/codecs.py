@@ -169,41 +169,46 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     recurrence, walked per pixel position with vector ops over the
     ``bpp`` byte lanes."""
     out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = [0] * stride
     for y in range(h):
         ftype = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
         if ftype == 0:  # None
-            rec = line
-        elif ftype == 2:  # Up
-            rec = line + prev
-        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
-            lanes = line.reshape(-1, bpp) if stride % bpp == 0 else None
-            if lanes is not None:
-                rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
-            else:  # defensive; stride is always a bpp multiple
-                rec = line.copy()
-                for x in range(bpp, stride):
-                    rec[x] += rec[x - bpp]
-        elif ftype == 3:  # Average
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = line[x] + ((left + prev[x]) >> 1)
-                rec[x] &= 0xFF
+            out[y] = raw[y, 1:]
+            continue
+        if ftype == 2:  # Up
+            out[y] = raw[y, 1:] + out[y - 1] if y > 0 else raw[y, 1:]
+            continue
+        if ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            lanes = raw[y, 1:].reshape(-1, bpp)
+            out[y] = np.cumsum(
+                lanes, axis=0, dtype=np.int64
+            ).reshape(stride) & 0xFF
+            continue
+        # Average/Paeth have a true left+up recurrence: walked per byte
+        # with PYTHON ints (r7: numpy scalar indexing here measured
+        # ~1us/byte — the list walk is ~10x faster)
+        line = raw[y, 1:].tolist()
+        prev = out[y - 1].tolist() if y > 0 else zero_row
+        if ftype == 3:  # Average
+            for x in range(bpp):
+                line[x] = (line[x] + (prev[x] >> 1)) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + ((line[x - bpp] + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
-            rec = np.empty(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
+            for x in range(bpp):
+                b = prev[x]  # a = c = 0: predictor reduces to b (or a=0 when b=0)
+                line[x] = (line[x] + b) & 0xFF
+            for x in range(bpp, stride):
+                a = line[x - bpp]
                 b = prev[x]
-                c = int(out[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
+                c = prev[x - bpp]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pred) & 0xFF
+                line[x] = (line[x] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype} on scanline {y}")
-        out[y] = (rec & 0xFF).astype(np.uint8)
+        out[y] = line
     return out
 
 

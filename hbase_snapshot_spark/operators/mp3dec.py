@@ -623,36 +623,42 @@ def _apply_stereo(xr, g_right: _Granule, sf_right: _Scalefacs, sr: int,
 # alias reduction + IMDCT + frequency inversion (clauses 2.4.3.4.10.x)
 
 
+# gather/scatter index grids for the butterfly at every subband
+# boundary: row sb-1 holds the 8 lo (below-boundary, reversed) and 8 hi
+# indices for boundary sb (r7: the per-boundary arange loop was a
+# decode hot spot — one fancy gather/scatter now covers all boundaries)
+_AR_LO = 18 * np.arange(1, 32)[:, None] - 1 - np.arange(8)[None, :]
+_AR_HI = 18 * np.arange(1, 32)[:, None] + np.arange(8)[None, :]
+
+
 def _alias_reduce(xr: np.ndarray, g: _Granule) -> None:
     if g.block_type == 2 and not g.mixed_block:
         return
     n_bound = 1 if (g.block_type == 2 and g.mixed_block) else 31
-    for sb in range(1, n_bound + 1):
-        lo = xr[18 * sb - 1 - np.arange(8)]
-        hi = xr[18 * sb + np.arange(8)]
-        xr[18 * sb - 1 - np.arange(8)] = lo * _CS - hi * _CA
-        xr[18 * sb + np.arange(8)] = hi * _CS + lo * _CA
+    lo_idx, hi_idx = _AR_LO[:n_bound], _AR_HI[:n_bound]
+    lo, hi = xr[lo_idx], xr[hi_idx]
+    xr[lo_idx] = lo * _CS - hi * _CA
+    xr[hi_idx] = hi * _CS + lo * _CA
 
 
 def _imdct_granule(xr: np.ndarray, g: _Granule, overlap: np.ndarray
                    ) -> np.ndarray:
     """xr (576,) -> time-domain subband samples (18, 32); ``overlap``
     is the (32, 18) carry between granules, updated in place."""
-    ts = np.empty((18, 32))
-    for sb in range(32):
-        s = xr[18 * sb : 18 * sb + 18]
-        btype = g.block_type
-        if btype == 2 and g.mixed_block and sb < 2:
-            btype = 0
-        if btype == 2:
-            out = np.zeros(36)
-            for w in range(3):
-                x12 = (_IMDCT12 @ s[w::3]) * _WIN_SHORT12
-                out[6 + 6 * w : 18 + 6 * w] += x12
-        else:
-            out = (_IMDCT36 @ s) * _WINDOWS[btype]
-        ts[:, sb] = out[:18] + overlap[sb]
-        overlap[sb] = out[18:]
+    X = xr.reshape(32, 18)
+    btype = g.block_type
+    if btype != 2:  # all-long: one batched IMDCT over the 32 subbands
+        out = (X @ _IMDCT36.T) * _WINDOWS[btype]
+    else:
+        out = np.zeros((32, 36))
+        first_long = 2 if g.mixed_block else 0
+        for w in range(3):  # 3 short windows, batched over subbands
+            x12 = (X[first_long:, w::3] @ _IMDCT12.T) * _WIN_SHORT12
+            out[first_long:, 6 + 6 * w : 18 + 6 * w] += x12
+        if first_long:  # mixed block: first two subbands stay long
+            out[:2] = (X[:2] @ _IMDCT36.T) * _WINDOWS[0]
+    ts = (out[:, :18] + overlap).T.copy()
+    overlap[:] = out[:, 18:]
     # frequency inversion: odd subbands, odd time samples
     ts[1::2, 1::2] = -ts[1::2, 1::2]
     return ts
@@ -662,24 +668,33 @@ def _imdct_granule(xr: np.ndarray, g: _Granule, overlap: np.ndarray
 # polyphase synthesis (clause 2.4.3.2 / Annex D)
 
 
+# history-window row indices: step i reads the 16 newest 64-vectors,
+# newest first, from the (18 new + 16 carried) stack below
+_SYN_IDX = (17 - np.arange(18))[:, None] + np.arange(16)[None, :]
+
+
 class _Synth:
+    """Polyphase synthesis with the 1024-sample FIFO kept as 16 rows of
+    64 (newest first).  All 18 granule steps run batched (r7): the 18
+    new matrixed vectors are computed in one GEMM, each step's 16-row
+    history window is a fancy gather off the stacked history, and the
+    windowed sum reduces over one axis — numerically the identical
+    per-step sums, without the per-step Python shift/gather loop."""
+
     def __init__(self):
-        self.v = np.zeros(1024)
+        self.carry = np.zeros((16, 64))
 
     def run(self, ts: np.ndarray) -> np.ndarray:
         """ts (18, 32) -> PCM floats (576,)."""
-        out = np.empty((18, 32))
-        v = self.v
-        for i in range(18):
-            v[64:] = v[:-64].copy()
-            v[:64] = _SYNTH_N @ ts[i]
-            u = np.empty(512)
-            for j in range(8):
-                u[64 * j : 64 * j + 32] = v[128 * j : 128 * j + 32]
-                u[64 * j + 32 : 64 * j + 64] = v[128 * j + 96 : 128 * j + 128]
-            w = u * SYNTH_WINDOW
-            out[i] = w.reshape(16, 32).sum(axis=0)
-        return out.ravel()
+        vnew = ts @ _SYNTH_N.T  # (18, 64), row i = matrixing of step i
+        hist = np.concatenate([vnew[::-1], self.carry])  # newest first
+        wins = hist[_SYN_IDX]  # (18, 16, 64): step i's v-FIFO rows
+        u = np.empty((18, 16, 32))
+        u[:, 0::2] = wins[:, 0::2, :32]
+        u[:, 1::2] = wins[:, 1::2, 32:]
+        w = u.reshape(18, 512) * SYNTH_WINDOW
+        self.carry = hist[:16].copy()
+        return w.reshape(18, 16, 32).sum(axis=1).ravel()
 
 
 # --------------------------------------------------------------------------

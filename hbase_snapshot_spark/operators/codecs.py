@@ -39,7 +39,8 @@ import numpy as np
 
 def sniff(data: bytes) -> str | None:
     """Cheap magic-byte format detection:
-    'pnm' | 'bmp' | 'png' | 'jpeg' | 'wav' | None."""
+    'pnm' | 'bmp' | 'png' | 'gif' | 'jpeg' | 'wav' | 'flac' | 'mp4' |
+    'aac' | 'mp3' | None."""
     if data is None or len(data) < 12:
         return None
     if data[:2] in (b"P5", b"P6"):
@@ -48,6 +49,10 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:4] == b"GIF8" and data[4:6] in (b"7a", b"9a"):
+        return "gif"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -1053,6 +1058,216 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+# ------------------------------------------------------------------- GIF
+#
+# GIF87a/89a (the format is fully algorithmic — LZW + palettes, no spec
+# constant tables): header/extension walk, variable-width LSB-first LZW,
+# interlace reorder, frame compositing with GCE transparency + disposal
+# methods 0-3.  Common enough in scraped corpora to be first-class next
+# to PNG/JPEG.
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate the data sub-blocks at ``pos`` → (bytes, end_pos)."""
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        sz = data[pos]
+        pos += 1
+        if sz == 0:
+            break
+        out += data[pos : pos + sz]
+        pos += sz
+    return bytes(out), pos
+
+
+def _gif_lzw(min_code_size: int, data: bytes, npix: int) -> bytes:
+    """GIF-variant LZW (LSB-first, variable 3-12 bit codes, clear/EOI,
+    deferred-clear when the table is full) → palette-index bytes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    n = len(data)
+    prev = None
+    while len(out) < npix:
+        while nbits < code_size:
+            if pos >= n:
+                return bytes(out)  # truncated stream: keep what decoded
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:npix])
+
+
+def parse_gif(data: bytes) -> dict:
+    """Header walk only (no LZW decode): {width, height, n_frames,
+    durations_ms, loop_count, frames: [(left, top, w, h, interlaced,
+    transparent_idx, disposal, delay_ms)], ...}."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncolors = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, ncolors * 3, pos).reshape(-1, 3)
+        pos += ncolors * 3
+    frames = []
+    loop_count = None
+    transparent = disposal = None
+    delay_ms = 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            if label == 0xF9 and data[pos + 2] >= 4:  # graphic control
+                p = data[pos + 3]
+                disposal = (p >> 2) & 0x07
+                delay_ms = int.from_bytes(data[pos + 4 : pos + 6], "little") * 10
+                transparent = data[pos + 6] if (p & 1) else None
+            body, pos2 = _gif_subblocks(data, pos + 2)
+            if label == 0xFF and body[:11] == b"NETSCAPE2.0" and len(body) >= 14:
+                loop_count = int.from_bytes(body[12:14], "little")
+            pos = pos2
+            continue
+        if b == 0x2C:  # image descriptor
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            fw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            fh = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            fpacked = data[pos + 9]
+            pos += 10
+            lct_off = None
+            if fpacked & 0x80:
+                lct_off = pos
+                pos += (2 << (fpacked & 0x07)) * 3
+            min_code = data[pos]
+            lzw_off = pos + 1
+            _body, pos = _gif_subblocks(data, pos + 1)
+            frames.append({
+                "left": left, "top": top, "w": fw, "h": fh,
+                "interlaced": bool(fpacked & 0x40),
+                "lct_off": lct_off, "lct_bits": fpacked & 0x07,
+                "min_code": min_code, "lzw_off": lzw_off,
+                "transparent_idx": transparent, "disposal": disposal or 0,
+                "delay_ms": delay_ms,
+            })
+            transparent = disposal = None
+            delay_ms = 0
+            continue
+        raise ValueError(f"bad GIF block 0x{b:02x} at offset {pos}")
+    return {
+        "width": w, "height": h, "n_frames": len(frames),
+        "durations_ms": [f["delay_ms"] for f in frames],
+        "duration_ms": sum(f["delay_ms"] for f in frames),
+        "loop_count": loop_count, "background": bg,
+        "global_palette": gct, "frames": frames,
+    }
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes, max_frames: int | None = None
+               ) -> tuple[np.ndarray, list[int]]:
+    """GIF → (frames (n, h, w, 3) uint8, per-frame delays in ms).
+    Full compositing: local/global palettes, interlace reorder, GCE
+    transparency, disposal 0/1 (keep), 2 (restore background),
+    3 (restore previous)."""
+    meta = parse_gif(data)
+    w, h = meta["width"], meta["height"]
+    gct = meta["global_palette"]
+    if gct is not None and meta["background"] < len(gct):
+        bg_rgb = gct[meta["background"]]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames = []
+    durations = []
+    todo = meta["frames"][:max_frames] if max_frames else meta["frames"]
+    for f in todo:
+        pal = gct
+        if f["lct_off"] is not None:
+            ncol = 2 << f["lct_bits"]
+            pal = np.frombuffer(
+                data, np.uint8, ncol * 3, f["lct_off"]
+            ).reshape(-1, 3)
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
+        body, _end = _gif_subblocks(data, f["lzw_off"])
+        idx = np.frombuffer(
+            _gif_lzw(f["min_code"], body, f["w"] * f["h"]), np.uint8
+        )
+        if len(idx) < f["w"] * f["h"]:  # truncated: pad with background
+            idx = np.concatenate(
+                [idx, np.zeros(f["w"] * f["h"] - len(idx), np.uint8)]
+            )
+        grid = idx.reshape(f["h"], f["w"])
+        if f["interlaced"]:
+            order = np.concatenate(
+                [np.arange(start, f["h"], step) for start, step in _GIF_INTERLACE]
+            )
+            un = np.empty_like(grid)
+            un[order] = grid
+            grid = un
+        before = canvas.copy() if f["disposal"] == 3 else None
+        y0, x0 = f["top"], f["left"]
+        y1, x1 = min(h, y0 + f["h"]), min(w, x0 + f["w"])
+        region = grid[: y1 - y0, : x1 - x0]
+        rgb = pal[np.minimum(region, len(pal) - 1)]
+        target = canvas[y0:y1, x0:x1]
+        if f["transparent_idx"] is not None:
+            mask = region != f["transparent_idx"]
+            target[mask] = rgb[mask]
+        else:
+            target[:] = rgb
+        frames.append(canvas.copy())
+        durations.append(f["delay_ms"])
+        if f["disposal"] == 2:  # restore background in the frame rect
+            canvas[y0:y1, x0:x1] = bg_rgb
+        elif f["disposal"] == 3 and before is not None:
+            canvas = before
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return np.stack(frames), durations
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """payload bytes → uint8 array, (h, w, 3) RGB or (h, w) gray."""
     kind = sniff(data)
@@ -1064,6 +1279,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if kind == "jpeg":
         return decode_jpeg(data)
+    if kind == "gif":
+        return decode_gif(data, max_frames=1)[0][0]
     raise NotImplementedError(
         "unsupported image codec (PPM/PGM/BMP/PNG/baseline-JPEG decode "
         "dependency-free here; other formats require Pillow/ffmpeg — "
@@ -1165,6 +1382,291 @@ def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.nda
         .round()
         .astype(np.int32)
     )
+
+
+# ------------------------------------------------------------------ FLAC
+#
+# Free Lossless Audio Codec (the public xiph.org spec / RFC 9639):
+# fully algorithmic — rice-coded residuals over fixed or LPC
+# predictors, no codebook tables — so a dependency-free decoder is
+# EXACT (lossless: a decode is bit-for-bit the original PCM, which
+# makes every test a strict equality).  Covers the second-most-common
+# lossless audio payload of real corpora after WAV.
+
+
+class _FlacBits:
+    """MSB-first bit reader (the FLAC bit order, opposite of GIF)."""
+
+    __slots__ = ("buf", "pos", "n", "acc", "nbits")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf, self.pos, self.n = buf, pos, len(buf)
+        self.acc, self.nbits = 0, 0
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            if self.pos >= self.n:
+                raise EOFError("FLAC bitstream exhausted")
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte_pos(self) -> int:
+        return self.pos - self.nbits // 8
+
+
+def parse_flac(data: bytes) -> dict:
+    """STREAMINFO walk → {sample_rate, channels, bits_per_sample,
+    total_samples, duration_ms, min/max_block_size, md5,
+    frames_offset}.  Header-only: no frame decode."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos, info = 4, None
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            info = body
+        pos += 4 + size
+        if last:
+            break
+    if info is None or len(info) < 34:
+        raise ValueError("FLAC missing STREAMINFO")
+    sr = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+    nch = ((info[12] >> 1) & 0x07) + 1
+    bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
+    total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+    return {
+        "sample_rate": sr,
+        "channels": nch,
+        "bits_per_sample": bps,
+        "total_samples": total,
+        "duration_ms": round(total * 1000 / sr) if sr and total else None,
+        "min_block_size": int.from_bytes(info[0:2], "big"),
+        "max_block_size": int.from_bytes(info[2:4], "big"),
+        "md5": info[18:34],
+        "frames_offset": pos,
+    }
+
+
+# frame-header lookup tables (RFC 9639 §9.1)
+_FLAC_BLOCK = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+               8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+               13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# fixed-predictor coefficients by order (RFC 9639 §10.2.2)
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_utf8_number(bits: _FlacBits) -> int:
+    """The frame number's extended-UTF-8 coded integer (§9.1.5)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x40
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 1 or nbytes > 6:
+        raise ValueError("bad FLAC frame-number coding")
+    v = b0 & (mask - 1)
+    for _ in range(nbytes):
+        c = bits.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("bad FLAC frame-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(bits: _FlacBits, block_size: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = bits.read(4)
+    if block_size % (1 << porder):
+        raise ValueError("FLAC partition order does not divide block size")
+    out = []
+    for p in range(1 << porder):
+        count = (block_size >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        k = bits.read(pbits)
+        if k == escape:
+            raw = bits.read(5)
+            out.extend(
+                bits.read_signed(raw) if raw else 0 for _ in range(count)
+            )
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                v = (q << k) | bits.read(k)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(bits: _FlacBits, block_size: int, bps: int) -> np.ndarray:
+    if bits.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):  # wasted-bits-per-sample flag: unary count - 1
+        wasted = bits.unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = np.full(block_size, bits.read_signed(bps), np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.fromiter(
+            (bits.read_signed(bps) for _ in range(block_size)),
+            np.int64, block_size)
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        warm = [bits.read_signed(bps) for _ in range(order)]
+        res = _flac_residual(bits, block_size, order)
+        coefs = _FLAC_FIXED[order]
+        samples = list(warm)
+        for r in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(pred + r)
+        out = np.array(samples, np.int64)
+    elif stype >= 32:  # LPC, order = stype - 31
+        order = stype - 31
+        warm = [bits.read_signed(bps) for _ in range(order)]
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        res = _flac_residual(bits, block_size, order)
+        samples = list(warm)
+        for r in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append((pred >> shift) + r)
+        out = np.array(samples, np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return out << wasted if wasted else out
+
+
+def decode_flac_pcm(data: bytes, max_frames: int | None = None
+                    ) -> tuple[int, int, np.ndarray]:
+    """FLAC → (sample_rate, channels, (n, channels) int32 PCM at the
+    stream's native bit depth).  Exact: frames walk STREAMINFO's
+    declared layout, subframes cover CONSTANT/VERBATIM/FIXED/LPC with
+    wasted bits, and all four channel assignments (independent,
+    left/side, right/side, mid/side) are undone in integer math."""
+    meta = parse_flac(data)
+    sr0, nch, bps0 = meta["sample_rate"], meta["channels"], meta["bits_per_sample"]
+    bits = _FlacBits(data, meta["frames_offset"])
+    chunks = []
+    n_frames = 0
+    while bits.byte_pos() < bits.n:
+        try:
+            sync = bits.read(14)
+        except EOFError:
+            break
+        if sync != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        bps_code = bits.read(3)
+        bits.read(1)  # reserved
+        _flac_utf8_number(bits)
+        if bs_code == 6:
+            block_size = bits.read(8) + 1
+        elif bs_code == 7:
+            block_size = bits.read(16) + 1
+        elif bs_code in _FLAC_BLOCK:
+            block_size = _FLAC_BLOCK[bs_code]
+        else:
+            raise ValueError("reserved FLAC block-size code")
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample-rate code")
+        bps = _FLAC_BPS.get(bps_code, bps0)
+        bits.read(8)  # header CRC-8 (not verified)
+        if ch_code < 8:
+            if ch_code + 1 != nch:
+                raise ValueError("FLAC frame channel count != STREAMINFO")
+            chans = [_flac_subframe(bits, block_size, bps)
+                     for _ in range(nch)]
+        elif ch_code in (8, 9, 10):  # stereo decorrelation; side has +1 bit
+            if nch != 2:
+                raise ValueError("decorrelated FLAC frame in non-stereo stream")
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(bits, block_size, bps)
+                side = _flac_subframe(bits, block_size, bps + 1)
+                chans = [left, left - side]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(bits, block_size, bps + 1)
+                right = _flac_subframe(bits, block_size, bps)
+                chans = [right + side, right]
+            else:  # mid/side
+                mid = _flac_subframe(bits, block_size, bps)
+                side = _flac_subframe(bits, block_size, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                chans = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        bits.align()
+        bits.read(16)  # frame CRC-16 (not verified)
+        chunks.append(np.stack(chans, axis=1))
+        n_frames += 1
+        if max_frames is not None and n_frames >= max_frames:
+            break
+    if not chunks:
+        raise ValueError("FLAC stream has no frames")
+    pcm = np.concatenate(chunks).astype(np.int64)
+    if meta["total_samples"]:
+        pcm = pcm[: meta["total_samples"]]
+    return sr0, nch, pcm.astype(np.int32)
+
+
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """FLAC → (sample_rate, mono int32 samples in int16 range) — the
+    same convention as :func:`decode_wav` (multi-channel downmixed by
+    mean, other bit depths scaled to 16-bit)."""
+    sr, _nch, pcm = decode_flac_pcm(data)
+    bps = parse_flac(data)["bits_per_sample"]
+    mono = pcm.astype(np.float64).mean(axis=1)
+    if bps > 16:
+        mono = mono / (1 << (bps - 16))
+    elif bps < 16:
+        mono = mono * (1 << (16 - bps))
+    return sr, np.round(mono).astype(np.int32)
 
 
 # ------------------------------------------------------------------ video

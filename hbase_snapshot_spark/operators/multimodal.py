@@ -330,7 +330,8 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio decode/resample + level features (RMS, peak).  Real path
     decodes RIFF WAV (PCM int 8/16/24/32 + float32, multi-channel
-    downmix) and MPEG-1 Layer III (mp3dec.py) and linear-resamples to
+    downmix), FLAC (rice+LPC, exact), and MPEG-1 Layer III (mp3dec.py)
+    and linear-resamples to
     ``target_rate`` — codecs.py, numpy only; other compressed audio
     raises NotImplementedError naming ffmpeg.  ``fake=True`` treats the
     payload bytes as 8-bit samples — deterministic, same dataflow."""
@@ -366,11 +367,13 @@ def extract_audio_features(
                     src_rate, samples = codecs.decode_wav(bytes(b))
                 elif kind == "mp3":
                     src_rate, samples = codecs.decode_mp3(bytes(b))
+                elif kind == "flac":
+                    src_rate, samples = codecs.decode_flac(bytes(b))
                 else:
                     raise NotImplementedError(
-                        "audio decode supports RIFF WAV and MPEG-1 Layer "
-                        "III natively; other codecs (AAC/Opus/...) require "
-                        "ffmpeg/soundfile — unavailable here"
+                        "audio decode supports RIFF WAV, FLAC, and MPEG-1 "
+                        "Layer III natively; other codecs (AAC/Opus/...) "
+                        "require ffmpeg/soundfile — unavailable here"
                     )
                 samples = codecs.resample_linear(samples, src_rate, target_rate)
                 rows["sample_rate"].append(target_rate)
@@ -409,9 +412,10 @@ def probe_media(media: DataFrame) -> DataFrame:
     MP3 via codecs.parse_mp3 (MPEG frame walk + Xing/VBRI), AAC via
     codecs.parse_adts (ADTS header walk), MP4 via
     codecs.parse_mp4 (ISO-BMFF sample tables + stss keyframe index),
-    WAV/y4m/PNG/BMP/JPEG/PNM via their native headers.  Unknown
-    payloads yield format=None rather than raising — a probe must
-    never kill the batch."""
+    GIF via codecs.parse_gif (block walk, no LZW decode), FLAC via
+    codecs.parse_flac (STREAMINFO), WAV/y4m/PNG/BMP/JPEG/PNM via their
+    native headers.  Unknown payloads yield format=None rather than
+    raising — a probe must never kill the batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -528,6 +532,18 @@ def probe_media(media: DataFrame) -> DataFrame:
                     if marker == 0xDA:
                         break
                     pos += 2 + seg_len
+            elif kind == "gif":
+                m = codecs.parse_gif(data)
+                row.update(width=m["width"], height=m["height"],
+                           n_frames=m["n_frames"],
+                           n_keyframes=m["n_frames"],
+                           duration_ms=m["duration_ms"] or None)
+            elif kind == "flac":
+                m = codecs.parse_flac(data)
+                row.update(sample_rate=m["sample_rate"],
+                           channels=m["channels"],
+                           n_frames=m["total_samples"] or None,
+                           duration_ms=m["duration_ms"])
             elif kind == "pnm":
                 try:
                     img = codecs.decode_pnm(data)

@@ -887,6 +887,282 @@ def test_decode_images_real_progressive_and_adam7(spark):
     assert out[1].mean_intensity == round(float(img.mean()), 4)
 
 
+# ------------------------------------------------------------------ FLAC
+
+
+class _FlacW:
+    """MSB-first bit writer for fixture streams."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v, n):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self):
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def rice(self, v, k):
+        u = (v << 1) ^ (v >> 63) if v >= 0 else (-v << 1) - 1
+        q = u >> k
+        self.put(0, q) if q else None
+        self.put(1, 1)
+        if k:
+            self.put(u & ((1 << k) - 1), k)
+
+
+def _flac_streaminfo(sr, nch, bps, total, block):
+    b = bytearray()
+    b += block.to_bytes(2, "big") * 2          # min/max block size
+    b += (0).to_bytes(3, "big") * 2            # min/max frame size
+    b.append((sr >> 12) & 0xFF)
+    b.append((sr >> 4) & 0xFF)
+    b.append(((sr & 0xF) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4))
+    b.append((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF))
+    b += (total & 0xFFFFFFFF).to_bytes(4, "big")
+    b += b"\x00" * 16                          # md5 (unchecked)
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(b)
+
+
+def _flac_frame(w, block, subframes, frame_no=0, ch_code=None):
+    """subframes: list of callables(writer) writing one subframe each;
+    ch_code defaults to independent channels."""
+    if ch_code is None:
+        ch_code = len(subframes) - 1
+    w.put(0x3FFE, 14)
+    w.put(0, 1)          # reserved
+    w.put(0, 1)          # fixed blocking
+    w.put(7, 4)          # block size: 16-bit value follows
+    w.put(0, 4)          # sample rate: from STREAMINFO
+    w.put(ch_code, 4)
+    w.put(0, 3)          # bps: from STREAMINFO
+    w.put(0, 1)          # reserved
+    w.put(frame_no & 0x7F, 8)  # utf8 frame number (small)
+    w.put(block - 1, 16)
+    w.put(0, 8)          # crc-8 (decoder does not verify)
+    for sf in subframes:
+        sf(w)
+    w.align()
+    w.put(0, 16)         # crc-16 (decoder does not verify)
+
+
+def _sf_verbatim(samples, bps):
+    def go(w):
+        w.put(0, 1); w.put(1, 6); w.put(0, 1)
+        for s in samples:
+            w.put(int(s), bps)
+    return go
+
+
+def _sf_constant(value, bps):
+    def go(w):
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)
+        w.put(int(value), bps)
+    return go
+
+
+def _sf_fixed(samples, order, bps, k=4, wasted=0):
+    """Encode `samples` (full block) as FIXED order-`order`, one rice
+    partition, optional wasted bits (samples must be divisible)."""
+    coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    vals = [int(s) >> wasted for s in samples]
+
+    def go(w):
+        w.put(0, 1); w.put(8 + order, 6)
+        if wasted:
+            w.put(1, 1)
+            w.put(0, wasted - 1) if wasted > 1 else None
+            w.put(1, 1)
+        else:
+            w.put(0, 1)
+        for s in vals[:order]:
+            w.put(s, bps - wasted)
+        w.put(0, 2)   # 4-bit rice
+        w.put(0, 4)   # partition order 0
+        w.put(k, 4)
+        for i in range(order, len(vals)):
+            pred = sum(c * vals[i - 1 - j] for j, c in enumerate(coefs))
+            w.rice(vals[i] - pred, k)
+    return go
+
+
+def _sf_lpc(samples, coefs, shift, prec, bps, k=5):
+    order = len(coefs)
+
+    def go(w):
+        w.put(0, 1); w.put(32 + order - 1, 6); w.put(0, 1)
+        for s in samples[:order]:
+            w.put(int(s), bps)
+        w.put(prec - 1, 4)
+        w.put(shift, 5)
+        for c in coefs:
+            w.put(int(c), prec)
+        w.put(1, 2)   # 5-bit rice
+        w.put(0, 4)
+        w.put(k, 5)
+        for i in range(order, len(samples)):
+            pred = sum(c * int(samples[i - 1 - j]) for j, c in enumerate(coefs))
+            w.rice(int(samples[i]) - (pred >> shift), k)
+    return go
+
+
+def test_flac_parse_and_sniff():
+    data = _flac_streaminfo(44100, 2, 16, 12345, 4096)
+    assert codecs.sniff(data) == "flac"
+    m = codecs.parse_flac(data)
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (44100, 2, 16)
+    assert m["total_samples"] == 12345
+    assert m["duration_ms"] == round(12345 * 1000 / 44100)
+    with pytest.raises(ValueError):
+        codecs.parse_flac(b"fLaX" + b"\x00" * 40)
+
+
+def test_flac_verbatim_constant_roundtrip():
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32767, 96, dtype=np.int64)
+    w = _FlacW()
+    _flac_frame(w, 96, [_sf_verbatim(pcm, 16)])
+    data = _flac_streaminfo(8000, 1, 16, 96, 96) + bytes(w.out)
+    sr, nch, out = codecs.decode_flac_pcm(data)
+    assert (sr, nch) == (8000, 1)
+    assert (out[:, 0] == pcm).all()
+    w = _FlacW()
+    _flac_frame(w, 64, [_sf_constant(-123, 16)])
+    data = _flac_streaminfo(8000, 1, 16, 64, 64) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == -123).all()
+
+
+def test_flac_fixed_orders_roundtrip():
+    rng = np.random.default_rng(10)
+    # smooth ramp + noise so fixed predictors leave small residuals
+    base = np.cumsum(rng.integers(-40, 40, 256)) + 1000
+    for order in (0, 1, 2, 3, 4):
+        w = _FlacW()
+        _flac_frame(w, 256, [_sf_fixed(base, order, 16)])
+        data = _flac_streaminfo(16000, 1, 16, 256, 256) + bytes(w.out)
+        _, _, out = codecs.decode_flac_pcm(data)
+        assert (out[:, 0] == base).all(), f"order {order}"
+
+
+def test_flac_lpc_and_wasted_bits():
+    rng = np.random.default_rng(11)
+    base = (np.cumsum(rng.integers(-30, 30, 192)) + 500).astype(np.int64)
+    coefs, shift, prec = [3, -2, 1], 1, 6
+    w = _FlacW()
+    _flac_frame(w, 192, [_sf_lpc(base, coefs, shift, prec, 16)])
+    data = _flac_streaminfo(22050, 1, 16, 192, 192) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == base).all()
+    # wasted bits: samples all even by 4
+    ws = (base // 4) * 4
+    w = _FlacW()
+    _flac_frame(w, 192, [_sf_fixed(ws, 2, 16, wasted=2)])
+    data = _flac_streaminfo(22050, 1, 16, 192, 192) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == ws).all()
+
+
+def test_flac_stereo_decorrelation_modes():
+    rng = np.random.default_rng(12)
+    left = rng.integers(-2000, 2000, 128, dtype=np.int64)
+    right = rng.integers(-2000, 2000, 128, dtype=np.int64)
+    side = left - right
+    mid = (left + right) >> 1
+    # left/side (code 8): [left bps, side bps+1]
+    w = _FlacW()
+    _flac_frame(w, 128, [_sf_verbatim(left, 16), _sf_verbatim(side, 17)],
+                ch_code=8)
+    data = _flac_streaminfo(44100, 2, 16, 128, 128) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == left).all() and (out[:, 1] == right).all()
+    # right/side (code 9): [side bps+1, right bps]
+    w = _FlacW()
+    _flac_frame(w, 128, [_sf_verbatim(side, 17), _sf_verbatim(right, 16)],
+                ch_code=9)
+    data = _flac_streaminfo(44100, 2, 16, 128, 128) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == left).all() and (out[:, 1] == right).all()
+    # mid/side (code 10)
+    w = _FlacW()
+    _flac_frame(w, 128, [_sf_verbatim(mid, 16), _sf_verbatim(side, 17)],
+                ch_code=10)
+    data = _flac_streaminfo(44100, 2, 16, 128, 128) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == left).all() and (out[:, 1] == right).all()
+
+
+def test_extract_audio_features_flac(spark):
+    import pandas as pd
+
+    from hbase_snapshot_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    n = 2048
+    t = np.arange(n)
+    pcm = np.round(4000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    w = _FlacW()
+    _flac_frame(w, n, [_sf_verbatim(pcm, 16)])
+    payload = _flac_streaminfo(8000, 1, 16, n, n) + bytes(w.out)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [bytearray(payload)]}))
+    row = extract_audio_features(df, target_rate=8000).collect()[0]
+    assert row.sample_rate == 8000 and row.n_samples == n
+    expect_rms = float((pcm.astype(np.float64) ** 2).mean() ** 0.5)
+    assert abs(row.rms - expect_rms) < 0.05 * expect_rms
+    assert row.peak >= 3900
+
+
+def test_decode_image_gif_first_frame(spark):
+    from hbase_snapshot_spark.operators.multimodal import decode_images
+    import pandas as pd
+
+    pal = np.array([[9, 9, 9], [250, 10, 10]], np.uint8)
+    grid = np.zeros((5, 7), np.uint8)
+    grid[2, 3] = 1
+    gif = make_gif([grid], pal, 7, 5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [bytearray(gif)]}))
+    row = decode_images(df).collect()[0]
+    assert (row.width, row.height) == (7, 5)
+
+
+def test_flac_multiframe_and_mono_convention():
+    rng = np.random.default_rng(13)
+    pcm = rng.integers(-300, 300, 256, dtype=np.int64)
+    w = _FlacW()
+    _flac_frame(w, 128, [_sf_verbatim(pcm[:128], 16)], frame_no=0)
+    _flac_frame(w, 128, [_sf_verbatim(pcm[128:], 16)], frame_no=1)
+    data = _flac_streaminfo(16000, 1, 16, 256, 128) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == pcm).all()
+    sr, mono = codecs.decode_flac(data)
+    assert sr == 16000 and (mono == pcm).all()
+    # rice escape partition: raw 5-bit residuals
+    w = _FlacW()
+
+    def esc(wr):
+        wr.put(0, 1); wr.put(8, 6); wr.put(0, 1)  # FIXED order 0
+        wr.put(0, 2); wr.put(0, 4)
+        wr.put(0xF, 4)      # escape
+        wr.put(7, 5)        # 7-bit raw residuals
+        for s in pcm[:64] % 50:
+            wr.put(int(s), 7)
+    _flac_frame(w, 64, [esc])
+    data = _flac_streaminfo(16000, 1, 16, 64, 64) + bytes(w.out)
+    _, _, out = codecs.decode_flac_pcm(data)
+    assert (out[:, 0] == (pcm[:64] % 50)).all()
+
+
 # ----------------------------------------- MPEG audio (MP3) frame walk
 
 
@@ -967,6 +1243,152 @@ def test_mp3_mpeg2_and_layer2():
 def test_mp3_sniff():
     assert codecs.sniff(_mp3_frame()) == "mp3"
     assert codecs.sniff(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 8) == "mp3"
+
+
+# -------------------------------------------------------------------- GIF
+
+
+def _lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder (independent of the decoder): emits
+    clear, then greedy longest-match codes with table growth, EOI."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    cur = b""
+    for i in indices:
+        nxt = cur + bytes([i])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        cur = bytes([i])
+    if cur:
+        put(table[cur])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(body):
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def make_gif(frames, palette, w, h, delays=None, transparent=None,
+             disposals=None, interlace=False, min_code_size=None):
+    """frames: list of (h, w) uint8 index grids (full-canvas)."""
+    ncol = len(palette)
+    bits = max(1, (ncol - 1).bit_length())
+    size_field = max(0, bits - 1)
+    pal = bytes(np.asarray(palette, np.uint8).reshape(-1)) + b"\x00" * (
+        ((2 << size_field) - ncol) * 3
+    )
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | size_field, 0, 0]) + pal
+    mcs = min_code_size if min_code_size is not None else max(2, bits)
+    for fi, grid in enumerate(frames):
+        if delays or transparent is not None or disposals:
+            d = (delays[fi] if delays else 0) // 10
+            disp = disposals[fi] if disposals else 0
+            flags = (disp << 2) | (1 if transparent is not None else 0)
+            out += bytes([0x21, 0xF9, 4, flags])
+            out += d.to_bytes(2, "little")
+            out += bytes([transparent if transparent is not None else 0, 0])
+        out += b"\x2c" + b"\x00" * 4
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0])
+        g = np.asarray(grid, np.uint8)
+        if interlace:
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            g = g[order]
+        out += bytes([mcs]) + _subblocks(_lzw_encode(g.reshape(-1).tolist(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_random():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    grid = rng.integers(0, 8, (23, 17), dtype=np.uint8)
+    gif = make_gif([grid], pal, 17, 23)
+    assert codecs.sniff(gif) == "gif"
+    frames, durs = codecs.decode_gif(gif)
+    assert frames.shape == (1, 23, 17, 3)
+    assert (frames[0] == pal[grid]).all()
+    # decode_image returns the first frame
+    assert (codecs.decode_image(gif) == pal[grid]).all()
+    # big grid exercises code-size growth past 9 bits
+    big = rng.integers(0, 8, (64, 64), dtype=np.uint8)
+    out, _ = codecs.decode_gif(make_gif([big], pal, 64, 64))
+    assert (out[0] == pal[big]).all()
+
+
+def test_gif_interlace_and_meta():
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    grid = rng.integers(0, 4, (13, 5), dtype=np.uint8)
+    gif = make_gif([grid], pal, 5, 13, interlace=True)
+    out, _ = codecs.decode_gif(gif)
+    assert (out[0] == pal[grid]).all()
+    m = codecs.parse_gif(gif)
+    assert (m["width"], m["height"], m["n_frames"]) == (5, 13, 1)
+
+
+def test_gif_animation_transparency_disposal():
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   np.uint8)
+    f0 = np.full((4, 4), 1, np.uint8)
+    f1 = np.full((4, 4), 0, np.uint8)  # index 0 = transparent
+    f1[0, 0] = 2
+    gif = make_gif([f0, f1], pal, 4, 4, delays=[40, 60], transparent=0,
+                   disposals=[1, 1])
+    frames, durs = codecs.decode_gif(gif)
+    assert durs == [40, 60]
+    assert (frames[0] == pal[1]).all()
+    # frame 2: transparent pixels keep frame 1's red, one green pixel
+    assert (frames[1][0, 0] == pal[2]).all()
+    assert (frames[1][1:] == pal[1]).all()
+    m = codecs.parse_gif(gif)
+    assert m["duration_ms"] == 100 and m["n_frames"] == 2
+
+
+def test_gif_corrupt_raises():
+    with pytest.raises(ValueError):
+        codecs.parse_gif(b"GIF85a" + b"\x00" * 20)
+    pal = np.zeros((4, 3), np.uint8)
+    gif = bytearray(make_gif([np.zeros((3, 3), np.uint8)], pal, 3, 3))
+    gif[6:8] = (3).to_bytes(2, "little")  # intact
+    # truncated LZW body decodes what it can (padded), no raise
+    out, _ = codecs.decode_gif(bytes(gif))
+    assert out.shape == (1, 3, 3, 3)
 
 
 # ------------------------------------------------------------ AAC / ADTS
@@ -1139,6 +1561,9 @@ def test_probe_media_real(spark):
         b"".join(_adts_frame() for _ in range(4)),
         # ID3 wrapper around ADTS: sniffs mp3, probe falls through
         b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + _adts_frame(),
+        make_gif([np.zeros((6, 9), np.uint8)] * 2,
+                 np.zeros((4, 3), np.uint8), 9, 6, delays=[30, 50]),
+        _flac_streaminfo(22050, 2, 16, 11025, 4096),
     ]
     media = _media_df(spark, payloads, kind="mixed")
     out = {r.media_id: r for r in
@@ -1159,6 +1584,11 @@ def test_probe_media_real(spark):
     assert out[6].n_frames == 4
     assert out[6].duration_ms == round(4 * 1024 * 1000 / 44100)
     assert out[7].format == "aac/ADTS-LC" and out[7].n_frames == 1
+    assert out[8].format == "gif"
+    assert (out[8].width, out[8].height) == (9, 6)
+    assert out[8].n_frames == 2 and out[8].duration_ms == 80
+    assert out[9].format == "flac" and out[9].sample_rate == 22050
+    assert out[9].channels == 2 and out[9].duration_ms == 500
 
 
 def test_sample_frames_mp4_keyframes(spark):

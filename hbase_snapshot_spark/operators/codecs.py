@@ -39,8 +39,8 @@ import numpy as np
 
 def sniff(data: bytes) -> str | None:
     """Cheap magic-byte format detection:
-    'pnm' | 'bmp' | 'png' | 'gif' | 'jpeg' | 'wav' | 'flac' | 'mp4' |
-    'aac' | 'mp3' | None."""
+    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'wav' | 'flac' |
+    'mp4' | 'aac' | 'mp3' | None."""
     if data is None or len(data) < 12:
         return None
     if data[:2] in (b"P5", b"P6"):
@@ -51,6 +51,8 @@ def sniff(data: bytes) -> str | None:
         return "png"
     if data[:4] == b"GIF8" and data[4:6] in (b"7a", b"9a"):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if data[:4] == b"fLaC":
         return "flac"
     if data[:3] == b"\xff\xd8\xff":
@@ -1268,6 +1270,204 @@ def decode_gif(data: bytes, max_frames: int | None = None
     return np.stack(frames), durations
 
 
+# ------------------------------------------------------------------ TIFF
+#
+# Baseline TIFF 6.0 (Adobe spec, public): II/MM byte orders, IFD tag
+# walk, strip assembly, compressions 1 (none), 5 (TIFF-LZW: MSB-first
+# codes with the early-change increment), 32773 (PackBits), horizontal-
+# differencing predictor, photometric gray (incl. WhiteIsZero), RGB(A),
+# and palette.  The scan/scientific-corpus sibling of PNG: fully
+# algorithmic, no spec constant tables.
+
+
+def _tiff_lzw(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW: MSB-first variable 9-12 bit codes, clear=256,
+    EOI=257, and the EARLY code-size change (one code before the GIF
+    variant, TIFF 6.0 p.61)."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    code_size = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    n = len(data)
+    prev = None
+    while len(out) < max_out:
+        while nbits < code_size:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= code_size
+        code = (acc >> nbits) & ((1 << code_size) - 1)
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = list(base)
+            code_size = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt TIFF LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # early change (TIFF6 p.61): the writer widens after ITS insert
+        # reaches 2^n - 1, and the reader lags the writer by exactly one
+        # insert (no insert on the first code after clear), so the
+        # reader widens at table length 2^n - 2
+        if len(table) >= (1 << code_size) - 2 and code_size < 12:
+            code_size += 1
+    return bytes(out[:max_out])
+
+
+def _packbits(data: bytes, max_out: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and len(out) < max_out:
+        c = data[pos]
+        pos += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[pos : pos + c + 1]
+            pos += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if pos < n:
+                out += bytes([data[pos]]) * (257 - c)
+                pos += 1
+        # c == 128: no-op
+    return bytes(out[:max_out])
+
+
+def parse_tiff(data: bytes) -> dict:
+    """First-IFD tag walk → {width, height, bits_per_sample,
+    samples_per_pixel, compression, photometric, predictor, strips:
+    [(offset, byte_count, rows)], colormap, byteorder}."""
+    if data[:4] == b"II*\x00":
+        bo = "little"
+    elif data[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def rd(off, size):
+        return int.from_bytes(data[off : off + size], bo)
+
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4}
+
+    def values(entry_off):
+        tag = rd(entry_off, 2)
+        typ = rd(entry_off + 2, 2)
+        count = rd(entry_off + 4, 4)
+        tsz = _TYPE_SIZE.get(typ)
+        if tsz is None:
+            return tag, None
+        total = tsz * count
+        voff = entry_off + 8 if total <= 4 else rd(entry_off + 8, 4)
+        return tag, [rd(voff + i * tsz, tsz) for i in range(count)]
+
+    ifd = rd(4, 4)
+    nent = rd(ifd, 2)
+    tags = {}
+    for i in range(nent):
+        tag, vals = values(ifd + 2 + 12 * i)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as ex:
+        raise ValueError(f"TIFF missing required tag {ex}") from None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    rows_per_strip = tags.get(278, [h])[0] or h
+    strips = []
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, h - i * rows_per_strip)
+        strips.append((off, cnt, rows))
+    return {
+        "width": w, "height": h, "bits_per_sample": bits,
+        "samples_per_pixel": spp,
+        "compression": tags.get(259, [1])[0],
+        "photometric": tags.get(262, [1])[0],
+        "predictor": tags.get(317, [1])[0],
+        "strips": strips, "colormap": tags.get(320),
+        "byteorder": bo,
+    }
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF → uint8 (h, w) gray or (h, w, 3) RGB."""
+    m = parse_tiff(data)
+    w, h, spp = m["width"], m["height"], m["samples_per_pixel"]
+    bits = m["bits_per_sample"]
+    if any(b not in (8, 16) for b in bits[:spp]):
+        raise NotImplementedError(
+            f"{bits}-bit TIFF unsupported (8/16-bit samples only)"
+        )
+    bpp = sum(b // 8 for b in bits[:spp])
+    stride = w * bpp
+    comp = m["compression"]
+    raster = bytearray()
+    for off, cnt, rows in m["strips"]:
+        body = data[off : off + cnt]
+        need = rows * stride
+        if comp == 1:
+            chunk = body[:need]
+        elif comp == 5:
+            chunk = _tiff_lzw(body, need)
+        elif comp == 32773:
+            chunk = _packbits(body, need)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} unsupported (none/LZW/PackBits)"
+            )
+        if len(chunk) < need:
+            chunk = chunk + b"\x00" * (need - len(chunk))
+        raster += chunk
+    arr = np.frombuffer(bytes(raster[: h * stride]), np.uint8).reshape(h, stride)
+    if m["predictor"] == 2:  # horizontal differencing, per byte lane
+        arr = np.cumsum(
+            arr.reshape(h, w, bpp), axis=1, dtype=np.int64
+        ).astype(np.uint8).reshape(h, stride)
+    px = arr.reshape(h, w, bpp)
+    if 16 in bits[:spp]:  # take each sample's high byte (like PNG)
+        hi = 0 if m["byteorder"] == "big" else 1
+        px = px.reshape(h, w, spp, 2)[:, :, :, hi]
+    else:
+        px = px.reshape(h, w, spp)
+    photo = m["photometric"]
+    if photo == 3:  # palette: 16-bit colormap, R then G then B planes
+        cm = m["colormap"]
+        if not cm:
+            raise ValueError("palette TIFF missing ColorMap")
+        ncol = len(cm) // 3
+        pal = (np.array(cm, np.uint32).reshape(3, ncol).T // 257).astype(np.uint8)
+        return np.ascontiguousarray(pal[np.minimum(px[:, :, 0], ncol - 1)])
+    if spp == 1:
+        g = px[:, :, 0]
+        return np.ascontiguousarray(255 - g if photo == 0 else g)
+    if photo == 2 and spp >= 3:
+        return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA→RGB
+    raise NotImplementedError(
+        f"TIFF photometric {photo} with {spp} samples unsupported"
+    )
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """payload bytes → uint8 array, (h, w, 3) RGB or (h, w) gray."""
     kind = sniff(data)
@@ -1281,6 +1481,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_jpeg(data)
     if kind == "gif":
         return decode_gif(data, max_frames=1)[0][0]
+    if kind == "tiff":
+        return decode_tiff(data)
     raise NotImplementedError(
         "unsupported image codec (PPM/PGM/BMP/PNG/baseline-JPEG decode "
         "dependency-free here; other formats require Pillow/ffmpeg — "

@@ -544,6 +544,9 @@ def probe_media(media: DataFrame) -> DataFrame:
                            channels=m["channels"],
                            n_frames=m["total_samples"] or None,
                            duration_ms=m["duration_ms"])
+            elif kind == "tiff":
+                m = codecs.parse_tiff(data)
+                row.update(width=m["width"], height=m["height"])
             elif kind == "pnm":
                 try:
                     img = codecs.decode_pnm(data)

@@ -1391,6 +1391,195 @@ def test_gif_corrupt_raises():
     assert out.shape == (1, 3, 3, 3)
 
 
+# ------------------------------------------------------------------- TIFF
+
+
+def _tiff_lzw_encode(data):
+    """Reference TIFF-LZW encoder (MSB-first, early change)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc = (acc << code_size) | code
+        nbits += code_size
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    put(256)  # clear
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code >= (1 << code_size) - 1 and code_size < 12:
+                code_size += 1  # early change
+        cur = bytes([byte])
+    if cur:
+        put(table[cur])
+    put(257)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """Simplest valid PackBits: all literal runs of <=128 bytes."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def make_tiff(img, byteorder="little", compression=1, predictor=1,
+              photometric=None, rows_per_strip=None, colormap=None,
+              bits=8):
+    """uint8/uint16 (h, w[, ch]) + options → baseline TIFF bytes."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+    bo = byteorder
+    raster = img.reshape(h, -1)
+    if bits == 16:
+        raster = raster.astype(">u2" if bo == "big" else "<u2")
+    body = bytearray()
+    strips = []
+    rps = rows_per_strip or h
+    for y0 in range(0, h, rps):
+        rows = raster[y0 : y0 + rps]
+        if predictor == 2:
+            rows = np.diff(
+                rows.reshape(rows.shape[0], -1, spp), axis=1,
+                prepend=np.zeros((rows.shape[0], 1, spp), rows.dtype),
+            ).astype(np.uint8).reshape(rows.shape[0], -1)
+        chunk = rows.tobytes()
+        if compression == 5:
+            chunk = _tiff_lzw_encode(chunk)
+        elif compression == 32773:
+            chunk = _packbits_encode(chunk)
+        strips.append((len(body), len(chunk), min(rps, h - y0)))
+        body += chunk
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def ival(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    ival(256, 4, [w]); ival(257, 4, [h])
+    ival(258, 3, [bits] * spp)
+    ival(259, 3, [compression])
+    ival(262, 3, [photometric])
+    ival(277, 3, [spp])
+    ival(278, 4, [rps])
+    if predictor != 1:
+        ival(317, 3, [predictor])
+    if colormap is not None:
+        ival(320, 3, list(colormap))
+    nent = len(entries) + 2  # + strip offsets/counts
+    tsize = {3: 2, 4: 4}
+    # layout: header(8) IFD extra-values strip-data
+    ifd_off = 8
+    ifd_len = 2 + 12 * nent + 4
+    extra = bytearray()
+    extra_off = ifd_off + ifd_len
+
+    def entry_bytes(tag, typ, vals):
+        total = tsize[typ] * len(vals)
+        e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + len(vals).to_bytes(4, bo)
+        if total <= 4:
+            v = b"".join(x.to_bytes(tsize[typ], bo) for x in vals)
+            return e + v + b"\x00" * (4 - total)
+        off = extra_off + len(extra)
+        extra.extend(b"".join(x.to_bytes(tsize[typ], bo) for x in vals))
+        return e + off.to_bytes(4, bo)
+
+    # two passes: strip offsets depend on extra length, so reserve extras
+    # for data tags first by building non-strip entries, then strips
+    built = [entry_bytes(*e) for e in entries]
+    # strip tags: values may spill to extra too
+    data_off = extra_off  # placeholder; recompute after strip entries
+    strip_count_entry = entry_bytes(279, 4, [c for (_o, c, _r) in strips])
+    # offsets entry: needs final data base = extra_off + len(extra) + (4*n if spills)
+    n = len(strips)
+    spill = 4 * n > 4
+    base = extra_off + len(extra) + (4 * n if spill else 0)
+    strip_off_entry = entry_bytes(273, 4, [base + o for (o, _c, _r) in strips])
+    all_entries = sorted(
+        built + [strip_off_entry, strip_count_entry], key=lambda b: b[:2]
+    )
+    out = bytearray()
+    out += (b"II*\x00" if bo == "little" else b"MM\x00*")
+    out += ifd_off.to_bytes(4, bo)
+    out += nent.to_bytes(2, bo)
+    for e in all_entries:
+        out += e
+    out += (0).to_bytes(4, bo)
+    out += extra
+    out += body
+    return bytes(out)
+
+
+def test_tiff_roundtrip_gray_rgb_both_orders():
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for bo in ("little", "big"):
+        t = make_tiff(gray, byteorder=bo)
+        assert codecs.sniff(t) == "tiff"
+        assert (codecs.decode_tiff(t) == gray).all()
+        assert (codecs.decode_image(make_tiff(rgb, byteorder=bo)) == rgb).all()
+    m = codecs.parse_tiff(make_tiff(rgb))
+    assert (m["width"], m["height"], m["samples_per_pixel"]) == (5, 7, 3)
+
+
+def test_tiff_packbits_lzw_predictor_strips():
+    rng = np.random.default_rng(22)
+    # low-entropy image so LZW actually compresses
+    img = (rng.integers(0, 4, (21, 16, 3)) * 60).astype(np.uint8)
+    t = make_tiff(img, compression=32773, rows_per_strip=5)
+    assert (codecs.decode_tiff(t) == img).all()
+    t = make_tiff(img, compression=5, rows_per_strip=8)
+    assert (codecs.decode_tiff(t) == img).all()
+    t = make_tiff(img, compression=5, predictor=2)
+    assert (codecs.decode_tiff(t) == img).all()
+    # big random grid exercises LZW code widths past 10 bits
+    big = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    assert (codecs.decode_tiff(make_tiff(big, compression=5)) == big).all()
+
+
+def test_tiff_palette_whitezero_16bit():
+    rng = np.random.default_rng(23)
+    idx = rng.integers(0, 4, (6, 8), dtype=np.uint8)
+    pal8 = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    cmap = [int(v) * 257 for v in np.concatenate(
+        [pal8[:, 0], pal8[:, 1], pal8[:, 2]])]
+    t = make_tiff(idx, photometric=3, colormap=cmap)
+    assert (codecs.decode_tiff(t) == pal8[idx]).all()
+    g = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    t = make_tiff(g, photometric=0)  # WhiteIsZero
+    assert (codecs.decode_tiff(t) == 255 - g).all()
+    g16 = (g.astype(np.uint16) << 8) | 0x7F
+    for bo in ("little", "big"):
+        t = make_tiff(g16, bits=16, byteorder=bo)
+        assert (codecs.decode_tiff(t) == g).all(), bo
+    with pytest.raises(ValueError):
+        codecs.parse_tiff(b"II+\x00" + b"\x00" * 20)
+
+
 # ------------------------------------------------------------ AAC / ADTS
 
 

@@ -171,9 +171,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     (codecs.mp4_keyframe_index): each row carries the coded access-unit
     bytes of the nearest preceding keyframe — the seek target a real
     decoder starts from; H.264/HEVC pixel decode is out of scope
-    (needs ffmpeg).  Other compressed containers (MKV/...) raise a
-    documented NotImplementedError.  ``fake=True`` keeps the
-    deterministic digest decoder over the identical dataflow."""
+    (needs ffmpeg).  **Animated GIF** decodes natively: each row
+    carries the composited RGB frame bytes at the GCE delay timeline.
+    Other compressed containers (MKV/...) raise a documented
+    NotImplementedError.  ``fake=True`` keeps the deterministic digest
+    decoder over the identical dataflow."""
     frames = media.select(
         "media_id",
         "payload",
@@ -208,7 +210,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
             for _mid, grp in pdf.groupby("media_id", sort=False):
                 payload = grp["payload"].iloc[0]
-                hdr = keyframes = None
+                hdr = keyframes = gif_frames = None
                 if payload is not None:
                     data = bytes(payload)
                     if codecs.sniff_y4m(data):
@@ -228,11 +230,21 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                         # seek target a real decoder would start from);
                         # H.264/HEVC pixel decode stays out of scope
                         keyframes = codecs.mp4_keyframe_index(data)
+                    elif codecs.sniff(data) == "gif":
+                        # animated GIF decodes natively: composited RGB
+                        # frames, sampled by the GCE delay timeline
+                        # (0-delay frames tick at the 100ms players use)
+                        arr, delays = codecs.decode_gif(data)
+                        starts, t0 = [], 0
+                        for d in delays:
+                            starts.append(t0)
+                            t0 += d if d > 0 else 100
+                        gif_frames = (starts, arr)
                     else:
                         raise NotImplementedError(
                             "compressed video decode requires ffmpeg — "
-                            "unavailable here (YUV4MPEG2/y4m decodes "
-                            "natively; MP4 samples at keyframe "
+                            "unavailable here (YUV4MPEG2/y4m and GIF "
+                            "decode natively; MP4 samples at keyframe "
                             "access-unit level)"
                         )
                 for _, r in grp.iterrows():
@@ -254,6 +266,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                         out["frame"].append(
                             data[best[0] : best[0] + best[1]]
                             if best is not None else None
+                        )
+                    elif gif_frames is not None:
+                        starts, arr = gif_frames
+                        best = None
+                        for i, t_ms in enumerate(starts):
+                            if t_ms <= int(r["frame_ms"]):
+                                best = i
+                            else:
+                                break
+                        out["frame"].append(
+                            arr[best].tobytes() if best is not None else None
                         )
                     else:
                         out["frame"].append(None)

@@ -271,6 +271,25 @@ def test_sample_frames_real_y4m(spark):
         assert bytes(r.frame) == srcs[r.frame_ms * 10 // 1000]
 
 
+def test_sample_frames_gif(spark):
+    # 3-frame animation, 500ms each = 1500ms; sample every 500ms →
+    # rows at 0/500/1000 carrying composited frames 0, 1, 2
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    grids = [np.full((2, 3), i, np.uint8) for i in (1, 2, 3)]
+    gif = make_gif(grids, pal, 3, 2, delays=[500, 500, 500])
+    rows = [(0, "video", bytearray(gif), ("image/gif", 3, 2, 0, 1500))]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.sample_frames(media, every_ms=500, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_ms for r in out] == [0, 500, 1000]
+    expect, _ = codecs.decode_gif(gif)
+    for r, want in zip(out, expect):
+        assert bytes(r.frame) == want.tobytes()
+
+
 def test_sample_frames_compressed_raises(spark):
     # an MKV/EBML payload is neither y4m nor ISO-BMFF → names ffmpeg
     rows = [(0, "video", bytearray(b"\x1a\x45\xdf\xa3 fake-matroska"),

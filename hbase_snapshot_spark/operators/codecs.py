@@ -1501,15 +1501,132 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ audio
 
+# IMA/DVI ADPCM (WAV format 17) — published step/index tables from the
+# IMA Digital Audio Focus Group "Recommended Practices for Enhancing
+# Digital Audio Compatibility" (1992), the same public-standard-constant
+# status as the G.711 segment math above.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+# MS ADPCM (WAV format 2) — coefficient pairs (8.8 fixed point) and the
+# delta adaptation table from the Microsoft WAVE multimedia standard.
+_MS_COEFS = np.array([(256, 0), (512, -256), (0, 0), (192, 64),
+                      (240, 0), (460, -208), (392, -232)], np.int32)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], np.int32)
+
+
+def _decode_ima_adpcm(raw: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM WAV data chunk → interleaved int32 samples.
+
+    Blocks are independent (each carries its own predictor + step-index
+    header), so the decode vectorizes across (block, channel) streams;
+    the only sequential loop is the within-block sample position —
+    exactly the batch shape a mapInPandas kernel wants."""
+    nblocks = len(raw) // block_align
+    if nblocks == 0:
+        return np.empty(0, np.int32)
+    buf = np.frombuffer(raw[: nblocks * block_align], np.uint8)
+    buf = buf.reshape(nblocks, block_align)
+    hdr = buf[:, : 4 * nch].reshape(nblocks, nch, 4).astype(np.int32)
+    pred = ((hdr[:, :, 0] | (hdr[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+    index = np.clip(hdr[:, :, 2], 0, 88)
+    body = buf[:, 4 * nch:]
+    ngroups = body.shape[1] // (4 * nch)  # 4-byte groups per channel pass
+    body = body[:, : ngroups * 4 * nch].reshape(nblocks, ngroups, nch, 4)
+    # within each 4-byte group: low nibble of byte i is sample 2i,
+    # high nibble is sample 2i+1
+    nib = np.empty((nblocks, ngroups, nch, 8), np.uint8)
+    nib[..., 0::2] = body & 0x0F
+    nib[..., 1::2] = body >> 4
+    nib = nib.transpose(0, 2, 1, 3).reshape(nblocks, nch, ngroups * 8)
+    t_total = ngroups * 8
+    out = np.empty((nblocks, nch, 1 + t_total), np.int32)
+    out[:, :, 0] = pred
+    for t in range(t_total):
+        n = nib[:, :, t].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = ((step >> 3)
+                + np.where(n & 1, step >> 2, 0)
+                + np.where(n & 2, step >> 1, 0)
+                + np.where(n & 4, step, 0))
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n & 7], 0, 88)
+        out[:, :, t + 1] = pred
+    # interleave channels: (block, sample, channel) → flat frame stream
+    return out.transpose(0, 2, 1).reshape(-1)
+
+
+def _decode_ms_adpcm(raw: bytes, nch: int, block_align: int,
+                     fmt: bytes) -> np.ndarray:
+    """MS ADPCM WAV data chunk → interleaved int32 samples.  Same
+    vectorization shape as the IMA path (parallel across blocks and
+    channels, sequential only within a block)."""
+    coefs = _MS_COEFS
+    if len(fmt) >= 22:  # extension: wSamplesPerBlock, wNumCoef, pairs
+        ncoef = int.from_bytes(fmt[20:22], "little")
+        if ncoef and len(fmt) >= 22 + 4 * ncoef:
+            c = np.frombuffer(fmt[22: 22 + 4 * ncoef], "<i2")
+            coefs = c.reshape(ncoef, 2).astype(np.int32)
+    nblocks = len(raw) // block_align
+    if nblocks == 0:
+        return np.empty(0, np.int32)
+    buf = np.frombuffer(raw[: nblocks * block_align], np.uint8)
+    buf = buf.reshape(nblocks, block_align)
+    bpred = np.minimum(buf[:, :nch].astype(np.int32), len(coefs) - 1)
+    c1 = coefs[bpred, 0]
+    c2 = coefs[bpred, 1]
+
+    def s16(col0):  # nch little-endian int16s starting at byte col0
+        b = buf[:, col0: col0 + 2 * nch].reshape(nblocks, nch, 2)
+        v = b[:, :, 0].astype(np.int32) | (b[:, :, 1].astype(np.int32) << 8)
+        return (v ^ 0x8000) - 0x8000
+
+    delta = s16(nch)
+    s1 = s16(3 * nch)
+    s2 = s16(5 * nch)
+    body = buf[:, 7 * nch:]
+    # high nibble first; nibble i (in stream order) belongs to channel i%nch
+    seq = np.empty((nblocks, body.shape[1] * 2), np.uint8)
+    seq[:, 0::2] = body >> 4
+    seq[:, 1::2] = body & 0x0F
+    t_total = seq.shape[1] // nch
+    nib = seq[:, : t_total * nch].reshape(nblocks, t_total, nch)
+    nib = nib.transpose(0, 2, 1)  # (block, channel, sample)
+    out = np.empty((nblocks, nch, 2 + t_total), np.int32)
+    out[:, :, 0] = s2
+    out[:, :, 1] = s1
+    for t in range(t_total):
+        n = nib[:, :, t].astype(np.int32)
+        sn = n - ((n & 8) << 1)  # sign-extend the 4-bit code
+        acc = s1 * c1 + s2 * c2
+        predv = np.where(acc >= 0, acc >> 8, -((-acc) >> 8))  # C trunc /256
+        predv = np.clip(predv + sn * delta, -32768, 32767)
+        s2, s1 = s1, predv
+        delta = np.maximum(16, (_MS_ADAPT[n] * delta) >> 8)
+        out[:, :, t + 2] = predv
+    return out.transpose(0, 2, 1).reshape(-1)
+
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE → (sample_rate, mono int32 samples in int16 range).
-    PCM 8/16/24/32-bit int and 32-bit IEEE float; multi-channel input is
+    PCM 8/16/24/32-bit int, 32-bit IEEE float, G.711 A-law/mu-law, and
+    the two standard 4-bit ADPCM families (IMA/DVI format 17, MS
+    format 2, both vectorized across blocks); multi-channel input is
     downmixed by mean.  Chunk walk honors word alignment, so extra
-    chunks (LIST/fact/cue) are skipped correctly."""
+    chunks (LIST/cue) are skipped correctly; ``fact`` trims ADPCM
+    block padding to the true frame count."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, raw, fact_frames = 12, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -1518,6 +1635,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             fmt = body
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and size >= 4:  # total frames (ADPCM blocks pad)
+            fact_frames = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -1554,11 +1673,23 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         m = u & 0x0F
         mag = (((m << 3) + 0x84) << e) - 0x84
         samples = (sign * mag).astype(np.int32)
+    elif audio_format == 17 and bits == 4:  # IMA/DVI ADPCM
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 4 * n_channels + 4:
+            raise ValueError("IMA ADPCM block_align too small")
+        samples = _decode_ima_adpcm(raw, n_channels, block_align)
+    elif audio_format == 2 and bits == 4:  # MS ADPCM
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 7 * n_channels + 1:
+            raise ValueError("MS ADPCM block_align too small")
+        samples = _decode_ms_adpcm(raw, n_channels, block_align, fmt)
     else:
         raise NotImplementedError(
             f"WAV format {audio_format}/{bits}-bit unsupported (compressed "
             "audio like MP3/AAC requires ffmpeg — unavailable here)"
         )
+    if fact_frames is not None and audio_format in (2, 17):
+        samples = samples[: fact_frames * n_channels]
     if n_channels > 1:
         n = len(samples) // n_channels
         samples = (

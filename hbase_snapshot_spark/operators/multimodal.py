@@ -352,8 +352,9 @@ def extract_audio_features(
     media: DataFrame, target_rate: int = 16000, fake: bool = False
 ) -> DataFrame:
     """Audio decode/resample + level features (RMS, peak).  Real path
-    decodes RIFF WAV (PCM int 8/16/24/32 + float32, multi-channel
-    downmix), FLAC (rice+LPC, exact), and MPEG-1 Layer III (mp3dec.py)
+    decodes RIFF WAV (PCM int 8/16/24/32 + float32, G.711, IMA/MS
+    ADPCM, multi-channel downmix), FLAC (rice+LPC, exact), and MPEG-1
+    Layer III (mp3dec.py)
     and linear-resamples to
     ``target_rate`` — codecs.py, numpy only; other compressed audio
     raises NotImplementedError naming ffmpeg.  ``fake=True`` treats the

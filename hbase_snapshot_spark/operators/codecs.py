@@ -39,8 +39,8 @@ import numpy as np
 
 def sniff(data: bytes) -> str | None:
     """Cheap magic-byte format detection:
-    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'wav' | 'flac' |
-    'mp4' | 'aac' | 'mp3' | None."""
+    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'wav' | 'aiff' |
+    'au' | 'flac' | 'ogg' | 'ebml' | 'mp4' | 'aac' | 'mp3' | None."""
     if data is None or len(data) < 12:
         return None
     if data[:2] in (b"P5", b"P6"):
@@ -59,6 +59,14 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if data[:4] == b".snd":
+        return "au"
+    if data[:4] == b"OggS":
+        return "ogg"
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "ebml"  # Matroska / WebM
     if data[4:8] == b"ftyp":
         return "mp4"
     if data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
@@ -1501,6 +1509,36 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ audio
 
+
+def _alaw_expand(raw: bytes) -> np.ndarray:
+    """G.711 A-law bytes → int32 linear (ITU-T G.711 segment expansion)."""
+    b = np.frombuffer(raw, np.uint8).astype(np.int32) ^ 0x55
+    sign = np.where(b & 0x80, -1, 1)
+    e = (b >> 4) & 7
+    m = b & 0x0F
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << (e - 1))
+    return (sign * mag).astype(np.int32)
+
+
+def _mulaw_expand(raw: bytes) -> np.ndarray:
+    """G.711 mu-law bytes → int32 linear (bias-0x84 expansion)."""
+    u = (~np.frombuffer(raw, np.uint8)).astype(np.int32) & 0xFF
+    sign = np.where(u & 0x80, -1, 1)
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return (sign * mag).astype(np.int32)
+
+
+def _downmix(samples: np.ndarray, n_channels: int) -> np.ndarray:
+    """Interleaved multi-channel int32 → mono by mean (frame-truncating)."""
+    if n_channels <= 1:
+        return samples
+    n = len(samples) // n_channels
+    return (samples[: n * n_channels].reshape(n, n_channels)
+            .mean(axis=1).round().astype(np.int32))
+
+
 # IMA/DVI ADPCM (WAV format 17) — published step/index tables from the
 # IMA Digital Audio Focus Group "Recommended Practices for Enhancing
 # Digital Audio Compatibility" (1992), the same public-standard-constant
@@ -1660,19 +1698,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         f = np.clip(np.frombuffer(raw, "<f4"), -1.0, 1.0)
         samples = np.round(f * 32767).astype(np.int32)
     elif audio_format == 6 and bits == 8:  # G.711 A-law (telephony)
-        b = np.frombuffer(raw, np.uint8).astype(np.int32) ^ 0x55
-        sign = np.where(b & 0x80, -1, 1)
-        e = (b >> 4) & 7
-        m = b & 0x0F
-        mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << (e - 1))
-        samples = (sign * mag).astype(np.int32)
+        samples = _alaw_expand(raw)
     elif audio_format == 7 and bits == 8:  # G.711 mu-law (telephony)
-        u = (~np.frombuffer(raw, np.uint8)).astype(np.int32) & 0xFF
-        sign = np.where(u & 0x80, -1, 1)
-        e = (u >> 4) & 7
-        m = u & 0x0F
-        mag = (((m << 3) + 0x84) << e) - 0x84
-        samples = (sign * mag).astype(np.int32)
+        samples = _mulaw_expand(raw)
     elif audio_format == 17 and bits == 4:  # IMA/DVI ADPCM
         block_align = int.from_bytes(fmt[12:14], "little")
         if block_align < 4 * n_channels + 4:
@@ -1690,16 +1718,154 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         )
     if fact_frames is not None and audio_format in (2, 17):
         samples = samples[: fact_frames * n_channels]
-    if n_channels > 1:
-        n = len(samples) // n_channels
-        samples = (
-            samples[: n * n_channels]
-            .reshape(n, n_channels)
-            .mean(axis=1)
-            .round()
-            .astype(np.int32)
+    return sample_rate, _downmix(samples, n_channels)
+
+
+def _read_extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (big-endian) — the AIFF COMM
+    sampleRate encoding.  sign/15-bit exponent/64-bit mantissa with an
+    explicit integer bit; common rates are exact."""
+    se = int.from_bytes(b[0:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def parse_aiff(data: bytes) -> dict:
+    """AIFF / AIFF-C header walk → {channels, n_frames, bits,
+    sample_rate, compression, ssnd} — big-endian IFF chunks; ssnd is
+    the (offset, length) of the sample bytes inside ``data``."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFF-C payload")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        if cid == b"COMM":
+            comm = data[pos + 8 : pos + 8 + size]
+        elif cid == b"SSND" and size >= 8:
+            off = int.from_bytes(data[pos + 8 : pos + 12], "big")
+            ssnd = (pos + 16 + off, size - 8 - off)
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if comm is None or len(comm) < 18:
+        raise ValueError("AIFF missing COMM chunk")
+    comp = b"NONE"
+    if data[8:12] == b"AIFC" and len(comm) >= 22:
+        comp = comm[18:22]
+    return {
+        "channels": max(1, int.from_bytes(comm[0:2], "big")),
+        "n_frames": int.from_bytes(comm[2:6], "big"),
+        "bits": int.from_bytes(comm[6:8], "big"),
+        "sample_rate": int(round(_read_extended80(comm[8:18]))),
+        "compression": comp.decode("latin-1"),
+        "ssnd": ssnd,
+    }
+
+
+def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """AIFF/AIFF-C → (sample_rate, mono int32 samples in int16 range),
+    the :func:`decode_wav` convention.  PCM 8/16/24/32-bit big-endian
+    (AIFF 8-bit is SIGNED, unlike WAV), AIFF-C 'sowt' (little-endian
+    16-bit) and G.711 'ulaw'/'alaw'."""
+    m = parse_aiff(data)
+    if m["ssnd"] is None:
+        raise ValueError("AIFF missing SSND chunk")
+    off, length = m["ssnd"]
+    raw = data[off : off + length]
+    comp, bits = m["compression"].strip().lower(), m["bits"]
+    if comp in ("ulaw", "\xb5law"):  # 'ULAW'/'ulaw' / Apple 'µlaw'
+        samples = _mulaw_expand(raw)
+    elif comp == "alaw":
+        samples = _alaw_expand(raw)
+    elif comp == "sowt" and bits == 16:
+        samples = np.frombuffer(raw[: len(raw) // 2 * 2], "<i2").astype(np.int32)
+    elif comp in ("none", ""):
+        if bits == 8:
+            samples = np.frombuffer(raw, np.int8).astype(np.int32) << 8
+        elif bits == 16:
+            samples = np.frombuffer(raw[: len(raw) // 2 * 2], ">i2").astype(np.int32)
+        elif bits == 24:
+            b = np.frombuffer(raw, np.uint8)
+            n = len(b) // 3
+            b = b[: n * 3].reshape(n, 3).astype(np.int32)
+            s = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            samples = ((s ^ 0x800000) - 0x800000) >> 8
+        elif bits == 32:
+            samples = (np.frombuffer(raw[: len(raw) // 4 * 4], ">i4") >> 16
+                       ).astype(np.int32)
+        else:
+            raise NotImplementedError(f"{bits}-bit AIFF PCM unsupported")
+    else:
+        raise NotImplementedError(
+            f"AIFF-C compression {m['compression']!r} unsupported "
+            "(PCM/sowt/ulaw/alaw decode natively; others need ffmpeg)"
         )
-    return sample_rate, samples
+    return m["sample_rate"], _downmix(samples, m["channels"])
+
+
+# Sun/NeXT audio (.au/.snd) encoding ids — the public Sun audio file
+# format header (also RFC 1890's audio/basic is encoding 1 at 8 kHz)
+_AU_ENCODINGS = {1: "ulaw", 2: "s8", 3: "s16", 4: "s24", 5: "s32",
+                 6: "f32", 7: "f64", 27: "alaw"}
+
+
+def parse_au(data: bytes) -> dict:
+    """Sun/NeXT .au header → {encoding, sample_rate, channels,
+    data_offset, data_size} (all header fields big-endian)."""
+    if data[:4] != b".snd" or len(data) < 24:
+        raise ValueError("not a Sun/NeXT audio payload")
+    off = int.from_bytes(data[4:8], "big")
+    size = int.from_bytes(data[8:12], "big")
+    enc = int.from_bytes(data[12:16], "big")
+    avail = max(0, len(data) - off)
+    return {
+        "encoding": enc,
+        "encoding_name": _AU_ENCODINGS.get(enc),
+        "sample_rate": int.from_bytes(data[16:20], "big"),
+        "channels": max(1, int.from_bytes(data[20:24], "big")),
+        "data_offset": off,
+        "data_size": avail if size == 0xFFFFFFFF else min(size, avail),
+    }
+
+
+def decode_au(data: bytes) -> tuple[int, np.ndarray]:
+    """Sun/NeXT .au → (sample_rate, mono int32 in int16 range):
+    G.711 mu-law/A-law and linear PCM 8/16/24/32-bit + float 32/64
+    (big-endian, per the format)."""
+    m = parse_au(data)
+    raw = data[m["data_offset"] : m["data_offset"] + m["data_size"]]
+    enc = m["encoding"]
+    if enc == 1:
+        samples = _mulaw_expand(raw)
+    elif enc == 27:
+        samples = _alaw_expand(raw)
+    elif enc == 2:
+        samples = np.frombuffer(raw, np.int8).astype(np.int32) << 8
+    elif enc == 3:
+        samples = np.frombuffer(raw[: len(raw) // 2 * 2], ">i2").astype(np.int32)
+    elif enc == 4:
+        b = np.frombuffer(raw, np.uint8)
+        n = len(b) // 3
+        b = b[: n * 3].reshape(n, 3).astype(np.int32)
+        s = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        samples = ((s ^ 0x800000) - 0x800000) >> 8
+    elif enc == 5:
+        samples = (np.frombuffer(raw[: len(raw) // 4 * 4], ">i4") >> 16
+                   ).astype(np.int32)
+    elif enc in (6, 7):
+        dt = ">f4" if enc == 6 else ">f8"
+        w = 4 if enc == 6 else 8
+        f = np.clip(np.frombuffer(raw[: len(raw) // w * w], dt), -1.0, 1.0)
+        samples = np.round(f * 32767).astype(np.int32)
+    else:
+        raise NotImplementedError(
+            f".au encoding {enc} unsupported (G.711/PCM/float natively; "
+            "compressed encodings need ffmpeg)"
+        )
+    return m["sample_rate"], _downmix(samples, m["channels"])
 
 
 def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
@@ -2557,3 +2723,215 @@ def mp4_keyframe_index(data: bytes) -> list:
                 if key
             ]
     return []
+
+
+# ---------------------------------------------------------- Ogg container
+#
+# RFC 3533 Ogg page walk + the public codec ID headers (Vorbis I spec,
+# RFC 7845 OpusHead, the FLAC-in-Ogg mapping, Theora VP3.2 ID header,
+# Speex manual).  Header/metadata only — the triage layer of a corpus
+# probe; codec payload decode is a separate concern.
+
+
+def _ogg_pages(data: bytes):
+    """Yield (header_type, granule, serial, body) per page; stops at
+    the first malformed page (a probe prefers truncation to raising)."""
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            break
+        htype = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6 : pos + 14], "little",
+                                 signed=True)
+        serial = int.from_bytes(data[pos + 14 : pos + 18], "little")
+        nsegs = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            break
+        body_len = sum(lacing)
+        start = pos + 27 + nsegs
+        if start + body_len > len(data):
+            break
+        yield htype, granule, serial, data[start : start + body_len]
+        pos = start + body_len
+
+
+def parse_ogg(data: bytes) -> dict:
+    """Ogg walk → {codec, sample_rate, channels, duration_ms, width,
+    height, n_pages, pre_skip}.  Codec identified from the first
+    packet of each beginning-of-stream page; duration from the last
+    granule position of the identified stream (PCM samples for
+    Vorbis/FLAC, 48 kHz ticks minus pre-skip for Opus)."""
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    out = {"codec": None, "sample_rate": None, "channels": None,
+           "duration_ms": None, "width": None, "height": None,
+           "n_pages": 0, "pre_skip": 0}
+    stream_serial = None
+    last_granule = None
+    for htype, granule, serial, body in _ogg_pages(data):
+        out["n_pages"] += 1
+        if htype & 0x02 and out["codec"] is None:  # beginning of stream
+            if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                out.update(codec="vorbis", channels=body[11],
+                           sample_rate=int.from_bytes(body[12:16], "little"))
+                stream_serial = serial
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                out.update(codec="opus", channels=body[9],
+                           sample_rate=48000,  # Opus always decodes at 48k
+                           pre_skip=int.from_bytes(body[10:12], "little"))
+                stream_serial = serial
+            elif body[:5] == b"\x7fFLAC" and len(body) >= 13:
+                # mapping: magic, maj/min, nheaders, then a whole
+                # fLaC + STREAMINFO stream — reuse the FLAC parser
+                try:
+                    si = parse_flac(body[9:])
+                    out.update(codec="flac",
+                               sample_rate=si["sample_rate"],
+                               channels=si["channels"])
+                    stream_serial = serial
+                except ValueError:
+                    pass
+            elif body[:7] == b"\x80theora" and len(body) >= 26:
+                out.update(
+                    codec="theora",
+                    width=int.from_bytes(body[14:17], "big"),
+                    height=int.from_bytes(body[17:20], "big"))
+                stream_serial = serial
+            elif body[:8] == b"Speex   " and len(body) >= 56:
+                out.update(codec="speex",
+                           sample_rate=int.from_bytes(body[36:40], "little"),
+                           channels=int.from_bytes(body[48:52], "little"))
+                stream_serial = serial
+        if serial == stream_serial and granule >= 0:
+            last_granule = granule
+    if last_granule is not None and out["sample_rate"]:
+        ticks = last_granule - (out["pre_skip"] if out["codec"] == "opus"
+                                else 0)
+        out["duration_ms"] = max(0, round(ticks * 1000 / out["sample_rate"]))
+    return out
+
+
+# -------------------------------------------------- Matroska / WebM (EBML)
+#
+# EBML (RFC 8794) varint walk over the public Matroska element IDs —
+# Info (timecode scale + duration) and Tracks (codec, dimensions,
+# audio params).  Cluster payloads are skipped, not parsed: this is
+# the probe layer.
+
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+
+
+def _ebml_read(data: bytes, pos: int, keep_marker: bool):
+    """Read one EBML varint at pos → (value, next_pos).  Element IDs
+    keep the length-marker bits (the conventional 0x1A45DFA3 form);
+    sizes strip them.  An all-ones size means 'unknown' → None."""
+    if pos >= len(data):
+        raise ValueError("EBML truncated")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("bad EBML varint")
+    length = 8 - b0.bit_length() + 1
+    if pos + length > len(data):
+        raise ValueError("EBML truncated")
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    val = raw & ((1 << (7 * length)) - 1)
+    if val == (1 << (7 * length)) - 1:
+        return None, pos + length  # unknown size (streaming)
+    return val, pos + length
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for children in
+    [start, end); unknown-size masters extend to the parent end."""
+    pos = start
+    while pos < end:
+        try:
+            eid, p1 = _ebml_read(data, pos, keep_marker=True)
+            size, p2 = _ebml_read(data, p1, keep_marker=False)
+        except ValueError:
+            return
+        body_end = end if size is None else min(end, p2 + size)
+        yield eid, p2, body_end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, s: int, e: int) -> int:
+    return int.from_bytes(data[s:e], "big") if e > s else 0
+
+
+def _ebml_float(data: bytes, s: int, e: int) -> float | None:
+    import struct as _struct
+    if e - s == 4:
+        return _struct.unpack(">f", data[s:e])[0]
+    if e - s == 8:
+        return _struct.unpack(">d", data[s:e])[0]
+    return None
+
+
+def parse_ebml(data: bytes) -> dict:
+    """Matroska/WebM walk → {doctype, duration_ms, tracks: [{type,
+    codec, width, height, sample_rate, channels}]}."""
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML payload")
+    doctype, duration_ms, tracks = None, None, []
+    tscale = 1_000_000  # default: timestamps in milliseconds
+    duration_units = None
+    for eid, s, e in _ebml_children(data, 0, len(data)):
+        if eid == _EBML_HEADER:
+            for cid, cs, ce in _ebml_children(data, s, e):
+                if cid == 0x4282:  # DocType
+                    doctype = data[cs:ce].split(b"\x00")[0].decode(
+                        "ascii", "replace")
+        elif eid == _MKV_SEGMENT:
+            for cid, cs, ce in _ebml_children(data, s, e):
+                if cid == _MKV_INFO:
+                    for iid, i_s, i_e in _ebml_children(data, cs, ce):
+                        if iid == 0x2AD7B1:  # TimecodeScale (ns per unit)
+                            tscale = _ebml_uint(data, i_s, i_e) or tscale
+                        elif iid == 0x4489:  # Duration (float, units)
+                            duration_units = _ebml_float(data, i_s, i_e)
+                elif cid == _MKV_TRACKS:
+                    for tid, t_s, t_e in _ebml_children(data, cs, ce):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        trk = {"type": None, "codec": None, "width": None,
+                               "height": None, "sample_rate": None,
+                               "channels": None}
+                        for fid, f_s, f_e in _ebml_children(data, t_s, t_e):
+                            if fid == 0x83:  # TrackType
+                                t = _ebml_uint(data, f_s, f_e)
+                                trk["type"] = {1: "video", 2: "audio",
+                                               17: "subtitle"}.get(t, t)
+                            elif fid == 0x86:  # CodecID
+                                trk["codec"] = data[f_s:f_e].split(
+                                    b"\x00")[0].decode("ascii", "replace")
+                            elif fid == 0xE0:  # Video
+                                for vid, v_s, v_e in _ebml_children(
+                                        data, f_s, f_e):
+                                    if vid == 0xB0:
+                                        trk["width"] = _ebml_uint(
+                                            data, v_s, v_e)
+                                    elif vid == 0xBA:
+                                        trk["height"] = _ebml_uint(
+                                            data, v_s, v_e)
+                            elif fid == 0xE1:  # Audio
+                                for aid, a_s, a_e in _ebml_children(
+                                        data, f_s, f_e):
+                                    if aid == 0xB5:
+                                        sr = _ebml_float(data, a_s, a_e)
+                                        trk["sample_rate"] = (
+                                            round(sr) if sr else None)
+                                    elif aid == 0x9F:
+                                        trk["channels"] = _ebml_uint(
+                                            data, a_s, a_e)
+                        tracks.append(trk)
+    if duration_units is not None:
+        duration_ms = round(duration_units * tscale / 1_000_000)
+    return {"doctype": doctype, "duration_ms": duration_ms,
+            "tracks": tracks}

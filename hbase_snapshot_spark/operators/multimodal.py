@@ -389,15 +389,20 @@ def extract_audio_features(
                 kind = codecs.sniff(bytes(b))
                 if kind == "wav":
                     src_rate, samples = codecs.decode_wav(bytes(b))
+                elif kind == "aiff":
+                    src_rate, samples = codecs.decode_aiff(bytes(b))
+                elif kind == "au":
+                    src_rate, samples = codecs.decode_au(bytes(b))
                 elif kind == "mp3":
                     src_rate, samples = codecs.decode_mp3(bytes(b))
                 elif kind == "flac":
                     src_rate, samples = codecs.decode_flac(bytes(b))
                 else:
                     raise NotImplementedError(
-                        "audio decode supports RIFF WAV, FLAC, and MPEG-1 "
-                        "Layer III natively; other codecs (AAC/Opus/...) "
-                        "require ffmpeg/soundfile — unavailable here"
+                        "audio decode supports RIFF WAV, AIFF, Sun .au, "
+                        "FLAC, and MPEG-1 Layer III natively; other codecs "
+                        "(AAC/Opus/...) require ffmpeg/soundfile — "
+                        "unavailable here"
                     )
                 samples = codecs.resample_linear(samples, src_rate, target_rate)
                 rows["sample_rate"].append(target_rate)
@@ -437,9 +442,12 @@ def probe_media(media: DataFrame) -> DataFrame:
     codecs.parse_adts (ADTS header walk), MP4 via
     codecs.parse_mp4 (ISO-BMFF sample tables + stss keyframe index),
     GIF via codecs.parse_gif (block walk, no LZW decode), FLAC via
-    codecs.parse_flac (STREAMINFO), WAV/y4m/PNG/BMP/JPEG/PNM via their
-    native headers.  Unknown payloads yield format=None rather than
-    raising — a probe must never kill the batch."""
+    codecs.parse_flac (STREAMINFO), Ogg via codecs.parse_ogg (page walk
+    + Vorbis/Opus/FLAC/Theora/Speex ID headers), Matroska/WebM via
+    codecs.parse_ebml (Info + Tracks), AIFF/AU via their header walks,
+    WAV/y4m/PNG/BMP/JPEG/PNM via their native headers.  Unknown
+    payloads yield format=None rather than raising — a probe must
+    never kill the batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -524,6 +532,49 @@ def probe_media(media: DataFrame) -> DataFrame:
                         sample_rate=rate, channels=n_ch, n_frames=frames,
                         duration_ms=round(frames * 1000 / rate)
                         if frames is not None and rate else None)
+            elif kind == "aiff":
+                m = codecs.parse_aiff(data)
+                rate, frames = m["sample_rate"], m["n_frames"]
+                row.update(
+                    format=f"aiff/{m['compression'].strip() or 'NONE'}",
+                    sample_rate=rate, channels=m["channels"],
+                    n_frames=frames,
+                    duration_ms=round(frames * 1000 / rate)
+                    if rate else None)
+            elif kind == "au":
+                m = codecs.parse_au(data)
+                rate, nch = m["sample_rate"], m["channels"]
+                widths = {2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8}
+                w = widths.get(m["encoding"], 1)
+                frames = m["data_size"] // (w * nch) if nch else None
+                row.update(
+                    format=f"au/{m['encoding_name'] or m['encoding']}",
+                    sample_rate=rate, channels=nch, n_frames=frames,
+                    duration_ms=round(frames * 1000 / rate)
+                    if frames is not None and rate else None)
+            elif kind == "ogg":
+                m = codecs.parse_ogg(data)
+                row.update(
+                    format=f"ogg/{m['codec']}" if m["codec"] else "ogg",
+                    sample_rate=m["sample_rate"], channels=m["channels"],
+                    width=m["width"], height=m["height"],
+                    duration_ms=m["duration_ms"])
+            elif kind == "ebml":
+                m = codecs.parse_ebml(data)
+                vid = next((t for t in m["tracks"]
+                            if t["type"] == "video"), None)
+                aud = next((t for t in m["tracks"]
+                            if t["type"] == "audio"), None)
+                codec = (vid or aud or {}).get("codec")
+                row.update(
+                    format=f"{m['doctype'] or 'matroska'}/{codec}"
+                    if codec else (m["doctype"] or "matroska"),
+                    duration_ms=m["duration_ms"])
+                if vid:
+                    row.update(width=vid["width"], height=vid["height"])
+                if aud:
+                    row.update(sample_rate=aud["sample_rate"],
+                               channels=aud["channels"])
             elif kind == "png":
                 row.update(width=int.from_bytes(data[16:20], "big"),
                            height=int.from_bytes(data[20:24], "big"))

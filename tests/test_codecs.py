@@ -1095,6 +1095,219 @@ def test_wav_adpcm_fact_trims_padding():
     np.testing.assert_array_equal(out, np.array(ref, np.int32))
 
 
+# ------------------------------------------------- AIFF / AU containers
+
+
+def _ext80(rate: int) -> bytes:
+    """Encode an integer as IEEE 80-bit extended (the AIFF sampleRate)."""
+    if rate == 0:
+        return b"\x00" * 10
+    exp, m = 16446, rate
+    while m < (1 << 63):
+        m <<= 1
+        exp -= 1
+    return struct.pack(">H", exp) + m.to_bytes(8, "big")
+
+
+def make_aiff(raw: bytes, rate=8000, bits=16, channels=1, frames=None,
+              comp: bytes | None = None) -> bytes:
+    form = b"AIFC" if comp else b"AIFF"
+    nframes = frames if frames is not None else (
+        len(raw) // max(1, channels * bits // 8))
+    comm = struct.pack(">HIH", channels, nframes, bits) + _ext80(rate)
+    if comp:
+        comm += comp + bytes([len(comp)]) + comp  # 4cc + pascal name
+        if len(comm) & 1:
+            comm += b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + raw
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(chunks) & 1:
+        chunks += b"\x00"
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form + chunks
+
+
+def make_au(raw: bytes, encoding=3, rate=8000, channels=1) -> bytes:
+    return (b".snd" + struct.pack(">IIIII", 24, len(raw), encoding,
+                                  rate, channels) + raw)
+
+
+def test_aiff_pcm_and_extended80():
+    s = np.array([0, 1000, -1000, 32767, -32768], np.int32)
+    for rate in (8000, 44100, 48000, 96000):
+        aif = make_aiff(s.astype(">i2").tobytes(), rate=rate)
+        got_rate, out = codecs.decode_aiff(aif)
+        assert got_rate == rate
+        np.testing.assert_array_equal(out, s)
+    # 8-bit AIFF PCM is SIGNED (unlike WAV)
+    s8 = np.array([-128, 0, 127], np.int8)
+    _, out = codecs.decode_aiff(make_aiff(s8.tobytes(), bits=8))
+    np.testing.assert_array_equal(out, s8.astype(np.int32) << 8)
+    # 24-bit big-endian
+    v = np.array([1 << 22, -(1 << 22), 0], np.int32)
+    raw = b"".join(int(x & 0xFFFFFF).to_bytes(3, "big") for x in v)
+    _, out = codecs.decode_aiff(make_aiff(raw, bits=24))
+    np.testing.assert_array_equal(out, v >> 8)
+
+
+def test_aiff_sowt_and_stereo_downmix():
+    # AIFF-C 'sowt' = little-endian 16-bit PCM
+    s = np.array([123, -456], np.int32)
+    aif = make_aiff(s.astype("<i2").tobytes(), comp=b"sowt")
+    _, out = codecs.decode_aiff(aif)
+    np.testing.assert_array_equal(out, s)
+    stereo = np.array([100, 200, -100, -200], np.int32)  # L R L R
+    aif = make_aiff(stereo.astype(">i2").tobytes(), channels=2)
+    _, out = codecs.decode_aiff(aif)
+    np.testing.assert_array_equal(out, [150, -150])
+
+
+def test_au_pcm_float_and_g711_cross_container():
+    s = np.array([0, 1000, -32768, 32767], np.int32)
+    rate, out = codecs.decode_au(make_au(s.astype(">i2").tobytes(),
+                                         encoding=3, rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, s)
+    f = np.array([0.0, 0.5, -1.0], np.float64)
+    _, out = codecs.decode_au(make_au(f.astype(">f8").tobytes(), encoding=7))
+    np.testing.assert_array_equal(out, np.round(f * 32767).astype(np.int32))
+    # G.711 mu-law: same bytes through the .au and WAV containers must
+    # decode identically (both pinned to the ITU expansion elsewhere)
+    g711 = bytes(range(0, 256, 17))
+    wav = (b"RIFF" + (36 + len(g711)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+           + b"data" + len(g711).to_bytes(4, "little") + g711)
+    _, want = codecs.decode_wav(wav)
+    _, got = codecs.decode_au(make_au(g711, encoding=1))
+    np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------- Ogg / Matroska probes
+
+
+def _ogg_page(body: bytes, serial=1, granule=0, htype=0, seq=0) -> bytes:
+    segs, n = [], len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+            + struct.pack("<III", serial, seq, 0)
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def test_ogg_opus_duration_and_vorbis_id():
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    pages = (_ogg_page(head, htype=2, granule=0)
+             + _ogg_page(b"OpusTags\x00\x00\x00\x00\x00\x00\x00\x00",
+                         seq=1, granule=0)
+             + _ogg_page(b"\x00" * 40, seq=2, granule=48312)
+             + _ogg_page(b"\x00" * 40, seq=3, granule=96312, htype=4))
+    m = codecs.parse_ogg(pages)
+    assert m["codec"] == "opus"
+    assert m["channels"] == 2 and m["sample_rate"] == 48000
+    assert m["pre_skip"] == 312
+    assert m["duration_ms"] == 2000  # (96312-312)/48000
+    assert m["n_pages"] == 4
+
+    vid = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+           + struct.pack("<I", 44100) + b"\x00" * 13 + b"\x01")
+    pages = (_ogg_page(vid, htype=2)
+             + _ogg_page(b"\x00" * 8, seq=1, granule=44100))
+    m = codecs.parse_ogg(pages)
+    assert m["codec"] == "vorbis"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["duration_ms"] == 1000
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    for ln in range(1, 9):
+        if len(body) < (1 << (7 * ln)) - 1:
+            return idb + ((1 << (7 * ln)) | len(body)).to_bytes(ln, "big") + body
+    raise ValueError("body too large")
+
+
+def _webm_fixture(unknown_segment_size=False) -> bytes:
+    info = _ebml_el(0x1549A966,
+                    _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                    + _ebml_el(0x4489, struct.pack(">d", 12345.0)))
+    video = _ebml_el(0xAE, _ebml_el(0x83, b"\x01")
+                     + _ebml_el(0x86, b"V_VP9")
+                     + _ebml_el(0xE0, _ebml_el(0xB0, struct.pack(">H", 640))
+                                + _ebml_el(0xBA, struct.pack(">H", 480))))
+    audio = _ebml_el(0xAE, _ebml_el(0x83, b"\x02")
+                     + _ebml_el(0x86, b"A_OPUS")
+                     + _ebml_el(0xE1, _ebml_el(0xB5, struct.pack(">f", 48000.0))
+                                + _ebml_el(0x9F, b"\x02")))
+    seg_body = info + _ebml_el(0x1654AE6B, video + audio)
+    if unknown_segment_size:
+        seg = (0x18538067).to_bytes(4, "big") + b"\xFF" + seg_body
+    else:
+        seg = _ebml_el(0x18538067, seg_body)
+    return _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm")) + seg
+
+
+def test_ebml_webm_walk():
+    for unknown in (False, True):
+        m = codecs.parse_ebml(_webm_fixture(unknown))
+        assert m["doctype"] == "webm"
+        assert m["duration_ms"] == 12345
+        kinds = {t["type"]: t for t in m["tracks"]}
+        assert kinds["video"]["codec"] == "V_VP9"
+        assert (kinds["video"]["width"], kinds["video"]["height"]) == (640, 480)
+        assert kinds["audio"]["codec"] == "A_OPUS"
+        assert kinds["audio"]["sample_rate"] == 48000
+        assert kinds["audio"]["channels"] == 2
+
+
+def test_probe_media_containers(spark):
+    """probe_media covers the container zoo end-to-end through Spark:
+    AIFF, AU, Ogg/Opus, WebM, plus an ADPCM WAV (format row only)."""
+    from hbase_snapshot_spark.operators.multimodal import probe_media
+
+    s = np.arange(800, dtype=np.int32) % 2000 - 1000
+    aif = make_aiff(s.astype(">i2").tobytes(), rate=8000)
+    au = make_au(s.astype(">i2").tobytes(), encoding=3, rate=16000)
+    head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    ogg = (_ogg_page(head, htype=2)
+           + _ogg_page(b"\x00" * 10, seq=1, granule=24000, htype=4))
+    webm = _webm_fixture()
+    df = _media_df(spark, [aif, au, ogg, webm], kind="audio")
+    out = {r["media_id"]: r.asDict() for r in probe_media(df).collect()}
+    assert out[0]["format"] == "aiff/NONE"
+    assert out[0]["sample_rate"] == 8000 and out[0]["n_frames"] == 800
+    assert out[0]["duration_ms"] == 100  # 800 frames at 8 kHz
+    assert out[1]["format"] == "au/s16"
+    assert out[1]["sample_rate"] == 16000 and out[1]["n_frames"] == 800
+    assert out[2]["format"] == "ogg/opus"
+    assert out[2]["duration_ms"] == 500
+    assert out[3]["format"] == "webm/V_VP9"
+    assert (out[3]["width"], out[3]["height"]) == (640, 480)
+    assert out[3]["sample_rate"] == 48000 and out[3]["channels"] == 2
+    assert out[3]["duration_ms"] == 12345
+
+
+def test_audio_features_cross_container(spark):
+    """The same PCM through WAV, AIFF, and AU containers must yield
+    identical features through the Spark kernel."""
+    sig = np.round(3000 * np.sin(np.arange(1600) / 9.0)).astype(np.int32)
+    payloads = [
+        make_wav(sig, rate=8000, bits=16),
+        make_aiff(sig.astype(">i2").tobytes(), rate=8000),
+        make_au(sig.astype(">i2").tobytes(), encoding=3, rate=8000),
+    ]
+    df = _media_df(spark, payloads, kind="audio")
+    out = multimodal.extract_audio_features(df, target_rate=8000).collect()
+    assert len(out) == 3
+    assert all(r["n_samples"] == 1600 for r in out)
+    assert len({r["rms"] for r in out}) == 1
+    assert len({r["peak"] for r in out}) == 1
+
+
 def test_decode_images_real_progressive_and_adam7(spark):
     """Progressive JPEG and Adam7 PNG payloads decode inside the Spark
     mapInPandas pipeline (executor-side codepath, not just driver)."""

@@ -450,14 +450,18 @@ def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline/extended-sequential (SOF0/SOF1) AND progressive (SOF2)
-    JPEG → uint8 array: (h, w, 3) RGB for YCbCr, (h, w) for grayscale.
-    Full huffman entropy decode (spectral selection + successive
-    approximation for progressive, spec Annex G) + dequantization +
+    """Baseline/extended-sequential (SOF0/SOF1), progressive (SOF2),
+    AND lossless (SOF3, Annex H) JPEG → uint8 array: (h, w, 3) RGB for
+    YCbCr (components as-is for lossless — no color transform there),
+    (h, w) for grayscale.  Full huffman entropy decode (spectral
+    selection + successive approximation for progressive, spec Annex
+    G; predictive differences for lossless) + dequantization +
     orthonormal IDCT + nearest chroma upsample + JFIF YCbCr→RGB, all
-    dependency-free.  Arithmetic-coded and CMYK streams raise
-    NotImplementedError.  Entropy decode is sequential per MCU (the
-    format is a bit-serial prefix code); the per-block math is numpy."""
+    dependency-free.  >8-bit lossless samples map to the high byte
+    (the 16-bit PNG/TIFF convention).  Arithmetic-coded, hierarchical,
+    and CMYK streams raise NotImplementedError.  Entropy decode is
+    sequential per MCU (the format is a bit-serial prefix code); the
+    per-block math is numpy."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -466,6 +470,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, h_samp, v_samp, tq)])
     progressive = False
     coef = None  # progressive coefficient state: cid -> (bh, bw, 64) zigzag
+    lossless = False
+    precision = 8
+    planes = None  # lossless sample planes: cid -> (h, w) int32
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -504,7 +511,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = body[i + 17 : i + 17 + nsym]
                 (huff_ac if cls else huff_dc)[tid] = _build_huffman(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog,
+            precision = body[0]                   # SOF3 lossless
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -526,9 +534,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)
                     for cid, ch, cv, _tq in comps
                 }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif marker == 0xC3:
+                lossless = True
+                planes = {cid: np.zeros((h, w), np.int32)
+                          for cid, _ch, _cv, _tq in comps}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02x} (non-sequential/arithmetic) unsupported"
+                f"JPEG SOF marker 0x{marker:02x} (hierarchical/arithmetic) "
+                "unsupported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -542,6 +555,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             h, w, comps = frame
             segs, end = _split_entropy_segments(data, pos + 2 + seg_len)
+            if lossless:
+                pred_sel = body[1 + 2 * ns]  # Ss = predictor selection
+                p_t = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                _jpeg_lossless_scan(
+                    frame, scan_comps, pred_sel, p_t, precision,
+                    huff_dc, segs, restart_interval, planes,
+                )
+                pos = end
+                continue
             if not progressive:
                 if ns != len(comps):
                     raise NotImplementedError(
@@ -563,6 +585,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if progressive and coef is not None:
         return _jpeg_progressive_finish(frame, qt, coef)
+    if lossless and planes is not None:
+        h, w, comps = frame
+        chans = [planes[cid] for cid, *_ in comps]
+        arr = chans[0] if len(chans) == 1 else np.stack(chans, axis=-1)
+        if precision > 8:  # high byte, the 16-bit PNG/TIFF convention
+            arr = arr >> (precision - 8)
+        return np.clip(arr, 0, 255).astype(np.uint8)
     raise ValueError("JPEG stream ended without SOS scan")
 
 
@@ -718,6 +747,74 @@ def _jpeg_progressive_scan(
             break
     if unit < n_units:
         raise ValueError(f"truncated progressive AC scan: {unit}/{n_units}")
+
+
+def _jpeg_lossless_scan(frame, scan_comps, pred_sel, p_t, precision,
+                        huff_dc, segs, restart_interval, planes) -> None:
+    """Lossless JPEG scan (spec Annex H): per sample, a DC-style
+    Huffman SSSS category + magnitude bits give a difference from the
+    selected predictor (1..7 over Ra/Rb/Rc neighbors); the first
+    sample of the scan and of each restart interval predicts from
+    2^(P-Pt-1), the rest of the first line from Ra, line starts from
+    Rb.  Reconstruction is modulo-65536.  Decoded samples are left
+    shifted by the point transform at scan end."""
+    h, w, comps = frame
+    byid = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    if any(byid[cid] != (1, 1) for cid, _d, _a in scan_comps):
+        raise NotImplementedError("subsampled lossless JPEG unsupported")
+    if not 1 <= pred_sel <= 7:
+        raise NotImplementedError(
+            f"lossless predictor {pred_sel} unsupported (1-7 only)")
+    tables = [(planes[cid], huff_dc[d]) for cid, d, _a in scan_comps]
+    default = 1 << (precision - p_t - 1)
+    total = h * w
+    mcu = 0
+    for seg in segs:
+        reader = _JpegBitReader(seg)
+        count = min(restart_interval or total, total - mcu)
+        for i in range(count):
+            y, x = divmod(mcu, w)
+            restart_first = i == 0 and mcu != 0
+            for plane, lut in tables:
+                t = reader.decode_huffman(lut)
+                if t == 16:  # SSSS 16: difference is 32768, no bits
+                    diff = 32768
+                elif t:
+                    diff = _extend(reader.read_bits(t), t)
+                else:
+                    diff = 0
+                if mcu == 0 or restart_first:
+                    px = default
+                elif y == 0:
+                    px = int(plane[0, x - 1])  # first line: Ra
+                elif x == 0:
+                    px = int(plane[y - 1, 0])  # line start: Rb
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    if pred_sel == 1:
+                        px = ra
+                    elif pred_sel == 2:
+                        px = rb
+                    elif pred_sel == 3:
+                        px = int(plane[y - 1, x - 1])
+                    elif pred_sel == 4:
+                        px = ra + rb - int(plane[y - 1, x - 1])
+                    elif pred_sel == 5:
+                        px = ra + ((rb - int(plane[y - 1, x - 1])) >> 1)
+                    elif pred_sel == 6:
+                        px = rb + ((ra - int(plane[y - 1, x - 1])) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                plane[y, x] = (px + diff) & 0xFFFF
+            mcu += 1
+        if mcu >= total:
+            break
+    if mcu < total:
+        raise ValueError("truncated lossless JPEG scan")
+    if p_t:
+        for plane, _lut in tables:
+            plane <<= p_t
 
 
 def _ceil_div(a: int, b: int) -> int:

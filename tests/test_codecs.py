@@ -876,6 +876,127 @@ def test_wav_g711_alaw_mulaw():
     assert list(out) == [8, -8]
 
 
+# ------------------------------------------------------- lossless JPEG
+
+
+def _lossless_jpeg(img, predictor=1, pt=0, precision=8, restart=0,
+                   interleaved=True) -> bytes:
+    """Hand-written SOF3 stream (spec Annex H), the test-side twin of
+    the decoder: predict per the selected mode, category-encode the
+    differences (modulo 65536), one DHT with categories 0..16.
+    ``img`` is in the point-transform-descaled domain."""
+    from hbase_snapshot_spark.operators.codecs import (
+        _JpegBitWriter, _enc_codes)
+
+    arr = (img[:, :, None] if img.ndim == 2 else img).astype(np.int64)
+    h, w, ncomp = arr.shape
+    counts = bytes([0, 0, 0, 0, 17] + [0] * 11)
+    symbols = bytes(range(17))
+    codes = _enc_codes(counts, symbols)
+    default = 1 << (precision - pt - 1)
+
+    def predict(plane, y, x, first):
+        if first:
+            return default
+        if y == 0:
+            return int(plane[0, x - 1])
+        if x == 0:
+            return int(plane[y - 1, 0])
+        ra, rb, rc = (int(plane[y, x - 1]), int(plane[y - 1, x]),
+                      int(plane[y - 1, x - 1]))
+        return {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                7: (ra + rb) >> 1}[predictor]
+
+    def put_diff(writer, diff):
+        diff = ((diff + 32768) & 0xFFFF) - 32768  # mod-2^16 symmetric
+        if diff == -32768:
+            writer.write(*codes[16])  # SSSS 16: no magnitude bits
+            return
+        t = abs(diff).bit_length()
+        writer.write(*codes[t])
+        if t:
+            writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def entropy(comp_indexes):
+        out = bytearray()
+        writer = _JpegBitWriter()
+        total, rst = h * w, 0
+        for mcu in range(total):
+            y, x = divmod(mcu, w)
+            first = mcu == 0 or (restart and mcu % restart == 0)
+            if restart and mcu and mcu % restart == 0:
+                out += writer.flush() + bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                writer = _JpegBitWriter()
+            for c in comp_indexes:
+                plane = arr[:, :, c]
+                put_diff(writer, int(plane[y, x]) - predict(plane, y, x, first))
+        return bytes(out + writer.flush())
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dht = seg(0xC4, bytes([0x00]) + counts + symbols)
+    sof = bytes([precision]) + struct.pack(">HHB", h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out = b"\xff\xd8" + dht + seg(0xC3, sof)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    def sos(comp_ids):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([predictor, 0, pt])
+        return seg(0xDA, body)
+
+    if interleaved or ncomp == 1:
+        out += sos(list(range(1, ncomp + 1)))
+        out += entropy(list(range(ncomp)))
+    else:
+        for c in range(ncomp):
+            out += sos([c + 1]) + entropy([c])
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_lossless_all_predictors_exact():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(9, 7), dtype=np.int64)
+    for predictor in range(1, 8):
+        out = codecs.decode_jpeg(_lossless_jpeg(img, predictor=predictor))
+        assert out.dtype == np.uint8 and out.shape == (9, 7)
+        np.testing.assert_array_equal(out, img.astype(np.uint8)), predictor
+
+
+def test_jpeg_lossless_rgb_interleaved_and_separate_scans():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.int64)
+    for interleaved in (True, False):
+        out = codecs.decode_jpeg(
+            _lossless_jpeg(img, predictor=4, interleaved=interleaved))
+        assert out.shape == (6, 5, 3)
+        np.testing.assert_array_equal(out, img.astype(np.uint8))
+
+
+def test_jpeg_lossless_restart_and_point_transform():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(8, 6), dtype=np.int64)
+    out = codecs.decode_jpeg(_lossless_jpeg(img, predictor=7, restart=10))
+    np.testing.assert_array_equal(out, img.astype(np.uint8))
+    # Pt=1: stream carries img>>1, decoder re-scales by <<1
+    out = codecs.decode_jpeg(_lossless_jpeg(img >> 1, predictor=1, pt=1))
+    np.testing.assert_array_equal(out, ((img >> 1) << 1).astype(np.uint8))
+
+
+def test_jpeg_lossless_12bit_high_byte():
+    rng = np.random.RandomState(13)
+    img12 = rng.randint(0, 4096, size=(5, 5), dtype=np.int64)
+    out = codecs.decode_jpeg(_lossless_jpeg(img12, predictor=2, precision=12))
+    np.testing.assert_array_equal(out, (img12 >> 4).astype(np.uint8))
+
+
 # --------------------------------------------------------------- ADPCM
 #
 # Scalar clean-room transcriptions of the published per-sample

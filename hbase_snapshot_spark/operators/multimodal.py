@@ -4,18 +4,21 @@ pipelines.
 
 The Spark-side plumbing — schema, partitioning, Pandas-UDF signatures,
 batch shapes — is real and tested.  Decode kernels are REAL for
-PPM/PGM, BMP, non-interlaced PNG, and JPEG (baseline AND progressive)
-images, RIFF WAV audio (PCM/float/G.711), and YUV4MPEG2 video —
-dependency-free numpy/stdlib codecs in ``codecs.py``.  CONTAINER-level
-parsing is real for MP3 (MPEG frame walk, Xing/VBRI tags —
-codecs.parse_mp3) and MP4/ISO-BMFF (box walk, sample tables, stss
-keyframe index — codecs.parse_mp4): probe_media and the sample_frames
-MP4 path run on it.  The codec PAYLOADS those containers carry
-(Layer III PCM, H.264/HEVC pixels) require spec constant tables /
-media libraries NOT in this container and raise a clearly-marked
+PPM/PGM, BMP, PNG (incl. Adam7/16-bit), JPEG (baseline, progressive,
+AND lossless SOF3), GIF, and baseline TIFF images; RIFF WAV
+(PCM/float/G.711/IMA+MS ADPCM), AIFF/AIFF-C, Sun .au, FLAC, and MPEG-1
+Layer III audio; and YUV4MPEG2 + animated-GIF video — dependency-free
+numpy/stdlib codecs in ``codecs.py``.  CONTAINER-level parsing is
+real for MP3, ADTS/AAC, MP4/ISO-BMFF, Ogg (Vorbis/Opus/FLAC/Theora/
+Speex ID headers), and Matroska/WebM: probe_media and the
+sample_frames MP4 path run on it.  The codec PAYLOADS the video
+containers carry (H.264/HEVC pixels, AAC PCM) require media libraries
+NOT in this container and raise a clearly-marked
 ``NotImplementedError``.  Every kernel also keeps a deterministic fake
 (``fake=True``) that exercises the identical dataflow on synthetic
-payloads for tests/benchmarks.
+payloads for tests/benchmarks, and an ``on_error='null'`` policy that
+turns per-payload decode failures into null rows — at corpus scale a
+batch must survive corrupt payloads.
 """
 
 from __future__ import annotations
@@ -28,6 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class _SkipPayload(Exception):
+    """Internal: payload is absent — emit null rows, not an error."""
 
 
 MEDIA_SCHEMA = T.StructType([
@@ -107,13 +114,23 @@ _DECODE_SCHEMA = T.StructType([
 ])
 
 
-def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+
+def decode_images(media: DataFrame, fake: bool = False,
+                  on_error: str = "raise") -> DataFrame:
     """Image decode + cheap stats.  Real path decodes PPM/PGM/BMP/
     PNG/JPEG (baseline + progressive) payloads (codecs.decode_image —
     numpy + stdlib zlib, no media libs); the remaining formats (WebP,
     …) raise NotImplementedError naming Pillow.
     ``fake=True`` runs a deterministic byte-statistics decoder through
-    the identical mapInPandas pipeline (same schema, same batching)."""
+    the identical mapInPandas pipeline (same schema, same batching).
+    ``on_error='null'`` turns per-payload decode failures into null
+    feature rows instead of failing the batch — the policy a 100 TB
+    corpus run wants, where some corrupt payloads are a certainty."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -137,11 +154,17 @@ def decode_images(media: DataFrame, fake: bool = False) -> DataFrame:
                     ("media_id", "width", "height", "channels", "mean_intensity")}
             for mid, b in zip(pdf["media_id"], payloads):
                 rows["media_id"].append(mid)
-                if b is None:
+                img = None
+                if b is not None:
+                    try:
+                        img = codecs.decode_image(bytes(b))
+                    except Exception:  # noqa: BLE001 — corrupt payload
+                        if on_error == "raise":
+                            raise
+                if img is None:
                     for k in ("width", "height", "channels", "mean_intensity"):
                         rows[k].append(None)
                     continue
-                img = codecs.decode_image(bytes(b))
                 rows["width"].append(img.shape[1])
                 rows["height"].append(img.shape[0])
                 rows["channels"].append(img.shape[2] if img.ndim == 3 else 1)
@@ -159,7 +182,8 @@ _FRAME_SCHEMA = T.StructType([
 ])
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False,
+                  on_error: str = "raise") -> DataFrame:
     """Video frame sampling: expand each video into frame rows at a
     fixed cadence (JVM-side sequence+explode for the row fan-out), then
     decode each sampled frame via mapInPandas.  Real path decodes
@@ -175,7 +199,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
     carries the composited RGB frame bytes at the GCE delay timeline.
     Other compressed containers (MKV/...) raise a documented
     NotImplementedError.  ``fake=True`` keeps the deterministic digest
-    decoder over the identical dataflow."""
+    decoder over the identical dataflow.  ``on_error='null'`` emits
+    null frames for unparseable payloads instead of failing the
+    batch."""
+    _check_on_error(on_error)
     frames = media.select(
         "media_id",
         "payload",
@@ -211,7 +238,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
             for _mid, grp in pdf.groupby("media_id", sort=False):
                 payload = grp["payload"].iloc[0]
                 hdr = keyframes = gif_frames = None
-                if payload is not None:
+                try:
+                    if payload is None:
+                        raise _SkipPayload
                     data = bytes(payload)
                     if codecs.sniff_y4m(data):
                         hdr = codecs.parse_y4m_header(data)
@@ -247,6 +276,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
                             "decode natively; MP4 samples at keyframe "
                             "access-unit level)"
                         )
+                except _SkipPayload:
+                    pass
+                except Exception:  # noqa: BLE001 — corrupt payload
+                    if on_error == "raise":
+                        raise
+                    hdr = keyframes = gif_frames = None
                 for _, r in grp.iterrows():
                     out["media_id"].append(r["media_id"])
                     out["frame_idx"].append(r["frame_idx"])
@@ -294,7 +329,8 @@ _RESIZE_SCHEMA = T.StructType([
 
 
 def resize_images(
-    media: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Image resize to a fixed training resolution.  Real path:
     PPM/PGM/BMP/PNG/JPEG decode → nearest-neighbor resample →
@@ -302,7 +338,21 @@ def resize_images(
     unsupported inputs (WebP, …) raise NotImplementedError naming
     Pillow.  ``fake=True`` emits a
     deterministic digest-sized payload through the identical
-    mapInPandas pipeline (same schema, same batching)."""
+    mapInPandas pipeline (same schema, same batching).
+    ``on_error='null'`` nulls the payload for corrupt inputs instead
+    of failing the batch."""
+    _check_on_error(on_error)
+
+    def _resize_one(codecs, p):
+        if p is None:
+            return None
+        try:
+            return codecs.encode_ppm(codecs.resize_nearest(
+                codecs.decode_image(bytes(p)), width, height))
+        except Exception:  # noqa: BLE001 — corrupt payload
+            if on_error == "raise":
+                raise
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -326,14 +376,7 @@ def resize_images(
                 "media_id": pdf["media_id"],
                 "width": width,
                 "height": height,
-                "payload": [
-                    codecs.encode_ppm(
-                        codecs.resize_nearest(
-                            codecs.decode_image(bytes(p)), width, height
-                        )
-                    ) if p is not None else None
-                    for p in pdf["payload"]
-                ],
+                "payload": [_resize_one(codecs, p) for p in pdf["payload"]],
             })
 
     return media.mapInPandas(run, schema=_RESIZE_SCHEMA)
@@ -349,16 +392,20 @@ _AUDIO_SCHEMA = T.StructType([
 
 
 def extract_audio_features(
-    media: DataFrame, target_rate: int = 16000, fake: bool = False
+    media: DataFrame, target_rate: int = 16000, fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio decode/resample + level features (RMS, peak).  Real path
     decodes RIFF WAV (PCM int 8/16/24/32 + float32, G.711, IMA/MS
-    ADPCM, multi-channel downmix), FLAC (rice+LPC, exact), and MPEG-1
-    Layer III (mp3dec.py)
+    ADPCM, multi-channel downmix), AIFF/AIFF-C, Sun .au, FLAC
+    (rice+LPC, exact), and MPEG-1 Layer III (mp3dec.py)
     and linear-resamples to
     ``target_rate`` — codecs.py, numpy only; other compressed audio
     raises NotImplementedError naming ffmpeg.  ``fake=True`` treats the
-    payload bytes as 8-bit samples — deterministic, same dataflow."""
+    payload bytes as 8-bit samples — deterministic, same dataflow.
+    ``on_error='null'`` nulls the feature row for corrupt payloads
+    instead of failing the batch."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -382,28 +429,35 @@ def extract_audio_features(
                     ("media_id", "sample_rate", "n_samples", "rms", "peak")}
             for mid, b in zip(pdf["media_id"], payloads):
                 rows["media_id"].append(mid)
-                if b is None:
+                samples = None
+                if b is not None:
+                    try:
+                        kind = codecs.sniff(bytes(b))
+                        if kind == "wav":
+                            src_rate, samples = codecs.decode_wav(bytes(b))
+                        elif kind == "aiff":
+                            src_rate, samples = codecs.decode_aiff(bytes(b))
+                        elif kind == "au":
+                            src_rate, samples = codecs.decode_au(bytes(b))
+                        elif kind == "mp3":
+                            src_rate, samples = codecs.decode_mp3(bytes(b))
+                        elif kind == "flac":
+                            src_rate, samples = codecs.decode_flac(bytes(b))
+                        else:
+                            raise NotImplementedError(
+                                "audio decode supports RIFF WAV, AIFF, "
+                                "Sun .au, FLAC, and MPEG-1 Layer III "
+                                "natively; other codecs (AAC/Opus/...) "
+                                "require ffmpeg/soundfile — unavailable here"
+                            )
+                    except Exception:  # noqa: BLE001 — corrupt payload
+                        if on_error == "raise":
+                            raise
+                        samples = None
+                if samples is None:
                     for k in ("sample_rate", "n_samples", "rms", "peak"):
                         rows[k].append(None)
                     continue
-                kind = codecs.sniff(bytes(b))
-                if kind == "wav":
-                    src_rate, samples = codecs.decode_wav(bytes(b))
-                elif kind == "aiff":
-                    src_rate, samples = codecs.decode_aiff(bytes(b))
-                elif kind == "au":
-                    src_rate, samples = codecs.decode_au(bytes(b))
-                elif kind == "mp3":
-                    src_rate, samples = codecs.decode_mp3(bytes(b))
-                elif kind == "flac":
-                    src_rate, samples = codecs.decode_flac(bytes(b))
-                else:
-                    raise NotImplementedError(
-                        "audio decode supports RIFF WAV, AIFF, Sun .au, "
-                        "FLAC, and MPEG-1 Layer III natively; other codecs "
-                        "(AAC/Opus/...) require ffmpeg/soundfile — "
-                        "unavailable here"
-                    )
                 samples = codecs.resample_linear(samples, src_rate, target_rate)
                 rows["sample_rate"].append(target_rate)
                 rows["n_samples"].append(len(samples))

@@ -6,21 +6,29 @@ hand-rolled over stdlib + numpy:
 * images — binary **PPM/PGM** (netpbm P6/P5), **BMP**
   (BITMAPINFOHEADER, BI_RGB 8/24/32-bit), **PNG** (incl. Adam7
   interlacing, all five filter types, gray/RGB/palette/alpha, 8- and
-  16-bit via stdlib ``zlib``), and **JPEG** — both baseline/extended-sequential
-  (SOF0/SOF1) and progressive (SOF2: spectral selection + successive
-  approximation, spec Annex G) — huffman entropy decode + dequant +
-  IDCT + chroma upsample + YCbCr→RGB;
+  16-bit via stdlib ``zlib``), **GIF** (87a/89a LZW + animation
+  compositing), baseline **TIFF** (none/LZW/PackBits), and **JPEG** —
+  baseline/extended-sequential (SOF0/SOF1), progressive (SOF2:
+  spectral selection + successive approximation, spec Annex G), AND
+  lossless (SOF3, Annex H predictive) — huffman entropy decode +
+  dequant + IDCT + chroma upsample + YCbCr→RGB;
 * audio — RIFF **WAV** (PCM 8/16/24/32-bit int, 32-bit IEEE float,
-  G.711 A-law/mu-law telephony);
-* video — **YUV4MPEG2** frame streams.
+  G.711 A-law/mu-law telephony, IMA/DVI + MS **ADPCM**), **AIFF** /
+  AIFF-C (incl. 'sowt'/G.711), Sun **.au**, **FLAC** (lossless rice +
+  LPC), and MPEG-1 Layer III (**MP3**, mp3dec.py);
+* video — **YUV4MPEG2** frame streams, animated GIF;
+* container walks (probe/triage, no payload decode) — **MP4**/ISO-BMFF
+  sample tables + keyframe index, **ADTS/AAC**, **Ogg**
+  (Vorbis/Opus/FLAC/Theora/Speex ID headers), **Matroska/WebM** (EBML).
 
 Parsers are numpy-vectorized per payload where the format allows
-(PNG unfiltering is per-scanline vector ops; JPEG's entropy decode is
-inherently sequential per MCU but all block math — dequant, IDCT,
-upsample, colorspace — is matrix-level numpy) and run inside the
-Arrow-batched ``mapInPandas`` kernels in ``multimodal.py``.  The
-remaining compressed formats (arithmetic-coded JPEG, MP3/AAC/MP4)
-still raise ``NotImplementedError`` naming what they need.
+(PNG unfiltering is per-scanline vector ops; ADPCM vectorizes across
+blocks; JPEG's entropy decode is inherently sequential per MCU but all
+block math — dequant, IDCT, upsample, colorspace — is matrix-level
+numpy) and run inside the Arrow-batched ``mapInPandas`` kernels in
+``multimodal.py``.  The remaining compressed formats (arithmetic-coded
+JPEG, AAC spectral decode, H.264/HEVC pixels) still raise
+``NotImplementedError`` naming what they need.
 
 These cover the reference-repo test philosophy for opaque byte values
 (cells are uninterpreted ``byte[]``; util/Bytes.java decodes at the

@@ -110,6 +110,41 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+# HTML entity decode order matters: '&amp;' must decode LAST or
+# double-encoded entities ('&amp;lt;') would decode twice.  Shared with
+# the SQL twin — keep list and ORDER identical on both sides.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+# ASCII whitespace class spelled explicitly: Java's \s includes \x0B
+# (vertical tab) while RE2's does not — an explicit class keeps the
+# Spark expression and the DuckDB oracle byte-identical.
+_WS = "[ \\t\\n\\r\\f]+"
+
+
+def strip_html(df: DataFrame, text_col: str = "text",
+               out_col: str = "plain") -> DataFrame:
+    """HTML → plain text, the first stage of a web-corpus pipeline
+    (C4/RefinedWeb-style): drop comments and script/style blocks
+    (content included), strip remaining tags, decode the common named
+    entities, collapse whitespace.  Pure-Column regexp_replace chain —
+    whole-stage codegen, no Python in the hot path, scales like any
+    projection.  Numeric character references beyond &#39; are left
+    as-is (a full HTML5 entity table is a fidelity concern, not a
+    pipeline-shape one)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    c = F.trim(F.regexp_replace(c, _WS, " "))
+    return df.withColumn(out_col, c)
+
+
 # ------------------------------------------------------------------ tf-idf
 
 def tfidf_top_terms(

@@ -712,11 +712,42 @@ def fingerprint_sql() -> str:
     # dot-reversed ('org.example.' || source), wrapped in 'r:'.  The
     # Spark side computes the same thing through the REAL url_key
     # regex+reverse expression, so a hash match verifies the transform.
-    return """
+    # plain: the strip_html chain (comments → script → style → tags →
+    # entities in decode order → whitespace collapse) over the same
+    # deterministic HTML shell the Spark side builds.  Whitespace is
+    # the explicit ASCII class (Java \s would include \x0B, RE2's
+    # would not — the explicit class keeps both sides identical).
+    return r"""
+WITH h AS (
+  SELECT doc_id, source, text,
+         '<html><head><title>T</title><style type="text/css">'
+         || 'p{color:red}</style></head><body onload="init()">'
+         || '<!-- header --><p class="x">' || text
+         || '</p><script type="text/javascript">if (1 < 2) { go(); }'
+         || '</script>&nbsp;&amp;done</body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id, source, text,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+      '<[^>]+>', ' ', 'g') AS t
+  FROM h
+), e AS (
+  SELECT doc_id, source, text,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&apos;', '''', 'g'),
+      '&amp;', '&', 'g') AS t
+  FROM s
+)
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-       'r:http://org.example.' || source || '/doc/' || doc_id AS urlkey
-FROM documents
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       'r:http://org.example.' || source || '/doc/' || doc_id AS urlkey,
+       trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS plain
+FROM e
 """
 
 

@@ -171,6 +171,32 @@ def test_fingerprint_normalization(spark):
     assert fps[1] != fps[3]
 
 
+def test_strip_html(spark):
+    cases = [
+        # comments, script/style blocks (content dropped), tags, entities
+        (1, '<html><!-- x --><body><p>Hello <b>World</b></p>'
+            '<script>if (1 < 2) { a(); }</script>'
+            '<style>p{color:red}</style>&amp;&nbsp;&lt;tag&gt;</body></html>',
+         "Hello World & <tag>"),
+        # attributes with quotes; whitespace collapse + trim
+        (2, '  <p class="x" onclick="f()">a\n\n  b\t c</p>  ', "a b c"),
+        # double-encoded entity decodes ONCE (&amp;lt; → &lt;)
+        (3, "&amp;lt;", "&lt;"),
+        # plain text is untouched (modulo collapse)
+        (4, "no markup here", "no markup here"),
+        # case-insensitive block removal, multi-line content
+        (5, "<SCRIPT>\nvar s = '<p>';\n</SCRIPT>keep", "keep"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r.plain for r in text.strip_html(df).collect()}
+    for i, _t, want in cases:
+        assert out[i] == want, (i, out[i])
+    # pure Catalyst: no Python evaluation node anywhere in the plan
+    plan = text.strip_html(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_media_byte_features(docs):
     media = multimodal.documents_as_media(docs.filter("text != ''"))
     out = {r.media_id: r for r in multimodal.extract_byte_features(media).collect()}

@@ -559,23 +559,40 @@ WHERE rank <= {k}
 """
 
 
-def pack_sequences_sql(cap: int) -> str:
-    """SQL twin of packing.pack_sequences over documents grouped by
-    lang, ordered by doc_id, whitespace token counts."""
+def pack_sequences_sql(cap: int, chunk: int = 64, overlap: int = 16) -> str:
+    """SQL twin of packing.chunk_documents + pack_sequences over
+    documents grouped by lang: 0-based ``chunk``-token windows at
+    stride ``chunk - overlap`` (DuckDB 1-based inclusive list slicing
+    matches Spark's slice(start, length)), then the cumulative-sum
+    packing in (doc_id, chunk_idx) order."""
     # CAST(bin_offset AS BIGINT): DuckDB's windowed SUM over BIGINT yields
     # HUGEINT, which pandas fetches as float64 — that flipped the driver's
     # value hash in round 2 while every row compared equal (int 5 == 5.0).
+    stride = chunk - overlap
     return f"""
 WITH d AS (SELECT doc_id, lang,
-                  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-           FROM documents WHERE trim(text) <> '')
-SELECT doc_id, lang, n_tokens, CAST(bin_offset AS BIGINT) AS bin_offset,
+                  string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+c AS (SELECT doc_id, lang, toks, len(toks) AS n,
+             UNNEST(range(CAST(greatest(
+               ceil((len(toks) - {overlap}) / {stride}.0), 1) AS BIGINT)))
+               AS chunk_idx
+      FROM d),
+x AS (SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             array_to_string(
+               toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk}],
+               ' ') AS chunk_text,
+             CAST(least({chunk}, n - chunk_idx * {stride}) AS BIGINT)
+               AS n_chunk_tokens
+      FROM c)
+SELECT doc_id, lang, chunk_idx, chunk_text, n_chunk_tokens,
+       CAST(bin_offset AS BIGINT) AS bin_offset,
        CAST(floor(bin_offset * 1.0 / {cap}) AS BIGINT) AS bin
 FROM (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
-               PARTITION BY lang ORDER BY doc_id
+  SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_offset
-  FROM d) t
+  FROM x) t
 """
 
 

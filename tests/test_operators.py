@@ -322,6 +322,53 @@ def test_pack_sequences(spark):
     assert out == {"d1": (0, 0), "d2": (300, 0), "d3": (600, 1), "d4": (0, 0)}
 
 
+def test_chunk_documents(spark):
+    from hbase_snapshot_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [("d1", words), ("d2", "one two"), ("d3", "solo")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "text", chunk_tokens=4, overlap_tokens=1)
+    rows = sorted(((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+                   for r in out.collect()))
+    # d1: 10 tokens, stride 3 → ceil(9/3)=3 chunks: [0:4),[3:7),[6:10)
+    assert rows == [
+        ("d1", 0, "w0 w1 w2 w3", 4),
+        ("d1", 1, "w3 w4 w5 w6", 4),
+        ("d1", 2, "w6 w7 w8 w9", 4),
+        ("d2", 0, "one two", 2),
+        ("d3", 0, "solo", 1),
+    ]
+    # every token index is covered; consecutive chunks overlap by 1
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", chunk_tokens=4, overlap_tokens=4)
+    # per-row generator: no Exchange, no Python eval in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_then_pack_composition(spark):
+    from hbase_snapshot_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    long_doc = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([("d1", "en", long_doc)],
+                               ["doc_id", "lang", "text"])
+    chunks = chunk_documents(df, "text", chunk_tokens=32, overlap_tokens=8)
+    packed = pack_sequences(chunks, "n_chunk_tokens", cap=64,
+                            order_col=["doc_id", "chunk_idx"], by="lang")
+    rows = sorted((r.chunk_idx, r.bin_offset, r.bin)
+                  for r in packed.collect())
+    # 100 tokens, stride 24 → ceil(92/24)=4 chunks of 32/32/32/28 tokens;
+    # cumulative offsets 0/32/64/96 → bins 0/0/1/1 at cap 64
+    assert rows == [(0, 0, 0), (1, 32, 0), (2, 64, 1), (3, 96, 1)]
+
+
 def test_scrub_pii(spark):
     from hbase_snapshot_spark.operators.text import scrub_pii
 

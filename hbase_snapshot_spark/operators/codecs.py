@@ -47,8 +47,9 @@ import numpy as np
 
 def sniff(data: bytes) -> str | None:
     """Cheap magic-byte format detection:
-    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'wav' | 'aiff' |
-    'au' | 'flac' | 'ogg' | 'ebml' | 'mp4' | 'aac' | 'mp3' | None."""
+    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'webp' | 'wav' |
+    'aiff' | 'au' | 'flac' | 'ogg' | 'ebml' | 'mp4' | 'aac' | 'mp3' |
+    None."""
     if data is None or len(data) < 12:
         return None
     if data[:2] in (b"P5", b"P6"):
@@ -67,6 +68,8 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
     if data[:4] == b".snd":
@@ -1579,6 +1582,48 @@ def decode_tiff(data: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"TIFF photometric {photo} with {spp} samples unsupported"
     )
+
+
+def parse_webp(data: bytes) -> dict:
+    """WebP header walk → {variant, width, height, has_alpha,
+    has_animation}: dimensions from the VP8 lossy keyframe tag
+    (0x9D012A start code, 14-bit w/h), the VP8L packed header
+    (0x2F signature), or the VP8X canvas — the triage layer; pixel
+    decode needs libwebp and stays out of dependency-free scope."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    out = {"variant": None, "width": None, "height": None,
+           "has_alpha": False, "has_animation": False}
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cc == b"VP8X" and len(body) >= 10:
+            out["variant"] = out["variant"] or "extended"
+            out["has_alpha"] |= bool(body[0] & 0x10)
+            out["has_animation"] = bool(body[0] & 0x02)
+            if out["width"] is None:
+                out["width"] = int.from_bytes(body[4:7], "little") + 1
+                out["height"] = int.from_bytes(body[7:10], "little") + 1
+        elif cc == b"VP8 " and len(body) >= 10:
+            out["variant"] = out["variant"] or "lossy"
+            if body[3:6] == b"\x9d\x01\x2a" and out["width"] is None:
+                out["width"] = int.from_bytes(body[6:8], "little") & 0x3FFF
+                out["height"] = int.from_bytes(body[8:10], "little") & 0x3FFF
+        elif cc == b"VP8L" and len(body) >= 5:
+            out["variant"] = out["variant"] or "lossless"
+            if body[0] == 0x2F and out["width"] is None:
+                bits = int.from_bytes(body[1:5], "little")
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+                out["has_alpha"] |= bool((bits >> 28) & 1)
+        elif cc == b"ALPH":
+            out["has_alpha"] = True
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if out["variant"] is None:
+        raise ValueError("WebP missing VP8/VP8L/VP8X chunk")
+    return out
 
 
 def decode_image(data: bytes) -> np.ndarray:

@@ -556,7 +556,11 @@ def probe_media(media: DataFrame) -> DataFrame:
                         n_frames=a["n_frames"])
             elif kind == "mp4":
                 m = codecs.parse_mp4(data)
-                row.update(duration_ms=m["duration_ms"])
+                # ftyp major brand distinguishes video (isom/mp42) from
+                # the image-in-BMFF formats (heic/avif) at triage time
+                row.update(format=f"mp4/{m['brand']}" if m.get("brand")
+                           else "mp4",
+                           duration_ms=m["duration_ms"])
                 for trk in m["tracks"]:
                     if trk["handler"] == "vide":
                         row.update(width=trk["width"], height=trk["height"],
@@ -629,6 +633,10 @@ def probe_media(media: DataFrame) -> DataFrame:
                 if aud:
                     row.update(sample_rate=aud["sample_rate"],
                                channels=aud["channels"])
+            elif kind == "webp":
+                m = codecs.parse_webp(data)
+                row.update(format=f"webp/{m['variant']}",
+                           width=m["width"], height=m["height"])
             elif kind == "png":
                 row.update(width=int.from_bytes(data[16:20], "big"),
                            height=int.from_bytes(data[20:24], "big"))

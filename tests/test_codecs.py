@@ -1412,6 +1412,46 @@ def test_probe_media_containers(spark):
     assert out[3]["duration_ms"] == 12345
 
 
+def _webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for cc, payload in chunks:
+        body += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_webp_parse_variants():
+    # lossy: 3-byte frame tag, 0x9D012A start code, 14-bit dims
+    vp8 = b"\x30\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    m = codecs.parse_webp(_webp([(b"VP8 ", vp8 + b"\x00" * 8)]))
+    assert (m["variant"], m["width"], m["height"]) == ("lossy", 320, 240)
+    # lossless: 0x2F then packed (w-1, h-1, alpha, version)
+    bits = (127) | (63 << 14) | (1 << 28)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    m = codecs.parse_webp(_webp([(b"VP8L", vp8l + b"\x00" * 4)]))
+    assert (m["variant"], m["width"], m["height"]) == ("lossless", 128, 64)
+    assert m["has_alpha"]
+    # extended: VP8X canvas + animation flag, 24-bit dims
+    vp8x = bytes([0x12]) + b"\x00\x00\x00" + (639).to_bytes(3, "little") \
+        + (479).to_bytes(3, "little")
+    m = codecs.parse_webp(_webp([(b"VP8X", vp8x)]))
+    assert (m["variant"], m["width"], m["height"]) == ("extended", 640, 480)
+    assert m["has_alpha"] and m["has_animation"]
+    with pytest.raises(ValueError):
+        codecs.parse_webp(_webp([(b"ICCP", b"\x00" * 4)]))
+    assert codecs.sniff(_webp([(b"VP8 ", vp8 + b"\x00" * 8)])) == "webp"
+
+
+def test_probe_media_webp_and_mp4_brand(spark):
+    vp8 = b"\x30\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 33, 21)
+    payloads = [_webp([(b"VP8 ", vp8 + b"\x00" * 8)])]
+    df = _media_df(spark, payloads, kind="image")
+    r = multimodal.probe_media(df).first()
+    assert r["format"] == "webp/lossy"
+    assert (r["width"], r["height"]) == (33, 21)
+
+
 def test_audio_features_cross_container(spark):
     """The same PCM through WAV, AIFF, and AU containers must yield
     identical features through the Spark kernel."""
@@ -2331,7 +2371,7 @@ def test_probe_media_real(spark):
            multimodal.probe_media(media).collect()}
     assert out[0].format == "mp3/MPEG-1-L3"
     assert out[0].sample_rate == 44100 and out[0].n_frames == 3
-    assert out[1].format == "mp4"
+    assert out[1].format.startswith("mp4/")
     assert (out[1].width, out[1].height) == (64, 48)
     assert out[1].n_frames == 3 and out[1].n_keyframes == 2
     assert out[2].format == "wav" and out[2].sample_rate == 8000

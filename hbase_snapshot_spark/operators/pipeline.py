@@ -1,0 +1,80 @@
+"""End-to-end corpus preprocessing: the standard pretraining-data
+sequence composed from the individual operators into ONE declarative
+DataFrame graph, so Catalyst sees — and optimizes — the whole pipeline
+at once instead of materialized stage boundaries.
+
+Shuffle inventory at scale (the 100 TB budget of the default graph):
+
+1. exact dedup — one hash Exchange on the fingerprint;
+2. sequence packing — one hash Exchange on the group key (language).
+
+Everything else — HTML stripping, language ID, quality scoring, token
+stats, chunking — is a narrow projection or per-row generator fused
+into the scans around those two shuffles.  Near-dup (MinHash) and
+decontamination stages are deliberately NOT defaults: they carry their
+own shuffle/join budgets and live in ``dedup.py`` for explicit
+composition when the corpus calls for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators.dedup import exact_dedup
+from hbase_snapshot_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+from hbase_snapshot_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    strip_html,
+)
+
+
+def preprocess_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    html: bool = False,
+    min_quality: float = 0.25,
+    keep_langs: list[str] | None = None,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    pack_cap: int = 4096,
+) -> DataFrame:
+    """raw documents → packed training chunks, one logical plan:
+
+    1. (optional) HTML → plain text (``strip_html``, pure projection);
+    2. language ID + quality score (pure projections);
+    3. quality / language gate (plain filters — they reach the scan);
+    4. exact dedup on the normalized-text fingerprint (shuffle #1);
+    5. fixed-token chunking with overlap (per-row generator);
+    6. token-budget packing per language (shuffle #2).
+
+    Returns one row per CHUNK with ``doc_id, lang, quality, chunk_idx,
+    chunk_text, n_chunk_tokens, bin, bin_offset`` — the shape a
+    training-shard writer consumes (partitionBy bin / shard_shuffle
+    downstream as needed).
+    """
+    out = docs
+    col = text_col
+    if html:
+        out = strip_html(out, text_col, out_col="_plain")
+        col = "_plain"
+    out = out.withColumn("lang", lang_id(F.col(col)))
+    out = quality_score(out, col)
+    out = out.filter(F.col("quality") >= min_quality)
+    if keep_langs is not None:
+        out = out.filter(F.col("lang").isin(keep_langs))
+    out = fingerprint(out, col)
+    out = exact_dedup(out, F.col("fingerprint"), id_col=id_col)
+    out = chunk_documents(out, col, chunk_tokens=chunk_tokens,
+                          overlap_tokens=overlap_tokens)
+    out = pack_sequences(out, "n_chunk_tokens", cap=pack_cap,
+                         order_col=[id_col, "chunk_idx"], by="lang")
+    keep = [id_col, "lang", "quality", "chunk_idx", "chunk_text",
+            "n_chunk_tokens", "bin", "bin_offset"]
+    return out.select(*keep)

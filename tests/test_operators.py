@@ -369,6 +369,119 @@ def test_chunk_then_pack_composition(spark):
     assert rows == [(0, 0, 0), (1, 32, 0), (2, 64, 1), (3, 96, 1)]
 
 
+def test_chunk_documents_invariants_random_batch(spark):
+    """Random docs, one batch: (1) every token index is covered by at
+    least one window, (2) consecutive windows overlap by exactly
+    ``overlap`` except the final short window, (3) rejoining the
+    stride-aligned prefixes reconstructs the document."""
+    import numpy as np
+
+    from hbase_snapshot_spark.operators.packing import chunk_documents
+
+    rng = np.random.RandomState(17)
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    docs = [(i, " ".join(f"x{i}_{j}" for j in range(int(n))))
+            for i, n in enumerate(rng.randint(1, 40, size=50))]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, "text", chunk_tokens=chunk,
+                          overlap_tokens=overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (
+            r.chunk_text.split(" "), r.n_chunk_tokens)
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        chunks = got[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        covered = set()
+        for idx in range(len(chunks)):
+            words, n = chunks[idx]
+            assert len(words) == n
+            assert words == toks[idx * stride : idx * stride + chunk]
+            covered.update(range(idx * stride, idx * stride + n))
+        assert covered == set(range(len(toks)))
+        # reconstruction from stride prefixes
+        rebuilt = []
+        for idx in range(len(chunks)):
+            rebuilt.extend(chunks[idx][0][: stride]
+                           if idx < len(chunks) - 1 else chunks[idx][0])
+        # intermediate windows are full, so the stride prefix loses
+        # nothing except what the next window re-covers
+        assert rebuilt[: len(toks)] == toks
+
+
+def test_strip_html_nulls_and_idempotence(spark):
+    from hbase_snapshot_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "plain  text"), (3, "<p>x</p>")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.plain for r in strip_html(df).collect()}
+    assert out[1] is None
+    assert out[2] == "plain text"
+    # stripping already-stripped text is a fixpoint
+    df2 = spark.createDataFrame([(i, p) for i, p in out.items() if p],
+                                ["doc_id", "text"])
+    out2 = {r.doc_id: r.plain for r in strip_html(df2).collect()}
+    assert all(out2[i] == out[i] for i in out2)
+
+
+def test_preprocess_corpus_end_to_end(spark):
+    """The composed pipeline: gate → dedup → chunk → pack in one plan,
+    with exactly the two budgeted shuffles (dedup key + pack group)."""
+    from hbase_snapshot_spark.operators.pipeline import preprocess_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog is of a mind to sleep ") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " "),      # same fingerprint (ws-normalized) → dup
+            (3, "@@ ## $$ %% ^^"),  # punctuation soup → quality-gated
+            (4, "der hund und die katze ist nicht ein tier oder doch "
+                "und der tag ist nicht die nacht " * 2),
+        ],
+        ["doc_id", "text"],
+    )
+    out = preprocess_corpus(docs, chunk_tokens=16, overlap_tokens=4,
+                            pack_cap=32)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 4}  # 2 deduped away, 3 quality-gated
+    assert {r.lang for r in by_doc[1]} == {"en"}
+    assert {r.lang for r in by_doc[4]} == {"de"}
+    # chunk fan-out: doc 1 has 54 tokens → ceil(50/12) = 5 chunks
+    assert len(by_doc[1]) == 5
+    # packing is per-lang cumulative: first chunk of each lang at bin 0
+    for chunks in by_doc.values():
+        first = min(chunks, key=lambda r: r.chunk_idx)
+        assert first.bin_offset == 0 and first.bin == 0
+    # plan budget: exactly two hash Exchanges (dedup + pack), no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_preprocess_corpus_html_mode(spark):
+    from hbase_snapshot_spark.operators.pipeline import preprocess_corpus
+
+    body = ("the quick brown fox jumps over the lazy dog and the cat "
+            "is of the same mind ") * 2
+    docs = spark.createDataFrame(
+        [(1, f"<html><script>x()</script><p>{body}</p></html>")],
+        ["doc_id", "text"],
+    )
+    rows = preprocess_corpus(docs, html=True, chunk_tokens=64,
+                             overlap_tokens=8).collect()
+    assert rows and rows[0].lang == "en"
+    assert "script" not in rows[0].chunk_text
+    assert rows[0].chunk_text.startswith("the quick brown fox")
+
+
 def test_scrub_pii(spark):
     from hbase_snapshot_spark.operators.text import scrub_pii
 

@@ -1594,12 +1594,17 @@ def parse_webp(data: bytes) -> dict:
         raise ValueError("not a WebP payload")
     pos = 12
     out = {"variant": None, "width": None, "height": None,
-           "has_alpha": False, "has_animation": False}
+           "has_alpha": False, "has_animation": False,
+           "n_frames": None, "duration_ms": None}
     while pos + 8 <= len(data):
         cc = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + size]
-        if cc == b"VP8X" and len(body) >= 10:
+        if cc == b"ANMF" and len(body) >= 16:  # animation frame header
+            out["n_frames"] = (out["n_frames"] or 0) + 1
+            out["duration_ms"] = ((out["duration_ms"] or 0)
+                                  + int.from_bytes(body[12:15], "little"))
+        elif cc == b"VP8X" and len(body) >= 10:
             out["variant"] = out["variant"] or "extended"
             out["has_alpha"] |= bool(body[0] & 0x10)
             out["has_animation"] = bool(body[0] & 0x02)

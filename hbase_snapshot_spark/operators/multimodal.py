@@ -636,7 +636,10 @@ def probe_media(media: DataFrame) -> DataFrame:
             elif kind == "webp":
                 m = codecs.parse_webp(data)
                 row.update(format=f"webp/{m['variant']}",
-                           width=m["width"], height=m["height"])
+                           width=m["width"], height=m["height"],
+                           n_frames=m["n_frames"],
+                           n_keyframes=m["n_frames"],
+                           duration_ms=m["duration_ms"])
             elif kind == "png":
                 row.update(width=int.from_bytes(data[16:20], "big"),
                            height=int.from_bytes(data[20:24], "big"))

@@ -1441,6 +1441,12 @@ def test_webp_parse_variants():
     with pytest.raises(ValueError):
         codecs.parse_webp(_webp([(b"ICCP", b"\x00" * 4)]))
     assert codecs.sniff(_webp([(b"VP8 ", vp8 + b"\x00" * 8)])) == "webp"
+    # animated: ANMF frame headers carry per-frame duration (3 bytes LE)
+    anmf = (b"\x00" * 12 + (40).to_bytes(3, "little") + b"\x00")
+    anmf2 = (b"\x00" * 12 + (60).to_bytes(3, "little") + b"\x00")
+    m = codecs.parse_webp(_webp([(b"VP8X", vp8x), (b"ANMF", anmf),
+                                 (b"ANMF", anmf2)]))
+    assert m["n_frames"] == 2 and m["duration_ms"] == 100
 
 
 def test_probe_media_webp_and_mp4_brand(spark):

@@ -4,6 +4,7 @@ from hbase_snapshot_spark.operators import (
     embeddings,
     multimodal,
     packing,
+    pipeline,
     sampling,
     similarity,
     text,
@@ -15,6 +16,7 @@ __all__ = [
     "embeddings",
     "multimodal",
     "packing",
+    "pipeline",
     "sampling",
     "similarity",
     "text",

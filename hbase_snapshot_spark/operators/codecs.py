@@ -238,6 +238,19 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed scanline bytes → (h, w) pixel values
+    for 1/2/4-bit depths: big-endian within each byte (PNG spec §7.2,
+    leftmost pixel in the high bits), trailing pad bits dropped."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    if depth == 1:
+        return bits
+    groups = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -248,8 +261,8 @@ _ADAM7 = [
 def decode_png(data: bytes) -> np.ndarray:
     """PNG (non-interlaced AND Adam7-interlaced) → uint8 array:
     (h, w) gray or (h, w, 3) RGB (alpha dropped, palette expanded,
-    16-bit scaled to 8-bit).  Sub-byte depths raise
-    NotImplementedError."""
+    16-bit scaled to 8-bit, 1/2/4-bit gray scaled up and palette
+    indices expanded)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, plte = 8, None, [], None
@@ -275,11 +288,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
+    subbyte = depth in (1, 2, 4)
+    if subbyte:
+        if color not in (0, 3):  # spec §11.2.2: only gray/palette
+            raise ValueError(f"{depth}-bit color-type-{color} PNG invalid")
+    elif depth not in (8, 16) or (color == 3 and depth != 8):
         raise NotImplementedError(f"{depth}-bit color-type-{color} PNG unsupported")
     ch = _PNG_CHANNELS[color]
-    bpp = ch * depth // 8  # filter unit: bytes per complete pixel
-    stride = w * bpp
+    # filter unit: bytes per complete pixel; sub-byte depths filter on
+    # whole bytes (spec §9.2 "bpp is rounded up to one")
+    bpp = 1 if subbyte else ch * depth // 8
+    stride = (w * depth + 7) // 8 if subbyte else w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
         recon = np.zeros((h, w, bpp), np.uint8)
@@ -289,7 +308,7 @@ def decode_png(data: bytes) -> np.ndarray:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            sp = wp * bpp
+            sp = (wp * depth + 7) // 8 if subbyte else wp * bpp
             need = hp * (sp + 1)
             if pos + need > len(raw):
                 raise ValueError("truncated PNG pixel stream")
@@ -299,17 +318,29 @@ def decode_png(data: bytes) -> np.ndarray:
             pos += need
             rows = np.arange(hp) * dy + y0
             cols = np.arange(wp) * dx + x0
+            if subbyte:
+                sub = _png_unpack_subbyte(sub, wp, depth)[:, :, None]
             recon[np.ix_(rows, cols)] = sub.reshape(hp, wp, bpp)
-        recon = recon.reshape(h, stride)
+        if subbyte:
+            img = recon
+        else:
+            if depth == 16:  # high byte, as below
+                recon = recon.reshape(h, w, ch, 2)[:, :, :, 0]
+            img = recon.reshape(h, w, ch)
     else:
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG pixel stream")
         recon = _png_unfilter(
             raw[: h * (stride + 1)].reshape(h, stride + 1), h, stride, bpp
         )
-    if depth == 16:  # take the high byte (exact for the 0xhhhh replication case)
-        recon = recon.reshape(h, w, ch, 2)[:, :, :, 0]
-    img = recon.reshape(h, w, ch)
+        if subbyte:
+            img = _png_unpack_subbyte(recon, w, depth)[:, :, None]
+        else:
+            if depth == 16:  # high byte (exact for 0xhhhh replication)
+                recon = recon.reshape(h, w, ch, 2)[:, :, :, 0]
+            img = recon.reshape(h, w, ch)
+    if subbyte and color == 0:  # scale to full 8-bit range (spec §12.5)
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if color == 3:  # palette → RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -468,9 +499,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     selection + successive approximation for progressive, spec Annex
     G; predictive differences for lossless) + dequantization +
     orthonormal IDCT + nearest chroma upsample + JFIF YCbCr→RGB, all
-    dependency-free.  >8-bit lossless samples map to the high byte
-    (the 16-bit PNG/TIFF convention).  Arithmetic-coded, hierarchical,
-    and CMYK streams raise NotImplementedError.  Entropy decode is
+    dependency-free.  4-component CMYK/YCCK (Adobe APP14, TN #5116)
+    composites to RGB.  >8-bit lossless samples map to the high byte
+    (the 16-bit PNG/TIFF convention).  Arithmetic-coded and
+    hierarchical streams raise NotImplementedError.  Entropy decode is
     sequential per MCU (the format is a bit-serial prefix code); the
     per-block math is numpy."""
     if data[:2] != b"\xff\xd8":
@@ -485,6 +517,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     precision = 8
     planes = None  # lossless sample planes: cid -> (h, w) int32
     restart_interval = 0
+    adobe = None  # APP14 color transform: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -531,10 +564,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-            if len(comps) not in (1, 3):
+            if len(comps) not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{len(comps)}-component JPEG (CMYK?) unsupported"
+                    f"{len(comps)}-component JPEG unsupported"
                 )
+            if len(comps) == 4 and marker == 0xC3:
+                raise NotImplementedError("4-component lossless JPEG unsupported")
             frame = (h, w, comps)
             if marker == 0xC2:
                 progressive = True
@@ -582,7 +617,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 return _jpeg_decode_scan(
                     h, w, comps, {c: (d, a) for c, d, a in scan_comps},
-                    qt, huff_dc, huff_ac, segs, restart_interval,
+                    qt, huff_dc, huff_ac, segs, restart_interval, adobe,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
@@ -592,10 +627,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
             pos = end
             continue
-        # APPn / COM / anything else: skip
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14 (TN #5116)
+            adobe = body[11] if len(body) >= 12 else 0
+        # other APPn / COM: skip
         pos += 2 + seg_len
     if progressive and coef is not None:
-        return _jpeg_progressive_finish(frame, qt, coef)
+        return _jpeg_progressive_finish(frame, qt, coef, adobe)
     if lossless and planes is not None:
         h, w, comps = frame
         chans = [planes[cid] for cid, *_ in comps]
@@ -607,7 +644,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _jpeg_decode_scan(
-    h, w, comps, scan_tables, qt, huff_dc, huff_ac, segs, restart_interval
+    h, w, comps, scan_tables, qt, huff_dc, huff_ac, segs, restart_interval,
+    adobe=None,
 ) -> np.ndarray:
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
@@ -666,7 +704,7 @@ def _jpeg_decode_scan(
             break
     if mcu < n_mcus:
         raise ValueError(f"truncated JPEG scan: {mcu}/{n_mcus} MCUs decoded")
-    return _jpeg_idct_assemble(h, w, comps, qt, coef)
+    return _jpeg_idct_assemble(h, w, comps, qt, coef, adobe)
 
 
 def _jpeg_progressive_scan(
@@ -909,12 +947,12 @@ def _prog_ac_refine(reader, blk, ss, se, al, table, eobrun) -> int:
     return eobrun
 
 
-def _jpeg_progressive_finish(frame, qt, coef) -> np.ndarray:
+def _jpeg_progressive_finish(frame, qt, coef, adobe=None) -> np.ndarray:
     h, w, comps = frame
-    return _jpeg_idct_assemble(h, w, comps, qt, coef)
+    return _jpeg_idct_assemble(h, w, comps, qt, coef, adobe)
 
 
-def _jpeg_idct_assemble(h, w, comps, qt, coef) -> np.ndarray:
+def _jpeg_idct_assemble(h, w, comps, qt, coef, adobe=None) -> np.ndarray:
     """All coefficients decoded (sequential or progressive): dequantize
     the accumulated zigzag coefficients, batched IDCT (one einsum per
     component), reassemble planes, upsample + color-convert."""
@@ -932,13 +970,26 @@ def _jpeg_idct_assemble(h, w, comps, qt, coef) -> np.ndarray:
         # per-block  _DCT8.T @ blk @ _DCT8
         spatial = _DCT8.T @ blocks @ _DCT8 + 128.0
         planes[cid] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return _jpeg_reconstruct(h, w, comps, planes, max_h, max_v)
+    return _jpeg_reconstruct(h, w, comps, planes, max_h, max_v, adobe)
 
 
-def _jpeg_reconstruct(h, w, comps, planes, max_h, max_v) -> np.ndarray:
+def _ycc_to_rgb(y, cb, cr):
+    """JFIF YCbCr→RGB (CCIR 601 constants)."""
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def _jpeg_reconstruct(h, w, comps, planes, max_h, max_v, adobe=None) -> np.ndarray:
     """Component planes → output image: nearest chroma upsample (the
     box replicate JFIF decoders use for 2x factors), crop to (h, w),
-    JFIF YCbCr→RGB for 3 components."""
+    JFIF YCbCr→RGB for 3 components.  4 components = CMYK/YCCK per
+    the Adobe APP14 transform (TN #5116): transform 2 applies the
+    YCbCr math to the first three planes first; with the Adobe marker
+    present the stored values are INVERTED ink (the Photoshop
+    convention), without it they are raw ink.  Output composites to
+    (h, w, 3) RGB: R = (255-C)(255-K)/255 etc."""
     full = []
     for cid, ch, cv, _tq in comps:
         plane = planes[cid]
@@ -947,10 +998,21 @@ def _jpeg_reconstruct(h, w, comps, planes, max_h, max_v) -> np.ndarray:
         full.append(plane[rows][:, cols])
     if len(full) == 1:
         return _round_clip_u8(full[0])
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    if len(full) == 3:
+        r, g, b = _ycc_to_rgb(full[0], full[1] - 128.0, full[2] - 128.0)
+        return _round_clip_u8(np.stack([r, g, b], axis=-1))
+    # 4-component CMYK family
+    if adobe == 2:  # YCCK: first three planes carry YCbCr(255-ink CMY)
+        sc, sm, sy = _ycc_to_rgb(full[0], full[1] - 128.0, full[2] - 128.0)
+        sk = full[3]
+    elif adobe is not None:  # Adobe CMYK: stored inverted (255-ink)
+        sc, sm, sy, sk = full
+    else:  # bare 4-component: raw ink values
+        sc, sm, sy, sk = (255.0 - p for p in full)
+    # s* are (255-ink); composite: R = sC*sK/255
+    r = sc * sk / 255.0
+    g = sm * sk / 255.0
+    b = sy * sk / 255.0
     return _round_clip_u8(np.stack([r, g, b], axis=-1))
 
 
@@ -1095,11 +1157,15 @@ def _encode_block(writer, zz, pred, dc_codes, ac_codes) -> int:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF JPEG
-    (SOF0, 4:4:4, quality-scaled Annex K quant tables).  The complement
-    of :func:`decode_jpeg` for thumbnail re-encode pipelines."""
+    """uint8 (h, w) gray, (h, w, 3) RGB, or (h, w, 4) CMYK (raw ink
+    values) → baseline JFIF JPEG (SOF0, 4:4:4, quality-scaled Annex K
+    quant tables).  CMYK writes the Adobe APP14 marker (transform 0)
+    and stores inverted ink per the Photoshop convention — what
+    :func:`decode_jpeg` expects back.  The complement of
+    :func:`decode_jpeg` for thumbnail re-encode pipelines."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -1112,6 +1178,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     if gray:
         planes = [img.astype(np.float64)]
+    elif cmyk:
+        # inverted-ink storage; all four planes share the luma table
+        planes = [255.0 - img[:, :, c].astype(np.float64) for c in range(4)]
+        qtabs = qtabs[:1]
     else:
         rf = img[:, :, 0].astype(np.float64)
         gf = img[:, :, 1].astype(np.float64)
@@ -1151,11 +1221,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:  # Adobe APP14, transform 0 (no color transform applied)
+        out += seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     for tid, qtab in enumerate(qtabs):
         zz_tab = np.empty(64, np.int32)
         zz_tab[:] = qtab[_ZIGZAG]  # DQT stores zigzag order
         out += seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz_tab))
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])

@@ -452,10 +452,68 @@ def test_png_adam7_interlaced():
         np.testing.assert_array_equal(out, img, err_msg=str(shape))
 
 
-def test_png_subbyte_raises():
+def _pack_subbyte_rows(img: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) pixel values → (h, stride) packed scanline bytes,
+    big-endian within each byte (spec §7.2)."""
+    h, w = img.shape
+    bits = np.zeros((h, w, depth), np.uint8)
+    for b in range(depth):
+        bits[:, :, b] = (img >> (depth - 1 - b)) & 1
+    flat = bits.reshape(h, w * depth)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros((h, pad), np.uint8)], axis=1)
+    return np.packbits(flat, axis=1)
+
+
+def test_png_1bit_gray_all_filters():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 2, size=(5, 11), dtype=np.uint8)
+    packed = _pack_subbyte_rows(img, 1)
+    scan = _png_forward_filter(packed, bpp=1, ftypes=[0, 1, 2, 3, 4])
+    out = codecs.decode_png(_png_chunks(11, 5, 1, 0, 0, scan))
+    np.testing.assert_array_equal(out, img * 255)
+
+
+def test_png_2bit_gray_scaling():
+    img = np.array([[0, 1, 2, 3, 3, 2, 1, 0, 2]], np.uint8)
+    packed = _pack_subbyte_rows(img, 2)
+    scan = _png_forward_filter(packed, bpp=1, ftypes=[0])
+    out = codecs.decode_png(_png_chunks(9, 1, 2, 0, 0, scan))
+    np.testing.assert_array_equal(out, img * 85)  # 255 // 3
+
+
+def test_png_4bit_palette():
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 16, size=(4, 7), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    packed = _pack_subbyte_rows(idx, 4)
+    scan = _png_forward_filter(packed, bpp=1, ftypes=[0, 2, 1, 4])
+    out = codecs.decode_png(
+        _png_chunks(7, 4, 4, 3, 0, scan, plte=pal.tobytes()))
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_png_4bit_gray_adam7():
+    from hbase_snapshot_spark.operators.codecs import _ADAM7
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 16, size=(9, 10), dtype=np.uint8)
+    scan = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        packed = _pack_subbyte_rows(sub, 4)
+        scan += _png_forward_filter(
+            packed, bpp=1, ftypes=[y % 5 for y in range(sub.shape[0])])
+    out = codecs.decode_png(_png_chunks(10, 9, 4, 0, 1, bytes(scan)))
+    np.testing.assert_array_equal(out, img.astype(int) * 255 // 15)
+
+
+def test_png_subbyte_rgb_invalid():
     scan = _png_forward_filter(np.zeros((1, 3), np.uint8), 1, [0])
-    with pytest.raises(NotImplementedError, match="unsupported"):
-        codecs.decode_png(_png_chunks(3, 1, 4, 0, 0, scan))
+    with pytest.raises(ValueError, match="invalid"):
+        codecs.decode_png(_png_chunks(3, 1, 4, 2, 0, scan))
 
 
 # -------------------------------------------------- JPEG (hand-rolled)
@@ -995,6 +1053,84 @@ def test_jpeg_lossless_12bit_high_byte():
     img12 = rng.randint(0, 4096, size=(5, 5), dtype=np.int64)
     out = codecs.decode_jpeg(_lossless_jpeg(img12, predictor=2, precision=12))
     np.testing.assert_array_equal(out, (img12 >> 4).astype(np.uint8))
+
+
+# ------------------------------------------------- JPEG CMYK / YCCK
+
+
+def _cmyk_expected_rgb(cmyk):
+    """Analytic composite: R = (255-C)(255-K)/255 etc., rounded."""
+    s = 255.0 - cmyk.astype(np.float64)
+    rgb = np.stack([s[..., 0] * s[..., 3], s[..., 1] * s[..., 3],
+                    s[..., 2] * s[..., 3]], axis=-1) / 255.0
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_cmyk_roundtrip():
+    """encode_jpeg (CMYK, Adobe APP14 transform 0) → decode_jpeg
+    recovers the analytic CMYK→RGB composite within DCT error."""
+    cmyk = np.zeros((16, 16, 4), np.uint8)
+    cmyk[:, :, 0] = 200   # heavy cyan
+    cmyk[:8, :, 1] = 60   # some magenta top half
+    cmyk[:, :8, 3] = 30   # light black left half
+    enc = codecs.encode_jpeg(cmyk, quality=97)
+    assert b"Adobe" in enc
+    dec = codecs.decode_jpeg(enc)
+    assert dec.shape == (16, 16, 3)
+    exp = _cmyk_expected_rgb(cmyk)
+    assert np.abs(dec.astype(int) - exp.astype(int)).max() <= 6
+
+
+def test_jpeg_cmyk_no_adobe_marker_raw_ink():
+    """Without APP14 the 4 planes are read as RAW ink.  Strip the
+    marker from an encoder output: stored values are inverted ink, so
+    the decoder's ink' = 255 - ink and the composite flips."""
+    cmyk = np.full((8, 8, 4), 0, np.uint8)
+    cmyk[:, :, 3] = 255  # solid black ink
+    enc = codecs.encode_jpeg(cmyk, quality=100)
+    i = enc.index(b"\xff\xee")
+    seg_len = int.from_bytes(enc[i + 2 : i + 4], "big")
+    stripped = enc[:i] + enc[i + 2 + seg_len :]
+    assert b"Adobe" not in stripped
+    dec = codecs.decode_jpeg(stripped)
+    # stored planes are (255,255,255,0) = inverted ink; read raw:
+    # ink=(255,255,255,0) → s=(0,0,0,255) → RGB ≈ 0
+    assert dec.shape == (8, 8, 3)
+    assert dec.max() <= 4
+    # and WITH the marker the same file is solid black too
+    # (ink K=255): both conventions agree here by construction
+    assert codecs.decode_jpeg(enc).max() <= 4
+
+
+def test_jpeg_ycck_transform2():
+    """Patch an encoder output into YCCK: craft CMYK input whose
+    inverted planes equal (Y, Cb, Cr, sK) of a target color, then flip
+    the APP14 transform byte to 2 — decode must invert the YCbCr step
+    first and land on the target composite."""
+    sc, sm, sy, sk = 200.0, 150.0, 100.0, 220.0  # inverted-ink targets
+    y = 0.299 * sc + 0.587 * sm + 0.114 * sy
+    cb = -0.168736 * sc - 0.331264 * sm + 0.5 * sy + 128.0
+    cr = 0.5 * sc - 0.418688 * sm - 0.081312 * sy + 128.0
+    planes = np.array([y, cb, cr, sk])
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:, :] = np.clip(np.rint(255.0 - planes), 0, 255).astype(np.uint8)
+    enc = bytearray(codecs.encode_jpeg(img, quality=100))
+    t = enc.index(b"Adobe") + 11
+    assert enc[t] == 0
+    enc[t] = 2
+    dec = codecs.decode_jpeg(bytes(enc))
+    exp = np.array([sc * sk, sm * sk, sy * sk]) / 255.0
+    assert np.abs(dec[4, 4].astype(float) - exp).max() <= 8.0
+
+
+def test_jpeg_5_component_raises():
+    img = np.zeros((8, 8, 3), np.uint8)
+    enc = bytearray(codecs.encode_jpeg(img))
+    i = enc.index(b"\xff\xc0")
+    # ncomp byte is at SOF body offset 5 (precision 1 + h 2 + w 2)
+    enc[i + 4 + 5] = 5
+    with pytest.raises((NotImplementedError, ValueError, IndexError)):
+        codecs.decode_jpeg(bytes(enc))
 
 
 # --------------------------------------------------------------- ADPCM

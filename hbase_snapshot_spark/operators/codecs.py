@@ -47,9 +47,9 @@ import numpy as np
 
 def sniff(data: bytes) -> str | None:
     """Cheap magic-byte format detection:
-    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'webp' | 'wav' |
-    'aiff' | 'au' | 'flac' | 'ogg' | 'ebml' | 'mp4' | 'aac' | 'mp3' |
-    None."""
+    'pnm' | 'bmp' | 'png' | 'gif' | 'tiff' | 'jpeg' | 'webp' | 'avi' |
+    'wav' | 'aiff' | 'au' | 'flac' | 'ogg' | 'ebml' | 'mp4' | 'aac' |
+    'mp3' | None."""
     if data is None or len(data) < 12:
         return None
     if data[:2] in (b"P5", b"P6"):
@@ -70,6 +70,8 @@ def sniff(data: bytes) -> str | None:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
     if data[:4] == b".snd":
@@ -3162,3 +3164,81 @@ def parse_ebml(data: bytes) -> dict:
         duration_ms = round(duration_units * tscale / 1_000_000)
     return {"doctype": doctype, "duration_ms": duration_ms,
             "tracks": tracks}
+
+
+# --------------------------------------------------------- AVI (RIFF)
+# AVI 1.0 (Microsoft "AVI RIFF File Reference", public): RIFF chunks
+# with nested LIST containers — hdrl carries avih (main header) and
+# one strl per stream (strh/strf); the optional idx1 index flags
+# keyframes (AVIIF_KEYFRAME = 0x10).  Header walk only — the video
+# payloads (MJPEG/MPEG-4/DV fourccs) stay opaque, same policy as
+# MP4/Matroska.
+
+
+def parse_avi(data: bytes) -> dict:
+    """AVI walk → {duration_ms, n_frames, width, height, streams:
+    [{type, fourcc, rate, length, sample_rate, channels}],
+    n_keyframes (None without an idx1 index)}."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    avih = None
+    streams: list[dict] = []
+    n_keyframes = None
+
+    def walk(start: int, end: int, in_strl: bool) -> None:
+        nonlocal avih, n_keyframes
+        pos = start
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body_s, body_e = pos + 8, min(pos + 8 + size, end)
+            if cid == b"LIST":
+                ltype = data[body_s : body_s + 4]
+                walk(body_s + 4, body_e, ltype == b"strl")
+            elif cid == b"avih" and size >= 40:
+                b = data[body_s:body_e]
+                avih = {
+                    "usec_per_frame": int.from_bytes(b[0:4], "little"),
+                    "total_frames": int.from_bytes(b[16:20], "little"),
+                    "width": int.from_bytes(b[32:36], "little"),
+                    "height": int.from_bytes(b[36:40], "little"),
+                }
+            elif cid == b"strh" and in_strl and size >= 36:
+                b = data[body_s:body_e]
+                scale = int.from_bytes(b[20:24], "little")
+                rate = int.from_bytes(b[24:28], "little")
+                streams.append({
+                    "type": b[0:4].decode("latin-1"),
+                    "fourcc": b[4:8].rstrip(b"\x00").decode("latin-1"),
+                    "rate": (rate / scale) if scale else None,
+                    "length": int.from_bytes(b[32:36], "little"),
+                    "sample_rate": None, "channels": None,
+                })
+            elif cid == b"strf" and in_strl and streams and size >= 16:
+                if streams[-1]["type"] == "auds":  # WAVEFORMATEX
+                    b = data[body_s:body_e]
+                    streams[-1]["channels"] = int.from_bytes(b[2:4], "little")
+                    streams[-1]["sample_rate"] = int.from_bytes(
+                        b[4:8], "little")
+            elif cid == b"idx1":
+                nk = 0
+                for i in range(body_s, body_e - 15, 16):
+                    two_cc = data[i + 2 : i + 4]
+                    flags = int.from_bytes(data[i + 4 : i + 8], "little")
+                    if two_cc in (b"dc", b"db") and flags & 0x10:
+                        nk += 1
+                n_keyframes = nk
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, min(len(data), 8 + int.from_bytes(data[4:8], "little")), False)
+    n_frames = avih["total_frames"] if avih else None
+    upf = avih["usec_per_frame"] if avih else 0
+    return {
+        "width": avih["width"] if avih else None,
+        "height": avih["height"] if avih else None,
+        "n_frames": n_frames,
+        "n_keyframes": n_keyframes,
+        "duration_ms": round(n_frames * upf / 1000)
+        if n_frames is not None and upf else None,
+        "streams": streams,
+    }

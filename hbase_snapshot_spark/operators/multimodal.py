@@ -498,8 +498,9 @@ def probe_media(media: DataFrame) -> DataFrame:
     GIF via codecs.parse_gif (block walk, no LZW decode), FLAC via
     codecs.parse_flac (STREAMINFO), Ogg via codecs.parse_ogg (page walk
     + Vorbis/Opus/FLAC/Theora/Speex ID headers), Matroska/WebM via
-    codecs.parse_ebml (Info + Tracks), AIFF/AU via their header walks,
-    WAV/y4m/PNG/BMP/JPEG/PNM via their native headers.  Unknown
+    codecs.parse_ebml (Info + Tracks), AVI via codecs.parse_avi (hdrl
+    stream headers + idx1 keyframe index), AIFF/AU via their header
+    walks, WAV/y4m/PNG/BMP/JPEG/PNM via their native headers.  Unknown
     payloads yield format=None rather than raising — a probe must
     never kill the batch."""
 
@@ -630,6 +631,21 @@ def probe_media(media: DataFrame) -> DataFrame:
                     duration_ms=m["duration_ms"])
                 if vid:
                     row.update(width=vid["width"], height=vid["height"])
+                if aud:
+                    row.update(sample_rate=aud["sample_rate"],
+                               channels=aud["channels"])
+            elif kind == "avi":
+                m = codecs.parse_avi(data)
+                vid = next((s for s in m["streams"]
+                            if s["type"] == "vids"), None)
+                aud = next((s for s in m["streams"]
+                            if s["type"] == "auds"), None)
+                fourcc = vid["fourcc"] if vid and vid["fourcc"] else None
+                row.update(
+                    format=f"avi/{fourcc}" if fourcc else "avi",
+                    width=m["width"], height=m["height"],
+                    n_frames=m["n_frames"], n_keyframes=m["n_keyframes"],
+                    duration_ms=m["duration_ms"])
                 if aud:
                     row.update(sample_rate=aud["sample_rate"],
                                channels=aud["channels"])

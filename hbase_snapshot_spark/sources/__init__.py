@@ -8,3 +8,8 @@ from hbase_snapshot_spark.sources.tools import (
     row_count,
     unmelt,
 )
+from hbase_snapshot_spark.sources.warc import (
+    read_warc,
+    warc_records_to_documents,
+    warc_to_documents,
+)

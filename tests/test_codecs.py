@@ -2587,3 +2587,78 @@ def test_probe_media_wav_stereo_channels(spark):
     assert row.format == "wav" and row.channels == 2
     assert row.sample_rate == 8000 and row.n_frames == 3  # frames, not samples
     assert row.duration_ms == round(3 * 1000 / 8000)
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def _avi_fixture(n_frames=10, upf=40000, w=320, h=240, with_idx=True,
+                 with_audio=True):
+    """Minimal spec-shaped AVI: RIFF(AVI )>LIST hdrl(avih, strl vids
+    [+ strl auds]) + LIST movi + idx1 flagging every 5th video frame
+    a keyframe."""
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIII", upf, 0, 0, 0, n_frames, 0, 0, 0, w, h)
+    strh_v = (b"vids" + b"MJPG" + b"\x00" * 12
+              + struct.pack("<II", 1, 25)       # scale, rate
+              + struct.pack("<II", 0, n_frames))  # start, length
+    strl_v = lst(b"strl", chunk(b"strh", strh_v)
+                 + chunk(b"strf", b"\x00" * 40))
+    hdrl_body = chunk(b"avih", avih) + strl_v
+    if with_audio:
+        strh_a = (b"auds" + b"\x00" * 16
+                  + struct.pack("<II", 1, 44100)
+                  + struct.pack("<II", 0, 44100))
+        wfx = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+        hdrl_body += lst(b"strl", chunk(b"strh", strh_a)
+                         + chunk(b"strf", wfx))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00dc", b"\xff" * 7) for _ in range(n_frames)))
+    idx = b""
+    if with_idx:
+        entries = b""
+        for i in range(n_frames):
+            flags = 0x10 if i % 5 == 0 else 0
+            entries += b"00dc" + struct.pack("<III", flags, 4 + i * 16, 6)
+        idx = chunk(b"idx1", entries)
+    body = b"AVI " + lst(b"hdrl", hdrl_body) + movi + idx
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_parse():
+    m = codecs.parse_avi(_avi_fixture())
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["n_frames"] == 10
+    assert m["duration_ms"] == 400  # 10 frames at 40 ms
+    assert m["n_keyframes"] == 2    # frames 0 and 5
+    kinds = {s["type"]: s for s in m["streams"]}
+    assert kinds["vids"]["fourcc"] == "MJPG"
+    assert kinds["vids"]["rate"] == 25.0 and kinds["vids"]["length"] == 10
+    assert kinds["auds"]["sample_rate"] == 44100
+    assert kinds["auds"]["channels"] == 2
+
+
+def test_avi_parse_no_index_no_audio():
+    m = codecs.parse_avi(_avi_fixture(with_idx=False, with_audio=False))
+    assert m["n_keyframes"] is None
+    assert [s["type"] for s in m["streams"]] == ["vids"]
+    with pytest.raises(ValueError):
+        codecs.parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_sniff_and_probe(spark):
+    avi = _avi_fixture()
+    assert codecs.sniff(avi) == "avi"
+    df = _media_df(spark, [avi], kind="video")
+    r = multimodal.probe_media(df).first()
+    assert r["format"] == "avi/MJPG"
+    assert (r["width"], r["height"]) == (320, 240)
+    assert r["n_frames"] == 10 and r["n_keyframes"] == 2
+    assert r["duration_ms"] == 400
+    assert r["sample_rate"] == 44100 and r["channels"] == 2

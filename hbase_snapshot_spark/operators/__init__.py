@@ -1,5 +1,6 @@
 from hbase_snapshot_spark.operators import (
     asof,
+    bpe,
     dedup,
     embeddings,
     multimodal,
@@ -12,6 +13,7 @@ from hbase_snapshot_spark.operators import (
 
 __all__ = [
     "asof",
+    "bpe",
     "dedup",
     "embeddings",
     "multimodal",

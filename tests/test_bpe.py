@@ -163,3 +163,36 @@ def test_encode_feeds_packing_schema(spark, corpus):
         "doc_id", "token_ids", "n_tokens"]
     total = out.agg({"n_tokens": "sum"}).first()[0]
     assert total and total > 0
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_pretokenize_exact_partition_property(t):
+    assert "".join(B.pretokenize(t)) == t
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=1, max_size=30), min_size=1, max_size=10))
+def test_bpe_decode_inverts_encode_property(texts):
+    """With a vocab trained on the corpus itself (min_freq=1, no cap),
+    every character is a base symbol, so decode∘encode is exact."""
+    freqs = {}
+    for t in texts:
+        for w in B.pretokenize(t):
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = B._merge_loop(dict(freqs), 50)
+    base = set()
+    for w in freqs:
+        if w:
+            base.update(w[:-1])
+            base.add(w[-1] + B.END_OF_WORD)
+    tok = B.BpeTokenizer(merges, sorted(base))
+    for t in texts:
+        assert tok.decode(tok.encode(t)) == t

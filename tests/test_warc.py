@@ -248,3 +248,46 @@ def test_corrupt_gzip_member_surfaces_truncated(spark, tmp_path):
     rows = W.read_warc(spark, str(tmp_path / "corrupt.warc.gz")).collect()
     assert sum(1 for r in rows if not r.truncated) == 2
     assert sum(1 for r in rows if r.truncated) == 1
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings, strategies as st
+
+
+_rec_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["response", "request", "metadata", "conversion"]),
+        st.binary(min_size=0, max_size=200),
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(recs=_rec_strategy, gz=st.booleans())
+def test_warc_write_parse_roundtrip_property(recs, gz):
+    """Any record list survives write→parse byte-exactly, gzipped or
+    plain — blocks with CRLFs, WARC-like magic, or gzip magic inside
+    must not confuse the splitter (Content-Length framing)."""
+    records = [
+        {"headers": {"WARC-Type": t, "WARC-Record-ID": f"<urn:r{i}>",
+                     "Content-Type": "application/octet-stream"},
+         "block": b}
+        for i, (t, b) in enumerate(recs)
+    ]
+    data = W.write_warc_file(records, gzip_members=gz)
+    out = list(W.iter_warc_records(data, on_error="raise"))
+    assert len(out) == len(records)
+    for (_, headers, block, trunc), rec in zip(out, records):
+        assert not trunc
+        assert block == rec["block"]
+        assert headers["warc-record-id"] == rec["headers"]["WARC-Record-ID"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(body=st.binary(max_size=300))
+def test_charset_never_raises_property(body):
+    for ct in (None, "text/html", "text/html; charset=utf-8",
+               "text/html; charset=nonsense"):
+        assert isinstance(W.decode_charset(body, ct), str)

@@ -520,6 +520,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     planes = None  # lossless sample planes: cid -> (h, w) int32
     restart_interval = 0
     adobe = None  # APP14 color transform: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
+    seq_coef = None  # multi-scan sequential coefficient state
+    seq_seen: set = set()
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -613,14 +615,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pos = end
                 continue
             if not progressive:
-                if ns != len(comps):
-                    raise NotImplementedError(
-                        "non-interleaved multi-scan sequential JPEG unsupported"
+                if ns == len(comps) and seq_coef is None:
+                    return _jpeg_decode_scan(
+                        h, w, comps, {c: (d, a) for c, d, a in scan_comps},
+                        qt, huff_dc, huff_ac, segs, restart_interval, adobe,
                     )
-                return _jpeg_decode_scan(
-                    h, w, comps, {c: (d, a) for c, d, a in scan_comps},
-                    qt, huff_dc, huff_ac, segs, restart_interval, adobe,
+                # multi-scan sequential (§B.2.3): components split
+                # across scans — accumulate, IDCT once at EOI
+                if seq_coef is None:
+                    max_h = max(c[1] for c in comps)
+                    max_v = max(c[2] for c in comps)
+                    mx, my = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+                    seq_coef = {
+                        cid: np.zeros((my * cv, mx * ch, 64), np.int32)
+                        for cid, ch, cv, _tq in comps
+                    }
+                _jpeg_sequential_partial_scan(
+                    frame, scan_comps, seq_coef, huff_dc, huff_ac,
+                    segs, restart_interval,
                 )
+                seq_seen.update(c for c, _d, _a in scan_comps)
+                pos = end
+                continue
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             _jpeg_progressive_scan(
@@ -635,6 +651,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if progressive and coef is not None:
         return _jpeg_progressive_finish(frame, qt, coef, adobe)
+    if seq_coef is not None:
+        h, w, comps = frame
+        missing = {c[0] for c in comps} - seq_seen
+        if missing:
+            raise ValueError(
+                f"multi-scan sequential JPEG missing components {missing}")
+        return _jpeg_idct_assemble(h, w, comps, qt, seq_coef, adobe)
     if lossless and planes is not None:
         h, w, comps = frame
         chans = [planes[cid] for cid, *_ in comps]
@@ -707,6 +730,86 @@ def _jpeg_decode_scan(
     if mcu < n_mcus:
         raise ValueError(f"truncated JPEG scan: {mcu}/{n_mcus} MCUs decoded")
     return _jpeg_idct_assemble(h, w, comps, qt, coef, adobe)
+
+
+def _seq_decode_block(decode, bits, dc_tab, ac_tab, pred, cid):
+    """One full sequential block (DC diff + 63 AC) → zigzag list."""
+    zz = [0] * 64
+    t = decode(dc_tab)
+    diff = _extend(bits(t), t) if t else 0
+    pred[cid] += diff
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = decode(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient overrun")
+        zz[k] = _extend(bits(s), s)
+        k += 1
+    return zz
+
+
+def _jpeg_sequential_partial_scan(
+    frame, scan_comps, coef, huff_dc, huff_ac, segs, restart_interval
+):
+    """A sequential scan covering a SUBSET of the frame components
+    (spec §B.2.3 allows each sequential frame to split its components
+    across scans): ns==1 walks the component's own block raster,
+    ns>1 the frame MCU grid restricted to the scan's components.
+    Coefficients accumulate into the shared ``coef`` arrays; the IDCT
+    runs once after the last scan."""
+    h, w, comps = frame
+    by_id = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+    single = len(scan_comps) == 1
+    if single:
+        cid0, _d, _a = scan_comps[0]
+        ch0, cv0 = by_id[cid0]
+        bw = _ceil_div(_ceil_div(w * ch0, max_h), 8)
+        bh = _ceil_div(_ceil_div(h * cv0, max_v), 8)
+        n_units = bw * bh
+    else:
+        n_units = mcus_x * mcus_y
+    unit = 0
+    for seg in segs:
+        reader = _JpegBitReader(seg)
+        decode, bits = reader.decode_huffman, reader.read_bits
+        pred = {cid: 0 for cid, _d, _a in scan_comps}
+        seg_units = (
+            min(restart_interval, n_units - unit)
+            if restart_interval else n_units - unit
+        )
+        for _ in range(seg_units):
+            if single:
+                cid, dtab, atab = scan_comps[0]
+                y, x = divmod(unit, bw)
+                coef[cid][y, x] = _seq_decode_block(
+                    decode, bits, huff_dc[dtab], huff_ac[atab], pred, cid)
+            else:
+                my, mx = divmod(unit, mcus_x)
+                for cid, dtab, atab in scan_comps:
+                    ch, cv = by_id[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef[cid][my * cv + by, mx * ch + bx] = (
+                                _seq_decode_block(
+                                    decode, bits, huff_dc[dtab],
+                                    huff_ac[atab], pred, cid))
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError(
+            f"truncated JPEG partial scan: {unit}/{n_units} units")
 
 
 def _jpeg_progressive_scan(

@@ -2662,3 +2662,165 @@ def test_avi_sniff_and_probe(spark):
     assert r["n_frames"] == 10 and r["n_keyframes"] == 2
     assert r["duration_ms"] == 400
     assert r["sample_rate"] == 44100 and r["channels"] == 2
+
+
+# ------------------------------------ multi-scan sequential JPEG (§B.2.3)
+
+
+def _multiscan_from_encoder(img, quality=95):
+    """Re-emit encode_jpeg's exact quantized coefficients as THREE
+    single-component sequential scans (the spec's non-interleaved
+    layout).  Headers and tables identical to encode_jpeg 4:4:4 — so
+    the decode must equal decode(encode_jpeg(img)) EXACTLY."""
+    from hbase_snapshot_spark.operators.codecs import (
+        _DCT8, _ZIGZAG, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS, _ENC_DC_COUNTS,
+        _ENC_DC_SYMBOLS, _JPEG_Q_CHROMA, _JPEG_Q_LUMA, _enc_codes,
+        _encode_block, _JpegBitWriter,
+    )
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    q = quality
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qtabs = [np.clip((b * scale + 50) // 100, 1, 255).astype(np.int32)
+             for b in (_JPEG_Q_LUMA, _JPEG_Q_CHROMA)]
+    rf, gf, bf = (img[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * rf + 0.587 * gf + 0.114 * bf,
+        -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0,
+        0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0,
+    ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    dc = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qtab in enumerate(qtabs):
+        zz = np.empty(64, np.int32)
+        zz[:] = qtab[_ZIGZAG]
+        out += seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xC0, sof)
+    for cls, counts, syms in [(0, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS),
+                              (1, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS)]:
+        for tid in (0, 1):
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + counts + syms)
+    # one SOS per component, blocks in the component's raster order
+    for ci, p in enumerate(padded):
+        tid = 0 if ci == 0 else 1
+        out += seg(0xDA, bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0]))
+        writer = _JpegBitWriter()
+        pred = 0
+        qtab = qtabs[min(ci, 1)]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeff = _DCT8 @ blk @ _DCT8.T
+                zz = np.round(
+                    coeff.reshape(64)[_ZIGZAG] / qtab[_ZIGZAG]).astype(np.int64)
+                pred = _encode_block(writer, zz, pred, dc, ac)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_multiscan_sequential_equals_interleaved():
+    x = np.linspace(0, 255, 24)
+    rgb = np.stack([
+        np.clip(np.add.outer(x, x) / 2, 0, 255),
+        np.tile(x, (24, 1)),
+        np.tile(x[::-1], (24, 1)),
+    ], axis=-1).astype(np.uint8)
+    inter = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=95))
+    multi = codecs.decode_jpeg(_multiscan_from_encoder(rgb, quality=95))
+    np.testing.assert_array_equal(multi, inter)
+    # odd size exercises the padding/crop path per-component
+    odd = rgb[:19, :21]
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(_multiscan_from_encoder(odd)),
+        codecs.decode_jpeg(codecs.encode_jpeg(odd, quality=95)))
+
+
+def test_jpeg_multiscan_missing_component_raises():
+    rgb = np.full((8, 8, 3), 90, np.uint8)
+    data = _multiscan_from_encoder(rgb)
+    # drop the LAST scan: find the third SOS and cut from there to EOI
+    sos = [i for i in range(len(data) - 1)
+           if data[i] == 0xFF and data[i + 1] == 0xDA]
+    assert len(sos) == 3
+    cut = data[: sos[2]] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="missing components"):
+        codecs.decode_jpeg(cut)
+
+
+def _multiscan_420_solid(width, height, y_level):
+    """Solid-color 4:2:0 frame emitted as three single-component
+    scans — exercises the per-component block-raster geometry where
+    the Y raster is 2x the MCU grid."""
+    from hbase_snapshot_spark.operators.codecs import (
+        _ENC_AC_COUNTS, _ENC_AC_SYMBOLS, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS,
+        _enc_codes, _JpegBitWriter,
+    )
+    dc = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    qdc = round(8 * (y_level - 128) / 16)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([16] * 64))
+    out += seg(0xDB, bytes([1]) + bytes([17] * 64))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for cls, counts, syms in [(0, _ENC_DC_COUNTS, _ENC_DC_SYMBOLS),
+                              (1, _ENC_AC_COUNTS, _ENC_AC_SYMBOLS)]:
+        for tid in (0, 1):
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + counts + syms)
+    mcus_x, mcus_y = -(-width // 16), -(-height // 16)
+    rasters = [  # (comp id, table id, n blocks, dc value)
+        (1, 0, (2 * mcus_y) * (2 * mcus_x), qdc),
+        (2, 1, mcus_y * mcus_x, 0),
+        (3, 1, mcus_y * mcus_x, 0),
+    ]
+    for cid, tid, nblocks, val in rasters:
+        out += seg(0xDA, bytes([1, cid, (tid << 4) | tid, 0, 63, 0]))
+        writer = _JpegBitWriter()
+        pred = 0
+        for _ in range(nblocks):
+            diff = val - pred
+            pred = val
+            t = abs(diff).bit_length()
+            c, ln = dc[t]
+            writer.write(c, ln)
+            if t:
+                writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            c, ln = ac[0x00]
+            writer.write(c, ln)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out), qdc * 16 / 8 + 128
+
+
+def test_jpeg_multiscan_420_single_component_rasters():
+    data, level = _multiscan_420_solid(32, 16, y_level=200)
+    out = codecs.decode_jpeg(data)
+    assert out.shape == (16, 32, 3)
+    np.testing.assert_array_equal(
+        out, np.full((16, 32, 3), int(level), np.uint8))
+    # matches the interleaved handmade stream bit-for-bit in output
+    inter, _ = _handmade_jpeg_420(32, 16, y_level=200)
+    np.testing.assert_array_equal(out, codecs.decode_jpeg(inter))

@@ -275,3 +275,50 @@ def encode_documents(
             })
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------- batch prep
+
+
+def tokenize_and_pack(
+    df: DataFrame,
+    tokenizer: BpeTokenizer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 1024,
+    overlap: int = 0,
+    pack_cap: int | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """documents → packed fixed-length token sequences, the full batch-
+    construction path: BPE encode (shuffle-free mapInPandas) → split
+    each id array into ``seq_len`` windows with ``overlap`` (pure
+    Catalyst: sequence/explode + slice on the array — a per-row
+    generator, no extra shuffle) → ``pack_sequences`` bins (ONE window
+    shuffle, grouped by ``by`` at scale).  Output: (id, chunk_idx,
+    input_ids, n_chunk_tokens, bin, bin_offset).  Rows with null text
+    are dropped — run the quality gate first."""
+    from hbase_snapshot_spark.operators.packing import pack_sequences
+
+    if not 0 <= overlap < seq_len:
+        raise ValueError("need 0 <= overlap < seq_len")
+    stride = seq_len - overlap
+    enc = encode_documents(df, tokenizer, text_col=text_col, id_col=id_col)
+    enc = enc.where(F.col("token_ids").isNotNull())
+    n_chunks = F.greatest(
+        F.ceil((F.size("token_ids") - F.lit(overlap)) / F.lit(stride)),
+        F.lit(1),
+    ).cast("int")
+    start = F.col("chunk_idx") * stride
+    chunked = (
+        enc.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .withColumn("input_ids", F.slice("token_ids", start + 1, seq_len))
+        .withColumn("n_chunk_tokens", F.size("input_ids").cast("long"))
+        .drop("token_ids", "n_tokens")
+    )
+    return pack_sequences(
+        chunked, "n_chunk_tokens",
+        cap=pack_cap if pack_cap is not None else seq_len * 8,
+        order_col=[id_col, "chunk_idx"], by=by,
+    )

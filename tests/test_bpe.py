@@ -196,3 +196,32 @@ def test_bpe_decode_inverts_encode_property(texts):
     tok = B.BpeTokenizer(merges, sorted(base))
     for t in texts:
         assert tok.decode(tok.encode(t)) == t
+
+
+def test_tokenize_and_pack_end_to_end(spark, corpus):
+    import warnings
+    tok = B.train_bpe(corpus, vocab_size=70, min_freq=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # by=None single-sequence path
+        out = B.tokenize_and_pack(
+            corpus, tok, seq_len=8, overlap=0, pack_cap=16).collect()
+    assert out  # null-text row dropped
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    by_doc: dict = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).extend(r["input_ids"])
+        assert len(r["input_ids"]) == r["n_chunk_tokens"] <= 8
+        # bin arithmetic: bin = floor(bin_offset / cap)
+        assert r["bin"] == r["bin_offset"] // 16
+    # overlap=0: chunk concatenation reconstructs the full encoding
+    texts = {1: "the lowest newest widest",
+             2: "lower and lower, newest of the new",
+             3: "the the the widest"}
+    for d, ids in by_doc.items():
+        assert ids == tok.encode(texts[d])
+
+
+def test_tokenize_and_pack_overlap_validation(spark, corpus):
+    tok = _toy_tokenizer()
+    with pytest.raises(ValueError):
+        B.tokenize_and_pack(corpus, tok, seq_len=8, overlap=8)

@@ -3,6 +3,7 @@ from hbase_snapshot_spark.operators import (
     bpe,
     dedup,
     embeddings,
+    lm,
     multimodal,
     packing,
     pipeline,
@@ -16,6 +17,7 @@ __all__ = [
     "bpe",
     "dedup",
     "embeddings",
+    "lm",
     "multimodal",
     "packing",
     "pipeline",

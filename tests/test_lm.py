@@ -1,0 +1,155 @@
+"""Stupid-Backoff n-gram LM (operators/lm.py): count-table training,
+backoff scoring against the driver-side reference implementation, the
+perplexity gate, and pruning."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators import lm as L
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "the cat ate the fish"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def lm3(corpus):
+    return L.train_ngram_lm(corpus, n=3).cache()
+
+
+# ------------------------------------------------------------- training
+
+
+def test_unigram_counts_and_total(lm3):
+    uni = {r["word"]: (r["count"], r["context_count"])
+           for r in lm3.where("order = 1").collect()}
+    # 17 word tokens + 3 EOS = 20
+    assert all(t == 20 for _c, t in uni.values())
+    assert uni["the"][0] == 6
+    assert uni["sat"][0] == 2
+    assert uni[L.EOS][0] == 3
+    assert L.BOS not in uni  # BOS is context-only, never predicted
+
+
+def test_bigram_conditional(lm3):
+    big = {(r["context"], r["word"]): (r["count"], r["context_count"])
+           for r in lm3.where("order = 2").collect()}
+    # P(cat | the) = 2/6
+    assert big[("the", "cat")] == (2, 6)
+    # sentence-start bigram: context is one BOS
+    assert big[(L.BOS, "the")] == (3, 3)
+
+
+def test_trigram_context_totals(lm3):
+    tri = {(r["context"], r["word"]): (r["count"], r["context_count"])
+           for r in lm3.where("order = 3").collect()}
+    assert tri[("the cat", "sat")] == (1, 2)
+    assert tri[(f"{L.BOS} {L.BOS}", "the")] == (3, 3)
+    assert tri[("sat on", "the")] == (2, 2)
+
+
+def test_min_count_pruning(corpus):
+    lm = L.train_ngram_lm(corpus, n=2, min_count=2)
+    assert lm.where("order = 2 and count < 2").count() == 0
+    pruned = L.prune_lm(
+        L.train_ngram_lm(corpus, n=2), min_count=2)
+    # unigram floor survives pruning even at count 1
+    assert pruned.where("order = 1 and count = 1").count() > 0
+    assert pruned.where("order = 2 and count < 2").count() == 0
+
+
+# ------------------------------------------------------------- scoring
+
+
+def _ref_scores(text, n=3, alpha=0.4):
+    return L.local_stupid_backoff([t for _i, t in DOCS], text, n=n,
+                                  alpha=alpha)
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_score_matches_reference(spark, corpus, lm3, broadcast):
+    tests = [
+        (10, "the cat sat on the mat"),       # in-corpus: high prob
+        (11, "the dog ate the fish"),          # recombination: backoff
+        (12, "zebra quantum flux"),            # all-unseen: floor path
+        (13, "the the the the"),
+    ]
+    df = spark.createDataFrame(tests, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in L.score_documents(
+        df, lm3, n=3, broadcast_lm=broadcast).collect()}
+    for did, text in tests:
+        n_ref, lp_ref = _ref_scores(text)
+        assert out[did]["n_tokens"] == n_ref
+        assert out[did]["avg_logprob"] == pytest.approx(lp_ref, rel=1e-9)
+        assert out[did]["perplexity"] == pytest.approx(
+            10 ** -lp_ref, rel=1e-9)
+
+
+def test_known_text_scores_better_than_gibberish(spark, corpus, lm3):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "qq ww ee rr tt yy")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["perplexity"]
+           for r in L.score_documents(df, lm3).collect()}
+    assert out[1] < out[2]
+
+
+def test_exact_trigram_probability_path(spark, corpus, lm3):
+    """A text fully covered by seen trigrams scores the product of
+    pure relative frequencies — no alpha anywhere."""
+    df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    r = L.score_documents(df, lm3, n=3).first()
+    # P(the|<s> <s>)=3/3, P(cat|<s> the)=2/3? contexts: '<s> the'->cat:2?
+    # compute via the reference for exactness
+    n_ref, lp_ref = _ref_scores("the cat sat")
+    assert r["n_tokens"] == n_ref == 4  # 3 words + EOS
+    assert r["avg_logprob"] == pytest.approx(lp_ref, rel=1e-12)
+
+
+def test_empty_text_scores_eos_only(spark, corpus, lm3):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = L.score_documents(df, lm3).first()
+    assert r["n_tokens"] == 1  # just EOS
+
+
+def test_perplexity_filter_gate(spark, corpus, lm3):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "xx yy zz qq ww ee rr tt")],
+        ["doc_id", "text"])
+    scores = {r["doc_id"]: r["perplexity"]
+              for r in L.score_documents(df, lm3).collect()}
+    cut = (scores[1] + scores[2]) / 2
+    kept = L.perplexity_filter(df, lm3, max_perplexity=cut).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    # schema passthrough: the original columns survive the semi-join
+    assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+
+def test_score_partitioning_invariance(spark, corpus, lm3):
+    df = spark.createDataFrame(
+        [(i, "the cat ate the log") for i in range(6)],
+        ["doc_id", "text"])
+    a = L.score_documents(df.repartition(1), lm3).collect()
+    b = L.score_documents(df.repartition(5), lm3).collect()
+    sa = {r["doc_id"]: r["avg_logprob"] for r in a}
+    sb = {r["doc_id"]: r["avg_logprob"] for r in b}
+    assert sa == sb
+
+
+def test_bigram_model_end_to_end(spark, corpus):
+    lm2 = L.train_ngram_lm(corpus, n=2)
+    df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    r = L.score_documents(df, lm2, n=2).first()
+    n_ref, lp_ref = _ref_scores("the cat sat", n=2)
+    assert r["n_tokens"] == n_ref
+    assert r["avg_logprob"] == pytest.approx(lp_ref, rel=1e-9)

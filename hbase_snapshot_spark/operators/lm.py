@@ -35,11 +35,11 @@ EOS = "</s>"
 _WS = r"\s+"
 
 
-def _tokens(text_col: str, lowercase: bool):
+def _tokens(text_col: str, lowercase: bool, ws: str = _WS):
     c = F.col(text_col)
     if lowercase:
         c = F.lower(c)
-    toks = F.split(F.trim(c), _WS)
+    toks = F.split(F.trim(c), ws)
     return F.filter(toks, lambda t: t != "")
 
 
@@ -53,11 +53,11 @@ def _with_markers(toks, n: int):
 
 
 def _explode_ngrams(df: DataFrame, text_col: str, n: int, lowercase: bool,
-                    keep: list[str]) -> DataFrame:
+                    keep: list[str], ws: str = _WS) -> DataFrame:
     """One row per token position with the order-n context and word:
     (``context`` = space-joined n-1 predecessors, ``word``).  Pure
     Catalyst: transform over a position sequence + slice."""
-    toks = _with_markers(_tokens(text_col, lowercase), n)
+    toks = _with_markers(_tokens(text_col, lowercase, ws), n)
     df = df.select(*keep, toks.alias("_t"))
     # positions of scoreable words: indexes n-1 .. len-1 (0-based)
     pos = F.sequence(F.lit(n - 1), F.size("_t") - 1)
@@ -84,6 +84,7 @@ def train_ngram_lm(
     n: int = 3,
     lowercase: bool = True,
     min_count: int = 1,
+    ws: str = _WS,
 ) -> DataFrame:
     """Corpus → Stupid-Backoff count table: one row per seen n-gram at
     every order 1..n — ``(order, context, word, count,
@@ -95,7 +96,7 @@ def train_ngram_lm(
         raise ValueError("n must be >= 1")
     tables = []
     for k in range(1, n + 1):
-        grams = _explode_ngrams(df, text_col, k, lowercase, keep=[])
+        grams = _explode_ngrams(df, text_col, k, lowercase, keep=[], ws=ws)
         counts = grams.groupBy("context", "word").agg(
             F.count("*").alias("count"))
         totals = counts.groupBy("context").agg(
@@ -128,6 +129,7 @@ def score_documents(
     alpha: float = 0.4,
     lowercase: bool = True,
     broadcast_lm: bool = False,
+    ws: str = _WS,
 ) -> DataFrame:
     """Per-document Stupid-Backoff score: for each token position take
     S = count(context,w)/context_count at the longest order with a hit,
@@ -139,7 +141,7 @@ def score_documents(
     Plan shape: ONE n-gram explode of the corpus, n equi-joins against
     the order slices (broadcast when ``broadcast_lm``), one final
     groupBy on the document id."""
-    grams = _explode_ngrams(df, text_col, n, lowercase, keep=[id_col])
+    grams = _explode_ngrams(df, text_col, n, lowercase, keep=[id_col], ws=ws)
     joined = grams
     for k in range(n, 0, -1):
         slice_k = lm.where(F.col("order") == k).select(

@@ -700,6 +700,12 @@ FROM documents d JOIN grams g ON d.doc_id = g.doc_id
 
 
 def quality_sql() -> str:
+    """Two branches (see __spark_entry__.q_quality): 'gate' is the
+    composite quality score; 'ppl' is Stupid-Backoff bigram scoring —
+    LM counts from even doc_ids, odd doc_ids scored, backoff chain
+    P = c(ctx,w)/c(ctx) else 0.4*c(w)/N else 0.4/N, v = round(avg
+    log10 P, 6).  Tokens split on the explicit ASCII whitespace
+    class; <s>/</s> frame each document."""
     sw = _stopword_hits_sql(STOPWORDS["en"])
     punct = (
         "CASE WHEN length(text) > 0 THEN "
@@ -710,16 +716,52 @@ def quality_sql() -> str:
 WITH c AS (
   SELECT doc_id, {_NTOK} AS n_tok, ({sw}) AS sw, ({punct}) AS punct
   FROM documents
-)
-SELECT doc_id,
+),
+gate AS (
+  SELECT 'gate' AS branch, doc_id,
        CASE WHEN n_tok = 0 THEN 0.0 ELSE round((
          (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
                WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
          + (CASE WHEN sw >= 2 THEN 1.0 ELSE sw / 2.0 END)
          + (CASE WHEN punct <= 0.2 THEN 1.0
                  ELSE greatest(0.0, 1.0 - (punct - 0.2) * 2) END)
-       ) / 3, 4) END AS quality
-FROM c
+       ) / 3, 4) END AS v
+  FROM c
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pairs0 AS (
+  SELECT doc_id,
+         unnest(list_zip(list_prepend('<s>', ws),
+                         list_append(ws, '</s>'))) AS p
+  FROM tok
+),
+pairs AS (SELECT doc_id, p[1] AS ctx, p[2] AS w FROM pairs0),
+tpairs AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+epairs AS (SELECT * FROM pairs WHERE doc_id % 2 = 1),
+big AS (SELECT ctx, w, count(*)::DOUBLE AS c FROM tpairs GROUP BY 1, 2),
+bigt AS (SELECT ctx, sum(c) AS t FROM big GROUP BY 1),
+uni AS (SELECT w, count(*)::DOUBLE AS c FROM tpairs GROUP BY 1),
+unit AS (SELECT sum(c) AS t FROM uni),
+ppl AS (
+  SELECT 'ppl' AS branch, e.doc_id,
+         round(avg(log10(coalesce(
+            b.c / bt.t,
+            0.4 * u.c / (SELECT t FROM unit),
+            0.4 / (SELECT t FROM unit)))), 6) AS v
+  FROM epairs e
+  LEFT JOIN big b ON b.ctx = e.ctx AND b.w = e.w
+  LEFT JOIN bigt bt ON bt.ctx = e.ctx
+  LEFT JOIN uni u ON u.w = e.w
+  GROUP BY e.doc_id
+)
+SELECT branch, doc_id, v FROM gate
+UNION ALL
+SELECT branch, doc_id, v FROM ppl
 """
 
 

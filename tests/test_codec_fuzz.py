@@ -15,6 +15,7 @@ from hbase_snapshot_spark.operators import codecs, multimodal
 
 from test_codecs import (  # noqa: E402 — fixture builders
     _adpcm_wav,
+    _avi_fixture,
     _ima_block,
     _lossless_jpeg,
     _media_df,
@@ -50,6 +51,7 @@ def _fixtures() -> dict[str, bytes]:
         "ogg": _ogg_page(head, htype=2) + _ogg_page(b"\x00" * 16, seq=1,
                                                     granule=48000, htype=4),
         "webm": _webm_fixture(),
+        "avi": _avi_fixture(),
     }
     return fixtures
 
@@ -67,6 +69,7 @@ def _decoder_for(name: str):
         "au": codecs.decode_au,
         "ogg": codecs.parse_ogg,
         "webm": codecs.parse_ebml,
+        "avi": codecs.parse_avi,
     }[name]
 
 

@@ -291,3 +291,20 @@ def test_charset_never_raises_property(body):
     for ct in (None, "text/html", "text/html; charset=utf-8",
                "text/html; charset=nonsense"):
         assert isinstance(W.decode_charset(body, ct), str)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_warc_parser_terminates_on_mutations(seed):
+    """Truncations and bit flips either parse (possibly with a
+    truncated sentinel) or raise WarcFormatError under 'raise' — and
+    NEVER raise under the default keep policy."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    data = W.write_warc_file(_fixture_records(), gzip_members=bool(seed % 2))
+    i = int(rng.randint(0, len(data)))
+    mutated = bytearray(data)
+    mutated[i] ^= 1 << int(rng.randint(0, 8))
+    for payload in (bytes(mutated), data[: int(rng.randint(0, len(data)))]):
+        out = list(W.iter_warc_records(payload))  # must not raise
+        assert all(isinstance(r, tuple) and len(r) == 4 for r in out)

@@ -153,3 +153,39 @@ def test_bigram_model_end_to_end(spark, corpus):
     n_ref, lp_ref = _ref_scores("the cat sat", n=2)
     assert r["n_tokens"] == n_ref
     assert r["avg_logprob"] == pytest.approx(lp_ref, rel=1e-9)
+
+
+# ------------------------------------------------------------- plan pins
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_plans_stay_jvm_side(spark, corpus, lm3):
+    """The 100 TB claims in lm.py's docstring, pinned: training and
+    scoring compile to pure Catalyst — zero Python in any plan."""
+    p_train = _plan(L.train_ngram_lm(corpus, n=3))
+    df = spark.createDataFrame([(1, "the cat")], ["doc_id", "text"])
+    p_score = _plan(L.score_documents(df, lm3, n=3))
+    for p in (p_train, p_score):
+        assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_word_frequencies_single_exchange(spark, corpus):
+    """BPE training's distributed half is ONE groupBy shuffle (plus
+    AQE readers): exactly one hashpartitioning Exchange on the word."""
+    from hbase_snapshot_spark.operators import bpe as B
+
+    p = _plan(B.word_frequencies(corpus))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BatchEvalPython" not in p
+
+
+def test_encode_documents_shuffle_free(spark, corpus):
+    """BPE encode must not shuffle — broadcast model + mapInPandas."""
+    from hbase_snapshot_spark.operators import bpe as B
+
+    tok = B.BpeTokenizer([("a", "b</w>")], ["a", "b</w>"])
+    p = _plan(B.encode_documents(corpus, tok))
+    assert "Exchange" not in p, p

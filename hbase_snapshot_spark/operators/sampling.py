@@ -54,6 +54,78 @@ def stratified_sample(
     return df.filter(hash_fraction(key) < rate)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: Column,
+    domain_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str,
+) -> DataFrame:
+    """Domain-mixture sampling to a token budget — the corpus-mixing
+    step of a pre-training pipeline ("20% code, 30% web, ...").  Each
+    domain d gets a token target ``budget * w_d / Σw`` and an
+    acceptance rate ``min(1, target_d / domain_total_tokens)``;
+    documents are kept by the deterministic hash fraction, so the
+    expected kept-token mass per domain hits the target and the
+    selection is reproducible on any cluster size.
+
+    Scale shape (100 TB): per-domain totals are ONE map-side-combinable
+    groupBy on a low-cardinality key; the tiny rate table broadcasts
+    back; the keep-filter is a pure Column predicate.  No per-domain
+    window / cumulative sum — that design puts an entire domain in one
+    partition and dies on the first big domain.
+
+    Domains absent from ``weights`` (and NULL domains) get rate 0 and
+    are dropped.
+    """
+    wsum = float(sum(weights.values()))
+    target = None
+    for d, w in weights.items():
+        t = float(token_budget) * float(w) / wsum
+        cond = F.col(domain_col) == F.lit(d)
+        target = F.when(cond, t) if target is None else target.when(cond, t)
+    target = (
+        target.otherwise(F.lit(0.0)) if target is not None else F.lit(0.0)
+    )
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(token_col).cast("double")).alias("_domain_tokens")
+    )
+    rates = totals.select(
+        F.col(domain_col),
+        F.least(F.lit(1.0), target / F.col("_domain_tokens")).alias("_rate"),
+    )
+    out = df.join(F.broadcast(rates), domain_col)
+    return out.where(hash_fraction(key) < F.col("_rate")).drop("_rate")
+
+
+def importance_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    target_fraction: float,
+) -> DataFrame:
+    """Importance resampling (the DSIR shape — Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): keep
+    each row with probability proportional to ``weight``, scaled so
+    the EXPECTED kept fraction equals ``target_fraction``
+    (p = min(1, w · f/mean(w))).  Weight is any non-negative Column —
+    an LM log-ratio turned importance weight, a quality score, a
+    length prior.
+
+    Deterministic via the md5 hash fraction; the scale constant is a
+    one-row mean aggregate broadcast back into the plan (no collect,
+    no second pass over the data for the filter itself).
+    """
+    mean_w = df.agg(F.avg(weight.cast("double")).alias("_mean_w"))
+    out = df.crossJoin(F.broadcast(mean_w))
+    p = F.least(
+        F.lit(1.0),
+        weight.cast("double") * (F.lit(float(target_fraction)) / F.col("_mean_w")),
+    )
+    return out.where(hash_fraction(key) < p).drop("_mean_w")
+
+
 # ------------------------------------------------- deterministic shuffle
 
 def shuffle_key(key: Column, seed: int) -> Column:

@@ -836,13 +836,45 @@ def hash_fraction_sql(key_expr: str) -> str:
 
 
 def stratified_sample_sql(fractions: dict[str, float], default: float = 0.0) -> str:
+    """Three-branch sampling composite twin (strat/mix/imp) — see
+    q_stratified_sample.  The mix/imp literals mirror the query's
+    weights/budget/fraction and the Python-side float arithmetic
+    (targets are computed here with the same ``budget * w / Σw``)."""
     frac = hash_fraction_sql("doc_id")
     cases = " ".join(
         f"WHEN lang = '{s}' THEN {f}" for s, f in fractions.items()
     )
+    weights = {"en": 2.0, "de": 1.0, "fr": 1.0}
+    budget, wsum = 200_000, sum(weights.values())
+    tcases = " ".join(
+        f"WHEN lang = '{d}' THEN {float(budget) * float(w) / wsum!r}"
+        for d, w in weights.items()
+    )
     return f"""
-SELECT doc_id, lang FROM documents
-WHERE {frac} < (CASE {cases} ELSE {default} END)
+WITH strat AS (
+  SELECT 'strat' AS branch, doc_id, lang FROM documents
+  WHERE {frac} < (CASE {cases} ELSE {default} END)
+), totals AS (
+  SELECT lang, SUM(CAST(n_chars AS DOUBLE)) AS tot
+  FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang,
+         least(1.0, (CASE {tcases} ELSE 0.0 END) / tot) AS rate
+  FROM totals
+), mix AS (
+  SELECT 'mix' AS branch, d.doc_id, d.lang
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {frac.replace('doc_id', 'd.doc_id')} < r.rate
+), mw AS (
+  SELECT AVG(CAST(n_chars AS DOUBLE)) AS mean_w FROM documents
+), imp AS (
+  SELECT 'imp' AS branch, doc_id, lang
+  FROM documents, mw
+  WHERE {frac} < least(1.0, CAST(n_chars AS DOUBLE) * (0.25 / mean_w))
+)
+SELECT branch, doc_id, lang FROM strat
+UNION ALL SELECT branch, doc_id, lang FROM mix
+UNION ALL SELECT branch, doc_id, lang FROM imp
 """
 
 

@@ -272,6 +272,82 @@ def test_stratified_sample_rates(docs):
     assert none.count() == 0
 
 
+def test_mixture_sample_budget_and_determinism(spark):
+    from hbase_snapshot_spark.operators import sampling
+
+    rows = [(i, "en" if i < 400 else "de", 100) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    # en: 40k tokens total, de: 10k; budget 20k at en:de = 3:1
+    # → en target 15k (rate .375), de target 5k (rate .5)
+    out = sampling.mixture_sample(
+        df, F.col("n_tok") * 0 + F.col("doc_id"), "lang",
+        {"en": 3.0, "de": 1.0}, token_budget=20_000, token_col="n_tok",
+    )
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    # hash-fraction is uniform: expect ~150 en / ~50 de (loose bounds)
+    assert 100 <= by.get("en", 0) <= 200
+    assert 30 <= by.get("de", 0) <= 70
+    # deterministic: same call → same set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in out.collect()}
+    assert a == b
+    # rate clamps at 1.0: a domain whose total is under target keeps all
+    tiny = spark.createDataFrame(
+        [(0, "en", 5), (1, "en", 5)], ["doc_id", "lang", "n_tok"])
+    assert sampling.mixture_sample(
+        tiny, F.col("doc_id"), "lang", {"en": 1.0},
+        token_budget=1000, token_col="n_tok").count() == 2
+    # unknown / NULL domains drop
+    mixed = spark.createDataFrame(
+        [(0, "en", 5), (1, "xx", 5), (2, None, 5)],
+        ["doc_id", "lang", "n_tok"])
+    kept = sampling.mixture_sample(
+        mixed, F.col("doc_id"), "lang", {"en": 1.0},
+        token_budget=1000, token_col="n_tok")
+    assert {r.lang for r in kept.collect()} <= {"en"}
+
+
+def test_mixture_sample_plan_broadcast_no_window(spark):
+    """100 TB shape pin: the rate table joins via BroadcastHashJoin and
+    there is no Window / global Sort anywhere in the plan."""
+    from hbase_snapshot_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(10)], ["doc_id", "lang", "n_tok"])
+    out = sampling.mixture_sample(
+        df, F.col("doc_id"), "lang", {"en": 1.0},
+        token_budget=50, token_col="n_tok")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort [" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_importance_sample_weights_and_scale(spark):
+    from hbase_snapshot_spark.operators import sampling
+
+    # weight 9:1 — heavy rows should be kept ~9x as often
+    rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = sampling.importance_sample(df, F.col("doc_id"), F.col("w"), 0.3)
+    kept = out.collect()
+    heavy = sum(1 for r in kept if r.w == 9.0)
+    light = len(kept) - heavy
+    # mean w = 5 → p_heavy = min(1, 9*.3/5) = .54, p_light = .06
+    assert 440 <= heavy <= 640      # ~540 expected
+    assert 30 <= light <= 95        # ~60 expected
+    # expected overall fraction ≈ target
+    assert 0.2 <= len(kept) / 2000 <= 0.4
+    # deterministic
+    assert {r.doc_id for r in kept} == {
+        r.doc_id for r in out.collect()}
+    # zero-weight rows never kept
+    z = spark.createDataFrame([(1, 0.0), (2, 1.0)], ["doc_id", "w"])
+    got = sampling.importance_sample(z, F.col("doc_id"), F.col("w"), 1.0)
+    assert all(r.w > 0 for r in got.collect())
+
+
 def test_jaccard_hub_shingle_guard(spark):
     # one shingle shared by EVERY doc would generate k² candidate pairs;
     # the df_max guard drops it from candidate generation while the

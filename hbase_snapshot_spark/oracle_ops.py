@@ -758,10 +758,37 @@ ppl AS (
   LEFT JOIN bigt bt ON bt.ctx = e.ctx
   LEFT JOIN uni u ON u.w = e.w
   GROUP BY e.doc_id
+),
+nbtok AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f]+'),
+           x -> x <> '')) AS token
+  FROM documents
+),
+nbmodel AS (
+  SELECT token,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pn,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+  FROM nbtok WHERE doc_id % 2 = 0 GROUP BY token
+),
+nbc AS (SELECT SUM(pn) AS p, SUM(nn) AS n, COUNT(*) AS v FROM nbmodel),
+nb AS (
+  SELECT 'nb' AS branch, t.doc_id,
+         round(SUM(
+             ln((coalesce(m.pn, 0) + 1.0) / (c.p + 1.0 * c.v))
+           - ln((coalesce(m.nn, 0) + 1.0) / (c.n + 1.0 * c.v))), 6) AS v
+  FROM nbtok t
+  LEFT JOIN nbmodel m ON m.token = t.token
+  CROSS JOIN nbc c
+  WHERE t.doc_id % 2 = 1
+  GROUP BY t.doc_id
 )
 SELECT branch, doc_id, v FROM gate
 UNION ALL
 SELECT branch, doc_id, v FROM ppl
+UNION ALL
+SELECT branch, doc_id, v FROM nb
 """
 
 

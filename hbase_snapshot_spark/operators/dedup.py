@@ -315,6 +315,65 @@ def simhash_dup_pairs(
     )
 
 
+def hamming_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit fingerprint column (e.g. the
+    perceptual image hash from ``multimodal.phash_images``) — the
+    64-bit generalization of ``simhash_dup_pairs``: pigeonhole the
+    fingerprint into ``max_hamming + 1`` disjoint blocks (≤ max_hamming
+    differing bits ⇒ at least one block identical), equi-join per
+    block, union + distinct, then exact verification with
+    ``bit_count(a XOR b)`` — all JVM-side bit ops, never all-pairs.
+
+    Output: (a, b, hamming) with a < b.  NULL fingerprints (decode
+    failures under on_error='null') are dropped before joining.
+    """
+    if bits != 64:
+        raise ValueError("hamming_dup_pairs operates on 64-bit fingerprints")
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError("max_hamming must be < 64")
+    bounds = [round(i * bits / n_blocks) for i in range(n_blocks + 1)]
+    fp = df.select(
+        F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
+    ).where(F.col("_fp").isNotNull())
+    blocked = fp
+    block_cols = []
+    for i in range(n_blocks):
+        lo, hi = bounds[i], bounds[i + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        col = F.shiftrightunsigned(F.col("_fp"), lo).bitwiseAND(F.lit(mask))
+        blocked = blocked.withColumn(f"blk{i}", col)
+        block_cols.append(f"blk{i}")
+    x, y = blocked.alias("x"), blocked.alias("y")
+    cands = None
+    for part in block_cols:
+        c = (
+            x.join(y, on=F.col(f"x.{part}") == F.col(f"y.{part}"))
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("a"),
+                F.col(f"y.{id_col}").alias("b"),
+                F.col("x._fp").alias("fa"),
+                F.col("y._fp").alias("fb"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 def cosine_dup_pairs(

@@ -725,3 +725,123 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=_PROBE_SCHEMA)
+
+
+# ------------------------------------------------- perceptual hashing
+
+_PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("phash", T.LongType(), True),
+])
+
+
+def _luma(img) -> "np.ndarray":  # noqa: F821 — numpy imported in kernel
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 2:
+        return a
+    if a.shape[2] == 1:
+        return a[:, :, 0]
+    # ITU-R BT.601 luma over the first three channels (alpha ignored)
+    return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2])
+
+
+def _area_mean_grid(gray, out_h: int, out_w: int) -> "np.ndarray":  # noqa: F821
+    """Exact area-average downsample to (out_h, out_w) via the integral
+    image — deterministic, no interpolation-library dependence."""
+    import numpy as np
+
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = np.linspace(0, h, out_h + 1).round().astype(int)
+    xs = np.linspace(0, w, out_w + 1).round().astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for r in range(out_h):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        y1 = min(y1, h)
+        y0 = min(y0, y1 - 1)
+        for c in range(out_w):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            x1 = min(x1, w)
+            x0 = min(x0, x1 - 1)
+            area = (y1 - y0) * (x1 - x0)
+            out[r, c] = (ii[y1, x1] - ii[y0, x1]
+                         - ii[y1, x0] + ii[y0, x0]) / area
+    return out
+
+
+def _phash_one(img, method: str) -> int:
+    """64-bit perceptual hash of a decoded image array.
+
+    dhash: 9x8 area-mean grid, bit r*8+c = grid[r,c] > grid[r,c+1]
+    (horizontal gradient sign — robust to re-encode/resize/brightness).
+    ahash: 8x8 grid, bit = cell > grid mean.
+    Returned as a SIGNED 64-bit int (Spark LongType two's complement).
+    """
+    import numpy as np
+
+    gray = _luma(img)
+    if method == "dhash":
+        g = _area_mean_grid(gray, 8, 9)
+        bits = (g[:, 1:] > g[:, :-1])
+    elif method == "ahash":
+        g = _area_mean_grid(gray, 8, 8)
+        bits = g > g.mean()
+    else:
+        raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    v = np.uint64(0)
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def phash_images(media: DataFrame, method: str = "dhash",
+                 fake: bool = False, on_error: str = "raise") -> DataFrame:
+    """Perceptual 64-bit image hash over DECODED pixels — the image
+    sibling of text simhash, and the standard image-dedup signal of a
+    multimodal corpus pipeline (near-identical images re-encoded at
+    different qualities/sizes collide within a few bits).
+
+    Real path decodes via codecs.decode_image (PPM/PGM/BMP/PNG/JPEG/
+    GIF/TIFF); ``fake=True`` hashes a deterministic byte-statistics
+    stand-in through the identical mapInPandas dataflow.  Pair finding
+    is NOT here — feed the output to ``dedup.hamming_dup_pairs``,
+    which pigeonholes to equi-joins (never all-pairs).
+    """
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    _check_on_error(on_error)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from hbase_snapshot_spark.operators import codecs
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                h = None
+                if b is not None:
+                    try:
+                        if fake:
+                            arr = np.frombuffer(
+                                bytes(b[:4096]), dtype=np.uint8)
+                            side = max(int(len(arr) ** 0.5), 8)
+                            arr = np.resize(arr, side * side)
+                            img = arr.reshape(side, side)
+                        else:
+                            img = codecs.decode_image(bytes(b))
+                        h = _phash_one(img, method)
+                    except Exception:  # noqa: BLE001 — corrupt payload
+                        if on_error == "raise":
+                            raise
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids,
+                 "phash": pd.array(hashes, dtype="Int64")})
+
+    return media.mapInPandas(run, schema=_PHASH_SCHEMA)

@@ -269,3 +269,84 @@ def repetition_signals(
             top_frac.alias("top_ngram_frac"),
         )
     )
+
+
+# ---------------------------------------------------- encoding repair
+
+#: cp1252 codepoints for bytes 0x80-0x9F (the 27 mapped positions) and
+#: the bytes they came from — the inverse of a UTF-8-bytes-read-as-
+#: cp1252 misdecode.  Unmapped bytes (81 8D 8F 90 9D) pass through as
+#: C1 controls, which encode('ISO-8859-1') already inverts.
+_CP1252_CHARS = "".join(map(chr, [
+    0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+    0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+    0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+    0x0153, 0x017E, 0x0178]))
+_CP1252_BYTES = "".join(map(chr, [
+    0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B,
+    0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+    0x9A, 0x9B, 0x9C, 0x9E, 0x9F]))
+
+# a mojibake'd multi-byte UTF-8 sequence, as seen through cp1252/latin1:
+# a lead char (U+00C2-U+00DF / U+00E0-U+00EF / U+00F0-U+00F4) followed
+# by continuation chars (bytes 0x80-0xBF → the cp1252 punctuation or
+# U+0080-U+00BF)
+_CONT = _CP1252_CHARS + "".join(map(chr, range(0x80, 0xC0)))
+_MOJI_RE = (
+    "[Â-ß][{c}]|[à-ï][{c}]{{2}}|"
+    "[ð-ô][{c}]{{3}}"
+).format(c=_CONT)
+#: chars that cannot have come from a single-byte misdecode at all
+_NON_LATIN1_RE = "[^\\u0000-\\u00ff{0}]".format(_CP1252_CHARS)
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-read-as-cp1252/latin-1 mojibake ("cafÃ©" → "café")
+    in PURE Catalyst — the ftfy-style encoding-repair pass every
+    crawl-derived corpus needs, with zero Python in the plan:
+
+    1. map the 27 cp1252 punctuation chars back to bytes 0x80-0x9F
+       (``translate``), then ``encode('ISO-8859-1')`` — together the
+       exact inverse of the original misdecode;
+    2. apply only when the text (a) contains a mojibake-shaped
+       lead+continuation sequence, (b) contains ONLY chars a one-byte
+       misdecode can produce, and (c) re-encodes to valid UTF-8
+       (``is_valid_utf8`` guards the strict Spark 4 ``decode``).
+
+    Unfixable or already-clean text passes through unchanged —
+    including truncated artifacts like a trailing "â€" whose original
+    byte (0x9D) was dropped by the misdecoder, which no longer form
+    valid UTF-8 and fail guard (c).  Apply iteratively for
+    double-encoded text (each pass removes one layer).
+    """
+    redone = F.encode(
+        F.translate(text, _CP1252_CHARS, _CP1252_BYTES), "ISO-8859-1")
+    fixable = (
+        text.rlike(_MOJI_RE)
+        & ~text.rlike(_NON_LATIN1_RE)
+        & F.is_valid_utf8(redone)
+    )
+    return F.when(fixable, F.decode(redone, "UTF-8")).otherwise(text)
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    repair_encoding: bool = True,
+    strip_controls: bool = True,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Standard corpus text-normalization pass, all pure Catalyst:
+    mojibake repair (see ``fix_mojibake``), C0/C1 control-char removal
+    (keeping \\t \\n \\r), and optional whitespace-run collapse (off by
+    default — it destroys meaningful layout in code/markup)."""
+    c: Column = F.col(text_col)
+    if repair_encoding:
+        c = fix_mojibake(c)
+    if strip_controls:
+        c = F.regexp_replace(
+            c, "[\\u0000-\\u0008\\u000b\\u000c\\u000e-\\u001f"
+               "\\u007f-\\u009f]", "")
+    if collapse_whitespace:
+        c = F.regexp_replace(c, "[ \\t]{2,}", " ")
+    return df.withColumn(text_col, c)

@@ -298,12 +298,19 @@ class Bench:
         return e.queries()["cosine_topk"](self.spark, self.sf_dir).count()
 
     def text_pipeline(self):
+        # BASELINE §F text_pipeline = lang-id + quality GATE over the
+        # documents table.  Call the operators directly: the `quality`
+        # correctness composite has since grown LM-perplexity and
+        # NB-classifier branches (train+score per run), which are
+        # different workloads with no §F baseline row — benching the
+        # composite here would compare three ops against one.
         import __spark_entry__ as e
+        from hbase_snapshot_spark.operators.text import quality_score
 
-        q = e.queries()
+        docs = self.spark.read.parquet(f"{self.sf_dir}/documents.parquet")
         return (
-            q["lang_id"](self.spark, self.sf_dir).count()
-            + q["quality"](self.spark, self.sf_dir).count()
+            e.queries()["lang_id"](self.spark, self.sf_dir).count()
+            + quality_score(docs).count()
         )
 
     def tpch_q1(self):

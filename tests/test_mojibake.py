@@ -88,6 +88,29 @@ def test_clean_text_controls_and_whitespace(spark):
     assert clean_text(df2).collect()[0].text == "xy"
 
 
+def test_roundtrip_property(spark):
+    """Hypothesis: for any text over a mixed alphabet (ascii, accents,
+    cp1252 punctuation, CJK, emoji) containing at least one multi-byte
+    char, fix(mojibake(text)) == text.  Batched into one Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("abc XYZ,.!?") + list("éüñàß€""•–—œŠ") + list("中文日éた🎉"))
+    texts: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(alphabet, min_size=1, max_size=30).map("".join))
+    def collect(s):
+        if any(ord(c) > 0x7F for c in s):
+            texts.append(s)
+
+    collect()
+    assert texts
+    fixed = _fix(spark, [_mojibake(s) for s in texts])
+    assert fixed == texts
+
+
 def test_fix_mojibake_plan_pure_catalyst(spark):
     df = spark.createDataFrame([("t",)], ["text"])
     out = clean_text(df, collapse_whitespace=True)

@@ -99,3 +99,66 @@ def pack_sequences(
     return df.withColumn("bin_offset", cum_before).withColumn(
         "bin", F.floor(F.col("bin_offset") / F.lit(cap))
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_col: str,
+    batch_size: int,
+    by: str | None = None,
+    order_col: str | list[str] = "doc_id",
+    bounds: tuple[int, ...] = (16, 32, 48),
+) -> DataFrame:
+    """Padding-efficiency batching: group sequences of SIMILAR length
+    into fixed-count batches, so padding each batch to its max wastes
+    little (the sorted-batching trick every training loader uses —
+    batching a 5-token and a 64-token sequence together pads 59).
+
+    Adds ``len_bucket`` (how many ``bounds`` the length exceeds — a
+    handful of comparisons, pure Catalyst) and ``batch`` (0-based batch
+    index within (by, len_bucket), assigned by row_number in a stable
+    ``order_col`` order / ``batch_size``).  Deterministic on any
+    cluster size.
+
+    One window shuffle keyed on (by, len_bucket); as with
+    ``pack_sequences``, each group runs in a single task — pass a
+    group key (language, shard) for large inputs.
+    """
+    if by is None:
+        import warnings
+
+        warnings.warn(
+            "length_bucketed_batches(by=None) runs each length bucket "
+            "in a single task; pass a group key for large inputs",
+            stacklevel=2,
+        )
+    lb = None
+    for b in bounds:
+        t = (F.col(token_col) > F.lit(int(b))).cast("int")
+        lb = t if lb is None else lb + t
+    out = df.withColumn("len_bucket", lb.cast("bigint"))
+    keys = [by] if by else []
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*keys, "len_bucket").orderBy(*order)
+    rn = F.row_number().over(w)
+    return out.withColumn(
+        "batch",
+        F.floor((rn - F.lit(1)) / F.lit(int(batch_size))).cast("bigint"),
+    )
+
+
+def padding_efficiency(
+    df: DataFrame, token_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-batch padding diagnostics: n_seqs, token_sum, padded_tokens
+    (= batch max × n_seqs — what the accelerator actually processes),
+    and waste_ratio.  Aggregate further for a corpus-level number."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_seqs"),
+        F.sum(token_col).alias("token_sum"),
+        (F.max(token_col) * F.count("*")).alias("padded_tokens"),
+    ).withColumn(
+        "waste_ratio",
+        (F.col("padded_tokens") - F.col("token_sum"))
+        / F.col("padded_tokens"),
+    )

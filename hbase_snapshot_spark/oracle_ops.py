@@ -585,14 +585,27 @@ x AS (SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
              CAST(least({chunk}, n - chunk_idx * {stride}) AS BIGINT)
                AS n_chunk_tokens
       FROM c)
-SELECT doc_id, lang, chunk_idx, chunk_text, n_chunk_tokens,
-       CAST(bin_offset AS BIGINT) AS bin_offset,
-       CAST(floor(bin_offset * 1.0 / {cap}) AS BIGINT) AS bin
+SELECT 'pack' AS branch, doc_id, lang, chunk_idx, chunk_text,
+       n_chunk_tokens,
+       CAST(bin_offset AS BIGINT) AS n1,
+       CAST(floor(bin_offset * 1.0 / {cap}) AS BIGINT) AS n2
 FROM (
   SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_offset
   FROM x) t
+UNION ALL
+SELECT 'batch' AS branch, doc_id, lang, chunk_idx, chunk_text,
+       n_chunk_tokens,
+       CAST(lb AS BIGINT) AS n1,
+       CAST((row_number() OVER (
+               PARTITION BY lang, lb ORDER BY doc_id, chunk_idx) - 1)
+            // 32 AS BIGINT) AS n2
+FROM (
+  SELECT *, (CAST(n_chunk_tokens > 16 AS INT)
+           + CAST(n_chunk_tokens > 32 AS INT)
+           + CAST(n_chunk_tokens > 48 AS INT)) AS lb
+  FROM x) b
 """
 
 

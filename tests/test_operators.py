@@ -398,6 +398,52 @@ def test_pack_sequences(spark):
     assert out == {"d1": (0, 0), "d2": (300, 0), "d3": (600, 1), "d4": (0, 0)}
 
 
+def test_length_bucketed_batches(spark):
+    from hbase_snapshot_spark.operators.packing import (
+        length_bucketed_batches, padding_efficiency)
+
+    rows = [("d%02d" % i, "en", n) for i, n in enumerate(
+        [5, 10, 60, 64, 64, 64, 20, 33, 49])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = {r.doc_id: (r.len_bucket, r.batch)
+           for r in length_bucketed_batches(
+               df, "n_tokens", batch_size=2, by="lang").collect()}
+    # bounds (16,32,48): 5,10→b0; 20→b1; 33→b2; 49,60,64...→b3
+    assert out["d00"] == (0, 0) and out["d01"] == (0, 0)
+    assert out["d06"] == (1, 0)
+    assert out["d07"] == (2, 0)
+    # bucket 3 in doc_id order: d02,d03,d04,d05,d08 → batches 0,0,1,1,2
+    assert [out[d] for d in ("d02", "d03", "d04", "d05", "d08")] == [
+        (3, 0), (3, 0), (3, 1), (3, 1), (3, 2)]
+    # determinism across partitioning
+    out16 = {r.doc_id: (r.len_bucket, r.batch)
+             for r in length_bucketed_batches(
+                 df.repartition(16), "n_tokens", batch_size=2,
+                 by="lang").collect()}
+    assert out16 == out
+    # padding diagnostics: batch (3,0) = 60+64 padded to 2*64
+    eff = {(r.len_bucket, r.batch): (r.padded_tokens, r.token_sum)
+           for r in padding_efficiency(
+               length_bucketed_batches(df, "n_tokens", 2, by="lang"),
+               "n_tokens", ["lang", "len_bucket", "batch"]).collect()}
+    assert eff[(3, 0)] == (128, 124)
+    # bucketed batching wastes less than one unsorted batch of all rows
+    naive = padding_efficiency(
+        df.withColumn("one", F.lit(1)), "n_tokens", ["one"]
+    ).collect()[0]
+    total_padded = sum(p for p, _ in eff.values())
+    assert total_padded < naive.padded_tokens
+
+
+def test_length_bucketed_batches_warns_global(spark):
+    from hbase_snapshot_spark.operators.packing import (
+        length_bucketed_batches)
+
+    df = spark.createDataFrame([("d", 5)], ["doc_id", "n_tokens"])
+    with pytest.warns(UserWarning, match="single task"):
+        length_bucketed_batches(df, "n_tokens", 2)
+
+
 def test_chunk_documents(spark):
     from hbase_snapshot_spark.operators.packing import chunk_documents
 

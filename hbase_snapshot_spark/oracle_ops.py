@@ -842,11 +842,33 @@ WITH h AS (
       '&amp;', '&', 'g') AS t
   FROM s
 )
-SELECT doc_id,
+, w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 0) + 1),
+           i -> list_min(hs[i : i + 3])))) AS sel
+  FROM (
+    SELECT doc_id,
+           list_transform(hx,
+             h -> CAST(""" + _hex8_int_sql("h") + r""" AS BIGINT)) AS hs
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(nrm) - 7, 0) + 1),
+               p -> substr(md5(substr(nrm, CAST(p AS INT), 8)), 1, 8)
+             ) AS hx
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
+            FROM documents) n) g0) g
+)
+SELECT e.doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-       'r:http://org.example.' || source || '/doc/' || doc_id AS urlkey,
-       trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS plain
-FROM e
+       'r:http://org.example.' || source || '/doc/' || e.doc_id AS urlkey,
+       trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS plain,
+       CAST(len(w.sel) AS BIGINT) AS n_winnow,
+       md5(array_to_string(list_transform(w.sel,
+           x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest
+FROM e JOIN w ON e.doc_id = w.doc_id
 """
 
 
@@ -858,6 +880,20 @@ SELECT doc_id AS media_id,
        lower(substr(hex(encode(text)), 1, 16)) AS head_hex
 FROM documents
 """
+
+
+def _hex8_int_sql(hex_expr: str) -> str:
+    """8-char lowercase hex string → uint32 via nibble arithmetic
+    (DuckDB twin of Spark's conv(x,16,10)).  Pass a PRE-COMPUTED hex
+    expression (e.g. a lambda variable) so anything expensive inside it
+    is evaluated once, not once per nibble."""
+    nib = (
+        "(strpos('0123456789abcdef', "
+        f"substr({hex_expr}, {{i}}, 1)) - 1)"
+    )
+    return "(" + " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    ) + ")"
 
 
 def hash_fraction_sql(key_expr: str) -> str:

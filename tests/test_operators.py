@@ -1351,3 +1351,67 @@ def test_keying_roundtrip_property():
 
     roundtrip()
     identity()
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing (MOSS, SIGMOD 2003): shared substrings of length
+    ≥ k + window - 1 guarantee a common selected hash; disjoint texts
+    share nothing; short/empty texts yield empty sets, not errors."""
+    from hbase_snapshot_spark.operators.text import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog" * 2
+    df = spark.createDataFrame(
+        [
+            ("a", "AAA " + shared + " zzz unique tail one"),
+            ("b", "BBBBBB " + shared + " qqq other ending!"),
+            ("c", "completely different material 1234567890 xyzxyz"),
+            ("short", "tiny"),          # < k after normalization
+            ("exact", "abcdefghijk"),   # exactly k + w - 1 chars
+            ("empty", ""),
+            ("null", None),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in winnow_fingerprints(df, k=k, window=w)
+           .collect()}
+
+    # guarantee: a & b share the long substring -> common selected hash
+    assert set(out["a"].winnow) & set(out["b"].winnow)
+    # disjoint alphabets share nothing
+    assert not set(out["a"].winnow) & set(out["c"].winnow)
+    # sets are sorted + distinct; n/digest consistent
+    for r in out.values():
+        if r.winnow is not None:
+            assert list(r.winnow) == sorted(set(r.winnow))
+            assert r.n_winnow == len(r.winnow)
+    # below the window threshold -> empty set, no crash
+    assert out["short"].winnow == [] and out["short"].n_winnow == 0
+    assert out["empty"].winnow == []
+    # exactly k + w - 1 normalized chars -> exactly one window
+    assert out["exact"].n_winnow == 1
+    # same text -> identical digest (determinism across rows)
+    df2 = spark.createDataFrame(
+        [("x", "hello winnow world example"),
+         ("y", "hello winnow world example")],
+        "doc_id string, text string")
+    o2 = winnow_fingerprints(df2, k=k, window=w).collect()
+    assert o2[0].winnow_digest == o2[1].winnow_digest
+
+
+def test_winnow_plan_is_map_only(spark):
+    """The winnow operator must stay a per-row projection: no Exchange,
+    no BatchEvalPython, and the hash array must NOT be re-inlined into
+    the window lambda (the O(n^2) re-evaluation trap — each stage is
+    materialized as its own Project)."""
+    from hbase_snapshot_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([("a", "some text")], "doc_id string, text string")
+    out = winnow_fingerprints(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # the k-gram md5 appears in the hash-array stage and the digest,
+    # but must not be duplicated into the per-window array_min lambda
+    assert optimized.count("slice") <= 2

@@ -801,3 +801,98 @@ def contaminated_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .select(F.col("id").alias(id_col), "span_start", "span_end", "span_tokens")
     )
+
+
+# ----------------------------------------------------- line-level dedup
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "first",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line/paragraph-level corpus dedup (CCNet, Wenzek et al. 2019 —
+    the pass that strips nav menus, cookie banners, and boilerplate
+    before document-level dedup).  Splits each document on ``sep``,
+    hashes each normalized line (lower + trim), and removes lines by
+    corpus-wide frequency:
+
+    - ``mode='first'`` (CCNet semantics): every repeated line is kept
+      only at its FIRST corpus occurrence (ordered by (id, position));
+      later occurrences are dropped.  One hash-partitioned window (with
+      map-side-combinable cardinality) + one reassembly shuffle — no
+      self-join.
+    - ``mode='boilerplate'`` (RefinedWeb-style frequent-line removal):
+      lines whose corpus count >= ``min_count`` are dropped EVERYWHERE.
+      The frequent-hash set is tiny by construction (boilerplate is
+      few distinct strings), so the removal join is a broadcast
+      left-anti — the per-line pass stays map-only.
+
+    Lines that normalize to EMPTY are always kept: they carry document
+    structure, not content, and their hash would otherwise be the
+    single most frequent key in the corpus — a guaranteed skew
+    hot-partition at 100 TB.
+
+    Output: one row per input row with ``clean_<text_col>`` (surviving
+    lines joined by ``sep``, original line text and order preserved),
+    ``n_lines`` and ``n_removed``.  Documents whose every line is
+    removed survive with an empty clean text (left join back to the
+    input keys — a groupBy over kept lines alone would drop them)."""
+    if mode not in ("first", "boilerplate"):
+        raise ValueError(f"line_dedup mode {mode!r}")
+    lines = (
+        df.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
+                  .alias("_pos", "_line"))
+        .withColumn("_norm", F.lower(F.trim(F.col("_line"))))
+        .withColumn("_h", F.md5(F.col("_norm")))
+    )
+    content = lines.filter(F.length("_norm") > 0)
+    blank = lines.filter(F.length("_norm") == 0)
+    if mode == "first":
+        w = Window.partitionBy("_h").orderBy(
+            F.col(id_col).asc(), F.col("_pos").asc())
+        kept = (
+            content.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+    else:
+        frequent = (
+            content.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") >= min_count)
+            .select("_h")
+        )
+        kept = content.join(F.broadcast(frequent), "_h", "left_anti")
+    kept = kept.unionByName(blank)
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias(f"clean_{text_col}"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    # n_lines needs no second explode/agg/join: it is a map-side
+    # projection on the input (split size; null text -> 0 lines)
+    return (
+        df.withColumn(
+            "n_lines",
+            F.when(F.col(text_col).isNull(), F.lit(0))   # size(null) is
+            .otherwise(F.size(F.split(F.col(text_col), sep))))  # -1 legacy
+        .join(reassembled, id_col, "left")
+        .withColumn(
+            f"clean_{text_col}",
+            F.coalesce(F.col(f"clean_{text_col}"), F.lit("")))
+        .withColumn(
+            "n_removed",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long"))
+        .withColumn("n_lines", F.col("n_lines").cast("long"))
+        .drop("_n_kept")
+    )

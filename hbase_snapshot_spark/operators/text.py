@@ -425,3 +425,84 @@ def winnow_fingerprints(
                 F.transform(F.col("winnow"), lambda x: x.cast("string")),
                 ",")))
     )
+
+
+# --------------------------------------------------- URL/domain filter
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Registered host of a hierarchical URL, lowercased: scheme '://'
+    [userinfo '@'] HOST [':' port] — empty string when the value does
+    not parse as a URL (regexp_extract's no-match result, kept as-is so
+    the column stays non-null for downstream array ops)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: "list[str] | DataFrame" = (),
+    include_subdomains: bool = True,
+    out_col: str = "blocked",
+) -> DataFrame:
+    """Domain-blocklist filtering (the URL-curation gate every web
+    corpus runs before content filters — CCNet / RefinedWeb both gate
+    on a domain blocklist first, it is the cheapest signal available).
+
+    ``blocklist`` entries are registrable domains ('example.com');
+    with ``include_subdomains`` a document is blocked when ANY dot
+    suffix of its URL host equals a blocklist entry, so
+    'a.b.example.com' matches 'example.com' but 'notexample.com' does
+    NOT (suffix match is on whole labels, never substrings).
+
+    Adds ``out_col`` (boolean).  Two shapes, both scale-safe:
+
+    - Python list/tuple blocklist → a literal array and
+      ``arrays_overlap`` against the host's label-suffix array: pure
+      Catalyst, map-only, zero shuffles at any corpus size.
+    - DataFrame blocklist (column ``domain``) → explode the ≤ ~6 host
+      suffixes and broadcast left-semi join: one broadcast, no shuffle
+      of the corpus side.  Use this when the blocklist is data, not
+      code (it is still tiny next to the corpus — broadcast always
+      wins here).
+    """
+    host = url_host(url_col)
+    parts = F.split(host, r"\.")
+    if include_subdomains:
+        suffixes = F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+        )
+    else:
+        suffixes = F.array(host)
+    if isinstance(blocklist, DataFrame):
+        tagged = df.withColumn("__df_sfx", suffixes)
+        bl = blocklist.select(F.lower(F.col("domain")).alias("__df_hit"))
+        hits = (
+            tagged.select(
+                F.monotonically_increasing_id().alias("__df_rid"), "__df_sfx")
+            .select("__df_rid", F.explode("__df_sfx").alias("__df_s"))
+            .join(F.broadcast(bl),
+                  F.col("__df_s") == F.col("__df_hit"), "left_semi")
+            .select("__df_rid").distinct()
+        )
+        # re-derive on the tagged frame: monotonically_increasing_id is
+        # only stable within one plan, so keep everything in one plan
+        with_id = tagged.withColumn(
+            "__df_rid", F.monotonically_increasing_id())
+        return (
+            with_id.join(F.broadcast(hits.withColumn(out_col, F.lit(True))),
+                         "__df_rid", "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+            .drop("__df_rid", "__df_sfx")
+        )
+    lits = F.array(*[F.lit(str(d).lower()) for d in blocklist]) \
+        if blocklist else F.array().cast("array<string>")
+    return df.withColumn(
+        out_col,
+        F.when(F.size(F.array_intersect(suffixes, lits)) > 0, F.lit(True))
+        .otherwise(F.lit(False)),
+    )

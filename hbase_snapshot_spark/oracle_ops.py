@@ -124,6 +124,59 @@ SELECT 'contam' AS branch, doc_id, span_start AS v1, span_end AS v2,
        span_end - span_start AS v3
 FROM (WITH {contam_core.strip()} SELECT * FROM spans) s
 WHERE span_end - span_start >= {k}
+UNION ALL
+-- 'lines': CCNet line dedup (mode='first') twin of dedup.line_dedup
+-- over the deterministic 4-line page (NAV header / two word-halves /
+-- footer).  Repeated normalized lines survive only at their first
+-- (doc_id, pos); empty-normalized lines are always kept (the skew
+-- rule).  v3 pins the reassembled clean text.
+SELECT 'lines' AS branch, d.doc_id,
+       CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS v1,
+       CAST(coalesce(tot.n_lines, 0) - coalesce(ag.n_kept, 0) AS BIGINT) AS v2,
+       CAST({_hex8_int_sql("coalesce(ag.hx, substr(md5(''), 1, 8))")}
+            AS BIGINT) AS v3
+FROM documents d
+LEFT JOIN (
+  WITH pages AS (
+    SELECT doc_id,
+           'NAV HOME ABOUT CONTACT' || chr(10)
+           || array_to_string(w[1:half], ' ') || chr(10)
+           || array_to_string(w[half + 1:], ' ') || chr(10)
+           || '(c) footer 2024' AS page
+    FROM (SELECT doc_id, w,
+                 greatest(1, CAST(ceil(len(w) / 2.0) AS INT)) AS half
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents) w0) h0
+  ), lns AS (
+    SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line,
+           lower(trim(ls[CAST(i AS INT)])) AS nrm
+    FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages) p,
+         UNNEST(generate_series(1, len(ls))) AS u(i)
+  ), kept AS (
+    SELECT doc_id, pos, line FROM (
+      SELECT doc_id, pos, line, nrm,
+             row_number() OVER (
+               PARTITION BY CASE WHEN length(nrm) > 0 THEN md5(nrm) END
+               ORDER BY doc_id, pos) AS rn
+      FROM lns) x
+    WHERE length(nrm) = 0 OR rn = 1
+  )
+  SELECT doc_id, count(*) AS n_kept,
+         substr(md5(string_agg(line, chr(10) ORDER BY pos)), 1, 8) AS hx
+  FROM kept GROUP BY doc_id
+) ag ON d.doc_id = ag.doc_id
+LEFT JOIN (
+  SELECT doc_id, len(string_split(page2, chr(10))) AS n_lines
+  FROM (SELECT doc_id,
+               'NAV HOME ABOUT CONTACT' || chr(10)
+               || array_to_string(w[1:half], ' ') || chr(10)
+               || array_to_string(w[half + 1:], ' ') || chr(10)
+               || '(c) footer 2024' AS page2
+        FROM (SELECT doc_id, w,
+                     greatest(1, CAST(ceil(len(w) / 2.0) AS INT)) AS half
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents) w1) h1) p2
+) tot ON d.doc_id = tot.doc_id
 """
 
 
@@ -861,14 +914,36 @@ WITH h AS (
                    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
             FROM documents) n) g0) g
 )
+, b AS (
+  -- domain_filter twin: host of the per-doc page URL (every third doc
+  -- gets a deeper cdn. host), whole-label dot suffixes, any-hit
+  -- against the literal blocklist
+  SELECT doc_id,
+         list_has_any(
+           list_transform(range(1, len(hp) + 1),
+                          i -> array_to_string(hp[CAST(i AS INT):], '.')),
+           ['src3.example.org', 'src7.example.org', 'example.net']
+         ) AS blocked
+  FROM (
+    SELECT doc_id,
+           string_split(lower(regexp_extract(
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'https://cdn.' || source || '.example.org/p/' || doc_id
+                  ELSE 'http://' || source || '.example.org/doc/' || doc_id
+             END,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+             '.') AS hp
+    FROM documents) hb
+)
 SELECT e.doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
        'r:http://org.example.' || source || '/doc/' || e.doc_id AS urlkey,
        trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS plain,
        CAST(len(w.sel) AS BIGINT) AS n_winnow,
        md5(array_to_string(list_transform(w.sel,
-           x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest
-FROM e JOIN w ON e.doc_id = w.doc_id
+           x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest,
+       b.blocked AS blocked
+FROM e JOIN w ON e.doc_id = w.doc_id JOIN b ON e.doc_id = b.doc_id
 """
 
 

@@ -1415,3 +1415,129 @@ def test_winnow_plan_is_map_only(spark):
     # the k-gram md5 appears in the hash-array stage and the digest,
     # but must not be duplicated into the per-window array_min lambda
     assert optimized.count("slice") <= 2
+
+
+def test_line_dedup_first_mode(spark):
+    """CCNet keep-first semantics: a repeated line survives only at its
+    first (doc_id, pos); blank lines always survive; a doc whose every
+    line is removed still appears with empty clean text."""
+    from hbase_snapshot_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "NAV\nalpha beta\n\nfooter"),
+            (2, "NAV\ngamma delta\n\nfooter"),
+            (3, "NAV\nfooter"),          # both lines seen -> all removed
+            (4, "  nav \nepsilon"),      # normalization: ' nav ' == 'NAV'
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(df, mode="first").collect()}
+    assert out[1].clean_text == "NAV\nalpha beta\n\nfooter"
+    assert (out[1].n_lines, out[1].n_removed) == (4, 0)
+    # doc 2: NAV + footer already seen; blank always kept
+    assert out[2].clean_text == "gamma delta\n"
+    assert (out[2].n_lines, out[2].n_removed) == (4, 2)
+    assert out[3].clean_text == "" and out[3].n_removed == 2
+    # ' nav ' normalizes to 'nav' == doc 1's 'NAV' -> removed, but the
+    # KEPT line keeps its original text
+    assert out[4].clean_text == "epsilon"
+    assert out[4].n_removed == 1
+
+
+def test_line_dedup_boilerplate_mode(spark):
+    """boilerplate mode: lines with corpus count >= min_count vanish
+    EVERYWHERE (including the first occurrence)."""
+    from hbase_snapshot_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "cookie banner\nreal content one"),
+         (2, "cookie banner\nreal content two"),
+         (3, "cookie banner\nreal content three")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           line_dedup(df, mode="boilerplate", min_count=3).collect()}
+    for i, want in ((1, "real content one"), (2, "real content two"),
+                    (3, "real content three")):
+        assert out[i].clean_text == want
+        assert out[i].n_removed == 1
+
+
+def test_line_dedup_plan_shape(spark):
+    """mode='first' must be window + reassembly (no self-join of the
+    exploded lines); boilerplate mode's removal join must be broadcast."""
+    from hbase_snapshot_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    p1 = line_dedup(df, mode="first")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the dedup core is the Window subtree (everything the plan prints
+    # after the Window node) — it must contain no join of any kind, and
+    # the keep-first filter should have been pushed into a group-limit
+    assert "Join" not in p1.split("Window [row_number()", 1)[1]
+    assert "WindowGroupLimit" in p1
+    p2 = line_dedup(df, mode="boilerplate")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p2 or "BroadcastNestedLoop" in p2
+
+
+def test_domain_filter_literal_blocklist(spark):
+    """whole-label suffix matching: subdomains of a blocked domain hit,
+    lookalike registrable names ('notexample.com') do not; non-URL and
+    NULL values never block; matching is case-insensitive."""
+    from hbase_snapshot_spark.operators.text import domain_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://example.com/x"),
+            (2, "https://A.B.EXAMPLE.COM/y?q=1"),
+            (3, "http://notexample.com/z"),
+            (4, "https://user:pw@sub.example.com:8443/p#f"),
+            (5, "ftp://other.org/f"),
+            (6, "not a url"),
+            (7, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r.blocked for r in
+           domain_filter(df, "url", ["example.com"]).collect()}
+    assert out == {1: True, 2: True, 3: False, 4: True,
+                   5: False, 6: False, 7: False}
+    # include_subdomains=False: only the exact host matches
+    out2 = {r.doc_id: r.blocked for r in domain_filter(
+        df, "url", ["example.com"], include_subdomains=False).collect()}
+    assert out2[1] is True and out2[2] is False and out2[4] is False
+
+
+def test_domain_filter_dataframe_blocklist(spark):
+    """DataFrame blocklist goes through the explode + broadcast
+    left-semi shape and agrees with the literal-array path."""
+    from hbase_snapshot_spark.operators.text import domain_filter
+
+    df = spark.createDataFrame(
+        [(1, "http://a.bad.org/"), (2, "http://good.org/"),
+         (3, "https://bad.org/root")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.org",), ("BANNED.net",)],
+                               "domain string")
+    out = {r.doc_id: r.blocked for r in
+           domain_filter(df, "url", bl).collect()}
+    assert out == {1: True, 2: False, 3: True}
+    lit = {r.doc_id: r.blocked for r in
+           domain_filter(df, "url", ["bad.org", "banned.net"]).collect()}
+    assert out == lit
+    plan = domain_filter(df, "url", bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_filter_literal_is_map_only(spark):
+    from hbase_snapshot_spark.operators.text import domain_filter
+
+    df = spark.createDataFrame([(1, "http://x.com/")],
+                               "doc_id long, url string")
+    plan = domain_filter(df, "url", ["x.com"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

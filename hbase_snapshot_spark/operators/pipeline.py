@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hbase_snapshot_spark.operators.dedup import exact_dedup
+from hbase_snapshot_spark.operators.dedup import exact_dedup, line_dedup
 from hbase_snapshot_spark.operators.packing import (
     chunk_documents,
     pack_sequences,
@@ -39,6 +39,8 @@ def preprocess_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     html: bool = False,
+    line_dedup_mode: str | None = None,
+    line_min_count: int = 2,
     min_quality: float = 0.25,
     keep_langs: list[str] | None = None,
     chunk_tokens: int = 512,
@@ -48,6 +50,13 @@ def preprocess_corpus(
     """raw documents → packed training chunks, one logical plan:
 
     1. (optional) HTML → plain text (``strip_html``, pure projection);
+    1b. (optional, ``line_dedup_mode``) CCNet line-level boilerplate
+        removal BEFORE the content gates, so nav menus and cookie
+        banners don't pollute lang-ID/quality.  'boilerplate' costs one
+        line-hash aggregation for the (tiny) frequent set plus a
+        broadcast anti-join — the corpus-side pass stays map-only;
+        'first' costs a hash-window shuffle + reassembly (full CCNet
+        semantics, use when exact keep-first matters);
     2. language ID + quality score (pure projections);
     3. quality / language gate (plain filters — they reach the scan);
     4. exact dedup on the normalized-text fingerprint (shuffle #1);
@@ -64,6 +73,10 @@ def preprocess_corpus(
     if html:
         out = strip_html(out, text_col, out_col="_plain")
         col = "_plain"
+    if line_dedup_mode is not None:
+        out = line_dedup(out, col, id_col=id_col, mode=line_dedup_mode,
+                         min_count=line_min_count)
+        col = f"clean_{col}"
     out = out.withColumn("lang", lang_id(F.col(col)))
     out = quality_score(out, col)
     out = out.filter(F.col("quality") >= min_quality)

@@ -1541,3 +1541,25 @@ def test_domain_filter_literal_is_map_only(spark):
     plan = domain_filter(df, "url", ["x.com"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_preprocess_corpus_line_dedup_stage(spark):
+    """line_dedup_mode='boilerplate' strips the shared banner before
+    the gates, so the surviving chunks never contain it and per-doc
+    content is otherwise preserved."""
+    from hbase_snapshot_spark.operators.pipeline import preprocess_corpus
+
+    banner = "accept all cookies to continue"
+    body = ("the quick brown fox jumps over the lazy dog and the dog "
+            "is of a mind to jump too ") * 3
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\n{body}doc{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = preprocess_corpus(
+        docs, line_dedup_mode="boilerplate", line_min_count=3,
+        chunk_tokens=64, overlap_tokens=8).collect()
+    assert out, "gates must not drop everything"
+    joined = " ".join(r.chunk_text for r in out)
+    assert "cookies" not in joined
+    assert "doc0" in joined or "doc1" in joined

@@ -194,29 +194,44 @@ def tfidf_top_terms(
 #: RE2-compatible patterns (work identically in Java regex and DuckDB)
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_PATTERN = r"https?://[^\s]+"
+# phone: requires explicit separators so bare digit runs (ids, years,
+# prices) never match — the over-match failure mode of corpus scrubs
+PHONE_PATTERN = r"(\+[0-9]{1,2}[ -])?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}"
+IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
 def scrub_pii(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Redact emails and URLs (the minimum-viable PII/noise scrub every
-    web-scale training corpus applies), reporting per-doc counts and the
-    cleaned length.  Pure-Column regexp ops — whole-stage codegen, and
-    the patterns are RE2-compatible so the DuckDB oracle runs them
-    verbatim."""
+    """Redact emails, URLs, phone numbers, and IPv4 addresses (the
+    standard PII/noise scrub a web-scale training corpus applies),
+    reporting per-doc counts and the cleaned length.  Pure-Column
+    regexp ops — whole-stage codegen, and the patterns are
+    RE2-compatible so the DuckDB oracle runs them verbatim.
+
+    Replacement order is email → URL → IP → phone and counts are taken
+    on the ORIGINAL text, so an IP inside a URL counts as both but is
+    redacted once (as part of the <URL>); keep both engines in this
+    exact order."""
     text = F.col(text_col)
     cleaned = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
-        URL_PATTERN, "<URL>",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+                URL_PATTERN, "<URL>"),
+            IPV4_PATTERN, "<IP>"),
+        PHONE_PATTERN, "<PHONE>",
     )
+
+    def _n(pattern):
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
     return df.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))).alias(
-            "n_emails"
-        ),
-        F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))).alias(
-            "n_urls"
-        ),
+        _n(EMAIL_PATTERN).alias("n_emails"),
+        _n(URL_PATTERN).alias("n_urls"),
+        _n(PHONE_PATTERN).alias("n_phones"),
+        _n(IPV4_PATTERN).alias("n_ips"),
         F.length(cleaned).alias("clean_len"),
         cleaned.alias("clean_text"),
     )

@@ -662,23 +662,34 @@ FROM (
 """
 
 
-def scrub_pii_sql(email_pattern: str, url_pattern: str) -> str:
+def scrub_pii_sql(email_pattern: str, url_pattern: str,
+                  phone_pattern: str, ipv4_pattern: str) -> str:
     """SQL twin of text.scrub_pii — the patterns are RE2-compatible so
     they run verbatim in DuckDB ('g' = replace all, matching Spark's
-    regexp_replace).  Mirrors the query's synthetic email+URL suffix so
-    the comparison proves pattern agreement, not just zero counts."""
+    regexp_replace).  Mirrors the query's synthetic email+URL+phone+IP
+    suffix so the comparison proves pattern agreement, not just zero
+    counts; replacement order email → URL → IP → phone matches the
+    operator."""
     return f"""
 WITH d AS (
   SELECT doc_id,
          text || ' contact user' || doc_id || '@example.com or '
-              || 'https://ex.io/d/' || doc_id AS text
+              || 'https://ex.io/d/' || doc_id
+              || ' call +1 555-123-4567 or ('
+              || (doc_id % 800 + 200) || ') 987-6543 from 10.0.'
+              || (doc_id % 256) || '.7 now' AS text
   FROM documents
 )
 SELECT doc_id,
        len(regexp_extract_all(text, '{email_pattern}')) AS n_emails,
        len(regexp_extract_all(text, '{url_pattern}')) AS n_urls,
-       length(regexp_replace(regexp_replace(text, '{email_pattern}', '<EMAIL>', 'g'),
-                             '{url_pattern}', '<URL>', 'g')) AS clean_len
+       len(regexp_extract_all(text, '{phone_pattern}')) AS n_phones,
+       len(regexp_extract_all(text, '{ipv4_pattern}')) AS n_ips,
+       length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text, '{email_pattern}', '<EMAIL>', 'g'),
+                      '{url_pattern}', '<URL>', 'g'),
+                      '{ipv4_pattern}', '<IP>', 'g'),
+                      '{phone_pattern}', '<PHONE>', 'g')) AS clean_len
 FROM d
 """
 

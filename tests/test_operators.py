@@ -618,6 +618,27 @@ def test_scrub_pii(spark):
     assert rows["d2"].n_emails == 0 and rows["d2"].clean_text == "clean text"
 
 
+def test_scrub_pii_phone_ip(spark):
+    """phone needs explicit separators (bare digit runs never match);
+    IPs count even when inside a URL but are redacted as part of it."""
+    from hbase_snapshot_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("d1", "call +1 555-123-4567 or (212) 987-6543 ok"),
+         ("d2", "ids 123456789012 and year 2024-2025 price 10.99"),
+         ("d3", "host 192.168.0.1 and http://10.0.0.7/x page")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows["d1"].n_phones == 2 and rows["d1"].n_ips == 0
+    assert rows["d1"].clean_text == "call <PHONE> or <PHONE> ok"
+    # over-match guard: plain digit runs / years / prices never match
+    assert rows["d2"].n_phones == 0 and rows["d2"].n_ips == 0
+    assert rows["d2"].clean_text == "ids 123456789012 and year 2024-2025 price 10.99"
+    assert rows["d3"].n_ips == 2 and rows["d3"].n_urls == 1
+    assert rows["d3"].clean_text == "host <IP> and <URL> page"
+
+
 def test_quantize_embeddings(spark):
     from hbase_snapshot_spark.operators.embeddings import quantize_embeddings
 

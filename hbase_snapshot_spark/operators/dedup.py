@@ -816,8 +816,8 @@ def line_dedup(
     """Line/paragraph-level corpus dedup (CCNet, Wenzek et al. 2019 —
     the pass that strips nav menus, cookie banners, and boilerplate
     before document-level dedup).  Splits each document on ``sep``,
-    hashes each normalized line (lower + trim), and removes lines by
-    corpus-wide frequency:
+    hashes each normalized line (lowercased, ASCII-whitespace-trimmed),
+    and removes lines by corpus-wide frequency:
 
     - ``mode='first'`` (CCNet semantics): every repeated line is kept
       only at its FIRST corpus occurrence (ordered by (id, position));
@@ -845,7 +845,15 @@ def line_dedup(
     lines = (
         df.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
                   .alias("_pos", "_line"))
-        .withColumn("_norm", F.lower(F.trim(F.col("_line"))))
+        # explicit ASCII class, NOT trim(): Spark's trim strips only
+        # spaces, so a tab-only line would count as content and
+        # tab-only lines across the corpus would dedup against each
+        # other (caught by the differential property test); the
+        # explicit class also keeps the DuckDB twin byte-identical
+        .withColumn(
+            "_norm",
+            F.lower(F.regexp_replace(
+                F.col("_line"), "^[ \\t\\r\\f]+|[ \\t\\r\\f]+$", "")))
         .withColumn("_h", F.md5(F.col("_norm")))
     )
     content = lines.filter(F.length("_norm") > 0)

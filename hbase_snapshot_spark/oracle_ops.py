@@ -148,8 +148,11 @@ LEFT JOIN (
           FROM (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents) w0) h0
   ), lns AS (
+    -- explicit ASCII trim class, matching the operator (trim() would
+    -- strip only spaces)
     SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line,
-           lower(trim(ls[CAST(i AS INT)])) AS nrm
+           lower(regexp_replace(ls[CAST(i AS INT)],
+                 '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g')) AS nrm
     FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages) p,
          UNNEST(generate_series(1, len(ls))) AS u(i)
   ), kept AS (

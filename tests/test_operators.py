@@ -1584,3 +1584,110 @@ def test_preprocess_corpus_line_dedup_stage(spark):
     joined = " ".join(r.chunk_text for r in out)
     assert "cookies" not in joined
     assert "doc0" in joined or "doc1" in joined
+
+
+def test_line_dedup_property_vs_reference(spark):
+    """Differential property: line_dedup(mode='first') must agree with
+    a 20-line pure-Python reference on random corpora (repeated lines
+    keep only the first (doc_id, pos); empty-normalized lines always
+    kept; counts consistent).  One Spark run over a hypothesis-style
+    seeded corpus battery (per-example Spark jobs would be minutes)."""
+    import random
+
+    from hbase_snapshot_spark.operators.dedup import line_dedup
+
+    rng = random.Random(77)
+    vocab = ["alpha", "beta", "GAMMA", "delta "]
+    corpora = []
+    for doc in range(60):
+        n = rng.randrange(0, 6)
+        lines = [
+            rng.choice(["", " ", "\t"]) if rng.random() < 0.2
+            else " ".join(rng.choices(vocab, k=rng.randrange(1, 4)))
+            for _ in range(n)
+        ]
+        corpora.append((doc, "\n".join(lines)))
+
+    # pure-Python reference
+    seen, want = set(), {}
+    for doc_id, text in corpora:
+        kept = []
+        lines = text.split("\n")
+        for line in lines:
+            norm = line.strip(" \t\r\f").lower()
+            if norm == "":
+                kept.append(line)
+            elif norm not in seen:
+                seen.add(norm)
+                kept.append(line)
+        want[doc_id] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+    df = spark.createDataFrame(corpora, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+           for r in line_dedup(df, mode="first").collect()}
+    assert got == want
+
+
+def test_domain_filter_property_vs_reference(spark):
+    """Differential property: the suffix-match column must agree with a
+    straightforward Python host-suffix reference over a grammar of
+    hosts, ports, userinfo, paths, and lookalike names."""
+    import random
+
+    from hbase_snapshot_spark.operators.text import domain_filter
+
+    rng = random.Random(42)
+    blocked = ["bad.com", "evil.org", "sub.good.net"]
+    labels = ["bad", "evil", "good", "notbad", "badx", "sub", "a", "b"]
+    tlds = ["com", "org", "net", "io"]
+    rows = []
+    for i in range(200):
+        host = ".".join(rng.choices(labels, k=rng.randrange(1, 4))) + \
+            "." + rng.choice(tlds)
+        url = (rng.choice(["http", "https", "ftp"]) + "://" +
+               rng.choice(["", "u:p@"]) + host +
+               rng.choice(["", ":8080"]) + rng.choice(["/", "/x?q=1#f"]))
+        rows.append((i, url, host))
+
+    def ref(host):
+        parts = host.lower().split(".")
+        return any(".".join(parts[i:]) in blocked
+                   for i in range(len(parts)))
+
+    df = spark.createDataFrame([(i, u) for i, u, _ in rows],
+                               "doc_id long, url string")
+    got = {r.doc_id: r.blocked for r in
+           domain_filter(df, "url", blocked).collect()}
+    for i, _, host in rows:
+        assert got[i] == ref(host), (i, host)
+
+
+def test_winnow_property_vs_reference(spark):
+    """Differential property: the selected-hash SET must equal a direct
+    Python transcription of the winnowing definition (k-gram md5 →
+    per-window min → distinct) over random texts, including texts
+    shorter than k and between k and k+w-1."""
+    import hashlib
+    import random
+
+    from hbase_snapshot_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(9)
+    alphabet = "ab1 .X"
+    rows = [(i, "".join(rng.choices(alphabet, k=rng.randrange(0, 40))))
+            for i in range(120)]
+    k, w = 8, 4
+
+    def ref(text):
+        norm = "".join(c for c in text.lower() if c.isalnum() and c.isascii())
+        grams = [norm[p:p + k] for p in range(len(norm) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+        mins = [min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+        return sorted(set(mins))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.winnow) for r in
+           winnow_fingerprints(df, k=k, window=w).collect()}
+    for i, text in rows:
+        assert got[i] == ref(text), (i, text)

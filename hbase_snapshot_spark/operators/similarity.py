@@ -496,3 +496,166 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------- persistent IVF index
+
+def build_ann_index(
+    vectors: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    kmeans_iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "AnnIndex":
+    """Build an IVF index ON DISK: the quantizer (centroids) plus the
+    inverted lists materialized as parquet PARTITIONED BY cell.  At
+    100 TB you train the quantizer once and reuse it across every
+    search and every ingest batch — re-deriving it per query (what
+    ``ivf_topk`` does for oracle determinism) re-scans the corpus.
+
+    The hive layout IS the inverted-list structure: a probe of p cells
+    reads exactly p directories (static partition pruning — the scan's
+    PartitionFilters carries the probed cell set, pinned by test), so
+    search I/O scales with nprobe × cell size, never with corpus size.
+    """
+    import json
+    import os
+
+    assigned, cents = ivf_assign(
+        vectors, num_centroids, id_col, vec_col, kmeans_iterations)
+    assigned.write.partitionBy("cell").mode("errorifexists").parquet(
+        os.path.join(path, "assigned"))
+    cents.write.mode("errorifexists").parquet(
+        os.path.join(path, "centroids"))
+    spark = vectors.sparkSession
+    count = spark.read.parquet(os.path.join(path, "assigned")).count()
+    dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    manifest = {
+        "format": "ivf-parquet", "version": 1,
+        "num_centroids": num_centroids,
+        "kmeans_iterations": kmeans_iterations,
+        "id_col": id_col, "vec_col": vec_col,
+        "dim": int(dim_row.d if dim_row else 0), "count": int(count),
+    }
+    tmp = os.path.join(path, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return AnnIndex(spark, path, manifest)
+
+
+def load_ann_index(spark, path: str) -> "AnnIndex":
+    """Open a persisted IVF index, verifying the manifest against the
+    stored data (centroid count; a truncated/partial copy fails loudly
+    here, not as silent recall loss at search time)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "ivf-parquet" or manifest.get("version") != 1:
+        raise ValueError(f"not an ivf-parquet v1 index: {path}")
+    idx = AnnIndex(spark, path, manifest)
+    n_cents = idx.centroids.count()
+    if n_cents != manifest["num_centroids"]:
+        raise ValueError(
+            f"index corrupt: manifest says {manifest['num_centroids']} "
+            f"centroids, found {n_cents}")
+    return idx
+
+
+class AnnIndex:
+    """Handle over a persisted IVF index (see build_ann_index).
+
+    ``search`` reproduces ivf_topk's ranking exactly (same round-6
+    cosine, same ties) — pinned by test equality against the inline
+    operator — while reading only the probed cells' partitions."""
+
+    def __init__(self, spark, path: str, manifest: dict):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+        self._assigned_path = os.path.join(path, "assigned")
+        self._centroids_path = os.path.join(path, "centroids")
+
+    @property
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_path)
+
+    def assigned(self) -> DataFrame:
+        return self.spark.read.parquet(self._assigned_path)
+
+    def add_vectors(self, vectors: DataFrame) -> None:
+        """Ingest a new batch against the FROZEN quantizer (the
+        standard growing-corpus shape: centroids train once, batches
+        stream in).  Assignment is one broadcast cross-score; the
+        append goes into the same cell partitioning."""
+        import json
+        import os
+
+        id_col = self.manifest["id_col"]
+        vec_col = self.manifest["vec_col"]
+        cents = self.centroids
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "*",
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("cell").asc())
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_sim", "cvec")
+        )
+        assigned.write.partitionBy("cell").mode("append").parquet(
+            self._assigned_path)
+        self.manifest["count"] = int(
+            self.spark.read.parquet(self._assigned_path).count())
+        tmp = os.path.join(self.path, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        vec_col = self.manifest["vec_col"]
+        id_col = self.manifest["id_col"]
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"))
+        cents = self.centroids
+        qc = q.crossJoin(F.broadcast(cents)).select(
+            "query_id", "qvec", "cell",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_sim").desc(), F.col("cell").asc())
+        probes = (
+            qc.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", "qvec", "cell")
+        )
+        # the probed cell SET is driver-sized by construction
+        # (≤ num_centroids values) — collecting it turns the candidate
+        # read into STATIC partition pruning on the hive layout
+        cells = [r.cell for r in probes.select("cell").distinct().collect()]
+        cand = self.assigned().filter(F.col("cell").isin(cells))
+        scored = cand.join(F.broadcast(probes), on="cell").select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

@@ -1691,3 +1691,98 @@ def test_winnow_property_vs_reference(spark):
            winnow_fingerprints(df, k=k, window=w).collect()}
     for i, text in rows:
         assert got[i] == ref(text), (i, text)
+
+
+def _ann_corpus(spark, n=80, dim=8, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_index_build_search_matches_inline(spark, tmp_path):
+    """build + persisted search must reproduce ivf_topk exactly (same
+    quantizer seeding, cosine rounding, tie-breaks)."""
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, ivf_topk, load_ann_index)
+
+    vecs = _ann_corpus(spark)
+    queries = (vecs.filter("vec_id % 29 = 3")
+               .selectExpr("vec_id as query_id", "embedding"))
+    path = str(tmp_path / "ivf")
+    build_ann_index(vecs, path, num_centroids=8)
+    idx = load_ann_index(spark, path)
+    got = {(r.query_id, r.rank): (r.vec_id, r.cos)
+           for r in idx.search(queries, k=5, nprobe=3).collect()}
+    want = {(r.query_id, r.rank): (r.vec_id, r.cos)
+            for r in ivf_topk(vecs, queries, k=5, num_centroids=8,
+                              nprobe=3).collect()}
+    assert got == want and got
+    assert idx.manifest["count"] == 80 and idx.manifest["dim"] == 8
+
+
+def test_ann_index_search_prunes_partitions(spark, tmp_path):
+    """the probed-cell filter must reach the FILE listing: a search
+    with nprobe=2 reads strictly fewer parquet files than the full
+    inverted list, and the scan plan carries cell PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    vecs = _ann_corpus(spark)
+    path = str(tmp_path / "ivf")
+    build_ann_index(vecs, path, num_centroids=8)
+    idx = load_ann_index(spark, path)
+    def files_read(df):  # executed file set (inputFiles() lists the
+        # relation pre-pruning, so it can't see partition pruning)
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    total = files_read(idx.assigned())
+    pruned = idx.assigned().filter(F.col("cell").isin([0, 1]))
+    assert files_read(pruned) < total
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+
+
+def test_ann_index_add_vectors_frozen_quantizer(spark, tmp_path):
+    """incremental add: new vectors land in the existing cell layout,
+    the manifest count advances, and a new vector close to an old one
+    becomes findable."""
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    vecs = _ann_corpus(spark)
+    path = str(tmp_path / "ivf")
+    build_ann_index(vecs, path, num_centroids=8)
+    idx = load_ann_index(spark, path)
+    base = vecs.filter("vec_id = 7").first().embedding
+    near = [round(x * 0.99, 6) for x in base]
+    idx.add_vectors(spark.createDataFrame(
+        [(1007, near)], "vec_id long, embedding array<double>"))
+    assert idx.manifest["count"] == 81
+    q = spark.createDataFrame([(1, base)],
+                              "query_id long, embedding array<double>")
+    top = idx.search(q, k=2, nprobe=8).orderBy("rank").collect()
+    assert {r.vec_id for r in top} == {7, 1007}
+
+
+def test_ann_index_load_rejects_corrupt(spark, tmp_path):
+    import shutil
+
+    import pytest as _pytest
+
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    path = str(tmp_path / "ivf")
+    build_ann_index(_ann_corpus(spark, n=30), path, num_centroids=4)
+    # truncate the centroids table -> load must fail loudly
+    shutil.rmtree(path + "/centroids")
+    build_ann_index(
+        _ann_corpus(spark, n=30), str(tmp_path / "other"), num_centroids=2)
+    shutil.copytree(str(tmp_path / "other/centroids"), path + "/centroids")
+    with _pytest.raises(ValueError, match="corrupt"):
+        load_ann_index(spark, path)

@@ -1,3 +1,4 @@
+from hbase_snapshot_spark.streaming.ingest import stream_ingest_corpus
 from hbase_snapshot_spark.streaming.replication import (
     cell_stream,
     replicate,

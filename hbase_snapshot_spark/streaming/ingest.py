@@ -1,0 +1,89 @@
+"""Streaming corpus ingest: the continuously-arriving twin of
+operators.pipeline.preprocess_corpus.  New document files land in a
+directory; each micro-batch is gated (language/quality), fingerprinted,
+deduped against ALL PREVIOUSLY INGESTED batches (checkpointed state,
+not per-batch distinct), and appended to a lang-partitioned parquet
+corpus — exactly-once end to end (file-source offsets + state store +
+sink commit log all under one checkpoint).
+
+Scale shape: the gates and fingerprint are pure projections fused into
+the micro-batch scan; the only stateful exchange is the dedup's
+hash-partition on fingerprint, whose state store scales out per key.
+The sink's partitionBy(lang) gives the same partition-pruned layout the
+batch pipeline writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+)
+from hbase_snapshot_spark.streaming.replication import (
+    stateful_streaming_dedup,
+)
+
+#: schema of the documents table (TESTDATA.md) — file-source streams
+#: must declare their schema up front
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, "
+    "n_chars bigint"
+)
+
+
+def stream_ingest_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    keep_langs: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` drain) the ingest stream;
+    returns the StreamingQuery.  Restarting with the same checkpoint
+    resumes offsets and dedup state — a document seen in ANY earlier
+    batch (or earlier run) is never appended again."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    gated = quality_score(
+        stream.withColumn("lang_detected", lang_id(F.col(text_col))),
+        text_col,
+    ).filter(F.col("quality") >= min_quality)
+    if keep_langs is not None:
+        gated = gated.filter(F.col("lang_detected").isin(keep_langs))
+    deduped = stateful_streaming_dedup(
+        fingerprint(gated, text_col), ["fingerprint"])
+
+    # foreachBatch, not the direct file sink: (a) Spark's partitioned
+    # streaming file writer cannot consume the Python state op's Arrow
+    # output (ColumnarBatchRow → UnsafeRow ClassCastException in the
+    # shuffle/file writer), and (b) partitioning each batch under its
+    # batchId and OVERWRITING only that batch's partitions (dynamic
+    # partitionOverwriteMode) makes the write IDEMPOTENT — a crash-retry
+    # of a micro-batch replaces its own output instead of appending a
+    # duplicate, so the pipeline is exactly-once end to end with plain
+    # parquet.  Readers still prune on the second-level lang partition.
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("_ingest_batch", F.lit(batch_id))
+            .repartition("lang_detected")   # one file per lang per batch
+            .write.partitionBy("_ingest_batch", "lang_detected")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        deduped.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

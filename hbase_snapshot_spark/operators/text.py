@@ -478,46 +478,51 @@ def domain_filter(
     - Python list/tuple blocklist → a literal array and
       ``arrays_overlap`` against the host's label-suffix array: pure
       Catalyst, map-only, zero shuffles at any corpus size.
-    - DataFrame blocklist (column ``domain``) → explode the ≤ ~6 host
-      suffixes and broadcast left-semi join: one broadcast, no shuffle
-      of the corpus side.  Use this when the blocklist is data, not
-      code (it is still tiny next to the corpus — broadcast always
-      wins here).
+    - DataFrame blocklist (column ``domain``) → the decision is made at
+      HOST level (the natural join key — never a synthetic row id):
+      distinct hosts, explode their ≤ ~6 suffixes, broadcast left-semi
+      against the blocklist, then broadcast the (small) blocked-host
+      set back onto the corpus.  The corpus side is never exploded and
+      never shuffled; the distinct runs over hosts, which dedup
+      massively on any web corpus.  If the blocked-host set ever
+      outgrew broadcast (a blocklist matching millions of distinct
+      hosts), swap the final broadcast join for a plain hash join —
+      the host key keeps that a one-line change.
     """
+    def _suffixes(host: Column) -> Column:
+        parts = F.split(host, r"\.")
+        if include_subdomains:
+            return F.transform(
+                F.sequence(F.lit(1), F.size(parts)),
+                lambda i: F.array_join(
+                    F.slice(parts, i, F.size(parts)), "."),
+            )
+        return F.array(host)
+
     host = url_host(url_col)
-    parts = F.split(host, r"\.")
-    if include_subdomains:
-        suffixes = F.transform(
-            F.sequence(F.lit(1), F.size(parts)),
-            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
-        )
-    else:
-        suffixes = F.array(host)
     if isinstance(blocklist, DataFrame):
-        tagged = df.withColumn("__df_sfx", suffixes)
         bl = blocklist.select(F.lower(F.col("domain")).alias("__df_hit"))
-        hits = (
-            tagged.select(
-                F.monotonically_increasing_id().alias("__df_rid"), "__df_sfx")
-            .select("__df_rid", F.explode("__df_sfx").alias("__df_s"))
+        blocked_hosts = (
+            df.select(host.alias("__df_host"))
+            .where(F.length("__df_host") > 0).distinct()
+            .select("__df_host",
+                    F.explode(_suffixes(F.col("__df_host"))).alias("__df_s"))
             .join(F.broadcast(bl),
                   F.col("__df_s") == F.col("__df_hit"), "left_semi")
-            .select("__df_rid").distinct()
+            .select("__df_host").distinct()
+            .withColumn(out_col, F.lit(True))
         )
-        # re-derive on the tagged frame: monotonically_increasing_id is
-        # only stable within one plan, so keep everything in one plan
-        with_id = tagged.withColumn(
-            "__df_rid", F.monotonically_increasing_id())
         return (
-            with_id.join(F.broadcast(hits.withColumn(out_col, F.lit(True))),
-                         "__df_rid", "left")
+            df.join(F.broadcast(blocked_hosts),
+                    host == F.col("__df_host"), "left")
             .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
-            .drop("__df_rid", "__df_sfx")
+            .drop("__df_host")
         )
     lits = F.array(*[F.lit(str(d).lower()) for d in blocklist]) \
         if blocklist else F.array().cast("array<string>")
     return df.withColumn(
         out_col,
-        F.when(F.size(F.array_intersect(suffixes, lits)) > 0, F.lit(True))
+        F.when(F.size(F.array_intersect(_suffixes(host), lits)) > 0,
+               F.lit(True))
         .otherwise(F.lit(False)),
     )

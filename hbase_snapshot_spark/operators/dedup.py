@@ -842,8 +842,13 @@ def line_dedup(
     input keys — a groupBy over kept lines alone would drop them)."""
     if mode not in ("first", "boilerplate"):
         raise ValueError(f"line_dedup mode {mode!r}")
+    # sep is a LITERAL separator everywhere (F.split takes a regex, so
+    # escape it — sep='|' or '.' would otherwise split per character)
+    import re as _re
+
+    sep_re = _re.escape(sep)
     lines = (
-        df.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
+        df.select(id_col, F.posexplode(F.split(F.col(text_col), sep_re))
                   .alias("_pos", "_line"))
         # explicit ASCII class, NOT trim(): Spark's trim strips only
         # spaces, so a tab-only line would count as content and
@@ -871,7 +876,12 @@ def line_dedup(
             .filter(F.col("_cnt") >= min_count)
             .select("_h")
         )
-        kept = content.join(F.broadcast(frequent), "_h", "left_anti")
+        # no forced broadcast: with a boilerplate-grade min_count the
+        # frequent set is tiny and AQE picks broadcast at runtime, but
+        # at min_count=2 on a web corpus it is EVERY duplicated line —
+        # forcing a broadcast there would OOM the driver.  AQE makes
+        # the right call per run from the measured build-side size.
+        kept = content.join(frequent, "_h", "left_anti")
     kept = kept.unionByName(blank)
     reassembled = (
         kept.groupBy(id_col)
@@ -892,7 +902,7 @@ def line_dedup(
         df.withColumn(
             "n_lines",
             F.when(F.col(text_col).isNull(), F.lit(0))   # size(null) is
-            .otherwise(F.size(F.split(F.col(text_col), sep))))  # -1 legacy
+            .otherwise(F.size(F.split(F.col(text_col), sep_re))))  # -1 legacy
         .join(reassembled, id_col, "left")
         .withColumn(
             f"clean_{text_col}",

@@ -71,7 +71,12 @@ def preprocess_corpus(
     out = docs
     col = text_col
     if html:
-        out = strip_html(out, text_col, out_col="_plain")
+        # preserve block-boundary newlines when a line-level pass
+        # follows — the default whitespace collapse would fold every
+        # document into one line and line_dedup would silently become
+        # whole-document dedup
+        out = strip_html(out, text_col, out_col="_plain",
+                         preserve_newlines=line_dedup_mode is not None)
         col = "_plain"
     if line_dedup_mode is not None:
         out = line_dedup(out, col, id_col=id_col, mode=line_dedup_mode,

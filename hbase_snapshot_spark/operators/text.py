@@ -125,7 +125,8 @@ _WS = "[ \\t\\n\\r\\f]+"
 
 
 def strip_html(df: DataFrame, text_col: str = "text",
-               out_col: str = "plain") -> DataFrame:
+               out_col: str = "plain",
+               preserve_newlines: bool = False) -> DataFrame:
     """HTML → plain text, the first stage of a web-corpus pipeline
     (C4/RefinedWeb-style): drop comments and script/style blocks
     (content included), strip remaining tags, decode the common named
@@ -133,15 +134,37 @@ def strip_html(df: DataFrame, text_col: str = "text",
     whole-stage codegen, no Python in the hot path, scales like any
     projection.  Numeric character references beyond &#39; are left
     as-is (a full HTML5 entity table is a fidelity concern, not a
-    pipeline-shape one)."""
+    pipeline-shape one).
+
+    ``preserve_newlines`` turns BLOCK boundaries (<br>/<hr>, closing
+    p/div/li/tr/h1-6/blockquote/section/article tags) into '\\n' and
+    collapses whitespace without eating them — required when a
+    line-level pass (line_dedup) follows: the default collapse folds
+    every document into ONE line, silently degrading line dedup to
+    whole-document dedup.  Default False keeps the original
+    (oracle-pinned) single-line behavior."""
     c = F.col(text_col)
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    if preserve_newlines:
+        c = F.regexp_replace(
+            c,
+            r"(?i)<(?:br|hr)\s*/?>|"
+            r"</(?:p|div|li|tr|h[1-6]|blockquote|section|article)\s*>",
+            "\n")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
     for ent, rep in HTML_ENTITIES:
         c = F.regexp_replace(c, ent, rep)
-    c = F.trim(F.regexp_replace(c, _WS, " "))
+    if preserve_newlines:
+        # collapse within lines, then collapse blank runs to one \n;
+        # trim outer whitespace including newlines
+        c = F.regexp_replace(c, "[ \\t\\f\\r]+", " ")
+        c = F.regexp_replace(c, " ?\\n ?", "\n")
+        c = F.regexp_replace(c, "\\n{2,}", "\n")
+        c = F.regexp_replace(c, "^[ \\n]+|[ \\n]+$", "")
+    else:
+        c = F.trim(F.regexp_replace(c, _WS, " "))
     return df.withColumn(out_col, c)
 
 
@@ -412,7 +435,12 @@ def winnow_fingerprints(
     out = (
         df.withColumn(
             "__w_nrm",
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+            # Unicode letter/digit classes, not [a-z0-9]: an ASCII-only
+            # normalization would strip EVERY character of a non-Latin
+            # document, giving all Chinese/Russian/Arabic docs the same
+            # empty fingerprint set (silently blind near-dup signal)
+            F.regexp_replace(
+                F.lower(F.col(text_col)), r"[^\p{L}\p{N}]", ""))
         .withColumn(
             "__w_hashes",
             F.transform(
@@ -451,9 +479,14 @@ def url_host(url: Column | str) -> Column:
     """Registered host of a hierarchical URL, lowercased: scheme '://'
     [userinfo '@'] HOST [':' port] — empty string when the value does
     not parse as a URL (regexp_extract's no-match result, kept as-is so
-    the column stays non-null for downstream array ops)."""
+    the column stays non-null for downstream array ops).  Trailing dots
+    are stripped: 'example.com.' is the root-qualified FQDN spelling of
+    'example.com' (browsers and HTTP clients treat them as the same
+    host) — without this a blocklist is trivially evaded by appending a
+    dot."""
     u = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(u, _HOST_RE, 1)), r"\.+$", "")
 
 
 def domain_filter(

@@ -925,7 +925,7 @@ WITH h AS (
                p -> substr(md5(substr(nrm, CAST(p AS INT), 8)), 1, 8)
              ) AS hx
       FROM (SELECT doc_id,
-                   regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
+                   regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g') AS nrm
             FROM documents) n) g0) g
 )
 , b AS (
@@ -939,13 +939,15 @@ WITH h AS (
            ['src3.example.org', 'src7.example.org', 'example.net']
          ) AS blocked
   FROM (
+    -- trailing-dot strip mirrors text.url_host (root-qualified FQDNs)
     SELECT doc_id,
-           string_split(lower(regexp_extract(
+           string_split(regexp_replace(lower(regexp_extract(
              CASE WHEN doc_id % 3 = 0
                   THEN 'https://cdn.' || source || '.example.org/p/' || doc_id
                   ELSE 'http://' || source || '.example.org/doc/' || doc_id
              END,
              '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+             '\.+$', ''),
              '.') AS hp
     FROM documents) hb
 )

@@ -196,16 +196,7 @@ def ivf_assign(
         cents = kmeans_refine(
             vectors, cents, kmeans_iterations, id_col, vec_col
         )
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
-        "*", F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim")
-    )
-    wv = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell").asc())
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(wv))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim", "cvec")
-    )
-    return assigned, cents
+    return _assign_cells(vectors, cents, id_col, vec_col), cents
 
 
 def ivf_topk(
@@ -228,28 +219,8 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qvec", "cell",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qvec", "cell")
-    )
-    scored = assigned.join(F.broadcast(probes), on="cell").select(
-        "query_id",
-        F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    probes = _probes_for(q, cents, nprobe)
+    return _score_and_rank(assigned, probes, k, id_col, vec_col)
 
 
 # ----------------------------------------------------- product quantization
@@ -499,6 +470,63 @@ def ivfpq_topk(
 
 
 # ------------------------------------------------- persistent IVF index
+#
+# The probe/score/rank and cell-assignment cores are factored into the
+# helpers below and SHARED between the inline operators (ivf_topk /
+# ivf_assign) and the persisted AnnIndex: the index's contract is
+# "search reproduces ivf_topk exactly", and one copy of the rounding +
+# tie-break logic is what makes that contract drift-proof.
+
+
+def _assign_cells(
+    vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign each vector to its best cell (round-6 cosine, cell-asc
+    tie-break): one broadcast cross-score + one per-id window."""
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        "*", F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim", "cvec")
+    )
+
+
+def _probes_for(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Per query: the nprobe nearest cells.  ``q`` has (query_id, qvec)."""
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qvec", "cell",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cell").asc())
+    return (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+
+
+def _score_and_rank(
+    candidates: DataFrame, probes: DataFrame, k: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Exact cosine within probed cells, top-k per query."""
+    scored = candidates.join(F.broadcast(probes), on="cell").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
 
 def build_ann_index(
     vectors: DataFrame,
@@ -509,40 +537,50 @@ def build_ann_index(
     vec_col: str = "embedding",
 ) -> "AnnIndex":
     """Build an IVF index ON DISK: the quantizer (centroids) plus the
-    inverted lists materialized as parquet PARTITIONED BY cell.  At
-    100 TB you train the quantizer once and reuse it across every
-    search and every ingest batch — re-deriving it per query (what
-    ``ivf_topk`` does for oracle determinism) re-scans the corpus.
+    inverted lists materialized as parquet PARTITIONED BY
+    (cell, _ingest_batch).  At 100 TB you train the quantizer once and
+    reuse it across every search and every ingest batch — re-deriving
+    it per query (what ``ivf_topk`` does for oracle determinism)
+    re-scans the corpus.
 
     The hive layout IS the inverted-list structure: a probe of p cells
-    reads exactly p directories (static partition pruning — the scan's
-    PartitionFilters carries the probed cell set, pinned by test), so
-    search I/O scales with nprobe × cell size, never with corpus size.
-    """
+    reads exactly p cell directories (static partition pruning — the
+    scan's PartitionFilters carries the probed cell set, pinned by
+    test), so search I/O scales with nprobe × cell size, never with
+    corpus size.  The second partition level is the ingest batch, which
+    makes ``add_vectors`` replay-idempotent (see there).
+
+    The manifest records the ACTUAL centroid count — a corpus smaller
+    than ``num_centroids`` yields fewer centroids (ivf_assign seeds
+    from the smallest ids), and recording the request instead would
+    make every such index fail its own load check."""
     import json
     import os
 
     assigned, cents = ivf_assign(
         vectors, num_centroids, id_col, vec_col, kmeans_iterations)
-    assigned.write.partitionBy("cell").mode("errorifexists").parquet(
-        os.path.join(path, "assigned"))
+    n_cents = cents.count()
+    (
+        assigned.withColumn("_ingest_batch", F.lit(0))
+        .write.partitionBy("cell", "_ingest_batch")
+        .mode("errorifexists").parquet(os.path.join(path, "assigned"))
+    )
     cents.write.mode("errorifexists").parquet(
         os.path.join(path, "centroids"))
     spark = vectors.sparkSession
-    count = spark.read.parquet(os.path.join(path, "assigned")).count()
+    n0 = spark.read.parquet(os.path.join(path, "assigned")).count()
     dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
     manifest = {
         "format": "ivf-parquet", "version": 1,
-        "num_centroids": num_centroids,
+        "num_centroids": int(n_cents),
         "kmeans_iterations": kmeans_iterations,
         "id_col": id_col, "vec_col": vec_col,
-        "dim": int(dim_row.d if dim_row else 0), "count": int(count),
+        "dim": int(dim_row.d if dim_row else 0),
+        "batches": {"0": int(n0)}, "count": int(n0),
     }
-    tmp = os.path.join(path, ".manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
-    return AnnIndex(spark, path, manifest)
+    idx = AnnIndex(spark, path, manifest)
+    idx._write_manifest()
+    return idx
 
 
 def load_ann_index(spark, path: str) -> "AnnIndex":
@@ -568,9 +606,10 @@ def load_ann_index(spark, path: str) -> "AnnIndex":
 class AnnIndex:
     """Handle over a persisted IVF index (see build_ann_index).
 
-    ``search`` reproduces ivf_topk's ranking exactly (same round-6
-    cosine, same ties) — pinned by test equality against the inline
-    operator — while reading only the probed cells' partitions."""
+    ``search`` reproduces ivf_topk's ranking exactly — it runs the SAME
+    _probes_for/_score_and_rank helpers the inline operator runs
+    (pinned by test equality) — while reading only the probed cells'
+    partitions."""
 
     def __init__(self, spark, path: str, manifest: dict):
         import os
@@ -581,6 +620,15 @@ class AnnIndex:
         self._assigned_path = os.path.join(path, "assigned")
         self._centroids_path = os.path.join(path, "centroids")
 
+    def _write_manifest(self) -> None:
+        import json
+        import os
+
+        tmp = os.path.join(self.path, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+
     @property
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._centroids_path)
@@ -588,36 +636,38 @@ class AnnIndex:
     def assigned(self) -> DataFrame:
         return self.spark.read.parquet(self._assigned_path)
 
-    def add_vectors(self, vectors: DataFrame) -> None:
-        """Ingest a new batch against the FROZEN quantizer (the
-        standard growing-corpus shape: centroids train once, batches
-        stream in).  Assignment is one broadcast cross-score; the
-        append goes into the same cell partitioning."""
-        import json
-        import os
+    def add_vectors(self, vectors: DataFrame,
+                    batch_id: int | None = None) -> int:
+        """Ingest a batch against the FROZEN quantizer (the standard
+        growing-corpus shape: centroids train once, batches stream in).
+        Assignment is one broadcast cross-score.
 
+        IDEMPOTENT per batch: the write lands under
+        _ingest_batch=<batch_id> partitions with dynamic partition
+        overwrite, so a crash-retry of the same batch REPLACES its own
+        output instead of appending duplicates (the same contract as
+        streaming.ingest's sink).  Pass the caller's stable batch id
+        for replay safety; the default picks max+1.  The manifest count
+        is maintained per batch — never by rescanning the whole index.
+        Returns the batch id used."""
         id_col = self.manifest["id_col"]
         vec_col = self.manifest["vec_col"]
-        cents = self.centroids
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
-            "*",
-            F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim"),
+        if batch_id is None:
+            batch_id = 1 + max(int(b) for b in self.manifest["batches"])
+        assigned = _assign_cells(vectors, self.centroids, id_col, vec_col)
+        (
+            assigned.withColumn("_ingest_batch", F.lit(batch_id))
+            .write.partitionBy("cell", "_ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(self._assigned_path)
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_sim").desc(), F.col("cell").asc())
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_sim", "cvec")
-        )
-        assigned.write.partitionBy("cell").mode("append").parquet(
-            self._assigned_path)
-        self.manifest["count"] = int(
-            self.spark.read.parquet(self._assigned_path).count())
-        tmp = os.path.join(self.path, ".manifest.tmp")
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        # count only this batch's partitions (partition-pruned read)
+        n = (self.assigned()
+             .filter(F.col("_ingest_batch") == batch_id).count())
+        self.manifest["batches"][str(batch_id)] = int(n)
+        self.manifest["count"] = sum(self.manifest["batches"].values())
+        self._write_manifest()
+        return batch_id
 
     def search(
         self,
@@ -631,31 +681,14 @@ class AnnIndex:
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"))
-        cents = self.centroids
-        qc = q.crossJoin(F.broadcast(cents)).select(
-            "query_id", "qvec", "cell",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("_sim").desc(), F.col("cell").asc())
-        probes = (
-            qc.withColumn("_rn", F.row_number().over(wq))
-            .filter(F.col("_rn") <= nprobe)
-            .select("query_id", "qvec", "cell")
-        )
-        # the probed cell SET is driver-sized by construction
-        # (≤ num_centroids values) — collecting it turns the candidate
-        # read into STATIC partition pruning on the hive layout
-        cells = [r.cell for r in probes.select("cell").distinct().collect()]
+        # materialize the probe set ONCE (it is driver-sized by
+        # construction: n_queries × nprobe rows) — both the cell list
+        # for partition pruning and the broadcast join side come from
+        # the same collected rows, so the queries scan and the probe
+        # window run exactly once per search
+        probes_df = _probes_for(q, self.centroids, nprobe)
+        rows = probes_df.collect()
+        cells = sorted({r.cell for r in rows})
+        probes = self.spark.createDataFrame(rows, probes_df.schema)
         cand = self.assigned().filter(F.col("cell").isin(cells))
-        scored = cand.join(F.broadcast(probes), on="cell").select(
-            "query_id",
-            F.col(id_col).alias("vec_id"),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("vec_id").asc())
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        return _score_and_rank(cand, probes, k, id_col, vec_col)

@@ -1770,13 +1770,36 @@ def test_ann_index_add_vectors_frozen_quantizer(spark, tmp_path):
     idx = load_ann_index(spark, path)
     base = vecs.filter("vec_id = 7").first().embedding
     near = [round(x * 0.99, 6) for x in base]
-    idx.add_vectors(spark.createDataFrame(
-        [(1007, near)], "vec_id long, embedding array<double>"))
-    assert idx.manifest["count"] == 81
+    batch = spark.createDataFrame(
+        [(1007, near)], "vec_id long, embedding array<double>")
+    bid = idx.add_vectors(batch)
+    assert idx.manifest["count"] == 81 and bid == 1
     q = spark.createDataFrame([(1, base)],
                               "query_id long, embedding array<double>")
     top = idx.search(q, k=2, nprobe=8).orderBy("rank").collect()
     assert {r.vec_id for r in top} == {7, 1007}
+    # replay the SAME batch id (crash-retry): partitions overwritten,
+    # not appended — count unchanged, no duplicate ranks
+    idx.add_vectors(batch, batch_id=bid)
+    assert idx.manifest["count"] == 81
+    top2 = idx.search(q, k=2, nprobe=8).orderBy("rank").collect()
+    assert [r.vec_id for r in top2] == [r.vec_id for r in top]
+
+
+def test_ann_index_small_corpus_loads(spark, tmp_path):
+    """fewer vectors than requested centroids: the manifest records the
+    ACTUAL centroid count, so the index round-trips through load."""
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    path = str(tmp_path / "tiny")
+    built = build_ann_index(_ann_corpus(spark, n=5), path, num_centroids=16)
+    assert built.manifest["num_centroids"] == 5
+    idx = load_ann_index(spark, path)
+    q = _ann_corpus(spark, n=1).selectExpr("vec_id as query_id", "embedding")
+    # 5 single-vector cells: probing p cells yields exactly min(k, p)
+    assert idx.search(q, k=3, nprobe=2).count() == 2
+    assert idx.search(q, k=3, nprobe=5).count() == 3
 
 
 def test_ann_index_load_rejects_corrupt(spark, tmp_path):

@@ -914,3 +914,42 @@ def line_dedup(
         .withColumn("n_lines", F.col("n_lines").cast("long"))
         .drop("_n_kept")
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    df_max: int | None = 5000,
+) -> DataFrame:
+    """MOSS near-dup DETECTION (the second half of winnowing —
+    Schleimer et al. 2003 §4): documents sharing a large fraction of
+    their selected winnow hashes are near-duplicates.  Exactly
+    jaccard_pairs' inverted-index shape applied to the winnow sets
+    (text.winnow_fingerprints), so the hub guard, the candidate
+    equi-join, and the exact full-set verification are all inherited —
+    one operator definition, two sketch domains.
+
+    Compared to n-gram Jaccard, winnow sets are ~1/window the size for
+    the same coverage guarantee (every shared run of k+window-1 chars
+    still lands a common hash), so the inverted index — the dominant
+    shuffle at corpus scale — is proportionally smaller.
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id, rounded to 6."""
+    from pyspark import StorageLevel
+
+    from hbase_snapshot_spark.operators.text import winnow_fingerprints
+
+    sets = winnow_fingerprints(df, text_col, k=k, window=window).select(
+        F.col(id_col), F.col("winnow").alias("shingles"))
+    # the fingerprint sets feed FIVE plan branches downstream (the
+    # inverted-index self-join's two sides, the hub-guard window, and
+    # both exact-verification set fetches) — persist them so the
+    # hashing pass runs once, which is also the 100 TB shape: sketch
+    # the corpus once, reuse the sketch
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    return jaccard_pairs(
+        sets, id_col=id_col, threshold=threshold, df_max=df_max)

@@ -417,49 +417,55 @@ def winnow_fingerprints(
     ``winnow_digest`` (md5 over the joined sorted set — a compact
     equality key for exact fingerprint-set comparison).
 
-    Each stage is MATERIALIZED as its own column before the next
-    references it.  This is load-bearing, not style: inlining the
-    k-gram hash array expression into the window lambda would make
-    Catalyst re-evaluate the whole array (hundreds of md5 calls) once
-    PER WINDOW ELEMENT — O(n²) md5s per row, measured 700+ s at
-    sf0.01 vs ~2 s staged.  CollapseProject keeps the stages separate
-    because each intermediate is non-cheap and multiply-referenced
-    (SPARK-36718)."""
+    The k-gram hash array is bound as a LAMBDA VARIABLE before the
+    window pass reads it.  This is load-bearing, not style: if the
+    array EXPRESSION is inlined into the window lambda, Catalyst
+    re-evaluates the whole array (hundreds of md5 calls) once PER
+    WINDOW ELEMENT — O(n²) md5s per row, measured 700+ s at sf0.01 vs
+    ~2 s shared.  Plain staged withColumns are NOT enough: a consumer
+    that references ``winnow`` once (e.g. winnow_pairs' explode) lets
+    CollapseProject fold the stages back into one projection and the
+    quadratic blowup returns.  A lambda variable is evaluated once per
+    element by construction — no optimizer rewrite can duplicate it."""
     def _seq(n):  # sequence(1, n), EMPTY when n < 1 (Spark's
         # sequence(1, 0) would count DOWN and yield [1, 0])
         return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
             F.array().cast("array<int>"))
 
-    nrm = F.col("__w_nrm")
-    hashes = F.col("__w_hashes")
-    out = (
-        df.withColumn(
-            "__w_nrm",
-            # Unicode letter/digit classes, not [a-z0-9]: an ASCII-only
-            # normalization would strip EVERY character of a non-Latin
-            # document, giving all Chinese/Russian/Arabic docs the same
-            # empty fingerprint set (silently blind near-dup signal)
-            F.regexp_replace(
-                F.lower(F.col(text_col)), r"[^\p{L}\p{N}]", ""))
-        .withColumn(
-            "__w_hashes",
-            F.transform(
-                _seq(F.length(nrm) - F.lit(k - 1)),
-                lambda p: F.conv(
-                    F.substring(F.md5(nrm.substr(p, F.lit(k))), 1, 8),
-                    16, 10,
-                ).cast("long"),
-            ))
-        .withColumn(
-            "__w_mins",
-            F.transform(
-                _seq(F.size(hashes) - F.lit(window - 1)),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
-            ))
-        .withColumn(
-            "winnow", F.array_sort(F.array_distinct(F.col("__w_mins"))))
-        .drop("__w_nrm", "__w_hashes", "__w_mins")
+    def _bind(expr, fn):
+        # evaluate ``expr`` once, pass it to fn as a lambda variable —
+        # optimizer-proof sharing inside a single projection
+        return F.transform(F.array(expr), fn)[0]
+
+    # Unicode letter/digit classes, not [a-z0-9]: an ASCII-only
+    # normalization would strip EVERY character of a non-Latin
+    # document, giving all Chinese/Russian/Arabic docs the same
+    # empty fingerprint set (silently blind near-dup signal)
+    nrm_expr = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^\p{L}\p{N}]", "")
+
+    def _hashes(nrm):
+        return F.transform(
+            _seq(F.length(nrm) - F.lit(k - 1)),
+            lambda p: F.conv(
+                F.substring(F.md5(nrm.substr(p, F.lit(k))), 1, 8),
+                16, 10,
+            ).cast("long"),
+        )
+
+    def _mins(hashes):
+        return F.transform(
+            _seq(F.size(hashes) - F.lit(window - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+
+    winnow = _bind(
+        nrm_expr,
+        lambda nrm: _bind(
+            _hashes(nrm),
+            lambda hs: F.array_sort(F.array_distinct(_mins(hs)))),
     )
+    out = df.withColumn("winnow", winnow)
     return (
         out.withColumn("n_winnow", F.size("winnow").cast("bigint"))
         .withColumn(

@@ -30,6 +30,67 @@ sz AS (SELECT doc_id, len(s) AS sz FROM sh)
 """
 
 
+def _winnow_sel_cte(k: int = 8, window: int = 4) -> str:
+    """doc_id → sorted distinct winnow-selected hashes (the SQL twin of
+    text.winnow_fingerprints over documents) — shared by the
+    fingerprint query's winnow columns and dedup_jaccard's 'winnow'
+    pair branch."""
+    return f"""wsel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(hs) - {window - 1}, 0) + 1),
+           i -> list_min(hs[i : i + {window - 1}])))) AS sel
+  FROM (
+    SELECT doc_id,
+           list_transform(hx,
+             h -> CAST({_hex8_int_sql("h")} AS BIGINT)) AS hs
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(nrm) - {k - 1}, 0) + 1),
+               p -> substr(md5(substr(nrm, CAST(p AS INT), {k})), 1, 8)
+             ) AS hx
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]', '', 'g') AS nrm
+            FROM documents) n) g0) g
+)"""
+
+
+def _jaccard_guarded_tail(threshold: float, df_max: int | None) -> str:
+    """The candidate + exact-verification tail over CTEs ex(doc_id,
+    shingle) / sz(doc_id, sz) — hub guard included, shared by the
+    shingle and winnow pair branches."""
+    if df_max is None:
+        return _jaccard_core(threshold)
+    return f"""exg AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc
+    FROM ex) t
+  WHERE dfc <= {df_max}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM exg a JOIN exg b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.a_id
+  JOIN ex b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id AS a, b_id AS b,
+         round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a_id
+  JOIN sz sb ON sb.doc_id = b_id
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
 def _jaccard_core(threshold: float) -> str:
     return f"""
 inter AS (
@@ -191,36 +252,20 @@ def dedup_jaccard_sql(
     frequency <= df_max, while the intersection count runs over the full
     shingle sets (reported jaccard stays exact) — keeping both sides in
     lock-step at every scale, not just where no shingle is hot."""
-    if df_max is None:
-        return f"WITH {_shingle_cte(n)}, {_jaccard_core(threshold)}"
+    tail = _jaccard_guarded_tail(threshold, df_max)
     return f"""
-WITH {_shingle_cte(n)},
-exg AS (
-  SELECT doc_id, shingle FROM (
-    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc
-    FROM ex) t
-  WHERE dfc <= {df_max}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM exg a JOIN exg b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-),
-inter AS (
-  SELECT c.a_id, c.b_id, count(*) AS i
-  FROM cand c
-  JOIN ex a ON a.doc_id = c.a_id
-  JOIN ex b ON b.doc_id = c.b_id AND b.shingle = a.shingle
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT a_id AS a, b_id AS b,
-         round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-  FROM inter
-  JOIN sz sa ON sa.doc_id = a_id
-  JOIN sz sb ON sb.doc_id = b_id
-)
-SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}
+SELECT 'shingle' AS branch, a, b, jaccard FROM (
+  WITH {_shingle_cte(n)}, {tail}
+) s1
+UNION ALL
+-- 'winnow': MOSS detection — the SAME guarded jaccard tail over the
+-- winnow-selected hash sets instead of word shingles (dedup.winnow_pairs)
+SELECT 'winnow' AS branch, a, b, jaccard FROM (
+  WITH {_winnow_sel_cte()},
+  ex AS (SELECT doc_id, unnest(sel) AS shingle FROM wsel),
+  sz AS (SELECT doc_id, len(sel) AS sz FROM wsel),
+  {tail}
+) s2
 """
 
 
@@ -909,25 +954,7 @@ WITH h AS (
       '&amp;', '&', 'g') AS t
   FROM s
 )
-, w AS (
-  SELECT doc_id,
-         list_sort(list_distinct(list_transform(
-           range(1, greatest(len(hs) - 3, 0) + 1),
-           i -> list_min(hs[i : i + 3])))) AS sel
-  FROM (
-    SELECT doc_id,
-           list_transform(hx,
-             h -> CAST(""" + _hex8_int_sql("h") + r""" AS BIGINT)) AS hs
-    FROM (
-      SELECT doc_id,
-             list_transform(
-               range(1, greatest(length(nrm) - 7, 0) + 1),
-               p -> substr(md5(substr(nrm, CAST(p AS INT), 8)), 1, 8)
-             ) AS hx
-      FROM (SELECT doc_id,
-                   regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g') AS nrm
-            FROM documents) n) g0) g
-)
+, """ + _winnow_sel_cte() + r"""
 , b AS (
   -- domain_filter twin: host of the per-doc page URL (every third doc
   -- gets a deeper cdn. host), whole-label dot suffixes, any-hit
@@ -955,11 +982,11 @@ SELECT e.doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
        'r:http://org.example.' || source || '/doc/' || e.doc_id AS urlkey,
        trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS plain,
-       CAST(len(w.sel) AS BIGINT) AS n_winnow,
-       md5(array_to_string(list_transform(w.sel,
+       CAST(len(wsel.sel) AS BIGINT) AS n_winnow,
+       md5(array_to_string(list_transform(wsel.sel,
            x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest,
        b.blocked AS blocked
-FROM e JOIN w ON e.doc_id = w.doc_id JOIN b ON e.doc_id = b.doc_id
+FROM e JOIN wsel ON e.doc_id = wsel.doc_id JOIN b ON e.doc_id = b.doc_id
 """
 
 

@@ -1856,3 +1856,56 @@ def test_preprocess_corpus_html_plus_line_dedup(spark):
     assert out
     joined = " ".join(r.chunk_text for r in out)
     assert "cookies" not in joined and "doc1" in joined
+
+
+def test_model_artifacts_roundtrip(spark, tmp_path):
+    """save/load for trained models: a reloaded BPE tokenizer encodes
+    identically; a reloaded LM scores identically (trained params ride
+    in the manifest so scoring can't silently mis-tokenize); corrupt
+    and mismatched artifacts fail loudly."""
+    import pytest as _pytest
+
+    from hbase_snapshot_spark.operators import artifacts as A
+    from hbase_snapshot_spark.operators import bpe as B
+    from hbase_snapshot_spark.operators import lm as L
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3 + f"d{i}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    # BPE
+    tok = B.train_bpe(docs, vocab_size=40, min_freq=1)
+    A.save_bpe(tok, spark, str(tmp_path / "bpe"))
+    tok2 = A.load_bpe(spark, str(tmp_path / "bpe"))
+    sample = "the quick dog"
+    assert tok2.encode(sample) == tok.encode(sample)
+    assert tok2.vocab_size == tok.vocab_size
+    # LM: train on half, score the other half, compare after reload
+    ws = r"[ \t\n\r\f]+"
+    lm = L.train_ngram_lm(docs.where("doc_id % 2 = 0"), n=2,
+                          lowercase=False, ws=ws)
+    A.save_lm(lm, str(tmp_path / "lm"), n=2, lowercase=False, ws=ws)
+    lm2, params = A.load_lm(spark, str(tmp_path / "lm"))
+    assert params == {"n": 2, "lowercase": False, "ws": ws}
+    eval_docs = docs.where("doc_id % 2 = 1")
+    want = {r.doc_id: r.avg_logprob for r in L.score_documents(
+        eval_docs, lm, n=2, lowercase=False, ws=ws).collect()}
+    got = {r.doc_id: r.avg_logprob for r in L.score_documents(
+        eval_docs, lm2, n=params["n"], lowercase=params["lowercase"],
+        ws=params["ws"]).collect()}
+    assert got == want
+    # kind mismatch + corruption fail loudly
+    with _pytest.raises(ValueError, match="kind mismatch"):
+        A.load_model(spark, str(tmp_path / "bpe"), expect_kind="ngram-lm")
+    import json as _json
+
+    mpath = tmp_path / "lm" / "manifest.json"
+    m = _json.loads(mpath.read_text())
+    m["rows"] += 1
+    mpath.write_text(_json.dumps(m))
+    with _pytest.raises(ValueError, match="corrupt"):
+        A.load_model(spark, str(tmp_path / "lm"))
+    # immutable: second save to the same path refuses
+    with _pytest.raises(Exception):
+        A.save_bpe(tok, spark, str(tmp_path / "bpe"))

@@ -565,3 +565,45 @@ def domain_filter(
                F.lit(True))
         .otherwise(F.lit(False)),
     )
+
+
+# ----------------------------------------------------- corpus report
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: "list[str] | tuple[str, ...]" = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus data-card statistics (the audit table a corpus release
+    ships — Datasheets for Datasets, Gebru et al. 2021): per group AND
+    rolled-up totals via CUBE — doc counts, token/char volumes, quality
+    mean, exact length percentiles.
+
+    One pass, one shuffle: the per-doc columns are pure projections
+    fused into the scan, and the cube is a single aggregation with
+    map-side partial combine.  Exact ``percentile`` (not approx) keeps
+    the report deterministic; its cost is per GROUP, and a data card
+    has a handful of groups regardless of corpus size.  NULL group
+    values in the output are the rollup rows — ``gid`` (grouping_id)
+    distinguishes a rollup from a genuine NULL group value."""
+    group_cols = list(group_cols)
+    per_doc = quality_score(df, text_col).select(
+        *group_cols,
+        F.length(text_col).alias("_chars"),
+        F.size(word_tokens(F.col(text_col))).alias("_tokens"),
+        "quality",
+    )
+    return (
+        per_doc.cube(*group_cols)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("_chars").cast("bigint").alias("n_chars"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.expr("percentile(_chars, 0.5)").cast("bigint")
+            .alias("p50_chars"),
+            F.expr("percentile(_chars, 0.9)").cast("bigint")
+            .alias("p90_chars"),
+        )
+    )

@@ -1909,3 +1909,25 @@ def test_model_artifacts_roundtrip(spark, tmp_path):
     # immutable: second save to the same path refuses
     with _pytest.raises(Exception):
         A.save_bpe(tok, spark, str(tmp_path / "bpe"))
+
+
+def test_corpus_report(spark):
+    """data-card cube: group rows + rollups agree with hand counts;
+    gid distinguishes rollups; exact percentiles are deterministic."""
+    from hbase_snapshot_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "a " * 10, "en", "s1"), (2, "b " * 20, "en", "s1"),
+         (3, "c " * 30, "de", "s1"), (4, "d " * 40, "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rep = {(r.source, r.lang): r for r in corpus_report(docs).collect()}
+    assert rep[("s1", "en")].n_docs == 2
+    assert rep[("s1", "en")].n_tokens == 30
+    assert rep[(None, None)].n_docs == 4 and rep[(None, None)].gid == 3
+    assert rep[("s1", None)].n_docs == 3 and rep[("s1", None)].gid == 1
+    # exact median of s1/en char lengths (20, 40) -> 30
+    assert rep[("s1", "en")].p50_chars == 30
+    # one aggregation, no percentile-driven extra exchanges
+    plan = corpus_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

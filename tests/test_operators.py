@@ -889,26 +889,30 @@ def test_jaccard_df_max_oracle_lockstep(spark, tmp_path):
     pdf_path = str(tmp_path / "docs.parquet")
     spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(pdf_path)
 
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {
-        (r.a, r.b): r.jaccard
+        ("shingle", r.a, r.b): r.jaccard
         for r in dedup.jaccard_pairs(
-            dedup.with_shingles(
-                spark.createDataFrame(docs, ["doc_id", "text"]), n=3
-            ),
-            threshold=0.2, df_max=3,
+            dedup.with_shingles(sdf, n=3), threshold=0.2, df_max=3
         ).collect()
+    }
+    got |= {
+        ("winnow", r.a, r.b): r.jaccard
+        for r in dedup.winnow_pairs(sdf, threshold=0.2, df_max=3).collect()
     }
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdf_path}/*.parquet')"
     )
     want = {
-        (a, b): j
-        for a, b, j in con.sql(
+        (br, a, b): j
+        for br, a, b, j in con.sql(
             oracle_ops.dedup_jaccard_sql(n=3, threshold=0.2, df_max=3)
         ).fetchall()
     }
-    assert got == want and len(got) > 0
+    assert got == want
+    assert any(k[0] == "shingle" for k in got)
+    assert any(k[0] == "winnow" for k in got)
 
 
 def test_ann_lsh_dim_mismatch_raises(spark, vecs):

@@ -1898,7 +1898,12 @@ def test_model_artifacts_roundtrip(spark, tmp_path):
     got = {r.doc_id: r.avg_logprob for r in L.score_documents(
         eval_docs, lm2, n=params["n"], lowercase=params["lowercase"],
         ws=params["ws"]).collect()}
-    assert got == want
+    # approx, not ==: the per-doc log-prob sum's float addition order
+    # varies with partitioning, so the two runs can differ in the last
+    # ulp (seen flaky under the full suite, stable in isolation)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == _pytest.approx(want[d], rel=1e-12)
     # kind mismatch + corruption fail loudly
     with _pytest.raises(ValueError, match="kind mismatch"):
         A.load_model(spark, str(tmp_path / "bpe"), expect_kind="ngram-lm")

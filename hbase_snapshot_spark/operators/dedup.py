@@ -939,17 +939,21 @@ def winnow_pairs(
     shuffle at corpus scale — is proportionally smaller.
 
     Output: (a_id, b_id, jaccard) with a_id < b_id, rounded to 6."""
-    from pyspark import StorageLevel
-
     from hbase_snapshot_spark.operators.text import winnow_fingerprints
 
     sets = winnow_fingerprints(df, text_col, k=k, window=window).select(
         F.col(id_col), F.col("winnow").alias("shingles"))
     # the fingerprint sets feed FIVE plan branches downstream (the
     # inverted-index self-join's two sides, the hub-guard window, and
-    # both exact-verification set fetches) — persist them so the
+    # both exact-verification set fetches) — materialize them so the
     # hashing pass runs once, which is also the 100 TB shape: sketch
-    # the corpus once, reuse the sketch
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    # the corpus once, reuse the sketch.  localCheckpoint rather than
+    # persist(): a DataFrame persist is pinned in the CacheManager
+    # until an explicit unpersist this function has no good place for
+    # (the caller holds a lazy result), while a local checkpoint's
+    # blocks are released by the ContextCleaner once the result is
+    # garbage collected.  Trade-off: local checkpoints don't survive
+    # executor loss — acceptable for a one-shot operator (re-run it).
+    sets = sets.localCheckpoint(eager=True)
     return jaccard_pairs(
         sets, id_col=id_col, threshold=threshold, df_max=df_max)

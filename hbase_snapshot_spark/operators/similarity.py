@@ -184,6 +184,17 @@ def ivf_assign(
     argmax is reproducible bit-for-bit across engines (the DuckDB oracle
     in oracle_ops.ann_ivf_sql ranks identically for the init-only
     quantizer)."""
+    cents = _make_centroids(
+        vectors, num_centroids, id_col, vec_col, kmeans_iterations)
+    return _assign_cells(vectors, cents, id_col, vec_col), cents
+
+
+def _make_centroids(
+    vectors: DataFrame, num_centroids: int, id_col: str, vec_col: str,
+    kmeans_iterations: int,
+) -> DataFrame:
+    """Deterministic quantizer: smallest-id seeding + optional Lloyd
+    refinement (shared by ivf_assign and build_ann_index)."""
     cents = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
@@ -196,7 +207,7 @@ def ivf_assign(
         cents = kmeans_refine(
             vectors, cents, kmeans_iterations, id_col, vec_col
         )
-    return _assign_cells(vectors, cents, id_col, vec_col), cents
+    return cents
 
 
 def ivf_topk(
@@ -547,31 +558,37 @@ def build_ann_index(
     reads exactly p cell directories (static partition pruning — the
     scan's PartitionFilters carries the probed cell set, pinned by
     test), so search I/O scales with nprobe × cell size, never with
-    corpus size.  The second partition level is the ingest batch, which
-    makes ``add_vectors`` replay-idempotent (see there).
+    corpus size.  The second partition level is the ingest batch,
+    which makes ``add_vectors`` replay-idempotent (see there).
+
+    Build order: the centroids are WRITTEN FIRST and re-read, and the
+    corpus is assigned against the stored copy — one quantizer
+    computation total (seeding + Lloyd passes are full corpus scans),
+    and what's on disk is bit-identical to what assignment used.
 
     The manifest records the ACTUAL centroid count — a corpus smaller
-    than ``num_centroids`` yields fewer centroids (ivf_assign seeds
-    from the smallest ids), and recording the request instead would
-    make every such index fail its own load check."""
-    import json
+    than ``num_centroids`` yields fewer centroids (smallest-id
+    seeding), and recording the request instead would make every such
+    index fail its own load check."""
     import os
 
-    assigned, cents = ivf_assign(
+    cents = _make_centroids(
         vectors, num_centroids, id_col, vec_col, kmeans_iterations)
-    n_cents = cents.count()
+    cents.write.mode("errorifexists").parquet(
+        os.path.join(path, "centroids"))
+    spark = vectors.sparkSession
+    stored_cents = spark.read.parquet(os.path.join(path, "centroids"))
+    n_cents = stored_cents.count()
+    assigned = _assign_cells(vectors, stored_cents, id_col, vec_col)
     (
         assigned.withColumn("_ingest_batch", F.lit(0))
         .write.partitionBy("cell", "_ingest_batch")
         .mode("errorifexists").parquet(os.path.join(path, "assigned"))
     )
-    cents.write.mode("errorifexists").parquet(
-        os.path.join(path, "centroids"))
-    spark = vectors.sparkSession
     n0 = spark.read.parquet(os.path.join(path, "assigned")).count()
     dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
     manifest = {
-        "format": "ivf-parquet", "version": 1,
+        "format": "ivf-parquet", "version": 2,
         "num_centroids": int(n_cents),
         "kmeans_iterations": kmeans_iterations,
         "id_col": id_col, "vec_col": vec_col,
@@ -586,14 +603,21 @@ def build_ann_index(
 def load_ann_index(spark, path: str) -> "AnnIndex":
     """Open a persisted IVF index, verifying the manifest against the
     stored data (centroid count; a truncated/partial copy fails loudly
-    here, not as silent recall loss at search time)."""
+    here, not as silent recall loss at search time).  Only format
+    version 2 loads — the on-disk layout changed with the batched
+    ingest partitioning, and accepting an older index would surface as
+    a KeyError in add_vectors or a partition-discovery failure instead
+    of a clear format error."""
     import json
     import os
 
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    if manifest.get("format") != "ivf-parquet" or manifest.get("version") != 1:
-        raise ValueError(f"not an ivf-parquet v1 index: {path}")
+    if manifest.get("format") != "ivf-parquet" or manifest.get("version") != 2:
+        raise ValueError(
+            f"not an ivf-parquet v2 index: {path} "
+            f"(found format={manifest.get('format')!r} "
+            f"version={manifest.get('version')!r})")
     idx = AnnIndex(spark, path, manifest)
     n_cents = idx.centroids.count()
     if n_cents != manifest["num_centroids"]:
@@ -609,7 +633,10 @@ class AnnIndex:
     ``search`` reproduces ivf_topk's ranking exactly — it runs the SAME
     _probes_for/_score_and_rank helpers the inline operator runs
     (pinned by test equality) — while reading only the probed cells'
-    partitions."""
+    partitions.  Like ivf_topk, search BROADCASTS the probe set: the
+    design point is a search batch that is small next to the corpus;
+    mass re-scoring of the whole corpus belongs to the inline operators
+    with their own join planning."""
 
     def __init__(self, spark, path: str, manifest: dict):
         import os
@@ -621,13 +648,11 @@ class AnnIndex:
         self._centroids_path = os.path.join(path, "centroids")
 
     def _write_manifest(self) -> None:
-        import json
-        import os
+        from hbase_snapshot_spark.operators.artifacts import (
+            write_json_atomic,
+        )
 
-        tmp = os.path.join(self.path, ".manifest.tmp")
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        write_json_atomic(self.path, "manifest.json", self.manifest)
 
     @property
     def centroids(self) -> DataFrame:
@@ -636,24 +661,41 @@ class AnnIndex:
     def assigned(self) -> DataFrame:
         return self.spark.read.parquet(self._assigned_path)
 
+    def _drop_batch_dirs(self, batch_id: int) -> None:
+        """Remove every (cell, batch) partition directory of a batch —
+        a reused batch id means REPLACE, and dynamic overwrite alone
+        would only replace the cells the new data touches, leaving
+        stale rows in the old batch's other cells."""
+        import glob
+        import os
+        import shutil
+
+        for d in glob.glob(os.path.join(
+                self._assigned_path, "cell=*",
+                f"_ingest_batch={batch_id}")):
+            shutil.rmtree(d, ignore_errors=True)
+
     def add_vectors(self, vectors: DataFrame,
                     batch_id: int | None = None) -> int:
         """Ingest a batch against the FROZEN quantizer (the standard
         growing-corpus shape: centroids train once, batches stream in).
         Assignment is one broadcast cross-score.
 
-        IDEMPOTENT per batch: the write lands under
-        _ingest_batch=<batch_id> partitions with dynamic partition
-        overwrite, so a crash-retry of the same batch REPLACES its own
-        output instead of appending duplicates (the same contract as
-        streaming.ingest's sink).  Pass the caller's stable batch id
-        for replay safety; the default picks max+1.  The manifest count
-        is maintained per batch — never by rescanning the whole index.
-        Returns the batch id used."""
+        IDEMPOTENT per batch: a reused ``batch_id`` REPLACES that batch
+        completely — its old partition directories are dropped first,
+        then the write lands under _ingest_batch=<batch_id> with
+        dynamic partition overwrite — so a crash-retry (or a corrected
+        re-submission) of the same batch never appends duplicates and
+        never leaves stale rows in cells the new data missed.  Pass the
+        caller's stable batch id for replay safety; the default picks
+        max+1.  The manifest count is maintained per batch — never by
+        rescanning the whole index.  Returns the batch id used."""
         id_col = self.manifest["id_col"]
         vec_col = self.manifest["vec_col"]
         if batch_id is None:
             batch_id = 1 + max(int(b) for b in self.manifest["batches"])
+        elif str(batch_id) in self.manifest["batches"]:
+            self._drop_batch_dirs(batch_id)
         assigned = _assign_cells(vectors, self.centroids, id_col, vec_col)
         (
             assigned.withColumn("_ingest_batch", F.lit(batch_id))
@@ -681,14 +723,14 @@ class AnnIndex:
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"))
-        # materialize the probe set ONCE (it is driver-sized by
-        # construction: n_queries × nprobe rows) — both the cell list
-        # for partition pruning and the broadcast join side come from
-        # the same collected rows, so the queries scan and the probe
-        # window run exactly once per search
-        probes_df = _probes_for(q, self.centroids, nprobe)
-        rows = probes_df.collect()
-        cells = sorted({r.cell for r in rows})
-        probes = self.spark.createDataFrame(rows, probes_df.schema)
+        # collect ONLY the probed cell ids (≤ num_centroids values —
+        # driver-sized regardless of query-batch size; collecting the
+        # probe ROWS would ship every query embedding to the driver).
+        # The probes subtree is evaluated twice (cell list + the join
+        # side), which is the queries×centroids cross-score — small by
+        # the search-batch design point above.
+        probes = _probes_for(q, self.centroids, nprobe)
+        cells = sorted(
+            r.cell for r in probes.select("cell").distinct().collect())
         cand = self.assigned().filter(F.col("cell").isin(cells))
         return _score_and_rank(cand, probes, k, id_col, vec_col)

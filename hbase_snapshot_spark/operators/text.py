@@ -150,7 +150,10 @@ def strip_html(df: DataFrame, text_col: str = "text",
     if preserve_newlines:
         c = F.regexp_replace(
             c,
-            r"(?i)<(?:br|hr)\s*/?>|"
+            # \b[^>]*: br/hr commonly carry attributes (<br clear="all">)
+            # — without it they'd fall through to the generic tag strip
+            # as a SPACE and the two lines would merge
+            r"(?i)<(?:br|hr)\b[^>]*>|"
             r"</(?:p|div|li|tr|h[1-6]|blockquote|section|article)\s*>",
             "\n")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
@@ -587,10 +590,16 @@ def corpus_report(
     values in the output are the rollup rows — ``gid`` (grouping_id)
     distinguishes a rollup from a genuine NULL group value."""
     group_cols = list(group_cols)
+    t = F.col(text_col)
     per_doc = quality_score(df, text_col).select(
         *group_cols,
-        F.length(text_col).alias("_chars"),
-        F.size(word_tokens(F.col(text_col))).alias("_tokens"),
+        # null text counts as 0 volume, not as null/-1: size(null) is
+        # -1 under the legacy sizeOfNull behavior, which would SUBTRACT
+        # from the audited token totals — a wrong data card, the one
+        # table that must not lie
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_chars"),
+        F.when(t.isNull(), F.lit(0))
+        .otherwise(F.size(word_tokens(t))).alias("_tokens"),
         "quality",
     )
     return (

@@ -1940,3 +1940,75 @@ def test_corpus_report(spark):
     # one aggregation, no percentile-driven extra exchanges
     plan = corpus_report(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_ann_index_batch_id_reuse_replaces_completely(spark, tmp_path):
+    """reusing a batch id REPLACES the whole batch: stale rows in cells
+    the new data doesn't touch are dropped, not left behind."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    vecs = _ann_corpus(spark)
+    path = str(tmp_path / "ivf")
+    build_ann_index(vecs, path, num_centroids=8)
+    idx = load_ann_index(spark, path)
+    big = _ann_corpus(spark, n=40, seed=11).withColumn(
+        "vec_id", F.col("vec_id") + 2000)
+    bid = idx.add_vectors(big)
+    n_cells_before = (idx.assigned()
+                      .filter(F.col("_ingest_batch") == bid)
+                      .select("cell").distinct().count())
+    assert n_cells_before > 1
+    # resubmit the SAME batch id with ONE vector: the 39 others (and
+    # every cell they lived in) must vanish
+    one = big.limit(1)
+    idx.add_vectors(one, batch_id=bid)
+    batch_rows = idx.assigned().filter(F.col("_ingest_batch") == bid)
+    assert batch_rows.count() == 1
+    assert idx.manifest["batches"][str(bid)] == 1
+    assert idx.manifest["count"] == 81
+
+
+def test_ann_index_rejects_v1_layout(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    path = str(tmp_path / "ivf")
+    build_ann_index(_ann_corpus(spark, n=20), path, num_centroids=4)
+    m = json.loads(open(path + "/manifest.json").read())
+    m["version"] = 1
+    del m["batches"]
+    open(path + "/manifest.json", "w").write(json.dumps(m))
+    with _pytest.raises(ValueError, match="v2"):
+        load_ann_index(spark, path)
+
+
+def test_strip_html_br_with_attributes(spark):
+    from hbase_snapshot_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [("d", 'one<br clear="all">two<hr class="x">three')],
+        ["doc_id", "text"])
+    assert (strip_html(df, preserve_newlines=True).first().plain
+            == "one\ntwo\nthree")
+
+
+def test_corpus_report_null_text(spark):
+    """null-text docs count as zero volume — size(null)'s legacy -1
+    must never subtract from the audited token totals."""
+    from hbase_snapshot_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, None, "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rep = {(r.source, r.lang): r for r in corpus_report(docs).collect()}
+    assert rep[("s1", "en")].n_docs == 2
+    assert rep[("s1", "en")].n_tokens == 3
+    assert rep[("s1", "en")].n_chars == 5

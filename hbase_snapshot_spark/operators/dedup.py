@@ -415,6 +415,73 @@ def cosine_dup_pairs(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    num_clusters: int = 16,
+    eps: float = 0.93,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus.  K-means-cluster the embedding
+    space, then WITHIN each cluster order items farthest-from-centroid
+    first and drop every item whose cosine similarity to an
+    earlier-ordered (farther) item is >= ``eps`` — the paper's
+    keep-the-outlier rule, which preserves the most diverse exemplar of
+    each semantic duplicate set.
+
+    Returns (id_col, cell, cent_sim, keep) for every input vector:
+    ``cell`` the cluster, ``cent_sim`` the round-6 cosine to its
+    centroid, ``keep`` 1/0.
+
+    Scale shape: candidate comparison is blocked by cluster — a
+    cell-keyed self equi-join, never an all-pairs product (the paper
+    clusters precisely so the n² sits inside bounded cells; pick
+    ``num_clusters`` ~ n/10k to bound cell size).  Centroids broadcast;
+    the per-cell rank is one window over the assignment exchange.
+
+    Determinism: the quantizer is the smallest-id init (ivf_assign), so
+    with ``kmeans_iterations=0`` the whole decision has a closed SQL
+    form (oracle_ops.semantic_dedup_sql); refined quantizers are for
+    production recall, pinned by pytest instead.
+    """
+    from .similarity import ivf_assign
+
+    assigned, cents = ivf_assign(
+        vectors, num_clusters, id_col, vec_col, kmeans_iterations)
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cent_sim"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cent_sim").asc(), F.col("id").asc())
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    a = ranked.select(F.col("cell").alias("a_cell"),
+                      F.col("vec").alias("a_vec"),
+                      F.col("rk").alias("a_rk"))
+    removed = (
+        a.join(ranked, (F.col("a_cell") == F.col("cell"))
+               & (F.col("a_rk") < F.col("rk")))
+        .filter(F.round(cosine(F.col("a_vec"), F.col("vec")), 6) >= eps)
+        .select("id")
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        ranked.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            "cent_sim",
+            F.when(F.col("_rm").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------- clustering
 
 def duplicate_clusters(

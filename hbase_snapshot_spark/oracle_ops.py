@@ -353,6 +353,66 @@ WHERE cos >= {threshold}
 """
 
 
+def semantic_dedup_sql(num_clusters: int = 16, eps: float = 0.93) -> str:
+    """SQL twin of dedup.semantic_dedup (SemDeDup, iterations=0): the
+    smallest-id init quantizer and round-6 cosine ranks resolve
+    identically in both engines; the keep rule is the exists-a-farther-
+    similar-item anti-join."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cvec
+  FROM (SELECT * FROM e ORDER BY vec_id ASC LIMIT {num_clusters}) t
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) t
+  WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, a.v, a.cell,
+         round(list_cosine_similarity(a.v, c.cvec), 6) AS cent_sim
+  FROM assigned a JOIN cents c USING (cell)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY cent_sim ASC, vec_id ASC) AS rk
+  FROM scored
+),
+removed AS (
+  SELECT DISTINCT b.vec_id FROM ranked a JOIN ranked b
+    ON a.cell = b.cell AND a.rk < b.rk
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {eps}
+)
+SELECT r.vec_id, r.cell, r.cent_sim,
+       CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+"""
+
+
+def cosine_suite_sql(
+    threshold: float = 0.25, num_clusters: int = 16, eps: float = 0.3
+) -> str:
+    """SQL twin of the 2-branch __spark_entry__.q_cosine_pairs composite:
+    branch='pairs' = cosine_pairs_sql rows (keep=1); branch='sem' =
+    semantic_dedup_sql rows (cell in b, centroid sim in cos)."""
+    pairs = cosine_pairs_sql(threshold)
+    sem = semantic_dedup_sql(num_clusters, eps)
+    return f"""
+WITH pairs AS ({pairs}),
+sem AS ({sem})
+SELECT 'pairs' AS branch, a, b, cos, CAST(1 AS BIGINT) AS keep FROM pairs
+UNION ALL
+SELECT 'sem' AS branch, vec_id AS a, CAST(cell AS BIGINT) AS b,
+       cent_sim AS cos, CAST(keep AS BIGINT) AS keep FROM sem
+"""
+
+
 def cosine_topk_sql(k: int = 10, num_queries: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -101,6 +101,54 @@ def test_cosine_dup_pairs_all_pairs_guard(vecs):
     assert len(allp) >= 1
 
 
+def test_semantic_dedup_keeps_outlier(spark):
+    # two tight duplicate groups near the axes plus one genuine outlier
+    # per group; num_clusters=2 puts each group in its own cell
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (0, unit([1.0, 0.0, 0.0, 0.0])),      # cluster seed / centroid A
+        (1, unit([0.0, 1.0, 0.0, 0.0])),      # cluster seed / centroid B
+        (2, unit([1.0, 0.02, 0.0, 0.0])),     # near-dup of 0
+        (3, unit([1.0, 0.0, 0.02, 0.0])),     # near-dup of 0 and 2
+        (4, unit([0.5, 0.0, 0.0, 0.86])),     # same cell A, NOT a dup
+        (5, unit([0.0, 1.0, 0.01, 0.0])),     # near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, num_clusters=2, eps=0.98).collect()}
+    assert len(out) == 6                       # every vector decided
+    # cell A = {0,2,3,4}, cell B = {1,5}
+    assert out[0].cell == out[2].cell == out[3].cell == out[4].cell
+    assert out[1].cell == out[5].cell != out[0].cell
+    # the outlier (farthest from centroid) is never removed
+    assert out[4].keep == 1
+    # within the duplicate set {0,2,3}: exactly one kept — the one
+    # FARTHEST from the centroid (smallest cent_sim) per the paper
+    dup_set = [out[0], out[2], out[3]]
+    kept = [r for r in dup_set if r.keep == 1]
+    assert len(kept) == 1
+    assert kept[0].cent_sim == min(r.cent_sim for r in dup_set)
+    # the small cluster: {1,5} are dups, one survives
+    assert out[1].keep + out[5].keep == 1
+
+
+def test_semantic_dedup_no_dups_keeps_all(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.semantic_dedup(df, num_clusters=4, eps=0.9).collect()
+    assert all(r.keep == 1 for r in out)
+
+
 def test_cosine_topk_exact(vecs):
     queries = vecs.filter("vec_id < 2").select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -215,6 +215,81 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus — the lexical-search
+    primitive of a training-data pipeline (targeted corpus slicing,
+    eval-set mining, quality-by-relevance).  ``queries`` maps query_id →
+    query string; returns (query_id, doc_id, score, rank) with
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Robertson–Spärck Jones
+    as used by Lucene — strictly positive), round 6, ties doc asc.
+
+    Plan shape: query terms broadcast as an isin FILTER over the
+    exploded tokens (reaches the scan — the inverted-index seek shape:
+    work scales with postings of the query terms, not the corpus);
+    doc lengths are one separate count-agg; df is a count-window over
+    term on the filtered tf (query-term df equals corpus df).  N and
+    avgdl are driver-side scalars, like tfidf's N.
+    """
+    from pyspark.sql import Window
+
+    docs = df.filter(F.trim(F.col(text_col)) != "")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = docs.count(), dl.agg(F.avg("dl")).first()[0]
+
+    qterms = sorted({
+        (qid, t) for qid, qs in queries.items()
+        for t in qs.lower().strip().split()
+    })
+    all_terms = sorted({t for _, t in qterms})
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qterms, ["query_id", "term"])
+
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored_terms = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).join(dl, id_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    per_query = (
+        scored_terms.withColumn("c", contrib)
+        .select(id_col, "term", "c")
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------- scrubbing
 
 #: RE2-compatible patterns (work identically in Java regex and DuckDB)

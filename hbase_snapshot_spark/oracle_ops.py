@@ -720,6 +720,60 @@ WHERE rank <= {k}
 """
 
 
+def bm25_sql(
+    queries: dict[str, str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """SQL twin of text.bm25_topk — same tokenizer as tfidf_sql, Lucene
+    idf ln(1 + (N − df + 0.5)/(df + 0.5)), round-6 score, ties doc asc.
+    avgdl is exact in both engines (integer sum / count)."""
+    qterms = sorted({
+        (qid, t) for qid, qs in queries.items()
+        for t in qs.lower().strip().split()
+    })
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in qterms)
+    inlist = ", ".join(f"'{t}'" for t in sorted({t for _, t in qterms}))
+    return f"""
+WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE trim(text) <> ''),
+toks AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term FROM docs),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+q(query_id, term) AS (VALUES {vals}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({inlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         * (t.tf * ({k1} + 1.0))
+         / (t.tf + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)) AS c
+  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN stats s),
+scored AS (SELECT q.query_id, c.doc_id, round(sum(c.c), 6) AS score
+           FROM q JOIN contrib c USING (term) GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k}
+"""
+
+
+def tfidf_suite_sql(queries: dict[str, str], k_tfidf: int = 3,
+                    k_bm25: int = 10) -> str:
+    """SQL twin of the 2-branch __spark_entry__.q_tfidf composite:
+    branch='tfidf' = tfidf_sql rows; branch='bm25' = bm25_sql rows
+    (query_id rides in term)."""
+    return f"""
+WITH tfidf AS ({tfidf_sql(k_tfidf)}),
+bm25 AS ({bm25_sql(queries, k_bm25)})
+SELECT 'tfidf' AS branch, doc_id, term, score, rank FROM tfidf
+UNION ALL
+SELECT 'bm25' AS branch, doc_id, query_id AS term, score, rank FROM bm25
+"""
+
+
 def pack_sequences_sql(cap: int, chunk: int = 64, overlap: int = 16) -> str:
     """SQL twin of packing.chunk_documents + pack_sequences over
     documents grouped by lang: 0-based ``chunk``-token windows at

@@ -715,6 +715,49 @@ def test_tfidf_top_terms(spark):
     assert top == {"d1": "apple", "d2": "banana", "d3": "cherry"}
 
 
+def test_bm25_topk_analytic(spark):
+    import math
+
+    from hbase_snapshot_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [("d1", "apple apple banana"), ("d2", "banana cherry"),
+         ("d3", "cherry cherry cherry date")],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(df, {"q1": "apple", "q2": "cherry banana"}, k=3,
+                    k1=1.2, b=0.75, id_col="doc_id")
+    rows = {(r.query_id, r.doc_id): (r.score, r.rank) for r in out.collect()}
+
+    def bm25(tf, dfreq, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # q1 'apple': only d1 matches (tf=2, df=1, dl=3)
+    assert set(q for q, _ in rows) == {"q1", "q2"}
+    assert rows[("q1", "d1")] == (round(bm25(2, 1, 3), 6), 1)
+    assert ("q1", "d2") not in rows
+    # q2 'cherry banana': d2 matches both terms, d1 banana, d3 cherry
+    assert rows[("q2", "d2")][0] == round(
+        bm25(1, 2, 2) + bm25(1, 2, 2), 6)
+    assert rows[("q2", "d1")][0] == round(bm25(1, 2, 3), 6)
+    assert rows[("q2", "d3")][0] == round(bm25(3, 2, 4), 6)
+    # ranks follow score desc
+    scores = sorted(((rows[("q2", d)][1], rows[("q2", d)][0])
+                     for d in ("d1", "d2", "d3")))
+    assert [s for _, s in scores] == sorted(
+        (s for _, s in scores), reverse=True)
+
+
+def test_bm25_query_term_dedup(spark):
+    from hbase_snapshot_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame([("d1", "apple pie")], ["doc_id", "text"])
+    once = bm25_topk(df, {"q": "apple"}, k=1).collect()[0].score
+    twice = bm25_topk(df, {"q": "apple apple"}, k=1).collect()[0].score
+    assert once == twice  # repeated query terms don't double-count
+
+
 def test_ivf_kmeans_refine_recall(vecs):
     # trained quantizer must not lose recall vs init-only at equal
     # nprobe (on this fixture it balances cells and typically gains)

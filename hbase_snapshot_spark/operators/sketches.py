@@ -1,0 +1,223 @@
+"""Mergeable distinct-count sketches: KMV (K-Minimum-Values) and
+HyperLogLog — the approximate-analytics primitives a 100 TB engine
+needs where exact COUNT(DISTINCT) would shuffle every key.
+
+Both sketches hash with md5 (portable to the DuckDB oracle, like every
+hash in this repo): the first 13 hex chars give an exact 52-bit
+fraction (fits a double exactly), so estimates have a closed SQL form
+and the oracle pins them bit-for-bit.
+
+Scale shape: a sketch is an ALGEBRAIC aggregate — registers build with
+map-side partial aggregation (one hash exchange of k (KMV) or m (HLL)
+values per group, never the key set), and registers from disjoint
+partitions/days/tables MERGE losslessly (kmv_merge / hll_merge), the
+property that makes pre-aggregated rollup cubes possible.  Exact
+distinct of a billion users shuffles a billion keys; the sketch
+shuffles 256 registers.
+
+References: Bar-Yossef et al. 2002 (KMV); Flajolet, Fusy, Gandouet,
+Meunier 2007 (HyperLogLog).  The reference repo has no sketches
+(beyond-reference, SURVEY §2.8 relational extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kmv_sketch", "kmv_merge", "kmv_estimate",
+    "hll_sketch", "hll_merge", "hll_estimate",
+]
+
+#: 16**13 — the denominator of the exact 52-bit md5 fraction.
+_FRAC_DEN = float(16 ** 13)
+
+
+def _hash_frac(key: Column) -> Column:
+    """md5(key) → exact fraction in [0, 1): first 13 hex chars as a
+    52-bit integer over 16^13.  52 bits fit a double exactly, so both
+    engines see the identical value."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10)
+        .cast("double") / F.lit(_FRAC_DEN)
+    )
+
+
+# ------------------------------------------------------------------ KMV
+
+def kmv_sketch(
+    df: DataFrame, key: Column, by: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV registers: the ``k`` smallest DISTINCT hash
+    fractions of ``key``.  Returns (by…, pos, frac) long-form registers
+    (pos = 1-based rank).  Top-k prunes via WindowGroupLimit — the
+    shuffle carries at most k rows per group."""
+    from pyspark.sql import Window
+
+    h = df.select(*by, _hash_frac(key).alias("frac")).distinct()
+    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
+    return (
+        h.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*by, "pos", "frac")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, by: list[str], k: int = 64) -> DataFrame:
+    """Merge two KMV register sets: union the distinct fractions,
+    re-take the k smallest — lossless for the union of the underlying
+    sets (the defining property of KMV)."""
+    from pyspark.sql import Window
+
+    u = (
+        a.select(*by, "frac")
+        .unionByName(b.select(*by, "frac"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
+    return (
+        u.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*by, "pos", "frac")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, by: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from KMV registers: (k−1)/h_k when the
+    sketch is full, else the register count itself (the sketch holds
+    every distinct hash — the estimate is exact).  Round 6."""
+    return (
+        sketch.groupBy(*by)
+        .agg(F.count(F.lit(1)).alias("nreg"), F.max("frac").alias("hk"))
+        .select(
+            *by,
+            F.round(
+                F.when(F.col("nreg") < k, F.col("nreg").cast("double"))
+                .otherwise((F.lit(float(k - 1))) / F.col("hk")),
+                6,
+            ).alias("est"),
+        )
+    )
+
+
+def kmv_sql(key_expr: str, table: str, by: str, k: int = 64) -> str:
+    """DuckDB twin of kmv_sketch → kmv_estimate (one group column)."""
+    return f"""
+SELECT {by}, round(CASE WHEN nreg < {k} THEN nreg::DOUBLE
+                        ELSE {float(k - 1)} / hk END, 6) AS est
+FROM (
+  SELECT {by}, count(*) AS nreg, max(frac) AS hk
+  FROM (
+    SELECT {by}, frac, row_number() OVER (
+             PARTITION BY {by} ORDER BY frac ASC) AS pos
+    FROM (SELECT DISTINCT {by},
+                 ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 13))
+                   ::BIGINT / {_FRAC_DEN} AS frac
+          FROM {table}) h) r
+  WHERE pos <= {k}
+  GROUP BY {by}) s
+"""
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+def _rho(hexpart: Column) -> Column:
+    """Leading-zero rank of a 13-hex-char (52-bit) field: 4·(leading
+    '0' chars) + in-char zeros + 1.  Pure string/CASE ops — exact and
+    identical in both engines (no float log2)."""
+    z = F.length(F.regexp_extract(hexpart, "^0*", 0))
+    c = F.substring(F.concat(hexpart, F.lit("f")), z + 1, 1)
+    inchar = (
+        F.when(c == "1", 3)
+        .when(c.isin("2", "3"), 2)
+        .when(c.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return (F.lit(4) * z + inchar + 1).cast("int")
+
+
+def hll_sketch(
+    df: DataFrame, key: Column, by: list[str], m: int = 256
+) -> DataFrame:
+    """Per-group HLL registers, long form (by…, bucket, rho): bucket =
+    first 2 md5 hex chars (m=256 fixed — the register width is part of
+    the sketch identity), rho = leading-zero rank of the next 52 bits.
+    One hash exchange of ≤ m rows per group (map-side max combine)."""
+    if m != 256:
+        raise ValueError("hll_sketch is fixed at m=256 (2 hex chars)")
+    h = F.md5(key.cast("string"))
+    return (
+        df.select(
+            *by,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            _rho(F.substring(h, 3, 13)).alias("r"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("r").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, by: list[str]) -> DataFrame:
+    """Merge HLL register sets: per-bucket max — lossless for the union
+    of the underlying sets."""
+    return (
+        a.select(*by, "bucket", "rho")
+        .unionByName(b.select(*by, "bucket", "rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, by: list[str], m: int = 256) -> DataFrame:
+    """Flajolet et al. 2007 estimator with the small-range (linear
+    counting) correction: E = α_m·m²/S where S sums 2^−rho over all m
+    registers (empty = 2⁰); if E ≤ 2.5m and V empty registers remain,
+    E = m·ln(m/V).  Round 4 (the estimate's useful precision; keeps
+    the cross-engine float-sum ulp out of the hash)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*by).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_used"),
+        F.count(F.lit(1)).alias("nonempty"),
+    )
+    s = F.col("s_used") + (F.lit(m) - F.col("nonempty"))
+    v = F.lit(m) - F.col("nonempty")
+    e_raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(*by, F.round(est, 4).alias("est"))
+
+
+def hll_sql(key_expr: str, table: str, by: str, m: int = 256) -> str:
+    """DuckDB twin of hll_sketch → hll_estimate (one group column)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT {by}, md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {table}
+),
+reg AS (
+  SELECT {by},
+         ('0x' || substr(hx, 1, 2))::INTEGER AS bucket,
+         max(4 * length(regexp_extract(substr(hx, 3, 13), '^0*'))
+             + CASE substr(substr(hx, 3, 13) || 'f',
+                 length(regexp_extract(substr(hx, 3, 13), '^0*')) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+               WHEN '7' THEN 1 ELSE 0 END + 1) AS rho
+  FROM h GROUP BY {by}, 2
+),
+agg AS (
+  SELECT {by}, sum(pow(2.0, -rho)) AS s_used, count(*) AS nonempty
+  FROM reg GROUP BY {by}
+)
+SELECT {by},
+       round(CASE WHEN {alpha * m * m} / (s_used + ({m} - nonempty))
+                       <= {2.5 * m}
+                   AND ({m} - nonempty) > 0
+             THEN {float(m)} * ln({float(m)} / ({m} - nonempty))
+             ELSE {alpha * m * m} / (s_used + ({m} - nonempty)) END,
+             4) AS est
+FROM agg
+"""

@@ -698,6 +698,22 @@ SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def kmv_sql_entry() -> str:
+    """KMV distinct-users-per-event_type twin (sketches.kmv_sql with the
+    entry's parameters)."""
+    from hbase_snapshot_spark.operators.sketches import kmv_sql
+
+    return kmv_sql("user_id", "events", "event_type", k=64)
+
+
+def hll_sql_entry() -> str:
+    """HLL distinct-users-per-event_type twin (sketches.hll_sql with the
+    entry's parameters)."""
+    from hbase_snapshot_spark.operators.sketches import hll_sql
+
+    return hll_sql("user_id", "events", "event_type")
+
+
 def tfidf_sql(k: int = 3) -> str:
     """SQL twin of text.tfidf_top_terms (smoothed tf*ln((N+1)/(df+1)),
     round 6, ties by term asc)."""

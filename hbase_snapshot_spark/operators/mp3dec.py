@@ -41,9 +41,12 @@ MECHANICAL verification, and only tables that pass are shipped:
   decode to analytically predicted PCM (zeros; a tone whose spectrum
   peaks at the predicted frequency).
 
-Scope: MPEG-1 (32/44.1/48 kHz) Layer III, mono and stereo.  MPEG-2/2.5
-LSF streams and Layers I/II raise NotImplementedError (different
-scalefactor coding / subband sample counts); the frame WALK for those
+Scope: MPEG-1 (32/44.1/48 kHz) Layers I and III, mono and stereo —
+Layer I (r8) needs NO empirical tables at all (Table B.1 scalefactors
+and the requantization grid are closed forms) and shares the polyphase
+synthesis.  MPEG-2/2.5 LSF streams and Layer II raise
+NotImplementedError (LSF: different scalefactor coding; Layer II: the
+empirical Table B.2 bit-allocation tables); the frame WALK for those
 remains available via codecs.parse_mp3.
 
 Reference parity note: the reference repo ships no audio decode at all
@@ -669,32 +672,135 @@ def _imdct_granule(xr: np.ndarray, g: _Granule, overlap: np.ndarray
 
 
 # history-window row indices: step i reads the 16 newest 64-vectors,
-# newest first, from the (18 new + 16 carried) stack below
-_SYN_IDX = (17 - np.arange(18))[:, None] + np.arange(16)[None, :]
+# newest first, from the (n new + 16 carried) stack below
+_SYN_IDX_CACHE: dict[int, np.ndarray] = {}
+
+
+def _syn_idx(n: int) -> np.ndarray:
+    idx = _SYN_IDX_CACHE.get(n)
+    if idx is None:
+        idx = (n - 1 - np.arange(n))[:, None] + np.arange(16)[None, :]
+        _SYN_IDX_CACHE[n] = idx
+    return idx
 
 
 class _Synth:
     """Polyphase synthesis with the 1024-sample FIFO kept as 16 rows of
-    64 (newest first).  All 18 granule steps run batched (r7): the 18
-    new matrixed vectors are computed in one GEMM, each step's 16-row
-    history window is a fancy gather off the stacked history, and the
-    windowed sum reduces over one axis — numerically the identical
-    per-step sums, without the per-step Python shift/gather loop."""
+    64 (newest first).  All steps run batched (r7): the n new matrixed
+    vectors are computed in one GEMM, each step's 16-row history window
+    is a fancy gather off the stacked history, and the windowed sum
+    reduces over one axis — numerically the identical per-step sums,
+    without the per-step Python shift/gather loop.  n = 18 per Layer III
+    granule, 12 per Layer I frame (r8) — the filterbank is shared."""
 
     def __init__(self):
         self.carry = np.zeros((16, 64))
 
     def run(self, ts: np.ndarray) -> np.ndarray:
-        """ts (18, 32) -> PCM floats (576,)."""
-        vnew = ts @ _SYNTH_N.T  # (18, 64), row i = matrixing of step i
+        """ts (n, 32) -> PCM floats (n*32,)."""
+        n = ts.shape[0]
+        vnew = ts @ _SYNTH_N.T  # (n, 64), row i = matrixing of step i
         hist = np.concatenate([vnew[::-1], self.carry])  # newest first
-        wins = hist[_SYN_IDX]  # (18, 16, 64): step i's v-FIFO rows
-        u = np.empty((18, 16, 32))
+        wins = hist[_syn_idx(n)]  # (n, 16, 64): step i's v-FIFO rows
+        u = np.empty((n, 16, 32))
         u[:, 0::2] = wins[:, 0::2, :32]
         u[:, 1::2] = wins[:, 1::2, 32:]
-        w = u.reshape(18, 512) * SYNTH_WINDOW
+        w = u.reshape(n, 512) * SYNTH_WINDOW
         self.carry = hist[:16].copy()
-        return w.reshape(18, 16, 32).sum(axis=1).ravel()
+        return w.reshape(n, 16, 32).sum(axis=1).ravel()
+
+
+# --------------------------------------------------------------------------
+# Layer I (clause 2.4.2.5 layout, 2.4.3.2 requantization) — r8.
+# Every constant here is a CLOSED FORM, so the transcription-verification
+# policy is trivially met: Table B.1 scalefactors are 2·2^(−idx/3) and
+# the requantization grid is s'' = 2^nb/(2^nb−1)·(s''' + 2^(1−nb)) with
+# s''' the MSB-inverted two's-complement fraction (the all-ones code is
+# never emitted, giving the symmetric 2^nb−1-step mid-tread grid).
+
+#: Table B.1 — layer I/II scalefactors, index 0..62 (63 is illegal).
+SCALEFACTORS_B1 = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
+
+
+def _l1_requant(code: int, nb: int) -> float:
+    half = 1 << (nb - 1)
+    inv = code ^ half
+    signed = inv - (half << 1) if inv >= half else inv
+    return ((half << 1) / ((half << 1) - 1.0)) * (signed / half + 1.0 / half)
+
+
+def _decode_layer1_frame(frame: bytes, hdr: dict) -> np.ndarray:
+    """One Layer I frame -> (nch, 12, 32) scaled subband samples."""
+    nch = hdr["channels"]
+    mode_ext = (frame[3] >> 4) & 3
+    bound = (mode_ext + 1) * 4 if (nch == 2 and hdr["mode"] == 1) else 32
+    body = 4 + (2 if hdr["crc"] else 0)
+    bits = _Bits(frame[body:])
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        if sb < bound:
+            for ch in range(nch):
+                a = bits.read(4)
+                if a == 15:
+                    raise ValueError("forbidden Layer I allocation 15")
+                alloc[ch][sb] = a
+        else:
+            a = bits.read(4)
+            if a == 15:
+                raise ValueError("forbidden Layer I allocation 15")
+            for ch in range(nch):
+                alloc[ch][sb] = a
+    # one 6-bit scalefactor per allocated (sb, ch) — intensity bands
+    # share the sample code but keep per-channel scalefactors
+    scf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                idx = bits.read(6)
+                if idx == 63:
+                    raise ValueError("illegal scalefactor index 63")
+                scf[ch][sb] = SCALEFACTORS_B1[idx]
+    sub = np.zeros((nch, 12, 32))
+    for s in range(12):
+        for sb in range(32):
+            if sb >= bound and nch == 2:
+                a = alloc[0][sb]
+                if a:
+                    v = _l1_requant(bits.read(a + 1), a + 1)
+                    sub[0, s, sb] = scf[0][sb] * v
+                    sub[1, s, sb] = scf[1][sb] * v
+            else:
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if a:
+                        sub[ch, s, sb] = scf[ch][sb] * _l1_requant(
+                            bits.read(a + 1), a + 1)
+    return sub
+
+
+def _decode_layer1(data: bytes, meta: dict) -> tuple[int, int, np.ndarray]:
+    from hbase_snapshot_spark.operators import codecs
+
+    sr, nch = meta["sample_rate"], meta["channels"]
+    synth = [_Synth() for _ in range(nch)]
+    parts = []
+    frames = meta["frames"][len(meta["frames"]) - meta["n_frames"]:] \
+        if meta["n_frames"] else meta["frames"]
+    for offset, size, _samples in frames:
+        frame = data[offset : offset + size]
+        hdr = codecs._mp3_frame_at(data, offset)
+        if hdr is None or hdr["layer"] != 1:
+            continue
+        try:
+            sub = _decode_layer1_frame(frame, hdr)
+        except (EOFError, ValueError):
+            continue  # corrupt frame: drop it, keep walking
+        parts.append(np.stack(
+            [synth[ch].run(sub[ch]) for ch in range(nch)]))
+    pcm = (np.concatenate(parts, axis=1).T if parts
+           else np.zeros((0, nch)))
+    pcm16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int16)
+    return sr, nch, pcm16
 
 
 # --------------------------------------------------------------------------
@@ -705,7 +811,7 @@ def decode(data: bytes, max_frames: int | None = None
            ) -> tuple[int, int, np.ndarray]:
     """MP3 payload -> (sample_rate, channels, int16 PCM (n, channels)).
 
-    MPEG-1 Layer III only; frames whose bit reservoir reaches back
+    MPEG-1 Layers I and III; frames whose bit reservoir reaches back
     before the available data (stream cut mid-reservoir) are skipped,
     matching standard decoder behavior."""
     from hbase_snapshot_spark.operators import codecs
@@ -714,11 +820,15 @@ def decode(data: bytes, max_frames: int | None = None
     if meta["format"] != "MPEG-1":
         raise NotImplementedError(
             f"{meta['format']} LSF decode unsupported (different "
-            "scalefactor coding); MPEG-1 Layer III only"
+            "scalefactor coding); MPEG-1 Layers I/III only"
         )
+    if meta["layer"] == 1:
+        return _decode_layer1(data, meta)
     if meta["layer"] != 3:
         raise NotImplementedError(
-            f"Layer {meta['layer']} decode unsupported (Layer III only)"
+            f"Layer {meta['layer']} decode unsupported (Layer II needs "
+            "the empirical Table B.2 allocation tables; Layers I/III "
+            "only)"
         )
     sr = meta["sample_rate"]
     nch = meta["channels"]

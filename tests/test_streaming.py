@@ -137,6 +137,62 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert ("k1", "dup") not in second
 
 
+def test_streaming_distinct_hll_matches_batch(spark, tmp_path):
+    """After draining all micro-batches, the streaming HLL estimate must
+    equal the BATCH sketch estimate of the same data — the registers are
+    the same function of the key set."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_distinct_hll,
+    )
+
+    src_dir = tmp_path / "hll-src"
+    src_dir.mkdir()
+    rows1 = [(i % 40, "g1") for i in range(100)] + [
+        (i % 7, "g2") for i in range(30)]
+    rows2 = [(i % 90, "g1") for i in range(200)]  # overlaps batch 1
+    spark.createDataFrame(rows1, ["user_id", "grp"]).write.parquet(
+        str(src_dir / "b1"))
+    spark.createDataFrame(rows2, ["user_id", "grp"]).write.parquet(
+        str(src_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        streaming_distinct_hll(stream, "user_id", ["grp"])
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from hll_out").collect()
+    # last emitted estimate per group (update mode re-emits per batch)
+    last = {}
+    for r in out:
+        last[r.grp] = r.est
+    batch = spark.createDataFrame(rows1 + rows2, ["user_id", "grp"])
+    expected = {
+        r.grp: r.est
+        for r in sk.hll_estimate(
+            sk.hll_sketch(batch, F.col("user_id"), ["grp"]), ["grp"]
+        ).collect()
+    }
+    assert set(last) == {"g1", "g2"}
+    for g in last:
+        assert abs(last[g] - expected[g]) < 1e-6, (g, last[g], expected[g])
+    # sane accuracy on the true cardinalities (g1: 90, g2: 7)
+    assert abs(last["g1"] - 90) / 90 < 0.2
+    assert abs(last["g2"] - 7) < 2.5
+
+
 def test_replication_duplicate_delivery_idempotent(spark, stores, tmp_path):
     # F6 corpus contract: duplicate delivery converges (dedupe sink)
     src, dst = stores

@@ -1,6 +1,9 @@
-"""Mergeable distinct-count sketches: KMV (K-Minimum-Values) and
-HyperLogLog — the approximate-analytics primitives a 100 TB engine
-needs where exact COUNT(DISTINCT) would shuffle every key.
+"""Mergeable sketches: KMV (K-Minimum-Values) and HyperLogLog for
+distinct counts, KMV set-operation estimates (union / Jaccard /
+intersection of key sets without joining them), and Count-Min for
+point frequencies / heavy hitters — the approximate-analytics
+primitives a 100 TB engine needs where exact COUNT(DISTINCT) or a
+full-frequency table would shuffle every key.
 
 Both sketches hash with md5 (portable to the DuckDB oracle, like every
 hash in this repo): the first 13 hex chars give an exact 52-bit
@@ -15,9 +18,10 @@ property that makes pre-aggregated rollup cubes possible.  Exact
 distinct of a billion users shuffles a billion keys; the sketch
 shuffles 256 registers.
 
-References: Bar-Yossef et al. 2002 (KMV); Flajolet, Fusy, Gandouet,
-Meunier 2007 (HyperLogLog).  The reference repo has no sketches
-(beyond-reference, SURVEY §2.8 relational extensions).
+References: Bar-Yossef et al. 2002 (KMV); Beyer et al. 2007 (KMV set
+operations); Flajolet, Fusy, Gandouet, Meunier 2007 (HyperLogLog);
+Cormode & Muthukrishnan 2005 (Count-Min).  The reference repo has no
+sketches (beyond-reference, SURVEY §2.8 relational extensions).
 """
 
 from __future__ import annotations
@@ -26,8 +30,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "kmv_sketch", "kmv_merge", "kmv_estimate",
+    "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_set_estimates",
     "hll_sketch", "hll_merge", "hll_estimate",
+    "cms_sketch", "cms_merge", "cms_query",
 ]
 
 #: 16**13 — the denominator of the exact 52-bit md5 fraction.
@@ -118,6 +123,51 @@ FROM (
   WHERE pos <= {k}
   GROUP BY {by}) s
 """
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, by: list[str], k: int = 64
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches over the same key
+    domain (Beyer et al. 2007, "On synopses for distinct-value
+    estimation"): take the k smallest fractions of the UNION of the two
+    register sets; the fraction of those present in BOTH sketches
+    estimates Jaccard; union-cardinality × Jaccard estimates the
+    intersection.  Returns (by…, union_est, jaccard, intersect_est).
+
+    This is the sketch answer to "how much do two corpora overlap"
+    (train/eval contamination at the cardinality level, cross-snapshot
+    churn) without ever joining the key sets."""
+    from pyspark.sql import Window
+
+    au = a.select(*by, "frac").withColumn("in_a", F.lit(1))
+    bu = b.select(*by, "frac").withColumn("in_b", F.lit(1))
+    both = (
+        au.join(bu, [*by, "frac"], "full")
+        .select(
+            *by, "frac",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
+    topk = both.withColumn("pos", F.row_number().over(w)) \
+               .filter(F.col("pos") <= k)
+    agg = topk.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.max("frac").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("common"),
+    )
+    union_est = F.when(
+        F.col("nreg") < k, F.col("nreg").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("hk"))
+    jacc = F.col("common") / F.col("nreg")
+    return agg.select(
+        *by,
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jacc, 6).alias("jaccard"),
+        F.round(union_est * jacc, 6).alias("intersect_est"),
+    )
 
 
 # ------------------------------------------------------------ HyperLogLog
@@ -220,4 +270,112 @@ SELECT {by},
              ELSE {alpha * m * m} / (s_used + ({m} - nonempty)) END,
              4) AS est
 FROM agg
+"""
+
+
+# ------------------------------------------------------------- Count-Min
+
+#: Count-Min geometry: 4 independent hash rows × 256 buckets.  Error
+#: bound: overestimate ≤ 2e/w · N with prob 1 − (1/2)^d ≈ 0.94.
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket(row: int, key: Column) -> Column:
+    """bucket of ``key`` in hash row ``row``: first 2 hex chars of
+    md5('<row>:'+key) — d independent hash functions by seeding."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"),
+                                   key.cast("string"))), 1, 2),
+        16, 10,
+    ).cast("int")
+
+
+def cms_sketch(df: DataFrame, key: Column, by: list[str]) -> DataFrame:
+    """Per-group Count-Min registers (Cormode & Muthukrishnan 2005),
+    long form (by…, row, bucket, cnt): COUNTS (not distinct) of keys
+    hashed into d×w counters.  One exchange of ≤ d·w rows per group
+    (map-side combine); registers merge by plain addition (cms_merge) —
+    the mergeable frequency/heavy-hitter primitive."""
+    rows = [
+        df.select(
+            *by,
+            F.lit(r).alias("row"),
+            _cms_bucket(r, key).alias("bucket"),
+        )
+        for r in range(_CMS_D)
+    ]
+    u = rows[0]
+    for x in rows[1:]:
+        u = u.unionByName(x)
+    return u.groupBy(*by, "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame, by: list[str]) -> DataFrame:
+    """Merge Count-Min register sets: per-counter sum — lossless for
+    the concatenation of the underlying streams."""
+    return (
+        a.select(*by, "row", "bucket", "cnt")
+        .unionByName(b.select(*by, "row", "bucket", "cnt"))
+        .groupBy(*by, "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame, keys: DataFrame, key_col: str, by: list[str]
+) -> DataFrame:
+    """Point-frequency estimates: for each (group, key) the minimum
+    counter over the d hash rows (absent counter = 0).  ``keys`` is the
+    small query relation — it broadcasts; the sketch never rehashes the
+    data."""
+    probes = None
+    for r in range(_CMS_D):
+        p = keys.select(
+            F.col(key_col),
+            F.lit(r).alias("row"),
+            _cms_bucket(r, F.col(key_col)).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    groups = sketch.select(*by).distinct()
+    joined = (
+        probes.crossJoin(F.broadcast(groups))
+        .join(sketch, [*by, "row", "bucket"], "left")
+    )
+    return (
+        joined.groupBy(*by, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_sql(key_expr: str, table: str, by: str,
+            keys_sql: str, key_col: str = "k") -> str:
+    """DuckDB twin of cms_sketch → cms_query: ``keys_sql`` yields the
+    probe relation with a ``{key_col}`` column."""
+    rows = " UNION ALL ".join(
+        f"SELECT {by}, {r} AS row, ('0x' || substr(md5('{r}:' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 2))::INTEGER AS bucket "
+        f"FROM {table}"
+        for r in range(_CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT {key_col}, {r} AS row, ('0x' || substr(md5('{r}:' || "
+        f"CAST({key_col} AS VARCHAR)), 1, 2))::INTEGER AS bucket "
+        f"FROM qkeys"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH qkeys AS ({keys_sql}),
+reg AS (
+  SELECT {by}, row, bucket, count(*) AS cnt
+  FROM ({rows}) t GROUP BY {by}, row, bucket
+),
+probe AS ({probes})
+SELECT g.{by}, p.{key_col},
+       min(coalesce(r.cnt, 0)) AS est
+FROM probe p
+CROSS JOIN (SELECT DISTINCT {by} FROM {table}) g
+LEFT JOIN reg r ON r.{by} = g.{by} AND r.row = p.row
+                AND r.bucket = p.bucket
+GROUP BY g.{by}, p.{key_col}
 """

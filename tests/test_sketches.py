@@ -101,3 +101,65 @@ def test_rho_distribution(spark):
     rows = reg.collect()
     assert len(rows) > 200  # 1000 keys into 256 buckets: most occupied
     assert max(r.rho for r in rows) < 30
+
+
+def test_kmv_set_estimates(spark):
+    # A = 0..499, B = 250..749: union 750, intersection 250, J = 1/3
+    a = spark.createDataFrame([(i, "g") for i in range(500)],
+                              ["user_id", "grp"])
+    b = spark.createDataFrame([(i, "g") for i in range(250, 750)],
+                              ["user_id", "grp"])
+    sa = sk.kmv_sketch(a, F.col("user_id"), ["grp"], k=256)
+    sb = sk.kmv_sketch(b, F.col("user_id"), ["grp"], k=256)
+    r = sk.kmv_set_estimates(sa, sb, ["grp"], k=256).collect()[0]
+    assert abs(r.union_est - 750) / 750 < 0.15
+    assert abs(r.jaccard - 1 / 3) < 0.12
+    assert abs(r.intersect_est - 250) / 250 < 0.35
+
+
+def test_kmv_set_estimates_disjoint_and_identical(spark):
+    a = spark.createDataFrame([(i, "g") for i in range(100)],
+                              ["user_id", "grp"])
+    b = spark.createDataFrame([(i, "g") for i in range(100, 200)],
+                              ["user_id", "grp"])
+    sa = sk.kmv_sketch(a, F.col("user_id"), ["grp"], k=64)
+    sb = sk.kmv_sketch(b, F.col("user_id"), ["grp"], k=64)
+    r = sk.kmv_set_estimates(sa, sb, ["grp"], k=64).collect()[0]
+    assert r.jaccard == 0.0 and r.intersect_est == 0.0
+    r2 = sk.kmv_set_estimates(sa, sa, ["grp"], k=64).collect()[0]
+    assert r2.jaccard == 1.0
+
+
+def test_cms_exact_at_low_collision(spark):
+    # few keys, many counters: estimates equal exact counts; absent
+    # key reads 0
+    rows = [(i % 5, "g") for i in range(100)]  # keys 0..4, 20 each
+    df = spark.createDataFrame(rows, ["user_id", "grp"])
+    sketch = sk.cms_sketch(df, F.col("user_id"), ["grp"])
+    keys = spark.createDataFrame([(i,) for i in range(6)], ["k"])
+    est = {r.k: r.est for r in sk.cms_query(
+        sketch, keys, "k", ["grp"]).collect()}
+    assert est == {0: 20, 1: 20, 2: 20, 3: 20, 4: 20, 5: 0}
+
+
+def test_cms_never_underestimates(spark):
+    rows = [(i % 300, "g") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["user_id", "grp"])
+    sketch = sk.cms_sketch(df, F.col("user_id"), ["grp"])
+    keys = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    est = {r.k: r.est for r in sk.cms_query(
+        sketch, keys, "k", ["grp"]).collect()}
+    assert all(est[i] >= 10 for i in range(50))  # true count = 10
+    # and the overestimate stays within the CMS bound comfortably
+    assert all(est[i] <= 10 + 2 * 2.718 / 256 * 3000 for i in range(50))
+
+
+def test_cms_merge_is_sum(spark):
+    a = spark.createDataFrame([(1, "g")] * 7, ["user_id", "grp"])
+    b = spark.createDataFrame([(1, "g")] * 5, ["user_id", "grp"])
+    merged = sk.cms_merge(
+        sk.cms_sketch(a, F.col("user_id"), ["grp"]),
+        sk.cms_sketch(b, F.col("user_id"), ["grp"]), ["grp"])
+    keys = spark.createDataFrame([(1,)], ["k"])
+    est = sk.cms_query(merged, keys, "k", ["grp"]).collect()[0].est
+    assert est == 12

@@ -215,6 +215,82 @@ def tfidf_top_terms(
     )
 
 
+#: Gopher rule 7's required stop words (Rae et al. 2021, Table A1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    Language Models", Table A1) — the standard web-corpus document
+    filter.  Eight rules, each a pure-Catalyst boolean; returns per-rule
+    flags, ``gopher_mask`` (bit i = rule i passed, pinning every rule
+    independently in one number) and ``gopher_pass`` (all eight).
+
+    Rules (word = explicit-ASCII-whitespace token; empty docs fail all):
+      0 word count in [50, 100000]
+      1 mean word length in [3, 10]
+      2 symbol-to-word ratio ('#' or '...') <= 0.1
+      3 <= 10% of lines start with a bullet ('-', '*', '•')
+      4 <= 30% of lines end with an ellipsis
+      5 >= 80% of words contain an alphabetic character
+      6 >= 2 distinct required stop words present
+      7 duplicate-line fraction <= 0.30
+
+    No UDFs, no shuffle — one codegen stage over the corpus scan."""
+    t = F.col(text_col)
+    ws = "[ \t\n\r\f]+"
+    words = F.filter(F.split(t, ws), lambda x: x != "")
+    n_words = F.size(words)
+    # division-safe denominators: every ratio rule is already gated by
+    # ``nonempty`` (or n_lines == 0), so substituting 1 for an empty
+    # denominator never changes a rule's outcome — but it keeps ANSI
+    # mode's DIVIDE_BY_ZERO out even when common-subexpression
+    # elimination hoists the division above the boolean guard
+    nwd = F.greatest(n_words, F.lit(1))
+    # sum of word lengths == non-whitespace char count
+    n_word_chars = F.length(F.regexp_replace(t, ws, ""))
+    mean_wl = n_word_chars / nwd
+    symbols = (F.regexp_count(t, F.lit("#"))
+               + F.regexp_count(t, F.lit(r"\.\.\.")))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    nld = F.greatest(n_lines, F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^[ \t]*[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.[ \t]*$")))
+    alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    sw_present = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    dup_lines = (n_lines - F.size(F.array_distinct(lines))) / nld
+
+    nonempty = n_words > 0
+    rules = [
+        nonempty & (n_words >= 50) & (n_words <= 100000),
+        nonempty & (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        nonempty & (symbols / nwd <= 0.1),
+        nonempty & ((n_lines == 0) | (bullet / nld <= 0.1)),
+        nonempty & ((n_lines == 0) | (ellipsis / nld <= 0.3)),
+        nonempty & (alpha / nwd >= 0.8),
+        nonempty & (sw_present >= 2),
+        nonempty & (dup_lines <= 0.3),
+    ]
+    mask = None
+    for i, r in enumerate(rules):
+        bit = F.when(r, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    out = df.select(
+        F.col(id_col),
+        *[r.alias(f"rule{i}") for i, r in enumerate(rules)],
+        mask.cast("long").alias("gopher_mask"),
+    )
+    return out.withColumn(
+        "gopher_pass", F.col("gopher_mask") == (1 << len(rules)) - 1)
+
+
 def bm25_topk(
     df: DataFrame,
     queries: dict[str, str],

@@ -1044,6 +1044,64 @@ UNION ALL
 SELECT branch, doc_id, v FROM ppl
 UNION ALL
 SELECT branch, doc_id, v FROM nb
+UNION ALL
+SELECT branch, doc_id, v FROM ({gopher_branch_sql()}) gopher
+"""
+
+
+def gopher_branch_sql() -> str:
+    """SQL twin of text.gopher_rules, shaped into (branch='gopher',
+    doc_id, v=the 8-bit rule mask) — the mask pins every rule
+    independently under the one composite hash."""
+    sws = ", ".join(f"'{w}'" for w in (
+        "the", "be", "to", "of", "and", "that", "have", "with"))
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                x -> x <> '') AS words,
+    length(regexp_replace(text, '[ \t\n\r\f]+', '', 'g'))
+        AS n_word_chars,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(words) AS n_words, n_word_chars, symbols,
+    len(lines) AS n_lines,
+    len(list_filter(lines,
+        x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS bullet,
+    len(list_filter(lines,
+        x -> regexp_matches(x, '\\.\\.\\.[ \t]*$'))) AS ellipsis,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(
+        list_distinct(list_transform(words, x -> lower(x))),
+        [{sws}])) AS swp,
+    (len(lines) - len(list_distinct(lines)))
+        / greatest(len(lines), 1) AS dup_lines
+  FROM g
+)
+SELECT 'gopher' AS branch, doc_id, CAST(
+    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+  + (CASE WHEN n_words > 0
+               AND n_word_chars / greatest(n_words, 1) >= 3.0
+               AND n_word_chars / greatest(n_words, 1) <= 10.0
+          THEN 2 ELSE 0 END)
+  + (CASE WHEN n_words > 0 AND symbols / greatest(n_words, 1) <= 0.1
+          THEN 4 ELSE 0 END)
+  + (CASE WHEN n_words > 0
+               AND (n_lines = 0 OR bullet / greatest(n_lines, 1) <= 0.1)
+          THEN 8 ELSE 0 END)
+  + (CASE WHEN n_words > 0
+               AND (n_lines = 0 OR ellipsis / greatest(n_lines, 1) <= 0.3)
+          THEN 16 ELSE 0 END)
+  + (CASE WHEN n_words > 0 AND alpha / greatest(n_words, 1) >= 0.8
+          THEN 32 ELSE 0 END)
+  + (CASE WHEN n_words > 0 AND swp >= 2 THEN 64 ELSE 0 END)
+  + (CASE WHEN n_words > 0 AND dup_lines <= 0.3 THEN 128 ELSE 0 END)
+  AS DOUBLE) AS v
+FROM m
 """
 
 

@@ -715,6 +715,53 @@ def test_tfidf_top_terms(spark):
     assert top == {"d1": "apple", "d2": "banana", "d3": "cherry"}
 
 
+def test_gopher_rules_battery(spark):
+    from hbase_snapshot_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        "the quick brown fox jumps over that lazy dog with vigor"
+        .split() * 6)  # 60 words, sane lengths, stopwords present
+    rows = [
+        (0, good),
+        (1, "short doc"),                                  # rule0 fails
+        (2, " ".join(["a"] * 60)),                         # mean len < 3
+        (3, good + " " + "#tag " * 20),                    # symbol ratio
+        (4, good + "\n" + "\n".join(                       # bullet lines
+            f"- item {i}" for i in range(20))),
+        (5, " ".join(["12345"] * 60)),                     # no alpha
+        (6, " ".join(["apple banana cherry"] * 20)),       # no stopwords
+        (7, good + "\n" + "same line\n" * 10),             # dup lines
+        (8, ""),                                           # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[0].gopher_pass and out[0].gopher_mask == 255
+    assert not out[1].rule0
+    assert not out[2].rule1
+    assert not out[3].rule2
+    assert not out[4].rule3
+    assert not out[5].rule5
+    assert not out[6].rule6
+    assert not out[7].rule7
+    assert out[8].gopher_mask == 0
+    # each failing doc fails ONLY at its target + any knock-ons, never
+    # the pass flag
+    assert all(not out[i].gopher_pass for i in range(1, 9))
+
+
+def test_gopher_ellipsis_rule(spark):
+    from hbase_snapshot_spark.operators.text import gopher_rules
+
+    good = " ".join("the be to of and that have with word text".split()
+                    * 6)
+    lines = [good] + ["trailing off..." for _ in range(10)]
+    df = spark.createDataFrame(
+        [(0, "\n".join(lines)), (1, good)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert not out[0].rule4      # 10/11 lines end with ellipsis
+    assert out[1].rule4
+
+
 def test_bm25_topk_analytic(spark):
     import math
 

@@ -308,13 +308,19 @@ def bm25_topk(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Robertson–Spärck Jones
     as used by Lucene — strictly positive), round 6, ties doc asc.
 
-    Plan shape: query terms broadcast as an isin FILTER over the
-    exploded tokens (reaches the scan — the inverted-index seek shape:
-    work scales with postings of the query terms, not the corpus);
-    doc lengths are one separate count-agg; df is a count-window over
-    term on the filtered tf (query-term df equals corpus df).  N and
-    avgdl are driver-side scalars, like tfidf's N.
+    Plan shape (the inverted-index seek): the tf branch pre-filters
+    whole documents with a coarse ``contains(any query term)`` scan
+    predicate — verified to evaluate AT the file scan (a DataFilter) —
+    so the explode and the (doc, term) aggregation run only over
+    candidate documents; the exact term isin filter sits directly above
+    the explode and prunes to the query-term postings.  Doc lengths are
+    one separate count-agg over the corpus (inherent — avgdl needs all
+    tokens); df is a count-window over term on the filtered tf
+    (query-term df equals corpus df).  N and avgdl are driver-side
+    scalars, like tfidf's N.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
 
     docs = df.filter(F.trim(F.col(text_col)) != "")
@@ -334,8 +340,18 @@ def bm25_topk(
     spark = df.sparkSession
     qdf = spark.createDataFrame(qterms, ["query_id", "term"])
 
+    candidate = reduce(
+        lambda a, b: a | b,
+        [F.lower(F.col(text_col)).contains(t) for t in all_terms],
+    )
     tf = (
-        toks.filter(F.col("term").isin(all_terms))
+        docs.filter(candidate)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                              r"\s+")).alias("term"),
+        )
+        .filter(F.col("term").isin(all_terms))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -74,3 +74,70 @@ def asof_join(
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_r.{c}"))
     return out.drop("_side", "_r")
+
+
+def funnel_depth(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis (r8): for each user, how far through the
+    ``steps`` sequence they progressed, taking each step at its EARLIEST
+    valid time (strictly after the previous step — the greedy assignment,
+    which is optimal by the exchange argument, so it equals the
+    chained-min SQL formulation the oracle states).
+
+    Returns (user_col, depth, first_ts, last_ts): depth = completed
+    steps, first/last = the entry/deepest-step timestamps (null when
+    depth is 0).
+
+    Plan shape: ONE shuffle — filter to funnel event types at the scan,
+    groupBy user with a sorted collect_list, then a pure-Catalyst
+    ``aggregate`` fold over the per-user sequence (bounded by a user's
+    own funnel-event count; no window cascade, no per-step self-join —
+    a k-step funnel as k chained joins would be k shuffles and k scans).
+    """
+    sl = list(steps)
+    evs = events.filter(F.col(type_col).isin(sl)).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+    per_user = evs.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_ts"), F.col("_et")))
+        ).alias("_seq")
+    )
+    step_arr = F.array(*[F.lit(s) for s in sl])
+    acc0 = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(None).cast(dict(evs.dtypes)["_ts"]).alias("first_ts"),
+        F.lit(None).cast(dict(evs.dtypes)["_ts"]).alias("last_ts"),
+    )
+
+    def fold(acc, e):
+        advance = (
+            (acc.depth < F.lit(len(sl)))
+            & (e._et == F.element_at(step_arr, acc.depth + 1))
+            & (acc.last_ts.isNull() | (e._ts > acc.last_ts))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc.depth + 1).alias("depth"),
+                F.coalesce(acc.first_ts, e._ts).alias("first_ts"),
+                e._ts.alias("last_ts"),
+            ),
+        ).otherwise(acc)
+
+    return per_user.select(
+        F.col(user_col),
+        F.aggregate(F.col("_seq"), acc0, fold).alias("_f"),
+    ).select(
+        user_col,
+        F.col("_f.depth").alias("depth"),
+        F.col("_f.first_ts").alias("first_ts"),
+        F.col("_f.last_ts").alias("last_ts"),
+    )

@@ -297,6 +297,71 @@ def test_asof_join(spark):
     }
 
 
+def test_funnel_depth_greedy_ordering(spark):
+    from hbase_snapshot_spark.operators.asof import funnel_depth
+
+    rows = [
+        # u1: full funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: purchase BEFORE the view→click chain completes
+        (2, 10, "purchase"), (2, 20, "view"), (2, 30, "click"),
+        # u3: only later steps, never step 1
+        (3, 10, "click"), (3, 20, "purchase"),
+        # u4: same-ts step2 doesn't count (strictly-after rule)
+        (4, 10, "view"), (4, 10, "click"),
+        # u5: greedy earliest view still allows the later click
+        (5, 5, "view"), (5, 50, "view"), (5, 60, "click"),
+        # u6: unrelated event types are ignored entirely
+        (6, 1, "signup"), (6, 2, "error"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r.user_id: r for r in funnel_depth(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert (out[1].depth, out[1].first_ts, out[1].last_ts) == (3, 10, 30)
+    assert out[2].depth == 2                       # purchase@10 unusable
+    assert (out[2].first_ts, out[2].last_ts) == (20, 30)
+    assert out[3].depth == 0
+    assert out[3].first_ts is None and out[3].last_ts is None
+    assert out[4].depth == 1                       # click@10 not > 10
+    assert out[5].depth == 2                       # greedy view@5, click@60
+    assert (out[5].first_ts, out[5].last_ts) == (5, 60)
+    assert 6 not in out                            # no funnel-type events
+
+
+def test_funnel_depth_matches_chained_min_oracle(spark):
+    """property: the fold equals the chained-min formulation on a
+    deterministic pseudo-random event set."""
+    import hashlib
+
+    from hbase_snapshot_spark.operators.asof import funnel_depth
+
+    steps = ["view", "click", "purchase"]
+    rows = []
+    for i in range(600):
+        h = hashlib.md5(f"ev{i}".encode()).hexdigest()
+        rows.append((int(h[:2], 16) % 40,          # user
+                     int(h[2:6], 16),              # ts
+                     steps[int(h[6], 16) % 3]))
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.user_id: r.depth for r in funnel_depth(ev, steps).collect()}
+
+    # driver-side chained-min reference
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, ts, et in rows:
+        by_user[u].append((ts, et))
+    for u, evs in by_user.items():
+        t_prev, depth = None, 0
+        for s in steps:
+            cand = [ts for ts, et in evs
+                    if et == s and (t_prev is None or ts > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            depth += 1
+        assert got[u] == depth, (u, got[u], depth)
+
+
 def test_hash_sample_deterministic(docs):
     from hbase_snapshot_spark.operators import sampling
 

@@ -51,41 +51,58 @@ def _hash_frac(key: Column) -> Column:
 
 # ------------------------------------------------------------------ KMV
 
+def _topk_regs(h: DataFrame, by: list[str], k: int) -> DataFrame:
+    """The shared per-group bottom-k-by-frac register pass: dense_rank
+    ≤ k over possibly-duplicated fracs (WindowGroupLimit's PARTIAL stage
+    prunes each map partition to its own k smallest BEFORE the window
+    exchange — so the shuffle carries ≤ k·partitions rows per group,
+    never the distinct hash set), then dedupe the tiny survivor set and
+    re-rank.  Used by kmv_sketch, kmv_merge, and kmv_set_estimates so
+    tie-breaking and the below-k branch can never desynchronize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
+    pruned = (
+        h.withColumn("_dr", F.dense_rank().over(w))
+        .filter(F.col("_dr") <= k)
+        .select(*by, "frac")
+        .distinct()
+    )
+    return (
+        pruned.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*by, "pos", "frac")
+    )
+
+
+def _kmv_est_col(k: int) -> Column:
+    """The shared KMV estimator over (nreg, hk): (k−1)/h_k when full,
+    exact register count below k.  Round 6."""
+    return F.round(
+        F.when(F.col("nreg") < k, F.col("nreg").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("hk")),
+        6,
+    )
+
+
 def kmv_sketch(
     df: DataFrame, key: Column, by: list[str], k: int = 64
 ) -> DataFrame:
     """Per-group KMV registers: the ``k`` smallest DISTINCT hash
-    fractions of ``key``.  Returns (by…, pos, frac) long-form registers
-    (pos = 1-based rank).  Top-k prunes via WindowGroupLimit — the
-    shuffle carries at most k rows per group."""
-    from pyspark.sql import Window
-
-    h = df.select(*by, _hash_frac(key).alias("frac")).distinct()
-    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
-    return (
-        h.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select(*by, "pos", "frac")
-    )
+    fractions of non-null ``key`` values.  Returns (by…, pos, frac)
+    long-form registers (pos = 1-based rank).  No distinct() over the
+    full hash set — see _topk_regs for the partial-prune shape."""
+    h = df.filter(key.isNotNull()).select(
+        *by, _hash_frac(key).alias("frac"))
+    return _topk_regs(h, by, k)
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, by: list[str], k: int = 64) -> DataFrame:
-    """Merge two KMV register sets: union the distinct fractions,
-    re-take the k smallest — lossless for the union of the underlying
-    sets (the defining property of KMV)."""
-    from pyspark.sql import Window
-
-    u = (
-        a.select(*by, "frac")
-        .unionByName(b.select(*by, "frac"))
-        .distinct()
-    )
-    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
-    return (
-        u.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select(*by, "pos", "frac")
-    )
+    """Merge two KMV register sets: union the fractions, re-take the k
+    smallest — lossless for the union of the underlying sets (the
+    defining property of KMV)."""
+    u = a.select(*by, "frac").unionByName(b.select(*by, "frac"))
+    return _topk_regs(u, by, k)
 
 
 def kmv_estimate(sketch: DataFrame, by: list[str], k: int = 64) -> DataFrame:
@@ -95,14 +112,7 @@ def kmv_estimate(sketch: DataFrame, by: list[str], k: int = 64) -> DataFrame:
     return (
         sketch.groupBy(*by)
         .agg(F.count(F.lit(1)).alias("nreg"), F.max("frac").alias("hk"))
-        .select(
-            *by,
-            F.round(
-                F.when(F.col("nreg") < k, F.col("nreg").cast("double"))
-                .otherwise((F.lit(float(k - 1))) / F.col("hk")),
-                6,
-            ).alias("est"),
-        )
+        .select(*by, _kmv_est_col(k).alias("est"))
     )
 
 
@@ -119,7 +129,7 @@ FROM (
     FROM (SELECT DISTINCT {by},
                  ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 13))
                    ::BIGINT / {_FRAC_DEN} AS frac
-          FROM {table}) h) r
+          FROM {table} WHERE {key_expr} IS NOT NULL) h) r
   WHERE pos <= {k}
   GROUP BY {by}) s
 """
@@ -137,35 +147,31 @@ def kmv_set_estimates(
 
     This is the sketch answer to "how much do two corpora overlap"
     (train/eval contamination at the cardinality level, cross-snapshot
-    churn) without ever joining the key sets."""
-    from pyspark.sql import Window
+    churn) without ever joining the key sets.
 
-    au = a.select(*by, "frac").withColumn("in_a", F.lit(1))
-    bu = b.select(*by, "frac").withColumn("in_b", F.lit(1))
-    both = (
-        au.join(bu, [*by, "frac"], "full")
-        .select(
-            *by, "frac",
-            F.coalesce("in_a", F.lit(0)).alias("in_a"),
-            F.coalesce("in_b", F.lit(0)).alias("in_b"),
-        )
+    The union registers come from kmv_merge and the union estimator is
+    _kmv_est_col — the exact machinery of kmv_estimate, so the two can
+    never drift."""
+    merged = kmv_merge(a, b, by, k)
+    flagged = (
+        merged
+        .join(a.select(*by, "frac").withColumn("in_a", F.lit(1)),
+              [*by, "frac"], "left")
+        .join(b.select(*by, "frac").withColumn("in_b", F.lit(1)),
+              [*by, "frac"], "left")
     )
-    w = Window.partitionBy(*by).orderBy(F.col("frac").asc())
-    topk = both.withColumn("pos", F.row_number().over(w)) \
-               .filter(F.col("pos") <= k)
-    agg = topk.groupBy(*by).agg(
+    agg = flagged.groupBy(*by).agg(
         F.count(F.lit(1)).alias("nreg"),
         F.max("frac").alias("hk"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("common"),
+        F.sum(F.coalesce(F.col("in_a"), F.lit(0))
+              * F.coalesce(F.col("in_b"), F.lit(0))).alias("common"),
     )
-    union_est = F.when(
-        F.col("nreg") < k, F.col("nreg").cast("double")
-    ).otherwise(F.lit(float(k - 1)) / F.col("hk"))
-    jacc = F.col("common") / F.col("nreg")
+    union_est = _kmv_est_col(k)
+    jacc = F.round(F.col("common") / F.col("nreg"), 6)
     return agg.select(
         *by,
-        F.round(union_est, 6).alias("union_est"),
-        F.round(jacc, 6).alias("jaccard"),
+        union_est.alias("union_est"),
+        jacc.alias("jaccard"),
         F.round(union_est * jacc, 6).alias("intersect_est"),
     )
 
@@ -193,12 +199,14 @@ def hll_sketch(
     """Per-group HLL registers, long form (by…, bucket, rho): bucket =
     first 2 md5 hex chars (m=256 fixed — the register width is part of
     the sketch identity), rho = leading-zero rank of the next 52 bits.
-    One hash exchange of ≤ m rows per group (map-side max combine)."""
+    NULL keys are dropped (COUNT DISTINCT semantics).  One hash exchange
+    of ≤ m rows per group (map-side max combine)."""
     if m != 256:
         raise ValueError("hll_sketch is fixed at m=256 (2 hex chars)")
     h = F.md5(key.cast("string"))
     return (
-        df.select(
+        df.filter(key.isNotNull())
+        .select(
             *by,
             F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
             _rho(F.substring(h, 3, 13)).alias("r"),
@@ -246,6 +254,7 @@ def hll_sql(key_expr: str, table: str, by: str, m: int = 256) -> str:
     return f"""
 WITH h AS (
   SELECT {by}, md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {table}
+  WHERE {key_expr} IS NOT NULL
 ),
 reg AS (
   SELECT {by},
@@ -292,23 +301,19 @@ def _cms_bucket(row: int, key: Column) -> Column:
 
 def cms_sketch(df: DataFrame, key: Column, by: list[str]) -> DataFrame:
     """Per-group Count-Min registers (Cormode & Muthukrishnan 2005),
-    long form (by…, row, bucket, cnt): COUNTS (not distinct) of keys
-    hashed into d×w counters.  One exchange of ≤ d·w rows per group
+    long form (by…, row, bucket, cnt): COUNTS (not distinct) of
+    non-null keys hashed into d×w counters.  ONE scan of the input —
+    the d hash rows come from a posexplode of a d-element bucket array,
+    not d unioned scans; one exchange of ≤ d·w rows per group
     (map-side combine); registers merge by plain addition (cms_merge) —
     the mergeable frequency/heavy-hitter primitive."""
-    rows = [
-        df.select(
-            *by,
-            F.lit(r).alias("row"),
-            _cms_bucket(r, key).alias("bucket"),
-        )
-        for r in range(_CMS_D)
-    ]
-    u = rows[0]
-    for x in rows[1:]:
-        u = u.unionByName(x)
-    return u.groupBy(*by, "row", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt"))
+    buckets = F.array(*[_cms_bucket(r, key) for r in range(_CMS_D)])
+    return (
+        df.filter(key.isNotNull())
+        .select(*by, F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy(*by, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_merge(a: DataFrame, b: DataFrame, by: list[str]) -> DataFrame:
@@ -351,13 +356,9 @@ def cms_query(
 def cms_sql(key_expr: str, table: str, by: str,
             keys_sql: str, key_col: str = "k") -> str:
     """DuckDB twin of cms_sketch → cms_query: ``keys_sql`` yields the
-    probe relation with a ``{key_col}`` column."""
-    rows = " UNION ALL ".join(
-        f"SELECT {by}, {r} AS row, ('0x' || substr(md5('{r}:' || "
-        f"CAST({key_expr} AS VARCHAR)), 1, 2))::INTEGER AS bucket "
-        f"FROM {table}"
-        for r in range(_CMS_D)
-    )
+    probe relation with a ``{key_col}`` column.  One scan of the table
+    (the d hash rows fan out via a range() cross join, mirroring the
+    Spark posexplode)."""
     probes = " UNION ALL ".join(
         f"SELECT {key_col}, {r} AS row, ('0x' || substr(md5('{r}:' || "
         f"CAST({key_col} AS VARCHAR)), 1, 2))::INTEGER AS bucket "
@@ -367,8 +368,12 @@ def cms_sql(key_expr: str, table: str, by: str,
     return f"""
 WITH qkeys AS ({keys_sql}),
 reg AS (
-  SELECT {by}, row, bucket, count(*) AS cnt
-  FROM ({rows}) t GROUP BY {by}, row, bucket
+  SELECT {by}, d.row, ('0x' || substr(md5(CAST(d.row AS VARCHAR) || ':'
+           || CAST({key_expr} AS VARCHAR)), 1, 2))::INTEGER AS bucket,
+         count(*) AS cnt
+  FROM {table} CROSS JOIN (SELECT unnest(range({_CMS_D})) AS row) d
+  WHERE {key_expr} IS NOT NULL
+  GROUP BY {by}, d.row, 3
 ),
 probe AS ({probes})
 SELECT g.{by}, p.{key_col},

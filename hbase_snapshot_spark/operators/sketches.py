@@ -379,7 +379,8 @@ probe AS ({probes})
 SELECT g.{by}, p.{key_col},
        min(coalesce(r.cnt, 0)) AS est
 FROM probe p
-CROSS JOIN (SELECT DISTINCT {by} FROM {table}) g
+CROSS JOIN (SELECT DISTINCT {by} FROM {table}
+            WHERE {key_expr} IS NOT NULL) g
 LEFT JOIN reg r ON r.{by} = g.{by} AND r.row = p.row
                 AND r.bucket = p.bucket
 GROUP BY g.{by}, p.{key_col}

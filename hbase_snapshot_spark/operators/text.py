@@ -323,6 +323,24 @@ def bm25_topk(
 
     from pyspark.sql import Window
 
+    from pyspark.sql import types as T
+
+    empty_schema = T.StructType([
+        T.StructField("query_id", T.StringType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    spark = df.sparkSession
+
+    qterms = sorted({
+        (qid, t) for qid, qs in queries.items()
+        for t in qs.lower().strip().split()
+    })
+    all_terms = sorted({t for _, t in qterms})
+    if not qterms:
+        return spark.createDataFrame([], empty_schema)
+
     docs = df.filter(F.trim(F.col(text_col)) != "")
     toks = docs.select(
         F.col(id_col),
@@ -331,13 +349,9 @@ def bm25_topk(
     )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_docs, avgdl = docs.count(), dl.agg(F.avg("dl")).first()[0]
+    if n_docs == 0:
+        return spark.createDataFrame([], empty_schema)
 
-    qterms = sorted({
-        (qid, t) for qid, qs in queries.items()
-        for t in qs.lower().strip().split()
-    })
-    all_terms = sorted({t for _, t in qterms})
-    spark = df.sparkSession
     qdf = spark.createDataFrame(qterms, ["query_id", "term"])
 
     candidate = reduce(

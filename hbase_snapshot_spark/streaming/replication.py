@@ -242,6 +242,10 @@ def streaming_distinct_hll(
         )
         for pdf in pdfs:
             for v in pdf[key_col]:
+                # Match batch hll_sketch's key.isNotNull() filter: a null
+                # key contributes nothing to COUNT DISTINCT.
+                if pd.isna(v):
+                    continue
                 hx = hashlib.md5(str(v).encode()).hexdigest()
                 b = int(hx[:2], 16)
                 rest = hx[2:15]

@@ -2215,3 +2215,25 @@ def test_corpus_report_null_text(spark):
     assert rep[("s1", "en")].n_docs == 2
     assert rep[("s1", "en")].n_tokens == 3
     assert rep[("s1", "en")].n_chars == 5
+
+
+def test_bm25_degenerate_inputs(spark):
+    # ADVICE r8: empty corpus made avgdl None (TypeError); a query set
+    # with no terms crashed reduce()/createDataFrame([]). Both must
+    # return an empty, correctly-typed result instead.
+    from hbase_snapshot_spark.operators.text import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = bm25_topk(empty, {"q1": "apple"}, k=3)
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0
+
+    # whitespace-only documents are filtered -> effectively empty corpus
+    blank = spark.createDataFrame([("d1", "   ")], ["doc_id", "text"])
+    assert bm25_topk(blank, {"q1": "apple"}, k=3).count() == 0
+
+    docs = spark.createDataFrame([("d1", "apple pie")], ["doc_id", "text"])
+    out = bm25_topk(docs, {"q1": "   "}, k=3)  # no query terms
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0
+    assert bm25_topk(docs, {}, k=3).count() == 0

@@ -163,3 +163,33 @@ def test_cms_merge_is_sum(spark):
     keys = spark.createDataFrame([(1,)], ["k"])
     est = sk.cms_query(merged, keys, "k", ["grp"]).collect()[0].est
     assert est == 12
+
+
+def test_cms_sql_null_only_group_matches_spark(spark, tmp_path):
+    # A group whose keys are ALL NULL must be absent from BOTH engines:
+    # Spark enumerates groups from the null-filtered sketch; the oracle's
+    # groups subquery must carry the same IS NOT NULL predicate (ADVICE
+    # r8: an unfiltered SELECT DISTINCT {by} surfaced the group with
+    # est=0 in the oracle only).
+    import duckdb
+
+    rows = [(1, "g1")] * 4 + [(2, "g1")] * 2 + [(None, "gnull")] * 3
+    df = spark.createDataFrame(rows, "user_id long, grp string")
+    pdf_path = str(tmp_path / "ev.parquet")
+    df.write.parquet(pdf_path)
+
+    sketch = sk.cms_sketch(df, F.col("user_id"), ["grp"])
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    got = sorted(
+        (r.grp, r.k, r.est)
+        for r in sk.cms_query(sketch, keys, "k", ["grp"]).collect())
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pdf_path}/*.parquet')")
+    want = sorted(
+        (g, k, float(e))
+        for g, k, e in con.sql(sk.cms_sql(
+            "user_id", "t", "grp",
+            "SELECT unnest([1, 2]) AS k")).fetchall())
+    assert got == want
+    assert {g for g, _, _ in got} == {"g1"}  # gnull absent from both

@@ -174,10 +174,15 @@ def test_streaming_distinct_hll_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     out = spark.sql("select * from hll_out").collect()
-    # last emitted estimate per group (update mode re-emits per batch)
-    last = {}
+    # final estimate per group = the row with max nonempty (register
+    # count is monotonic across micro-batches; memory-sink row order
+    # across batches is NOT guaranteed, so don't rely on it)
+    last, best = {}, {}
     for r in out:
-        last[r.grp] = r.est
+        key = (r.nonempty, r.est)  # registers only grow ⇒ both monotonic
+        if key >= best.get(r.grp, (-1, -1.0)):
+            best[r.grp] = key
+            last[r.grp] = r.est
     batch = spark.createDataFrame(rows1 + rows2, ["user_id", "grp"])
     expected = {
         r.grp: r.est
@@ -479,3 +484,45 @@ def test_stream_ingest_batch_write_idempotent(spark, tmp_path):
     write(b0, 0)  # replay of batch 0
     rows = spark.read.parquet(out).collect()
     assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+
+
+def test_streaming_distinct_hll_skips_null_keys(spark, tmp_path):
+    """ADVICE r8: str(None) used to hash as a phantom 'None' key while
+    batch hll_sketch filters key.isNotNull() — streams containing nulls
+    broke the streaming==batch-after-drain guarantee. Nulls must now
+    contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_distinct_hll,
+    )
+
+    src_dir = tmp_path / "hll-null-src"
+    src_dir.mkdir()
+    rows = [(float(i % 20), "g") for i in range(60)] + [(None, "g")] * 10
+    spark.createDataFrame(rows, "user_id double, grp string").write.parquet(
+        str(src_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema("user_id double, grp string")
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        streaming_distinct_hll(stream, "user_id", ["grp"])
+        .writeStream.format("memory")
+        .queryName("hll_null_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll-null-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from hll_null_out").collect()
+    got = max((r.nonempty, r.est) for r in out if r.grp == "g")[1]
+
+    batch = spark.createDataFrame(rows, "user_id double, grp string")
+    want = sk.hll_estimate(
+        sk.hll_sketch(batch, F.col("user_id"), ["grp"]), ["grp"]
+    ).collect()[0].est
+    assert abs(got - want) < 1e-6

@@ -28,10 +28,20 @@ MECHANICAL verification, and only tables that pass are shipped:
   -2, -3, -5, -6, -7, -8, -9 and both count1 tables (A, B) pass and
   are shipped.  The remaining big-value tables (10-13, 15, 16-31)
   did NOT survive verification at transcription time and are honestly
-  absent: a granule selecting one raises NotImplementedError naming
-  the table (see _huff_table).  Streams built from the shipped tables
-  — which an encoder is free to prefer, and all fixtures do — decode
-  fully.
+  absent; an r9 re-attempt reached the same conclusion — with no
+  independent source in this container, an unaided transcription of
+  the 64-256-entry tables cannot be distinguished from a PERMUTED but
+  Kraft-valid one (a permutation passes both mechanical checks yet
+  silently corrupts PCM), so none can honestly ship.  Instead (r9) a
+  granule selecting an unshipped table DEGRADES GRACEFULLY by
+  default: its already-decoded low regions are kept, the rest of that
+  granule is silent, decode re-syncs at the granule boundary
+  (part2_3_length is exact), and the ``stats`` ledger reports the gap
+  — so a real-world stream (LAME regularly picks the linbits tables
+  16-31 for loud granules) yields full-length, partially-silent PCM
+  rather than no PCM.  ``on_unsupported='raise'`` restores the strict
+  pre-r9 behavior.  Streams built from the shipped tables — which an
+  encoder is free to prefer, and all fixtures do — decode fully.
 * The synthesis window is validated by perfect reconstruction:
   running the ANALYSIS filterbank (window C = D/32, clause C.1.3)
   then this synthesis over a sine recovers it at the canonical
@@ -448,7 +458,16 @@ def _read_scalefacs(bits: _Bits, g: _Granule, scfsi, gr0: _Scalefacs | None):
 
 
 def _read_spectrum(bits: _Bits, g: _Granule, sr: int, end_bit: int):
-    """-> (raw integer spectrum int32[576], count of decoded lines)."""
+    """-> (raw integer spectrum int32[576], count of decoded lines,
+    unsupported table id or None).
+
+    When a region selects a Huffman table outside the verified-shipped
+    set, bitstream sync inside the granule is lost from that region on
+    — but ONLY inside the granule: side info's part2_3_length bounds
+    the granule exactly, so the caller reseeks to ``end_bit`` and every
+    later granule decodes normally.  Lines decoded before the failure
+    point (earlier regions, shipped tables) are kept; the remainder of
+    the granule stays zero (silence)."""
     spec = np.zeros(576, dtype=np.float64)
     sfb_long = SFB_LONG[sr]
     big2 = 2 * g.big_values
@@ -467,7 +486,10 @@ def _read_spectrum(bits: _Bits, g: _Granule, sr: int, end_bit: int):
         if tid == 0:
             i = bound  # table 0 codes nothing: the region is all zeros
             continue
-        tree, linbits = _huff_table(tid)
+        try:
+            tree, linbits = _huff_table(tid)
+        except NotImplementedError:
+            return spec, i, tid  # degrade: rest of the granule is silent
         while i < bound:
             x, y = _huff_decode(bits, tree)
             if x == 15 and linbits:
@@ -501,7 +523,7 @@ def _read_spectrum(bits: _Bits, g: _Granule, sr: int, end_bit: int):
             break
         spec[i : i + 4] = quad
         i += 4
-    return spec, i
+    return spec, i, None
 
 
 # --------------------------------------------------------------------------
@@ -807,14 +829,40 @@ def _decode_layer1(data: bytes, meta: dict) -> tuple[int, int, np.ndarray]:
 # top-level decode
 
 
-def decode(data: bytes, max_frames: int | None = None
-           ) -> tuple[int, int, np.ndarray]:
+def decode(data: bytes, max_frames: int | None = None,
+           on_unsupported: str = "silence",
+           stats: dict | None = None) -> tuple[int, int, np.ndarray]:
     """MP3 payload -> (sample_rate, channels, int16 PCM (n, channels)).
 
     MPEG-1 Layers I and III; frames whose bit reservoir reaches back
     before the available data (stream cut mid-reservoir) are skipped,
-    matching standard decoder behavior."""
+    matching standard decoder behavior.
+
+    ``on_unsupported`` (r9) controls what a granule selecting a
+    big-values Huffman table outside the verified-shipped set does:
+
+    * ``'silence'`` (default) — the granule degrades gracefully: lines
+      decoded before the unsupported region are kept, the remainder of
+      that granule is silent, and decode continues at the next granule
+      (part2_3_length re-syncs the bitstream exactly).  Real-world
+      streams — where encoders like LAME routinely pick the linbits
+      tables 16-31 for high-energy granules — therefore decode
+      end-to-end with gaps instead of failing whole-file.
+    * ``'raise'`` — the pre-r9 strict behavior: NotImplementedError
+      naming the table.
+
+    ``stats``, if a dict, is filled in place with the degradation
+    ledger: ``granules`` (channel-granules decoded), ``degraded``
+    (channel-granules that hit an unsupported table), and
+    ``missing_tables`` (the set of table ids encountered)."""
     from hbase_snapshot_spark.operators import codecs
+
+    if on_unsupported not in ("silence", "raise"):
+        raise ValueError(f"on_unsupported={on_unsupported!r}: "
+                         "expected 'silence' or 'raise'")
+    if stats is None:
+        stats = {}
+    stats.update(granules=0, degraded=0, missing_tables=set())
 
     meta = codecs.parse_mp3(data, max_frames=max_frames)
     if meta["format"] != "MPEG-1":
@@ -884,8 +932,16 @@ def decode(data: bytes, max_frames: int | None = None
                     sf = _read_scalefacs(
                         bits, g, scfsi[ch],
                         sf_gr0[ch] if gr == 1 else None)
-                    spec, extent = _read_spectrum(bits, g, sr, end_bit)
-                    bits.pos = end_bit  # consume padding
+                    spec, extent, missing = _read_spectrum(
+                        bits, g, sr, end_bit)
+                    stats["granules"] += 1
+                    if missing is not None:
+                        if on_unsupported == "raise":
+                            _huff_table(missing)  # raises, naming the table
+                        stats["degraded"] += 1
+                        stats["missing_tables"].add(missing)
+                    bits.pos = end_bit  # consume padding (and re-sync
+                    # past any unsupported-table region)
                     xr[ch] = _reorder(_dequantize(spec, g, sf, sr), g, sr)
                     extents[ch] = extent
                     sfs.append(sf)
@@ -913,8 +969,9 @@ def decode(data: bytes, max_frames: int | None = None
     return sr, nch, pcm16
 
 
-def decode_mp3_mono(data: bytes) -> tuple[int, np.ndarray]:
+def decode_mp3_mono(data: bytes, on_unsupported: str = "silence",
+                    stats: dict | None = None) -> tuple[int, np.ndarray]:
     """decode() + mean downmix -> (sample_rate, int32 samples in int16
     range) — the same convention as codecs.decode_wav."""
-    sr, _nch, pcm = decode(data)
+    sr, _nch, pcm = decode(data, on_unsupported=on_unsupported, stats=stats)
     return sr, np.round(pcm.astype(np.float64).mean(axis=1)).astype(np.int32)

@@ -53,8 +53,10 @@ def preprocess_corpus(
     1b. (optional, ``line_dedup_mode``) CCNet line-level boilerplate
         removal BEFORE the content gates, so nav menus and cookie
         banners don't pollute lang-ID/quality.  'boilerplate' costs one
-        line-hash aggregation for the (tiny) frequent set plus a
-        broadcast anti-join — the corpus-side pass stays map-only;
+        line-hash aggregation for the (usually tiny) frequent set plus
+        an AQE-decided anti-join (line_dedup deliberately does NOT
+        force broadcast: at min_count=2 the frequent set can be
+        corpus-sized and forcing broadcast would OOM the driver);
         'first' costs a hash-window shuffle + reassembly (full CCNet
         semantics, use when exact keep-first matters);
     2. language ID + quality score (pure projections);

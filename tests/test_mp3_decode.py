@@ -385,11 +385,62 @@ def test_intensity_stereo_unit():
     assert np.allclose(xr[0, : sfb[band]], 1.0)
 
 
-def test_unshipped_table_stream_raises():
+def test_unshipped_table_stream_raises_in_strict_mode():
     g = _gran_bigvalues_table5()
     g["table_select"] = [10, 0, 0]
     with pytest.raises(NotImplementedError, match="table 10"):
-        mp3dec.decode(_frame([[g], [_gran_silent()]]))
+        mp3dec.decode(_frame([[g], [_gran_silent()]]),
+                      on_unsupported="raise")
+
+
+def _gran_unsupported_table(tid=10, nbits=12):
+    """A granule whose region0 selects an unshipped table: the decoder
+    must bail at table lookup (before reading any spectral bits) and
+    re-sync at part2_3_length."""
+    g = _gran_silent()
+    g.update(part2_3_length=nbits, big_values=2, global_gain=202,
+             table_select=[tid, 0, 0], bits=[0] * nbits)
+    return g
+
+
+def test_unsupported_table_granule_degrades_to_silence():
+    """r9 graceful degradation: a granule selecting table 10 yields
+    silence for THAT granule only; the following tone granule in the
+    same frame decodes normally — full-length PCM, gap ledger filled."""
+    bad = _gran_unsupported_table(tid=16)
+    tone = _gran_count1_tone(line=100)
+    data = _frame([[bad], [tone]]) * 6
+    stats = {}
+    sr, nch, pcm = mp3dec.decode(data, stats=stats)
+    assert (sr, nch) == (44100, 1)
+    assert pcm.shape == (6 * 1152, 1)  # no frame was dropped
+    assert stats["degraded"] == 6  # one degraded granule per frame
+    assert stats["missing_tables"] == {16}
+    assert stats["granules"] == 12
+    # the tone granule survives: audible energy at the predicted line
+    assert np.abs(pcm).max() > 300
+    f = _peak_freq(pcm[:, 0])
+    assert abs(f - _tone_freq(100)) < 60, f
+
+
+def test_partial_region_kept_before_unsupported_table():
+    """region0 decodes via shipped table 5, region1 selects table 16:
+    the region-0 lines must be KEPT (they decoded correctly), only the
+    remainder of the granule silences."""
+    g = _gran_bigvalues_table5()
+    g.update(big_values=4, table_select=[5, 16, 0],
+             region0_count=0, region1_count=0,
+             part2_3_length=len(g["bits"]) + 8,
+             bits=g["bits"] + [0] * 8)
+    stats = {}
+    data = _frame([[g], [_gran_silent()]]) * 4
+    _sr, _nch, pcm = mp3dec.decode(data, stats=stats)
+    assert stats["missing_tables"] == {16}
+    assert stats["degraded"] == 4
+    # the kept region-0 lines carry the table-5 fixture's low-frequency
+    # signature (same assertion as the all-supported test)
+    assert np.abs(pcm).max() > 300
+    assert _peak_freq(pcm[:, 0]) < 300
 
 
 def test_mpeg2_lsf_raises():
@@ -427,6 +478,28 @@ def test_extract_audio_features_mp3(spark):
     assert row.n_samples == round(4 * 1152 * 16000 / 44100)
     assert row.rms > 100
     assert row.peak > 300
+
+
+def test_extract_audio_features_gapped_mp3_non_null(spark):
+    """The r8 verdict's #1 item: an MP3 with an unsupported-table
+    granule must yield non-null rate/duration/partial features (it used
+    to null the whole file under on_error='null' and crash under
+    'raise')."""
+    import pandas as pd
+    from hbase_snapshot_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    bad = _gran_unsupported_table(tid=24)
+    tone = _gran_count1_tone(line=100)
+    payload = _frame([[bad], [tone]]) * 4
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [bytearray(payload)]}))
+    row = extract_audio_features(df, target_rate=16000).collect()[0]
+    assert row.sample_rate == 16000
+    assert row.n_samples == round(4 * 1152 * 16000 / 44100)  # full length
+    assert row.rms is not None and row.rms > 0
+    assert row.peak > 200  # the supported granules' tone
 
 
 def test_probe_media_mp3_unchanged(spark):

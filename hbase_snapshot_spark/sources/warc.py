@@ -305,15 +305,22 @@ def read_warc(
     """Archive files → one row per WARC record (WARC_RECORD_SCHEMA).
 
     ``binaryFile`` loads each archive whole — member-per-record gzip
-    is not splittable, so the FILE is the parallel unit (set
-    ``spark.sql.files.maxPartitionBytes`` has no effect here; the
-    repartition below pins one file per task).  ``max_payload``
+    is not splittable, so the FILE is the parallel unit, and the SCAN
+    already delivers it: binaryFile never splits a file, and it only
+    packs multiple files into one task when their combined size fits
+    ``spark.sql.files.maxPartitionBytes`` (default 128 MB), so
+    real-world archives (Common Crawl WARCs run ~1 GB) get one task
+    each with NO shuffle.  (An earlier revision repartitioned by path
+    here — that re-shuffled the entire corpus's raw bytes at 100 TB
+    and cost an eager count(); the scan's own grouping is the correct
+    mechanism, and the sub-128 MB case it packs together is cheap by
+    definition.)  The same bound keeps Arrow batches executor-sized:
+    a task's files total ≤ maxPartitionBytes unless a single file is
+    bigger, in which case it is alone in the task.  ``max_payload``
     truncates giant bodies at parse time so a single 2 GB response
-    cannot blow an executor; ``batch_records`` bounds the Arrow batch.
-    """
+    cannot blow an executor; ``batch_records`` bounds the Arrow batch
+    row count."""
     files = spark.read.format("binaryFile").load(path)
-    n = files.select("path").count()
-    files = files.repartition(max(n, 1), "path")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

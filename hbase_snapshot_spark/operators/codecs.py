@@ -2751,8 +2751,21 @@ def decode_mp3(data: bytes) -> tuple[int, np.ndarray]:
 # length, raw-data-block count), byte-resync over garbage — the audio
 # sibling of parse_mp3, so probe_media yields real metadata for the
 # second-most-common audio payload of a real corpus instead of
-# format=None.  AAC payload decode (the filterbank itself) stays out of
-# dependency-free scope, like H.264.
+# format=None.
+#
+# AAC spectral decode: VERIFIED ABSENT (r9 disposition under the
+# mp3dec transcription-verification policy).  The payload needs the 11
+# ISO 13818-7 Annex A spectrum codebooks (plus the 121-entry
+# scalefactor codebook); this container has no copy of the standard
+# and no reference decoder, and an unaided transcription of
+# multi-hundred-entry Huffman tables cannot be distinguished from a
+# PERMUTED but Kraft-valid one — it would pass the mechanical
+# completeness/prefix checks and still silently corrupt PCM (the same
+# conclusion as mp3dec's big-values tables 10-31, which ARE
+# re-attempted and documented there).  So the honest tier is: full
+# ADTS transport walk (below) + probe_media metadata; spectral decode
+# raises NotImplementedError naming the Annex A codebooks.  H.264/HEVC
+# pixels are out of dependency-free scope the same way.
 
 _ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
                16000, 12000, 11025, 8000, 7350)

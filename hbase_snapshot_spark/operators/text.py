@@ -757,6 +757,7 @@ def corpus_report(
     df: DataFrame,
     group_cols: "list[str] | tuple[str, ...]" = ("source", "lang"),
     text_col: str = "text",
+    distinct: "str | None" = None,
 ) -> DataFrame:
     """Corpus data-card statistics (the audit table a corpus release
     ships — Datasheets for Datasets, Gebru et al. 2021): per group AND
@@ -769,7 +770,26 @@ def corpus_report(
     the report deterministic; its cost is per GROUP, and a data card
     has a handful of groups regardless of corpus size.  NULL group
     values in the output are the rollup rows — ``gid`` (grouping_id)
-    distinguishes a rollup from a genuine NULL group value."""
+    distinguishes a rollup from a genuine NULL group value.
+
+    ``distinct`` (r9) adds a unique-document column ``n_unique``:
+
+    * ``'exact'`` — COUNT(DISTINCT text) per cube group.  Exact, but
+      the distinct agg shuffles the text once per cube level (Expand)
+      — the verification-scale path, not the 100 TB one.
+    * ``'sketch'`` — HLL(256) estimate (±~6.5%), the 100 TB data
+      card: the corpus is hashed ONCE into per-(group, bucket)
+      registers (map-side partial max — the shuffle carries at most
+      groups×256 register rows, never the text), and every cube
+      rollup level is computed by MERGING those registers (per-bucket
+      max over the rolled-up groups), not by rescanning the corpus.
+      Length percentiles switch to ``approx_percentile`` in this mode
+      for the same reason: exact percentile buffers every value per
+      group, and the grand-total rollup row would buffer the whole
+      corpus's lengths in one aggregation state."""
+    if distinct not in (None, "exact", "sketch"):
+        raise ValueError(f"distinct={distinct!r}: "
+                         "expected None, 'exact' or 'sketch'")
     group_cols = list(group_cols)
     t = F.col(text_col)
     per_doc = quality_score(df, text_col).select(
@@ -782,18 +802,58 @@ def corpus_report(
         F.when(t.isNull(), F.lit(0))
         .otherwise(F.size(word_tokens(t))).alias("_tokens"),
         "quality",
+        *([t.alias("_text")] if distinct == "exact" else []),
     )
-    return (
-        per_doc.cube(*group_cols)
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_tokens").cast("bigint").alias("n_tokens"),
-            F.sum("_chars").cast("bigint").alias("n_chars"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-            F.expr("percentile(_chars, 0.5)").cast("bigint")
-            .alias("p50_chars"),
-            F.expr("percentile(_chars, 0.9)").cast("bigint")
-            .alias("p90_chars"),
-        )
+    if distinct == "sketch":
+        p50 = F.expr("approx_percentile(_chars, 0.5, 10000)")
+        p90 = F.expr("approx_percentile(_chars, 0.9, 10000)")
+    else:
+        p50 = F.expr("percentile(_chars, 0.5)")
+        p90 = F.expr("percentile(_chars, 0.9)")
+    aggs = [
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("_chars").cast("bigint").alias("n_chars"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        p50.cast("bigint").alias("p50_chars"),
+        p90.cast("bigint").alias("p90_chars"),
+    ]
+    if distinct == "exact":
+        aggs.append(
+            F.count_distinct(F.col("_text")).cast("double")
+            .alias("n_unique"))
+    report = per_doc.cube(*group_cols).agg(*aggs)
+    if distinct != "sketch":
+        return report
+
+    from functools import reduce
+    from operator import and_
+
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    types = {c: df.schema[c].dataType for c in group_cols}
+    regs = sk.hll_sketch(df, t, group_cols)  # (group…, bucket, rho)
+    n = len(group_cols)
+    levels = None
+    for gid in range(2 ** n):  # grouping_id bit i (MSB = first col)
+        keep = [c for i, c in enumerate(group_cols)
+                if not (gid >> (n - 1 - i)) & 1]
+        rolled = (regs.groupBy(*keep, "bucket")
+                  .agg(F.max("rho").alias("rho")))
+        est = sk.hll_estimate(rolled, keep).withColumn("gid", F.lit(gid))
+        for c in group_cols:
+            if c not in keep:
+                est = est.withColumn(c, F.lit(None).cast(types[c]))
+        est = est.select(*group_cols, "gid",
+                         F.col("est").alias("n_unique"))
+        levels = est if levels is None else levels.unionByName(est)
+    cond = reduce(and_, [report[c].eqNullSafe(levels[c])
+                         for c in group_cols]
+                  + [report["gid"] == levels["gid"]])
+    return report.join(levels, cond, "left").select(
+        *[report[c] for c in report.columns],
+        # a cube row with no register row means every text in the
+        # group was NULL — 0 distinct, matching COUNT(DISTINCT)
+        F.coalesce(F.col("n_unique"), F.lit(0.0)).alias("n_unique"),
     )

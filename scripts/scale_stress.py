@@ -73,6 +73,12 @@ CHEAP10 = [
     "quality", "lang_id", "scrub_pii", "seq_packing", "embed_quantize",
 ]
 
+# r9: the round-8 additions, parity-checked at top scale too — quality
+# already carries the gopher/ppl/nb branches; rollup_counts carries the
+# kmv/hll/cms sketch branches; sessionize carries the funnel branch;
+# tfidf_topterms carries bm25
+R8_QUERIES = ["rollup_counts", "sessionize", "tfidf_topterms"]
+
 
 def build_scaled(out_dir: str, reps: int) -> None:
     import duckdb
@@ -156,6 +162,41 @@ def pinned_plans(bench) -> dict:
         .sortWithinPartitions("row", "family", "qualifier")
     )
     return plans
+
+
+# ----------------------------------------------------- sketch mergeability
+
+def sketch_merge_equivalence(sf_dir: str) -> dict:
+    """The property that makes sketches the 100 TB rollup primitive:
+    sketch(half A) MERGE sketch(half B) must equal sketch(A ∪ B)
+    register-for-register, measured at top scale on the derived events
+    table (split by event_id parity — any partitioning must work)."""
+    import bench as B
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    spark = B.make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    a, b = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    by, key = ["event_type"], F.col("user_id")
+    results = {}
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    results["kmv"] = rows(sk.kmv_merge(
+        sk.kmv_sketch(a, key, by), sk.kmv_sketch(b, key, by), by
+    )) == rows(sk.kmv_sketch(ev, key, by))
+    results["hll"] = rows(sk.hll_merge(
+        sk.hll_sketch(a, key, by), sk.hll_sketch(b, key, by), by
+    )) == rows(sk.hll_sketch(ev, key, by))
+    results["cms"] = rows(sk.cms_merge(
+        sk.cms_sketch(a, key, by), sk.cms_sketch(b, key, by), by
+    )) == rows(sk.cms_sketch(ev, key, by))
+    spark.stop()
+    return results
 
 
 # ------------------------------------------------------------- measuring
@@ -247,18 +288,24 @@ def main() -> int:
 
     parity = None
     if not args.skip_parity:
-        print(f"== parity (10 cheapest) at {top}x")
+        print(f"== parity (10 cheapest + r8 composites) at {top}x")
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/check_parity.py"),
-             dirs[top], *CHEAP10],
+             dirs[top], *CHEAP10, *R8_QUERIES],
             capture_output=True, text=True)
-        sys.stdout.write(p.stdout[-3000:])
+        sys.stdout.write(p.stdout[-4000:])
         parity = ("FAIL" not in p.stdout) and p.returncode == 0
 
+    print(f"== sketch merge equivalence at {top}x")
+    merge_ok = sketch_merge_equivalence(dirs[top])
+    print(f"   {merge_ok}")
+
     out = {"times": all_times, "exponents": exps,
-           "plans_identical": plan_ok, "parity_cheap10_at_top": parity}
+           "plans_identical": plan_ok, "parity_cheap10_at_top": parity,
+           "sketch_merge_equal_at_top": merge_ok}
     print(json.dumps(out))
-    ok = all(plan_ok.values()) and (parity is not False)
+    ok = (all(plan_ok.values()) and (parity is not False)
+          and all(merge_ok.values()))
     return 0 if ok else 1
 
 

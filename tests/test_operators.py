@@ -2237,3 +2237,123 @@ def test_bm25_degenerate_inputs(spark):
     assert out.columns == ["query_id", "doc_id", "score", "rank"]
     assert out.count() == 0
     assert bm25_topk(docs, {}, k=3).count() == 0
+
+
+def test_ann_index_churn_property(spark, tmp_path):
+    """Churn trust story (r8 verdict item 7): an index grown by
+    INTERLEAVED batched adds — with reopens between batches, a
+    crash-retry replay of one batch, and ingest at two different
+    parallelisms — must search-identically to the same corpus ingested
+    in ONE add against the same frozen quantizer, for every seeded
+    batching schedule."""
+    import random
+
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index, load_ann_index)
+
+    initial = _ann_corpus(spark, n=40, seed=5)
+    extra_rows = [
+        (100 + i, [round(random.Random(900 + i).uniform(-1, 1), 4)
+                   for _ in range(8)])
+        for i in range(36)
+    ]
+    queries = (initial.limit(5)
+               .selectExpr("vec_id as query_id", "embedding"))
+
+    def search_set(idx):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id, r.cos)
+            for r in idx.search(queries, k=5, nprobe=3).collect())
+
+    # oracle: same quantizer (trained on `initial`), whole extra corpus
+    # ingested as one batch at default parallelism
+    ref_path = str(tmp_path / "ref")
+    build_ann_index(initial, ref_path, num_centroids=8)
+    ref = load_ann_index(spark, ref_path)
+    ref.add_vectors(spark.createDataFrame(
+        extra_rows, "vec_id long, embedding array<double>"))
+    want = search_set(ref)
+    assert want
+
+    for trial, schedule_seed in enumerate((11, 23)):
+        rng = random.Random(schedule_seed)
+        rows = extra_rows[:]
+        rng.shuffle(rows)
+        path = str(tmp_path / f"churn{trial}")
+        build_ann_index(initial, path, num_centroids=8)
+        idx = load_ann_index(spark, path)
+        pos, bid = 0, None
+        while pos < len(rows):
+            take = rng.randrange(1, 14)
+            batch_rows = rows[pos : pos + take]
+            pos += take
+            batch = spark.createDataFrame(
+                batch_rows, "vec_id long, embedding array<double>"
+            ).repartition(rng.choice([1, 7]))  # two ingest parallelisms
+            bid = idx.add_vectors(batch)
+            if rng.random() < 0.5:  # reopen mid-stream
+                idx = load_ann_index(spark, path)
+            if rng.random() < 0.4:  # crash-retry: replay the batch
+                idx.add_vectors(batch, batch_id=bid)
+        idx = load_ann_index(spark, path)  # final reopen
+        assert idx.manifest["count"] == ref.manifest["count"] == 76
+        assert search_set(idx) == want, f"schedule {schedule_seed}"
+
+
+def test_corpus_report_distinct_modes(spark):
+    """r9 sketch data card: 'exact' adds COUNT(DISTINCT text) per cube
+    level; 'sketch' estimates the same column from ONE set of HLL
+    registers merged per rollup level — values must agree closely at
+    verification scale (HLL is exact-ish far below the register
+    budget... within its error band), and the sketch plan must carry
+    register-only shuffles (no distinct Expand, map-side partial max
+    of rho before every rollup exchange)."""
+    from hbase_snapshot_spark.operators.text import corpus_report
+
+    rows = []
+    for i in range(300):
+        lang = "en" if i % 3 else "de"
+        src = "s1" if i % 2 else "s2"
+        # 120 distinct texts overall, repeated across groups
+        rows.append((i, f"text number {i % 120} repeated words", lang, src))
+    rows.append((999, None, "en", "s1"))  # null text: not a distinct doc
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+    exact = {(r.source, r.lang, r.gid): r.n_unique
+             for r in corpus_report(docs, distinct="exact").collect()}
+    est = {(r.source, r.lang, r.gid): r.n_unique
+           for r in corpus_report(docs, distinct="sketch").collect()}
+    assert set(exact) == set(est)
+    assert exact[(None, None, 3)] == 120.0
+    for key, want in exact.items():
+        got = est[key]
+        assert abs(got - want) <= max(3.0, 0.2 * want), (key, got, want)
+
+    # plan shape: no count-distinct Expand beyond the cube's own one,
+    # and the register rollups partial-aggregate rho before shuffling
+    sk_plan = (corpus_report(docs, distinct="sketch")
+               ._jdf.queryExecution().executedPlan().toString())
+    ex_plan = (corpus_report(docs, distinct="exact")
+               ._jdf.queryExecution().executedPlan().toString())
+    assert sk_plan.count("Expand") == 1  # the cube itself
+    assert ex_plan.count("Expand") >= 2  # count_distinct adds one
+    assert "partial_max(rho" in sk_plan or "partial_max(max(rho" in sk_plan \
+        or "max(rho" in sk_plan
+
+
+def test_corpus_report_sketch_all_null_group(spark):
+    """a group whose every text is NULL gets n_unique = 0.0 in both
+    modes (no HLL register row exists for it — the left join must
+    coalesce, not drop or null)."""
+    from hbase_snapshot_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s1"), (2, None, "xx", "s9"),
+         (3, None, "xx", "s9")],
+        "doc_id long, text string, lang string, source string")
+    for mode in ("exact", "sketch"):
+        rep = {(r.source, r.lang, r.gid): r.n_unique
+               for r in corpus_report(docs, distinct=mode).collect()}
+        assert rep[("s9", "xx", 0)] == 0.0, mode
+        assert rep[("s1", "en", 0)] == 1.0, mode

@@ -2330,16 +2330,18 @@ def test_corpus_report_distinct_modes(spark):
         got = est[key]
         assert abs(got - want) <= max(3.0, 0.2 * want), (key, got, want)
 
-    # plan shape: no count-distinct Expand beyond the cube's own one,
-    # and the register rollups partial-aggregate rho before shuffling
+    # plan shape: the sketch path adds no Expand beyond the cube's own
+    # one, its register rollups partial-aggregate rho before every
+    # shuffle (map-side combine), and — the 100 TB property — the raw
+    # text column never reaches any Exchange (registers only)
     sk_plan = (corpus_report(docs, distinct="sketch")
                ._jdf.queryExecution().executedPlan().toString())
-    ex_plan = (corpus_report(docs, distinct="exact")
-               ._jdf.queryExecution().executedPlan().toString())
     assert sk_plan.count("Expand") == 1  # the cube itself
-    assert ex_plan.count("Expand") >= 2  # count_distinct adds one
     assert "partial_max(rho" in sk_plan or "partial_max(max(rho" in sk_plan \
         or "max(rho" in sk_plan
+    for line in sk_plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
 
 
 def test_corpus_report_sketch_all_null_group(spark):
@@ -2356,4 +2358,5 @@ def test_corpus_report_sketch_all_null_group(spark):
         rep = {(r.source, r.lang, r.gid): r.n_unique
                for r in corpus_report(docs, distinct=mode).collect()}
         assert rep[("s9", "xx", 0)] == 0.0, mode
-        assert rep[("s1", "en", 0)] == 1.0, mode
+        # linear counting of one element reads 256*ln(256/255) = 1.002
+        assert abs(rep[("s1", "en", 0)] - 1.0) < 0.01, mode

@@ -832,22 +832,30 @@ def corpus_report(
 
     from hbase_snapshot_spark.operators import sketches as sk
 
-    types = {c: df.schema[c].dataType for c in group_cols}
+    # ONE corpus pass builds the finest-grained registers; ONE
+    # grouping-sets aggregation rolls them up to every cube level
+    # (per-bucket max — HLL registers merge losslessly), so the whole
+    # estimate side costs one scan + register-sized shuffles.  (A
+    # per-level union would re-run the hll_sketch subtree once per
+    # level — 2^n corpus scans; measured, not hypothetical.)
     regs = sk.hll_sketch(df, t, group_cols)  # (group…, bucket, rho)
     n = len(group_cols)
-    levels = None
-    for gid in range(2 ** n):  # grouping_id bit i (MSB = first col)
-        keep = [c for i, c in enumerate(group_cols)
-                if not (gid >> (n - 1 - i)) & 1]
-        rolled = (regs.groupBy(*keep, "bucket")
-                  .agg(F.max("rho").alias("rho")))
-        est = sk.hll_estimate(rolled, keep).withColumn("gid", F.lit(gid))
-        for c in group_cols:
-            if c not in keep:
-                est = est.withColumn(c, F.lit(None).cast(types[c]))
-        est = est.select(*group_cols, "gid",
-                         F.col("est").alias("n_unique"))
-        levels = est if levels is None else levels.unionByName(est)
+    sets = [
+        [F.col(c) for i, c in enumerate(group_cols)
+         if not (gid >> (n - 1 - i)) & 1] + [F.col("bucket")]
+        for gid in range(2 ** n)  # grouping_id bit i (MSB = first col)
+    ]
+    rolled = (
+        regs.groupingSets(sets, *[F.col(c) for c in group_cols],
+                          F.col("bucket"))
+        .agg(F.max("rho").alias("rho"),
+             # grouping_id counts the bucket bit (always grouped, LSB
+             # = 0): shift it out to match the report's cube gid
+             F.grouping_id().alias("_gid2"))
+        .withColumn("gid", F.shiftright("_gid2", 1).cast("int"))
+    )
+    levels = sk.hll_estimate(rolled, [*group_cols, "gid"]).select(
+        *group_cols, "gid", F.col("est").alias("n_unique"))
     cond = reduce(and_, [report[c].eqNullSafe(levels[c])
                          for c in group_cols]
                   + [report["gid"] == levels["gid"]])

@@ -2336,7 +2336,12 @@ def test_corpus_report_distinct_modes(spark):
     # text column never reaches any Exchange (registers only)
     sk_plan = (corpus_report(docs, distinct="sketch")
                ._jdf.queryExecution().executedPlan().toString())
-    assert sk_plan.count("Expand") == 1  # the cube itself
+    # two Expands: the cube's own (over the corpus) and the register
+    # grouping-sets rollup's (over ≤ groups×256 REGISTER rows); and the
+    # corpus is scanned exactly twice (cube + hll registers) — the
+    # per-level-union alternative measured 2^n + 1 scans
+    assert sk_plan.count("Expand") == 2
+    assert sk_plan.count("Scan ExistingRDD") == 2
     assert "partial_max(rho" in sk_plan or "partial_max(max(rho" in sk_plan \
         or "max(rho" in sk_plan
     for line in sk_plan.splitlines():

@@ -2730,18 +2730,21 @@ def parse_mp3(data: bytes, max_frames: int | None = None) -> dict:
     }
 
 
-def decode_mp3(data: bytes) -> tuple[int, np.ndarray]:
+def decode_mp3(data: bytes, stats: dict | None = None
+               ) -> tuple[int, np.ndarray]:
     """MPEG-1 Layer III → (sample_rate, mono int32 samples in int16
     range) — the same convention as :func:`decode_wav`.  Full PCM
     decode lives in mp3dec.py (side info, scalefactors, Huffman,
     requantize, stereo, alias reduction, IMDCT, polyphase synthesis);
     see its docstring for the transcription-verification policy on the
-    ISO constant tables.  MPEG-2/2.5 LSF and Layers I/II raise
+    ISO constant tables and the r9 per-granule degradation of
+    unshipped Huffman tables (``stats`` passes through to the
+    degradation ledger).  MPEG-2/2.5 LSF and Layer II raise
     NotImplementedError; frame-level metadata for those remains
     available via :func:`parse_mp3`."""
     from hbase_snapshot_spark.operators import mp3dec
 
-    return mp3dec.decode_mp3_mono(data)
+    return mp3dec.decode_mp3_mono(data, stats=stats)
 
 
 # ------------------------------------------------------------ AAC / ADTS

@@ -393,7 +393,7 @@ _AUDIO_SCHEMA = T.StructType([
 
 def extract_audio_features(
     media: DataFrame, target_rate: int = 16000, fake: bool = False,
-    on_error: str = "raise",
+    on_error: str = "raise", with_decode_stats: bool = False,
 ) -> DataFrame:
     """Audio decode/resample + level features (RMS, peak).  Real path
     decodes RIFF WAV (PCM int 8/16/24/32 + float32, G.711, IMA/MS
@@ -404,8 +404,19 @@ def extract_audio_features(
     raises NotImplementedError naming ffmpeg.  ``fake=True`` treats the
     payload bytes as 8-bit samples — deterministic, same dataflow.
     ``on_error='null'`` nulls the feature row for corrupt payloads
-    instead of failing the batch."""
+    instead of failing the batch.  ``with_decode_stats`` (r9) adds a
+    ``decode_gaps`` column — for MP3, the count of channel-granules
+    that degraded to silence because they selected an unshipped
+    Huffman table (mp3dec's per-granule fallback); 0 for clean decodes
+    and non-MP3 formats; null when the whole row nulled — the triage
+    signal that separates fully-decoded audio from gap-filled audio in
+    a corpus pass."""
     _check_on_error(on_error)
+    schema = _AUDIO_SCHEMA
+    if with_decode_stats:
+        schema = T.StructType(
+            _AUDIO_SCHEMA.fields
+            + [T.StructField("decode_gaps", T.IntegerType(), True)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hbase_snapshot_spark.operators import codecs
@@ -413,7 +424,7 @@ def extract_audio_features(
         for pdf in batches:
             payloads = pdf["payload"]
             if fake:
-                yield pd.DataFrame({
+                out = {
                     "media_id": pdf["media_id"],
                     "sample_rate": target_rate,
                     "n_samples": payloads.map(
@@ -423,16 +434,22 @@ def extract_audio_features(
                         if b else 0.0
                     ),
                     "peak": payloads.map(lambda b: max(b) if b else 0),
-                })
+                }
+                if with_decode_stats:
+                    out["decode_gaps"] = 0
+                yield pd.DataFrame(out)
                 continue
-            rows = {k: [] for k in
-                    ("media_id", "sample_rate", "n_samples", "rms", "peak")}
+            cols = ["media_id", "sample_rate", "n_samples", "rms", "peak"]
+            if with_decode_stats:
+                cols.append("decode_gaps")
+            rows = {k: [] for k in cols}
             for mid, b in zip(pdf["media_id"], payloads):
                 rows["media_id"].append(mid)
-                samples = None
+                samples, gaps = None, None
                 if b is not None:
                     try:
                         kind = codecs.sniff(bytes(b))
+                        gaps = 0
                         if kind == "wav":
                             src_rate, samples = codecs.decode_wav(bytes(b))
                         elif kind == "aiff":
@@ -440,7 +457,10 @@ def extract_audio_features(
                         elif kind == "au":
                             src_rate, samples = codecs.decode_au(bytes(b))
                         elif kind == "mp3":
-                            src_rate, samples = codecs.decode_mp3(bytes(b))
+                            dstats: dict = {}
+                            src_rate, samples = codecs.decode_mp3(
+                                bytes(b), stats=dstats)
+                            gaps = int(dstats.get("degraded", 0))
                         elif kind == "flac":
                             src_rate, samples = codecs.decode_flac(bytes(b))
                         else:
@@ -453,10 +473,14 @@ def extract_audio_features(
                     except Exception:  # noqa: BLE001 — corrupt payload
                         if on_error == "raise":
                             raise
-                        samples = None
+                        samples, gaps = None, None
                 if samples is None:
-                    for k in ("sample_rate", "n_samples", "rms", "peak"):
-                        rows[k].append(None)
+                    rows["sample_rate"].append(None)
+                    rows["n_samples"].append(None)
+                    rows["rms"].append(None)
+                    rows["peak"].append(None)
+                    if with_decode_stats:
+                        rows["decode_gaps"].append(gaps)
                     continue
                 samples = codecs.resample_linear(samples, src_rate, target_rate)
                 rows["sample_rate"].append(target_rate)
@@ -468,9 +492,11 @@ def extract_audio_features(
                 rows["peak"].append(
                     int(abs(samples).max()) if len(samples) else 0
                 )
+                if with_decode_stats:
+                    rows["decode_gaps"].append(gaps)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=_AUDIO_SCHEMA)
+    return media.mapInPandas(run, schema=schema)
 
 
 _PROBE_SCHEMA = T.StructType([

@@ -514,3 +514,37 @@ def test_probe_media_mp3_unchanged(spark):
     assert row.format == "mp3/MPEG-1-L3"
     assert row.sample_rate == 44100
     assert row.n_frames == 4
+
+
+def test_extract_audio_features_decode_gaps_column(spark):
+    """with_decode_stats=True surfaces the per-file degradation count:
+    0 for a clean MP3 (and for WAV), the degraded-granule count for a
+    gapped one, null for an undecodable payload under on_error='null'."""
+    import struct
+
+    import pandas as pd
+    from hbase_snapshot_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    tone = _gran_count1_tone(line=100)
+    clean = _frame([[tone], [tone]]) * 2
+    gapped = _frame([[_gran_unsupported_table(tid=16)], [tone]]) * 3
+    pcm = struct.pack("<4096h", *([0] * 4096))
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2, 3, 4],
+        "payload": [bytearray(clean), bytearray(gapped),
+                    bytearray(b"\x00garbage"), bytearray(wav)],
+    }))
+    rows = {r.media_id: r for r in extract_audio_features(
+        df, on_error="null", with_decode_stats=True).collect()}
+    assert rows[1].decode_gaps == 0 and rows[1].rms is not None
+    assert rows[2].decode_gaps == 3  # one degraded granule per frame
+    assert rows[2].n_samples is not None  # full-length, gap-filled
+    assert rows[3].decode_gaps is None and rows[3].rms is None
+    assert rows[4].decode_gaps == 0  # WAV: no gap concept, clean
+    # default schema unchanged (the media_features oracle surface)
+    assert "decode_gaps" not in extract_audio_features(df).columns

@@ -406,6 +406,53 @@ def warc_to_documents(
     return warc_records_to_documents(read_warc(spark, path, **read_kwargs))
 
 
+#: mime prefix → media kind, the triage split probe_media understands
+_MEDIA_KINDS = (
+    ("image/", "image"),
+    ("audio/", "audio"),
+    ("video/", "video"),
+)
+
+
+def warc_records_to_media(records: DataFrame) -> DataFrame:
+    """Record stream → MEDIA_SCHEMA-shaped table (the multimodal twin
+    of warc_records_to_documents): keep HTTP-200 image/audio/video
+    responses, classify kind by mime prefix, and pass the payload
+    through OPAQUE — probe_media / decode_images /
+    extract_audio_features downstream do the byte work, so this stays
+    a pure-Catalyst projection over the record scan (zero shuffles,
+    zero Python).  media_id = xxhash64(record id), the same stable-id
+    convention as the documents path; the typed ``meta`` struct
+    carries the mime (dimensions/rates stay null until a probe fills
+    them — the header walk belongs to probe_media, not the ingest
+    gate)."""
+    mime = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+    # strip any ";charset=..." parameter from the recorded mime
+    bare = F.trim(F.split(mime, ";").getItem(0))
+    kind = F.when(F.lit(False), F.lit(None).cast("string"))
+    for prefix, k in _MEDIA_KINDS:
+        kind = kind.when(bare.startswith(prefix), F.lit(k))
+    return (
+        records.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & kind.isNotNull()
+        )
+        .select(
+            F.xxhash64("record_id").alias("media_id"),
+            kind.alias("kind"),
+            F.col("payload"),
+            F.struct(
+                bare.alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+
+
 # ------------------------------------------------------------ warc writer
 
 def write_warc_file(records: list[dict], *, gzip_members: bool = True) -> bytes:

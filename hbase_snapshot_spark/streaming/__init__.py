@@ -4,5 +4,6 @@ from hbase_snapshot_spark.streaming.replication import (
     replicate,
     sessionize_events,
     stateful_streaming_dedup,
+    streaming_heavy_hitters,
     windowed_event_counts,
 )

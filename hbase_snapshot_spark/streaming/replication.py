@@ -280,3 +280,102 @@ def streaming_distinct_hll(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 10,
+    track: int = 64,
+):
+    """Streaming per-group heavy hitters via Count-Min state (r9) — the
+    streaming twin of operators/sketches.cms_sketch + cms_query, in the
+    sketch-and-heap shape of Charikar/Chen/Farach-Colton 2002: per-group
+    state is the FIXED d×256 counter grid plus a bounded candidate set.
+    Every micro-batch folds its keys into the counters, re-estimates
+    candidates ∪ this batch's keys from the counters, keeps the
+    ``track`` largest as the new candidates, and emits the current
+    top-``k`` (update semantics, rank by estimate desc then key asc).
+
+    Counter updates hash exactly like the batch sketch
+    (md5('<row>:' + str(key)) first-2-hex bucket per row), so after
+    draining a source every key retained in the candidate set carries
+    EXACTLY the batch ``cms_query`` estimate — pinned by test.  A true
+    heavy hitter can only be absent if it never ranked in the top
+    ``track`` at any batch boundary (the standard sketch-heap
+    guarantee; size ``track`` ≫ k to taste).
+
+    100 TB shape: state is d·256 longs + ``track`` keys per group no
+    matter how many distinct keys flow through — the property that
+    makes per-entity lifetime top-k feasible in a state store; exact
+    streaming top-k state grows with the key universe.  Keys are
+    compared as their Spark string cast (use string/integer keys; float
+    casts differ between engines)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from hbase_snapshot_spark.operators.sketches import _CMS_D, _CMS_W
+
+    out_schema = T.StructType(
+        [stream.schema[c] for c in group_cols]
+        + [T.StructField("key", T.StringType()),
+           T.StructField("est", T.LongType()),
+           T.StructField("rank", T.IntegerType())]
+    )
+    state_schema = T.StructType([
+        T.StructField("regs", T.BinaryType()),
+        T.StructField("cands", T.ArrayType(T.StringType())),
+    ])
+
+    def _buckets(s: str) -> list[int]:
+        return [
+            int(hashlib.md5(f"{r}:{s}".encode()).hexdigest()[:2], 16)
+            for r in range(_CMS_D)
+        ]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            st_regs, st_cands = state.get
+            regs = np.frombuffer(st_regs, dtype=np.int64).copy()
+            cands = list(st_cands)
+        else:
+            regs = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+            cands = []
+        batch_keys = set()
+        for pdf in pdfs:
+            for v in pdf[key_col]:
+                if pd.isna(v):
+                    continue
+                s = str(v)
+                batch_keys.add(s)
+                for r, b in enumerate(_buckets(s)):
+                    regs[r * _CMS_W + b] += 1
+
+        def estimate(s: str) -> int:
+            return int(min(
+                regs[r * _CMS_W + b] for r, b in enumerate(_buckets(s))))
+
+        scored = sorted(
+            ((estimate(s), s) for s in set(cands) | batch_keys),
+            key=lambda t: (-t[0], t[1]))
+        scored = scored[:track]
+        state.update((regs.tobytes(), [s for _e, s in scored]))
+        top = scored[:k]
+        yield pd.DataFrame(
+            [tuple(key) + (s, e, i + 1) for i, (e, s) in enumerate(top)],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return stream.groupBy(*[F.col(c) for c in group_cols]) \
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )

@@ -526,3 +526,72 @@ def test_streaming_distinct_hll_skips_null_keys(spark, tmp_path):
         sk.hll_sketch(batch, F.col("user_id"), ["grp"]), ["grp"]
     ).collect()[0].est
     assert abs(got - want) < 1e-6
+
+
+def test_streaming_heavy_hitters_matches_batch_cms(spark, tmp_path):
+    """After draining all micro-batches, every key the streaming
+    sketch-and-heap retained must carry EXACTLY the batch cms_query
+    estimate of the same data, and the top-k set must be the true
+    heavy keys.  Null keys contribute nothing (batch parity)."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_heavy_hitters,
+    )
+
+    src_dir = tmp_path / "hh-src"
+    src_dir.mkdir()
+    # g1: key 7 hot (60x), key 3 warm (25x), long tail; g2: key 1 only
+    b1 = ([(7, "g1")] * 30 + [(3, "g1")] * 10
+          + [(i, "g1") for i in range(100, 140)] + [(1, "g2")] * 5)
+    b2 = ([(7, "g1")] * 30 + [(3, "g1")] * 15
+          + [(i, "g1") for i in range(140, 180)] + [(None, "g1")] * 9)
+    spark.createDataFrame(b1, "user_id long, grp string").write.parquet(
+        str(src_dir / "b1"))
+    spark.createDataFrame(b2, "user_id long, grp string").write.parquet(
+        str(src_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    q = (
+        streaming_heavy_hitters(stream, "user_id", ["grp"], k=3, track=16)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from hh_out").collect()
+    # final emission per group = rows with the max estimate sum (counts
+    # only grow); reconstruct per-group final top-k by max est per key
+    final = {}
+    for r in out:
+        cur = final.setdefault((r.grp, r.key), (-1, None))
+        if r.est >= cur[0]:
+            final[(r.grp, r.key)] = (r.est, r.rank)
+
+    batch = spark.createDataFrame(
+        [t for t in b1 + b2], "user_id long, grp string")
+    keys = spark.createDataFrame(
+        [(k,) for g, k in final if g == "g1"], "k string")
+    sketch = sk.cms_sketch(
+        batch.withColumn("user_id", F.col("user_id").cast("string")),
+        F.col("user_id"), ["grp"])
+    want = {(r.grp, r.k): r.est for r in sk.cms_query(
+        sketch, keys, "k", ["grp"]).collect() if r.grp == "g1"}
+    for (g, k), (est, _rank) in final.items():
+        if g == "g1":
+            assert est == want[(g, k)], (k, est, want[(g, k)])
+    # the two true heavies rank 1-2 in g1's final emission
+    g1_final = sorted(
+        ((e, k) for (g, k), (e, r) in final.items() if g == "g1"),
+        reverse=True)
+    assert [k for _e, k in g1_final[:2]] == ["7", "3"]
+    assert g1_final[0][0] >= 60  # CMS never underestimates
+    assert final[("g2", "1")][0] == 5 and final[("g2", "1")][1] == 1

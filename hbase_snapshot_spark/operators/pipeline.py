@@ -27,6 +27,7 @@ from hbase_snapshot_spark.operators.packing import (
     pack_sequences,
 )
 from hbase_snapshot_spark.operators.text import (
+    extract_main_content,
     fingerprint,
     lang_id,
     quality_score,
@@ -38,7 +39,7 @@ def preprocess_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    html: bool = False,
+    html: "bool | str" = False,
     line_dedup_mode: str | None = None,
     line_min_count: int = 2,
     min_quality: float = 0.25,
@@ -49,7 +50,12 @@ def preprocess_corpus(
 ) -> DataFrame:
     """raw documents → packed training chunks, one logical plan:
 
-    1. (optional) HTML → plain text (``strip_html``, pure projection);
+    1. (optional) HTML → plain text: ``html=True`` keeps everything
+       (``strip_html``); ``html='justext'`` runs block-level
+       main-content extraction instead (``extract_main_content`` —
+       nav/footer/banner boilerplate never reaches the gates; blocks
+       arrive newline-joined, so a line-level pass composes).  Both
+       are pure projections;
     1b. (optional, ``line_dedup_mode``) CCNet line-level boilerplate
         removal BEFORE the content gates, so nav menus and cookie
         banners don't pollute lang-ID/quality.  'boilerplate' costs one
@@ -72,7 +78,10 @@ def preprocess_corpus(
     """
     out = docs
     col = text_col
-    if html:
+    if html == "justext":
+        out = extract_main_content(out, text_col, out_col="_plain")
+        col = "_plain"
+    elif html:
         # preserve block-boundary newlines when a line-level pass
         # follows — the default whitespace collapse would fold every
         # document into one line and line_dedup would silently become

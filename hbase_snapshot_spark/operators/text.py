@@ -171,6 +171,178 @@ def strip_html(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, c)
 
 
+#: jusText-style English function words (the "stopword density"
+#: feature's word list — a block of real prose sits well above 0.30,
+#: navigation/boilerplate far below).  Parameterizable per language.
+JUSTEXT_STOPWORDS_EN = [
+    "the", "of", "and", "a", "to", "in", "is", "it", "you", "that",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they", "i",
+    "at", "be", "this", "have", "from", "or", "one", "had", "by",
+    "but", "not", "what", "all", "were", "we", "when", "your", "can",
+    "said", "there", "an", "each", "which", "she", "do", "how",
+    "their", "if", "will",
+]
+
+#: block-level boundary tags (opening or closing) + void separators
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|td|th|tr|table|thead|tbody|ul|ol|li|h[1-6]|"
+    r"blockquote|section|article|header|footer|nav|aside|main|form|"
+    r"fieldset|figure|figcaption|dl|dt|dd|pre|title)\b[^>]*>"
+    r"|(?i)<(?:br|hr)\b[^>]*>"
+)
+
+
+def extract_main_content(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "content",
+    stopwords: "list[str] | None" = None,
+    max_link_density: float = 0.2,
+    length_low: int = 70,
+    length_high: int = 200,
+    stopwords_low: float = 0.30,
+    stopwords_high: float = 0.32,
+) -> DataFrame:
+    """Main-content extraction from HTML — the block-level boilerplate
+    remover between raw HTML and the quality gates (jusText, Pomikálek
+    2011, re-stated from the public thesis; the same role trafilatura/
+    readability play in Common-Crawl pipelines).  strip_html keeps
+    EVERYTHING (nav, cookie banners, footers); this classifies each
+    block-level segment by the paper's context-free features — link
+    density (anchor chars / chars), length, and stopword density — and
+    keeps good blocks plus near-good blocks ADJACENT to a good one
+    (one promotion pass of the paper's context smoothing):
+
+    * link_density > ``max_link_density``       → bad (nav/footer)
+    * length < ``length_low``                   → near-good (short)
+    * stop density ≥ high and len > length_high → good (prose)
+    * stop density ≥ low                        → near-good
+    * else                                      → bad (code/menus)
+
+    Adds ``out_col`` (kept blocks joined by newline), ``n_blocks``
+    (non-empty), ``n_good`` (kept after promotion).
+
+    Plan shape: pure per-row Catalyst array expressions (split +
+    transform/filter/zip) — ZERO shuffles, map-only at any scale, no
+    Python.  Shared subexpressions (the per-block feature structs, the
+    class array read three times by the promotion pass) are bound as
+    LAMBDA VARIABLES via the winnow _bind idiom, so no optimizer
+    rewrite can re-evaluate the block features per neighbor probe.
+    Anchors spanning a block boundary contribute to neither side (the
+    split cuts them) — a fidelity trade the block model accepts."""
+    stop = stopwords if stopwords is not None else JUSTEXT_STOPWORDS_EN
+    stop_arr = F.array(*[F.lit(w) for w in stop])
+
+    def _bind(expr, fn):
+        # evaluate ``expr`` once, pass it to fn as a lambda variable —
+        # optimizer-proof sharing inside a single projection
+        return F.transform(F.array(expr), fn)[0]
+
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    for ent, rep in HTML_ENTITIES:  # entities carry no '<': safe here
+        c = F.regexp_replace(c, ent, rep)
+    blocks = F.split(c, _BLOCK_SPLIT_RE)
+
+    def features(b):
+        link_len = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(
+                    b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a[^>]*>"), F.lit(1)),
+                lambda a: F.length(F.trim(
+                    F.regexp_replace(a, r"<[^>]+>", " ")))),
+            F.lit(0), lambda acc, x: acc + x)
+        plain = F.trim(F.regexp_replace(
+            F.regexp_replace(b, r"<[^>]+>", " "), r"\s+", " "))
+
+        def scored(p):
+            n = F.length(p)
+            words = F.filter(F.split(F.lower(p), " "), lambda w: w != "")
+            wc = F.size(words)
+            hits = F.size(F.filter(
+                words,
+                lambda w: F.array_contains(
+                    stop_arr,
+                    F.regexp_replace(w, r"^[^a-z0-9']+|[^a-z0-9']+$", "")),
+            ))
+            # greatest() guard even under the when(): CSE can hoist a
+            # shared division above a short-circuit (ANSI div-by-zero,
+            # see gopher_rules)
+            stop_frac = F.when(
+                wc > 0, hits / F.greatest(wc, F.lit(1))
+            ).otherwise(F.lit(0.0))
+            link_density = link_len / F.greatest(n, F.lit(1))
+            cls = (
+                F.when(n == 0, F.lit(0))
+                .when(link_density > max_link_density, F.lit(0))
+                .when(n < length_low, F.lit(1))
+                .when((stop_frac >= stopwords_high)
+                      & (n > length_high), F.lit(2))
+                .when(stop_frac >= stopwords_low, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            return F.struct(p.alias("plain"), cls.alias("cls"))
+
+        return _bind(plain, scored)
+
+    def assemble(scored):
+        classes = F.transform(scored, lambda s: s["cls"])
+
+        def promote(cl):
+            idx = F.sequence(F.lit(0), F.size(scored) - 1)
+
+            def final_cls(i):
+                cur = F.get(cl, i)
+                prev = F.get(cl, i - 1)
+                nxt = F.get(cl, i + 1)
+                return F.when(cur == 2, F.lit(2)).when(
+                    (cur == 1) & ((prev.eqNullSafe(2))
+                                  | (nxt.eqNullSafe(2))),
+                    F.lit(2)).otherwise(cur)
+
+            kept = F.filter(
+                F.transform(
+                    idx,
+                    lambda i: F.when(final_cls(i) == 2,
+                                     F.get(scored, i)["plain"])),
+                lambda x: x.isNotNull())
+            return F.struct(
+                F.array_join(kept, "\n").alias("content"),
+                F.size(scored).alias("n_blocks"),
+                F.size(kept).alias("n_good"),
+            )
+
+        return _bind(classes, promote)
+
+    def with_empty_guard(scored):
+        return F.when(
+            F.size(scored) > 0, assemble(scored)
+        ).otherwise(F.struct(
+            F.lit("").alias("content"),
+            F.lit(0).alias("n_blocks"),
+            F.lit(0).alias("n_good")))
+
+    # empty blocks (whitespace between adjacent boundary tags) are
+    # dropped BEFORE classification so promotion adjacency means the
+    # nearest non-empty block — an empty gap must not veto a
+    # heading-next-to-prose promotion
+    res = _bind(
+        F.filter(F.transform(blocks, features),
+                 lambda s: s["plain"] != ""),
+        with_empty_guard)
+    # null html → null outputs (strip_html's convention)
+    res = F.when(F.col(text_col).isNotNull(), res)
+    return (
+        df.withColumn("_emc", res)
+        .withColumn(out_col, F.col("_emc.content"))
+        .withColumn("n_blocks", F.col("_emc.n_blocks"))
+        .withColumn("n_good", F.col("_emc.n_good"))
+        .drop("_emc")
+    )
+
+
 # ------------------------------------------------------------------ tf-idf
 
 def tfidf_top_terms(

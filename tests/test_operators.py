@@ -2365,3 +2365,83 @@ def test_corpus_report_sketch_all_null_group(spark):
         assert rep[("s9", "xx", 0)] == 0.0, mode
         # linear counting of one element reads 256*ln(256/255) = 1.002
         assert abs(rep[("s1", "en", 0)] - 1.0) < 0.01, mode
+
+
+def test_extract_main_content_justext(spark):
+    """jusText block classification: prose paragraphs survive, nav /
+    footer / cookie-banner boilerplate does not; short blocks adjacent
+    to good prose are promoted (the context pass); zero-shuffle plan."""
+    from hbase_snapshot_spark.operators.text import extract_main_content
+
+    prose = ("It was the best of times and it was the worst of times "
+             "and we all had to decide what to do with the time that "
+             "was given to us by the people who came before us. ") * 2
+    html = f"""
+    <html><head><title>T</title><style>p {{color: red}}</style></head>
+    <body>
+    <nav><a href="/">Home</a> <a href="/about">About</a>
+         <a href="/contact">Contact</a></nav>
+    <div class="cookie">accept all cookies | privacy | settings</div>
+    <h2>A short heading</h2>
+    <p>{prose}</p>
+    <p>{prose} Read the <a href="/more">full story</a> here with the
+       rest of the words that people wrote about it.</p>
+    <footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a>
+            <a href="/imp">Imprint</a></footer>
+    </body></html>"""
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    row = extract_main_content(docs).collect()[0]
+    assert "best of times" in row.content  # prose kept
+    assert "A short heading" in row.content  # near-good promoted
+    assert "Home" not in row.content  # nav: link density
+    assert "cookies" not in row.content  # banner: low stopword density
+    assert "Terms" not in row.content  # footer: link density
+    assert "color: red" not in row.content  # style stripped
+    assert row.n_good >= 2 and row.n_blocks > row.n_good
+
+    # isolated short block (no good neighbor) stays out
+    lone = "<div>lonely crumb</div><div>menu | items | here</div>"
+    docs2 = spark.createDataFrame([(1, lone)], "doc_id long, text string")
+    row2 = extract_main_content(docs2).collect()[0]
+    assert row2.content == "" and row2.n_good == 0
+
+    # degenerate inputs survive (ANSI-safe empty/zero paths)
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "plain text no tags at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in extract_main_content(edge).collect()}
+    assert got[1].content == "" and got[1].n_blocks == 0
+    assert got[2].content is None  # null propagates like strip_html
+    assert got[3].n_blocks == 1  # tagless text is one block
+
+    # plan: pure projection — no Exchange, no Python eval
+    plan = (extract_main_content(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_preprocess_corpus_justext_stage(spark):
+    """html='justext' runs main-content extraction before the gates:
+    nav/banner boilerplate never reaches the surviving chunks, prose
+    does — and the pipeline shuffle budget is unchanged (2)."""
+    from hbase_snapshot_spark.operators.pipeline import preprocess_corpus
+
+    prose = ("we all had to decide what to do with the time that was "
+             "given to us and the choice was never an easy one to "
+             "make for any of the people in the town ") * 2
+    docs = spark.createDataFrame(
+        [(i, f"<nav><a href='/'>Home</a> <a href='/a'>About</a>"
+             f"<a href='/c'>Contact</a></nav>"
+             f"<p>{prose}unique{i}</p>"
+             f"<footer><a>Terms</a><a>Privacy</a><a>More</a></footer>")
+         for i in range(3)],
+        "doc_id long, text string")
+    out = preprocess_corpus(docs, html="justext", min_quality=0.05,
+                            chunk_tokens=32, overlap_tokens=8)
+    rows = out.collect()
+    assert rows
+    joined = " ".join(r.chunk_text for r in rows)
+    assert "never an easy one" in joined
+    assert "Home" not in joined and "Privacy" not in joined
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -242,8 +242,6 @@ def extract_main_content(
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
-    for ent, rep in HTML_ENTITIES:  # entities carry no '<': safe here
-        c = F.regexp_replace(c, ent, rep)
     blocks = F.split(c, _BLOCK_SPLIT_RE)
 
     def features(b):
@@ -254,8 +252,14 @@ def extract_main_content(
                 lambda a: F.length(F.trim(
                     F.regexp_replace(a, r"<[^>]+>", " ")))),
             F.lit(0), lambda acc, x: acc + x)
-        plain = F.trim(F.regexp_replace(
-            F.regexp_replace(b, r"<[^>]+>", " "), r"\s+", " "))
+        # entities decode AFTER the tag strip (strip_html's order: a
+        # decoded &lt; must never fabricate a tag) and BEFORE the ws
+        # collapse; link lengths are measured on the raw tag-stripped
+        # anchor text (entity width is noise at the 0.2 threshold)
+        plain = F.regexp_replace(b, r"<[^>]+>", " ")
+        for ent, rep in HTML_ENTITIES:
+            plain = F.regexp_replace(plain, ent, rep)
+        plain = F.trim(F.regexp_replace(plain, _WS, " "))
 
         def scored(p):
             n = F.length(p)

@@ -1046,6 +1046,142 @@ UNION ALL
 SELECT branch, doc_id, v FROM nb
 UNION ALL
 SELECT branch, doc_id, v FROM ({gopher_branch_sql()}) gopher
+UNION ALL
+SELECT branch, doc_id, v FROM ({justext_branch_sql()}) jx
+"""
+
+
+#: q_quality's justext-branch thresholds, shared by the Spark call and
+#: the SQL twin.  NOT the operator defaults: the synthetic documents
+#: text is content-word-heavy (stopword fraction 0..~0.15), so the
+#: paper's prose thresholds would classify every block bad and the pin
+#: would discriminate nothing — these put the corpus ACROSS the
+#: good/near/bad boundaries so per-doc classification (and the
+#: promotion chain) varies.
+JUSTEXT_PARAMS = {
+    "max_link_density": 0.2,
+    "length_low": 30,
+    "length_high": 100,
+    "stopwords_low": 0.03,
+    "stopwords_high": 0.06,
+}
+
+
+def justext_branch_sql() -> str:
+    """SQL twin of text.extract_main_content over the q_quality HTML
+    shell (jusText, Pomikálek 2011): the identical clean → block-split
+    → per-block features (link density / length / stopword density) →
+    classification → one promotion pass, replayed in DuckDB list
+    lambdas.  'jxh' = first 32 md5 bits of the newline-joined kept
+    content (exact double); 'jxn' = n_blocks*1000 + n_good.  Regexes
+    are injected from the SAME Python constants the Spark expression
+    uses; whitespace is the explicit ASCII class (the Java-\\s-vs-RE2
+    divergence note, as in the ppl branch)."""
+    from hbase_snapshot_spark.operators.text import (
+        _BLOCK_SPLIT_RE,
+        JUSTEXT_STOPWORDS_EN,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in JUSTEXT_STOPWORDS_EN)
+    anchor_re = r"(?is)<a\b[^>]*>(.*?)</a[^>]*>"
+    # per-word edge strip: the single quote doubles inside the SQL
+    # literal
+    word_strip = "^[^a-z0-9'']+|[^a-z0-9'']+$"
+    # tag strip → entity decode (strip_html's order) → ws collapse,
+    # chain built programmatically so the nesting can't drift
+    chain = "regexp_replace(b, '<[^>]+>', ' ', 'g')"
+    for pat, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "''"),
+                     ("&apos;", "''"), ("&amp;", "&")]:
+        chain = f"regexp_replace({chain}, '{pat}', '{rep}', 'g')"
+    plain_expr = (
+        f"trim(regexp_replace({chain}, '[ \t\n\r\f]+', ' ', 'g'))"
+    )
+    w = "struct_extract(s, 'w')"
+    p = "struct_extract(s, 'plain')"
+    stopfrac = (
+        f"CASE WHEN len({w}) > 0 THEN "
+        f"len(list_filter({w}, x -> list_contains([{stop}], "
+        f"regexp_replace(x, '{word_strip}', '', 'g'))))"
+        f" / greatest(len({w}), 1) ELSE 0.0 END"
+    )
+    return f"""
+WITH jxsrc AS (
+  SELECT doc_id,
+         '<nav><a href="/">Home</a> <a href="/a">About</a> '
+         || '<a href="/c">Contact</a></nav><h2>Doc '
+         || CAST(doc_id AS VARCHAR) || '</h2><p>' || text
+         || '</p><div>accept all cookies settings privacy imprint '
+         || 'navigation menu toolbar sitemap categories archive '
+         || 'tags login register</div>'
+         || '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a> '
+         || '<a href="/i">Imprint</a></footer>' AS html
+  FROM documents
+),
+jxclean AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t
+  FROM jxsrc
+),
+jxfeat AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_split_to_array(t, '{_BLOCK_SPLIT_RE}'),
+        b -> struct_pack(
+          plain := {plain_expr},
+          w := list_filter(string_split(lower({plain_expr}), ' '),
+                           x -> x <> ''),
+          link_len := coalesce(list_sum(list_transform(
+            regexp_extract_all(b, '{anchor_re}', 1),
+            a -> length(trim(regexp_replace(a, '<[^>]+>', ' ', 'g')))
+          )), 0))),
+      s -> struct_extract(s, 'plain') <> '') AS blocks
+  FROM jxclean
+),
+jxcls AS (
+  SELECT doc_id, blocks,
+    list_transform(blocks, s ->
+      CASE
+        WHEN struct_extract(s, 'link_len')
+             / greatest(length({p}), 1)
+             > {JUSTEXT_PARAMS['max_link_density']} THEN 0
+        WHEN length({p}) < {JUSTEXT_PARAMS['length_low']} THEN 1
+        WHEN ({stopfrac}) >= {JUSTEXT_PARAMS['stopwords_high']}
+             AND length({p}) > {JUSTEXT_PARAMS['length_high']} THEN 2
+        WHEN ({stopfrac}) >= {JUSTEXT_PARAMS['stopwords_low']} THEN 1
+        ELSE 0 END) AS cls
+  FROM jxfeat
+),
+jxkept AS (
+  SELECT doc_id, len(blocks) AS n_blocks,
+    list_filter(
+      list_transform(range(1, len(blocks) + 1), i ->
+        CASE WHEN cls[CAST(i AS INT)] = 2
+               OR (cls[CAST(i AS INT)] = 1
+                   AND (coalesce(cls[CAST(i AS INT) - 1], 0) = 2
+                     OR coalesce(cls[CAST(i AS INT) + 1], 0) = 2))
+             THEN struct_extract(blocks[CAST(i AS INT)], 'plain')
+        END),
+      x -> x IS NOT NULL) AS kept
+  FROM jxcls
+)
+SELECT 'jxh' AS branch, doc_id,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: the CASE keeps empty-kept and null-input apart
+       CAST(('0x' || substr(md5(
+         CASE WHEN kept IS NULL THEN NULL
+              WHEN len(kept) = 0 THEN ''
+              ELSE array_to_string(kept, chr(10)) END), 1, 8))
+            ::BIGINT AS DOUBLE) AS v
+FROM jxkept
+UNION ALL
+SELECT 'jxn' AS branch, doc_id,
+       CAST(n_blocks * 1000 + len(kept) AS DOUBLE) AS v
+FROM jxkept
 """
 
 

@@ -183,12 +183,16 @@ JUSTEXT_STOPWORDS_EN = [
     "their", "if", "will",
 ]
 
-#: block-level boundary tags (opening or closing) + void separators
+#: block-level boundary tags (opening or closing) + void separators.
+#: ONE leading (?i) — Java/RE2 would also accept a mid-pattern flag,
+#: but Python re (the differential-test reference) requires
+#: start-anchored flags, and the leading form means the same thing in
+#: all three engines.
 _BLOCK_SPLIT_RE = (
-    r"(?i)</?(?:p|div|td|th|tr|table|thead|tbody|ul|ol|li|h[1-6]|"
+    r"(?i)(?:</?(?:p|div|td|th|tr|table|thead|tbody|ul|ol|li|h[1-6]|"
     r"blockquote|section|article|header|footer|nav|aside|main|form|"
     r"fieldset|figure|figcaption|dl|dt|dd|pre|title)\b[^>]*>"
-    r"|(?i)<(?:br|hr)\b[^>]*>"
+    r"|<(?:br|hr)\b[^>]*>)"
 )
 
 

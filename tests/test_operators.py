@@ -2445,3 +2445,111 @@ def test_preprocess_corpus_justext_stage(spark):
     assert "Home" not in joined and "Privacy" not in joined
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_extract_main_content_property_vs_reference(spark):
+    """Differential property: extract_main_content must agree with a
+    pure-Python reference of the same rules (clean → split → features
+    → classify → one promotion pass) on seeded random HTML — the
+    line_dedup trust pattern.  One Spark run over the whole battery."""
+    import random
+    import re as _re
+
+    from hbase_snapshot_spark.operators.text import (
+        _BLOCK_SPLIT_RE,
+        HTML_ENTITIES,
+        JUSTEXT_STOPWORDS_EN,
+        extract_main_content,
+    )
+
+    P = dict(max_link_density=0.2, length_low=40, length_high=120,
+             stopwords_low=0.15, stopwords_high=0.25)
+
+    def ref(html):
+        if html is None:
+            return None, None, None
+        t = _re.sub(r"(?s)<!--.*?-->", " ", html)
+        t = _re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", t)
+        t = _re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", t)
+        raw_blocks = _re.split(_BLOCK_SPLIT_RE, t)
+        feats = []
+        for b in raw_blocks:
+            anchors = _re.findall(r"(?is)<a\b[^>]*>(.*?)</a[^>]*>", b)
+            link_len = sum(
+                len(_re.sub(r"<[^>]+>", " ", a).strip(" ")) for a in anchors)
+            plain = _re.sub(r"<[^>]+>", " ", b)
+            for ent, rep in HTML_ENTITIES:
+                plain = plain.replace(ent, rep)
+            plain = _re.sub(r"[ \t\n\r\f]+", " ", plain).strip(" ")
+            if plain == "":
+                continue
+            words = [w for w in plain.lower().split(" ") if w]
+            hits = sum(
+                1 for w in words
+                if _re.sub(r"^[^a-z0-9']+|[^a-z0-9']+$", "", w)
+                in JUSTEXT_STOPWORDS_EN)
+            sf = hits / len(words) if words else 0.0
+            ld = link_len / max(len(plain), 1)
+            if ld > P["max_link_density"]:
+                cls = 0
+            elif len(plain) < P["length_low"]:
+                cls = 1
+            elif sf >= P["stopwords_high"] and len(plain) > P["length_high"]:
+                cls = 2
+            elif sf >= P["stopwords_low"]:
+                cls = 1
+            else:
+                cls = 0
+            feats.append((plain, cls))
+        kept = []
+        for i, (plain, cls) in enumerate(feats):
+            prev = feats[i - 1][1] if i > 0 else 0
+            nxt = feats[i + 1][1] if i + 1 < len(feats) else 0
+            if cls == 2 or (cls == 1 and (prev == 2 or nxt == 2)):
+                kept.append(plain)
+        return "\n".join(kept), len(feats), len(kept)
+
+    rng = random.Random(99)
+    stop = JUSTEXT_STOPWORDS_EN
+    content_words = ["quartz", "flux", "matrix", "vector", "kernel",
+                     "lattice", "syzygy", "code()", "x=1;", "npm",
+                     "menu", "login", "©2026", "—", "...", "a&b",
+                     "&lt;tag&gt;", "it's"]
+    tags = ["p", "div", "li", "h2", "section", "td", "footer", "nav"]
+
+    def rand_text(n):
+        return " ".join(
+            rng.choice(stop) if rng.random() < 0.45
+            else rng.choice(content_words)
+            for _ in range(n))
+
+    docs = []
+    for doc in range(60):
+        parts = []
+        for _ in range(rng.randrange(0, 8)):
+            tag = rng.choice(tags)
+            inner = rand_text(rng.randrange(0, 30))
+            if rng.random() < 0.5:
+                inner += f' <a href="/x">{rand_text(rng.randrange(1, 6))}</a> '
+            if rng.random() < 0.2:
+                inner += "<!-- note --><span>s</span>"
+            if rng.random() < 0.15:
+                inner = f"<script>var x = {doc};</script>" + inner
+            parts.append(f"<{tag} class='c'>{inner}</{tag}>")
+        docs.append((doc, "".join(parts)))
+    docs.append((997, None))
+    docs.append((998, ""))
+    docs.append((999, "no tags " + rand_text(40)))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.content, r.n_blocks, r.n_good)
+           for r in extract_main_content(sdf, **P).collect()}
+    mismatches = []
+    for doc_id, html in docs:
+        want = ref(html)
+        if got[doc_id] != want:
+            mismatches.append((doc_id, got[doc_id], want))
+    assert not mismatches, mismatches[:3]
+    # the battery must actually exercise all three classes
+    assert any(v[2] for v in got.values() if v and v[2])
+    assert any(v and v[1] and v[2] == 0 for v in got.values())

@@ -99,6 +99,27 @@ def load_bpe(spark: SparkSession, path: str):
     return BpeTokenizer.from_rows(rows, manifest["params"]["base_symbols"])
 
 
+def save_unigram(tokenizer, spark: SparkSession, path: str) -> dict:
+    """Persist a unigram.UnigramTokenizer (the (piece, logp) table IS
+    the model; max_piece_len rides in params — Viterbi under a
+    different window would silently mis-segment)."""
+    df = spark.createDataFrame(
+        tokenizer.to_rows(), "piece string, logp double")
+    return save_model(
+        df, path, "unigram",
+        {"max_piece_len": tokenizer.max_piece_len,
+         "vocab_size": tokenizer.vocab_size})
+
+
+def load_unigram(spark: SparkSession, path: str):
+    from hbase_snapshot_spark.operators.unigram import UnigramTokenizer
+
+    df, manifest = load_model(spark, path, expect_kind="unigram")
+    rows = [(r.piece, r.logp) for r in df.collect()]
+    return UnigramTokenizer.from_rows(
+        rows, max_piece_len=manifest["params"]["max_piece_len"])
+
+
 def save_lm(lm: DataFrame, path: str, n: int, lowercase: bool,
             ws: str) -> dict:
     """Persist an lm.train_ngram_lm count table WITH the tokenization

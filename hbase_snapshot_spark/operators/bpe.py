@@ -303,7 +303,18 @@ def tokenize_and_pack(
     if not 0 <= overlap < seq_len:
         raise ValueError("need 0 <= overlap < seq_len")
     stride = seq_len - overlap
-    enc = encode_documents(df, tokenizer, text_col=text_col, id_col=id_col)
+    # either tokenizer family plugs in: the encode wrappers share the
+    # (id, token_ids, n_tokens) contract
+    if hasattr(tokenizer, "logp"):  # unigram.UnigramTokenizer
+        from hbase_snapshot_spark.operators.unigram import (
+            encode_documents_unigram,
+        )
+
+        enc = encode_documents_unigram(
+            df, tokenizer, text_col=text_col, id_col=id_col)
+    else:
+        enc = encode_documents(
+            df, tokenizer, text_col=text_col, id_col=id_col)
     enc = enc.where(F.col("token_ids").isNotNull())
     n_chunks = F.greatest(
         F.ceil((F.size("token_ids") - F.lit(overlap)) / F.lit(stride)),

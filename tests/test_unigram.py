@@ -150,3 +150,41 @@ def test_unigram_vs_bpe_contract_parity(spark):
     ra = {r.doc_id: r.n_tokens for r in a.collect()}
     rb = {r.doc_id: r.n_tokens for r in b.collect()}
     assert set(ra) == set(rb) and all(v > 0 for v in ra.values())
+
+
+def test_unigram_artifact_roundtrip(spark, tmp_path):
+    """save_unigram/load_unigram: the reopened model encodes
+    identically (the train-once / score-many contract)."""
+    from hbase_snapshot_spark.operators.artifacts import (
+        load_unigram,
+        save_unigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the kind of thinking that rethinks unkind things " * 2)
+         for i in range(8)],
+        "doc_id long, text string")
+    tok = U.train_unigram(docs, vocab_size=48, min_freq=1)
+    path = str(tmp_path / "uni")
+    save_unigram(tok, spark, path)
+    tok2 = load_unigram(spark, path)
+    assert tok2.max_piece_len == tok.max_piece_len
+    for text in ("rethinks unkind", "the thinking kind", "zz unseen"):
+        assert tok.encode(text) == tok2.encode(text)
+
+
+def test_tokenize_and_pack_accepts_unigram(spark):
+    """tokenize_and_pack dispatches on tokenizer family — the whole
+    batch-construction path runs off a unigram model too."""
+    from hbase_snapshot_spark.operators.bpe import tokenize_and_pack
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too " * 4)
+         for i in range(4)],
+        "doc_id long, text string")
+    tok = U.train_unigram(docs, vocab_size=64, min_freq=1)
+    out = tokenize_and_pack(docs, tok, seq_len=16, overlap=4,
+                            pack_cap=64).collect()
+    assert out
+    assert all(r.n_chunk_tokens <= 16 for r in out)
+    assert {r.doc_id for r in out} == {0, 1, 2, 3}

@@ -955,8 +955,10 @@ FROM documents d JOIN grams g ON d.doc_id = g.doc_id
 
 
 def quality_sql() -> str:
-    """Two branches (see __spark_entry__.q_quality): 'gate' is the
-    composite quality score; 'ppl' is Stupid-Backoff bigram scoring —
+    """Six branches (see __spark_entry__.q_quality): 'gate' is the
+    composite quality score; 'gopher' the rule mask
+    (gopher_branch_sql); 'jxh'/'jxn' the justext extractor pins
+    (justext_branch_sql); 'ppl' is Stupid-Backoff bigram scoring —
     LM counts from even doc_ids, odd doc_ids scored, backoff chain
     P = c(ctx,w)/c(ctx) else 0.4*c(w)/N else 0.4/N, v = round(avg
     log10 P, 6).  Tokens split on the explicit ASCII whitespace

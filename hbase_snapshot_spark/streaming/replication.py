@@ -228,6 +228,13 @@ def streaming_distinct_hll(
 
     m = 256
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    # normalize ONLY when the declared key type is integral: a nullable
+    # long column arrives in pandas as float64 through Arrow, and
+    # str(7.0) would hash differently from Spark's cast("string") "7";
+    # a genuinely-double key must keep its "7.0" form
+    key_is_integral = isinstance(
+        stream.schema[key_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     out_schema = T.StructType(
         [stream.schema[c] for c in group_cols]
         + [T.StructField("est", T.DoubleType()),
@@ -246,6 +253,8 @@ def streaming_distinct_hll(
                 # key contributes nothing to COUNT DISTINCT.
                 if pd.isna(v):
                     continue
+                if key_is_integral and isinstance(v, float):
+                    v = int(v)
                 hx = hashlib.md5(str(v).encode()).hexdigest()
                 b = int(hx[:2], 16)
                 rest = hx[2:15]
@@ -331,6 +340,12 @@ def streaming_heavy_hitters(
         T.StructField("regs", T.BinaryType()),
         T.StructField("cands", T.ArrayType(T.StringType())),
     ])
+    # same dtype gate as streaming_distinct_hll: integral keys arriving
+    # as float64 (nullable-long Arrow path) must hash as Spark's "7",
+    # while genuine doubles keep "7.0"
+    key_is_integral = isinstance(
+        stream.schema[key_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
     def _buckets(s: str) -> list[int]:
         return [
@@ -351,7 +366,10 @@ def streaming_heavy_hitters(
             for v in pdf[key_col]:
                 if pd.isna(v):
                     continue
-                s = str(v)
+                if key_is_integral and isinstance(v, float):
+                    s = str(int(v))
+                else:
+                    s = str(v)
                 batch_keys.add(s)
                 for r, b in enumerate(_buckets(s)):
                     regs[r * _CMS_W + b] += 1

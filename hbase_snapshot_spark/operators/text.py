@@ -213,14 +213,17 @@ def extract_main_content(
     readability play in Common-Crawl pipelines).  strip_html keeps
     EVERYTHING (nav, cookie banners, footers); this classifies each
     block-level segment by the paper's context-free features — link
-    density (anchor chars / chars), length, and stopword density — and
-    keeps good blocks plus near-good blocks ADJACENT to a good one
-    (one promotion pass of the paper's context smoothing):
+    density (anchor chars / chars), length, and stopword density —
+    then resolves the undecided (short / near-good) blocks by the
+    paper's CONTEXT rule: an undecided block survives iff its nearest
+    DECIDED neighbor on either side is good (document edges count as
+    bad), so a run of short paragraphs between two good ones survives
+    whole while the same run inside boilerplate drops whole:
 
     * link_density > ``max_link_density``       → bad (nav/footer)
-    * length < ``length_low``                   → near-good (short)
+    * length < ``length_low``                   → undecided (short)
     * stop density ≥ high and len > length_high → good (prose)
-    * stop density ≥ low                        → near-good
+    * stop density ≥ low                        → undecided (near-good)
     * else                                      → bad (code/menus)
 
     Adds ``out_col`` (kept blocks joined by newline), ``n_blocks``
@@ -300,15 +303,28 @@ def extract_main_content(
 
         def promote(cl):
             idx = F.sequence(F.lit(0), F.size(scored) - 1)
+            n = F.size(cl)
 
             def final_cls(i):
+                # jusText context resolution: an undecided (short /
+                # near-good) block takes GOOD iff its NEAREST DECIDED
+                # neighbor on either side is good (document edges count
+                # as bad) — runs of undecided blocks between two good
+                # paragraphs all survive, runs inside boilerplate all
+                # drop.  O(blocks²) per document in cheap int
+                # comparisons; block counts are tens-to-hundreds.
                 cur = F.get(cl, i)
-                prev = F.get(cl, i - 1)
-                nxt = F.get(cl, i + 1)
+                left = F.filter(F.slice(cl, 1, i), lambda c: c != 1)
+                right = F.filter(
+                    F.slice(cl, i + 2, n - i - 1), lambda c: c != 1)
+                left_dec = F.when(
+                    F.size(left) > 0, F.element_at(left, F.size(left)))
+                right_dec = F.when(
+                    F.size(right) > 0, F.element_at(right, F.lit(1)))
                 return F.when(cur == 2, F.lit(2)).when(
-                    (cur == 1) & ((prev.eqNullSafe(2))
-                                  | (nxt.eqNullSafe(2))),
-                    F.lit(2)).otherwise(cur)
+                    (cur == 1) & (left_dec.eqNullSafe(2)
+                                  | right_dec.eqNullSafe(2)),
+                    F.lit(2)).otherwise(F.lit(0))
 
             kept = F.filter(
                 F.transform(

@@ -1159,13 +1159,19 @@ jxcls AS (
   FROM jxfeat
 ),
 jxkept AS (
+  -- context resolution: an undecided block (cls 1) survives iff its
+  -- nearest DECIDED neighbor (cls != 1) on either side is good; list
+  -- slices are 1-based end-inclusive, out-of-range => empty => edge
+  -- counts as bad
   SELECT doc_id, len(blocks) AS n_blocks,
     list_filter(
       list_transform(range(1, len(blocks) + 1), i ->
         CASE WHEN cls[CAST(i AS INT)] = 2
                OR (cls[CAST(i AS INT)] = 1
-                   AND (coalesce(cls[CAST(i AS INT) - 1], 0) = 2
-                     OR coalesce(cls[CAST(i AS INT) + 1], 0) = 2))
+                   AND (coalesce(list_filter(cls[1:CAST(i AS INT) - 1],
+                                 c -> c != 1)[-1], 0) = 2
+                     OR coalesce(list_filter(cls[CAST(i AS INT) + 1:],
+                                 c -> c != 1)[1], 0) = 2))
              THEN struct_extract(blocks[CAST(i AS INT)], 'plain')
         END),
       x -> x IS NOT NULL) AS kept

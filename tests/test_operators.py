@@ -2381,7 +2381,8 @@ def test_extract_main_content_justext(spark):
     <body>
     <nav><a href="/">Home</a> <a href="/about">About</a>
          <a href="/contact">Contact</a></nav>
-    <div class="cookie">accept all cookies | privacy | settings</div>
+    <div class="cookie">accept all cookies privacy settings imprint
+        navigation menu toolbar sitemap categories archive</div>
     <h2>A short heading</h2>
     <p>{prose}</p>
     <p>{prose} Read the <a href="/more">full story</a> here with the
@@ -2503,8 +2504,10 @@ def test_extract_main_content_property_vs_reference(spark):
             feats.append((plain, cls))
         kept = []
         for i, (plain, cls) in enumerate(feats):
-            prev = feats[i - 1][1] if i > 0 else 0
-            nxt = feats[i + 1][1] if i + 1 < len(feats) else 0
+            left = [c for _p, c in feats[:i] if c != 1]
+            right = [c for _p, c in feats[i + 1:] if c != 1]
+            prev = left[-1] if left else 0
+            nxt = right[0] if right else 0
             if cls == 2 or (cls == 1 and (prev == 2 or nxt == 2)):
                 kept.append(plain)
         return "\n".join(kept), len(feats), len(kept)

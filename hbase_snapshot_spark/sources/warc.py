@@ -335,16 +335,28 @@ def read_warc(
 _HTML_CT = ("text/html", "application/xhtml+xml")
 
 
-def warc_records_to_documents(records: DataFrame) -> DataFrame:
+def warc_records_to_documents(records: DataFrame,
+                              extractor: str = "strip") -> DataFrame:
     """Record stream → ``documents``-shaped table: keep HTTP-200
     text/html|plain responses AND WET-style ``conversion`` records,
     charset-decode (the one genuinely-Python step, Arrow-batched),
-    then strip HTML with the pure-Catalyst regexp chain.
+    then extract text from the HTML rows — ``extractor='strip'`` keeps
+    everything (text.strip_html); ``extractor='justext'`` runs the
+    block-level main-content classifier (text.extract_main_content) so
+    nav/banner/footer boilerplate never enters the corpus.  Both are
+    pure-Catalyst projections.
 
     Output: ``(doc_id, url, fetch_time, text, source, n_chars)`` —
     doc_id is the xxhash64 of the WARC record id (stable across
     re-reads, no window/zipWithIndex shuffle at 100 TB)."""
-    from hbase_snapshot_spark.operators.text import strip_html
+    from hbase_snapshot_spark.operators.text import (
+        extract_main_content,
+        strip_html,
+    )
+
+    if extractor not in ("strip", "justext"):
+        raise ValueError(f"extractor={extractor!r}: "
+                         "expected 'strip' or 'justext'")
 
     keep = records.where(
         (
@@ -385,7 +397,12 @@ def warc_records_to_documents(records: DataFrame) -> DataFrame:
             })
 
     decoded = keep.mapInPandas(decode, schema=out_schema)
-    stripped = strip_html(decoded, text_col="raw_text", out_col="plain")
+    if extractor == "justext":
+        stripped = extract_main_content(
+            decoded, text_col="raw_text", out_col="plain")
+    else:
+        stripped = strip_html(decoded, text_col="raw_text",
+                              out_col="plain")
     text = F.when(F.col("is_html"), F.col("plain")).otherwise(
         F.trim(F.col("raw_text")))
     return stripped.select(
@@ -399,11 +416,13 @@ def warc_records_to_documents(records: DataFrame) -> DataFrame:
 
 
 def warc_to_documents(
-    spark: SparkSession, path: str, **read_kwargs,
+    spark: SparkSession, path: str, extractor: str = "strip",
+    **read_kwargs,
 ) -> DataFrame:
     """``read_warc`` piped into ``warc_records_to_documents`` — the
     one-call Common-Crawl-to-corpus front door."""
-    return warc_records_to_documents(read_warc(spark, path, **read_kwargs))
+    return warc_records_to_documents(
+        read_warc(spark, path, **read_kwargs), extractor=extractor)
 
 
 #: mime prefix → media kind, the triage split probe_media understands

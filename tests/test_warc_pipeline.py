@@ -194,3 +194,31 @@ def test_warc_records_to_media_end_to_end(spark, tmp_path):
     with redirect_stdout(buf):
         media.explain("simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_warc_to_documents_justext_extractor(spark, tmp_path):
+    """extractor='justext' keeps the prose of an html response and
+    drops its nav/footer boilerplate, while WET conversion records
+    pass through untouched; the default 'strip' keeps everything."""
+    d = tmp_path / "jx-warcs"
+    d.mkdir()
+    html = (f'<nav><a href="/">Home</a> <a href="/a">About</a>'
+            f'<a href="/c">Contact</a></nav><p>{PARA}</p>'
+            f'<footer><a href="/t">Terms</a> <a href="/p">Privacy</a>'
+            f'<a href="/i">Imprint</a></footer>').encode()
+    recs = [
+        _rec("r1", "http://a.example/1", _http(html)),
+        _rec("wet1", "http://a.example/w", (PARA + " wet tail").encode(),
+             wtype="conversion", content_type="text/plain"),
+    ]
+    (d / "a.warc.gz").write_bytes(W.write_warc_file(recs, gzip_members=True))
+
+    jx = {r.url: r.text for r in W.warc_to_documents(
+        spark, str(d), extractor="justext").collect()}
+    assert "quick brown fox" in jx["http://a.example/1"]
+    assert "Home" not in jx["http://a.example/1"]
+    assert jx["http://a.example/w"].endswith("wet tail")
+
+    plain = {r.url: r.text for r in W.warc_to_documents(
+        spark, str(d)).collect()}
+    assert "Home" in plain["http://a.example/1"]  # strip keeps all

@@ -601,33 +601,66 @@ URL_PATTERN = r"https?://[^\s]+"
 # prices) never match — the over-match failure mode of corpus scrubs
 PHONE_PATTERN = r"(\+[0-9]{1,2}[ -])?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}"
 IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# payment-card candidates: 13-19 digits with optional single space or
+# hyphen separators (ISO/IEC 7812 PAN lengths)
+CARD_PATTERN = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn mod-10 check (ISO/IEC 7812-1) over a candidate with
+    optional space/hyphen separators — pure Catalyst array math: from
+    the RIGHTMOST digit, double every second one, subtract 9 when the
+    double exceeds 9, sum ≡ 0 (mod 10)."""
+    rev = F.reverse(F.regexp_replace(cand, "[ -]", ""))
+    digits = F.filter(F.split(rev, ""), lambda c: c != "")
+    vals = F.transform(
+        digits,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9)
+            .otherwise(c.cast("int") * 2),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return total % 10 == 0
 
 
 def scrub_pii(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Redact emails, URLs, phone numbers, and IPv4 addresses (the
-    standard PII/noise scrub a web-scale training corpus applies),
-    reporting per-doc counts and the cleaned length.  Pure-Column
-    regexp ops — whole-stage codegen, and the patterns are
-    RE2-compatible so the DuckDB oracle runs them verbatim.
+    """Redact emails, URLs, phone numbers, IPv4 addresses, and
+    payment-card numbers (the standard PII/noise scrub a web-scale
+    training corpus applies), reporting per-doc counts and the cleaned
+    length.  Pure-Column regexp + array ops — whole-stage codegen, and
+    the patterns are RE2-compatible so the DuckDB oracle runs them
+    verbatim.
 
-    Replacement order is email → URL → IP → phone and counts are taken
-    on the ORIGINAL text, so an IP inside a URL counts as both but is
-    redacted once (as part of the <URL>); keep both engines in this
-    exact order."""
+    Replacement order is email → URL → IP → phone → card and counts
+    are taken on the ORIGINAL text, so an IP inside a URL counts as
+    both but is redacted once (as part of the <URL>); keep both
+    engines in this exact order.  Card REDACTION is deliberately
+    conservative: every 13-19-digit run is replaced (a long digit run
+    carries no training value and might be a mistyped PAN), while
+    ``n_cards`` counts only candidates passing the Luhn mod-10 check —
+    the actual-card signal a privacy audit reads."""
     text = F.col(text_col)
     cleaned = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
-                F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
-                URL_PATTERN, "<URL>"),
-            IPV4_PATTERN, "<IP>"),
-        PHONE_PATTERN, "<PHONE>",
+                F.regexp_replace(
+                    F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+                    URL_PATTERN, "<URL>"),
+                IPV4_PATTERN, "<IP>"),
+            PHONE_PATTERN, "<PHONE>"),
+        CARD_PATTERN, "<CARD>",
     )
 
     def _n(pattern):
         return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+    n_cards = F.size(F.filter(
+        F.regexp_extract_all(text, F.lit(CARD_PATTERN), F.lit(0)),
+        luhn_valid))
 
     return df.select(
         F.col(id_col),
@@ -635,6 +668,7 @@ def scrub_pii(
         _n(URL_PATTERN).alias("n_urls"),
         _n(PHONE_PATTERN).alias("n_phones"),
         _n(IPV4_PATTERN).alias("n_ips"),
+        n_cards.alias("n_cards"),
         F.length(cleaned).alias("clean_len"),
         cleaned.alias("clean_text"),
     )

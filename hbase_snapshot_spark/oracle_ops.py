@@ -841,13 +841,25 @@ FROM (
 
 
 def scrub_pii_sql(email_pattern: str, url_pattern: str,
-                  phone_pattern: str, ipv4_pattern: str) -> str:
+                  phone_pattern: str, ipv4_pattern: str,
+                  card_pattern: str) -> str:
     """SQL twin of text.scrub_pii — the patterns are RE2-compatible so
     they run verbatim in DuckDB ('g' = replace all, matching Spark's
-    regexp_replace).  Mirrors the query's synthetic email+URL+phone+IP
-    suffix so the comparison proves pattern agreement, not just zero
-    counts; replacement order email → URL → IP → phone matches the
-    operator."""
+    regexp_replace).  Mirrors the query's synthetic
+    email+URL+phone+IP+card suffix so the comparison proves pattern
+    agreement, not just zero counts; replacement order email → URL →
+    IP → phone → card matches the operator, and n_cards replays the
+    Luhn mod-10 lambda over the candidate list (1-based index: even
+    positions of the reversed digit string double, matching Spark's
+    0-based odd)."""
+    rev = "reverse(regexp_replace(c, '[ -]', '', 'g'))"
+    dig = f"CAST(substr({rev}, CAST(i AS INT), 1) AS INT)"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({rev}) + 1), i -> "
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 "
+        f"ELSE 2 * {dig} END ELSE {dig} END)) % 10 = 0"
+    )
     return f"""
 WITH d AS (
   SELECT doc_id,
@@ -855,7 +867,11 @@ WITH d AS (
               || 'https://ex.io/d/' || doc_id
               || ' call +1 555-123-4567 or ('
               || (doc_id % 800 + 200) || ') 987-6543 from 10.0.'
-              || (doc_id % 256) || '.7 now' AS text
+              || (doc_id % 256) || '.7 now'
+              || ' pay 4111 1111 1111 1111 not 4111 1111 1111 1112'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' backup 5500-0000-0000-0004' ELSE '' END
+           AS text
   FROM documents
 )
 SELECT doc_id,
@@ -863,11 +879,15 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{url_pattern}')) AS n_urls,
        len(regexp_extract_all(text, '{phone_pattern}')) AS n_phones,
        len(regexp_extract_all(text, '{ipv4_pattern}')) AS n_ips,
+       len(list_filter(regexp_extract_all(text, '{card_pattern}'),
+                       c -> {luhn})) AS n_cards,
        length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(
                 text, '{email_pattern}', '<EMAIL>', 'g'),
                       '{url_pattern}', '<URL>', 'g'),
                       '{ipv4_pattern}', '<IP>', 'g'),
-                      '{phone_pattern}', '<PHONE>', 'g')) AS clean_len
+                      '{phone_pattern}', '<PHONE>', 'g'),
+                      '{card_pattern}', '<CARD>', 'g')) AS clean_len
 FROM d
 """
 

@@ -2556,3 +2556,27 @@ def test_extract_main_content_property_vs_reference(spark):
     # the battery must actually exercise all three classes
     assert any(v[2] for v in got.values() if v and v[2])
     assert any(v and v[1] and v[2] == 0 for v in got.values())
+
+
+def test_scrub_pii_cards_luhn(spark):
+    """Card scrub: 13-19-digit runs redact unconditionally (the
+    conservative policy), n_cards counts only Luhn-valid candidates;
+    phones/order-numbers below 13 digits stay untouched."""
+    from hbase_snapshot_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111 1111 1111 1111 today"),          # valid PAN
+            (2, "ref 4111 1111 1111 1112 invalid"),        # Luhn-red
+            (3, "amex 3782 822463 10005 ok"),              # 15d valid
+            (4, "call 555-123-4567 order 123456789012"),   # 10d/12d: no
+            (5, "iban-ish 5500-0000-0000-0004 and 4111 1111 1111 1111"),
+        ],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert rows[1].n_cards == 1 and "<CARD>" in rows[1].clean_text
+    assert rows[2].n_cards == 0 and "<CARD>" in rows[2].clean_text
+    assert rows[3].n_cards == 1
+    assert rows[4].n_cards == 0 and "<CARD>" not in rows[4].clean_text
+    assert rows[5].n_cards == 2
+    assert rows[5].clean_text.count("<CARD>") == 2

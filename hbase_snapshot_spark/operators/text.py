@@ -895,6 +895,41 @@ def winnow_fingerprints(
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
+#: tracking query parameters every corpus canonicalizer strips
+TRACKING_PARAMS_RE = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*"
+_SCHEME_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """URL canonicalization for corpus-level URL dedup (the
+    RefinedWeb/CCNet-style pre-dedup normalization): lowercase the
+    scheme+authority (path/query stay case-sensitive per RFC 3986),
+    drop the fragment, drop default ports (http:80 / https:443), strip
+    tracking parameters (utm_*, gclid, fbclid, ref) with separator
+    tidy-up, and give an empty path a '/'.  Pure-Column regexp chain —
+    and deliberately ZERO capture-group replacements, because Java
+    spells backrefs '$1' while RE2/DuckDB spell them '\\\\1' and a
+    shared-pattern oracle must run the same strings verbatim.
+    Non-URL strings (no scheme://authority) pass through unchanged."""
+    u = F.col(url) if isinstance(url, str) else url
+    sh = F.lower(F.regexp_extract(u, _SCHEME_HOST_RE, 0))
+    rest = F.regexp_replace(u, _SCHEME_HOST_RE, "")
+    # fragment first: nothing after '#' survives
+    rest = F.regexp_replace(rest, r"(?s)#.*$", "")
+    # tracking params: non-leading ones drop with their '&'; a leading
+    # one hands '?' to the next param; a lone one drops with its '?'
+    rest = F.regexp_replace(rest, "&" + TRACKING_PARAMS_RE, "")
+    rest = F.regexp_replace(rest, r"\?" + TRACKING_PARAMS_RE + "&", "?")
+    rest = F.regexp_replace(rest, r"\?" + TRACKING_PARAMS_RE + "$", "")
+    sh = F.when(
+        sh.startswith("http://"), F.regexp_replace(sh, ":80$", "")
+    ).when(
+        sh.startswith("https://"), F.regexp_replace(sh, ":443$", "")
+    ).otherwise(sh)
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(sh == "", u).otherwise(F.concat(sh, rest))
+
+
 def url_host(url: Column | str) -> Column:
     """Registered host of a hierarchical URL, lowercased: scheme '://'
     [userinfo '@'] HOST [':' port] — empty string when the value does

@@ -1337,8 +1337,56 @@ SELECT e.doc_id,
        CAST(len(wsel.sel) AS BIGINT) AS n_winnow,
        md5(array_to_string(list_transform(wsel.sel,
            x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest,
-       b.blocked AS blocked
+       b.blocked AS blocked,
+       cn.canon AS canon
 FROM e JOIN wsel ON e.doc_id = wsel.doc_id JOIN b ON e.doc_id = b.doc_id
+JOIN (""" + canonicalize_branch_sql() + r""") cn ON e.doc_id = cn.doc_id
+"""
+
+
+def canonicalize_branch_sql() -> str:
+    """SQL twin of text.canonicalize_url over q_fingerprint's messy
+    synthetic URL (upper-cased scheme+host every 5th doc, default :80
+    port every 4th, a :8080 keeper every 4th+1, tracking params
+    bracketing a real one, fragment).  Applies the IDENTICAL regexp
+    chain with the same shared pattern constants — possible because
+    the chain uses no capture-group replacements (Java '$1' vs RE2
+    '\\\\1' would diverge)."""
+    from hbase_snapshot_spark.operators.text import (
+        _SCHEME_HOST_RE,
+        TRACKING_PARAMS_RE,
+    )
+
+    return rf"""
+WITH msrc AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'http://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+         || '.Example.org'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                  WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+         || '/Doc/' || doc_id
+         || '?utm_source=feed&id=' || (doc_id % 7)
+         || '&fbclid=abc#sec' AS u
+  FROM documents
+),
+mparts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '{_SCHEME_HOST_RE}', 0)) AS sh,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(u, '{_SCHEME_HOST_RE}', ''),
+           '(?s)#.*$', ''),
+           '&{TRACKING_PARAMS_RE}', '', 'g'),
+           '\?{TRACKING_PARAMS_RE}&', '?'),
+           '\?{TRACKING_PARAMS_RE}$', '') AS rest
+  FROM msrc
+)
+SELECT doc_id,
+       (CASE WHEN sh LIKE 'http://%' THEN regexp_replace(sh, ':80$', '')
+             WHEN sh LIKE 'https://%' THEN regexp_replace(sh, ':443$', '')
+             ELSE sh END)
+       || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS canon
+FROM mparts
 """
 
 

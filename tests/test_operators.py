@@ -2580,3 +2580,38 @@ def test_scrub_pii_cards_luhn(spark):
     assert rows[4].n_cards == 0 and "<CARD>" not in rows[4].clean_text
     assert rows[5].n_cards == 2
     assert rows[5].clean_text.count("<CARD>") == 2
+
+
+def test_canonicalize_url(spark):
+    from hbase_snapshot_spark.operators.text import canonicalize_url
+
+    cases = [
+        # scheme+host lowercase, path case preserved
+        ("HTTP://Ex.COM/Path/File", "http://ex.com/Path/File"),
+        # default ports drop, non-default stay
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        # fragment drops
+        ("https://ex.com/a#sec-2", "https://ex.com/a"),
+        # tracking params: lone / leading / middle / trailing
+        ("https://ex.com/a?utm_source=f", "https://ex.com/a"),
+        ("https://ex.com/a?utm_a=1&id=3", "https://ex.com/a?id=3"),
+        ("https://ex.com/a?id=3&fbclid=x&b=2", "https://ex.com/a?id=3&b=2"),
+        ("https://ex.com/a?id=3&gclid=x", "https://ex.com/a?id=3"),
+        ("https://ex.com/a?utm_a=1&utm_b=2", "https://ex.com/a"),
+        # ref is stripped but prefix-matching must not eat 'referrer'
+        ("https://ex.com/a?ref=x&referrer=keep",
+         "https://ex.com/a?referrer=keep"),
+        # empty path -> '/'; everything composes
+        ("HTTPS://A.B:443?utm_x=1#f", "https://a.b/"),
+        # non-URLs pass through
+        ("not a url", "not a url"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url("u").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

@@ -171,6 +171,50 @@ def strip_html(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, c)
 
 
+def html_metadata(df: DataFrame, text_col: str = "text",
+                  prefix: str = "meta_") -> DataFrame:
+    """Document-level HTML metadata — the head fields a corpus keeps as
+    provenance/quality columns before the body is reduced to plain
+    text: ``<prefix>title``, ``<prefix>description`` (meta
+    name=description), ``<prefix>canonical`` (link rel=canonical
+    href), ``<prefix>lang`` (html lang attribute, lowercased).  Empty
+    match → null (not '').  Pure-Column regexp_extract chain — a
+    projection fused into the scan; attribute order inside the tags is
+    accommodated for the common forms (name before content / rel
+    before href and the reverse)."""
+    c = F.col(text_col)
+
+    def first_nonempty(*pats):
+        col = None
+        for p in pats:
+            e = F.regexp_extract(c, p, 1)
+            col = e if col is None else F.when(col != "", col).otherwise(e)
+        return F.when(col != "", col)
+
+    title = first_nonempty(r"(?is)<title[^>]*>(.*?)</title\s*>")
+    desc = first_nonempty(
+        r"(?is)<meta\b[^>]*\bname\s*=\s*['\"]description['\"][^>]*"
+        r"\bcontent\s*=\s*['\"]([^'\"]*)['\"]",
+        r"(?is)<meta\b[^>]*\bcontent\s*=\s*['\"]([^'\"]*)['\"][^>]*"
+        r"\bname\s*=\s*['\"]description['\"]",
+    )
+    canon = first_nonempty(
+        r"(?is)<link\b[^>]*\brel\s*=\s*['\"]canonical['\"][^>]*"
+        r"\bhref\s*=\s*['\"]([^'\"]*)['\"]",
+        r"(?is)<link\b[^>]*\bhref\s*=\s*['\"]([^'\"]*)['\"][^>]*"
+        r"\brel\s*=\s*['\"]canonical['\"]",
+    )
+    lang = first_nonempty(
+        r"(?is)<html\b[^>]*\blang\s*=\s*['\"]([^'\"]*)['\"]")
+    return (
+        df.withColumn(prefix + "title",
+                      F.trim(F.regexp_replace(title, _WS, " ")))
+        .withColumn(prefix + "description", desc)
+        .withColumn(prefix + "canonical", canon)
+        .withColumn(prefix + "lang", F.lower(lang))
+    )
+
+
 #: jusText-style English function words (the "stopword density"
 #: feature's word list — a block of real prose sits well above 0.30,
 #: navigation/boilerplate far below).  Parameterizable per language.

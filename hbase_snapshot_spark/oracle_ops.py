@@ -1283,7 +1283,11 @@ def fingerprint_sql() -> str:
     return r"""
 WITH h AS (
   SELECT doc_id, source, text,
-         '<html><head><title>T</title><style type="text/css">'
+         '<html lang="EN-' || (doc_id % 4) || '"><head><title>T</title>'
+         || '<meta name="description" content="d' || (doc_id % 9)
+         || '"><link rel="canonical" href="https://c.example/p/'
+         || doc_id
+         || '"><style type="text/css">'
          || 'p{color:red}</style></head><body onload="init()">'
          || '<!-- header --><p class="x">' || text
          || '</p><script type="text/javascript">if (1 < 2) { go(); }'
@@ -1338,7 +1342,13 @@ SELECT e.doc_id,
        md5(array_to_string(list_transform(wsel.sel,
            x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest,
        b.blocked AS blocked,
-       cn.canon AS canon
+       cn.canon AS canon,
+       -- html_metadata twin: the closed form of the shell's head
+       -- fields (the urlkey pattern — construction is shared, so the
+       -- engine's extraction regexes must reproduce these exactly)
+       'd' || (e.doc_id % 9) AS meta_description,
+       'https://c.example/p/' || e.doc_id AS meta_canonical,
+       'en-' || (e.doc_id % 4) AS meta_lang
 FROM e JOIN wsel ON e.doc_id = wsel.doc_id JOIN b ON e.doc_id = b.doc_id
 JOIN (""" + canonicalize_branch_sql() + r""") cn ON e.doc_id = cn.doc_id
 """

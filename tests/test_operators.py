@@ -2615,3 +2615,32 @@ def test_canonicalize_url(spark):
         "i", canonicalize_url("u").alias("c")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_html_metadata(spark):
+    from hbase_snapshot_spark.operators.text import html_metadata
+
+    docs = spark.createDataFrame([
+        (1, '<html lang="EN-us"><head><title> A  Title </title>'
+            '<meta name="description" content="a desc here">'
+            '<link rel="canonical" href="https://ex.com/a"></head>'
+            '<body>x</body></html>'),
+        # reversed attribute order + single quotes
+        (2, "<html><head><meta content='rev desc' name='description'>"
+            "<link href='https://ex.com/b' rel='canonical'>"
+            "</head><body>x</body></html>"),
+        (3, "<p>no head at all</p>"),
+        (4, None),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in html_metadata(docs).collect()}
+    assert rows[1].meta_title == "A Title"
+    assert rows[1].meta_description == "a desc here"
+    assert rows[1].meta_canonical == "https://ex.com/a"
+    assert rows[1].meta_lang == "en-us"
+    assert rows[2].meta_description == "rev desc"
+    assert rows[2].meta_canonical == "https://ex.com/b"
+    assert rows[3].meta_title is None and rows[3].meta_lang is None
+    assert rows[4].meta_title is None
+    plan = (html_metadata(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -60,6 +60,94 @@ def chunk_documents(
     )
 
 
+#: sentence boundary: terminal punctuation (optionally closing quotes/
+#: brackets) followed by whitespace and an upper-case/digit opener.
+#: Java lookarounds — this op is Spark-side only (RE2/DuckDB have no
+#: lookaround, so there is no verbatim oracle; the differential test
+#: against a pure-Python reference is the correctness pin).
+#: two FIXED-width lookbehinds (bare terminal; terminal+closer) — a
+#: variable-width one would be Java-only and break the Python
+#: differential reference
+SENTENCE_SPLIT_RE = (
+    r"(?:(?<=[.!?])|(?<=[.!?][\"')\]]))\s+(?=[\"'(\[]?[A-Z0-9])"
+)
+
+
+def chunk_documents_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    ws: str = r"\s+",
+) -> DataFrame:
+    """Sentence-aware chunking: split each document into sentences
+    (terminal-punctuation heuristic) and GREEDILY pack consecutive
+    sentences into chunks of at most ``chunk_tokens`` whitespace
+    tokens — the context-preparation step for embedding/retrieval
+    corpora, where a window cut mid-sentence poisons the vector.  A
+    single sentence longer than the budget becomes its own oversized
+    chunk (kept whole — the fixed-window ``chunk_documents`` is the
+    tool for pathological rows).  Adds the same ``chunk_idx`` /
+    ``chunk_text`` / ``n_chunk_tokens`` columns, so packing/sharding
+    compose unchanged.
+
+    Pure Catalyst, NO shuffle: the greedy assignment is one
+    ``aggregate`` fold over the per-sentence token counts (state =
+    current chunk id + its running token count + the assignment list),
+    then chunks materialize by index — O(chunks × sentences) cheap int
+    work per row inside codegen."""
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), SENTENCE_SPLIT_RE),
+        lambda s: F.trim(s) != "")
+    counts = F.transform(
+        sents, lambda s: F.size(F.split(F.trim(s), ws)))
+    init = F.struct(
+        F.lit(0).alias("cid"),
+        F.lit(0).alias("tok"),
+        F.array().cast("array<int>").alias("assign"),
+    )
+
+    def step(st, c):
+        overflow = (st["tok"] + c > chunk_tokens) & (st["tok"] > 0)
+        cid = F.when(overflow, st["cid"] + 1).otherwise(st["cid"])
+        tok = F.when(overflow, c).otherwise(st["tok"] + c)
+        return F.struct(
+            cid.alias("cid"), tok.alias("tok"),
+            F.concat(st["assign"], F.array(cid)).alias("assign"))
+
+    assign = F.aggregate(counts, init, step)["assign"]
+
+    def materialize(sn, asg):
+        ids = F.sequence(F.lit(0), F.array_max(asg))
+        pairs = F.zip_with(
+            sn, asg, lambda s, a: F.struct(s.alias("s"), a.alias("a")))
+        return F.transform(
+            ids,
+            lambda k: F.array_join(
+                F.transform(
+                    F.filter(pairs, lambda p: p["a"] == k),
+                    lambda p: F.trim(p["s"])),
+                " "))
+
+    chunks = F.when(
+        F.size(sents) > 0,
+        F.transform(F.array(F.struct(
+            sents.alias("sn"), assign.alias("asg"))),
+            lambda b: materialize(b["sn"], b["asg"]))[0],
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn("_chunks", chunks)
+        .select("*", F.posexplode_outer("_chunks")
+                .alias("chunk_idx", "chunk_text"))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .withColumn(
+            "n_chunk_tokens",
+            F.when(F.col("chunk_text").isNotNull(),
+                   F.size(F.split(F.col("chunk_text"), ws)))
+            .cast("long"))
+        .drop("_chunks")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col,

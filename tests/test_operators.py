@@ -2644,3 +2644,72 @@ def test_html_metadata(spark):
     plan = (html_metadata(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_sentences(spark):
+    """Sentence-aware chunking: no chunk boundary falls mid-sentence,
+    budgets respected (oversized sentences stay whole), and the greedy
+    fold agrees with a pure-Python reference on a seeded battery."""
+    import random
+    import re as _re
+
+    from hbase_snapshot_spark.operators.packing import (
+        SENTENCE_SPLIT_RE,
+        chunk_documents_sentences,
+    )
+
+    cap = 8
+
+    def ref(text):
+        if text is None:
+            return [None]
+        sents = [s for s in _re.split(SENTENCE_SPLIT_RE, text.strip())
+                 if s.strip()]
+        if not sents:
+            return [None]
+        chunks, cur, tok = [], [], 0
+        for s in sents:
+            c = len(_re.split(r"\s+", s.strip()))
+            if tok + c > cap and tok > 0:
+                chunks.append(" ".join(x.strip() for x in cur))
+                cur, tok = [s], c
+            else:
+                cur.append(s)
+                tok += c
+        chunks.append(" ".join(x.strip() for x in cur))
+        return chunks
+
+    rng = random.Random(7)
+    docs = [(997, None), (998, ""), (999, "One tiny sentence.")]
+    for i in range(40):
+        n_sents = rng.randrange(1, 9)
+        parts = []
+        for _ in range(n_sents):
+            words = ["Word" if j == 0 else "word"
+                     for j in range(rng.randrange(1, 13))]
+            parts.append(" ".join(words) + rng.choice([".", "!", "?"]))
+        docs.append((i, " ".join(parts)))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents_sentences(sdf, chunk_tokens=cap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (
+            r.chunk_text, r.n_chunk_tokens)
+    for doc_id, text in docs:
+        want = ref(text)
+        if want == [None]:
+            assert got[doc_id] == {None: (None, None)}, doc_id
+            continue
+        assert len(got[doc_id]) == len(want), (doc_id, got[doc_id], want)
+        for k, w in enumerate(want):
+            ct, n = got[doc_id][k]
+            assert ct == w, (doc_id, k, ct, w)
+            assert n == len(w.split(" "))
+            # budget: every chunk of >1 sentence fits the cap
+            if ct.count(".") + ct.count("!") + ct.count("?") > 1:
+                assert n <= cap
+
+    # plan: per-row generator — no Exchange, no Python
+    plan = (chunk_documents_sentences(sdf, chunk_tokens=cap)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

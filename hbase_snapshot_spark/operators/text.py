@@ -848,6 +848,39 @@ def clean_text(
     return df.withColumn(text_col, c)
 
 
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", form: str = "NFKC",
+    id_col: "str | None" = None,
+) -> DataFrame:
+    """Unicode normalization (UAX #15) of a text column — the
+    canonicalization step tokenizer training assumes (SentencePiece
+    defaults to NFKC): full-width forms narrow, compatibility ligatures
+    expand, combining sequences compose.  There is no Catalyst NFKC
+    builtin, so this is the one text op that runs as an Arrow-batched
+    ``mapInPandas`` over Python's ``unicodedata`` (the reference
+    implementation of the property itself — no differential gap to
+    close); everything stays shuffle-free and batch-shaped.  Preserves
+    the input schema, replacing ``text_col`` in place."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form={form!r}: not a UAX #15 form")
+    schema = df.schema
+    cols = df.columns
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf[text_col] = pd.Series(
+                [unicodedata.normalize(form, t) if t is not None else None
+                 for t in pdf[text_col]],
+                index=pdf.index, dtype=object)
+            yield pdf[cols]
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ------------------------------------------------------- winnowing
 
 def winnow_fingerprints(

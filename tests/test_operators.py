@@ -2713,3 +2713,28 @@ def test_chunk_documents_sentences(spark):
     plan = (chunk_documents_sentences(sdf, chunk_tokens=cap)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_unicode(spark):
+    import unicodedata
+
+    from hbase_snapshot_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "ｆｕｌｌｗｉｄｔｈ ﬁnal ①"),        # full-width, ligature, circled
+        (2, "cafe\u0301 nai\u0308ve"),  # combining -> composed
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in normalize_unicode(df).collect()}
+    for i, t in rows:
+        want = unicodedata.normalize("NFKC", t) if t is not None else None
+        assert got[i] == want, (i, got[i], want)
+    assert got[1] == "fullwidth final 1"
+    assert got[2] == "caf\u00e9 na\u00efve"
+    # schema preserved, shuffle-free
+    out = normalize_unicode(df)
+    assert out.schema == df.schema
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

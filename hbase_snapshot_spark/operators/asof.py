@@ -141,3 +141,49 @@ def funnel_depth(
         F.col("_f.first_ts").alias("first_ts"),
         F.col("_f.last_ts").alias("last_ts"),
     )
+
+
+#: one week of epoch nanoseconds — the default cohort period
+WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ns: int = WEEK_NS,
+) -> DataFrame:
+    """Cohort retention matrix over an event stream — the standard
+    product-analytics rollup next to sessions and funnels: users are
+    cohorted by their FIRST active period (integer division of the
+    epoch-nanos timestamp, exact — float division could flip a
+    boundary event between engines), and each (cohort, offset) cell
+    counts the cohort's users active ``offset`` periods later.
+    Returns (cohort, offset, n_users, cohort_size, retention) with
+    retention = round(n_users / cohort_size, 6); offset 0 is the
+    cohort size by construction.
+
+    100 TB shape: the input collapses to DISTINCT (user, period) pairs
+    first (one shuffle with map-side partial aggregation — the pair
+    count is users × active-periods, tiny next to raw events); the
+    cohort min is a second user-keyed aggregation; the final matrix
+    aggregation carries matrix-sized rows.  Nothing joins or shuffles
+    raw events twice, and the retention window is per-cohort over the
+    already-matrix-sized result."""
+    period = F.expr(f"CAST({ts_col} div {period_ns} AS BIGINT)")
+    up = (df.select(F.col(user_col).alias("_u"), period.alias("period"))
+          .distinct())
+    cohorts = up.groupBy("_u").agg(F.min("period").alias("cohort"))
+    ret = (
+        up.join(cohorts, "_u")
+        .groupBy("cohort",
+                 (F.col("period") - F.col("cohort")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("cohort")
+    size = F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(w)
+    return (
+        ret.withColumn("cohort_size", size)
+        .withColumn("retention",
+                    F.round(F.col("n_users") / F.col("cohort_size"), 6))
+    )

@@ -2738,3 +2738,31 @@ def test_normalize_unicode(spark):
     assert out.schema == df.schema
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cohort_retention(spark):
+    """hand-computed cohort matrix: users cohorted by first active
+    week, cells count active users at each offset, retention fractions
+    against the offset-0 size; the input collapses to distinct
+    (user, period) pairs before any join (plan: raw events never
+    shuffle twice)."""
+    from hbase_snapshot_spark.operators.asof import WEEK_NS, cohort_retention
+
+    W = WEEK_NS
+    rows = [
+        # cohort week 0: u1 active w0,w1,w2; u2 active w0,w2; u3 w0
+        (1, 0), (1, W), (1, 2 * W), (1, 2 * W + 5),  # dup in-period
+        (2, 10), (2, 2 * W + 1),
+        (3, 20),
+        # cohort week 1: u4 active w1, w3
+        (4, W + 3), (4, 3 * W),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {(r.cohort, r.offset): (r.n_users, r.cohort_size, r.retention)
+           for r in cohort_retention(df).collect()}
+    assert got[(0, 0)] == (3, 3, 1.0)
+    assert got[(0, 1)] == (1, 3, round(1 / 3, 6))
+    assert got[(0, 2)] == (2, 3, round(2 / 3, 6))
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert got[(1, 2)] == (1, 1, 1.0)
+    assert len(got) == 5  # no empty cells materialize

@@ -187,3 +187,39 @@ def cohort_retention(
         .withColumn("retention",
                     F.round(F.col("n_users") / F.col("cohort_size"), 6))
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quantile
+    scores, 1..buckets with ``buckets`` best) — the classic
+    product-analytics user scoring next to cohorts and funnels.
+    Returns (user, last_ts, frequency, monetary, r_score, f_score,
+    m_score).
+
+    Scale note: the per-user aggregation is one shuffle with map-side
+    combine (users ≪ events); the quantile ranking is ntile over the
+    USER table — inherently a global ordering, but of user-sized data,
+    and fully deterministic via the (metric, user) tie-break so two
+    engines agree exactly.  Monetary sums go through DECIMAL(18,4) so
+    float addition order can't leak into the scores."""
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_ts").asc(), F.col("user").asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user").asc())
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("user").asc())
+    return per_user.select(
+        "user", "last_ts", "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(buckets).over(r_w).alias("r_score"),
+        F.ntile(buckets).over(f_w).alias("f_score"),
+        F.ntile(buckets).over(m_w).alias("m_score"),
+    )

@@ -2766,3 +2766,25 @@ def test_cohort_retention(spark):
     assert got[(1, 0)] == (1, 1, 1.0)
     assert got[(1, 2)] == (1, 1, 1.0)
     assert len(got) == 5  # no empty cells materialize
+
+
+def test_rfm_scores(spark):
+    """hand-checked RFM: ntile quantile scores over the per-user
+    aggregates, deterministic via (metric, user) tie-breaks; monetary
+    goes through DECIMAL so float order can't leak."""
+    from hbase_snapshot_spark.operators.asof import rfm_scores
+
+    rows = []
+    # 5 users: user k has k+1 events, last ts = 100*k, value 1.5 each
+    for k in range(5):
+        for j in range(k + 1):
+            rows.append((k, 100 * k - j, 1.5))
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = {r.user: r for r in rfm_scores(df, buckets=5).collect()}
+    for k in range(5):
+        r = got[k]
+        assert r.frequency == k + 1
+        assert r.monetary == 1.5 * (k + 1)
+        # metrics all increase with k -> every score equals k+1
+        assert (r.r_score, r.f_score, r.m_score) == (k + 1, k + 1, k + 1)
+    assert got[4].last_ts == 400

@@ -112,14 +112,19 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "1 day",
     keys: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with late-data watermarking —
-    works on a stream or a batch DataFrame (same code path, Spark
-    semantics guarantee the batch result is the stream's final state)."""
+    """Event-time window counts with late-data watermarking — works on
+    a stream or a batch DataFrame (same code path, Spark semantics
+    guarantee the batch result is the stream's final state).  Default
+    tumbling; pass ``slide`` for overlapping sliding windows (each
+    event lands in window/slide windows)."""
     keys = keys or []
     wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
     return (
-        wm.groupBy(F.window(F.col(ts_col), window), *keys)
+        wm.groupBy(win, *keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("window.start").alias("window_start"),

@@ -2788,3 +2788,60 @@ def test_rfm_scores(spark):
         # metrics all increase with k -> every score equals k+1
         assert (r.r_score, r.f_score, r.m_score) == (k + 1, k + 1, k + 1)
     assert got[4].last_ts == 400
+
+
+def test_canonicalize_url_property_vs_reference(spark):
+    """Differential: canonicalize_url must agree with a pure-Python
+    reference of the same rule chain on seeded random URLs (the
+    shared patterns contain no lookaround or mid-pattern flags, so
+    Python re runs them verbatim)."""
+    import random
+    import re as _re
+
+    from hbase_snapshot_spark.operators.text import (
+        _SCHEME_HOST_RE,
+        TRACKING_PARAMS_RE,
+        canonicalize_url,
+    )
+
+    def ref(u):
+        if u is None:
+            return None
+        m = _re.match(_SCHEME_HOST_RE, u)
+        if not m:
+            return u
+        sh = m.group(0).lower()
+        rest = u[m.end():]
+        rest = _re.sub(r"(?s)#.*$", "", rest)
+        rest = _re.sub("&" + TRACKING_PARAMS_RE, "", rest)
+        rest = _re.sub(r"\?" + TRACKING_PARAMS_RE + "&", "?", rest)
+        rest = _re.sub(r"\?" + TRACKING_PARAMS_RE + "$", "", rest)
+        if sh.startswith("http://"):
+            sh = _re.sub(":80$", "", sh)
+        elif sh.startswith("https://"):
+            sh = _re.sub(":443$", "", sh)
+        return sh + (rest or "/")
+
+    rng = random.Random(1234)
+    schemes = ["http://", "https://", "HTTP://", "ftp://", ""]
+    hosts = ["Ex.com", "a.b.example.ORG", "localhost", "x--y.io"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/A/b", "/p%20q", "/x/y/z/"]
+    params = ["utm_source=a", "utm_x=", "gclid=1", "fbclid=z",
+              "ref=h", "id=3", "q=a+b", "referrer=keep", "ref=x"]
+    frags = ["", "#f", "#a?b=1", "#"]
+    urls = []
+    for _ in range(200):
+        qs = "&".join(rng.sample(params, rng.randrange(0, 4)))
+        urls.append(
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + (("?" + qs) if qs else "")
+            + rng.choice(frags))
+    urls += ["not a url", "", "http://", "https://h#", "http://H:80"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url("u").alias("c")).collect()}
+    bad = [(u, got[i], ref(u)) for i, u in enumerate(urls)
+           if got[i] != ref(u)]
+    assert not bad, bad[:5]

@@ -223,3 +223,44 @@ def rfm_scores(
         F.ntile(buckets).over(f_w).alias("f_score"),
         F.ntile(buckets).over(m_w).alias("m_score"),
     )
+
+
+def window_zscores(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: "list[str] | None" = None,
+    window_ns: int = 3600 * 1_000_000_000,
+) -> DataFrame:
+    """Per-key window-count z-scores — the spike/anomaly signal over an
+    event stream (which hours are unusually hot for each event type).
+    Buckets by exact integer division of the epoch-nanos timestamp,
+    counts per (key, window), then scores each window against its
+    key's mean/stddev: z = (n − μ) / σ (sample σ; null when the key
+    has <2 windows or zero variance).
+
+    Cross-engine determinism is by construction: every aggregate the
+    statistics need (Σn, Σn², window count) is an exact integer — the
+    only floating-point ops are the final closed-form divisions, which
+    are identical IEEE operations on identical longs in any engine.
+
+    Returns (key…, window_start_s, n, z).  One count shuffle off raw
+    events; statistics are a per-key window over the already
+    window-sized counts."""
+    keys = key_cols or ["event_type"]
+    w = F.expr(f"CAST({ts_col} div {window_ns} AS BIGINT)")
+    per = (df.groupBy(*keys, w.alias("_w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    kw = Window.partitionBy(*keys)
+    k = F.count(F.lit(1)).over(kw)
+    s1 = F.sum("n").over(kw)
+    s2 = F.sum(F.col("n") * F.col("n")).over(kw)
+    mean = s1 / k
+    var = F.when(k > 1, (s2 - s1 * s1 / k) / (k - 1))
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
+    return per.select(
+        *keys,
+        (F.col("_w") * (window_ns // 1_000_000_000))
+        .alias("window_start_s"),
+        "n",
+        F.round(z, 4).alias("z"),
+    )

@@ -2845,3 +2845,32 @@ def test_canonicalize_url_property_vs_reference(spark):
     bad = [(u, got[i], ref(u)) for i, u in enumerate(urls)
            if got[i] != ref(u)]
     assert not bad, bad[:5]
+
+
+def test_window_zscores(spark):
+    """hand-checked spike scores: the hot hour's z is the sample
+    z-score of its count against the key's windows; <2 windows or zero
+    variance -> null."""
+    from hbase_snapshot_spark.operators.asof import window_zscores
+
+    H = 3600 * 1_000_000_000
+    rows = (
+        [("a", 0 * H + i) for i in range(2)]      # hour 0: 2
+        + [("a", 1 * H + i) for i in range(2)]    # hour 1: 2
+        + [("a", 2 * H + i) for i in range(8)]    # hour 2: 8 (spike)
+        + [("b", 0, )[:1] + (0,)]                 # b: single window
+        + [("c", 0), ("c", H)]                    # c: two equal windows
+    )
+    df = spark.createDataFrame(
+        [(t, ts) for t, ts in rows], "event_type string, ts long")
+    got = {(r.event_type, r.window_start_s): (r.n, r.z)
+           for r in window_zscores(df).collect()}
+    import statistics
+
+    counts = [2, 2, 8]
+    mu = statistics.mean(counts)
+    sd = statistics.stdev(counts)
+    assert got[("a", 2 * 3600)] == (8, round((8 - mu) / sd, 4))
+    assert got[("a", 0)] == (2, round((2 - mu) / sd, 4))
+    assert got[("b", 0)][1] is None      # one window: no stats
+    assert got[("c", 0)] == (1, None)    # zero variance: null

@@ -195,33 +195,131 @@ def rfm_scores(
     ts_col: str = "ts",
     value_col: str = "value",
     buckets: int = 5,
+    range_partitions: int | None = None,
 ) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quantile
     scores, 1..buckets with ``buckets`` best) — the classic
     product-analytics user scoring next to cohorts and funnels.
     Returns (user, last_ts, frequency, monetary, r_score, f_score,
-    m_score).
+    m_score), bit-identical to ``ntile(buckets) OVER (ORDER BY metric
+    ASC, user ASC)`` per metric.
 
-    Scale note: the per-user aggregation is one shuffle with map-side
-    combine (users ≪ events); the quantile ranking is ntile over the
-    USER table — inherently a global ordering, but of user-sized data,
-    and fully deterministic via the (metric, user) tie-break so two
-    engines agree exactly.  Monetary sums go through DECIMAL(18,4) so
-    float addition order can't leak into the scores."""
+    Scale shape (no single-task window anywhere): a quantile rank is a
+    pure function of a row's GLOBAL RANK in the (metric, user) total
+    order, and a global rank does not need a global window — it is
+    range partitioning plus per-partition row_number plus the running
+    count of the preceding partitions:
+
+    1. one per-user aggregation (map-side combine; users ≪ events);
+       monetary sums through DECIMAL(18,4) so float addition order
+       can't leak into the scores;
+    2. melt the three metrics to (metric, value, user) rows on a
+       common EXACT type (decimal(38,4) — bigint ts/frequency and the
+       decimal sum embed losslessly, so the sort order is exactly the
+       oracle's; a double would collapse >2^53 distinctions);
+    3. ``repartitionByRange(P, metric, value, user)`` — ascending
+       range buckets aligned with the ntile order, every bucket
+       ~3·users/P rows (the user tie-break keeps keys unique, so even
+       a constant metric splits across buckets);
+    4. per-(metric, bucket) counts → running offsets, computed from
+       the SAME range Exchange (ReuseExchange dedupes the scan — see
+       the plan pin in tests) on metadata-sized rows (P×3), then
+       broadcast-joined back: global_rank = offset + row_number over
+       (metric, bucket).  No driver collect, nothing data-sized passes
+       through one task;
+    5. the ntile value from (rank, N) in closed form with exact
+       bigint arithmetic: the first N%b buckets take ceil(N/b) rows,
+       the rest floor(N/b) — the standard SQL ntile contract both
+       Spark and DuckDB implement.
+    """
+    spark = df.sparkSession
+    P = int(range_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions"))
     per_user = df.groupBy(F.col(user_col).alias("user")).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col(value_col).cast("decimal(18,4)")).alias("monetary"),
     )
-    r_w = Window.orderBy(F.col("last_ts").asc(), F.col("user").asc())
-    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user").asc())
-    m_w = Window.orderBy(F.col("monetary").asc(), F.col("user").asc())
-    return per_user.select(
+    metrics = [("last_ts", "r_score"), ("frequency", "f_score"),
+               ("monetary", "m_score")]
+
+    def sort_key(name):
+        # exact, order-preserving embedding into the melt's common
+        # decimal(38,4): datetimes go through integer epoch micros /
+        # days (timestampdiff is pure local-datetime arithmetic, so
+        # TIMESTAMP_NTZ never takes a DST-ambiguous tz round-trip)
+        dt = dict(per_user.dtypes)[name]
+        if dt == "timestamp_ntz":
+            e = F.expr(f"timestampdiff(MICROSECOND, "
+                       f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{name}`)")
+        elif dt == "timestamp":
+            e = F.expr(f"unix_micros(`{name}`)")
+        elif dt == "date":
+            e = F.expr(f"datediff(`{name}`, DATE'1970-01-01')")
+        else:
+            e = F.col(name)
+        return e.cast("decimal(38,4)")
+
+    # melt carries ONLY (user, _m, _v) — no payload columns.  Both
+    # consumers of the range exchange (the ranked rows and the bucket
+    # counts) then prune to the identical column set, so the exchange
+    # subtrees canonicalize equal and ReuseExchange runs the melt — and
+    # with it the events scan + user aggregation — exactly ONCE.  The
+    # payload (last_ts/frequency/monetary) joins back from per_user at
+    # the end, where it reuses the user aggregation's own exchange.
+    melted = per_user.select(
+        "user",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("_m"), sort_key(m).alias("_v"))
+            for i, (m, _) in enumerate(metrics)
+        ])).alias("_e"),
+    ).select("user", F.col("_e._m").alias("_m"), F.col("_e._v").alias("_v"))
+    # explicit partition count: AQE never coalesces a user-specified
+    # repartitionByRange, so bucket ids are stable across the two
+    # consumers of the exchange
+    rp = (melted.repartitionByRange(P, "_m", "_v", "user")
+          .withColumn("_pid", F.spark_partition_id()))
+    cnt = rp.groupBy("_m", "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = (Window.partitionBy("_m").orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    meta = cnt.select(
+        "_m", "_pid",
+        (F.sum("_c").over(off_w) - F.col("_c")).alias("_off"),
+        F.sum("_c").over(Window.partitionBy("_m")).alias("_N"),
+    )
+    rn_w = (Window.partitionBy("_m", "_pid")
+            .orderBy(F.col("_v").asc(), F.col("user").asc()))
+    ranked = (
+        rp.join(F.broadcast(meta), ["_m", "_pid"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(rn_w))
+        .withColumn("_q", F.expr(f"_N div {buckets}"))
+        .withColumn("_r", F.expr(f"_N % {buckets}"))
+        # greatest(_q, 1L): the divisor branch is unreachable when
+        # _q = 0 (rank ≤ N = cut), but ANSI mode + common-subexpression
+        # elimination can still evaluate the dead division
+        .withColumn("_tile", F.expr(
+            "CASE WHEN _rn <= _r * (_q + 1)"
+            "     THEN (_rn - 1) div (_q + 1) + 1"
+            "     ELSE _r + (_rn - _r * (_q + 1) - 1)"
+            "              div greatest(_q, 1L) + 1 END"))
+    )
+    scores = ranked.groupBy(F.col("user").alias("_user")).agg(*[
+        F.max(F.when(F.col("_m") == i, F.col("_tile")))
+        .cast("int").alias(score)
+        for i, (_, score) in enumerate(metrics)
+    ])
+    # null-safe equality: a NULL user group must keep its scores (plain
+    # inner join would drop it), and — just as important for the plan —
+    # eqNullSafe pushes no isnotnull filter into the per_user side, so
+    # the aggregation subtree stays canonically identical to the melt
+    # branch's and ReuseExchange computes the events scan + user
+    # aggregation once for both consumers.
+    return per_user.join(
+        scores, F.col("user").eqNullSafe(F.col("_user"))
+    ).select(
         "user", "last_ts", "frequency",
         F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(buckets).over(r_w).alias("r_score"),
-        F.ntile(buckets).over(f_w).alias("f_score"),
-        F.ntile(buckets).over(m_w).alias("m_score"),
+        *[score for _, score in metrics],
     )
 
 
@@ -252,14 +350,24 @@ def window_zscores(
            .agg(F.count(F.lit(1)).alias("n")))
     kw = Window.partitionBy(*keys)
     k = F.count(F.lit(1)).over(kw)
-    s1 = F.sum("n").over(kw)
-    s2 = F.sum(F.col("n") * F.col("n")).over(kw)
+    # squares go through DOUBLE: s1/s2 are BIGINT sums of per-key event
+    # counts, and s1*s1 as a long multiplication overflows past ~3e9
+    # events per key (ANSI errors, non-ANSI silently corrupts z).  The
+    # double product is the correctly-rounded (double)(s1²) whenever
+    # s1 ≤ 2^53, which is exactly the value the oracle's exact-integer
+    # square rounds to at its own final float division — so the IEEE
+    # results stay identical while the overflow cliff disappears.
+    s1 = F.sum("n").over(kw).cast("double")
+    s2 = F.sum(F.col("n") * F.col("n")).over(kw).cast("double")
     mean = s1 / k
     var = F.when(k > 1, (s2 - s1 * s1 / k) / (k - 1))
     z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
     return per.select(
         *keys,
-        (F.col("_w") * (window_ns // 1_000_000_000))
+        # start in NANOS first, divide once: _w * (window_ns div 1e9)
+        # collapses every sub-second window's start to 0 (and skews any
+        # window_ns that isn't a whole second)
+        F.expr(f"(_w * {window_ns}) div 1000000000")
         .alias("window_start_s"),
         "n",
         F.round(z, 4).alias("z"),

@@ -36,6 +36,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators import packing as packing_mod
 from pyspark.sql import types as T
 
 # GPT-2-shaped pre-tokenizer (public pattern, re-stated without \p
@@ -288,7 +290,7 @@ def tokenize_and_pack(
     seq_len: int = 1024,
     overlap: int = 0,
     pack_cap: int | None = None,
-    by: str | None = None,
+    by: str | None = packing_mod.AUTO_GROUP,
 ) -> DataFrame:
     """documents → packed fixed-length token sequences, the full batch-
     construction path: BPE encode (shuffle-free mapInPandas) → split

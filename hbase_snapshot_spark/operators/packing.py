@@ -148,12 +148,20 @@ def chunk_documents_sentences(
     )
 
 
+#: pack_sequences/tokenize_and_pack default group key sentinel: hash
+#: the first order column into ``auto_groups`` buckets so the safe
+#: (distributed) path is the DEFAULT path.  The single-task global
+#: sequence is opt-in via an explicit ``by=None``.
+AUTO_GROUP = "__auto__"
+
+
 def pack_sequences(
     df: DataFrame,
     token_col,
     cap: int,
     order_col: str | list[str] = "doc_id",
-    by: str | None = None,
+    by: str | None = AUTO_GROUP,
+    auto_groups: int | None = None,
 ) -> DataFrame:
     """Add ``bin`` (0-based) and ``bin_offset`` (tokens before this doc
     within its group): bin = floor(cum_tokens_before / cap).
@@ -163,11 +171,19 @@ def pack_sequences(
     composite order, e.g. ``["doc_id", "chunk_idx"]`` over chunked
     documents).
 
-    ``by=None`` computes ONE global sequence — every row funnels through
-    a single task (Spark's no-partition window).  That is occasionally
-    what you want for a small final corpus, never for a large one: at
-    scale always pass a group key (language, shard, source).
-    """
+    The DEFAULT group key (``by=AUTO_GROUP``) is a hash of the first
+    order column into ``auto_groups`` buckets (default:
+    ``spark.sql.shuffle.partitions``), emitted as a ``pack_group``
+    column — (pack_group, bin) then identifies a pack.  All chunks of
+    one document share a group (the hash is on the document-identity
+    column), so per-document contiguity is preserved; the only cost is
+    ≤ auto_groups partially-filled final bins, noise at corpus scale.
+
+    ``by=None`` opts IN to ONE global sequence — every row funnels
+    through a single task (Spark's no-partition window).  That is
+    occasionally what you want for a small final corpus, never for a
+    large one, hence the warning and the non-default."""
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
     if by is None:
         import warnings
 
@@ -176,8 +192,16 @@ def pack_sequences(
             "task; pass a group key for large inputs",
             stacklevel=2,
         )
-    keys = [by] if by else []
-    order = [order_col] if isinstance(order_col, str) else list(order_col)
+        keys: list[str] = []
+    elif by == AUTO_GROUP:
+        g = int(auto_groups
+                or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.withColumn(
+            "pack_group",
+            F.pmod(F.xxhash64(F.col(order[0])), F.lit(g)).cast("int"))
+        keys = ["pack_group"]
+    else:
+        keys = [by]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

@@ -191,21 +191,32 @@ def html_metadata(df: DataFrame, text_col: str = "text",
             col = e if col is None else F.when(col != "", col).otherwise(e)
         return F.when(col != "", col)
 
+    # Captured attribute VALUES use one alternate per quote type
+    # (content="([^"]*)" | content='([^']*)') rather than the class
+    # ['"]([^'"]*)['"]: the class form both truncates a double-quoted
+    # value at an embedded apostrophe (content="John's site" -> "John")
+    # and accepts mismatched open/close quotes.  \s* cannot skip a
+    # quote char, so the wrong-quote alternate never matches inside the
+    # other form's value.  Fixed-literal attribute matches (the word
+    # 'description'/'canonical' itself) keep the class — no capture.
+    def quoted(attr):
+        return [attr + '\\s*=\\s*"([^"]*)"', attr + "\\s*=\\s*'([^']*)'"]
+
     title = first_nonempty(r"(?is)<title[^>]*>(.*?)</title\s*>")
-    desc = first_nonempty(
-        r"(?is)<meta\b[^>]*\bname\s*=\s*['\"]description['\"][^>]*"
-        r"\bcontent\s*=\s*['\"]([^'\"]*)['\"]",
-        r"(?is)<meta\b[^>]*\bcontent\s*=\s*['\"]([^'\"]*)['\"][^>]*"
-        r"\bname\s*=\s*['\"]description['\"]",
-    )
-    canon = first_nonempty(
-        r"(?is)<link\b[^>]*\brel\s*=\s*['\"]canonical['\"][^>]*"
-        r"\bhref\s*=\s*['\"]([^'\"]*)['\"]",
-        r"(?is)<link\b[^>]*\bhref\s*=\s*['\"]([^'\"]*)['\"][^>]*"
-        r"\brel\s*=\s*['\"]canonical['\"]",
-    )
+    desc = first_nonempty(*(
+        [r"(?is)<meta\b[^>]*\bname\s*=\s*['\"]description['\"][^>]*\b" + q
+         for q in quoted("content")]
+        + [r"(?is)<meta\b[^>]*\b" + q + r"[^>]*\bname\s*=\s*['\"]description['\"]"
+           for q in quoted("content")]
+    ))
+    canon = first_nonempty(*(
+        [r"(?is)<link\b[^>]*\brel\s*=\s*['\"]canonical['\"][^>]*\b" + q
+         for q in quoted("href")]
+        + [r"(?is)<link\b[^>]*\b" + q + r"[^>]*\brel\s*=\s*['\"]canonical['\"]"
+           for q in quoted("href")]
+    ))
     lang = first_nonempty(
-        r"(?is)<html\b[^>]*\blang\s*=\s*['\"]([^'\"]*)['\"]")
+        *[r"(?is)<html\b[^>]*\b" + q for q in quoted("lang")])
     return (
         df.withColumn(prefix + "title",
                       F.trim(F.regexp_replace(title, _WS, " ")))
@@ -972,17 +983,27 @@ def winnow_fingerprints(
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
-#: tracking query parameters every corpus canonicalizer strips
-TRACKING_PARAMS_RE = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#]*"
+#: tracking query parameters every corpus canonicalizer strips.
+#: Deliberately NOT 'ref': unlike utm_*/gclid/fbclid it is frequently
+#: load-bearing (?ref=<branch> on code hosts, ?ref=<page> pagination),
+#: and pre-dedup canonicalization that strips it merges genuinely
+#: distinct URLs and silently drops documents as duplicates.  Corpora
+#: where 'ref' IS tracking noise pass their own pattern via
+#: ``canonicalize_url(..., tracking_params_re=...)``.
+TRACKING_PARAMS_RE = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
 _SCHEME_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
-def canonicalize_url(url: Column | str) -> Column:
+def canonicalize_url(
+    url: Column | str,
+    tracking_params_re: str = TRACKING_PARAMS_RE,
+) -> Column:
     """URL canonicalization for corpus-level URL dedup (the
     RefinedWeb/CCNet-style pre-dedup normalization): lowercase the
     scheme+authority (path/query stay case-sensitive per RFC 3986),
     drop the fragment, drop default ports (http:80 / https:443), strip
-    tracking parameters (utm_*, gclid, fbclid, ref) with separator
+    tracking parameters (``tracking_params_re``, default utm_*/gclid/
+    fbclid — NOT 'ref', see TRACKING_PARAMS_RE) with separator
     tidy-up, and give an empty path a '/'.  Pure-Column regexp chain —
     and deliberately ZERO capture-group replacements, because Java
     spells backrefs '$1' while RE2/DuckDB spell them '\\\\1' and a
@@ -995,9 +1016,9 @@ def canonicalize_url(url: Column | str) -> Column:
     rest = F.regexp_replace(rest, r"(?s)#.*$", "")
     # tracking params: non-leading ones drop with their '&'; a leading
     # one hands '?' to the next param; a lone one drops with its '?'
-    rest = F.regexp_replace(rest, "&" + TRACKING_PARAMS_RE, "")
-    rest = F.regexp_replace(rest, r"\?" + TRACKING_PARAMS_RE + "&", "?")
-    rest = F.regexp_replace(rest, r"\?" + TRACKING_PARAMS_RE + "$", "")
+    rest = F.regexp_replace(rest, "&" + tracking_params_re, "")
+    rest = F.regexp_replace(rest, r"\?" + tracking_params_re + "&", "?")
+    rest = F.regexp_replace(rest, r"\?" + tracking_params_re + "$", "")
     sh = F.when(
         sh.startswith("http://"), F.regexp_replace(sh, ":80$", "")
     ).when(

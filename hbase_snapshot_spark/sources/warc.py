@@ -8,7 +8,10 @@ not splittable without an external index, the unit of parallelism is
 the FILE — exactly how every production WARC-on-Spark reader works —
 so a crawl of N archive files fans out N tasks.  At Common Crawl's
 ~1 GB/file that is the right granularity for a 1000-executor cluster;
-``read_warc`` repartitions to one file per task and the record split
+``read_warc`` relies on the ``binaryFile`` scan's own task granularity
+(never splits a file; only packs files whose combined size fits
+``spark.sql.files.maxPartitionBytes`` into one task — so real-world
+~1 GB archives get one task each with NO shuffle) and the record split
 itself streams record-by-record inside ``mapInPandas`` (Arrow-batched
 output, bounded memory: a batch is flushed every ``batch_records``
 records, never the whole archive at once).

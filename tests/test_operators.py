@@ -511,6 +511,42 @@ def test_pack_sequences(spark):
     assert out == {"d1": (0, 0), "d2": (300, 0), "d3": (600, 1), "d4": (0, 0)}
 
 
+def test_pack_sequences_default_is_grouped(spark):
+    """(r9 #3 follow-up) the DEFAULT path hashes the order column into
+    pack_group buckets — no warning, no single-task window; by=None is
+    the explicit opt-in that still warns."""
+    import warnings
+
+    from hbase_snapshot_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", 100 + i) for i in range(200)],
+        ["doc_id", "n_tokens"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        out = pack_sequences(df, "n_tokens", cap=512, auto_groups=8)
+        rows = out.collect()
+    assert "pack_group" in out.columns
+    assert {r.pack_group for r in rows} <= set(range(8))
+    # per-group invariants: offsets are the exclusive running sum in
+    # doc_id order within the group; bin = offset // cap
+    by_group: dict = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        g = by_group.setdefault(r.pack_group, [0])
+        assert r.bin_offset == g[0]
+        assert r.bin == r.bin_offset // 512
+        g[0] += r.n_tokens
+    # the plan never funnels data through one task: every Window and
+    # Sort is partitioned (a global sort prints "], true, 0")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "], true, 0" not in plan, plan
+    # explicit global packing still warns
+    import pytest as _pytest
+    with _pytest.warns(UserWarning, match="single task"):
+        pack_sequences(df, "n_tokens", cap=512, by=None)
+
+
 def test_length_bucketed_batches(spark):
     from hbase_snapshot_spark.operators.packing import (
         length_bucketed_batches, padding_efficiency)
@@ -2600,9 +2636,11 @@ def test_canonicalize_url(spark):
         ("https://ex.com/a?id=3&fbclid=x&b=2", "https://ex.com/a?id=3&b=2"),
         ("https://ex.com/a?id=3&gclid=x", "https://ex.com/a?id=3"),
         ("https://ex.com/a?utm_a=1&utm_b=2", "https://ex.com/a"),
-        # ref is stripped but prefix-matching must not eat 'referrer'
+        # 'ref' is NOT in the default strip set (load-bearing on code
+        # hosts / pagination — merging ?ref=a and ?ref=b pre-dedup
+        # would silently drop distinct documents)
         ("https://ex.com/a?ref=x&referrer=keep",
-         "https://ex.com/a?referrer=keep"),
+         "https://ex.com/a?ref=x&referrer=keep"),
         # empty path -> '/'; everything composes
         ("HTTPS://A.B:443?utm_x=1#f", "https://a.b/"),
         # non-URLs pass through
@@ -2615,6 +2653,15 @@ def test_canonicalize_url(spark):
         "i", canonicalize_url("u").alias("c")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+    # a corpus where 'ref' IS noise opts in via the argument (the
+    # prefix guard still must not eat 'referrer')
+    custom = r"(?:utm_[A-Za-z0-9_]*|ref)=[^&#]*"
+    df2 = spark.createDataFrame(
+        [(0, "https://ex.com/a?ref=x&referrer=keep")], "i long, u string")
+    [(c,)] = df2.select(
+        canonicalize_url("u", tracking_params_re=custom)).collect()
+    assert c == "https://ex.com/a?referrer=keep"
 
 
 def test_html_metadata(spark):
@@ -2631,6 +2678,16 @@ def test_html_metadata(spark):
             "</head><body>x</body></html>"),
         (3, "<p>no head at all</p>"),
         (4, None),
+        # a double-quoted value containing an apostrophe must survive
+        # whole (the ['\"]([^'\"]*)['\"] class form truncated it), and
+        # a single-quoted value may contain double quotes
+        (5, '<html lang="en"><head>'
+            '<meta name="description" content="John\'s site, &amp; co">'
+            '<link rel="canonical" href="https://ex.com/j\'s"></head>'
+            "<body>x</body></html>"),
+        (6, "<html><head>"
+            "<meta name='description' content='she said \"hi\" twice'>"
+            "</head><body>x</body></html>"),
     ], "doc_id long, text string")
     rows = {r.doc_id: r for r in html_metadata(docs).collect()}
     assert rows[1].meta_title == "A Title"
@@ -2641,6 +2698,9 @@ def test_html_metadata(spark):
     assert rows[2].meta_canonical == "https://ex.com/b"
     assert rows[3].meta_title is None and rows[3].meta_lang is None
     assert rows[4].meta_title is None
+    assert rows[5].meta_description == "John's site, &amp; co"
+    assert rows[5].meta_canonical == "https://ex.com/j's"
+    assert rows[6].meta_description == 'she said "hi" twice'
     plan = (html_metadata(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
@@ -2874,3 +2934,15 @@ def test_window_zscores(spark):
     assert got[("a", 0)] == (2, round((2 - mu) / sd, 4))
     assert got[("b", 0)][1] is None      # one window: no stats
     assert got[("c", 0)] == (1, None)    # zero variance: null
+
+    # non-whole-second window_ns: start is computed in NANOS then
+    # divided once — w * (window_ns // 1e9) would label w=2 of a 1.5s
+    # window as 2s (true start 3.0s) and collapse sub-second windows
+    # to 0
+    df2 = spark.createDataFrame(
+        [("a", 0), ("a", 1_600_000_000), ("a", 3_100_000_000)],
+        "event_type string, ts long")
+    starts = {r.window_start_s
+              for r in window_zscores(df2, window_ns=1_500_000_000)
+              .collect()}
+    assert starts == {0, 1, 3}

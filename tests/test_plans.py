@@ -341,3 +341,63 @@ def test_url_key_stays_jvm_side(spark):
     ).select(url_key(F.col("url")).alias("key"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_rfm_scores_no_single_task_window(spark):
+    """rfm_scores (VERDICT r9 #1): the quantile scoring must never run
+    a data-sized single-task shape — no unpartitioned Window, no
+    Exchange SinglePartition, no global Sort anywhere in the executed
+    plan; the range exchange feeding the rank machinery must be
+    computed once (ReuseExchange) so the events scan isn't duplicated
+    across the two consumers."""
+    from hbase_snapshot_spark.operators.asof import rfm_scores
+
+    ev = spark.createDataFrame(
+        [(i % 37, (i * 131) % 10_000_000_000, float(i % 11))
+         for i in range(500)],
+        "user_id long, ts long, value double")
+    df = rfm_scores(ev)
+    df.collect()  # executed (AQE-final) plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "SinglePartition" not in final, final
+    # a global sort prints "Sort [...], true, 0"
+    assert "], true, 0" not in final, final
+    # the range shuffle is consumed twice but computed once
+    assert "ReusedExchange" in plan or "reuses" in plan, plan
+    # exactly ONE source scan survives reuse: the payload join must not
+    # recompute the per-user aggregation from the raw events
+    import re
+    scans = re.findall(r"Scan ExistingRDD|FileScan", final)
+    assert len(scans) == 1, final
+
+
+def test_rfm_scores_matches_ntile_reference(spark):
+    """bit-parity with the literal three-ntile-window formulation the
+    r9 code ran (and the DuckDB oracle still runs), including
+    duplicate metric values and N < buckets."""
+    from pyspark.sql import Window
+
+    from hbase_snapshot_spark.operators.asof import rfm_scores
+
+    ev = spark.createDataFrame(
+        [(i % 29, (i * 1_000_000_007) % 86_400_000_000_000,
+          float((i % 13)) / 7) for i in range(3000)],
+        "user_id long, ts long, value double")
+    for sub in (ev, ev.filter(F.col("user_id") < 3)):  # incl. N<buckets
+        per_user = sub.groupBy(F.col("user_id").alias("user")).agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary"))
+        ref = per_user.select(
+            "user", "last_ts", "frequency",
+            F.col("monetary").cast("double").alias("monetary"),
+            F.ntile(5).over(Window.orderBy(
+                F.col("last_ts").asc(), F.col("user").asc())).alias("r_score"),
+            F.ntile(5).over(Window.orderBy(
+                F.col("frequency").asc(), F.col("user").asc())).alias("f_score"),
+            F.ntile(5).over(Window.orderBy(
+                F.col("monetary").asc(), F.col("user").asc())).alias("m_score"))
+        got = rfm_scores(sub)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0

@@ -313,6 +313,87 @@ class Bench:
             + quality_score(docs).count()
         )
 
+    def _warc_corpus_dir(self):
+        """Synthesize (once per bench process) a multi-file member-gzip
+        .warc.gz corpus at sf-equivalent volume: every row of the sf's
+        documents table becomes one HTTP-200 HTML response record, split
+        round-robin over 8 archives (8 scan tasks).  Generation is
+        setup, excluded from all timings."""
+        if getattr(self, "_warc_dir", None):
+            return self._warc_dir
+        from hbase_snapshot_spark.sources import warc as W
+
+        docs = (self.spark.read.parquet(f"{self.sf_dir}/documents.parquet")
+                .select("doc_id", "text").collect())
+        d = os.path.join(self.workdir, "warc-corpus")
+        os.makedirs(d, exist_ok=True)
+        n_files = 32  # one archive per local core — the file IS the task
+        buckets = [[] for _ in range(n_files)]
+        for r in docs:
+            body = (f"<html><head><title>doc {r.doc_id}</title></head>"
+                    f"<body><p>{r.text}</p></body></html>").encode()
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                    + body)
+            buckets[r.doc_id % n_files].append({
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:doc-{r.doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"http://bench.example/doc/{r.doc_id}",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "block": http,
+            })
+        for i, recs in enumerate(buckets):
+            with open(os.path.join(d, f"part-{i}.warc.gz"), "wb") as f:
+                f.write(W.write_warc_file(recs, gzip_members=True))
+        self._warc_dir = d
+        return d
+
+    # -- the LLM front door end-to-end (BASELINE §K): archives → clean/
+    # extract/gate/dedup/chunk/pack → verified training shards.  Stage
+    # timings are CUMULATIVE pipelines (Spark is lazy; persisting the
+    # intermediates would change the workload being measured): stage 1
+    # re-runs inside stage 2, both inside the headline end-to-end sec.
+    def llm_front_door(self):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshot_spark.operators.pipeline import preprocess_corpus
+        from hbase_snapshot_spark.sources.shards import (
+            verify_training_shards,
+            write_training_shards,
+        )
+        from hbase_snapshot_spark.sources.warc import warc_to_documents
+
+        src_dir = self._warc_corpus_dir()
+        glob = os.path.join(src_dir, "*.warc.gz")
+        out_dir = os.path.join(self.workdir, "fd-shards")
+
+        t0 = time.time()
+        warc_to_documents(self.spark, glob).count()
+        t_ingest = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        preprocess_corpus(
+            warc_to_documents(self.spark, glob), min_quality=0.0
+        ).count()
+        t_pre = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        docs = warc_to_documents(self.spark, glob)
+        packed = preprocess_corpus(docs, min_quality=0.0)
+        manifest = write_training_shards(
+            packed, out_dir, key=F.col("doc_id"), n_shards=16)
+        problems = verify_training_shards(self.spark, out_dir, manifest)
+        assert not problems, problems
+        dt = time.time() - t0
+        return {"sec": dt, "stages": {
+            "ingest_extract": t_ingest,
+            "ingest_plus_preprocess": t_pre,
+            "end_to_end_sharded": round(dt, 3),
+        }}
+
     def tpch_q1(self):
         import __spark_entry__ as e
 
@@ -348,6 +429,7 @@ WORKLOAD_ORDER = [
     "dedup_minhash",
     "ann_topk",
     "text_pipeline",
+    "llm_front_door",
     "tpch_q1",
     "snapshot_restore",
 ]
@@ -409,6 +491,7 @@ BASELINE_SEC = {
     "snapshot_restore": 1.7,
     "random_seek_scan": 1.3,   # §F
     "sequential_read": 2.0,    # §F
+    "llm_front_door": 3.3,     # §K (r10 freeze, clean window)
 }
 
 # r4's two perf-suspect ops get 5 attempts (median-of-5 evidence,

@@ -1843,9 +1843,15 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def _alaw_expand(raw: bytes) -> np.ndarray:
-    """G.711 A-law bytes → int32 linear (ITU-T G.711 segment expansion)."""
+    """G.711 A-law bytes → int32 linear (ITU-T G.711 segment expansion).
+
+    Sign: A-law bit 7 SET means POSITIVE (the opposite of mu-law's
+    complemented convention) — r10's stdlib-audioop cross-validation
+    caught this inverted in the original transcription (magnitudes
+    matched, every sign flipped; the analytic fixtures shared the
+    error, which is exactly why an independent decoder matters)."""
     b = np.frombuffer(raw, np.uint8).astype(np.int32) ^ 0x55
-    sign = np.where(b & 0x80, -1, 1)
+    sign = np.where(b & 0x80, 1, -1)
     e = (b >> 4) & 7
     m = b & 0x0F
     mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << (e - 1))
@@ -2769,6 +2775,13 @@ def decode_mp3(data: bytes, stats: dict | None = None
 # ADTS transport walk (below) + probe_media metadata; spectral decode
 # raises NotImplementedError naming the Annex A codebooks.  H.264/HEVC
 # pixels are out of dependency-free scope the same way.
+#
+# r10: the two-transcription protocol reached the same terminal state
+# as mp3dec's (see mp3dec module docstring) — no Annex A transcription
+# could be produced at per-entry confidence, and same-memory
+# transcriptions are correlated, so their agreement proves nothing.
+# tests/test_codec_crossval.py is the activation path if an
+# independent decoder ever lands.
 
 _ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
                16000, 12000, 11025, 8000, 7350)

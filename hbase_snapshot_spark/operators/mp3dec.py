@@ -32,7 +32,19 @@ MECHANICAL verification, and only tables that pass are shipped:
   independent source in this container, an unaided transcription of
   the 64-256-entry tables cannot be distinguished from a PERMUTED but
   Kraft-valid one (a permutation passes both mechanical checks yet
-  silently corrupts PCM), so none can honestly ship.  Instead (r9) a
+  silently corrupts PCM), so none can honestly ship.  The r10
+  *two-transcription protocol* attempt (transcribe twice, ship on
+  byte-identical agreement + Kraft check) terminated at its
+  precondition: no transcription of the 64-256-entry tables could be
+  produced at the per-entry confidence the small tables (1-9) met,
+  and two transcriptions from the SAME memory are correlated — their
+  agreement certifies consistency, not correctness, so the protocol's
+  independence premise is unsatisfiable here.  The day the
+  environment grows ANY independent source (a reference decoder, a
+  second transcriber, a spec PDF), tests/test_codec_crossval.py is
+  the template: its r10 stdlib-audioop pass caught a real sign flip
+  the analytic fixtures had blessed, which is exactly the failure
+  mode this policy guards against.  Instead (r9) a
   granule selecting an unshipped table DEGRADES GRACEFULLY by
   default: its already-decoded low regions are kept, the rest of that
   granule is silent, decode re-syncs at the granule boundary

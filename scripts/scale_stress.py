@@ -79,6 +79,12 @@ CHEAP10 = [
 # tfidf_topterms carries bm25
 R8_QUERIES = ["rollup_counts", "sessionize", "tfidf_topterms"]
 
+# r10: the round-9 additions at top scale.  windowed_counts carries the
+# slide + zscore branches; the other r9 branches ride queries already
+# listed (sessionize: cohort + the distributed-rank rfm; fingerprint:
+# canon/meta/blocked; quality: justext jxh/jxn)
+R9_QUERIES = ["windowed_counts"]
+
 
 def build_scaled(out_dir: str, reps: int) -> None:
     import duckdb
@@ -164,6 +170,37 @@ def pinned_plans(bench) -> dict:
     return plans
 
 
+def shape_checks(bench) -> dict:
+    """Scale-INVARIANT checks (r10) for plans whose byte shape is
+    ALLOWED to change with volume — rfm_scores' final payload join
+    legitimately flips BroadcastHashJoin -> SortMergeJoin as the
+    user table outgrows the broadcast threshold (that adaptivity is
+    the point), so the pin is the property the operator exists for:
+    no data-sized single-task shape at ANY scale."""
+    import bench as B
+    from hbase_snapshot_spark.operators.asof import rfm_scores
+
+    ev = bench.spark.read.parquet(
+        os.path.join(bench.sf_dir, "events.parquet"))
+    df = rfm_scores(ev.selectExpr(
+        "user_id",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01', ts)"
+        " * 1000 AS ts", "value"), range_partitions=B.CPUS)
+    # collect() — not count() — so THIS DataFrame's own query execution
+    # is the one AQE finalizes (count() builds a separate plan and
+    # leaves df's executedPlan un-adaptive with no reuse markers)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    return {
+        "rfm_no_single_partition": "SinglePartition" not in final,
+        # a global sort prints "Sort [...], true, 0"
+        "rfm_no_global_sort": "], true, 0" not in final,
+        "rfm_exchange_reused": ("ReusedExchange" in plan
+                                or "reuses" in plan),
+    }
+
+
 # ----------------------------------------------------- sketch mergeability
 
 def sketch_merge_equivalence(sf_dir: str) -> dict:
@@ -229,9 +266,10 @@ def measure(sf_dir: str, label: str) -> tuple[dict, dict]:
         best = min(best or 1e9, time.time() - t0)
     times["random_seek_scan"] = round(best, 3)
     plans = pinned_plans(b)
+    shapes = shape_checks(b)
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
-    return times, plans
+    return times, plans, shapes
 
 
 def main() -> int:
@@ -253,11 +291,12 @@ def main() -> int:
             print(f"   built in {time.time() - t0:.1f}s")
         dirs[r] = d
 
-    all_times, all_plans = {}, {}
+    all_times, all_plans, all_shapes = {}, {}, {}
     for r in sorted(dirs):
         print(f"== measuring at {r}x ({dirs[r]})")
-        all_times[r], all_plans[r] = measure(dirs[r], f"x{r}")
+        all_times[r], all_plans[r], all_shapes[r] = measure(dirs[r], f"x{r}")
         print(f"   {all_times[r]}")
+        print(f"   shape invariants: {all_shapes[r]}")
 
     # plan byte-identity 1x vs max scale
     top = max(dirs)
@@ -288,10 +327,10 @@ def main() -> int:
 
     parity = None
     if not args.skip_parity:
-        print(f"== parity (10 cheapest + r8 composites) at {top}x")
+        print(f"== parity (10 cheapest + r8/r9 composites) at {top}x")
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/check_parity.py"),
-             dirs[top], *CHEAP10, *R8_QUERIES],
+             dirs[top], *CHEAP10, *R8_QUERIES, *R9_QUERIES],
             capture_output=True, text=True)
         sys.stdout.write(p.stdout[-4000:])
         parity = ("FAIL" not in p.stdout) and p.returncode == 0
@@ -300,12 +339,16 @@ def main() -> int:
     merge_ok = sketch_merge_equivalence(dirs[top])
     print(f"   {merge_ok}")
 
+    shapes_ok = all(v for shapes in all_shapes.values()
+                    for v in shapes.values())
     out = {"times": all_times, "exponents": exps,
-           "plans_identical": plan_ok, "parity_cheap10_at_top": parity,
+           "plans_identical": plan_ok,
+           "shape_invariants": all_shapes,
+           "parity_cheap10_at_top": parity,
            "sketch_merge_equal_at_top": merge_ok}
     print(json.dumps(out))
     ok = (all(plan_ok.values()) and (parity is not False)
-          and all(merge_ok.values()))
+          and all(merge_ok.values()) and shapes_ok)
     return 0 if ok else 1
 
 

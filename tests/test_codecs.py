@@ -924,14 +924,16 @@ def test_wav_g711_alaw_mulaw():
     for got, want in zip(out, linear):
         assert abs(int(got) - want) <= max(32, abs(want) / 16), (got, want)
 
-    # A-law: decode of the canonical all-zero code (0x55-toggled 0)
-    # is +8; code 0xD5 (sign bit set) is -8
+    # A-law: bit 7 SET means POSITIVE (ITU G.711, confirmed by the r10
+    # stdlib-audioop cross-validation that caught the original sign
+    # flip): code 0x55 (0x55-toggled 0, sign bit clear) is -8; code
+    # 0xD5 (sign bit set) is +8
     wav = (b"RIFF" + (4 + 8 + 16 + 8 + 2).to_bytes(4, "little") + b"WAVE"
            + b"fmt " + (16).to_bytes(4, "little")
            + struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
            + b"data" + (2).to_bytes(4, "little") + bytes([0x55, 0xD5]))
     _, out = codecs.decode_wav(wav)
-    assert list(out) == [8, -8]
+    assert list(out) == [-8, 8]
 
 
 # ------------------------------------------------------- lossless JPEG

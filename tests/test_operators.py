@@ -2484,17 +2484,73 @@ def test_preprocess_corpus_justext_stage(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def _justext_ref(html, P):
+    """Independent pure-Python reimplementation of the jusText rules
+    (Pomikálek 2011: clean → block split → context-free classify → one
+    context promotion pass) — the differential reference both seeded
+    batteries compare extract_main_content against."""
+    import re as _re
+
+    from hbase_snapshot_spark.operators.text import (
+        _BLOCK_SPLIT_RE,
+        HTML_ENTITIES,
+        JUSTEXT_STOPWORDS_EN,
+    )
+
+    if html is None:
+        return None, None, None
+    t = _re.sub(r"(?s)<!--.*?-->", " ", html)
+    t = _re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", t)
+    t = _re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", t)
+    raw_blocks = _re.split(_BLOCK_SPLIT_RE, t)
+    feats = []
+    for b in raw_blocks:
+        anchors = _re.findall(r"(?is)<a\b[^>]*>(.*?)</a[^>]*>", b)
+        link_len = sum(
+            len(_re.sub(r"<[^>]+>", " ", a).strip(" ")) for a in anchors)
+        plain = _re.sub(r"<[^>]+>", " ", b)
+        for ent, rep in HTML_ENTITIES:
+            plain = plain.replace(ent, rep)
+        plain = _re.sub(r"[ \t\n\r\f]+", " ", plain).strip(" ")
+        if plain == "":
+            continue
+        words = [w for w in plain.lower().split(" ") if w]
+        hits = sum(
+            1 for w in words
+            if _re.sub(r"^[^a-z0-9']+|[^a-z0-9']+$", "", w)
+            in JUSTEXT_STOPWORDS_EN)
+        sf = hits / len(words) if words else 0.0
+        ld = link_len / max(len(plain), 1)
+        if ld > P["max_link_density"]:
+            cls = 0
+        elif len(plain) < P["length_low"]:
+            cls = 1
+        elif sf >= P["stopwords_high"] and len(plain) > P["length_high"]:
+            cls = 2
+        elif sf >= P["stopwords_low"]:
+            cls = 1
+        else:
+            cls = 0
+        feats.append((plain, cls))
+    kept = []
+    for i, (plain, cls) in enumerate(feats):
+        left = [c for _p, c in feats[:i] if c != 1]
+        right = [c for _p, c in feats[i + 1:] if c != 1]
+        prev = left[-1] if left else 0
+        nxt = right[0] if right else 0
+        if cls == 2 or (cls == 1 and (prev == 2 or nxt == 2)):
+            kept.append(plain)
+    return "\n".join(kept), len(feats), len(kept)
+
+
 def test_extract_main_content_property_vs_reference(spark):
     """Differential property: extract_main_content must agree with a
     pure-Python reference of the same rules (clean → split → features
     → classify → one promotion pass) on seeded random HTML — the
     line_dedup trust pattern.  One Spark run over the whole battery."""
     import random
-    import re as _re
 
     from hbase_snapshot_spark.operators.text import (
-        _BLOCK_SPLIT_RE,
-        HTML_ENTITIES,
         JUSTEXT_STOPWORDS_EN,
         extract_main_content,
     )
@@ -2503,50 +2559,7 @@ def test_extract_main_content_property_vs_reference(spark):
              stopwords_low=0.15, stopwords_high=0.25)
 
     def ref(html):
-        if html is None:
-            return None, None, None
-        t = _re.sub(r"(?s)<!--.*?-->", " ", html)
-        t = _re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", t)
-        t = _re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", t)
-        raw_blocks = _re.split(_BLOCK_SPLIT_RE, t)
-        feats = []
-        for b in raw_blocks:
-            anchors = _re.findall(r"(?is)<a\b[^>]*>(.*?)</a[^>]*>", b)
-            link_len = sum(
-                len(_re.sub(r"<[^>]+>", " ", a).strip(" ")) for a in anchors)
-            plain = _re.sub(r"<[^>]+>", " ", b)
-            for ent, rep in HTML_ENTITIES:
-                plain = plain.replace(ent, rep)
-            plain = _re.sub(r"[ \t\n\r\f]+", " ", plain).strip(" ")
-            if plain == "":
-                continue
-            words = [w for w in plain.lower().split(" ") if w]
-            hits = sum(
-                1 for w in words
-                if _re.sub(r"^[^a-z0-9']+|[^a-z0-9']+$", "", w)
-                in JUSTEXT_STOPWORDS_EN)
-            sf = hits / len(words) if words else 0.0
-            ld = link_len / max(len(plain), 1)
-            if ld > P["max_link_density"]:
-                cls = 0
-            elif len(plain) < P["length_low"]:
-                cls = 1
-            elif sf >= P["stopwords_high"] and len(plain) > P["length_high"]:
-                cls = 2
-            elif sf >= P["stopwords_low"]:
-                cls = 1
-            else:
-                cls = 0
-            feats.append((plain, cls))
-        kept = []
-        for i, (plain, cls) in enumerate(feats):
-            left = [c for _p, c in feats[:i] if c != 1]
-            right = [c for _p, c in feats[i + 1:] if c != 1]
-            prev = left[-1] if left else 0
-            nxt = right[0] if right else 0
-            if cls == 2 or (cls == 1 and (prev == 2 or nxt == 2)):
-                kept.append(plain)
-        return "\n".join(kept), len(feats), len(kept)
+        return _justext_ref(html, P)
 
     rng = random.Random(99)
     stop = JUSTEXT_STOPWORDS_EN
@@ -2592,6 +2605,106 @@ def test_extract_main_content_property_vs_reference(spark):
     # the battery must actually exercise all three classes
     assert any(v[2] for v in got.values() if v and v[2])
     assert any(v and v[1] and v[2] == 0 for v in got.values())
+
+
+def test_extract_main_content_boundary_battery(spark):
+    """(r10, VERDICT item 4) targeted differential battery on the exact
+    decision boundaries and the structural edge cases the random
+    battery cannot reliably hit: stopword-density exactly AT low/high,
+    block length exactly AT length_low/length_high, nested block/inline
+    tags, anchors cut by the block split, and entity decode-order
+    edges.  Crafted docs also carry ABSOLUTE expectations (computed
+    from the paper's rules by hand), so a shared >= vs > bug in both
+    implementations cannot hide in the agreement check."""
+    import random
+
+    from hbase_snapshot_spark.operators.text import extract_main_content
+
+    # operator DEFAULTS — the boundaries under test
+    P = dict(max_link_density=0.2, length_low=70, length_high=200,
+             stopwords_low=0.30, stopwords_high=0.32)
+
+    def make_block(n_words, n_stop, total_len):
+        # n_stop 'the' + filler 'zem's, last word padded to the exact
+        # plain-text length (single spaces survive the ws collapse)
+        words = ["the"] * n_stop + ["zem"] * (n_words - n_stop)
+        s = " ".join(words)
+        assert len(s) <= total_len, (len(s), total_len)
+        words[-1] += "z" * (total_len - len(s))
+        s = " ".join(words)
+        assert len(s) == total_len
+        return s
+
+    good = make_block(25, 8, 220)          # sf 0.32, len>200 -> good
+    crafted = [
+        # (label, html, expected n_good when alone)
+        ("sf_at_low", f"<p>{make_block(10, 3, 220)}</p>", 0),   # 0.30 -> undecided, edge-bad -> dropped
+        ("sf_at_high", f"<p>{make_block(25, 8, 220)}</p>", 1),  # 0.32 -> good
+        ("sf_below_low", f"<p>{make_block(25, 7, 220)}</p>", 0),  # 0.28 -> bad
+        ("len_at_high", f"<p>{make_block(25, 8, 200)}</p>", 0),  # len NOT >200 -> undecided
+        ("len_above_high", f"<p>{make_block(25, 8, 201)}</p>", 1),
+        ("len_below_low", f"<p>{make_block(10, 3, 69)}</p>", 0),  # short -> undecided
+        ("len_at_low", f"<p>{make_block(17, 0, 70)}</p>", 0),    # not short, sf 0 -> bad
+        # promotion: undecided AT the low boundary next to good -> both kept
+        ("promote_at_low",
+         f"<p>{make_block(10, 3, 220)}</p><p>{good}</p>", 2),
+        # bad next to good -> only good kept
+        ("no_promote_bad",
+         f"<p>{make_block(25, 7, 220)}</p><p>{good}</p>", 1),
+        # nested blocks: inner <p> splits its own block; the short
+        # trailer/menu blocks are undecided and PROMOTED by their good
+        # neighbor (the paper's context rule working as designed)
+        ("nested_div", f"<div><p>{good}</p>trailer</div>", 2),
+        ("nested_list", f"<ul><li>{good}</li><li>menu</li></ul>", 2),
+        # anchor containing inline tags; anchor cut by a block split
+        ("anchor_inline",
+         f'<p><a href="/x"><b>bold</b> link</a> {good}</p>', None),
+        ("anchor_cut",
+         f'<p><a href="/x">start {good}</p><p>end</a> {good}</p>', None),
+        # entity edges: double-encoded &amp;lt; must decode to literal
+        # '&lt;' (amp LAST), entities inside anchors, unknown entity
+        ("entity_double", f"<p>&amp;lt;tag&amp;gt; {good}</p>", None),
+        ("entity_anchor", f'<p><a href="/x">&amp;&nbsp;x</a> {good}</p>', None),
+        ("entity_unknown", f"<p>&bogus; &#x27; {good}</p>", None),
+    ]
+    # seeded nested-structure fuzz tier
+    rng = random.Random(1234)
+    inline = ["<b>{}</b>", "<span class='s'>{}</span>", "<i>{}</i>", "{}"]
+    ents = ["&amp;", "&amp;lt;", "&nbsp;", "&bogus;", "&#39;", "&quot;"]
+    fuzz = []
+    for doc in range(80):
+        def seg(depth):
+            if depth == 0 or rng.random() < 0.4:
+                words = make_block(rng.randrange(1, 30),
+                                   rng.randrange(0, 10), 0)                     if False else " ".join(
+                        rng.choice(["the", "of", "and", "zem", "qux"])
+                        for _ in range(rng.randrange(1, 28)))
+                if rng.random() < 0.3:
+                    words += " " + rng.choice(ents)
+                t = rng.choice(inline).format(words)
+                if rng.random() < 0.4:
+                    t = f'<a href="/l">{t}</a> ' + words[:20]
+                return t
+            tag = rng.choice(["div", "p", "li", "section", "td", "h3"])
+            inner = "".join(seg(depth - 1)
+                            for _ in range(rng.randrange(1, 4)))
+            return f"<{tag}>{inner}</{tag}>"
+        fuzz.append("".join(seg(2) for _ in range(rng.randrange(1, 5))))
+
+    docs = [(i, html) for i, (_, html, _) in enumerate(crafted)]
+    docs += [(1000 + i, h) for i, h in enumerate(fuzz)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.content, r.n_blocks, r.n_good)
+           for r in extract_main_content(sdf, **P).collect()}
+    # 1. differential agreement on every doc
+    mismatches = [
+        (doc_id, got[doc_id], _justext_ref(html, P))
+        for doc_id, html in docs if got[doc_id] != _justext_ref(html, P)]
+    assert not mismatches, mismatches[:3]
+    # 2. absolute boundary expectations (hand-derived from the rules)
+    for i, (label, _html, want_good) in enumerate(crafted):
+        if want_good is not None:
+            assert got[i][2] == want_good, (label, got[i], want_good)
 
 
 def test_scrub_pii_cards_luhn(spark):

@@ -324,6 +324,21 @@ def read_warc(
     cannot blow an executor; ``batch_records`` bounds the Arrow batch
     row count."""
     files = spark.read.format("binaryFile").load(path)
+    return _split_files_to_records(files, batch_records, max_payload)
+
+
+#: binaryFile's fixed schema — a STREAMING file source must declare it
+#: up front (no inference before the first batch exists)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _split_files_to_records(
+    files: DataFrame, batch_records: int, max_payload: int | None
+) -> DataFrame:
+    """(path, content) rows → WARC_RECORD_SCHEMA rows — the shared
+    record-split kernel of the batch and streaming readers."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -333,6 +348,29 @@ def read_warc(
 
     return files.select("path", "content").mapInPandas(
         gen, schema=WARC_RECORD_SCHEMA)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    batch_records: int = 256,
+    max_payload: int | None = None,
+) -> DataFrame:
+    """STREAMING twin of ``read_warc``: archives LANDING in a
+    directory → a continuous stream of WARC records.  The binaryFile
+    file-stream source tracks which archives each micro-batch consumed
+    under the query's checkpoint (exactly-once file offsets — a
+    crash-restart never re-parses a committed archive), and the record
+    split is the identical Arrow-batched kernel the batch reader runs,
+    so batch and streaming ingestion of the same archive produce
+    byte-identical record rows.  Parallelism follows the same rule as
+    batch: the FILE is the unit (member-per-record gzip is not
+    splittable), ``maxFilesPerTrigger`` (set on the source options by
+    the caller's readStream if needed) bounds a micro-batch."""
+    files = (spark.readStream.format("binaryFile")
+             .schema(_BINARY_FILE_SCHEMA).load(path))
+    return _split_files_to_records(files, batch_records, max_payload)
 
 
 _HTML_CT = ("text/html", "application/xhtml+xml")

@@ -87,3 +87,75 @@ def stream_ingest_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_warc_ingest_corpus(
+    spark: SparkSession,
+    warc_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    extractor: str = "strip",
+    min_quality: float = 0.25,
+    keep_langs: list[str] | None = None,
+    available_now: bool = True,
+    batch_records: int = 256,
+    max_payload: int | None = None,
+):
+    """The STREAMING front door (r10): ``.warc.gz`` archives landing in
+    a directory → gated, deduped, lang-partitioned parquet corpus —
+    the continuous twin of the batch warc_to_documents →
+    preprocess_corpus composition, sharing its kernels end to end:
+
+    * archive discovery/offsets: the binaryFile file-stream source
+      under the query checkpoint (a committed archive is never
+      re-parsed after a crash-restart);
+    * record split + HTTP framing + charset decode + HTML extract:
+      the IDENTICAL code paths the batch reader runs
+      (sources.warc.read_warc_stream / warc_records_to_documents), so
+      batch and streaming ingestion of the same archive produce the
+      same document rows;
+    * gates: lang_id + quality_score pure projections fused into the
+      micro-batch scan;
+    * cross-batch dedup: the fingerprint state store
+      (stateful_streaming_dedup) — a document seen in ANY earlier
+      micro-batch or earlier run is never appended again;
+    * sink: the same idempotent batch-partitioned dynamic-overwrite
+      writer as stream_ingest_corpus — exactly-once end to end.
+
+    Returns the StreamingQuery (drained when ``available_now``)."""
+    from hbase_snapshot_spark.sources.warc import (
+        read_warc_stream,
+        warc_records_to_documents,
+    )
+
+    records = read_warc_stream(
+        spark, warc_dir,
+        batch_records=batch_records, max_payload=max_payload)
+    docs = warc_records_to_documents(records, extractor=extractor)
+    gated = quality_score(
+        docs.withColumn("lang_detected", lang_id(F.col("text"))),
+        "text",
+    ).filter(F.col("quality") >= min_quality)
+    if keep_langs is not None:
+        gated = gated.filter(F.col("lang_detected").isin(keep_langs))
+    deduped = stateful_streaming_dedup(
+        fingerprint(gated, "text"), ["fingerprint"])
+
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("_ingest_batch", F.lit(batch_id))
+            .repartition("lang_detected")
+            .write.partitionBy("_ingest_batch", "lang_detected")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        deduped.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -240,3 +240,58 @@ def test_bmp_gif_against_pil_if_available():
     PIL_Image.fromarray(gray, mode="L").save(buf, format="GIF")
     out = codecs.decode_gif(buf.getvalue())
     assert out.shape[:2] == (16, 16)
+
+
+# ------------------------------------- header sniffers (stdlib twins)
+
+
+def test_sniff_and_headers_against_stdlib_sniffers():
+    """codecs.sniff + the header walks vs stdlib imghdr/sndhdr — an
+    independent identification pass over bytes produced by BOTH our
+    encoders (png/jpeg) and stdlib writers (wav/aiff/au)."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        imghdr = pytest.importorskip("imghdr")
+        sndhdr = pytest.importorskip("sndhdr")
+    import wave
+
+    img = (np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3))
+    png, jpg = codecs.encode_png(img), codecs.encode_jpeg(img)
+    assert codecs.sniff(png) == imghdr.what(None, png) == "png"
+    assert codecs.sniff(jpg) == imghdr.what(None, jpg) == "jpeg"
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+        import sunau
+
+    # sndhdr names the aifc writer's output 'aifc' — same family
+    cases = [(wave, "wav", "wav"), (aifc, "aiff", "aifc"),
+             (sunau, "au", "au")]
+    for mod, ours, theirs in cases:
+        buf = _KeepOpenBytesIO()
+        w = mod.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        if mod is sunau:
+            w.setcomptype("NONE", "")
+        w.writeframes(b"\x00\x01" * 200)
+        w.close()
+        data = buf.getvalue()
+        assert codecs.sniff(data) == ours
+        import os
+        import tempfile
+        fd, fn = tempfile.mkstemp()
+        try:
+            os.write(fd, data)
+            os.close(fd)
+            hdr = sndhdr.what(fn)
+        finally:
+            os.unlink(fn)
+        assert hdr is not None and hdr.filetype == theirs
+        assert hdr.framerate == 22050 and hdr.nchannels == 2
+        # our decoder must read the SAME rate the stdlib sniffer did
+        rate, _ = {"wav": codecs.decode_wav, "aiff": codecs.decode_aiff,
+                   "au": codecs.decode_au}[ours](data)
+        assert rate == hdr.framerate

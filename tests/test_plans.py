@@ -401,3 +401,57 @@ def test_rfm_scores_matches_ntile_reference(spark):
         got = rfm_scores(sub)
         assert got.exceptAll(ref).count() == 0
         assert ref.exceptAll(got).count() == 0
+
+
+def test_global_ranks_plan_shape(spark):
+    """global_ranks (r10): the distributed ORDER-BY-rank primitive must
+    keep every data-sized stage partitioned.  The ONE permitted
+    Exchange SinglePartition is the bucket-offsets window whose input
+    is the per-range-partition count summary (≤ range_partitions rows,
+    metadata-sized regardless of data volume) — assert it sits directly
+    above the _pid-keyed count aggregate and nowhere else; no global
+    sort; the range exchange is computed once."""
+    import re
+
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    base = spark.createDataFrame(
+        [((i * 131) % 37, i) for i in range(2000)], "v long, k long")
+    df = global_ranks(base, ["v", "k"], buckets=10, percent=True)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "], true, 0" not in final, final  # no global sort
+    assert "ReusedExchange" in plan or "reuses" in plan, plan
+    lines = final.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = "\n".join(lines[i + 1:i + 4])
+        assert "HashAggregate(keys=[_pid" in below, (line, below)
+
+
+def test_global_ranks_matches_window_reference(spark):
+    """bit parity with the unpartitioned-window formulation for
+    row_number/ntile/percent_rank/cume_dist, incl. duplicate order
+    values (unique tie-break column) and N < buckets / N == 1."""
+    from pyspark.sql import Window
+
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    base = spark.createDataFrame(
+        [((i * 131) % 37, i) for i in range(3000)], "v long, k long")
+    for sub in (base, base.filter(F.col("k") < 7), base.limit(1)):
+        w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+        ref = sub.select(
+            "v", "k",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.ntile(10).over(w).cast("long").alias("ntile"),
+            F.percent_rank().over(w).alias("percent_rank"),
+            F.cume_dist().over(w).alias("cume_dist"))
+        got = global_ranks(sub, ["v", "k"], buckets=10, percent=True)
+        got = got.select("v", "k", F.col("rank").cast("long"),
+                         F.col("ntile").cast("long"),
+                         "percent_rank", "cume_dist")
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0

@@ -222,3 +222,71 @@ def test_warc_to_documents_justext_extractor(spark, tmp_path):
     plain = {r.url: r.text for r in W.warc_to_documents(
         spark, str(d)).collect()}
     assert "Home" in plain["http://a.example/1"]  # strip keeps all
+
+
+def test_stream_warc_ingest_corpus(spark, tmp_path):
+    """(r10) the STREAMING front door: archives land in a directory,
+    each drain processes only the new files (checkpointed offsets),
+    duplicates are suppressed across runs (fingerprint state store),
+    and the surviving document rows equal the BATCH front door's over
+    the same archives — shared kernels, same results."""
+    from hbase_snapshot_spark.streaming.ingest import (
+        stream_warc_ingest_corpus,
+    )
+
+    arrivals = tmp_path / "crawl"
+    arrivals.mkdir()
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ck")
+    f1 = [
+        _rec("r1", "http://a.example/1", _http(_html(1))),
+        _rec("r2", "http://a.example/2", _http(_html(2))),
+        # in-batch exact duplicate under a different record id
+        _rec("r2dup", "http://mirror.example/2", _http(_html(2))),
+        _rec("r404", "http://a.example/miss", _http(b"gone", status=404)),
+    ]
+    (arrivals / "a.warc.gz").write_bytes(
+        W.write_warc_file(f1, gzip_members=True))
+
+    def drain():
+        q = stream_warc_ingest_corpus(
+            spark, str(arrivals), out, ckpt, min_quality=0.0)
+        q.awaitTermination()
+
+    drain()
+    rows = spark.read.parquet(out).collect()
+    texts1 = {r.text for r in rows}
+    assert len(rows) == 2          # 404 filtered, dup suppressed
+    assert {r._ingest_batch for r in rows} == {0}
+
+    # second arrival: one new page + a cross-RUN duplicate of page 1
+    f2 = [
+        _rec("r3", "http://b.example/3", _http(_html(3))),
+        _rec("r1dup", "http://mirror.example/1", _http(_html(1))),
+    ]
+    (arrivals / "b.warc.gz").write_bytes(
+        W.write_warc_file(f2, gzip_members=True))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3          # only page 3 appended
+    assert {r._ingest_batch for r in rows} == {0, 1}
+
+    # batch front door over the same archives → same surviving texts
+    from hbase_snapshot_spark.operators.dedup import exact_dedup
+    from hbase_snapshot_spark.operators.text import (
+        fingerprint as fp_op,
+        lang_id,
+        quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    batch_docs = W.warc_to_documents(spark, str(arrivals / "*.warc.gz"))
+    batch = quality_score(
+        batch_docs.withColumn("lang_detected", lang_id(F.col("text"))),
+        "text").filter(F.col("quality") >= 0.0)
+    batch = exact_dedup(fp_op(batch, "text"), F.col("fingerprint"),
+                        id_col="doc_id")
+    assert {r.text for r in rows} == {r.text for r in batch.collect()}
+
+    # drain with nothing new: no re-processing, output unchanged
+    drain()
+    assert spark.read.parquet(out).count() == 3

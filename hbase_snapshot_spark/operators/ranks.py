@@ -54,8 +54,25 @@ def global_ranks(
     spark = df.sparkSession
     P = int(range_partitions
             or spark.conf.get("spark.sql.shuffle.partitions"))
+    # PERSIST is load-bearing, not an optimization: the bucket counts
+    # and the ranked rows both key off spark_partition_id() of THIS
+    # range exchange, so they must observe ONE materialization.
+    # Without it, consistency rests on ReuseExchange canonical
+    # equality — which ANY external column pruning can break (observed:
+    # global_ranks(global_ranks(df)) pruned the two consumers
+    # differently, the exchange ran twice with independent range
+    # sampling, and the bucket-id maps disagreed → silently wrong,
+    # run-unstable ranks).  The cache substitutes one InMemoryRelation
+    # into both branches regardless of pruning above it; an evicted
+    # partition recomputes from the exchange's already-written shuffle
+    # files, so bucket ids stay fixed.  Cache size = the input rows —
+    # size the call accordingly (rank user/aggregate tables, not raw
+    # corpora).
+    from pyspark import StorageLevel
+
     rp = (df.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])
-          .withColumn("_pid", F.spark_partition_id()))
+          .withColumn("_pid", F.spark_partition_id())
+          .persist(StorageLevel.MEMORY_AND_DISK))
     cnt = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # The offsets window runs over the P-row bucket summary and DOES
     # compile to an Exchange SinglePartition — deliberately: its input

@@ -410,7 +410,7 @@ def test_global_ranks_plan_shape(spark):
     is the per-range-partition count summary (≤ range_partitions rows,
     metadata-sized regardless of data volume) — assert it sits directly
     above the _pid-keyed count aggregate and nowhere else; no global
-    sort; the range exchange is computed once."""
+    sort; both consumers read the ONE persisted range exchange."""
     import re
 
     from hbase_snapshot_spark.operators.ranks import global_ranks
@@ -422,7 +422,12 @@ def test_global_ranks_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("+- == Initial Plan ==")[0]
     assert "], true, 0" not in final, final  # no global sort
-    assert "ReusedExchange" in plan or "reuses" in plan, plan
+    # the load-bearing persist: BOTH consumers (bucket counts + ranked
+    # rows) must read the one materialized range exchange — two
+    # InMemoryTableScans over the same cache, so bucket ids can never
+    # diverge between them (the pre-persist design relied on
+    # ReuseExchange, which external column pruning silently broke)
+    assert final.count("InMemoryTableScan") >= 2, final
     lines = final.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
@@ -455,3 +460,26 @@ def test_global_ranks_matches_window_reference(spark):
                          "percent_rank", "cume_dist")
         assert got.exceptAll(ref).count() == 0
         assert ref.exceptAll(got).count() == 0
+
+
+def test_global_ranks_cross_parallelism_and_nulls(spark):
+    """ranks must be a pure function of the DATA: identical results
+    from a 1-partition and a 32-partition layout of the same rows
+    (range boundaries may differ — the offsets adapt), and NULL order
+    values take the asc-nulls-first ranks Spark's own window assigns."""
+    from pyspark.sql import Window
+
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    rows = [((i * 131) % 37 if i % 11 else None, i) for i in range(800)]
+    one = spark.createDataFrame(rows, "v long, k long").coalesce(1)
+    many = spark.createDataFrame(rows, "v long, k long").repartition(32)
+    a = global_ranks(one, ["v", "k"], buckets=5, percent=True)
+    b = global_ranks(many, ["v", "k"], buckets=5, percent=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    ref = one.select("v", "k",
+                     F.row_number().over(w).cast("long").alias("rank"))
+    got = a.select("v", "k", F.col("rank").cast("long"))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

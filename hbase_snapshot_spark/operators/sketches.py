@@ -33,6 +33,8 @@ __all__ = [
     "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_set_estimates",
     "hll_sketch", "hll_merge", "hll_estimate",
     "cms_sketch", "cms_merge", "cms_query",
+    "quantile_sketch", "quantile_merge", "quantile_estimate",
+    "quantile_sql",
 ]
 
 #: 16**13 — the denominator of the exact 52-bit md5 fraction.
@@ -384,4 +386,121 @@ CROSS JOIN (SELECT DISTINCT {by} FROM {table}
 LEFT JOIN reg r ON r.{by} = g.{by} AND r.row = p.row
                 AND r.bucket = p.bucket
 GROUP BY g.{by}, p.{key_col}
+"""
+
+
+# ----------------------------------------------------- quantile sample
+
+def _bottomk_sample(h: DataFrame, by: list[str], k: int) -> DataFrame:
+    """Per-group bottom-k (frac, val) register pass — _topk_regs with
+    the VALUE carried: dense_rank over (frac, val) so WindowGroupLimit's
+    partial stage prunes each map partition to its own k smallest
+    before the exchange, then dedupe and re-rank.  Shared by
+    quantile_sketch and quantile_merge so tie-breaking can never
+    desynchronize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(
+        F.col("frac").asc(), F.col("val").asc())
+    pruned = (
+        h.withColumn("_dr", F.dense_rank().over(w))
+        .filter(F.col("_dr") <= k)
+        .select(*by, "frac", "val")
+        .distinct()
+    )
+    return (
+        pruned.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*by, "pos", "frac", "val")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame, value: Column, ident: Column, by: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable per-group QUANTILE sketch via bottom-k coordinated
+    sampling (Cohen & Kaplan's bottom-k sketches): keep the ``k`` rows
+    whose IDENTITY hashes smallest, carrying their values — a uniform
+    random-but-DETERMINISTIC sample of the group, so the sample's
+    empirical quantiles estimate the group's with the usual
+    O(1/sqrt(k)) error.  Returns (by…, pos, frac, val) registers.
+
+    Same algebraic shape as KMV/HLL/CMS: map-side partial prune (each
+    task contributes ≤ k registers per group — the shuffle never
+    carries the raw value multiset), and sketches over disjoint
+    partitions MERGE losslessly (bottom-k of a union is the bottom-k
+    of the unions' bottom-ks).  ``ident`` must identify a row (e.g.
+    the event id); identical (frac, val) pairs dedupe harmlessly."""
+    h = df.filter(value.isNotNull() & ident.isNotNull()).select(
+        *by, _hash_frac(ident).alias("frac"),
+        value.cast("double").alias("val"))
+    return _bottomk_sample(h, by, k)
+
+
+def quantile_merge(
+    a: DataFrame, b: DataFrame, by: list[str], k: int = 256
+) -> DataFrame:
+    """Merge two quantile-sample register sets: union, re-take the k
+    hash-smallest — register-exact equal to sketching the union."""
+    u = (a.select(*by, "frac", "val")
+         .unionByName(b.select(*by, "frac", "val")))
+    return _bottomk_sample(u, by, k)
+
+
+def quantile_estimate(
+    sketch: DataFrame, by: list[str], probs: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Quantile estimates from the registers: for each p, the sample
+    value at 1-based rank ``floor(p·(n−1)) + 1`` of the value-sorted
+    sample ('lower' empirical quantile — exact integer selection, no
+    interpolation, so the DuckDB twin is bit-identical).  Returns
+    (by…, p, est)."""
+    from pyspark.sql import Window
+
+    vw = Window.partitionBy(*by).orderBy(
+        F.col("val").asc(), F.col("frac").asc())
+    s = (
+        sketch.withColumn("_n", F.count(F.lit(1))
+                          .over(Window.partitionBy(*by)))
+        .withColumn("_vpos", F.row_number().over(vw))
+    )
+    return (
+        s.select(*by, "_n", "_vpos", "val",
+                 F.explode(F.array(*[F.lit(float(p)) for p in probs]))
+                 .alias("p"))
+        .filter(F.col("_vpos")
+                == F.floor(F.col("p") * (F.col("_n") - 1)) + 1)
+        .select(*by, "p", F.col("val").alias("est"))
+    )
+
+
+def quantile_sql(
+    value_expr: str, ident_expr: str, table: str, by: str,
+    k: int = 256, probs: tuple[float, ...] = (0.5,),
+) -> str:
+    """DuckDB twin of quantile_sketch → quantile_estimate (one group
+    column) — the same md5 fraction, bottom-k selection, and
+    lower-quantile rank arithmetic."""
+    plist = ", ".join(f"CAST({float(p)} AS DOUBLE)" for p in probs)
+    return f"""
+SELECT {by}, p, val AS est
+FROM (
+  SELECT {by}, val,
+         row_number() OVER (PARTITION BY {by}
+                            ORDER BY val ASC, frac ASC) AS vpos,
+         count(*) OVER (PARTITION BY {by}) AS n
+  FROM (
+    SELECT {by}, frac, val, row_number() OVER (
+             PARTITION BY {by} ORDER BY frac ASC, val ASC) AS pos
+    FROM (SELECT DISTINCT {by},
+                 ('0x' || substr(md5(CAST({ident_expr} AS VARCHAR)), 1, 13))
+                   ::BIGINT / {_FRAC_DEN} AS frac,
+                 CAST({value_expr} AS DOUBLE) AS val
+          FROM {table}
+          WHERE {value_expr} IS NOT NULL
+            AND {ident_expr} IS NOT NULL) h) r
+  WHERE pos <= {k}) s
+CROSS JOIN (SELECT unnest([{plist}]) AS p) pp
+WHERE vpos = floor(p * (n - 1)) + 1
 """

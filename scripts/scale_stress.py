@@ -232,6 +232,12 @@ def sketch_merge_equivalence(sf_dir: str) -> dict:
     results["cms"] = rows(sk.cms_merge(
         sk.cms_sketch(a, key, by), sk.cms_sketch(b, key, by), by
     )) == rows(sk.cms_sketch(ev, key, by))
+    # r10: the quantile-sample sketch joins the family
+    val, ident = F.col("value"), F.col("event_id")
+    results["qsk"] = rows(sk.quantile_merge(
+        sk.quantile_sketch(a, val, ident, by),
+        sk.quantile_sketch(b, val, ident, by), by
+    )) == rows(sk.quantile_sketch(ev, val, ident, by))
     spark.stop()
     return results
 

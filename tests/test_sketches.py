@@ -193,3 +193,82 @@ def test_cms_sql_null_only_group_matches_spark(spark, tmp_path):
             "SELECT unnest([1, 2]) AS k")).fetchall())
     assert got == want
     assert {g for g, _, _ in got} == {"g1"}  # gnull absent from both
+
+
+# ------------------------------------------------- quantile sample (r10)
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    """n < k: the sample IS the group — estimates equal the exact
+    lower quantiles."""
+    import random
+
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    rng = random.Random(5)
+    vals = [rng.uniform(0, 100) for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double")
+    est = {r.p: r.est for r in sk.quantile_estimate(
+        sk.quantile_sketch(df, F.col("v"), F.col("id"), ["g"], k=256),
+        ["g"], probs=(0.0, 0.25, 0.5, 0.9, 1.0)).collect()}
+    sv = sorted(vals)
+    for p, e in est.items():
+        import math
+        assert e == sv[math.floor(p * (len(sv) - 1))], p
+
+
+def test_quantile_sketch_merge_register_exact(spark):
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float((i * 131) % 997)) for i in range(3000)],
+        "id long, g string, v double")
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    m = sk.quantile_merge(
+        sk.quantile_sketch(a, F.col("v"), F.col("id"), ["g"], k=64),
+        sk.quantile_sketch(b, F.col("v"), F.col("id"), ["g"], k=64),
+        ["g"], k=64)
+    whole = sk.quantile_sketch(df, F.col("v"), F.col("id"), ["g"], k=64)
+    assert sorted(map(tuple, m.collect())) \
+        == sorted(map(tuple, whole.collect()))
+
+
+def test_quantile_sketch_accuracy_and_determinism(spark):
+    """k=256 over 20k skewed values: every estimated quantile's TRUE
+    rank is within 5 rank-percent of the target (the O(1/sqrt(k))
+    sampling bound with slack), and the sketch is a pure function of
+    the data (identical registers from 1-partition and 32-partition
+    layouts)."""
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    rows = [(i, "g", float((i * i) % 7919)) for i in range(20000)]
+    one = spark.createDataFrame(rows, "id long, g string, v double").coalesce(1)
+    many = spark.createDataFrame(rows, "id long, g string, v double").repartition(32)
+    r1 = sorted(map(tuple, sk.quantile_sketch(
+        one, F.col("v"), F.col("id"), ["g"], k=256).collect()))
+    r2 = sorted(map(tuple, sk.quantile_sketch(
+        many, F.col("v"), F.col("id"), ["g"], k=256).collect()))
+    assert r1 == r2
+    est = {r.p: r.est for r in sk.quantile_estimate(
+        sk.quantile_sketch(many, F.col("v"), F.col("id"), ["g"], k=256),
+        ["g"], probs=(0.1, 0.5, 0.9)).collect()}
+    vals = sorted(v for _, _, v in rows)
+    import bisect
+    for p, e in est.items():
+        true_rank = bisect.bisect_right(vals, e) / len(vals)
+        assert abs(true_rank - p) < 0.05, (p, e, true_rank)
+
+
+def test_quantile_sketch_partial_prune_plan(spark):
+    """the map-side WindowGroupLimit partial prune must be in the plan
+    (the shuffle carries <= k registers per group per task, never the
+    raw value multiset) — same pin as the KMV register pass."""
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(100)], "id long, g string, v double")
+    qs = sk.quantile_sketch(df, F.col("v"), F.col("id"), ["g"], k=16)
+    plan = qs._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan

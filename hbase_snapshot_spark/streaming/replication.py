@@ -402,3 +402,91 @@ def streaming_heavy_hitters(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+
+
+def streaming_quantiles(
+    stream: DataFrame,
+    value_col: str,
+    ident_col: str,
+    group_cols: list[str],
+    k: int = 256,
+    probs: tuple[float, ...] = (0.5,),
+):
+    """Streaming per-group quantiles via bottom-k-sample state (r10) —
+    the streaming twin of sketches.quantile_sketch+quantile_estimate.
+    Per-group state is the k (identity-hash, value) register pairs
+    (bounded regardless of how many rows flow through); every
+    micro-batch folds its rows in and emits the group's CURRENT
+    estimates for each ``probs`` entry (update semantics).  Hashing and
+    the lower-rank selection are identical to the batch sketch, so
+    after draining a source the streaming estimates EQUAL the batch
+    estimates of the same data — pinned by test_streaming.
+
+    100 TB shape: the state store carries 16k bytes per group, never
+    the value multiset — per-entity lifetime latency/size percentiles
+    stay feasible where an exact percentile's state would grow without
+    bound."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    den = float(16 ** 13)
+    ident_is_integral = isinstance(
+        stream.schema[ident_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in group_cols]
+        + [T.StructField("p", T.DoubleType()),
+           T.StructField("est", T.DoubleType()),
+           T.StructField("n_reg", T.IntegerType())]
+    )
+    state_schema = T.StructType([
+        T.StructField("fracs", T.BinaryType()),
+        T.StructField("vals", T.BinaryType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            fracs = np.frombuffer(state.get[0], dtype=np.float64).copy()
+            vals = np.frombuffer(state.get[1], dtype=np.float64).copy()
+        else:
+            fracs = np.empty(0, np.float64)
+            vals = np.empty(0, np.float64)
+        pairs = {(float(f), float(v)) for f, v in zip(fracs, vals)}
+        for pdf in pdfs:
+            for ident, v in zip(pdf[ident_col], pdf[value_col]):
+                # batch filter parity: null value or null identity
+                # contributes nothing
+                if pd.isna(ident) or pd.isna(v):
+                    continue
+                if ident_is_integral and isinstance(ident, float):
+                    ident = int(ident)
+                hx = hashlib.md5(str(ident).encode()).hexdigest()
+                frac = int(hx[:13], 16) / den
+                pairs.add((frac, float(v)))
+        reg = sorted(pairs)[:k]   # bottom-k by (frac, val) — batch order
+        fracs = np.array([f for f, _ in reg], np.float64)
+        vals = np.array([v for _, v in reg], np.float64)
+        state.update((fracs.tobytes(), vals.tobytes()))
+        n = len(reg)
+        out = []
+        if n:
+            by_val = sorted((v, f) for f, v in reg)
+            for p in probs:
+                est = by_val[math.floor(p * (n - 1))][0]
+                out.append(tuple(key) + (float(p), est, n))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in out_schema.fields])
+
+    return stream.groupBy(*[F.col(c) for c in group_cols]) \
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )

@@ -595,3 +595,71 @@ def test_streaming_heavy_hitters_matches_batch_cms(spark, tmp_path):
     assert [k for _e, k in g1_final[:2]] == ["7", "3"]
     assert g1_final[0][0] >= 60  # CMS never underestimates
     assert final[("g2", "1")][0] == 5 and final[("g2", "1")][1] == 1
+
+
+def test_streaming_quantiles_matches_batch(spark, tmp_path):
+    """(r10) after draining, the streaming bottom-k quantile state must
+    equal the BATCH sketch estimates of the same data — registers are
+    the same function of the row set.  Two separate drains against one
+    checkpoint: the second run's emissions are the final estimates."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_quantiles,
+    )
+
+    src_dir = tmp_path / "q-src"
+    src_dir.mkdir()
+    rows1 = [(i, "g1", float((i * 37) % 101)) for i in range(120)] + [
+        (1000 + i, "g2", float(i)) for i in range(15)]
+    rows2 = [(5000 + i, "g1", float((i * 53) % 997)) for i in range(300)]
+    schema = "event_id long, grp string, v double"
+    spark.createDataFrame(rows1, schema).write.parquet(str(src_dir / "b1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src_dir / "b2"))
+
+    # one drain, one file per micro-batch; capture per-batch emissions
+    # so the LAST batch's rows are unambiguous (memory-sink row order
+    # across update-mode batches is not)
+    per_batch = {}
+
+    def capture(batch, batch_id):
+        per_batch[batch_id] = batch.collect()
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src_dir / "*")))
+    q = (
+        streaming_quantiles(stream, "v", "event_id", ["grp"],
+                            k=64, probs=(0.1, 0.5, 0.9))
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "q-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(per_batch) >= 2          # the two files arrived separately
+    # update mode re-emits only groups touched by the batch — the final
+    # estimate per (group, p) is its LATEST emission in batch order
+    latest = {}
+    for bid in sorted(per_batch):
+        for r in per_batch[bid]:
+            latest[(r.grp, r.p)] = r
+    out = list(latest.values())
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    expected = {
+        (r.grp, r.p): r.est
+        for r in sk.quantile_estimate(
+            sk.quantile_sketch(batch, F.col("v"), F.col("event_id"),
+                               ["grp"], k=64),
+            ["grp"], probs=(0.1, 0.5, 0.9)).collect()
+    }
+    got = {(r.grp, r.p): r.est for r in out}
+    assert got == expected, (got, expected)
+    # g2 never reached k=64: its sample IS the group, estimates exact
+    g2 = sorted(v for _, g, v in rows1 if g == "g2")
+    import math
+    for p in (0.1, 0.5, 0.9):
+        assert got[("g2", p)] == g2[math.floor(p * (len(g2) - 1))]

@@ -44,14 +44,25 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
 def lang_id(text: Column) -> Column:
     """n-gram/stopword-heuristic language ID: argmax of per-language
     stopword hits; 'und' (undetermined) when no list scores > 0; ties
-    break toward the earlier language in STOPWORDS order."""
-    scores = {lang: stopword_hits(text, ws) for lang, ws in STOPWORDS.items()}
+    break toward the earlier language in STOPWORDS order.
+
+    Shape note (r10): the argmax is array_position(scores,
+    array_max(scores)) — each per-language score expression appears
+    ONCE in the array instead of ~5x in the earlier when-chain (gmax
+    re-expanded per language).  Downstream plans that substitute an
+    expensive ``text`` expression into every reference (the warc
+    pipeline's strip chain) multiply by that count, and the when-chain
+    form pushed the fused dedup stage past javac's 64 KB method limit
+    into interpreted fallback.  array_position returns the FIRST
+    maximum, which is exactly the earlier-language tie-break."""
     langs = list(STOPWORDS)
-    gmax = F.greatest(*[scores[lang] for lang in langs])
-    expr = F.lit("und")
-    for lang in reversed(langs):  # earlier languages overwrite → win ties
-        expr = F.when((scores[lang] == gmax) & (gmax > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    arr = F.array(*[stopword_hits(text, STOPWORDS[lang]) for lang in langs])
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    mx = F.array_max(arr)
+    return F.when(
+        mx > 0,
+        F.element_at(lang_arr, F.array_position(arr, mx).cast("int")),
+    ).otherwise(F.lit("und"))
 
 
 def token_count(text: Column) -> Column:
@@ -79,28 +90,51 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def _bind_once(expr, fn):
+    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda
+    variable (transform over a 1-element array) — the jusText sharing
+    idiom, used wherever an expression referenced several times would
+    otherwise be CLONED per reference by optimizer substitution.  The
+    price is CodegenFallback for the wrapped expression (HOFs don't
+    codegen); the win is that an expensive upstream column (e.g. the
+    warc strip chain substituted into every ``text`` reference) is
+    evaluated once instead of once per clone, and the generated method
+    stays under javac's 64 KB limit."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """composite quality score in [0,1]: length band + stopword presence
-    + punctuation sanity — the standard cheap pretraining-corpus filter"""
+    + punctuation sanity — the standard cheap pretraining-corpus filter.
+
+    The three component statistics are bound ONCE via _bind_once and
+    the score arithmetic runs over the lambda variable: the when-chain
+    form re-expanded n_tok/sw/punct (each referencing ``text``) per
+    branch, which — with an expensive substituted text expression —
+    pushed fused downstream stages past the 64 KB codegen limit."""
     t = F.col(text_col)
     toks = word_tokens(t)
     n_tok = F.size(toks)
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0)).otherwise(
-        F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
-    )
     sw = stopword_hits(t, STOPWORDS["en"])
-    sw_ok = F.when(sw >= 2, F.lit(1.0)).otherwise(sw.cast("double") / 2)
     punct = F.when(
         F.length(t) > 0,
         F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")) / F.length(t),
     ).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct <= 0.2, F.lit(1.0)).otherwise(
-        F.greatest(F.lit(0.0), 1.0 - (punct - 0.2) * 2)
-    )
-    score = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.round((len_ok + sw_ok + punct_ok) / 3, 4)
-    )
-    return df.withColumn("quality", score)
+
+    def score(s):
+        len_ok = F.when((s.n_tok >= 10) & (s.n_tok <= 1000),
+                        F.lit(1.0)).otherwise(
+            F.when(s.n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0)))
+        sw_ok = F.when(s.sw >= 2, F.lit(1.0)).otherwise(
+            s.sw.cast("double") / 2)
+        punct_ok = F.when(s.punct <= 0.2, F.lit(1.0)).otherwise(
+            F.greatest(F.lit(0.0), 1.0 - (s.punct - 0.2) * 2))
+        return F.when(s.n_tok == 0, F.lit(0.0)).otherwise(
+            F.round((len_ok + sw_ok + punct_ok) / 3, 4))
+
+    comps = F.struct(n_tok.alias("n_tok"), sw.alias("sw"),
+                     punct.alias("punct"))
+    return df.withColumn("quality", _bind_once(comps, score))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -317,8 +317,8 @@ class Bench:
         """Synthesize (once per bench process) a multi-file member-gzip
         .warc.gz corpus at sf-equivalent volume: every row of the sf's
         documents table becomes one HTTP-200 HTML response record, split
-        round-robin over 8 archives (8 scan tasks).  Generation is
-        setup, excluded from all timings."""
+        round-robin over 32 archives (one binaryFile scan task per local
+        core).  Generation is setup, excluded from all timings."""
         if getattr(self, "_warc_dir", None):
             return self._warc_dir
         from hbase_snapshot_spark.sources import warc as W

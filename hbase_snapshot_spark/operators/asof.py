@@ -350,15 +350,19 @@ def window_zscores(
            .agg(F.count(F.lit(1)).alias("n")))
     kw = Window.partitionBy(*keys)
     k = F.count(F.lit(1)).over(kw)
-    # squares go through DOUBLE: s1/s2 are BIGINT sums of per-key event
-    # counts, and s1*s1 as a long multiplication overflows past ~3e9
-    # events per key (ANSI errors, non-ANSI silently corrupts z).  The
-    # double product is the correctly-rounded (double)(s1²) whenever
-    # s1 ≤ 2^53, which is exactly the value the oracle's exact-integer
-    # square rounds to at its own final float division — so the IEEE
-    # results stay identical while the overflow cliff disappears.
-    s1 = F.sum("n").over(kw).cast("double")
-    s2 = F.sum(F.col("n") * F.col("n")).over(kw).cast("double")
+    # Exact-integer statistics without the BIGINT cliffs: n² and the
+    # Σn / Σn² accumulations run in DECIMAL(38,0) (exact to 1e38 —
+    # n < 9.2e18 keeps every n² under 8.5e37; the old long forms
+    # errored under ANSI / silently corrupted z past ~3e9 events per
+    # key for s1², and past ~3e9 per WINDOW for Σn²).  The casts to
+    # DOUBLE happen only at the closed-form float math, mirroring the
+    # oracle exactly: DuckDB accumulates in HUGEINT and double-izes at
+    # its own division, and (double) of the same exact integer — plus
+    # s1d·s1d == (double)(s1²) for s1 ≤ 2^53 — gives identical IEEE
+    # results on both engines.
+    nd = F.col("n").cast("decimal(38,0)")
+    s1 = F.sum(nd).over(kw).cast("double")
+    s2 = F.sum(nd * nd).over(kw).cast("double")
     mean = s1 / k
     var = F.when(k > 1, (s2 - s1 * s1 / k) / (k - 1))
     z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))

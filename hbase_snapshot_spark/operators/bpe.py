@@ -298,8 +298,10 @@ def tokenize_and_pack(
     Catalyst: sequence/explode + slice on the array — a per-row
     generator, no extra shuffle) → ``pack_sequences`` bins (ONE window
     shuffle, grouped by ``by`` at scale).  Output: (id, chunk_idx,
-    input_ids, n_chunk_tokens, bin, bin_offset).  Rows with null text
-    are dropped — run the quality gate first."""
+    input_ids, n_chunk_tokens, bin, bin_offset) — and, under the
+    default ``by=AUTO_GROUP``, ``pack_group``: a pack is identified by
+    (pack_group, bin), never by bin alone.  Rows with null text are
+    dropped — run the quality gate first."""
     from hbase_snapshot_spark.operators.packing import pack_sequences
 
     if not 0 <= overlap < seq_len:

@@ -7,9 +7,10 @@ table funnels through a single sort.  But a global rank is a pure
 function of range partitioning: range-partition on the order columns
 (ascending buckets aligned with the target order), row_number within
 each bucket, plus the running row count of the preceding buckets —
-which is metadata-sized (one row per partition) and computed from the
-SAME range Exchange, so ReuseExchange materializes the input once.
-Every derived statistic is closed-form from (rank, N):
+which is metadata-sized (one row per partition) and derived from the
+ONE persisted materialization of the range exchange (see the
+load-bearing persist note in global_ranks).  Every derived statistic
+is closed-form from (rank, N):
 
 * ``ntile(b)``:   first ``N % b`` tiles take ``ceil(N/b)`` rows, the
   rest ``floor(N/b)`` — the standard SQL contract;
@@ -20,7 +21,10 @@ Every derived statistic is closed-form from (rank, N):
 ``order_cols`` MUST be a total order (append a unique id as the last
 column, exactly like rfm_scores' (metric, user) tie-break): under a
 total order row_number == rank == the deterministic value both engines
-agree on; under ties row_number is partition-order-dependent.
+agree on; under ties row_number is partition-order-dependent.  NULL
+order values rank nulls-FIRST (Spark's ASC default) — an ANSI-SQL
+oracle must spell ``NULLS FIRST`` explicitly (DuckDB defaults to
+NULLS LAST).
 
 This is the single-order sibling of rfm_scores' three-metric melt
 (operators/asof.py) — same machinery, same scale posture: no driver
@@ -67,7 +71,10 @@ def global_ranks(
     # partition recomputes from the exchange's already-written shuffle
     # files, so bucket ids stay fixed.  Cache size = the input rows —
     # size the call accordingly (rank user/aggregate tables, not raw
-    # corpora).
+    # corpora).  Lifecycle: no unpersist here (consumers are lazy);
+    # the ContextCleaner reclaims the cache once the returned
+    # DataFrame's lineage is garbage-collected, and a long-lived
+    # session can force the issue with spark.catalog.clearCache().
     from pyspark import StorageLevel
 
     rp = (df.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])

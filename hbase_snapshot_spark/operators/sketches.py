@@ -431,10 +431,15 @@ def quantile_sketch(
     carries the raw value multiset), and sketches over disjoint
     partitions MERGE losslessly (bottom-k of a union is the bottom-k
     of the unions' bottom-ks).  ``ident`` must identify a row (e.g.
-    the event id); identical (frac, val) pairs dedupe harmlessly."""
-    h = df.filter(value.isNotNull() & ident.isNotNull()).select(
-        *by, _hash_frac(ident).alias("frac"),
-        value.cast("double").alias("val"))
+    the event id); identical (frac, val) pairs dedupe harmlessly.
+    NULL and NaN values are excluded: NaN sorts after +Inf in Spark
+    and would poison the upper quantiles, and pandas folds NULL into
+    NaN, so excluding both keeps the streaming twin's drained state
+    byte-identical to this batch sketch."""
+    v = value.cast("double")
+    h = df.filter(
+        v.isNotNull() & ~F.isnan(v) & ident.isNotNull()
+    ).select(*by, _hash_frac(ident).alias("frac"), v.alias("val"))
     return _bottomk_sample(h, by, k)
 
 
@@ -499,6 +504,7 @@ FROM (
                  CAST({value_expr} AS DOUBLE) AS val
           FROM {table}
           WHERE {value_expr} IS NOT NULL
+            AND NOT isnan(CAST({value_expr} AS DOUBLE))
             AND {ident_expr} IS NOT NULL) h) r
   WHERE pos <= {k}) s
 CROSS JOIN (SELECT unnest([{plist}]) AS p) pp

@@ -35,24 +35,22 @@ DOCUMENTS_SCHEMA = (
 )
 
 
-def stream_ingest_corpus(
-    spark: SparkSession,
-    input_dir: str,
+def _gate_dedup_sink(
+    docs: DataFrame,
     output_dir: str,
     checkpoint_dir: str,
-    schema: str = DOCUMENTS_SCHEMA,
-    text_col: str = "text",
-    min_quality: float = 0.25,
-    keep_langs: list[str] | None = None,
-    available_now: bool = True,
+    text_col: str,
+    min_quality: float,
+    keep_langs: list[str] | None,
+    available_now: bool,
 ):
-    """Start (and with ``available_now`` drain) the ingest stream;
-    returns the StreamingQuery.  Restarting with the same checkpoint
-    resumes offsets and dedup state — a document seen in ANY earlier
-    batch (or earlier run) is never appended again."""
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    """The shared ingest tail: lang/quality gates → cross-batch
+    fingerprint dedup → idempotent batch-partitioned sink.  Both front
+    doors (parquet documents and .warc.gz archives) end here, so a fix
+    to the gate, the state semantics, or the idempotent-write protocol
+    can never apply to one and silently miss the other."""
     gated = quality_score(
-        stream.withColumn("lang_detected", lang_id(F.col(text_col))),
+        docs.withColumn("lang_detected", lang_id(F.col(text_col))),
         text_col,
     ).filter(F.col("quality") >= min_quality)
     if keep_langs is not None:
@@ -87,6 +85,27 @@ def stream_ingest_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    keep_langs: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` drain) the ingest stream;
+    returns the StreamingQuery.  Restarting with the same checkpoint
+    resumes offsets and dedup state — a document seen in ANY earlier
+    batch (or earlier run) is never appended again."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return _gate_dedup_sink(stream, output_dir, checkpoint_dir,
+                            text_col, min_quality, keep_langs,
+                            available_now)
 
 
 def stream_warc_ingest_corpus(
@@ -132,30 +151,6 @@ def stream_warc_ingest_corpus(
         spark, warc_dir,
         batch_records=batch_records, max_payload=max_payload)
     docs = warc_records_to_documents(records, extractor=extractor)
-    gated = quality_score(
-        docs.withColumn("lang_detected", lang_id(F.col("text"))),
-        "text",
-    ).filter(F.col("quality") >= min_quality)
-    if keep_langs is not None:
-        gated = gated.filter(F.col("lang_detected").isin(keep_langs))
-    deduped = stateful_streaming_dedup(
-        fingerprint(gated, "text"), ["fingerprint"])
-
-    def _write_batch(batch: DataFrame, batch_id: int) -> None:
-        (
-            batch.withColumn("_ingest_batch", F.lit(batch_id))
-            .repartition("lang_detected")
-            .write.partitionBy("_ingest_batch", "lang_detected")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(output_dir)
-        )
-
-    writer = (
-        deduped.writeStream.foreachBatch(_write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _gate_dedup_sink(docs, output_dir, checkpoint_dir,
+                            "text", min_quality, keep_langs,
+                            available_now)

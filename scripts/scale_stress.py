@@ -244,7 +244,7 @@ def sketch_merge_equivalence(sf_dir: str) -> dict:
 
 # ------------------------------------------------------------- measuring
 
-def measure(sf_dir: str, label: str) -> tuple[dict, dict]:
+def measure(sf_dir: str, label: str) -> tuple[dict, dict, dict]:
     import bench as B
 
     spark = B.make_spark()

@@ -2675,10 +2675,9 @@ def test_extract_main_content_boundary_battery(spark):
     for doc in range(80):
         def seg(depth):
             if depth == 0 or rng.random() < 0.4:
-                words = make_block(rng.randrange(1, 30),
-                                   rng.randrange(0, 10), 0)                     if False else " ".join(
-                        rng.choice(["the", "of", "and", "zem", "qux"])
-                        for _ in range(rng.randrange(1, 28)))
+                words = " ".join(
+                    rng.choice(["the", "of", "and", "zem", "qux"])
+                    for _ in range(rng.randrange(1, 28)))
                 if rng.random() < 0.3:
                     words += " " + rng.choice(ents)
                 t = rng.choice(inline).format(words)

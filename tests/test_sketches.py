@@ -207,8 +207,12 @@ def test_quantile_sketch_exact_below_k(spark):
 
     rng = random.Random(5)
     vals = [rng.uniform(0, 100) for _ in range(60)]
+    # a NaN and a NULL row must both be excluded (streaming parity:
+    # pandas folds NULL into NaN, so the batch side drops both)
     df = spark.createDataFrame(
-        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double")
+        [(i, "g", v) for i, v in enumerate(vals)]
+        + [(900, "g", float("nan")), (901, "g", None)],
+        "id long, g string, v double")
     est = {r.p: r.est for r in sk.quantile_estimate(
         sk.quantile_sketch(df, F.col("v"), F.col("id"), ["g"], k=256),
         ["g"], probs=(0.0, 0.25, 0.5, 0.9, 1.0)).collect()}

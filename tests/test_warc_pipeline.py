@@ -290,3 +290,86 @@ def test_stream_warc_ingest_corpus(spark, tmp_path):
     # drain with nothing new: no re-processing, output unchanged
     drain()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_full_curation_recipe_deterministic(spark, tmp_path):
+    """(r10) the canonical end-to-end recipe a reference user would
+    run, every stage the REAL operator: .warc.gz archives → jusText
+    main-content extraction → quality gate → MinHash+LSH near-dup
+    removal (not just exact) → BPE training → tokenize_and_pack under
+    the grouped DEFAULT (pack_group) → verified training shards.
+    Run the whole thing TWICE into separate sinks: the shard manifests
+    (counts + order-insensitive checksums) must be IDENTICAL — the
+    recipe is a pure function of the archives."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators.bpe import (
+        tokenize_and_pack,
+        train_bpe,
+    )
+    from hbase_snapshot_spark.operators.dedup import dedup_corpus
+    from hbase_snapshot_spark.operators.text import quality_score
+
+    import random
+
+    rng = random.Random(7)
+    stop = ["the", "of", "and", "a", "to", "is", "it", "that"]
+    vocab = ["fox", "owl", "tree", "river", "branch", "reader", "dog",
+             "stone", "cloud", "lamp", "door", "paper", "wheel", "song"]
+    nav = '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+
+    def prose(words=160):
+        # ~45% stopwords keeps jusText/quality happy; the word MIX is
+        # per-page random so distinct pages share few shingles
+        return " ".join(
+            rng.choice(stop) if rng.random() < 0.45 else rng.choice(vocab)
+            for _ in range(words))
+
+    def page(i, body):
+        html = (f"{nav}<p>{body}</p>"
+                f'<footer><a href="/t">Terms</a></footer>')
+        return _rec(f"p{i}", f"http://ex.org/{i}", _http(html.encode()))
+
+    bodies = [prose() + f" unique marker {i}" for i in range(12)]
+    recs = [page(i, b) for i, b in enumerate(bodies)]
+    # a NEAR duplicate of page 3 (one word changed — exact dedup would
+    # miss it, MinHash must not) and an exact duplicate of page 5
+    recs.append(page(90, bodies[3].replace("marker 3", "marker 3b")))
+    recs.append(page(91, bodies[5]))
+    d = tmp_path / "crawl"
+    d.mkdir()
+    third = len(recs) // 3
+    for fi in range(3):
+        (d / f"{fi}.warc.gz").write_bytes(W.write_warc_file(
+            recs[fi * third: None if fi == 2 else (fi + 1) * third],
+            gzip_members=True))
+
+    def run(tag):
+        docs = W.warc_to_documents(spark, str(d / "*.warc.gz"),
+                                   extractor="justext")
+        gated = quality_score(docs).filter(F.col("quality") >= 0.25)
+        kept = dedup_corpus(gated, num_hashes=16, bands=8,
+                            threshold=0.7)
+        tok = train_bpe(kept, vocab_size=120, min_freq=1)
+        packed = tokenize_and_pack(kept, tok, seq_len=64, overlap=0,
+                                   pack_cap=256)
+        out = str(tmp_path / f"shards-{tag}")
+        manifest = write_training_shards(
+            packed.select("doc_id", "pack_group", "chunk_idx",
+                          "input_ids", "bin"),
+            out, key=F.col("doc_id"), n_shards=4)
+        assert verify_training_shards(spark, out, manifest) == []
+        return manifest, kept
+
+    m1, kept = run("a")
+    m2, _ = run("b")
+    # near-dup and exact-dup both collapsed: 14 pages in, 12 survive
+    n_docs = kept.count()
+    assert n_docs == 12, n_docs
+    # jusText dropped the nav/footer boilerplate before anything else
+    assert kept.filter(F.col("text").contains("Home")).count() == 0
+    # determinism: byte-identical manifests across independent runs
+    assert json.dumps(m1, sort_keys=True) == json.dumps(m2, sort_keys=True)
+    assert sum(s["n_rows"] for s in m1["shards"].values()) > 0

@@ -3,7 +3,9 @@ front door of a web-scale training-data pipeline.
 
 A ``.warc.gz`` file is a concatenation of gzip members, ONE WARC
 record per member (the Common Crawl convention); a plain ``.warc`` is
-the records back-to-back.  Because a member-per-record gzip stream is
+the records back-to-back; ``.warc.bz2`` / ``.warc.xz`` (older Internet
+Archive crawls) are whole-stream compressed and auto-detected by
+magic.  Because a member-per-record gzip stream is
 not splittable without an external index, the unit of parallelism is
 the FILE — exactly how every production WARC-on-Spark reader works —
 so a crawl of N archive files fans out N tasks.  At Common Crawl's
@@ -64,6 +66,8 @@ WARC_RECORD_SCHEMA = T.StructType([
 _CRLF2 = b"\r\n\r\n"
 _MAX_HEADER = 64 * 1024          # sanity bound on a header block
 _GZIP_MAGIC = b"\x1f\x8b"
+_BZ2_MAGIC = b"BZh"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
 
 
 class WarcFormatError(ValueError):
@@ -160,12 +164,33 @@ def iter_warc_records(
                 # allows many — iterate within the member either way
                 for off, headers, block in iter_warc_stream(member):
                     yield moff + off, headers, block, False
+        elif data[:3] == _BZ2_MAGIC or data[:6] == _XZ_MAGIC:
+            # .warc.bz2 / .warc.xz — whole-stream compression (older
+            # Internet Archive crawls ship bz2): no per-record member
+            # index exists, so offsets are into the DECOMPRESSED
+            # stream (record_offset stays a stable in-file ordinal
+            # either way).  Both are one-shot stdlib decompressions;
+            # corruption raises OSError/LZMAError → the truncated
+            # sentinel, like a bad gzip member.
+            if data[:3] == _BZ2_MAGIC:
+                import bz2
+
+                plain = bz2.decompress(data)
+            else:
+                import lzma
+
+                plain = lzma.decompress(data)
+            for off, headers, block in iter_warc_stream(plain):
+                yield off, headers, block, False
         else:
             for off, headers, block in iter_warc_stream(data):
                 yield off, headers, block, False
-    except (WarcFormatError, zlib.error) as e:
+    except (ValueError, zlib.error, OSError) as e:
+        # ValueError covers WarcFormatError (its base) AND bz2's
+        # truncated-stream signal; OSError covers bz2 "Invalid data
+        # stream" and lzma.LZMAError; zlib.error for gzip damage
         if on_error == "raise":
-            if isinstance(e, zlib.error):
+            if not isinstance(e, WarcFormatError):
                 raise WarcFormatError(str(e)) from e
             raise
         yield len(data), {}, b"", True

@@ -308,3 +308,29 @@ def test_warc_parser_terminates_on_mutations(seed):
     for payload in (bytes(mutated), data[: int(rng.randint(0, len(data)))]):
         out = list(W.iter_warc_records(payload))  # must not raise
         assert all(isinstance(r, tuple) and len(r) == 4 for r in out)
+
+
+def test_bz2_and_xz_whole_stream_archives():
+    """(r10) .warc.bz2 / .warc.xz (older Internet Archive crawls):
+    whole-stream compression auto-detected by magic; records equal the
+    plain-stream parse of the same bytes; a truncated bz2 stream
+    yields the damage sentinel instead of raising."""
+    import bz2
+    import lzma
+
+    from hbase_snapshot_spark.sources import warc as W
+
+    recs = _fixture_records()
+    plain = W.write_warc_file(recs, gzip_members=False)
+    want = list(W.iter_warc_records(plain))
+    for comp in (bz2.compress, lzma.compress):
+        got = list(W.iter_warc_records(comp(plain)))
+        assert got == want, comp
+    # damage policy parity with gzip: sentinel, not an exception
+    damaged = bz2.compress(plain)[:-10]
+    out = list(W.iter_warc_records(damaged))
+    assert out and out[-1][3] is True          # truncated sentinel
+    import pytest
+
+    with pytest.raises(W.WarcFormatError):
+        list(W.iter_warc_records(damaged, on_error="raise"))

@@ -483,3 +483,43 @@ def test_global_ranks_cross_parallelism_and_nulls(spark):
     got = a.select("v", "k", F.col("rank").cast("long"))
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_ntile_closed_form_exhaustive():
+    """The closed-form ntile used by global_ranks/rfm_scores, proven
+    against the SQL definition for EVERY (N, buckets) in a dense grid
+    (the Spark differentials sample N; this pins the arithmetic
+    itself): the first N % b tiles take ceil(N/b) rows, the rest
+    floor(N/b) — no Spark needed, the formula is pure integers."""
+    def closed_form(rn, n, b):
+        q, r = n // b, n % b
+        cut = r * (q + 1)
+        if rn <= cut:
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - cut - 1) // max(q, 1) + 1
+
+    for n in range(1, 401):
+        for b in (1, 2, 3, 4, 5, 7, 10, 16, 17, 100, 400, 401):
+            q, r = n // b, n % b
+            sizes = [q + 1] * r + [q] * (b - r)
+            want = []
+            for tile, size in enumerate(sizes, start=1):
+                want.extend([tile] * size)
+            got = [closed_form(rn, n, b) for rn in range(1, n + 1)]
+            assert got == want, (n, b)
+
+
+def test_quantile_rank_selection_bounds():
+    """The lower-quantile index floor(p*(n-1))+1 used by the quantile
+    sketch stays in [1, n] for every p in [0, 1] and hits the exact
+    endpoints — over a dense p grid including the float-boundary
+    cases (p*(n-1) landing exactly on integers)."""
+    import math
+
+    for n in range(1, 300):
+        for num in range(0, 101):
+            p = num / 100.0
+            idx = math.floor(p * (n - 1)) + 1
+            assert 1 <= idx <= n, (n, p, idx)
+        assert math.floor(0.0 * (n - 1)) + 1 == 1
+        assert math.floor(1.0 * (n - 1)) + 1 == n

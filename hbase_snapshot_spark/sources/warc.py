@@ -35,7 +35,9 @@ fallback).
 
 from __future__ import annotations
 
+import bz2
 import io
+import lzma
 import re
 import zlib
 from typing import Iterator
@@ -144,8 +146,51 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
         pos = n - len(d.unused_data)
 
 
+_DECOMP_CHUNK = 1 << 20          # 1 MiB feed/draw granularity
+#: Cap on the DECOMPRESSED size of a whole-stream .warc.bz2/.warc.xz
+#: archive.  xz ratios on text exceed 100:1, so an un-capped one-shot
+#: decompress turns a 10 MB archive into a >1 GB task allocation (or a
+#: deliberate decompression bomb into an executor OOM).  4 GiB covers
+#: every real Internet Archive crawl file (~1 GB compressed) with
+#: headroom; archives past the cap surface as ``truncated`` rows under
+#: ``on_error='keep'`` — one hostile file must not sink the partition.
+MAX_WHOLE_STREAM_BYTES = 4 << 30
+
+
+def _bounded_decompress(data: bytes, make_decomp, cap: int) -> bytes:
+    """Incrementally decompress a whole-stream bz2/xz archive with a
+    hard output cap.  Peak memory is ``len(data) + min(output, cap)``
+    instead of the unbounded one-shot ``bz2.decompress`` cost; a
+    stream that inflates past ``cap`` raises WarcFormatError (→ the
+    truncated sentinel in keep mode) rather than OOM-ing the task.
+    Concatenated streams (both formats allow them; xz pads with NULs)
+    are walked like ``bz2.decompress``/``lzma.decompress`` would."""
+    out = bytearray()
+    buf = data
+    while buf:
+        d = make_decomp()
+        pos, n = 0, len(buf)
+        while not d.eof:
+            if d.needs_input:
+                if pos >= n:
+                    raise WarcFormatError("truncated compressed stream")
+                chunk = buf[pos : pos + _DECOMP_CHUNK]
+                pos += len(chunk)
+            else:
+                chunk = b""
+            out += d.decompress(chunk, _DECOMP_CHUNK)
+            if len(out) > cap:
+                raise WarcFormatError(
+                    f"decompressed stream exceeds {cap} bytes "
+                    "(MAX_WHOLE_STREAM_BYTES decompression-bomb cap)")
+        # next concatenated stream, if any (xz stream padding is NULs)
+        buf = (d.unused_data + buf[pos:]).lstrip(b"\x00")
+    return bytes(out)
+
+
 def iter_warc_records(
     data: bytes, *, on_error: str = "keep",
+    max_decompressed: int = MAX_WHOLE_STREAM_BYTES,
 ) -> Iterator[tuple[int, dict[str, str], bytes, bool]]:
     """Yield ``(offset, warc_headers, block, truncated)`` from raw
     archive bytes — gzipped (member-per-record OR whole-file) and
@@ -169,26 +214,26 @@ def iter_warc_records(
             # Internet Archive crawls ship bz2): no per-record member
             # index exists, so offsets are into the DECOMPRESSED
             # stream (record_offset stays a stable in-file ordinal
-            # either way).  Both are one-shot stdlib decompressions;
-            # corruption raises OSError/LZMAError → the truncated
-            # sentinel, like a bad gzip member.
+            # either way).  Incremental decompression with the
+            # MAX_WHOLE_STREAM_BYTES output cap (bomb-safe); damage
+            # raises OSError/LZMAError → the truncated sentinel,
+            # like a bad gzip member.
             if data[:3] == _BZ2_MAGIC:
-                import bz2
-
-                plain = bz2.decompress(data)
+                plain = _bounded_decompress(
+                    data, bz2.BZ2Decompressor, max_decompressed)
             else:
-                import lzma
-
-                plain = lzma.decompress(data)
+                plain = _bounded_decompress(
+                    data, lzma.LZMADecompressor, max_decompressed)
             for off, headers, block in iter_warc_stream(plain):
                 yield off, headers, block, False
         else:
             for off, headers, block in iter_warc_stream(data):
                 yield off, headers, block, False
-    except (ValueError, zlib.error, OSError) as e:
+    except (ValueError, zlib.error, OSError, lzma.LZMAError) as e:
         # ValueError covers WarcFormatError (its base) AND bz2's
         # truncated-stream signal; OSError covers bz2 "Invalid data
-        # stream" and lzma.LZMAError; zlib.error for gzip damage
+        # stream"; lzma.LZMAError subclasses Exception DIRECTLY (not
+        # OSError), so it needs its own slot; zlib.error for gzip
         if on_error == "raise":
             if not isinstance(e, WarcFormatError):
                 raise WarcFormatError(str(e)) from e

@@ -435,9 +435,14 @@ def streaming_quantiles(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     den = float(16 ** 13)
-    ident_is_integral = isinstance(
-        stream.schema[ident_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    # Parity contract: the batch sketch hashes md5(CAST(ident AS
+    # STRING)) — JVM formatting.  Python str() agrees for ints and
+    # strings but NOT for double/timestamp/decimal (1e16 -> '1e+16'
+    # vs '1.0E16'), so do the cast IN THE PLAN and hash the
+    # JVM-formatted string — parity holds by construction for every
+    # identity type.
+    ident_str = "__qsk_ident_str"
+    stream = stream.withColumn(ident_str, F.col(ident_col).cast("string"))
     out_schema = T.StructType(
         [stream.schema[c] for c in group_cols]
         + [T.StructField("p", T.DoubleType()),
@@ -458,14 +463,12 @@ def streaming_quantiles(
             vals = np.empty(0, np.float64)
         pairs = {(float(f), float(v)) for f, v in zip(fracs, vals)}
         for pdf in pdfs:
-            for ident, v in zip(pdf[ident_col], pdf[value_col]):
+            for ident, v in zip(pdf[ident_str], pdf[value_col]):
                 # batch filter parity: null value or null identity
                 # contributes nothing
-                if pd.isna(ident) or pd.isna(v):
-                    continue
-                if ident_is_integral and isinstance(ident, float):
-                    ident = int(ident)
-                hx = hashlib.md5(str(ident).encode()).hexdigest()
+                if not isinstance(ident, str) or pd.isna(v):
+                    continue   # None/NaN ident (null) or null value
+                hx = hashlib.md5(ident.encode()).hexdigest()
                 frac = int(hx[:13], 16) / den
                 pairs.add((frac, float(v)))
         reg = sorted(pairs)[:k]   # bottom-k by (frac, val) — batch order

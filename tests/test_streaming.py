@@ -663,3 +663,54 @@ def test_streaming_quantiles_matches_batch(spark, tmp_path):
     import math
     for p in (0.1, 0.5, 0.9):
         assert got[("g2", p)] == g2[math.floor(p * (len(g2) - 1))]
+
+
+def test_streaming_quantiles_double_identity_parity(spark, tmp_path):
+    """(r11, ADVICE) non-integral identity columns: the batch sketch
+    hashes md5(CAST(ident AS STRING)) — JVM formatting (1.0E16) — while
+    Python str() would give '1e+16'.  The streaming twin now casts in
+    the PLAN, so double/decimal/timestamp identities keep parity."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_quantiles,
+    )
+
+    src_dir = tmp_path / "qd-src"
+    src_dir.mkdir()
+    # identities chosen to straddle JVM-vs-Python float formatting:
+    # 1e16 ('1.0E16' vs '1e+16'), small exacts, negative exponents
+    rows = [(float(10 ** 16 + i * 1024), "g", float((i * 37) % 101))
+            for i in range(80)] + \
+           [(i * 0.001, "g", float(i)) for i in range(40)]
+    schema = "event_id double, grp string, v double"
+    spark.createDataFrame(rows, schema).write.parquet(str(src_dir / "b1"))
+
+    per_batch = {}
+
+    def capture(batch, batch_id):
+        per_batch[batch_id] = batch.collect()
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+    q = (
+        streaming_quantiles(stream, "v", "event_id", ["grp"],
+                            k=32, probs=(0.25, 0.75))
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "qd-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.grp, r.p): r.est
+           for rows_ in per_batch.values() for r in rows_}
+    expected = {
+        (r.grp, r.p): r.est
+        for r in sk.quantile_estimate(
+            sk.quantile_sketch(spark.createDataFrame(rows, schema),
+                               F.col("v"), F.col("event_id"),
+                               ["grp"], k=32),
+            ["grp"], probs=(0.25, 0.75)).collect()
+    }
+    assert got == expected, (got, expected)

@@ -326,11 +326,46 @@ def test_bz2_and_xz_whole_stream_archives():
     for comp in (bz2.compress, lzma.compress):
         got = list(W.iter_warc_records(comp(plain)))
         assert got == want, comp
-    # damage policy parity with gzip: sentinel, not an exception
-    damaged = bz2.compress(plain)[:-10]
-    out = list(W.iter_warc_records(damaged))
-    assert out and out[-1][3] is True          # truncated sentinel
+    # damage policy parity with gzip: sentinel, not an exception —
+    # for BOTH codecs (lzma.LZMAError subclasses Exception directly,
+    # not OSError, so the xz leg guards its own except slot)
     import pytest
 
-    with pytest.raises(W.WarcFormatError):
-        list(W.iter_warc_records(damaged, on_error="raise"))
+    for damaged in (bz2.compress(plain)[:-10], lzma.compress(plain)[:-8]):
+        out = list(W.iter_warc_records(damaged))
+        assert out and out[-1][3] is True      # truncated sentinel
+        with pytest.raises(W.WarcFormatError):
+            list(W.iter_warc_records(damaged, on_error="raise"))
+
+
+def test_whole_stream_decompression_bomb_cap():
+    """A bz2/xz archive whose decompressed size exceeds the cap yields
+    the truncated sentinel (keep) / WarcFormatError (raise) instead of
+    materializing the full output — executor-memory safety for the
+    whole-stream path (bounded incremental decompressors)."""
+    import bz2
+    import lzma
+
+    import pytest
+
+    from hbase_snapshot_spark.sources import warc as W
+
+    # 16 MiB of zeros compresses tiny but inflates far past a 1 MiB cap
+    bomb_plain = b"\x00" * (16 << 20)
+    for comp in (bz2.compress, lzma.compress):
+        bomb = comp(bomb_plain)
+        assert len(bomb) < 64 << 10            # it IS a bomb
+        out = list(W.iter_warc_records(bomb, max_decompressed=1 << 20))
+        assert out and out[-1][3] is True      # sentinel, no OOM
+        with pytest.raises(W.WarcFormatError, match="decompression-bomb"):
+            list(W.iter_warc_records(
+                bomb, on_error="raise", max_decompressed=1 << 20))
+    # concatenated streams (both formats allow them) still parse whole
+    recs = _fixture_records()
+    plain = W.write_warc_file(recs, gzip_members=False)
+    for comp in (bz2.compress, lzma.compress):
+        cat = comp(plain) + comp(plain)
+        got = list(W.iter_warc_records(cat))
+        want = list(W.iter_warc_records(plain))
+        assert len(got) == 2 * len(want)
+        assert got[: len(want)] == want

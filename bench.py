@@ -1,11 +1,12 @@
 """Benchmark harness — PE-workload analogues (BASELINE.md §C) on the
-driver's parquet data.  Prints TWO JSON lines — a full record (per-
-attempt probes, stage timings) followed by a compact headline whose
-LAST-line position survives the driver's tail capture:
+driver's parquet data.  Prints THREE JSON lines — a full record (per-
+attempt probes, stage timings), a detail record (medians, stability,
+probe medians), then a compact headline whose LAST-line position and
+PINNED size (test_bench_headline, <= 1800 chars at worst-case widths)
+survive the driver's ~2000-char tail capture:
   {"metric": "total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "queries_median": ..., "vs_baseline":
-   ..., "vs_baseline_normalized": ..., "stability": ...,
-   "probe_medians": ..., "sf": <sf>}
+   "queries": {name: sec, ...}, "vs_baseline": ...,
+   "vs_baseline_normalized": ..., "sf": <sf>}
 
 Shape mirrors PerformanceEvaluation (src/test/.../PerformanceEvaluation.java):
 the table is loaded once (bulk_write — the HFileOutputFormat pipeline),
@@ -512,6 +513,36 @@ def _median(xs):
     return s[len(s) // 2] if s else None
 
 
+#: Hard budget for the final stdout line.  The driver's tail capture
+#: is ~2000 chars; 1800 leaves headroom for a stray trailing newline
+#: or log fragment.  Enforced by tests/test_bench_headline.py at
+#: worst-case value widths so adding an op fails the TEST, not the
+#: driver's parse (the BENCH_r10 failure mode).
+HEADLINE_MAX_CHARS = 1800
+
+
+def build_headline(total, timings, vs_baseline, vs_baseline_normalized,
+                   sf) -> str:
+    """The LAST stdout line — one complete, self-sufficient JSON record
+    small enough that the driver's tail capture always contains it
+    whole.  Best-raw seconds at 2 decimals + both vs_baseline views;
+    medians / stability / probes ride the preceding detail line."""
+    line = json.dumps({
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: (None if v is None else round(v, 2))
+                    for k, v in timings.items()},
+        "vs_baseline": vs_baseline,
+        "vs_baseline_normalized": vs_baseline_normalized,
+        "sf": sf,
+    }, separators=(",", ":"))
+    assert len(line) <= HEADLINE_MAX_CHARS, (
+        f"headline {len(line)} chars > {HEADLINE_MAX_CHARS}: trim it "
+        "before the driver's tail capture goes blind again")
+    return line
+
+
 def wait_for_calm(spark, calib_samples, max_wait: float = 240.0) -> dict:
     """The host throttles in minutes-long windows and RECOVERS (observed
     r5: bulk_write 78s at minute 0, dedup_minhash at its clean-host 3.2s
@@ -673,12 +704,16 @@ def main() -> int:
         "shuffle": _median([c["shuffle"] for c in calib_samples]),
         "total": calib_ref,
     }
-    # full record first (per-attempt probes + stage timings — the
-    # diagnosable evidence), compact headline LAST: the driver captures
-    # the tail of stdout, and r5's full JSON alone was long enough that
-    # the tail cut off its head and nothing parsed (BENCH_r05 parsed:
-    # null).  The final line is small and self-sufficient, so the tail
-    # capture always contains one complete parseable record.
+    # THREE lines, most-diagnosable first, most-compact LAST: the
+    # driver captures only the TAIL of stdout (~2000 chars), and twice
+    # now a grown record has blinded the bench gate (BENCH_r05: the
+    # full JSON alone cut off its own head; BENCH_r10: the combined
+    # headline outgrew the window once llm_front_door + the range_scan
+    # ladder + median/stability blocks joined it — parsed: null).  So
+    # the final line now carries ONLY best-raw queries + both
+    # vs_baseline views (2-decimal, compact separators) and its length
+    # is pinned by test_bench_headline at worst-case widths; medians /
+    # stability / probes move to the middle detail line.
     print(json.dumps({
         "metric": "total_sec_full",
         "value": total,
@@ -690,18 +725,17 @@ def main() -> int:
         "sf": sf,
     }))
     print(json.dumps({
-        "metric": "total_sec",
+        "metric": "total_sec_detail",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "queries_median": medians,
-        "vs_baseline": vs_baseline,
-        "vs_baseline_normalized": vs_baseline_normalized,
         "stability": stability,
         "probe_medians": probe_medians,
         "calibration_clean_ref_sec": CLEAN_CALIB_SEC,
         "sf": sf,
     }))
+    print(build_headline(total, timings, vs_baseline,
+                         vs_baseline_normalized, sf))
     return 0 if all(v is not None for v in timings.values()) else 1
 
 

@@ -220,26 +220,41 @@ def rfm_scores(
     3. ``repartitionByRange(P, metric, value, user)`` — ascending
        range buckets aligned with the ntile order, every bucket
        ~3·users/P rows (the user tie-break keeps keys unique, so even
-       a constant metric splits across buckets);
-    4. per-(metric, bucket) counts → running offsets, computed from
-       the SAME range Exchange (ReuseExchange dedupes the scan — see
-       the plan pin in tests) on metadata-sized rows (P×3), then
-       broadcast-joined back: global_rank = offset + row_number over
-       (metric, bucket).  No driver collect, nothing data-sized passes
-       through one task;
+       a constant metric splits across buckets); the result is
+       PERSISTED (load-bearing, exactly like global_ranks — see
+       ranks.py): both consumers key off spark_partition_id() of this
+       exchange and must observe ONE materialization.  ReuseExchange
+       used to carry that guarantee, but it is an optimization, not a
+       contract — canonical-equality is broken by external column
+       pruning or disabling spark.sql.exchange.reuse, after which the
+       exchange runs twice with independent range sampling and scores
+       go silently wrong;
+    4. per-(metric, bucket) counts → running offsets over the
+       metadata-sized summary (P×3 rows), then broadcast-joined back:
+       global_rank = offset + row_number over (metric, bucket).  No
+       driver collect, nothing data-sized passes through one task;
     5. the ntile value from (rank, N) in closed form with exact
        bigint arithmetic: the first N%b buckets take ceil(N/b) rows,
        the rest floor(N/b) — the standard SQL ntile contract both
        Spark and DuckDB implement.
     """
+    from pyspark import StorageLevel
+
+    from hbase_snapshot_spark.operators.ranks import _register_cache
+
     spark = df.sparkSession
     P = int(range_partitions
             or spark.conf.get("spark.sql.shuffle.partitions"))
-    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
-        F.max(ts_col).alias("last_ts"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("monetary"),
-    )
+    # persisted so the melt branch and the final payload join share ONE
+    # events scan + user aggregation by cache substitution (a contract)
+    # instead of by exchange-subtree canonical equality (an optimizer
+    # heuristic).  User-table sized — 4 narrow columns per user.
+    per_user = _register_cache(
+        df.groupBy(F.col(user_col).alias("user")).agg(
+            F.max(ts_col).alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("monetary"),
+        ).persist(StorageLevel.MEMORY_AND_DISK))
     metrics = [("last_ts", "r_score"), ("frequency", "f_score"),
                ("monetary", "m_score")]
 
@@ -260,13 +275,9 @@ def rfm_scores(
             e = F.col(name)
         return e.cast("decimal(38,4)")
 
-    # melt carries ONLY (user, _m, _v) — no payload columns.  Both
-    # consumers of the range exchange (the ranked rows and the bucket
-    # counts) then prune to the identical column set, so the exchange
-    # subtrees canonicalize equal and ReuseExchange runs the melt — and
-    # with it the events scan + user aggregation — exactly ONCE.  The
-    # payload (last_ts/frequency/monetary) joins back from per_user at
-    # the end, where it reuses the user aggregation's own exchange.
+    # melt carries ONLY (user, _m, _v) — no payload columns; the
+    # payload (last_ts/frequency/monetary) joins back from the cached
+    # per_user at the end.
     melted = per_user.select(
         "user",
         F.explode(F.array(*[
@@ -276,9 +287,14 @@ def rfm_scores(
     ).select("user", F.col("_e._m").alias("_m"), F.col("_e._v").alias("_v"))
     # explicit partition count: AQE never coalesces a user-specified
     # repartitionByRange, so bucket ids are stable across the two
-    # consumers of the exchange
-    rp = (melted.repartitionByRange(P, "_m", "_v", "user")
-          .withColumn("_pid", F.spark_partition_id()))
+    # consumers of the exchange.  PERSIST is load-bearing (ranks.py
+    # documents the failure mode): bucket counts and ranked rows both
+    # key off spark_partition_id() of this exchange and must observe
+    # one materialization — by cache, not by ReuseExchange.
+    rp = _register_cache(
+        melted.repartitionByRange(P, "_m", "_v", "user")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK))
     cnt = rp.groupBy("_m", "_pid").agg(F.count(F.lit(1)).alias("_c"))
     off_w = (Window.partitionBy("_m").orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -309,11 +325,9 @@ def rfm_scores(
         for i, (_, score) in enumerate(metrics)
     ])
     # null-safe equality: a NULL user group must keep its scores (plain
-    # inner join would drop it), and — just as important for the plan —
-    # eqNullSafe pushes no isnotnull filter into the per_user side, so
-    # the aggregation subtree stays canonically identical to the melt
-    # branch's and ReuseExchange computes the events scan + user
-    # aggregation once for both consumers.
+    # inner join would drop it), and eqNullSafe pushes no isnotnull
+    # filter into the per_user side, so the cached per_user serves this
+    # join unfiltered.
     return per_user.join(
         scores, F.col("user").eqNullSafe(F.col("_user"))
     ).select(

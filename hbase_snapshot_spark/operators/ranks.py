@@ -35,8 +35,53 @@ total), keyed by a constant — metadata-sized by construction.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# ------------------------------------------------------- cache lifecycle
+
+#: Innermost-first stack of active rank_cache_scope collectors.  The
+#: rank primitives' persists are LOAD-BEARING (see global_ranks), so
+#: they deliberately never unpersist themselves — but a long-lived
+#: session ranking many tables would accumulate caches without bound.
+_ACTIVE_SCOPES: list[list[DataFrame]] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    if _ACTIVE_SCOPES:
+        _ACTIVE_SCOPES[-1].append(df)
+    return df
+
+
+@contextmanager
+def rank_cache_scope():
+    """Bound the load-bearing persists of global_ranks / rfm_scores:
+    every cache they create inside the ``with`` block is unpersisted on
+    exit.  CONTRACT: consume (collect / write / count) the returned
+    DataFrames INSIDE the scope — executing them after exit recomputes
+    the range exchange uncached, which re-opens the bucket-id
+    consistency hazard the persist exists to close.
+
+        with rank_cache_scope():
+            out = global_ranks(df, ["v", "id"])
+            out.write.parquet(...)        # materialized in-scope
+        # caches released here
+
+    Scopes nest; each persist registers with the innermost one.
+    Without an active scope the historical behavior stands: caches
+    live until their lineage is garbage-collected (ContextCleaner) or
+    ``spark.catalog.clearCache()``.  Yields the collector list so
+    callers can inspect what was pinned."""
+    scope: list[DataFrame] = []
+    _ACTIVE_SCOPES.append(scope)
+    try:
+        yield scope
+    finally:
+        _ACTIVE_SCOPES.pop()
+        for df in scope:
+            df.unpersist()
 
 
 def global_ranks(
@@ -73,13 +118,16 @@ def global_ranks(
     # size the call accordingly (rank user/aggregate tables, not raw
     # corpora).  Lifecycle: no unpersist here (consumers are lazy);
     # the ContextCleaner reclaims the cache once the returned
-    # DataFrame's lineage is garbage-collected, and a long-lived
-    # session can force the issue with spark.catalog.clearCache().
+    # DataFrame's lineage is garbage-collected, a long-lived session
+    # can force the issue with spark.catalog.clearCache(), and
+    # pipelines that rank many tables should wrap their consume in
+    # rank_cache_scope() for deterministic release.
     from pyspark import StorageLevel
 
-    rp = (df.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])
-          .withColumn("_pid", F.spark_partition_id())
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    rp = _register_cache(
+        df.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK))
     cnt = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # The offsets window runs over the P-row bucket summary and DOES
     # compile to an Exchange SinglePartition — deliberately: its input

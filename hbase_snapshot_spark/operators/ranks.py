@@ -92,17 +92,46 @@ def global_ranks(
     ntile_col: str = "ntile",
     percent: bool = False,
     range_partitions: int | None = None,
+    ties: str = "row",
 ) -> DataFrame:
     """Add ``rank_col`` (1-based global rank in ``order_cols`` asc
     order); with ``buckets`` also ``ntile_col``; with ``percent`` also
     ``percent_rank`` and ``cume_dist``.  All bit-identical to the
-    corresponding unpartitioned window functions over the same total
-    order."""
+    corresponding unpartitioned window functions over the same order.
+
+    ``ties`` selects the SQL semantics:
+
+    * ``'row'`` (default) — ``row_number()``: ``order_cols`` MUST be a
+      total order (append a unique id); supports ``buckets`` (ntile is
+      row_number-based in SQL) and ``percent``.
+    * ``'rank'`` — SQL ``rank()``: tied rows share the tie group's
+      minimum row_number (gaps follow).  Duplicate order values are
+      fine; ``buckets`` is rejected (ntile needs a total order).
+    * ``'dense'`` — SQL ``dense_rank()``: tied rows share the 1-based
+      index of their DISTINCT order value (no gaps).
+
+    The tie-aware path is the same no-single-task machinery run over
+    the DISTINCT order keys (with their row counts as weights): rank =
+    1 + running row-weight of preceding keys, dense_rank = the key's
+    global row_number — then a null-safe equi-join fans the per-key
+    numbers back to the rows (hash shuffle on the order columns; keys
+    ≤ rows by construction).  ``percent`` under ties uses the
+    tie-correct forms: percent_rank = (rank−1)/(N−1), cume_dist =
+    (rank−1+tie_count)/N — exactly Spark's window definitions."""
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    if ties not in ("row", "rank", "dense"):
+        raise ValueError(f"ties must be 'row' | 'rank' | 'dense': {ties!r}")
     spark = df.sparkSession
     P = int(range_partitions
             or spark.conf.get("spark.sql.shuffle.partitions"))
+    if ties != "row":
+        if buckets is not None:
+            raise ValueError(
+                "ntile buckets require ties='row' (SQL ntile is "
+                "row_number-based; under a non-total order it is "
+                "partition-order-dependent)")
+        return _global_tie_ranks(df, order_cols, rank_col, percent, P, ties)
     # PERSIST is load-bearing, not an optimization: the bucket counts
     # and the ranked rows both key off spark_partition_id() of THIS
     # range exchange, so they must observe ONE materialization.
@@ -170,3 +199,68 @@ def global_ranks(
                    (rk - 1) / (F.col("_n") - 1)).otherwise(F.lit(0.0)),
         ).withColumn("cume_dist", rk / F.col("_n"))
     return out.drop("_pid", "_off", "_n")
+
+
+def _global_tie_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str,
+    percent: bool,
+    P: int,
+    ties: str,
+) -> DataFrame:
+    """rank()/dense_rank() without the single-task window: run the
+    range-partition machinery over the DISTINCT order keys weighted by
+    their row counts, then fan the per-key numbers back to the rows.
+    The distinct keys ARE a total order on themselves, so row_number
+    within the key table is deterministic by construction."""
+    from pyspark import StorageLevel
+
+    keys = df.groupBy(*order_cols).agg(F.count(F.lit(1)).alias("_c"))
+    # load-bearing persist, same contract as the row path: bucket
+    # counts and ranked keys both read spark_partition_id() of this one
+    # materialization.  Cache size = distinct keys (≤ input rows).
+    rp = _register_cache(
+        keys.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    cnt = rp.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_kc"),      # keys in bucket
+        F.sum("_c").alias("_wc"),            # rows in bucket
+    )
+    off_w = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    meta = cnt.select(
+        "_pid",
+        (F.sum("_kc").over(off_w) - F.col("_kc")).alias("_koff"),
+        (F.sum("_wc").over(off_w) - F.col("_wc")).alias("_woff"),
+        F.sum("_wc").over(Window.partitionBy(F.lit(0))).alias("_n"),
+    )
+    in_w = (Window.partitionBy("_pid")
+            .orderBy(*[F.col(c).asc() for c in order_cols]))
+    cum_w = in_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        rp.join(F.broadcast(meta), "_pid")
+        .withColumn("_dense", F.col("_koff") + F.row_number().over(in_w))
+        .withColumn("_rk", F.col("_woff")
+                    + F.sum("_c").over(cum_w) - F.col("_c") + F.lit(1))
+    )
+    val = F.col("_rk") if ties == "rank" else F.col("_dense")
+    out_cols = [val.alias(rank_col)]
+    if percent:
+        out_cols += [
+            F.when(F.col("_n") > 1, (F.col("_rk") - 1) / (F.col("_n") - 1))
+            .otherwise(F.lit(0.0)).alias("percent_rank"),
+            ((F.col("_rk") - 1 + F.col("_c")) / F.col("_n"))
+            .alias("cume_dist"),
+        ]
+    keymap = ranked.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(order_cols)],
+        *out_cols,
+    )
+    cond = None
+    for i, c in enumerate(order_cols):
+        clause = df[c].eqNullSafe(F.col(f"_k{i}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(keymap, cond).drop(
+        *[f"_k{i}" for i in range(len(order_cols))])

@@ -532,6 +532,67 @@ def test_global_ranks_cross_parallelism_and_nulls(spark):
     assert ref.exceptAll(got).count() == 0
 
 
+def test_global_ranks_tie_aware_matches_window(spark):
+    """(r11, VERDICT #5) ties='rank'/'dense': bit-parity with Spark's
+    unpartitioned rank()/dense_rank()/percent_rank()/cume_dist() over
+    an order with HEAVY duplicates (37 distinct values over 2000 rows)
+    and nulls, across 1-partition and 32-partition layouts — and with
+    exchange reuse disabled, since the tie path carries its pid
+    consistency by persist like the row path."""
+    from pyspark.sql import Window
+
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    rows = [((i * 131) % 37 if i % 13 else None, i) for i in range(2000)]
+    base = spark.createDataFrame(rows, "v long, id long")
+    w = Window.orderBy(F.col("v").asc())
+    ref = base.select(
+        "v", "id",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.percent_rank().over(w).alias("percent_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    ).collect()
+    want_rank = {r.id: (r.rk, r.percent_rank, r.cume_dist) for r in ref}
+    want_dense = {r.id: r.dr for r in ref}
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        for layout in (base.coalesce(1), base.repartition(32)):
+            got_r = global_ranks(layout, ["v"], ties="rank",
+                                 percent=True).collect()
+            assert {r.id: (r.rank, r.percent_rank, r.cume_dist)
+                    for r in got_r} == want_rank
+            got_d = global_ranks(layout, ["v"], rank_col="dr",
+                                 ties="dense").collect()
+            assert {r.id: r.dr for r in got_d} == want_dense
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    # guard rails: ntile needs a total order; unknown ties rejected
+    import pytest
+    with pytest.raises(ValueError, match="ties='row'"):
+        global_ranks(base, ["v"], buckets=4, ties="rank")
+    with pytest.raises(ValueError, match="ties must be"):
+        global_ranks(base, ["v"], ties="first")
+
+
+def test_global_ranks_tie_aware_total_order_degenerates_to_row(spark):
+    """Under a TOTAL order (no duplicate keys) rank == dense_rank ==
+    row_number, so the three modes must agree exactly — the tie path's
+    weighted machinery collapses to the row path's counts."""
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    base = spark.createDataFrame(
+        [((i * 977) % 4099, i) for i in range(1500)], "v long, id long")
+    row = {r.id: r.rank for r in
+           global_ranks(base, ["v", "id"], ties="row").collect()}
+    rk = {r.id: r.rank for r in
+          global_ranks(base, ["v", "id"], ties="rank").collect()}
+    dr = {r.id: r.rank for r in
+          global_ranks(base, ["v", "id"], ties="dense").collect()}
+    assert row == rk == dr
+
+
 def test_rank_cache_scope_releases_caches(spark):
     """(r11, VERDICT #6) the load-bearing persists of global_ranks /
     rfm_scores never self-unpersist (consumers are lazy), so a

@@ -316,39 +316,20 @@ class Bench:
 
     def _warc_corpus_dir(self):
         """Synthesize (once per bench process) a multi-file member-gzip
-        .warc.gz corpus at sf-equivalent volume: every row of the sf's
-        documents table becomes one HTTP-200 HTML response record, split
-        round-robin over 32 archives (one binaryFile scan task per local
-        core).  Generation is setup, excluded from all timings."""
+        .warc.gz corpus at sf-equivalent volume via the DISTRIBUTED
+        generator (warc.synthesize_warc_corpus: every documents row →
+        one HTTP-200 response record, bucketed over 32 archives — one
+        binaryFile scan task per local core — each archive written by
+        its own task, no driver collect, so the front door can join the
+        10x scale-stress ladder).  Generation is setup, excluded from
+        all timings."""
         if getattr(self, "_warc_dir", None):
             return self._warc_dir
-        from hbase_snapshot_spark.sources import warc as W
+        from hbase_snapshot_spark.sources.warc import synthesize_warc_corpus
 
-        docs = (self.spark.read.parquet(f"{self.sf_dir}/documents.parquet")
-                .select("doc_id", "text").collect())
+        docs = self.spark.read.parquet(f"{self.sf_dir}/documents.parquet")
         d = os.path.join(self.workdir, "warc-corpus")
-        os.makedirs(d, exist_ok=True)
-        n_files = 32  # one archive per local core — the file IS the task
-        buckets = [[] for _ in range(n_files)]
-        for r in docs:
-            body = (f"<html><head><title>doc {r.doc_id}</title></head>"
-                    f"<body><p>{r.text}</p></body></html>").encode()
-            http = (b"HTTP/1.1 200 OK\r\n"
-                    b"Content-Type: text/html; charset=utf-8\r\n\r\n"
-                    + body)
-            buckets[r.doc_id % n_files].append({
-                "headers": {
-                    "WARC-Type": "response",
-                    "WARC-Record-ID": f"<urn:uuid:doc-{r.doc_id}>",
-                    "WARC-Date": "2026-01-01T00:00:00Z",
-                    "WARC-Target-URI": f"http://bench.example/doc/{r.doc_id}",
-                    "Content-Type": "application/http; msgtype=response",
-                },
-                "block": http,
-            })
-        for i, recs in enumerate(buckets):
-            with open(os.path.join(d, f"part-{i}.warc.gz"), "wb") as f:
-                f.write(W.write_warc_file(recs, gzip_members=True))
+        synthesize_warc_corpus(docs, d, n_files=32)
         self._warc_dir = d
         return d
 

@@ -585,6 +585,68 @@ def warc_records_to_media(records: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------ warc writer
 
+def synthesize_warc_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    n_files: int = 32,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[dict]:
+    """Synthesize a member-gzip ``.warc.gz`` corpus from a documents
+    table, DISTRIBUTIVELY: every row becomes one HTTP-200 HTML response
+    record, rows bucket by ``doc_id % n_files``, and each bucket's
+    archive is written by its OWN task (``applyInPandas``) — nothing
+    passes through the driver, so corpus volume is bounded by archive
+    size (docs/n_files per task; the caller sizes n_files exactly like
+    a crawler sizes its ~1 GB archive split), not driver memory.
+    Deterministic: records sort by doc_id within each archive, so
+    repeated synthesis over the same table is byte-identical.
+
+    ``out_dir`` must be a filesystem every executor can write
+    (local-mode tmp dirs, or shared storage on a real cluster).
+    Returns the manifest ``[{file, n_records}, ...]`` (n_files rows —
+    driver-sized by construction)."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(key, pdf):
+        i = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = (f"<html><head><title>doc {doc_id}</title></head>"
+                    f"<body><p>{text}</p></body></html>").encode()
+            recs.append({
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:doc-{doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"http://bench.example/doc/{doc_id}",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "block": (b"HTTP/1.1 200 OK\r\n"
+                          b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                          + body),
+            })
+        path = os.path.join(out_dir, f"part-{i}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(write_warc_file(recs, gzip_members=True))
+        return pd.DataFrame([{"file": path, "n_records": len(recs)}])
+
+    manifest = (
+        docs.select(F.col(doc_id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+        .withColumn("_bucket", F.col("doc_id") % n_files)
+        .groupBy("_bucket")
+        .applyInPandas(write_bucket, "file string, n_records long")
+        .collect()  # n_files rows — the manifest, not the data
+    )
+    return [r.asDict() for r in manifest]
+
+
 def write_warc_file(records: list[dict], *, gzip_members: bool = True) -> bytes:
     """Serialize records (dicts with ``headers: dict`` and ``block:
     bytes``) into archive bytes — member-per-record gzip when asked.

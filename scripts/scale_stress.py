@@ -170,13 +170,33 @@ def pinned_plans(bench) -> dict:
     return plans
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop InMemoryRelation nodes and their nested cached-plan
+    printouts, leaving only operators this query's execution runs
+    (mirrors tests/test_plans.py)."""
+    out, skip_indent = [], None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*()0123456789"))
+        if skip_indent is not None:
+            if indent > skip_indent or not line.strip():
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def shape_checks(bench) -> dict:
-    """Scale-INVARIANT checks (r10) for plans whose byte shape is
-    ALLOWED to change with volume — rfm_scores' final payload join
-    legitimately flips BroadcastHashJoin -> SortMergeJoin as the
-    user table outgrows the broadcast threshold (that adaptivity is
-    the point), so the pin is the property the operator exists for:
-    no data-sized single-task shape at ANY scale."""
+    """Scale-INVARIANT checks (r10, persist discipline r11) for plans
+    whose byte shape is ALLOWED to change with volume — rfm_scores'
+    final payload join legitimately flips BroadcastHashJoin ->
+    SortMergeJoin as the user table outgrows the broadcast threshold
+    (that adaptivity is the point), so the pin is the property the
+    operator exists for: no data-sized single-task shape at ANY scale,
+    and both spark_partition_id consumers + the payload join reading
+    CACHES (the r11 persist contract) with no top-level source scan."""
     import bench as B
     from hbase_snapshot_spark.operators.asof import rfm_scores
 
@@ -188,16 +208,18 @@ def shape_checks(bench) -> dict:
         " * 1000 AS ts", "value"), range_partitions=B.CPUS)
     # collect() — not count() — so THIS DataFrame's own query execution
     # is the one AQE finalizes (count() builds a separate plan and
-    # leaves df's executedPlan un-adaptive with no reuse markers)
+    # leaves df's executedPlan un-adaptive with no cache-scan markers)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("+- == Initial Plan ==")[0]
+    top = _strip_cached_subtrees(final)
     return {
         "rfm_no_single_partition": "SinglePartition" not in final,
         # a global sort prints "Sort [...], true, 0"
         "rfm_no_global_sort": "], true, 0" not in final,
-        "rfm_exchange_reused": ("ReusedExchange" in plan
-                                or "reuses" in plan),
+        "rfm_cached_consumers": final.count("InMemoryTableScan") >= 3,
+        "rfm_single_source_scan": not re.search(
+            r"Scan ExistingRDD|FileScan", top),
     }
 
 
@@ -271,6 +293,17 @@ def measure(sf_dir: str, label: str) -> tuple[dict, dict, dict]:
         b.random_seek_scan()
         best = min(best or 1e9, time.time() - t0)
     times["random_seek_scan"] = round(best, 3)
+    # r11: the end-to-end front door joins the ladder — the corpus is
+    # synthesized DISTRIBUTIVELY (no driver collect), so it scales with
+    # the derived documents table.  Corpus build is setup: warm it
+    # before the first timed attempt.
+    b._warc_corpus_dir()
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        b.llm_front_door()
+        best = min(best or 1e9, time.time() - t0)
+    times["llm_front_door"] = round(best, 3)
     plans = pinned_plans(b)
     shapes = shape_checks(b)
     spark.stop()

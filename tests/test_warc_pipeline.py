@@ -6,6 +6,7 @@ and NOTHING else (the gates, charset decode, HTML strip, and chunking
 all fuse into the scan-side projections)."""
 
 import io
+import os
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -373,3 +374,44 @@ def test_full_curation_recipe_deterministic(spark, tmp_path):
     # determinism: byte-identical manifests across independent runs
     assert json.dumps(m1, sort_keys=True) == json.dumps(m2, sort_keys=True)
     assert sum(s["n_rows"] for s in m1["shards"].values()) > 0
+
+
+def test_synthesize_warc_corpus_distributed_and_deterministic(spark, tmp_path):
+    """(r11, VERDICT #3) the distributed corpus generator that lets
+    llm_front_door join the scale-stress ladder: archives are written
+    by executor tasks (applyInPandas per bucket, no driver collect of
+    the documents), repeated synthesis is byte-identical, and
+    warc_to_documents round-trips every row with its doc id and text
+    intact."""
+    import hashlib
+
+    from hbase_snapshot_spark.sources.warc import (
+        synthesize_warc_corpus,
+        warc_to_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i} " * 20) for i in range(97)],
+        "doc_id long, text string").repartition(7)
+
+    def synth(tag):
+        d = str(tmp_path / f"corpus-{tag}")
+        manifest = synthesize_warc_corpus(docs, d, n_files=8)
+        assert len(manifest) == 8 and sum(
+            m["n_records"] for m in manifest) == 97
+        return d, {
+            os.path.basename(m["file"]):
+                hashlib.md5(open(m["file"], "rb").read()).hexdigest()
+            for m in manifest
+        }
+
+    d1, h1 = synth("a")
+    _, h2 = synth("b")
+    assert h1 == h2                       # byte-identical re-synthesis
+    got = warc_to_documents(spark, os.path.join(d1, "*.warc.gz"))
+    rows = {r.doc_id for r in
+            got.select(F.regexp_extract("url", r"/doc/(\d+)$", 1)
+                       .cast("long").alias("doc_id")).collect()}
+    assert rows == set(range(97))
+    # text survives the HTML strip
+    assert got.filter(F.col("text").contains("body text 42")).count() == 1

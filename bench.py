@@ -376,6 +376,45 @@ class Bench:
             "end_to_end_sharded": round(dt, 3),
         }}
 
+    # -- the STREAMING front door (BASELINE §L, r11): the same corpus
+    # arriving as TWO waves of archives in a watched directory, each
+    # drained by an availableNow run against ONE checkpoint — measures
+    # file-source discovery + record split + gates + cross-batch dedup
+    # state + the idempotent sink, including the second run's
+    # checkpoint/state resume (the continuous-ingestion cost the batch
+    # front door never pays).  Archive hardlinks are setup, excluded.
+    def streaming_front_door(self):
+        import glob as _glob
+
+        from hbase_snapshot_spark.streaming.ingest import (
+            stream_warc_ingest_corpus,
+        )
+
+        src = sorted(_glob.glob(
+            os.path.join(self._warc_corpus_dir(), "*.warc.gz")))
+        assert len(src) >= 2, src
+        tag = getattr(self, "_sfd_run", 0)
+        self._sfd_run = tag + 1  # fresh state per attempt, cold e2e
+        land = os.path.join(self.workdir, f"sfd-land-{tag}")
+        outd = os.path.join(self.workdir, f"sfd-out-{tag}")
+        ckpt = os.path.join(self.workdir, f"sfd-ckpt-{tag}")
+        os.makedirs(land)
+        half = len(src) // 2
+        stages = {}
+        for wave, files in enumerate((src[:half], src[half:]), start=1):
+            for f in files:
+                os.link(f, os.path.join(land, os.path.basename(f)))
+            t0 = time.time()
+            q = stream_warc_ingest_corpus(
+                self.spark, land, outd, ckpt,
+                min_quality=0.0, available_now=True)
+            q.awaitTermination()
+            stages[f"drain{wave}"] = round(time.time() - t0, 3)
+        n = self.spark.read.parquet(outd).count()
+        assert n > 0, "streaming front door produced no rows"
+        return {"sec": stages["drain1"] + stages["drain2"],
+                "stages": stages}
+
     def tpch_q1(self):
         import __spark_entry__ as e
 
@@ -412,6 +451,7 @@ WORKLOAD_ORDER = [
     "ann_topk",
     "text_pipeline",
     "llm_front_door",
+    "streaming_front_door",
     "tpch_q1",
     "snapshot_restore",
 ]

@@ -415,3 +415,112 @@ def test_synthesize_warc_corpus_distributed_and_deterministic(spark, tmp_path):
     assert rows == set(range(97))
     # text survives the HTML strip
     assert got.filter(F.col("text").contains("body text 42")).count() == 1
+
+
+def test_front_door_property_battery(spark, tmp_path):
+    """(r11, VERDICT #7) seeded generator battery over the FULL front
+    door (archives → jusText extraction → gates → exact dedup → chunk
+    → pack), the way the jaccard/canonicalize batteries pin their
+    kernels: per seed, generate HTML shells × gate-straddling content
+    × a known duplicate structure, then assert
+
+    * determinism — two independent end-to-end runs produce identical
+      chunk rows;
+    * dedup decisions — every exact-duplicate group collapses to ONE
+      survivor, near-duplicates (one word changed) survive the EXACT
+      stage but collapse under the MinHash stage;
+    * gate decisions — junk pages (punctuation spam, no stopwords) are
+      gone, prose pages survive;
+    * extraction — nav/footer boilerplate text never reaches a chunk.
+    """
+    import random
+
+    from hbase_snapshot_spark.operators.dedup import dedup_corpus
+    from hbase_snapshot_spark.operators.text import quality_score
+
+    shells = [
+        ('<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
+         "<article><p>{body}</p></article>"
+         '<footer><a href="/t">Terms</a></footer>'),
+        ("<div><div><p>{body}</p></div></div>"
+         '<aside><a href="/s">Share</a> <a href="/p">Print</a>'
+         ' <a href="/m">More</a></aside>'),
+        ("<main><p>{body}</p></main>"),
+    ]
+    stop = ["the", "of", "and", "a", "to", "is", "it", "that", "in"]
+    vocab = ["fox", "owl", "tree", "river", "branch", "reader", "dog",
+             "stone", "cloud", "lamp", "door", "paper", "wheel", "song"]
+
+    for seed in range(4):
+        rng = random.Random(1000 + seed)
+
+        def prose(words=150):
+            return " ".join(
+                rng.choice(stop) if rng.random() < 0.45
+                else rng.choice(vocab) for _ in range(words))
+
+        def junk(n=120):
+            return " ".join("#@%$!*" + str(rng.randint(0, 9))
+                            for _ in range(n))
+
+        # duplicate structure: 8 unique prose pages, one exact-dup
+        # group of 3, one near-dup pair, 2 junk pages
+        bodies = [prose() + f" marker {seed}x{i}" for i in range(8)]
+        pages = [(f"u{i}", bodies[i]) for i in range(8)]
+        pages += [(f"d{j}", bodies[2]) for j in range(2)]          # dups of u2
+        pages += [("n0", bodies[5].replace(f"marker {seed}x5",
+                                           f"marker {seed}x5b"))]  # near-dup
+        pages += [(f"j{j}", junk()) for j in range(2)]
+        rng.shuffle(pages)
+
+        recs = [
+            _rec(f"s{seed}-{tag}", f"http://ex.org/{seed}/{tag}",
+                 _http(shells[i % len(shells)].format(body=body).encode()))
+            for i, (tag, body) in enumerate(pages)
+        ]
+        d = tmp_path / f"battery-{seed}"
+        d.mkdir()
+        half = len(recs) // 2
+        (d / "a.warc.gz").write_bytes(
+            W.write_warc_file(recs[:half], gzip_members=True))
+        (d / "b.warc.gz").write_bytes(
+            W.write_warc_file(recs[half:], gzip_members=True))
+
+        def run():
+            docs = W.warc_to_documents(spark, str(d / "*.warc.gz"),
+                                       extractor="justext")
+            out = preprocess_corpus(docs, min_quality=0.3,
+                                    chunk_tokens=64, overlap_tokens=8,
+                                    pack_cap=512)
+            ids = docs.select(
+                F.regexp_extract("url", r"/([a-z]+\d+)$", 1).alias("tag"),
+                "doc_id")
+            rows = sorted(map(tuple, out.join(ids, "doc_id").collect()))
+            return docs, rows
+
+        docs, rows1 = run()
+        _, rows2 = run()
+        assert rows1 == rows2, f"seed {seed}: nondeterministic front door"
+        tags = {r[-1] for r in rows1}
+        # gates: junk gone, unique prose survives
+        assert not {t for t in tags if t.startswith("j")}, tags
+        # u2 rides its duplicate group (any ONE of u2/d0/d1 survives)
+        assert {f"u{i}" for i in range(8) if i != 2} <= tags, tags
+        # exact dedup: ONE survivor for the {u2, d0, d1} group — u2's
+        # text is shared, so exactly one of the three tags remains
+        grp = tags & {"u2", "d0", "d1"}
+        assert len(grp) == 1, (seed, grp)
+        # near-dup survives the exact stage...
+        assert "n0" in tags, tags
+        # ...but collapses under MinHash: u5 and n0 -> one survivor
+        gated = quality_score(docs).filter(F.col("quality") >= 0.3)
+        kept = dedup_corpus(gated, num_hashes=16, bands=8, threshold=0.7)
+        kept_tags = {r.tag for r in kept.select(
+            F.regexp_extract("url", r"/([a-z]+\d+)$", 1).alias("tag"))
+            .collect()}
+        assert len(kept_tags & {"u5", "n0"}) == 1, (seed, kept_tags)
+        # extraction: boilerplate never reaches a chunk
+        all_text = " ".join(str(x) for r in rows1 for x in r
+                            if isinstance(x, str))
+        for boiler in ("Home", "About", "Terms", "Share", "Print"):
+            assert boiler not in all_text, (seed, boiler)

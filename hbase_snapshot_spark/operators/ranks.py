@@ -22,9 +22,10 @@ is closed-form from (rank, N):
 column, exactly like rfm_scores' (metric, user) tie-break): under a
 total order row_number == rank == the deterministic value both engines
 agree on; under ties row_number is partition-order-dependent.  NULL
-order values rank nulls-FIRST (Spark's ASC default) — an ANSI-SQL
-oracle must spell ``NULLS FIRST`` explicitly (DuckDB defaults to
-NULLS LAST).
+order values follow Spark's window defaults — ASC ranks nulls FIRST,
+DESC ranks nulls LAST — so an ANSI-SQL oracle must spell
+``NULLS FIRST`` explicitly on ascending columns (DuckDB defaults to
+NULLS LAST either direction).
 
 This is the single-order sibling of rfm_scores' three-metric melt
 (operators/asof.py) — same machinery, same scale posture: no driver
@@ -84,6 +85,23 @@ def rank_cache_scope():
             df.unpersist()
 
 
+def _sort_exprs(order_cols: list[str], ascending) -> list:
+    """Per-column sort expressions with Spark's window defaults:
+    asc → nulls FIRST, desc → nulls LAST — exactly what
+    ``ORDER BY c [DESC]`` means inside a window function, so the rank
+    parity contract extends to mixed directions unchanged.  (A DuckDB
+    oracle agrees by default only on DESC; ASC needs an explicit
+    NULLS FIRST.)"""
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(order_cols)
+    if len(ascending) != len(order_cols):
+        raise ValueError(
+            f"ascending has {len(ascending)} entries for "
+            f"{len(order_cols)} order columns")
+    return [F.col(c).asc() if a else F.col(c).desc()
+            for c, a in zip(order_cols, ascending)]
+
+
 def global_ranks(
     df: DataFrame,
     order_cols: list[str],
@@ -93,11 +111,14 @@ def global_ranks(
     percent: bool = False,
     range_partitions: int | None = None,
     ties: str = "row",
+    ascending: "bool | list[bool]" = True,
 ) -> DataFrame:
-    """Add ``rank_col`` (1-based global rank in ``order_cols`` asc
-    order); with ``buckets`` also ``ntile_col``; with ``percent`` also
-    ``percent_rank`` and ``cume_dist``.  All bit-identical to the
-    corresponding unpartitioned window functions over the same order.
+    """Add ``rank_col`` (1-based global rank in ``order_cols`` order —
+    ascending by default; ``ascending`` takes a bool or one bool per
+    column for ``ORDER BY a DESC, b ASC`` shapes); with ``buckets``
+    also ``ntile_col``; with ``percent`` also ``percent_rank`` and
+    ``cume_dist``.  All bit-identical to the corresponding
+    unpartitioned window functions over the same order.
 
     ``ties`` selects the SQL semantics:
 
@@ -131,7 +152,8 @@ def global_ranks(
                 "ntile buckets require ties='row' (SQL ntile is "
                 "row_number-based; under a non-total order it is "
                 "partition-order-dependent)")
-        return _global_tie_ranks(df, order_cols, rank_col, percent, P, ties)
+        return _global_tie_ranks(df, order_cols, rank_col, percent, P,
+                                 ties, ascending)
     # PERSIST is load-bearing, not an optimization: the bucket counts
     # and the ranked rows both key off spark_partition_id() of THIS
     # range exchange, so they must observe ONE materialization.
@@ -153,8 +175,9 @@ def global_ranks(
     # rank_cache_scope() for deterministic release.
     from pyspark import StorageLevel
 
+    order = _sort_exprs(order_cols, ascending)
     rp = _register_cache(
-        df.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])
+        df.repartitionByRange(P, *order)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK))
     cnt = rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
@@ -172,8 +195,7 @@ def global_ranks(
         (F.sum("_c").over(off_w) - F.col("_c")).alias("_off"),
         F.sum("_c").over(Window.partitionBy(F.lit(0))).alias("_n"),
     )
-    rn_w = (Window.partitionBy("_pid")
-            .orderBy(*[F.col(c).asc() for c in order_cols]))
+    rn_w = Window.partitionBy("_pid").orderBy(*order)
     out = (
         rp.join(F.broadcast(meta), "_pid")
         .withColumn(rank_col, F.col("_off") + F.row_number().over(rn_w))
@@ -208,6 +230,7 @@ def _global_tie_ranks(
     percent: bool,
     P: int,
     ties: str,
+    ascending,
 ) -> DataFrame:
     """rank()/dense_rank() without the single-task window: run the
     range-partition machinery over the DISTINCT order keys weighted by
@@ -216,12 +239,13 @@ def _global_tie_ranks(
     within the key table is deterministic by construction."""
     from pyspark import StorageLevel
 
+    order = _sort_exprs(order_cols, ascending)
     keys = df.groupBy(*order_cols).agg(F.count(F.lit(1)).alias("_c"))
     # load-bearing persist, same contract as the row path: bucket
     # counts and ranked keys both read spark_partition_id() of this one
     # materialization.  Cache size = distinct keys (≤ input rows).
     rp = _register_cache(
-        keys.repartitionByRange(P, *[F.col(c).asc() for c in order_cols])
+        keys.repartitionByRange(P, *order)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK))
     cnt = rp.groupBy("_pid").agg(
@@ -236,8 +260,7 @@ def _global_tie_ranks(
         (F.sum("_wc").over(off_w) - F.col("_wc")).alias("_woff"),
         F.sum("_wc").over(Window.partitionBy(F.lit(0))).alias("_n"),
     )
-    in_w = (Window.partitionBy("_pid")
-            .orderBy(*[F.col(c).asc() for c in order_cols]))
+    in_w = Window.partitionBy("_pid").orderBy(*order)
     cum_w = in_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = (
         rp.join(F.broadcast(meta), "_pid")

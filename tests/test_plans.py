@@ -368,10 +368,14 @@ def test_rfm_scores_no_single_task_window(spark):
     # both pid consumers + the melt + the payload join read caches:
     # the top-level plan contains InMemoryTableScans and NO source
     # scan — the events scan ran exactly once, inside the per_user
-    # cache's materialization.  (executedPlan().toString() prints each
-    # cache's MATERIALIZATION plan inline under its InMemoryRelation
-    # node, so strip those subtrees before counting scans.)
-    assert final.count("InMemoryTableScan") >= 3, final
+    # cache's materialization.  Counted on the FULL plan string: under
+    # AQE the final-plan section prints materialized stages as bare
+    # QueryStage references, so at data scale only the last stage's
+    # cache scan survives in `final` (scale_stress shape_checks hit
+    # exactly that).  (executedPlan().toString() prints each cache's
+    # MATERIALIZATION plan inline under its InMemoryRelation node, so
+    # strip those subtrees before counting source scans.)
+    assert plan.count("InMemoryTableScan") >= 3, plan
     import re
     top = _strip_cached_subtrees(final)
     scans = re.findall(r"Scan ExistingRDD|FileScan", top)
@@ -574,6 +578,50 @@ def test_global_ranks_tie_aware_matches_window(spark):
         global_ranks(base, ["v"], buckets=4, ties="rank")
     with pytest.raises(ValueError, match="ties must be"):
         global_ranks(base, ["v"], ties="first")
+
+
+def test_global_ranks_descending_and_mixed_order(spark):
+    """(r11) ascending=False / per-column direction lists: bit-parity
+    with Spark's window functions over ``ORDER BY v DESC, k ASC`` and
+    all-desc orders, for the row path (row_number + ntile + percent)
+    AND the tie path (rank/dense_rank under duplicates), nulls
+    included (Spark desc ranks nulls LAST)."""
+    from pyspark.sql import Window
+
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    rows = [((i * 131) % 37 if i % 11 else None, i) for i in range(1200)]
+    base = spark.createDataFrame(rows, "v long, k long")
+
+    # row path, mixed directions (total order via the k tie-break)
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    ref = {r.k: (r.rn, r.nt, r.pr) for r in base.select(
+        "k",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(7).over(w).cast("long").alias("nt"),
+        F.percent_rank().over(w).alias("pr")).collect()}
+    got = {r.k: (r.rank, r.ntile, r.percent_rank) for r in global_ranks(
+        base, ["v", "k"], buckets=7, percent=True,
+        ascending=[False, True]).collect()}
+    assert got == ref
+
+    # tie path, all-desc over the duplicate-heavy column
+    wd = Window.orderBy(F.col("v").desc())
+    ref_t = {r.k: (r.rk, r.dr) for r in base.select(
+        "k",
+        F.rank().over(wd).cast("long").alias("rk"),
+        F.dense_rank().over(wd).cast("long").alias("dr")).collect()}
+    got_rk = {r.k: r.rank for r in global_ranks(
+        base, ["v"], ties="rank", ascending=False).collect()}
+    got_dr = {r.k: r.dr for r in global_ranks(
+        base, ["v"], rank_col="dr", ties="dense",
+        ascending=False).collect()}
+    assert {k: (got_rk[k], got_dr[k]) for k in got_rk} == ref_t
+
+    # malformed direction list rejected loudly
+    import pytest
+    with pytest.raises(ValueError, match="ascending"):
+        global_ranks(base, ["v", "k"], ascending=[True])
 
 
 def test_global_ranks_tie_aware_total_order_degenerates_to_row(spark):

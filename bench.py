@@ -514,6 +514,7 @@ BASELINE_SEC = {
     "random_seek_scan": 1.3,   # §F
     "sequential_read": 2.0,    # §F
     "llm_front_door": 3.3,     # §K (r10 freeze, clean window)
+    "streaming_front_door": 4.7,  # §L (r11 freeze, clean window)
 }
 
 # r4's two perf-suspect ops get 5 attempts (median-of-5 evidence,

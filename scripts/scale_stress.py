@@ -304,8 +304,10 @@ def measure(sf_dir: str, label: str) -> tuple[dict, dict, dict]:
     # the derived documents table.  Corpus build is setup: warm it
     # before the first timed attempt.
     b._warc_corpus_dir()
+    # best-of-3: the r11 first run's best-of-2 caught a throttled 3x
+    # attempt (13.8s vs the best-of-3 3.05s) and bent the exponent
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         b.llm_front_door()
         best = min(best or 1e9, time.time() - t0)

@@ -43,16 +43,29 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------- cache lifecycle
 
-#: Innermost-first stack of active rank_cache_scope collectors.  The
-#: rank primitives' persists are LOAD-BEARING (see global_ranks), so
-#: they deliberately never unpersist themselves — but a long-lived
-#: session ranking many tables would accumulate caches without bound.
-_ACTIVE_SCOPES: list[list[DataFrame]] = []
+#: Per-THREAD stack of active rank_cache_scope collectors (driver apps
+#: routinely run concurrent jobs from a thread pool; a process-global
+#: stack would let thread A's scope capture — and unpersist — thread
+#: B's load-bearing caches).  The rank primitives' persists are
+#: LOAD-BEARING (see global_ranks), so they deliberately never
+#: unpersist themselves — but a long-lived session ranking many tables
+#: would accumulate caches without bound.
+import threading
+
+_SCOPES = threading.local()
+
+
+def _scope_stack() -> list:
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    return stack
 
 
 def _register_cache(df: DataFrame) -> DataFrame:
-    if _ACTIVE_SCOPES:
-        _ACTIVE_SCOPES[-1].append(df)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -70,17 +83,19 @@ def rank_cache_scope():
             out.write.parquet(...)        # materialized in-scope
         # caches released here
 
-    Scopes nest; each persist registers with the innermost one.
-    Without an active scope the historical behavior stands: caches
-    live until their lineage is garbage-collected (ContextCleaner) or
-    ``spark.catalog.clearCache()``.  Yields the collector list so
-    callers can inspect what was pinned."""
+    Scopes nest and are PER-THREAD (a concurrent driver thread's rank
+    calls never register with — or get unpersisted by — another
+    thread's scope).  Without an active scope the historical behavior
+    stands: caches live until their lineage is garbage-collected
+    (ContextCleaner) or ``spark.catalog.clearCache()``.  Yields the
+    collector list so callers can inspect what was pinned."""
+    stack = _scope_stack()
     scope: list[DataFrame] = []
-    _ACTIVE_SCOPES.append(scope)
+    stack.append(scope)
     try:
         yield scope
     finally:
-        _ACTIVE_SCOPES.pop()
+        stack.pop()
         for df in scope:
             df.unpersist()
 

@@ -676,6 +676,26 @@ def test_rank_cache_scope_releases_caches(spark):
         assert all(not d.is_cached for d in inner)   # inner released
         assert len(outer) == 1 and outer[0].is_cached  # outer survives
     assert not outer[0].is_cached
+    # scopes are per-thread: a sibling thread's rank call must not
+    # register with (or be unpersisted by) this thread's scope
+    import threading
+
+    from hbase_snapshot_spark.operators.ranks import _scope_stack
+
+    thread_caches = []
+
+    def other_thread():
+        thread_caches.append(global_ranks(base, ["v", "k"]))
+        thread_caches[0].collect()
+
+    with rank_cache_scope() as mine:
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert mine == []              # nothing leaked across threads
+    assert _scope_stack() == []        # this thread's stack drained
+    # the sibling thread's cache was never scoped — release explicitly
+    spark.catalog.clearCache()
     # correctness inside the scope matches the window reference
     w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
     ref = {(r.v, r.k): i + 1

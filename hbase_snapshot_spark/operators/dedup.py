@@ -136,13 +136,25 @@ def jaccard_pairs(
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature: hash_i(doc) = min over shingles of
-    md5(i ':' shingle).  Computed as num_hashes conditional min
-    aggregates over the exploded shingle index — one shuffle, no UDFs.
-    Output columns mh0..mh{n-1}."""
+    """MinHash signature: hash_i(doc) = min over shingles of the
+    52-bit md5 prefix of ``i ':' shingle`` (the same exact numeric
+    hash the sketches use — fixed-length lowercase hex orders
+    identically as a string or a number, so truncating to 13 hex chars
+    BEFORE the min just makes hash_i a 52-bit hash function, still a
+    textbook minhash).  Computed as num_hashes min aggregates over the
+    exploded shingle index — one shuffle, no UDFs.  Output columns
+    mh0..mh{n-1} are BIGINT (r11): a long min aggregate compiles to
+    HashAggregate (mutable buffer), where the previous hex-string min
+    forced sort-based SortAggregate on the dedup hot path — per-
+    partition sorts that spill under executor memory pressure at
+    corpus scale."""
     ex = _exploded(df, id_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 13),
+                16, 10).cast("long")
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)

@@ -269,20 +269,27 @@ SELECT 'winnow' AS branch, a, b, jaccard FROM (
 """
 
 
-def minhash_signature_sql(n: int = 3, num_hashes: int = 8) -> str:
-    mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+def _mh_mins(num_hashes: int) -> str:
+    """the r11 numeric minhash: min over the 52-bit md5 prefix (13 hex
+    chars — fixed-length lowercase hex orders identically as string or
+    number), BIGINT output.  Shared by the signature and pairs twins so
+    the definition can't drift."""
+    return ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 13))::BIGINT)"
+        f" AS mh{i}" for i in range(num_hashes)
     )
-    return f"WITH {_shingle_cte(n)} SELECT doc_id, {mins} FROM ex GROUP BY doc_id"
+
+
+def minhash_signature_sql(n: int = 3, num_hashes: int = 8) -> str:
+    return (f"WITH {_shingle_cte(n)} SELECT doc_id, {_mh_mins(num_hashes)}"
+            " FROM ex GROUP BY doc_id")
 
 
 def minhash_pairs_sql(
     n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:
     rpb = num_hashes // bands
-    mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
-    )
+    mins = _mh_mins(num_hashes)
     band_cols = ", ".join(
         "md5(concat_ws('|', "
         + ", ".join(f"mh{b * rpb + r}" for r in range(rpb))

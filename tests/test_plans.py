@@ -705,6 +705,37 @@ def test_rank_cache_scope_releases_caches(spark):
     assert {(r.v, r.k): r.rank for r in outer_rows} == ref
 
 
+def test_global_ranks_degenerate_inputs(spark):
+    """(r11) rank machinery edges: empty input → empty output with the
+    rank columns present; a single row ranks 1 with percent_rank 0 and
+    cume_dist 1; an all-NULL order column still totals via the
+    tie-break (row path) and forms ONE tie group (tie path)."""
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    empty = spark.createDataFrame([], "v long, k long")
+    out = global_ranks(empty, ["v", "k"], buckets=3, percent=True)
+    assert out.count() == 0
+    assert {"rank", "ntile", "percent_rank", "cume_dist"} <= set(out.columns)
+    assert global_ranks(empty, ["v"], ties="rank").count() == 0
+
+    one = spark.createDataFrame([(5, 1)], "v long, k long")
+    r = global_ranks(one, ["v", "k"], buckets=3, percent=True).collect()[0]
+    assert (r.rank, r.ntile, r.percent_rank, r.cume_dist) == (1, 1, 0.0, 1.0)
+    rt = global_ranks(one, ["v"], ties="rank", percent=True).collect()[0]
+    assert (rt.rank, rt.percent_rank, rt.cume_dist) == (1, 0.0, 1.0)
+
+    nulls = spark.createDataFrame(
+        [(None, i) for i in range(40)], "v long, k long")
+    got = {r.k: r.rank for r in
+           global_ranks(nulls, ["v", "k"]).collect()}
+    assert got == {i: i + 1 for i in range(40)}   # tie-break totalizes
+    tie = global_ranks(nulls, ["v"], ties="rank", percent=True).collect()
+    assert {r.rank for r in tie} == {1}           # one NULL tie group
+    assert {r.cume_dist for r in tie} == {1.0}
+    dr = global_ranks(nulls, ["v"], ties="dense").collect()
+    assert {r.rank for r in dr} == {1}
+
+
 def test_ntile_closed_form_exhaustive():
     """The closed-form ntile used by global_ranks/rfm_scores, proven
     against the SQL definition for EVERY (N, buckets) in a dense grid

@@ -96,6 +96,52 @@ def test_sessionize(spark):
     assert got == {(1, 2), (1, 1), (2, 1), (2, 1)}
 
 
+def test_sessionize_streaming_drain_matches_batch(spark, tmp_path):
+    """(r11) sessionize_events' STREAMING path (watermark + built-in
+    session_window state): events arriving over two micro-batches,
+    append-mode drain — every session the watermark has closed is
+    emitted exactly once and EQUALS the batch operator's row for the
+    same session; the still-open trailing session stays in state."""
+    from datetime import datetime
+
+    def t(minute):
+        return datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    # user 1: session [0..2], session [20..21]; user 2: session [1]
+    early = [(1, t(0), 1.0), (1, t(2), 2.0), (1, t(20), 3.0),
+             (1, t(21), 4.0), (2, t(1), 5.0)]
+    # the sentinel batch pushes the watermark past every early session
+    late = [(1, t(300), 9.0)]
+    schema = "user_id long, ts timestamp, value double"
+    src = tmp_path / "sess-src"
+    src.mkdir()
+    spark.createDataFrame(early, schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(late, schema).write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    q = (sessionize_events(stream, gap="5 minutes",
+                           watermark="10 minutes")
+         .writeStream.format("memory").queryName("sess_drain")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess-ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+            r.sum_value)
+           for r in spark.sql("SELECT * FROM sess_drain").collect()}
+
+    batch = sessionize_events(
+        spark.createDataFrame(early + late, schema), gap="5 minutes")
+    frontier = t(300 - 10)
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events,
+             r.sum_value)
+            for r in batch.collect() if r.session_end <= frontier}
+    assert got == want and len(got) == 3
+    # the sentinel's own session is still open — not emitted
+    assert not any(s == t(300) for _, s, _, _, _ in got)
+
+
 def test_stateful_streaming_dedup(spark, tmp_path):
     # two micro-batches with overlapping keys: the second occurrence of a
     # key is suppressed even across batches (state persists)

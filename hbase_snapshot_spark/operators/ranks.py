@@ -85,10 +85,12 @@ def rank_cache_scope():
 
     Scopes nest and are PER-THREAD (a concurrent driver thread's rank
     calls never register with — or get unpersisted by — another
-    thread's scope).  Without an active scope the historical behavior
-    stands: caches live until their lineage is garbage-collected
-    (ContextCleaner) or ``spark.catalog.clearCache()``.  Yields the
-    collector list so callers can inspect what was pinned."""
+    thread's scope).  Without an active scope the caches are pinned
+    for the SESSION — the SQL CacheManager keeps a strong reference to
+    every persisted query, so Python-side garbage collection never
+    releases them; only ``unpersist()`` (this scope) or
+    ``spark.catalog.clearCache()`` does.  Yields the collector list so
+    callers can inspect what was pinned."""
     stack = _scope_stack()
     scope: list[DataFrame] = []
     stack.append(scope)
@@ -127,6 +129,7 @@ def global_ranks(
     range_partitions: int | None = None,
     ties: str = "row",
     ascending: "bool | list[bool]" = True,
+    dense_col: str | None = None,
 ) -> DataFrame:
     """Add ``rank_col`` (1-based global rank in ``order_cols`` order —
     ascending by default; ``ascending`` takes a bool or one bool per
@@ -145,6 +148,13 @@ def global_ranks(
       fine; ``buckets`` is rejected (ntile needs a total order).
     * ``'dense'`` — SQL ``dense_rank()``: tied rows share the 1-based
       index of their DISTINCT order value (no gaps).
+
+    ``dense_col`` (tie paths only): the machinery computes rank AND
+    dense_rank in the same pass — naming ``dense_col`` emits the
+    dense_rank next to ``rank_col`` instead of discarding it, so a
+    caller needing both pays ONE distinct-key aggregation, one
+    persisted range exchange, and one fan-back join rather than
+    running the whole pipeline twice.
 
     The tie-aware path is the same no-single-task machinery run over
     the DISTINCT order keys (with their row counts as weights): rank =
@@ -168,7 +178,11 @@ def global_ranks(
                 "row_number-based; under a non-total order it is "
                 "partition-order-dependent)")
         return _global_tie_ranks(df, order_cols, rank_col, percent, P,
-                                 ties, ascending)
+                                 ties, ascending, dense_col)
+    if dense_col is not None:
+        raise ValueError(
+            "dense_col requires ties='rank' or 'dense' (under a "
+            "total order dense_rank == rank == row_number)")
     # PERSIST is load-bearing, not an optimization: the bucket counts
     # and the ranked rows both key off spark_partition_id() of THIS
     # range exchange, so they must observe ONE materialization.
@@ -182,12 +196,14 @@ def global_ranks(
     # partition recomputes from the exchange's already-written shuffle
     # files, so bucket ids stay fixed.  Cache size = the input rows —
     # size the call accordingly (rank user/aggregate tables, not raw
-    # corpora).  Lifecycle: no unpersist here (consumers are lazy);
-    # the ContextCleaner reclaims the cache once the returned
-    # DataFrame's lineage is garbage-collected, a long-lived session
-    # can force the issue with spark.catalog.clearCache(), and
-    # pipelines that rank many tables should wrap their consume in
-    # rank_cache_scope() for deterministic release.
+    # corpora).  Lifecycle: no unpersist here (consumers are lazy),
+    # and the SQL CacheManager holds every persisted query by STRONG
+    # reference — garbage-collecting the Python DataFrame does NOT
+    # release it (ContextCleaner weak-ref-cleans raw RDDs/shuffles/
+    # broadcasts, never cacheQuery entries).  Each call therefore pins
+    # one cache for the session: pipelines that rank many tables MUST
+    # wrap their consume in rank_cache_scope() for deterministic
+    # release, or fall back to spark.catalog.clearCache().
     from pyspark import StorageLevel
 
     order = _sort_exprs(order_cols, ascending)
@@ -246,6 +262,7 @@ def _global_tie_ranks(
     P: int,
     ties: str,
     ascending,
+    dense_col: str | None = None,
 ) -> DataFrame:
     """rank()/dense_rank() without the single-task window: run the
     range-partition machinery over the DISTINCT order keys weighted by
@@ -285,6 +302,10 @@ def _global_tie_ranks(
     )
     val = F.col("_rk") if ties == "rank" else F.col("_dense")
     out_cols = [val.alias(rank_col)]
+    if dense_col is not None:
+        if dense_col == rank_col:
+            raise ValueError("dense_col must differ from rank_col")
+        out_cols.append(F.col("_dense").alias(dense_col))
     if percent:
         out_cols += [
             F.when(F.col("_n") > 1, (F.col("_rk") - 1) / (F.col("_n") - 1))

@@ -157,35 +157,72 @@ _DECOMP_CHUNK = 1 << 20          # 1 MiB feed/draw granularity
 MAX_WHOLE_STREAM_BYTES = 4 << 30
 
 
-def _bounded_decompress(data: bytes, make_decomp, cap: int) -> bytes:
+def _bounded_decompress(
+    data: bytes, make_decomp, cap: int
+) -> tuple[bytes, str | None]:
     """Incrementally decompress a whole-stream bz2/xz archive with a
     hard output cap.  Peak memory is ``len(data) + min(output, cap)``
-    instead of the unbounded one-shot ``bz2.decompress`` cost; a
-    stream that inflates past ``cap`` raises WarcFormatError (→ the
-    truncated sentinel in keep mode) rather than OOM-ing the task.
+    instead of the unbounded one-shot ``bz2.decompress`` cost.
+
+    Returns ``(decompressed, damage)``: ``damage`` is ``None`` for a
+    clean archive, else a message describing why the TAIL was lost
+    (mid-stream truncation, or the decompression-bomb cap) — the
+    decoded prefix is still returned so keep-mode readers salvage its
+    records before surfacing the truncated sentinel, matching the
+    gzip member-per-record path's partial-yield behavior.
+
     Concatenated streams (both formats allow them; xz pads with NULs)
-    are walked like ``bz2.decompress``/``lzma.decompress`` would."""
+    are walked with stdlib ``bz2.decompress``/``lzma.decompress``
+    semantics: trailing bytes that are not a valid stream are IGNORED
+    once at least one stream has decoded (pbzip2 trailers, stray
+    padding), and a failed trailing stream contributes no partial
+    output.  The walk is offset-based — ``unused_data`` is a suffix of
+    the fed bytes, so finishing a stream just rewinds ``pos`` — which
+    keeps a 1000-stream pbzip2 archive linear instead of copying the
+    compressed tail once per stream."""
     out = bytearray()
-    buf = data
-    while buf:
+    buf = memoryview(data)
+    n = len(buf)
+    pos = 0
+    streams_done = 0
+    while pos < n:
         d = make_decomp()
-        pos, n = 0, len(buf)
-        while not d.eof:
-            if d.needs_input:
-                if pos >= n:
-                    raise WarcFormatError("truncated compressed stream")
-                chunk = buf[pos : pos + _DECOMP_CHUNK]
-                pos += len(chunk)
-            else:
-                chunk = b""
-            out += d.decompress(chunk, _DECOMP_CHUNK)
-            if len(out) > cap:
-                raise WarcFormatError(
-                    f"decompressed stream exceeds {cap} bytes "
-                    "(MAX_WHOLE_STREAM_BYTES decompression-bomb cap)")
+        kept = len(out)          # output high-water mark before this stream
+        try:
+            while not d.eof:
+                if d.needs_input:
+                    if pos >= n:
+                        msg = "truncated compressed stream"
+                        if out:
+                            return bytes(out), msg
+                        raise WarcFormatError(msg)
+                    chunk = buf[pos : pos + _DECOMP_CHUNK]
+                    pos += len(chunk)
+                else:
+                    chunk = b""
+                out += d.decompress(chunk, _DECOMP_CHUNK)
+                if len(out) > cap:
+                    return bytes(out), (
+                        f"decompressed stream exceeds {cap} bytes "
+                        "(MAX_WHOLE_STREAM_BYTES decompression-bomb cap)")
+        except (OSError, EOFError, lzma.LZMAError):
+            # invalid stream data: on the FIRST stream the archive is
+            # junk — propagate (→ sentinel in keep mode).  After ≥1
+            # complete stream this is trailing garbage, which the
+            # stdlib one-shots ignore (and contribute none of the
+            # failed stream's partial output).
+            if not streams_done:
+                raise
+            del out[kept:]
+            break
+        streams_done += 1
+        # unused_data is the unconsumed SUFFIX of the bytes fed so
+        # far: rewind instead of copying the remaining tail
+        pos -= len(d.unused_data)
         # next concatenated stream, if any (xz stream padding is NULs)
-        buf = (d.unused_data + buf[pos:]).lstrip(b"\x00")
-    return bytes(out)
+        while pos < n and buf[pos] == 0:
+            pos += 1
+    return bytes(out), None
 
 
 def iter_warc_records(
@@ -215,17 +252,22 @@ def iter_warc_records(
             # index exists, so offsets are into the DECOMPRESSED
             # stream (record_offset stays a stable in-file ordinal
             # either way).  Incremental decompression with the
-            # MAX_WHOLE_STREAM_BYTES output cap (bomb-safe); damage
-            # raises OSError/LZMAError → the truncated sentinel,
-            # like a bad gzip member.
+            # MAX_WHOLE_STREAM_BYTES output cap (bomb-safe); on
+            # mid-archive damage the decoded PREFIX's records are
+            # still yielded before the truncated sentinel — the same
+            # partial-salvage contract as a bad gzip member.
             if data[:3] == _BZ2_MAGIC:
-                plain = _bounded_decompress(
+                plain, damage = _bounded_decompress(
                     data, bz2.BZ2Decompressor, max_decompressed)
             else:
-                plain = _bounded_decompress(
+                plain, damage = _bounded_decompress(
                     data, lzma.LZMADecompressor, max_decompressed)
+            if damage and on_error == "raise":
+                raise WarcFormatError(damage)
             for off, headers, block in iter_warc_stream(plain):
                 yield off, headers, block, False
+            if damage:
+                raise WarcFormatError(damage)
         else:
             for off, headers, block in iter_warc_stream(data):
                 yield off, headers, block, False

@@ -170,22 +170,11 @@ def pinned_plans(bench) -> dict:
     return plans
 
 
-def _strip_cached_subtrees(plan: str) -> str:
-    """Drop InMemoryRelation nodes and their nested cached-plan
-    printouts, leaving only operators this query's execution runs
-    (mirrors tests/test_plans.py)."""
-    out, skip_indent = [], None
-    for line in plan.splitlines():
-        indent = len(line) - len(line.lstrip(" :+-*()0123456789"))
-        if skip_indent is not None:
-            if indent > skip_indent or not line.strip():
-                continue
-            skip_indent = None
-        if "InMemoryRelation" in line:
-            skip_indent = indent
-            continue
-        out.append(line)
-    return "\n".join(out)
+# shared with tests/test_plans.py so the unit pin and this shape check
+# can never silently diverge
+from hbase_snapshot_spark.plans.plan_text import (  # noqa: E402
+    strip_cached_subtrees as _strip_cached_subtrees,
+)
 
 
 def shape_checks(bench) -> dict:

@@ -382,22 +382,11 @@ def test_rfm_scores_no_single_task_window(spark):
     assert len(scans) == 0, top
 
 
-def _strip_cached_subtrees(plan: str) -> str:
-    """Drop every InMemoryRelation node and its nested cached-plan
-    printout (deeper-indented lines), leaving only operators the THIS
-    query's execution actually runs."""
-    out, skip_indent = [], None
-    for line in plan.splitlines():
-        indent = len(line) - len(line.lstrip(" :+-*()0123456789"))
-        if skip_indent is not None:
-            if indent > skip_indent or not line.strip():
-                continue
-            skip_indent = None
-        if "InMemoryRelation" in line:
-            skip_indent = indent
-            continue
-        out.append(line)
-    return "\n".join(out)
+# shared with scripts/scale_stress.py so the unit pin and the
+# scale-stress shape check can never silently diverge
+from hbase_snapshot_spark.plans.plan_text import (  # noqa: E402
+    strip_cached_subtrees as _strip_cached_subtrees,
+)
 
 
 def test_rfm_scores_correct_without_exchange_reuse(spark):
@@ -570,14 +559,26 @@ def test_global_ranks_tie_aware_matches_window(spark):
             got_d = global_ranks(layout, ["v"], rank_col="dr",
                                  ties="dense").collect()
             assert {r.id: r.dr for r in got_d} == want_dense
+            # dense_col: BOTH tie columns from one pass (one distinct
+            # aggregation, one persisted exchange, one fan-back join)
+            got_b = global_ranks(layout, ["v"], ties="rank",
+                                 percent=True, dense_col="dr").collect()
+            assert {r.id: (r.rank, r.percent_rank, r.cume_dist)
+                    for r in got_b} == want_rank
+            assert {r.id: r.dr for r in got_b} == want_dense
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old)
-    # guard rails: ntile needs a total order; unknown ties rejected
+    # guard rails: ntile needs a total order; unknown ties rejected;
+    # dense_col is a tie-path feature and must not collide
     import pytest
     with pytest.raises(ValueError, match="ties='row'"):
         global_ranks(base, ["v"], buckets=4, ties="rank")
     with pytest.raises(ValueError, match="ties must be"):
         global_ranks(base, ["v"], ties="first")
+    with pytest.raises(ValueError, match="dense_col requires"):
+        global_ranks(base, ["v", "id"], dense_col="dr")
+    with pytest.raises(ValueError, match="differ from rank_col"):
+        global_ranks(base, ["v"], ties="rank", dense_col="rank")
 
 
 def test_global_ranks_descending_and_mixed_order(spark):

@@ -334,8 +334,48 @@ def test_bz2_and_xz_whole_stream_archives():
     for damaged in (bz2.compress(plain)[:-10], lzma.compress(plain)[:-8]):
         out = list(W.iter_warc_records(damaged))
         assert out and out[-1][3] is True      # truncated sentinel
+        # partial salvage: the decoded prefix's complete records are
+        # yielded BEFORE the sentinel (one damaged archive loses its
+        # tail, not every record) — same contract as a bad gzip member
+        assert [r for r in out[:-1] if not r[3]] == want[: len(out) - 1]
+        assert len(out) > 1
         with pytest.raises(W.WarcFormatError):
             list(W.iter_warc_records(damaged, on_error="raise"))
+    # stdlib decompress() parity: non-stream trailing bytes after a
+    # complete stream are IGNORED (pbzip2 trailers, stray padding) —
+    # all records parse, no sentinel, in BOTH modes
+    for comp in (bz2.compress, lzma.compress):
+        noisy = comp(plain) + b"\x00\x00GARBAGE-TRAILER"
+        assert list(W.iter_warc_records(noisy)) == want
+        assert list(W.iter_warc_records(noisy, on_error="raise")) == want
+
+
+def test_many_stream_archives_walk_linearly():
+    """pbzip2 / parallel-xz archives carry one stream per block —
+    hundreds per file.  The offset-based walk (unused_data is a suffix
+    of the fed bytes, so stream end is a POS REWIND, not a tail copy)
+    must parse them identically to a single-stream archive; the old
+    per-stream ``unused_data + buf[pos:]`` concat was O(streams²) in
+    memcpy."""
+    import bz2
+    import lzma
+
+    from hbase_snapshot_spark.sources import warc as W
+
+    recs = _fixture_records()
+    plain = W.write_warc_file(recs, gzip_members=False)
+    want = list(W.iter_warc_records(plain))
+    for comp in (bz2.compress, lzma.compress):
+        many = b"".join(comp(plain) for _ in range(64))
+        got = list(W.iter_warc_records(many))
+        assert len(got) == 64 * len(want)
+        for i in range(64):
+            assert got[i * len(want)][1:] == want[0][1:]
+        # a mid-archive cut still salvages every stream before it
+        cut = b"".join(comp(plain) for _ in range(8)) + comp(plain)[:-9]
+        out = list(W.iter_warc_records(cut))
+        assert out[-1][3] is True
+        assert len([r for r in out if not r[3]]) >= 8 * len(want)
 
 
 def test_whole_stream_decompression_bomb_cap():

@@ -51,6 +51,7 @@ def replicate(
     checkpoint_dir: str,
     once: bool = True,
     dedupe: bool = False,
+    commit_grace_s: float = 5.0,
 ):
     """Ship the source table's edit log into the peer table, filtered by
     family replication scope — the ReplicationSource→Sink contract.
@@ -65,32 +66,101 @@ def replicate(
     file wins" resolution needs both); only true re-deliveries collapse.
     Correct for re-delivered segments at the cost of a peer read per
     batch (the reference's sink has the same at-least-once contract,
-    ReplicationSink.java:55)."""
+    ReplicationSink.java:55).
+
+    Source of truth is the MANIFEST, not the filesystem: the writer
+    protocol puts the segment parquet on disk BEFORE the manifest
+    commit, so a writer crash between the two leaves an orphan segment
+    that ``src.cells()`` never shows — but the file-source glob still
+    matches it.  Each batch is therefore gated on its segments being
+    manifest-committed (in any manifest version — compaction drops old
+    WAL segments from the HEAD manifest without un-committing them).
+    A segment normally commits milliseconds after its files appear, so
+    an uncommitted segment gets ``commit_grace_s`` to show up; past
+    that it is treated as a crashed writer's orphan and dropped with a
+    warning — shipping it would make the replica show edits the source
+    never acknowledged."""
+    import os
+    import time as _time
+    import warnings
+
+    from hbase_snapshot_spark.table import _read_json
+
     desc = src_table.descriptor
     scoped = [f.name for f in desc.families.values() if f.replication_scope > 0]
     stream = cell_stream(spark, src_table.dir, binary=src_table.manifest()["binary"])
     stream = stream.filter(F.col("family").isin(scoped))
 
+    # ever-committed segment names, folded incrementally across batches
+    # (manifest files are append-only versioned JSON — read each once)
+    committed: set[str] = set()
+    next_v = 0
+
+    def _refresh_committed() -> None:
+        nonlocal next_v
+        mdir = os.path.join(src_table.dir, "manifests")
+        head = src_table._head_version()
+        while next_v <= head:
+            try:
+                committed.update(
+                    _read_json(os.path.join(mdir, f"v{next_v}.json"))["segments"])
+            except FileNotFoundError:
+                pass
+            next_v += 1
+
     def ship(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        out = batch_df
-        if dedupe:
-            key = ["row", "family", "qualifier", "ts", "type", "seq"]
-            # eqNullSafe on every key column: tombstones carry NULL
-            # qualifiers (DeleteFamily), and NULL = NULL is NULL under
-            # plain equality — a family tombstone would never match its
-            # already-delivered copy and re-append forever
-            existing = dst_table.cells().select(*key)
-            cond = None
-            for k in key:
-                c = out[k].eqNullSafe(existing[k])
-                cond = c if cond is None else cond & c
-            out = out.dropDuplicates(key).join(existing, on=cond, how="left_anti")
-        # ReplicationSink.replicateEntries: apply preserving ts (and seq,
-        # so duplicate-ts resolution order survives replication)
-        if not out.isEmpty():
-            dst_table.append_cells(out)
+        from pyspark import StorageLevel
+
+        # persisted: the batch feeds the segment-commit gate, the
+        # empty check, and the sink write — one evaluation, not three
+        cached = batch_df.withColumn(
+            "_seg", F.element_at(F.split(F.input_file_name(), "/"), -2)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        batch = cached
+        try:
+            segs = {r[0] for r in batch.select("_seg").distinct().collect()}
+            if not segs:
+                return
+            _refresh_committed()
+            pending = segs - committed
+            deadline = _time.monotonic() + commit_grace_s
+            while pending and _time.monotonic() < deadline:
+                _time.sleep(0.05)
+                _refresh_committed()
+                pending = segs - committed
+            if pending:
+                warnings.warn(
+                    f"replicate: dropping {len(pending)} uncommitted "
+                    f"(orphaned) segment(s) not in any source manifest: "
+                    f"{sorted(pending)}")
+                batch = batch.filter(~F.col("_seg").isin(sorted(pending)))
+                if batch.isEmpty():
+                    return
+            out = batch.drop("_seg")
+            if dedupe:
+                key = ["row", "family", "qualifier", "ts", "type", "seq"]
+                # eqNullSafe on every key column: tombstones carry NULL
+                # qualifiers (DeleteFamily), and NULL = NULL is NULL under
+                # plain equality — a family tombstone would never match its
+                # already-delivered copy and re-append forever
+                existing = dst_table.cells().select(*key)
+                cond = None
+                for k in key:
+                    c = out[k].eqNullSafe(existing[k])
+                    cond = c if cond is None else cond & c
+                out = (out.dropDuplicates(key)
+                       .join(existing, on=cond, how="left_anti")
+                       .persist(StorageLevel.MEMORY_AND_DISK))
+            try:
+                # ReplicationSink.replicateEntries: apply preserving ts
+                # (and seq, so duplicate-ts resolution order survives)
+                if not out.isEmpty():
+                    dst_table.append_cells(out)
+            finally:
+                if dedupe:
+                    out.unpersist()
+        finally:
+            cached.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(ship)
@@ -141,22 +211,27 @@ def sessionize_events(
     gap: str = "30 minutes",
     key: str = "user_id",
     watermark: str = "1 day",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Session windows (gap-based) per key — built-in session_window
-    keeps this fully JVM-side and stateful-streaming-capable."""
+    keeps this fully JVM-side and stateful-streaming-capable.
+    ``value_col`` names the column summed per session (``sum_value``);
+    pass ``None`` for event streams that carry no numeric payload —
+    the default would otherwise fail at plan time on a DataFrame
+    without a ``value`` column."""
     wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
     return (
         wm.groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col(key),
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            *(["sum_value"] if value_col is not None else []),
         )
     )
 
@@ -205,6 +280,19 @@ def stateful_streaming_dedup(
     )
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Round exactly like Spark's ``F.round``: the JVM builds
+    BigDecimal.valueOf(double) — the double's SHORTEST decimal
+    representation — and rounds HALF_UP.  Python's ``round()`` is
+    half-even on the BINARY value instead, so e.g. 2.62345 (whose
+    binary value is 2.62344999…) rounds to 2.6234 while Spark emits
+    2.6235; the streaming==batch parity pins need the Spark answer."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
 def streaming_distinct_hll(
     stream: DataFrame,
     key_col: str,
@@ -215,9 +303,12 @@ def streaming_distinct_hll(
     Per-group state is the 256-byte register array (bucket → max rho);
     every micro-batch folds its keys in and emits the group's CURRENT
     estimate (update semantics).  Hashing is identical to the batch
-    sketch (md5 hex: 2-char bucket, leading-zero rank of the next 13),
-    so after draining a source the streaming estimate EQUALS the batch
-    estimate of the same data — pinned by test_streaming.
+    sketch — md5(CAST(key AS STRING)) with the cast IN THE PLAN so the
+    JVM formats the key (Python str() disagrees with the JVM cast for
+    double/boolean/timestamp/decimal keys: '1e+16' vs '1.0E16', 'True'
+    vs 'true') — so after draining a source the streaming estimate
+    EQUALS the batch estimate of the same data for EVERY key type;
+    pinned by test_streaming.
 
     100 TB shape: state is m bytes per group no matter how many keys
     flow through — the property that makes per-entity lifetime distinct
@@ -227,19 +318,17 @@ def streaming_distinct_hll(
     import math
 
     import numpy as np
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     m = 256
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    # normalize ONLY when the declared key type is integral: a nullable
-    # long column arrives in pandas as float64 through Arrow, and
-    # str(7.0) would hash differently from Spark's cast("string") "7";
-    # a genuinely-double key must keep its "7.0" form
-    key_is_integral = isinstance(
-        stream.schema[key_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    # parity by construction: hash the JVM-formatted string (the exact
+    # bytes batch hll_sketch hashes); the cast also sidesteps Arrow's
+    # nullable-long → float64 coercion entirely
+    key_str = "__hll_key_str"
+    stream = stream.withColumn(key_str, F.col(key_col).cast("string"))
     out_schema = T.StructType(
         [stream.schema[c] for c in group_cols]
         + [T.StructField("est", T.DoubleType()),
@@ -253,13 +342,10 @@ def streaming_distinct_hll(
             if state.exists else np.zeros(m, dtype=np.uint8)
         )
         for pdf in pdfs:
-            for v in pdf[key_col]:
-                # Match batch hll_sketch's key.isNotNull() filter: a null
-                # key contributes nothing to COUNT DISTINCT.
-                if pd.isna(v):
-                    continue
-                if key_is_integral and isinstance(v, float):
-                    v = int(v)
+            # dropna matches batch hll_sketch's key.isNotNull() filter;
+            # unique() because duplicate keys can't move a max-register
+            # — one md5 per DISTINCT key per batch, not per row
+            for v in pdf[key_str].dropna().unique():
                 hx = hashlib.md5(str(v).encode()).hexdigest()
                 b = int(hx[:2], 16)
                 rest = hx[2:15]
@@ -282,7 +368,7 @@ def streaming_distinct_hll(
         est = (m * math.log(m / v_empty)
                if (e <= 2.5 * m and v_empty > 0) else e)
         yield pd.DataFrame(
-            [tuple(key) + (round(est, 4), nonempty)],
+            [tuple(key) + (_round_half_up(est, 4), nonempty)],
             columns=[f.name for f in out_schema.fields],
         )
 
@@ -312,8 +398,10 @@ def streaming_heavy_hitters(
     ``track`` largest as the new candidates, and emits the current
     top-``k`` (update semantics, rank by estimate desc then key asc).
 
-    Counter updates hash exactly like the batch sketch
-    (md5('<row>:' + str(key)) first-2-hex bucket per row), so after
+    Counter updates hash exactly like the batch sketch —
+    md5('<row>:' + CAST(key AS STRING)) with the cast IN THE PLAN so
+    the JVM formats the key (parity for every key type, including
+    double/timestamp/decimal where Python str() disagrees) — so after
     draining a source every key retained in the candidate set carries
     EXACTLY the batch ``cms_query`` estimate — pinned by test.  A true
     heavy hitter can only be absent if it never ranked in the top
@@ -323,18 +411,21 @@ def streaming_heavy_hitters(
     100 TB shape: state is d·256 longs + ``track`` keys per group no
     matter how many distinct keys flow through — the property that
     makes per-entity lifetime top-k feasible in a state store; exact
-    streaming top-k state grows with the key universe.  Keys are
-    compared as their Spark string cast (use string/integer keys; float
-    casts differ between engines)."""
+    streaming top-k state grows with the key universe.  The emitted
+    ``key`` column is the Spark string cast of the key."""
     import hashlib
 
     import numpy as np
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from hbase_snapshot_spark.operators.sketches import _CMS_D, _CMS_W
 
+    # parity by construction, exactly like streaming_quantiles /
+    # streaming_distinct_hll: hash the JVM-formatted string
+    key_str = "__cms_key_str"
+    stream = stream.withColumn(key_str, F.col(key_col).cast("string"))
     out_schema = T.StructType(
         [stream.schema[c] for c in group_cols]
         + [T.StructField("key", T.StringType()),
@@ -345,12 +436,6 @@ def streaming_heavy_hitters(
         T.StructField("regs", T.BinaryType()),
         T.StructField("cands", T.ArrayType(T.StringType())),
     ])
-    # same dtype gate as streaming_distinct_hll: integral keys arriving
-    # as float64 (nullable-long Arrow path) must hash as Spark's "7",
-    # while genuine doubles keep "7.0"
-    key_is_integral = isinstance(
-        stream.schema[key_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
     def _buckets(s: str) -> list[int]:
         return [
@@ -368,16 +453,13 @@ def streaming_heavy_hitters(
             cands = []
         batch_keys = set()
         for pdf in pdfs:
-            for v in pdf[key_col]:
-                if pd.isna(v):
-                    continue
-                if key_is_integral and isinstance(v, float):
-                    s = str(int(v))
-                else:
-                    s = str(v)
+            # one set of _CMS_D md5 calls per DISTINCT key per batch —
+            # a hot key occurring 100k times adds its COUNT to each
+            # bucket instead of hashing 100k times
+            for s, c in pdf[key_str].dropna().value_counts().items():
                 batch_keys.add(s)
                 for r, b in enumerate(_buckets(s)):
-                    regs[r * _CMS_W + b] += 1
+                    regs[r * _CMS_W + b] += int(c)
 
         def estimate(s: str) -> int:
             return int(min(

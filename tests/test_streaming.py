@@ -760,3 +760,143 @@ def test_streaming_quantiles_double_identity_parity(spark, tmp_path):
             ["grp"], probs=(0.25, 0.75)).collect()
     }
     assert got == expected, (got, expected)
+
+
+def test_replication_skips_orphan_segments(spark, stores, tmp_path):
+    """(r11 self-review) source of truth is the MANIFEST, not the
+    filesystem glob: a writer crash between the segment parquet write
+    and the manifest commit leaves an orphan segment that src.cells()
+    never shows — the replica must not ship it (the edit was never
+    acknowledged), and later real commits must keep flowing."""
+    import os
+
+    src, dst = stores
+    src.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    seg_root = os.path.join(src.dir, "segments")
+    template = spark.read.parquet(
+        os.path.join(seg_root, os.listdir(seg_root)[0]))
+    # the crashed writer's leftovers: valid cell parquet, never committed
+    template.withColumn("row", F.lit("orphan-row")).write.parquet(
+        os.path.join(seg_root, "seg-000099-wal-deadbeef"))
+    ckpt = str(tmp_path / "ckpt-orphan")
+    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3)
+    shipped = {r.row for r in dst.cells().collect()}
+    assert shipped == {"r1"}          # orphan dropped, committed shipped
+    # the stream is not poisoned: later commits still replicate
+    src.mutate([Put("r2").add("f", "q", "v2", ts=11)])
+    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3)
+    assert {r.row for r in dst.cells().collect()} == {"r1", "r2"}
+
+
+def test_streaming_hll_nonstring_keys_match_batch(spark, tmp_path):
+    """(r11 self-review) double/boolean keys: the key is cast to string
+    IN THE PLAN, so the hashed bytes are the JVM's formatting (1.0E16,
+    1.0E-4, true) — Python str() would produce 1e+16 / 0.0001 / True
+    and silently break the drained-streaming == batch parity."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_distinct_hll,
+    )
+
+    src_dir = tmp_path / "hlld-src"
+    src_dir.mkdir()
+    rows = ([(1e16 + 2048 * i, "dbl") for i in range(25)]
+            + [(1e-4 * (i + 1), "dbl") for i in range(25)]
+            + [(float(i % 3 == 0), "bool") for i in range(30)])
+    schema = "k double, grp string"
+    spark.createDataFrame(rows, schema).write.parquet(str(src_dir / "b1"))
+    stream = (spark.readStream.schema(schema)
+              .parquet(str(src_dir / "*")))
+    q = (
+        streaming_distinct_hll(stream, "k", ["grp"])
+        .writeStream.format("memory")
+        .queryName("hlld_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hlld-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.grp: r.est for r in spark.sql("select * from hlld_out").collect()}
+    want = {
+        r.grp: r.est
+        for r in sk.hll_estimate(
+            sk.hll_sketch(spark.createDataFrame(rows, schema),
+                          F.col("k"), ["grp"]), ["grp"]).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_streaming_heavy_hitters_double_keys_match_batch(spark, tmp_path):
+    """(r11 self-review) same cast-in-plan parity for the CMS heavy
+    hitters: double keys in the scientific-notation divergence range
+    must carry EXACTLY the batch cms_query estimates after draining."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.operators import sketches as sk
+    from hbase_snapshot_spark.streaming.replication import (
+        streaming_heavy_hitters,
+    )
+
+    src_dir = tmp_path / "hhd-src"
+    src_dir.mkdir()
+    rows = ([(1e16, "g")] * 12 + [(1e-4, "g")] * 7 + [(2.5, "g")] * 3)
+    schema = "k double, grp string"
+    spark.createDataFrame(rows, schema).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+    q = (
+        streaming_heavy_hitters(stream, "k", ["grp"], k=3, track=8)
+        .writeStream.format("memory")
+        .queryName("hhd_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hhd-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.key: r.est
+           for r in spark.sql("select * from hhd_out").collect()}
+    batch = spark.createDataFrame(rows, schema)
+    sketch = sk.cms_sketch(batch, F.col("k"), ["grp"])
+    keys = batch.select(F.col("k").cast("string").alias("ks")).distinct()
+    want = {r.ks: r.est
+            for r in sk.cms_query(sketch, keys, "ks", ["grp"]).collect()}
+    # emitted key strings are the JVM cast (1.0E16, not 1e+16)
+    assert set(got) == {"1.0E16", "1.0E-4", "2.5"}
+    assert got == want, (got, want)
+
+
+def test_sessionize_events_without_value_column(spark):
+    """(r11 self-review) value_col=None: event streams with no numeric
+    payload sessionize instead of failing at plan time on the
+    hardcoded 'value' column."""
+    rows = [
+        ("u1", datetime.datetime(2026, 1, 1, 10, 0)),
+        ("u1", datetime.datetime(2026, 1, 1, 10, 10)),
+        ("u1", datetime.datetime(2026, 1, 1, 12, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = sessionize_events(ev, gap="30 minutes", value_col=None).collect()
+    assert sorted(r.n_events for r in out) == [1, 2]
+    assert "sum_value" not in out[0].asDict()
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """(r11 self-review) the streaming HLL emission rounds like
+    F.round (BigDecimal HALF_UP on the shortest decimal repr), not
+    Python round() (half-even on the binary value): 0.00035's shortest
+    repr ends in 5 but its binary value is 0.000349999…, so round()
+    says 0.0003 while Spark says 0.0004."""
+    from hbase_snapshot_spark.streaming.replication import _round_half_up
+
+    cases = [0.00035, 0.00065, 0.00105, 2.62345, 123.45675, 7.0, 1e16]
+    got = [_round_half_up(x, 4) for x in cases]
+    want = [
+        r[0] for r in spark.createDataFrame([(x,) for x in cases], "x double")
+        .select(F.round("x", 4)).collect()
+    ]
+    assert got == want, (got, want)
+    # the documented divergence from Python round()
+    assert round(0.00035, 4) == 0.0003 and _round_half_up(0.00035, 4) == 0.0004

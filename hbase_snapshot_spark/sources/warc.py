@@ -674,8 +674,16 @@ def synthesize_warc_corpus(
                           + body),
             })
         path = os.path.join(out_dir, f"part-{i}.warc.gz")
-        with open(path, "wb") as f:
+        # temp + atomic rename: a retried or speculative duplicate of
+        # this task writes the same deterministic bytes, and os.replace
+        # makes the last one win whole — a plain open(path,'wb') could
+        # interleave two concurrent writers into a corrupt archive
+        import uuid as _uuid
+
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
             f.write(write_warc_file(recs, gzip_members=True))
+        os.replace(tmp, path)
         return pd.DataFrame([{"file": path, "n_records": len(recs)}])
 
     manifest = (

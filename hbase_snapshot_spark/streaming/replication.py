@@ -105,8 +105,16 @@ def replicate(
                 committed.update(
                     _read_json(os.path.join(mdir, f"v{next_v}.json"))["segments"])
             except FileNotFoundError:
+                # vacuum() drops superseded manifest versions; any
+                # segment they exclusively committed is gone from disk
+                # too, so nothing globbable is lost by skipping
                 pass
             next_v += 1
+        # vacuum can delete every manifest that committed a segment
+        # while a SNAPSHOT still references (and so preserves) it —
+        # HEAD + snapshot manifests are commit evidence in their own
+        # right (referenced == was committed, by vacuum's refcount rule)
+        committed.update(src_table.referenced_segments())
 
     def ship(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel

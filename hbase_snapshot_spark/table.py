@@ -1177,7 +1177,14 @@ class StoredTable:
     @_locked
     def vacuum(self) -> list[str]:
         """Delete segments unreferenced by HEAD or any snapshot — the
-        refcount rule of HRegion.java:765 / SnapshotLogCleaner."""
+        refcount rule of HRegion.java:765 / SnapshotLogCleaner.
+
+        Replication hazard (the reference guards this with
+        ReplicationLogCleaner, which keeps WALs until every peer has
+        consumed them; no peer positions are tracked here): vacuum
+        deletes compacted-away WAL segments a replicate() stream may
+        not have shipped yet — drain replication before vacuuming, or
+        the unshipped edit history is gone."""
         refs = self.referenced_segments()
         segdir = os.path.join(self.dir, "segments")
         removed = []

@@ -1,0 +1,148 @@
+"""Z-order (Morton-code) data clustering — multi-dimensional layout
+for min/max file skipping, the lakehouse ``OPTIMIZE ZORDER BY``
+technique (public: Morton 1966 interleaved codes; Delta Lake OSS
+``OptimizeTableCommand`` uses per-column range-partition ids
+interleaved bitwise).
+
+Why it matters at 100 TB: a table sorted by ONE column prunes files
+only for predicates on that column — every file spans the full range
+of every other column.  Interleaving the bits of each clustering
+column's RANK gives files that are small hyper-rectangles in all k
+dimensions at once, so parquet min/max (footer) statistics prune files
+for predicates on ANY clustered column — typically ~N^(1-1/k) of the
+span per file instead of the full range.
+
+Scale shape: per-column ranks come from the repo's own
+:func:`~hbase_snapshot_spark.operators.ranks.global_ranks`
+(``ties='rank'`` — duplicates welcome), so there is NO single-task
+window anywhere: each column costs one distinct-key aggregation, one
+metadata-sized offsets pass, and one fan-back hash join; the final
+clustered layout is one ``repartitionByRange`` on the z-value plus a
+partition-local sort.  The bit interleave itself is pure bigint
+Catalyst (shift/and/sum — whole-stage codegen, no UDF).
+
+Exactness: bucket = ((rank − 1) · 2^bits) div N in bigint — no float
+scaling that could flip a bucket boundary between runs or engines.
+Ties share a rank, hence a bucket, hence a z-value: the layout is a
+pure function of the data.
+
+Cache lifecycle: global_ranks' persists are load-bearing
+(ranks.py documents why), so :func:`zorder_layout` returns a LAZY
+DataFrame with k pinned caches — wrap the consume in
+``rank_cache_scope()`` or use :func:`zorder_write`, which writes
+inside a scope and releases them deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators.ranks import (
+    global_ranks,
+    rank_cache_scope,
+)
+
+#: total interleaved bits kept ≤ 48: the z-value stays a positive
+#: bigint with headroom AND the interleave expression stays ≤ 48
+#: shift-and-add terms — well under the 64 KB whole-stage-codegen
+#: method limit the front-door fusion once overflowed.
+_MAX_TOTAL_BITS = 48
+
+
+def _interleave(bucket_cols: list[Column], bits: int) -> Column:
+    """Morton code: bit j of column i lands at position j·k + i —
+    pure bigint shift/and/add, whole-stage-codegen friendly."""
+    k = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, b in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftrightunsigned(b, j).bitwiseAND(F.lit(1)),
+                j * k + i,
+            )
+    return z
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    z_col: str = "_z",
+    bits: int | None = None,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``z_col``: the Morton interleave of each clustering
+    column's exact global rank, quantized to ``bits`` levels per
+    column (default: as many as fit ``_MAX_TOTAL_BITS`` total, capped
+    at 16 — 65k levels per dimension is far finer than any file
+    count).  NULLs follow rank order (ascending ranks NULLs first →
+    bucket 0), so they cluster together deterministically.
+
+    Runs one count job (N for the exact bucket quantization) plus one
+    global_ranks pass per column — a layout-maintenance cost, paid
+    when rewriting data, not per query.  The returned plan carries
+    ``len(cols)`` load-bearing caches (see module docstring)."""
+    if not cols:
+        raise ValueError("cols must name at least one clustering column")
+    k = len(cols)
+    if bits is None:
+        bits = min(16, _MAX_TOTAL_BITS // k)
+    if bits < 1 or bits * k > _MAX_TOTAL_BITS:
+        raise ValueError(
+            f"bits={bits} with {k} columns needs {bits * k} interleaved "
+            f"bits; 1 ≤ bits·k ≤ {_MAX_TOTAL_BITS}")
+    if z_col in df.columns:
+        raise ValueError(f"column {z_col!r} already exists")
+    n = df.count()
+    if n == 0:
+        return df.withColumn(z_col, F.lit(0).cast("long"))
+    out = df
+    bucket_cols = []
+    for i, c in enumerate(cols):
+        rc = f"__zr{i}"
+        out = global_ranks(out, [c], rank_col=rc, ties="rank",
+                           range_partitions=range_partitions)
+        # exact bigint quantization: rank ∈ [1, N] → bucket ∈ [0, 2^bits)
+        out = out.withColumn(
+            rc, F.expr(f"CAST(((`{rc}` - 1L) * {1 << bits}L) div {n}L "
+                       f"AS BIGINT)"))
+        bucket_cols.append(F.col(rc))
+    out = out.withColumn(z_col, _interleave(bucket_cols, bits))
+    return out.drop(*[f"__zr{i}" for i in range(k)])
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int | None = None,
+    bits: int | None = None,
+) -> DataFrame:
+    """The clustered layout: z-value → ``repartitionByRange`` on it →
+    partition-local sort.  Every output partition (→ parquet file) is
+    a contiguous z-range, i.e. a small hyper-rectangle in all ``cols``
+    at once — the property parquet min/max skipping needs.  Lazy; the
+    plan pins ``len(cols)`` caches (module docstring) — prefer
+    :func:`zorder_write` for a bounded lifecycle."""
+    spark = df.sparkSession
+    P = int(n_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions"))
+    z = zorder_value(df, cols, bits=bits, range_partitions=n_partitions)
+    return (z.repartitionByRange(P, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z"))
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    out_dir: str,
+    n_partitions: int | None = None,
+    bits: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the z-clustered layout as parquet and release the rank
+    caches deterministically (consume-inside-scope, the
+    rank_cache_scope contract)."""
+    with rank_cache_scope():
+        zorder_layout(df, cols, n_partitions=n_partitions,
+                      bits=bits).write.mode(mode).parquet(out_dir)

@@ -310,7 +310,10 @@ def measure(sf_dir: str, label: str) -> tuple[dict, dict, dict]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", default="3,10")
+    ap.add_argument("--reps", default="3,10",
+                    help="comma-separated SCALE FACTORS to build and "
+                         "measure beyond the implicit 1x (not repeat "
+                         "counts)")
     ap.add_argument("--work", default="/tmp/scale_stress")
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--skip-parity", action="store_true")
@@ -349,17 +352,22 @@ def main() -> int:
                 all_plans[top][name].splitlines(True),
                 f"{name}@1x", f"{name}@{top}x"))
 
-    # scaling exponents: least-squares slope of log t vs log r
+    # scaling exponents: least-squares slope of log t vs log r — needs
+    # ≥2 distinct scales (a 1x-only run, e.g. --reps 1, has zero
+    # variance in x and used to die with ZeroDivisionError)
     exps = {}
-    for op in next(iter(all_times.values())):
-        xs = [math.log(r) for r in sorted(all_times)]
-        ys = [math.log(all_times[r][op]) for r in sorted(all_times)]
-        n = len(xs)
-        mx, my = sum(xs) / n, sum(ys) / n
-        exps[op] = round(
-            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-            / sum((x - mx) ** 2 for x in xs), 3)
-        print(f"exponent {op}: {exps[op]}")
+    if len(all_times) >= 2:
+        for op in next(iter(all_times.values())):
+            xs = [math.log(r) for r in sorted(all_times)]
+            ys = [math.log(all_times[r][op]) for r in sorted(all_times)]
+            n = len(xs)
+            mx, my = sum(xs) / n, sum(ys) / n
+            exps[op] = round(
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                / sum((x - mx) ** 2 for x in xs), 3)
+            print(f"exponent {op}: {exps[op]}")
+    else:
+        print("exponents: n/a (single scale measured)")
 
     parity = None
     if not args.skip_parity:

@@ -1,0 +1,127 @@
+"""Z-order clustering (operators/layout.py): exact Morton codes from
+the distributed rank machinery, and the property the layout exists
+for — per-file min/max ranges shrink in EVERY clustered dimension."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_snapshot_spark.operators.layout import (
+    zorder_layout,
+    zorder_value,
+    zorder_write,
+)
+
+
+def _ref_z(pdf: pd.DataFrame, cols, bits: int) -> list[int]:
+    """Independent pure-pandas reference: SQL rank() (method='min',
+    nulls first — Spark's ascending-window default) → exact bigint
+    bucket → Morton interleave."""
+    n = len(pdf)
+    buckets = []
+    for c in cols:
+        rk = pdf[c].rank(method="min", na_option="top").astype(int)
+        buckets.append(((rk - 1) * (1 << bits)) // n)
+    out = []
+    k = len(cols)
+    for row in zip(*buckets):
+        z = 0
+        for j in range(bits):
+            for i, b in enumerate(row):
+                z |= ((int(b) >> j) & 1) << (j * k + i)
+        out.append(z)
+    return out
+
+
+def test_zorder_value_matches_pandas_reference(spark):
+    """Bit-exact vs an independent reference, including duplicates
+    (shared rank ⇒ shared z) and NULLs (rank-first ⇒ bucket 0)."""
+    rows = [((i * 131) % 23 if i % 11 else None, (i * 17) % 40, i)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "x long, y long, id long")
+    got = {r.id: r._z
+           for r in zorder_value(df, ["x", "y"], bits=8).collect()}
+    pdf = pd.DataFrame(rows, columns=["x", "y", "id"])
+    want = dict(zip(pdf["id"], _ref_z(pdf, ["x", "y"], 8)))
+    assert got == want
+    # determinism across layouts
+    got2 = {r.id: r._z
+            for r in zorder_value(df.repartition(7), ["x", "y"],
+                                  bits=8).collect()}
+    assert got2 == want
+    spark.catalog.clearCache()   # release the unscoped rank caches
+
+
+def test_zorder_guard_rails(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, _z long")
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value(df, [])
+    with pytest.raises(ValueError, match="already exists"):
+        zorder_value(df, ["x"])
+    with pytest.raises(ValueError, match="interleaved"):
+        zorder_value(df.drop("_z"), ["x"], bits=64)
+
+
+def test_zorder_files_are_hyperrectangles(spark, tmp_path):
+    """The point of the layout: on a 64×64 uniform grid written as 16
+    files, a single-column sort leaves every file spanning the FULL
+    range of the other column, while the z-order layout bounds BOTH
+    per-file ranges near the √-law hyper-rectangle — the shape parquet
+    min/max skipping turns into file pruning for predicates on either
+    column."""
+    rows = [((i * 2531) % 4096 // 64, (i * 2531) % 4096 % 64)
+            for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zdir = str(tmp_path / "zorder")
+    zorder_write(df, ["x", "y"], zdir, n_partitions=16)
+    xdir = str(tmp_path / "xsorted")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.parquet(xdir))
+
+    def mean_widths(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max("x") - F.min("x")).alias("wx"),
+                 (F.max("y") - F.min("y")).alias("wy"))
+            .agg(F.avg("wx").alias("wx"), F.avg("wy").alias("wy"),
+                 F.count(F.lit(1)).alias("files"))
+            .collect()[0])
+        return per_file.wx, per_file.wy, per_file.files
+
+    zx, zy, zf = mean_widths(zdir)
+    sx, sy, sf_ = mean_widths(xdir)
+    assert zf >= 8 and sf_ >= 8          # the comparison is per-FILE
+    # x-sorted: x prunes hard, y spans everything
+    assert sx <= 8 and sy >= 56
+    # z-order: BOTH dimensions bounded (16 files over 64×64 → ~16-wide
+    # tiles; allow generous slack for range-partition imbalance)
+    assert zx <= 32 and zy <= 32
+    assert zy < sy / 2                   # the headline property
+
+
+def test_zorder_write_releases_rank_caches(spark, tmp_path):
+    """zorder_write consumes inside rank_cache_scope — the k
+    load-bearing rank caches must be gone afterwards."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [((i * 7) % 50, (i * 13) % 50) for i in range(500)],
+        "x long, y long")
+    zorder_write(df, ["x", "y"], str(tmp_path / "zc"), n_partitions=4)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo() is None or len(jsc.getRDDStorageInfo()) == 0
+    # and the written layout round-trips completely
+    assert spark.read.parquet(str(tmp_path / "zc")).count() == 500
+
+
+def test_zorder_layout_keeps_all_rows_and_columns(spark):
+    df = spark.createDataFrame(
+        [((i * 3) % 11, (i * 5) % 13, f"p{i}") for i in range(200)],
+        "a long, b long, payload string")
+    out = zorder_layout(df, ["a", "b"], n_partitions=4)
+    assert out.columns == ["a", "b", "payload"]
+    assert sorted(r.payload for r in out.collect()) == sorted(
+        f"p{i}" for i in range(200))
+    spark.catalog.clearCache()

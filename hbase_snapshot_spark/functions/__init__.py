@@ -22,7 +22,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cosine similarity; NULL (not NaN) when either vector has zero
+    norm.  The guard is semantics, not cosmetics: 0/0 is NaN, Spark
+    comparisons treat NaN as GREATER than every double, so an
+    unguarded zero embedding (a failed encoder's classic output)
+    passes every ``cos >= threshold`` filter and becomes a near-dup of
+    its whole block — while DuckDB's list_cosine_similarity returns
+    -1.0 for the same input, silently breaking engine parity.  NULL
+    fails both engines' filters identically (and the oracle twins
+    carry the same explicit guard)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)),
+                  dot(a, b) / (na * nb))
 
 
 def word_tokens(text: Column) -> Column:

@@ -78,23 +78,24 @@ def jaccard_pairs(
     the verification below intersects full shingle sets, so every
     reported jaccard value is exact.  Pairs whose shared shingles are
     ALL hubs are missed (by construction boilerplate-only overlap);
-    ``df_max=None`` disables the guard.  The DF count reuses the same
-    shingle partitioning as the self-join, so the guard adds no extra
-    exchange.
+    ``df_max=None`` disables the guard.  The DF count is a map-side-
+    combinable groupBy joined back on the shingle — NOT a window: a
+    window count would funnel every occurrence of the hottest shingle
+    (the exact hub the guard exists for) through one sorted task,
+    while the aggregate's shuffle carries one row per distinct shingle
+    per map task and the inner join drops hub occurrences at probe
+    time without sorting.
 
     Output: (a, b, jaccard) with a < b, jaccard rounded to 6 digits.
     """
-    from pyspark.sql import Window
-
     ex = _exploded(df, id_col)
     if df_max is not None:
-        ex = (
-            ex.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
+        dfreq = (
+            ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= df_max)
-            .drop("_df")
+            .select("shingle")
         )
+        ex = ex.join(dfreq, "shingle")
     a, b = ex.alias("a"), ex.alias("b")
     candidates = (
         a.join(b, on="shingle")
@@ -163,7 +164,22 @@ def minhash_signature(
 def _banded_long(df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """minhash signature → long-format LSH band buckets
     (id, band_id, bh) — the ONE band-hash construction shared by
-    within-corpus and cross-corpus candidate generation."""
+    within-corpus and cross-corpus candidate generation.
+
+    ``bands`` must divide ``num_hashes``: bands > num_hashes would
+    make every band hash md5('') — every document in ONE bucket, the
+    full O(n²) cartesian this construction exists to avoid — and a
+    non-divisor silently drops the trailing hashes from every band,
+    weakening the advertised LSH guarantee.  Both fail loudly here
+    (guarding every entry point: minhash_dup_pairs,
+    cross_corpus_overlap, minhash_index, delta_dedup_pairs,
+    dedup_corpus, leakage_safe_split)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}: bands > num_hashes hashes the "
+            "empty signature (one bucket = quadratic candidates), a "
+            "non-divisor silently ignores trailing minhashes")
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, num_hashes)
     band_cols = [
@@ -267,14 +283,6 @@ def simhash(
         bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         fp = bit if fp is None else (fp + bit)
     return agg.select(id_col, fp.alias("simhash"))
-
-
-def _popcount16(x: Column) -> Column:
-    out = None
-    for k in range(16):
-        b = F.floor(x / (1 << k)) % 2
-        out = b if out is None else out + b
-    return out
 
 
 def simhash_dup_pairs(
@@ -576,15 +584,18 @@ def dedup_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    text_col: str = "text",
 ) -> DataFrame:
     """End-to-end near-dup removal — the composition a corpus pipeline
     actually runs: shingle → MinHash+LSH candidate pairs → connected
     components → keep each cluster's canonical (min-id) document.
 
     Returns the deduplicated corpus (original columns).  Singletons
-    survive by construction (they are their own canonical)."""
+    survive by construction (they are their own canonical).
+    ``text_col`` names the shingled column (the sibling composition
+    leakage_safe_split exposes the same knob)."""
     pairs = minhash_dup_pairs(
-        with_shingles(df, n=n), id_col=id_col,
+        with_shingles(df, text_col=text_col, n=n), id_col=id_col,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
     )
     clusters = duplicate_clusters(pairs, df.select(id_col), id_col=id_col)
@@ -636,8 +647,17 @@ def minhash_index(
     over the standing corpus (and write it as parquet, bucketed by
     ``bh`` if batches are frequent); every incoming batch then joins
     against the index instead of re-shingling petabytes.  Inputs must
-    carry a ``shingles`` column (with_shingles)."""
-    return _banded_long(df, id_col, num_hashes, bands)
+    carry a ``shingles`` column (with_shingles).
+
+    The build parameters ride along as constant ``num_hashes`` /
+    ``bands`` columns (RLE-compressed to nothing in parquet): a batch
+    banded with DIFFERENT parameters hashes a different family, the
+    (band_id, bh) join silently finds ~nothing, and the pipeline would
+    conclude "no duplicates" — delta_dedup_pairs validates them
+    instead of failing silent."""
+    return (_banded_long(df, id_col, num_hashes, bands)
+            .withColumn("num_hashes", F.lit(num_hashes))
+            .withColumn("bands", F.lit(bands)))
 
 
 def delta_dedup_pairs(
@@ -659,7 +679,24 @@ def delta_dedup_pairs(
     since only candidate rows are evaluated.
 
     Output: (batch_id, corpus_id, jaccard) with verified jaccard >=
-    threshold — drop or link the batch docs per policy."""
+    threshold — drop or link the batch docs per policy.
+
+    If the index carries its build parameters (minhash_index does),
+    they are VALIDATED against this call's ``num_hashes``/``bands`` —
+    a mismatched index hashes a different band family, the join finds
+    ~nothing, and an unvalidated pipeline would silently report "no
+    duplicates" (a decontamination failure, not an error).  The check
+    reads one index row; legacy parameter-less indexes skip it."""
+    if {"num_hashes", "bands"}.issubset(index.columns):
+        meta = index.select("num_hashes", "bands").limit(1).collect()
+        if meta and (meta[0][0] != num_hashes or meta[0][1] != bands):
+            raise ValueError(
+                f"index was built with num_hashes={meta[0][0]}, "
+                f"bands={meta[0][1]} but this batch is banded with "
+                f"num_hashes={num_hashes}, bands={bands} — a mismatch "
+                "joins two different hash families and silently finds "
+                "no duplicates")
+        index = index.drop("num_hashes", "bands")
     b = _banded_long(batch, id_col, num_hashes, bands).withColumnsRenamed(
         {id_col: "batch_id"}
     )
@@ -746,7 +783,8 @@ def duplicated_spans(
     is ≥ 2 — a hub shingle ("in the the end…" boilerplate) contributes
     ONE hash row regardless of how many millions of positions carry
     it, so there is no quadratic blowup to cap.  Span assembly is a
-    per-document gaps-and-islands window (pos − row_number), one
+    per-document coverage-union window (_coverage_islands: flags merge
+    while the covered [pos, pos+k) intervals stay contiguous), one
     shuffle on the id.
     """
     if min_tokens is None:
@@ -774,11 +812,33 @@ def duplicated_spans(
         .select("gh")
     )
     flagged = grams.join(dup_hashes, on="gh").select("id", "pos")
-    # gaps-and-islands: consecutive flagged positions merge into one
-    # maximal span; a flagged k-gram at pos covers tokens [pos, pos+k)
+    spans = _coverage_islands(flagged, k, min_tokens, id_col)
+    return spans
+
+
+def _coverage_islands(
+    flagged: DataFrame, k: int, min_tokens: int, id_col: str
+) -> DataFrame:
+    """Merge flagged k-gram START positions into maximal COVERED token
+    runs: a flagged pos covers tokens [pos, pos+k), so two flags merge
+    whenever the next start is ≤ prev + k (overlap OR adjacency keeps
+    the covered run contiguous) — NOT only when starts are consecutive
+    integers.  Start-gap islands (pos − row_number) fragmented one
+    duplicated region into overlapping rows (double-counted
+    span_tokens) and, worse, let min_tokens > k silently DROP a
+    genuinely duplicated region whose individual fragments were each
+    shorter than min_tokens.  One per-document window shuffle, same
+    scale shape as before (pos is sorted, so lag(pos) IS the max
+    preceding coverage start)."""
     w = Window.partitionBy("id").orderBy("pos")
-    spans = (
-        flagged.withColumn("island", F.col("pos") - F.row_number().over(w))
+    prev = F.lag("pos").over(w)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged
+        .withColumn("_new", F.when(prev.isNull()
+                                   | (F.col("pos") > prev + k),
+                                   F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("island", F.sum("_new").over(run))
         .groupBy("id", "island")
         .agg(F.min("pos").alias("span_start"),
              (F.max("pos") + k).alias("span_end"))
@@ -786,7 +846,6 @@ def duplicated_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .select(F.col("id").alias(id_col), "span_start", "span_end", "span_tokens")
     )
-    return spans
 
 
 def scrub_duplicated_spans(
@@ -870,16 +929,7 @@ def contaminated_spans(
 
     eval_hashes = grams(evalset).select("gh").distinct()
     flagged = grams(train).join(eval_hashes, on="gh").select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    return (
-        flagged.withColumn("island", F.col("pos") - F.row_number().over(w))
-        .groupBy("id", "island")
-        .agg(F.min("pos").alias("span_start"),
-             (F.max("pos") + k).alias("span_end"))
-        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
-        .filter(F.col("span_tokens") >= min_tokens)
-        .select(F.col("id").alias(id_col), "span_start", "span_end", "span_tokens")
-    )
+    return _coverage_islands(flagged, k, min_tokens, id_col)
 
 
 # ----------------------------------------------------- line-level dedup
@@ -900,9 +950,13 @@ def line_dedup(
 
     - ``mode='first'`` (CCNet semantics): every repeated line is kept
       only at its FIRST corpus occurrence (ordered by (id, position));
-      later occurrences are dropped.  One hash-partitioned window (with
-      map-side-combinable cardinality) + one reassembly shuffle — no
-      self-join.
+      later occurrences are dropped.  The row_number window + rn==1
+      filter compiles to a map-side PARTIAL WindowGroupLimit (pinned
+      by test_line_dedup_plan_shape): each map task keeps only its own
+      first occurrence per line hash, so a corpus-hot boilerplate line
+      ships ≤1 row per map task through the shuffle — cheaper than a
+      min-aggregate + join-back, which would re-shuffle EVERY line for
+      the join.
     - ``mode='boilerplate'`` (RefinedWeb-style frequent-line removal):
       lines whose corpus count >= ``min_count`` are dropped EVERYWHERE.
       The frequent-hash set is tiny by construction (boilerplate is
@@ -1017,7 +1071,8 @@ def winnow_pairs(
     still lands a common hash), so the inverted index — the dominant
     shuffle at corpus scale — is proportionally smaller.
 
-    Output: (a_id, b_id, jaccard) with a_id < b_id, rounded to 6."""
+    Output: (a, b, jaccard) with a < b, rounded to 6 — jaccard_pairs'
+    column names, since this IS jaccard_pairs over winnow sets."""
     from hbase_snapshot_spark.operators.text import winnow_fingerprints
 
     sets = winnow_fingerprints(df, text_col, k=k, window=window).select(

@@ -353,7 +353,7 @@ def cosine_pairs_sql(threshold: float = 0.9) -> str:
     return f"""
 SELECT a, b, cos FROM (
   SELECT a.vec_id AS a, b.vec_id AS b,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+         round(CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0 AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0 THEN list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END, 6) AS cos
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id) t
 WHERE cos >= {threshold}
@@ -376,25 +376,25 @@ assigned AS (
     SELECT e.vec_id, e.v, c.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+             ORDER BY round(CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(e.v, c.cvec) END, 6) DESC,
                       c.cell ASC) AS rn
     FROM e CROSS JOIN cents c) t
   WHERE rn = 1
 ),
 scored AS (
   SELECT a.vec_id, a.v, a.cell,
-         round(list_cosine_similarity(a.v, c.cvec), 6) AS cent_sim
+         round(CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(a.v, c.cvec) END, 6) AS cent_sim
   FROM assigned a JOIN cents c USING (cell)
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY cell
-                               ORDER BY cent_sim ASC, vec_id ASC) AS rk
+                               ORDER BY cent_sim ASC NULLS FIRST, vec_id ASC) AS rk
   FROM scored
 ),
 removed AS (
   SELECT DISTINCT b.vec_id FROM ranked a JOIN ranked b
     ON a.cell = b.cell AND a.rk < b.rk
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {eps}
+  WHERE round(CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0 THEN list_cosine_similarity(a.v, b.v) END, 6) >= {eps}
 )
 SELECT r.vec_id, r.cell, r.cent_sim,
        CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS keep
@@ -426,7 +426,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < {num_queries}),
 s AS (
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0 AND list_dot_product(q.qv, q.qv) > 0 THEN list_cosine_similarity(e.embedding::DOUBLE[], q.qv) END, 6) AS cos
   FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, vec_id, cos, rank FROM (
@@ -463,7 +463,7 @@ sigs AS (
 q AS (SELECT vec_id AS query_id, v AS qv, bucket
       FROM sigs WHERE vec_id < {num_queries}),
 s AS (
-  SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+  SELECT q.query_id, e.vec_id, round(CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(q.qv, q.qv) > 0 THEN list_cosine_similarity(e.v, q.qv) END, 6) AS cos
   FROM sigs e JOIN q ON e.bucket = q.bucket
 )
 SELECT query_id, vec_id, cos, rank FROM (
@@ -492,7 +492,7 @@ assigned AS (
     SELECT e.vec_id, e.v, c.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+             ORDER BY round(CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(e.v, c.cvec) END, 6) DESC,
                       c.cell ASC) AS rn
     FROM e CROSS JOIN cents c) t
   WHERE rn = 1
@@ -503,13 +503,13 @@ probes AS (
     SELECT q.query_id, q.qv, c.cell,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC,
+             ORDER BY round(CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(q.qv, c.cvec) END, 6) DESC,
                       c.cell ASC) AS rn
     FROM q CROSS JOIN cents c) t
   WHERE rn <= {nprobe}
 ),
 s AS (
-  SELECT p.query_id, a.vec_id, round(list_cosine_similarity(a.v, p.qv), 6) AS cos
+  SELECT p.query_id, a.vec_id, round(CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(p.qv, p.qv) > 0 THEN list_cosine_similarity(a.v, p.qv) END, 6) AS cos
   FROM assigned a JOIN probes p ON a.cell = p.cell
 )
 SELECT query_id, vec_id, cos, rank FROM (
@@ -609,7 +609,7 @@ assigned AS (
     SELECT e.vec_id, c.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+             ORDER BY round(CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(e.v, c.cvec) END, 6) DESC,
                       c.cell ASC) AS rn
     FROM e CROSS JOIN cents c) t
   WHERE rn = 1),
@@ -618,7 +618,7 @@ probes AS (
     SELECT q.query_id, c.cell,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC,
+             ORDER BY round(CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.cvec, c.cvec) > 0 THEN list_cosine_similarity(q.qv, c.cvec) END, 6) DESC,
                       c.cell ASC) AS rn
     FROM q CROSS JOIN cents c) t
   WHERE rn <= {nprobe}),

@@ -1296,7 +1296,12 @@ def test_ivfpq_topk(spark):
 
 def _brute_force_spans(docs, k, min_tokens):
     """Independent reference: pure-Python duplicated k-gram positions →
-    merged maximal spans."""
+    merged maximal COVERED runs.  Flags merge while the covered
+    [p, p+k) intervals stay contiguous (next start ≤ prev + k) — the
+    r11 self-review found the old consecutive-starts-only merge (p ==
+    prev + 1) here AND in the implementation: a textbook shared bug
+    that fragmented one duplicated region into overlapping rows and
+    let min_tokens > k drop genuinely duplicated regions."""
     from collections import Counter
 
     toks = {i: t.split() for i, t in docs}
@@ -1314,7 +1319,7 @@ def _brute_force_spans(docs, k, min_tokens):
             if start is None:
                 start = prev = p
                 continue
-            if p is not None and p == prev + 1:
+            if p is not None and p <= prev + k:
                 prev = p
                 continue
             if prev - start + k >= min_tokens:
@@ -1418,7 +1423,7 @@ def test_contaminated_spans(spark):
             if start is None:
                 start = prev = p
                 continue
-            if p is not None and p == prev + 1:
+            if p is not None and p <= prev + 6:   # coverage-union merge
                 prev = p
                 continue
             if prev + 6 - start >= 6:
@@ -3058,3 +3063,131 @@ def test_window_zscores(spark):
               for r in window_zscores(df2, window_ns=1_500_000_000)
               .collect()}
     assert starts == {0, 1, 3}
+
+
+def test_cosine_zero_vector_guard_parity(spark, tmp_path):
+    """(r11 self-review) zero-norm embeddings (the failed-encoder
+    classic) must be similar to NOTHING: unguarded Spark cosine gave
+    0/0 = NaN, and NaN >= threshold is TRUE in Spark — a zero vector
+    became a near-dup of its entire block — while DuckDB's
+    list_cosine_similarity returns -1.0 for the same input, so the
+    engines silently disagreed.  The guarded contract (NULL on zero
+    norm, both engines) fails every threshold filter identically and
+    keeps rank order aligned (NULLS FIRST pinned where cosine feeds an
+    ascending window)."""
+    import duckdb
+
+    from hbase_snapshot_spark import oracle_ops
+    from hbase_snapshot_spark.operators import dedup
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0], "g"),     # zero vector — and centroid 0
+        (1, [1.0, 0.0, 0.0, 0.0], "g"),
+        (2, [0.9, 0.1, 0.0, 0.0], "g"),
+        (3, [0.0, 0.0, 0.0, 0.0], "g"),     # second zero vector
+        (4, [0.0, 1.0, 0.0, 0.0], "g"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    pairs = dedup.cosine_dup_pairs(
+        sdf, threshold=0.5, block_col="label").collect()
+    got_pairs = {(r.a, r.b) for r in pairs}
+    assert got_pairs == {(1, 2)}            # zero vectors pair with nothing
+    sem = dedup.semantic_dedup(sdf, num_clusters=2, eps=0.5).collect()
+    got_sem = {r.vec_id: (r.cell, r.cent_sim, r.keep) for r in sem}
+    assert all(got_sem[v][1] is None for v in (0, 3))   # NULL, not NaN
+    assert all(got_sem[v][2] == 1 for v in (0, 3))      # kept, not removed
+
+    p = str(tmp_path / "emb.parquet")
+    sdf.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM read_parquet('{p}/*.parquet')")
+    want_pairs = {(a, b) for a, b, _c in
+                  con.sql(oracle_ops.cosine_pairs_sql(0.5)).fetchall()}
+    assert got_pairs == want_pairs
+    want_sem = {v: (c, cs, k) for v, c, cs, k in
+                con.sql(oracle_ops.semantic_dedup_sql(2, 0.5)).fetchall()}
+    assert got_sem == want_sem
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    """(r11 self-review) bands > num_hashes made rows_per_band 0 and
+    every band hash md5('') — every document in ONE bucket, the full
+    O(n²) cartesian LSH exists to avoid; a non-divisor silently
+    dropped trailing minhashes.  Both now fail loudly at every LSH
+    entry point."""
+    import pytest
+
+    docs = dedup.with_shingles(spark.createDataFrame(
+        [("a", "one two three four"), ("b", "one two three five")],
+        ["doc_id", "text"]))
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_dup_pairs(docs, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_index(docs, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.cross_corpus_overlap(docs, docs, bands=3)
+
+
+def test_duplicated_spans_merge_overlapping_coverage(spark):
+    """(r11 self-review) flagged k-gram starts with a gap of 2..k
+    cover ONE contiguous token run and must merge into ONE maximal
+    span — the old consecutive-starts islands emitted overlapping
+    fragments (double-counted span_tokens) and min_tokens > k dropped
+    the region entirely.  Construction: two k=4 grams duplicated at
+    starts 0 and 3 of doc A (gap 3 < k) — the covered run is tokens
+    [0, 7), 7 tokens, which must survive min_tokens=6."""
+    from hbase_snapshot_spark.operators.dedup import duplicated_spans
+
+    # doc A tokens: g1 = a b c d at 0; g2 = d e f g at 3; covered [0,7)
+    a = "a b c d e f g zz qq ww"
+    docs = [
+        (1, a),
+        (2, "x1 a b c d x2 x3 x4 x5 x6"),      # duplicates g1 only
+        (3, "y1 y2 d e f g y3 y4 y5 y6"),      # duplicates g2 only
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", k=4,
+                                  min_tokens=6).collect()
+    }
+    # the merged 7-token region in doc 1 survives min_tokens=6; the
+    # 4-token fragments in docs 2/3 do not — and nothing overlaps
+    assert (1, 0, 7, 7) in got
+    assert not any(d in (2, 3) for d, *_ in got)
+    assert got == _brute_force_spans(docs, 4, 6)
+
+
+def test_delta_dedup_rejects_mismatched_index_params(spark):
+    """(r11 self-review) an index banded with different parameters
+    hashes a different family — the join silently finds ~nothing and
+    the pipeline reports 'no duplicates'.  The index now carries its
+    build parameters and the mismatch raises."""
+    import pytest
+
+    corpus = dedup.with_shingles(spark.createDataFrame(
+        [("c1", "one two three four five six")], ["doc_id", "text"]))
+    idx = dedup.minhash_index(corpus, num_hashes=16, bands=8)
+    batch = dedup.with_shingles(spark.createDataFrame(
+        [("b1", "one two three four five seven")], ["doc_id", "text"]))
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.delta_dedup_pairs(batch, idx, corpus,
+                                num_hashes=8, bands=4)
+    # matching parameters still work end to end
+    out = dedup.delta_dedup_pairs(batch, idx, corpus,
+                                  num_hashes=16, bands=8, threshold=0.3)
+    assert [(r.batch_id, r.corpus_id) for r in out.collect()] == [("b1", "c1")]
+
+
+def test_dedup_corpus_custom_text_col(spark):
+    """(r11 self-review) dedup_corpus passes text_col through to the
+    shingler like its sibling leakage_safe_split."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content lives here ok then")],
+        ["doc_id", "content"])
+    out = dedup.dedup_corpus(df, threshold=0.5, text_col="content")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]

@@ -36,11 +36,22 @@ def cosine(a: Column, b: Column) -> Column:
                   dot(a, b) / (na * nb))
 
 
+#: explicit ASCII whitespace class, shared with the oracle twins.
+#: Java's \s includes \x0B (vertical tab) while RE2/DuckDB's does not,
+#: and plain trim() (both engines) strips ONLY spaces — so '\n'-led
+#: text used to grow an empty first token here while DuckDB's
+#: string_split_regex grew it too (shared flaw), and \x0B-separated
+#: tokens silently diverged between engines.
+WS_RE = "[ \\t\\n\\r\\f]+"
+
+
 def word_tokens(text: Column) -> Column:
-    """whitespace tokenization; empty string → empty array"""
-    t = F.trim(text)
+    """whitespace tokenization over class-normalized text (collapse
+    WS_RE runs to single spaces, trim the edges); empty → empty array.
+    No empty tokens regardless of leading/trailing whitespace kind."""
+    t = F.trim(F.regexp_replace(text, WS_RE, " "))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, " ")
     )
 
 

@@ -25,12 +25,17 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 #: BPE-ish token pattern: word pieces or single non-space symbols
-TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"  # whitespace is neither a token nor punctuation
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]"  # whitespace (explicit ASCII class - Java \\s and RE2 \\s disagree on \\x0B) is neither a token nor punctuation
 
 
 def stopword_hits(text: Column, words: list[str]) -> Column:
-    """how many of the given stopwords occur in the text (word-bounded)"""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    """how many of the given stopwords occur in the text (word-bounded
+    by any ASCII whitespace: runs collapse to single spaces before the
+    padded ' w ' containment test, so 'the\nend' counts 'the' — the
+    raw form only matched stopwords space-delimited on BOTH sides,
+    zeroing lang_id/quality on multi-line text)"""
+    norm = F.trim(F.regexp_replace(F.lower(text), _WS, " "))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
     hits = [
         F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
         for w in words
@@ -80,11 +85,11 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe_tokens": token_count(t),
         "avg_token_len": F.round(
             F.when(F.size(toks) > 0,
-                   (F.length(F.regexp_replace(t, r"\s+", "")) / F.size(toks)))
+                   (F.length(F.regexp_replace(t, _WS, "")) / F.size(toks)))
             .otherwise(F.lit(0.0)), 4),
         "punct_ratio": F.round(
             F.when(F.length(t) > 0,
-                   F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")) / F.length(t))
+                   F.length(F.regexp_replace(t, _PUNCT_STRIP, "")) / F.length(t))
             .otherwise(F.lit(0.0)), 4),
         "stopword_hits_en": stopword_hits(t, STOPWORDS["en"]),
     })
@@ -118,7 +123,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     sw = stopword_hits(t, STOPWORDS["en"])
     punct = F.when(
         F.length(t) > 0,
-        F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")) / F.length(t),
+        F.length(F.regexp_replace(t, _PUNCT_STRIP, "")) / F.length(t),
     ).otherwise(F.lit(0.0))
 
     def score(s):
@@ -129,7 +134,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             s.sw.cast("double") / 2)
         punct_ok = F.when(s.punct <= 0.2, F.lit(1.0)).otherwise(
             F.greatest(F.lit(0.0), 1.0 - (s.punct - 0.2) * 2))
-        return F.when(s.n_tok == 0, F.lit(0.0)).otherwise(
+        # isNull: a NULL text makes every component NULL-propagate
+        # EXCEPT punct (0.0 -> punct_ok 1.0), so the old n_tok == 0
+        # gate fell through and scored empty documents 0.3333 —
+        # passing a 'quality >= 0.25' corpus gate with no content
+        return F.when(s.n_tok.isNull() | (s.n_tok == 0),
+                      F.lit(0.0)).otherwise(
             F.round((len_ok + sw_ok + punct_ok) / 3, 4))
 
     comps = F.struct(n_tok.alias("n_tok"), sw.alias("sw"),
@@ -140,7 +150,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """document fingerprint: md5 of the whitespace-normalized lowercase
     text (the rolling-hash/content-address device)"""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # collapse FIRST, trim second: plain trim() strips only spaces, so
+    # trim-first left a leading space on '\n'-led text and two copies
+    # of one document fingerprinted differently
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
     return df.withColumn("fingerprint", F.md5(norm))
 
 
@@ -156,6 +169,11 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 # (vertical tab) while RE2's does not — an explicit class keeps the
 # Spark expression and the DuckDB oracle byte-identical.
 _WS = "[ \\t\\n\\r\\f]+"
+
+#: strip-class for punctuation ratios: alphanumerics + the SAME
+#: explicit whitespace class (a bare \s would make Java and RE2
+#: disagree on \x0B)
+_PUNCT_STRIP = "[a-zA-Z0-9 \\t\\n\\r\\f]"
 
 
 def strip_html(df: DataFrame, text_col: str = "text",
@@ -329,10 +347,7 @@ def extract_main_content(
     stop = stopwords if stopwords is not None else JUSTEXT_STOPWORDS_EN
     stop_arr = F.array(*[F.lit(w) for w in stop])
 
-    def _bind(expr, fn):
-        # evaluate ``expr`` once, pass it to fn as a lambda variable —
-        # optimizer-proof sharing inside a single projection
-        return F.transform(F.array(expr), fn)[0]
+    _bind = _bind_once   # the module-level sharing idiom, not a copy
 
     c = F.col(text_col)
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
@@ -344,7 +359,7 @@ def extract_main_content(
         link_len = F.aggregate(
             F.transform(
                 F.regexp_extract_all(
-                    b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a[^>]*>"), F.lit(1)),
+                    b, F.lit("(?is)<a\\b[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"), F.lit(1)),
                 lambda a: F.length(F.trim(
                     F.regexp_replace(a, r"<[^>]+>", " ")))),
             F.lit(0), lambda acc, x: acc + x)
@@ -475,11 +490,12 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    toks = df.filter(norm != "").select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        F.explode(F.split(norm, " ")).alias("term"),
     )
-    n_docs = df.filter(F.trim(F.col(text_col)) != "").count()
+    n_docs = df.filter(norm != "").count()
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
@@ -626,11 +642,11 @@ def bm25_topk(
     if not qterms:
         return spark.createDataFrame([], empty_schema)
 
-    docs = df.filter(F.trim(F.col(text_col)) != "")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
+    docs = df.filter(norm != "")
     toks = docs.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        F.explode(F.split(norm, " ")).alias("term"),
     )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_docs, avgdl = docs.count(), dl.agg(F.avg("dl")).first()[0]
@@ -647,8 +663,7 @@ def bm25_topk(
         docs.filter(candidate)
         .select(
             F.col(id_col),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                              r"\s+")).alias("term"),
+            F.explode(F.split(norm, " ")).alias("term"),
         )
         .filter(F.col("term").isin(all_terms))
         .groupBy(id_col, "term")
@@ -685,7 +700,7 @@ def bm25_topk(
 
 #: RE2-compatible patterns (work identically in Java regex and DuckDB)
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_PATTERN = r"https?://[^\s]+"
+URL_PATTERN = "https?://[^ \\t\\n\\r\\f]+"  # explicit negated class: Java [^\\s] stops at \\x0B, RE2 does not
 # phone: requires explicit separators so bare digit runs (ids, years,
 # prices) never match — the over-match failure mode of corpus scrubs
 PHONE_PATTERN = r"(\+[0-9]{1,2}[ -])?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}"
@@ -782,7 +797,10 @@ def repetition_signals(
     by document length.
     """
     text = F.col(text_col)
-    lines = F.split(text, "\n")
+    # blank lines carry structure, not content: counting them as
+    # "duplicates" flagged every double-spaced document (gopher_rules
+    # rule 7 filters trimmed-empty lines the same way)
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
     dup_line_frac = F.when(
         n_lines > 0,
@@ -895,7 +913,6 @@ def clean_text(
 
 def normalize_unicode(
     df: DataFrame, text_col: str = "text", form: str = "NFKC",
-    id_col: "str | None" = None,
 ) -> DataFrame:
     """Unicode normalization (UAX #15) of a text column — the
     canonicalization step tokenizer training assumes (SentencePiece
@@ -968,10 +985,7 @@ def winnow_fingerprints(
         return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
             F.array().cast("array<int>"))
 
-    def _bind(expr, fn):
-        # evaluate ``expr`` once, pass it to fn as a lambda variable —
-        # optimizer-proof sharing inside a single projection
-        return F.transform(F.array(expr), fn)[0]
+    _bind = _bind_once   # the module-level sharing idiom, not a copy
 
     # Unicode letter/digit classes, not [a-z0-9]: an ASCII-only
     # normalization would strip EVERY character of a non-Latin
@@ -1048,11 +1062,18 @@ def canonicalize_url(
     rest = F.regexp_replace(u, _SCHEME_HOST_RE, "")
     # fragment first: nothing after '#' survives
     rest = F.regexp_replace(rest, r"(?s)#.*$", "")
-    # tracking params: non-leading ones drop with their '&'; a leading
-    # one hands '?' to the next param; a lone one drops with its '?'
-    rest = F.regexp_replace(rest, "&" + tracking_params_re, "")
-    rest = F.regexp_replace(rest, r"\?" + tracking_params_re + "&", "?")
-    rest = F.regexp_replace(rest, r"\?" + tracking_params_re + "$", "")
+    # tracking params live in the QUERY: '&utm_x=...' is legal inside
+    # a path segment ('/p&utm_a=1/page2'), and stripping it there
+    # deleted real path bytes — split at the first '?' and scope the
+    # three strips to the query part.  Non-leading params drop with
+    # their '&'; a leading one hands '?' to the next param; a lone one
+    # drops with its '?'.
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    qs = F.regexp_replace(rest, r"^[^?]*", "")
+    qs = F.regexp_replace(qs, "&" + tracking_params_re, "")
+    qs = F.regexp_replace(qs, r"\?" + tracking_params_re + "&", "?")
+    qs = F.regexp_replace(qs, r"\?" + tracking_params_re + "$", "")
+    rest = F.concat(path, qs)
     sh = F.when(
         sh.startswith("http://"), F.regexp_replace(sh, ":80$", "")
     ).when(

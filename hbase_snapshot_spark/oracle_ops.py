@@ -9,9 +9,15 @@ from hbase_snapshot_spark.operators.text import STOPWORDS, TOKEN_PATTERN
 
 # shared text fragments -------------------------------------------------
 
-#: tokens of non-empty trimmed text (empty → 0 tokens)
-_TOKS = "string_split_regex(trim(text), '\\s+')"
-_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END"
+#: whitespace-normalized text: the explicit ASCII class collapsed to
+#: single spaces, edges trimmed.  Twin of the Spark side's
+#: trim(regexp_replace(text, _WS, ' ')) — plain trim() strips only
+#: spaces in BOTH engines (a leading newline grew an empty first
+#: token), and RE2's \s disagrees with Java's on \x0B.
+_NORM = "trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))"
+#: tokens of non-empty normalized text (empty → 0 tokens, no empties)
+_TOKS = f"string_split({_NORM}, ' ')"
+_NTOK = f"CASE WHEN {_NORM} = '' THEN 0 ELSE len({_TOKS}) END"
 
 
 def _shingle_cte(n: int) -> str:
@@ -19,7 +25,7 @@ def _shingle_cte(n: int) -> str:
     + array_distinct on the Spark side)"""
     parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     return f"""
-toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE trim(text) <> ''),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE {_NORM} <> ''),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {parts})) AS s
@@ -341,7 +347,7 @@ def simhash_sql(bits: int = 16) -> str:
     fp = " + ".join(f"CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(bits))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NORM} <> ''
 ),
 hashed AS (SELECT doc_id, {h4} AS hv FROM (SELECT doc_id, md5(tok) AS h FROM toks) t),
 agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
@@ -725,9 +731,9 @@ def tfidf_sql(k: int = 3) -> str:
     """SQL twin of text.tfidf_top_terms (smoothed tf*ln((N+1)/(df+1)),
     round 6, ties by term asc)."""
     return f"""
-WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
-              WHERE trim(text) <> ''),
-toks AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term FROM docs),
+WITH docs AS (SELECT doc_id, lower({_NORM}) AS t FROM documents
+              WHERE {_NORM} <> ''),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM docs),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n FROM docs),
@@ -756,9 +762,9 @@ def bm25_sql(
     vals = ", ".join(f"('{q}', '{t}')" for q, t in qterms)
     inlist = ", ".join(f"'{t}'" for t in sorted({t for _, t in qterms}))
     return f"""
-WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
-              WHERE trim(text) <> ''),
-toks AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term FROM docs),
+WITH docs AS (SELECT doc_id, lower({_NORM}) AS t FROM documents
+              WHERE {_NORM} <> ''),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM docs),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
 stats AS (SELECT (SELECT count(*) FROM docs) AS n,
                  (SELECT avg(dl) FROM dl) AS avgdl),
@@ -920,7 +926,7 @@ FROM q
 
 def _stopword_hits_sql(words: list[str]) -> str:
     return " + ".join(
-        f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+        f"CASE WHEN ' ' || trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
         for w in words
     )
 
@@ -945,13 +951,14 @@ def text_stats_sql(ngram: int = 2) -> str:
     """stats + the Gopher repetition signals (text.repetition_signals)
     folded in as extra columns — dup_line_frac (repeated-line fraction)
     and top_ngram_frac (share of the most frequent word n-gram)."""
-    nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
-    punct = r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))"
+    nonspace = "length(regexp_replace(text, '[ \t\n\r\f]+', '', 'g'))"
+    punct = "length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r\f]', '', 'g'))"
     return f"""
 WITH rep AS (
   SELECT doc_id,
-         string_split(text, chr(10)) AS lines,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS lines,
+         CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
               ELSE {_TOKS} END AS toks
   FROM documents),
 grams AS (
@@ -993,7 +1000,7 @@ def quality_sql() -> str:
     sw = _stopword_hits_sql(STOPWORDS["en"])
     punct = (
         "CASE WHEN length(text) > 0 THEN "
-        r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / length(text) "
+        "length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r\f]', '', 'g')) / length(text) "
         "ELSE 0.0 END"
     )
     return f"""
@@ -1003,7 +1010,7 @@ WITH c AS (
 ),
 gate AS (
   SELECT 'gate' AS branch, doc_id,
-       CASE WHEN n_tok = 0 THEN 0.0 ELSE round((
+       CASE WHEN n_tok IS NULL OR n_tok = 0 THEN 0.0 ELSE round((
          (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
                WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
          + (CASE WHEN sw >= 2 THEN 1.0 ELSE sw / 2.0 END)
@@ -1112,7 +1119,7 @@ def justext_branch_sql() -> str:
     )
 
     stop = ", ".join(f"'{w}'" for w in JUSTEXT_STOPWORDS_EN)
-    anchor_re = r"(?is)<a\b[^>]*>(.*?)</a[^>]*>"
+    anchor_re = "(?is)<a\\b[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
     # per-word edge strip: the single quote doubles inside the SQL
     # literal
     word_strip = "^[^a-z0-9'']+|[^a-z0-9'']+$"
@@ -1342,7 +1349,7 @@ WITH h AS (
     FROM documents) hb
 )
 SELECT e.doc_id,
-       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS fingerprint,
        'r:http://org.example.' || source || '/doc/' || e.doc_id AS urlkey,
        trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS plain,
        CAST(len(wsel.sel) AS BIGINT) AS n_winnow,
@@ -1387,16 +1394,25 @@ WITH msrc AS (
          || '&fbclid=abc#sec' AS u
   FROM documents
 ),
-mparts AS (
+mparts0 AS (
   SELECT doc_id,
          lower(regexp_extract(u, '{_SCHEME_HOST_RE}', 0)) AS sh,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(
            regexp_replace(u, '{_SCHEME_HOST_RE}', ''),
-           '(?s)#.*$', ''),
-           '&{TRACKING_PARAMS_RE}', '', 'g'),
-           '\?{TRACKING_PARAMS_RE}&', '?'),
-           '\?{TRACKING_PARAMS_RE}$', '') AS rest
+           '(?s)#.*$', '') AS rest0
   FROM msrc
+),
+mparts AS (
+  -- tracking strips scoped to the QUERY part, like the Spark side:
+  -- '&utm_' inside a path segment is real path bytes
+  SELECT doc_id, sh,
+         regexp_extract(rest0, '^[^?]*', 0)
+         || regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest0, '^[^?]*', ''),
+              '&{TRACKING_PARAMS_RE}', '', 'g'),
+              '\?{TRACKING_PARAMS_RE}&', '?'),
+              '\?{TRACKING_PARAMS_RE}$', '') AS rest
+  FROM mparts0
 )
 SELECT doc_id,
        (CASE WHEN sh LIKE 'http://%' THEN regexp_replace(sh, ':80$', '')

@@ -3191,3 +3191,72 @@ def test_dedup_corpus_custom_text_col(spark):
         ["doc_id", "content"])
     out = dedup.dedup_corpus(df, threshold=0.5, text_col="content")
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_whitespace_normalization_contract(spark, tmp_path):
+    """(r11 self-review) plain trim() strips ONLY spaces in BOTH
+    engines, so '\\n'-led text grew an empty first token / a leading
+    space in the fingerprint, stopwords only counted when
+    space-delimited on both sides, and NULL text scored quality
+    0.3333 (punct_ok=1 while everything else NULL-propagated).  The
+    normalized contract: collapse the explicit ASCII class, trim,
+    no empty tokens, NULL/empty → 0.0 — pinned against DuckDB on a
+    whitespace-nasty corpus."""
+    import duckdb
+
+    from hbase_snapshot_spark import oracle_ops
+    from hbase_snapshot_spark.functions import word_tokens
+    from hbase_snapshot_spark.operators.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog are friends"),
+        (2, "\nthe quick brown fox and the lazy dog are friends"),  # led by \n
+        (3, "the\nquick brown fox\tand the lazy dog\nare friends"),  # inner ws
+        (4, None),                                                   # NULL text
+        (5, "a\n\nb\n\nc\n\nd"),                                     # dbl-spaced
+        (6, "   "),                                                  # blank
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # fingerprints: 1 == 2 == 3 (one document, whitespace dressing)
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    # tokens: never empty strings
+    toks = df.filter(F.col("text").isNotNull()).select(
+        F.explode(word_tokens(F.col("text"))).alias("t")).collect()
+    assert all(r.t != "" for r in toks)
+    # lang_id: multi-line English is English (stopwords word-bounded by
+    # ANY whitespace), not 'und'
+    langs = {r.doc_id: r.l for r in df.filter(F.col("doc_id").isin(1, 2, 3))
+             .select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert langs == {1: "en", 2: "en", 3: "en"}
+    # quality: NULL and blank docs score 0.0, not 0.3333
+    q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    assert q[4] == 0.0 and q[6] == 0.0
+    assert q[1] == q[2] == q[3] > 0.5
+    # repetition: blank lines are structure, not duplicate content
+    rep = {r.doc_id: r.dup_line_frac
+           for r in repetition_signals(
+               df.filter(F.col("text").isNotNull()).withColumn(
+                   "_grams", F.array().cast("array<string>"))).collect()}
+    assert rep[5] == 0.0
+
+    # DuckDB twins agree on the same nasty corpus
+    p = str(tmp_path / "wsdocs.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{p}/*.parquet')")
+    got_ntok = {r.doc_id: r.n for r in df.select(
+        "doc_id", F.size(word_tokens(F.col("text"))).alias("n")).collect()}
+    want_ntok = {d: n for d, n in con.sql(
+        f"SELECT doc_id, {oracle_ops._NTOK} FROM documents").fetchall()}
+    # Spark size(NULL array) is NULL; oracle CASE gives NULL via len(NULL)
+    assert {k: v for k, v in got_ntok.items() if k != 4} == \
+           {k: v for k, v in want_ntok.items() if k != 4}
+    assert got_ntok[4] is None and want_ntok[4] is None

@@ -304,8 +304,13 @@ def test_duplicated_spans_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
-    # span assembly: exactly one per-doc window
-    assert plan.count("Window") == 1, plan
+    # span assembly (r11 coverage-union islands): two window passes —
+    # lag(pos) for the new-island flag, then the running island sum —
+    # BOTH per-doc (partitioned by id, one exchange, never
+    # SinglePartition over data)
+    assert plan.count("Window") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(id") == 1, plan
 
 
 def test_delta_dedup_prunes_corpus_with_semi_join(spark):

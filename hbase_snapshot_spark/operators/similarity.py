@@ -150,7 +150,7 @@ def kmeans_refine(
             .filter(F.col("_rn") == 1)
             .select(id_col, vec_col, "cell")
         )
-        cents = (
+        means = (
             assigned.select(
                 "cell", F.posexplode(F.col(vec_col)).alias("dim", "x")
             )
@@ -162,7 +162,15 @@ def kmeans_refine(
                     F.collect_list(F.struct(F.col("dim"), F.col("m")))
                 ).alias("dm")
             )
-            .select("cell", F.transform(F.col("dm"), lambda s: s.m).alias("cvec"))
+            .select("cell", F.transform(F.col("dm"), lambda s: s.m).alias("mvec"))
+        )
+        # a cell that lost every assignment KEEPS its previous centroid
+        # (pq_train's empty-cluster rule): rebuilding only from assigned
+        # rows silently shrank the quantizer below num_centroids
+        cents = (
+            cents.join(means, on="cell", how="left")
+            .select("cell",
+                    F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec"))
         )
     return cents
 
@@ -247,8 +255,27 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str) -> DataFrame:
-    """explode each vector into its m subvectors: + (sub, svec) columns"""
+    """explode each vector into its m subvectors: + (sub, svec) columns.
+
+    The ONE validation chokepoint for every PQ path (train / encode /
+    ADC lookup): ``m`` must divide ``dim`` — the trailing dim % m
+    dimensions would otherwise be silently dropped from codebooks,
+    codes, and distances — and every vector must be exactly ``dim``
+    long: a short vector NULL-pads zip_with, the NULL L2 distance
+    sorts FIRST under asc() (Spark ranks NULL before every value), and
+    the vector would get code 0 per subspace with no error.  Same loud
+    contract as ann_lsh_topk's checked_sig."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"dim={dim} must be a positive multiple of m={m}: the "
+            "trailing dim % m dimensions would silently drop from "
+            "training, encoding, and ADC distances")
     d_sub = dim // m
+    checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"pq: vector length != dim={dim} (got "),
+            F.size(F.col(vec_col)).cast("string"), F.lit(")"))))
+    df = df.withColumn(vec_col, checked)
     subs = F.expr(
         f"transform(sequence(0, {m - 1}), "
         f"s -> slice({vec_col}, s * {d_sub} + 1, {d_sub}))"
@@ -384,13 +411,7 @@ def pq_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    qsubs = _subvectors(q, m, dim, "qvec").select(
-        "query_id", "sub", F.col("svec").alias("qsub")
-    )
-    lookup = qsubs.join(F.broadcast(codebooks), on="sub").select(
-        "query_id", "sub", "code",
-        F.round(_l2sq(F.col("qsub"), F.col("cvec")), 6).alias("_d"),
-    )
+    lookup = _adc_lookup(q, codebooks, m, dim)
     exploded = codes.select(
         id_col, F.posexplode(F.col("codes")).alias("sub", "code")
     )
@@ -443,25 +464,12 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qvec", "cell",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col("cell").asc()
-    )
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "cell")
-    )
-    qsubs = _subvectors(q, m, dim, "qvec").select(
-        "query_id", "sub", F.col("svec").alias("qsub")
-    )
-    lookup = qsubs.join(F.broadcast(books), on="sub").select(
-        "query_id", "sub", "code",
-        F.round(_l2sq(F.col("qsub"), F.col("cvec")), 6).alias("_d"),
-    )
+    # the probe list and the ADC lookup table are the SHARED helpers —
+    # a third inline copy of the round-6 + cell-asc probe window (or of
+    # the lookup construction) could silently drift from pq_topk /
+    # ivf_topk
+    probes = _probes_for(q, cents, nprobe).select("query_id", "cell")
+    lookup = _adc_lookup(q, books, m, dim)
     candidates = codes.join(F.broadcast(probes), on="cell")
     exploded = candidates.select(
         "query_id", id_col, F.posexplode(F.col("codes")).alias("sub", "code")
@@ -493,7 +501,15 @@ def _assign_cells(
     vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Assign each vector to its best cell (round-6 cosine, cell-asc
-    tie-break): one broadcast cross-score + one per-id window."""
+    tie-break): one broadcast cross-score + one per-id window.
+
+    Degenerate vectors (zero norm, or a length that mismatches the
+    centroids') score NULL against every cell — cosine() returns NULL
+    for zero norms, and zip_with NULL-pads a length mismatch — so the
+    desc ordering (NULLS LAST) degenerates to the cell-asc tie-break
+    and they land DETERMINISTICALLY in cell 0.  They stay in the index
+    (dropping rows silently would be worse) but can never rank above a
+    real similarity at search time (NULL fails every comparison)."""
     scored = vectors.crossJoin(F.broadcast(cents)).select(
         "*", F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim")
     )
@@ -503,6 +519,21 @@ def _assign_cells(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_sim", "cvec")
+    )
+
+
+def _adc_lookup(q: DataFrame, codebooks: DataFrame,
+                m: int, dim: int) -> DataFrame:
+    """Per-query ADC distance table: (query_id, sub, code, _d) — the
+    round-6 L2² of each query subvector against every codeword.  ``q``
+    has (query_id, qvec); shared by pq_topk and ivfpq_topk so the
+    rounding/validation contract cannot drift."""
+    qsubs = _subvectors(q, m, dim, "qvec").select(
+        "query_id", "sub", F.col("svec").alias("qsub")
+    )
+    return qsubs.join(F.broadcast(codebooks), on="sub").select(
+        "query_id", "sub", "code",
+        F.round(_l2sq(F.col("qsub"), F.col("cvec")), 6).alias("_d"),
     )
 
 
@@ -661,6 +692,21 @@ class AnnIndex:
     def assigned(self) -> DataFrame:
         return self.spark.read.parquet(self._assigned_path)
 
+    def _checked_dim(self, col: str, op: str):
+        """Loud dim enforcement at the index boundary: the manifest
+        records the build dim, and a mismatched ingest or query vector
+        would otherwise NULL out every cosine and fall to the
+        deterministic cell-0 / rank-by-tie-break behavior silently
+        (recorded dim 0 = a legacy/empty index: skip the check)."""
+        dim = int(self.manifest.get("dim", 0))
+        if dim <= 0:
+            return F.col(col)
+        return F.when(F.size(F.col(col)) == dim, F.col(col)).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"AnnIndex.{op}: vector length != index "
+                      f"dim={dim} (got "),
+                F.size(F.col(col)).cast("string"), F.lit(")"))))
+
     def _drop_batch_dirs(self, batch_id: int) -> None:
         """Remove every (cell, batch) partition directory of a batch —
         a reused batch id means REPLACE, and dynamic overwrite alone
@@ -694,8 +740,16 @@ class AnnIndex:
         vec_col = self.manifest["vec_col"]
         if batch_id is None:
             batch_id = 1 + max(int(b) for b in self.manifest["batches"])
-        elif str(batch_id) in self.manifest["batches"]:
+        else:
+            # unconditional: a crash BETWEEN the parquet write and the
+            # manifest write leaves phantom (cell, batch) directories
+            # the manifest has never heard of — a membership check
+            # would skip the cleanup and a corrected re-submission
+            # would leave the aborted ingest's rows in cells the new
+            # data misses
             self._drop_batch_dirs(batch_id)
+        vectors = vectors.withColumn(
+            vec_col, self._checked_dim(vec_col, "add_vectors"))
         assigned = _assign_cells(vectors, self.centroids, id_col, vec_col)
         (
             assigned.withColumn("_ingest_batch", F.lit(batch_id))
@@ -722,7 +776,8 @@ class AnnIndex:
         id_col = self.manifest["id_col"]
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"))
+            F.col(vec_col).alias("qvec"),
+        ).withColumn("qvec", self._checked_dim("qvec", "search"))
         # collect ONLY the probed cell ids (≤ num_centroids values —
         # driver-sized regardless of query-batch size; collecting the
         # probe ROWS would ship every query embedding to the driver).

@@ -234,7 +234,18 @@ def hll_estimate(sketch: DataFrame, by: list[str], m: int = 256) -> DataFrame:
     counting) correction: E = α_m·m²/S where S sums 2^−rho over all m
     registers (empty = 2⁰); if E ≤ 2.5m and V empty registers remain,
     E = m·ln(m/V).  Round 4 (the estimate's useful precision; keeps
-    the cross-engine float-sum ulp out of the hash)."""
+    the cross-engine float-sum ulp out of the hash).
+
+    ``m`` is the SKETCH's register width, not a knob: hll_sketch only
+    builds m=256 (first-2-hex bucketing), so any other value here
+    silently mis-scales alpha and the empty-register fill — and an m
+    smaller than a group's nonempty count feeds log() a negative
+    argument (NULL estimate).  Enforced to match the builder."""
+    if m != 256:
+        raise ValueError(
+            "hll_estimate must use the sketch's register width (m=256, "
+            "the first-2-hex-chars bucketing hll_sketch builds); a "
+            "different m mis-scales alpha and the empty-register fill")
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = sketch.groupBy(*by).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_used"),

@@ -3260,3 +3260,110 @@ def test_whitespace_normalization_contract(spark, tmp_path):
     assert {k: v for k, v in got_ntok.items() if k != 4} == \
            {k: v for k, v in want_ntok.items() if k != 4}
     assert got_ntok[4] is None and want_ntok[4] is None
+
+
+def test_pq_paths_validate_dimensions(spark):
+    """(r11 self-review) PQ silently corrupted on bad dimensions: a
+    dim % m remainder dropped trailing dims from every distance, and a
+    short vector NULL-padded zip_with so its NULL L2 sorted FIRST
+    under asc() — code 0 per subspace with no error.  Both now fail
+    loudly at the one _subvectors chokepoint."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from hbase_snapshot_spark.operators import similarity as sim
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="multiple of m"):
+        sim.pq_train(vecs, m=3, num_codes=4, dim=8)
+    books = sim.pq_train(vecs, m=2, num_codes=4, dim=8)
+    short = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="vector length != dim"):
+        sim.pq_encode(vecs.unionByName(short), books, m=2, dim=8).collect()
+
+
+def test_kmeans_refine_preserves_empty_cells(spark):
+    """(r11 self-review) a cell that loses every assignment keeps its
+    previous centroid (pq_train's rule) instead of silently shrinking
+    the quantizer below num_centroids."""
+    from hbase_snapshot_spark.operators.similarity import kmeans_refine
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * i, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [-50.0, -50.0])],   # cell 1 wins nothing
+        "cell int, cvec array<double>")
+    out = {r.cell: r.cvec for r in
+           kmeans_refine(vecs, cents, iterations=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[1] == [-50.0, -50.0]               # kept, not dropped
+
+
+def test_hll_estimate_rejects_foreign_register_width(spark):
+    import pytest
+
+    from hbase_snapshot_spark.operators import sketches as sk
+
+    sketch = sk.hll_sketch(
+        spark.createDataFrame([(i, "g") for i in range(50)],
+                              "k long, grp string"),
+        F.col("k"), ["grp"])
+    with pytest.raises(ValueError, match="register width"):
+        sk.hll_estimate(sketch, ["grp"], m=1024)
+
+
+def test_ann_index_phantom_batch_cleanup_and_dim_guard(spark, tmp_path):
+    """(r11 self-review) a crash between the batch parquet write and
+    the manifest write leaves phantom (cell, batch) directories the
+    manifest never heard of — a re-submission of the same batch id
+    must clean them unconditionally; and a wrong-dimension ingest or
+    query fails loudly instead of NULL-ing every cosine."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from hbase_snapshot_spark.operators.similarity import (
+        build_ann_index,
+        load_ann_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0, 0.5])
+         for i in range(40)],
+        "vec_id long, embedding array<double>")
+    idx_dir = str(tmp_path / "annix")
+    idx = build_ann_index(vecs, idx_dir, num_centroids=4)
+    newv = spark.createDataFrame(
+        [(100 + i, [0.1 * i, 1.0, 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    bid = idx.add_vectors(newv, batch_id=7)
+    assert bid == 7
+    # simulate the crashed ingest: clone batch 7's dirs to batch 8
+    # (files on disk, manifest ignorant)
+    import glob
+    for d in glob.glob(os.path.join(idx_dir, "assigned", "cell=*",
+                                    "_ingest_batch=7")):
+        shutil.copytree(d, d.replace("_ingest_batch=7", "_ingest_batch=8"))
+    assert "8" not in load_ann_index(spark, idx_dir).manifest["batches"]
+    # corrected re-submission of batch 8 lands ONLY its own rows
+    fix = spark.createDataFrame(
+        [(200, [9.0, 9.0, 9.0, 9.0])], "vec_id long, embedding array<double>")
+    idx2 = load_ann_index(spark, idx_dir)
+    idx2.add_vectors(fix, batch_id=8)
+    got = {r.vec_id for r in idx2.assigned()
+           .filter(F.col("_ingest_batch") == 8).collect()}
+    assert got == {200}                      # phantoms gone
+    # dim guards
+    bad = spark.createDataFrame([(300, [1.0, 2.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="vector length != index dim"):
+        idx2.add_vectors(bad, batch_id=9)
+    with pytest.raises(SparkRuntimeException, match="vector length != index dim"):
+        idx2.search(bad.select(F.col("vec_id").alias("query_id"),
+                               "embedding"), k=2).collect()

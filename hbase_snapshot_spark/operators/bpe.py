@@ -17,7 +17,7 @@ Scale shape (the part that must survive 100 TB):
   in memory, corpus on disk.
 * **Encoding** is embarrassingly parallel: the merge ranks broadcast
   (a dict of ~vocab_size entries) and each executor encodes its rows
-  in an Arrow-batched ``mapInPandas`` with an LRU word cache — no
+  in an Arrow-batched ``mapInPandas`` with a fill-once word cache (frozen at 65536 entries) — no
   shuffle at all; the output schema (ids array + n_tokens) feeds
   ``chunk_documents``/``pack_sequences`` directly.
 
@@ -166,7 +166,10 @@ def train_bpe(
         if w:
             base.update(w[:-1])
             base.add(w[-1] + END_OF_WORD)
-    num_merges = max(0, vocab_size - len(base))
+    # <unk> occupies id 0: without the -1 the trained tokenizer's
+    # vocab_size exceeded the request by one, and an embedding table
+    # allocated at exactly the requested size got an out-of-range id
+    num_merges = max(0, vocab_size - len(base) - 1)
     merges = _merge_loop(freqs, num_merges)
     return BpeTokenizer(merges, base_symbols=sorted(base))
 
@@ -176,10 +179,9 @@ def train_bpe(
 
 class BpeTokenizer:
     """Merge list + vocabulary; encodes word-by-word with rank-greedy
-    merging (the public GPT-2 encode loop).  Unknown characters fall
-    back to their own single-char token, appended to the vocab on the
-    fly at encode time only if ``extend_unknown`` — by default they map
-    to ``unk_id`` (= 0)."""
+    merging (the public GPT-2 encode loop).  Symbols outside the vocab
+    always map to ``unk_id`` (= 0) — the vocab is FROZEN at training
+    time."""
 
     def __init__(self, merges: list[tuple[str, str]], base_symbols: list[str]):
         self.merges = list(merges)
@@ -256,8 +258,10 @@ def encode_documents(
     of any corpus) cost one dict hit."""
     merges = tokenizer.merges
     base = tokenizer.base_symbols
+    # id dtype copied from the input: hardcoding LongType broke any
+    # corpus with string (or int) document ids at the Arrow boundary
     schema = T.StructType([
-        T.StructField(id_col, T.LongType(), True),
+        T.StructField(id_col, df.schema[id_col].dataType, True),
         T.StructField("token_ids", T.ArrayType(T.IntegerType()), True),
         T.StructField("n_tokens", T.IntegerType(), True),
     ])
@@ -302,8 +306,6 @@ def tokenize_and_pack(
     default ``by=AUTO_GROUP``, ``pack_group``: a pack is identified by
     (pack_group, bin), never by bin alone.  Rows with null text are
     dropped — run the quality gate first."""
-    from hbase_snapshot_spark.operators.packing import pack_sequences
-
     if not 0 <= overlap < seq_len:
         raise ValueError("need 0 <= overlap < seq_len")
     stride = seq_len - overlap
@@ -332,7 +334,7 @@ def tokenize_and_pack(
         .withColumn("n_chunk_tokens", F.size("input_ids").cast("long"))
         .drop("token_ids", "n_tokens")
     )
-    return pack_sequences(
+    return packing_mod.pack_sequences(
         chunked, "n_chunk_tokens",
         cap=pack_cap if pack_cap is not None else seq_len * 8,
         order_col=[id_col, "chunk_idx"], by=by,

@@ -38,15 +38,24 @@ def chunk_documents(
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    toks = F.split(F.trim(F.col(text_col)), ws)
+    # empty/whitespace-only text → ZERO chunks (split('') yields ['']
+    # — a phantom 1-token chunk that inflated every downstream token
+    # budget); NULL text also yields zero rows (explode over a NULL
+    # index array), matching tokenize_and_pack's documented drop
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), ws))
     n_chunks = F.greatest(
         F.ceil((F.size(toks) - F.lit(overlap_tokens)) / F.lit(stride)),
         F.lit(1),
     ).cast("int")
+    idxs = F.when(
+        F.size(toks) == 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(0), n_chunks - 1))
     start = F.col("chunk_idx") * stride  # 0-based token offset
     return (
         df.withColumn("_toks", toks)
-        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("chunk_idx", F.explode(idxs))
         .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
         .withColumn(
             "chunk_text",
@@ -136,7 +145,11 @@ def chunk_documents_sentences(
     ).otherwise(F.array().cast("array<string>"))
     return (
         df.withColumn("_chunks", chunks)
-        .select("*", F.posexplode_outer("_chunks")
+        # plain posexplode: a NULL/sentence-less document yields ZERO
+        # rows, consistent with chunk_documents — posexplode_outer kept
+        # a (NULL chunk_idx, NULL text, NULL tokens) row that fed
+        # pack_sequences a NULL token count
+        .select("*", F.posexplode("_chunks")
                 .alias("chunk_idx", "chunk_text"))
         .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
         .withColumn(
@@ -154,13 +167,22 @@ def chunk_documents_sentences(
 #: sequence is opt-in via an explicit ``by=None``.
 AUTO_GROUP = "__auto__"
 
+#: default AUTO_GROUP bucket count — a CONSTANT, deliberately not
+#: spark.sql.shuffle.partitions: bin assignment is part of the output
+#: (pack_group, bin), and deriving it from cluster config made packing
+#: non-reproducible across clusters (200 vs 2000 partitions → different
+#: packs for identical input) and crashed outright on non-numeric
+#: settings ('auto').  256 parallel groups is plenty of window
+#: parallelism at any scale; override with ``auto_groups``.
+DEFAULT_AUTO_GROUPS = 256
+
 
 def pack_sequences(
     df: DataFrame,
     token_col,
     cap: int,
     order_col: str | list[str] = "doc_id",
-    by: str | None = AUTO_GROUP,
+    by: "str | list[str] | None" = AUTO_GROUP,
     auto_groups: int | None = None,
 ) -> DataFrame:
     """Add ``bin`` (0-based) and ``bin_offset`` (tokens before this doc
@@ -173,8 +195,8 @@ def pack_sequences(
 
     The DEFAULT group key (``by=AUTO_GROUP``) is a hash of the first
     order column into ``auto_groups`` buckets (default:
-    ``spark.sql.shuffle.partitions``), emitted as a ``pack_group``
-    column — (pack_group, bin) then identifies a pack.  All chunks of
+    ``DEFAULT_AUTO_GROUPS`` — a constant, so identical input packs
+    identically on any cluster), emitted as a ``pack_group`` column — (pack_group, bin) then identifies a pack.  All chunks of
     one document share a group (the hash is on the document-identity
     column), so per-document contiguity is preserved; the only cost is
     ≤ auto_groups partially-filled final bins, noise at corpus scale.
@@ -194,14 +216,15 @@ def pack_sequences(
         )
         keys: list[str] = []
     elif by == AUTO_GROUP:
-        g = int(auto_groups
-                or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        g = DEFAULT_AUTO_GROUPS if auto_groups is None else int(auto_groups)
+        if g < 1:
+            raise ValueError(f"auto_groups must be >= 1: {g}")
         df = df.withColumn(
             "pack_group",
             F.pmod(F.xxhash64(F.col(order[0])), F.lit(g)).cast("int"))
         keys = ["pack_group"]
     else:
-        keys = [by]
+        keys = [by] if isinstance(by, str) else list(by)
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
@@ -228,9 +251,13 @@ def length_bucketed_batches(
 
     Adds ``len_bucket`` (how many ``bounds`` the length exceeds — a
     handful of comparisons, pure Catalyst) and ``batch`` (0-based batch
-    index within (by, len_bucket), assigned by row_number in a stable
+    index within (by, len_bucket), assigned by row_number in
     ``order_col`` order / ``batch_size``).  Deterministic on any
-    cluster size.
+    cluster size ONLY when ``order_col`` is a TOTAL order within each
+    (by, len_bucket) group: row_number breaks ties by partition-arrival
+    order, so duplicate keys (e.g. bare doc_id over chunked rows) give
+    run-dependent batch assignments — pass a composite order like
+    ``["doc_id", "chunk_idx"]``, exactly as pack_sequences requires.
 
     One window shuffle keyed on (by, len_bucket); as with
     ``pack_sequences``, each group runs in a single task — pass a

@@ -69,7 +69,8 @@ def preprocess_corpus(
     3. quality / language gate (plain filters — they reach the scan);
     4. exact dedup on the normalized-text fingerprint (shuffle #1);
     5. fixed-token chunking with overlap (per-row generator);
-    6. token-budget packing per language (shuffle #2).
+    6. token-budget packing per (language, doc-hash bucket) — language-pure
+       packs, parallel windows (shuffle #2).
 
     Returns one row per CHUNK with ``doc_id, lang, quality, chunk_idx,
     chunk_text, n_chunk_tokens, bin, bin_offset`` — the shape a
@@ -102,8 +103,23 @@ def preprocess_corpus(
     out = exact_dedup(out, F.col("fingerprint"), id_col=id_col)
     out = chunk_documents(out, col, chunk_tokens=chunk_tokens,
                           overlap_tokens=overlap_tokens)
+    # per-language packs WITHOUT a per-language single-task window:
+    # by="lang" alone routed every chunk of the dominant language (half
+    # of a web corpus) through ONE cumulative-sum task — the exact
+    # straggler pack_sequences' AUTO_GROUP exists to avoid.  Hashing
+    # the document id into buckets WITHIN each language keeps packs
+    # language-pure ((lang, pack_group, bin) identifies a pack, chunks
+    # of one document stay contiguous) while the window parallelizes
+    # by lang × bucket.
+    from hbase_snapshot_spark.operators.packing import DEFAULT_AUTO_GROUPS
+
+    out = out.withColumn(
+        "pack_group",
+        F.pmod(F.xxhash64(F.col(id_col)),
+               F.lit(DEFAULT_AUTO_GROUPS)).cast("int"))
     out = pack_sequences(out, "n_chunk_tokens", cap=pack_cap,
-                         order_col=[id_col, "chunk_idx"], by="lang")
+                         order_col=[id_col, "chunk_idx"],
+                         by=["lang", "pack_group"])
     keep = [id_col, "lang", "quality", "chunk_idx", "chunk_text",
-            "n_chunk_tokens", "bin", "bin_offset"]
+            "n_chunk_tokens", "pack_group", "bin", "bin_offset"]
     return out.select(*keep)

@@ -159,7 +159,13 @@ def shard_shuffle(
     epoch orders."""
     h = shuffle_key(key, seed)
     out = df.withColumn("shard", F.pmod(h, F.lit(int(n_shards))).cast("int"))
+    # sort leads with 'shard': repartition(n, shard) HASH-partitions
+    # the shard values, so two shards routinely share one physical
+    # partition — sorting by the shuffle key alone interleaved their
+    # rows, and a downstream partitionBy('shard') writer (whose own
+    # SortExec on just 'shard' is not stable) could scramble the seeded
+    # within-shard order this function exists to establish
     return (
         out.repartition(int(n_shards), F.col("shard"))
-        .sortWithinPartitions(shuffle_key(key, seed))
+        .sortWithinPartitions("shard", shuffle_key(key, seed))
     )

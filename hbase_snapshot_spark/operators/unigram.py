@@ -285,7 +285,7 @@ def encode_documents_unigram(
     logp = tokenizer.logp
     mpl = tokenizer.max_piece_len
     schema = T.StructType([
-        T.StructField(id_col, T.LongType(), True),
+        T.StructField(id_col, df.schema[id_col].dataType, True),
         T.StructField("token_ids", T.ArrayType(T.IntegerType()), True),
         T.StructField("n_tokens", T.IntegerType(), True),
     ])

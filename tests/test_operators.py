@@ -2838,12 +2838,16 @@ def test_chunk_documents_sentences(spark):
     cap = 8
 
     def ref(text):
+        # (r11) NULL / sentence-less documents yield ZERO rows,
+        # consistent with chunk_documents — the old posexplode_outer
+        # kept a (NULL, NULL, NULL) row that fed pack_sequences a NULL
+        # token count
         if text is None:
-            return [None]
+            return []
         sents = [s for s in _re.split(SENTENCE_SPLIT_RE, text.strip())
                  if s.strip()]
         if not sents:
-            return [None]
+            return []
         chunks, cur, tok = [], [], 0
         for s in sents:
             c = len(_re.split(r"\s+", s.strip()))
@@ -2874,8 +2878,8 @@ def test_chunk_documents_sentences(spark):
             r.chunk_text, r.n_chunk_tokens)
     for doc_id, text in docs:
         want = ref(text)
-        if want == [None]:
-            assert got[doc_id] == {None: (None, None)}, doc_id
+        if want == []:
+            assert doc_id not in got, (doc_id, got.get(doc_id))
             continue
         assert len(got[doc_id]) == len(want), (doc_id, got[doc_id], want)
         for k, w in enumerate(want):

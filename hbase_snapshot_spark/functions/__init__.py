@@ -8,6 +8,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def bind_once(expr, fn):
+    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda
+    variable (transform over a 1-element array) — the sharing idiom
+    used wherever an expression referenced several times would
+    otherwise be CLONED per reference by optimizer substitution (HOF
+    lambda bodies get no common-subexpression elimination).  The price
+    is CodegenFallback for the wrapped expression; the win is that an
+    expensive column is evaluated once instead of once per clone, and
+    generated methods stay under javac's 64 KB limit.  (Moved here
+    from operators/text.py so the non-text operators stop growing
+    private copies.)"""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def dot(a: Column, b: Column) -> Column:
     """elementwise dot product of two array<float/double> columns"""
     return F.aggregate(

@@ -70,6 +70,13 @@ def load_model(
             f"artifact kind mismatch at {path}: "
             f"expected {expect_kind!r}, found {manifest['kind']!r}")
     df = spark.read.parquet(os.path.join(path, "data"))
+    # columns first: a mis-copied data/ dir with a coincidentally equal
+    # row count (the exact mishap this store exists to catch) passed
+    # the kind+rows checks and returned the wrong table silently
+    if "columns" in manifest and df.columns != manifest["columns"]:
+        raise ValueError(
+            f"artifact corrupt at {path}: manifest says columns "
+            f"{manifest['columns']}, data has {df.columns}")
     n = df.count()
     if n != manifest["rows"]:
         raise ValueError(

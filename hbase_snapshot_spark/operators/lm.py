@@ -101,11 +101,17 @@ def train_ngram_lm(
             F.count("*").alias("count"))
         totals = counts.groupBy("context").agg(
             F.sum("count").alias("context_count"))
+        joined = counts.join(totals, "context")
+        if k > 1:
+            # the unigram floor stays WHOLE regardless of min_count —
+            # scoring's final backoff step needs it (the same invariant
+            # prune_lm preserves); thresholding order 1 pushed every
+            # rare-but-seen word onto the harsher unseen-word floor and
+            # inflated perplexity for documents containing them
+            joined = joined.where(F.col("count") >= min_count)
         tables.append(
-            counts.join(totals, "context")
-            .where(F.col("count") >= min_count)
-            .select(F.lit(k).alias("order"), "context", "word",
-                    "count", "context_count")
+            joined.select(F.lit(k).alias("order"), "context", "word",
+                          "count", "context_count")
         )
     out = tables[0]
     for t in tables[1:]:
@@ -224,14 +230,8 @@ def local_stupid_backoff(
             for i in range(start, len(ts) - k + 1):
                 g = tuple(ts[i : i + k])
                 counts[g] = counts.get(g, 0) + 1
-                counts[g[:-1]] = counts.get(g[:-1], 0)  # ensure key
-    # context totals
+    # context totals (only genuine counts contribute)
     ctx_tot: dict[tuple[str, ...], int] = {}
-    for g, c in counts.items():
-        if g:
-            ctx_tot[g[:-1]] = ctx_tot.get(g[:-1], 0) + c
-    # NB: ensure-key rows added 0s; recompute properly per order
-    ctx_tot = {}
     for g, c in counts.items():
         if len(g) >= 1 and c > 0:
             ctx_tot[g[:-1]] = ctx_tot.get(g[:-1], 0) + c

@@ -95,17 +95,10 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
-def _bind_once(expr, fn):
-    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda
-    variable (transform over a 1-element array) — the jusText sharing
-    idiom, used wherever an expression referenced several times would
-    otherwise be CLONED per reference by optimizer substitution.  The
-    price is CodegenFallback for the wrapped expression (HOFs don't
-    codegen); the win is that an expensive upstream column (e.g. the
-    warc strip chain substituted into every ``text`` reference) is
-    evaluated once instead of once per clone, and the generated method
-    stays under javac's 64 KB limit."""
-    return F.transform(F.array(expr), fn)[0]
+# the sharing idiom now lives in functions.bind_once (other operator
+# modules need it too); the private alias keeps this module's callers
+# and docstring references stable
+from hbase_snapshot_spark.functions import bind_once as _bind_once  # noqa: E402
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

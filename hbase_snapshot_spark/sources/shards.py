@@ -12,11 +12,24 @@ diffs.
 Exchange, no global sort — the plan is identical at 1 GB and 100 TB)
 with a ``partitionBy('shard')`` writer, then computes a per-shard
 manifest in ONE aggregation pass: row count + an order-insensitive
-64-bit content checksum (``bit_xor`` of ``xxhash64`` over all columns —
-overflow-free, commutative, so it is partitioning-independent; note an
-EVEN number of byte-identical duplicate rows cancels in the xor, which
-the row count still catches).  ``verify_training_shards`` recomputes
-both from the written files and diffs against the manifest.
+64-bit content checksum plus a wraparound-free hash SUM.  Each row
+hashes as ``xxhash64(to_json(struct(*cols)))`` — the JSON tags column
+names and omits NULL fields, so a value shifted into a different
+column changes the hash (raw ``xxhash64(*cols)`` SKIPS null inputs:
+('x', NULL) and (NULL, 'x') hashed identically).  The xor is
+order-insensitive but cancels even-count duplicate sets (substituting
+duplicate pair A,A for C,C kept xor AND n_rows unchanged), so the
+manifest also carries ``hashsum`` — the decimal(38) SUM of the row
+hashes, which such a substitution cannot preserve.
+``verify_training_shards`` recomputes all three from the written
+files and diffs against the manifest (legacy manifests without
+``hashsum`` verify on count+xor only).
+
+The manifest file itself publishes atomically via
+``artifacts.write_json_atomic`` on the DRIVER-LOCAL filesystem —
+point ``path`` at storage the driver can open() (local disk, a
+fuse/NFS mount); the parquet shards themselves go through Spark's
+filesystem layer and take any URI.
 """
 
 from __future__ import annotations
@@ -27,17 +40,22 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hbase_snapshot_spark.operators.artifacts import write_json_atomic
 from hbase_snapshot_spark.operators.sampling import shard_shuffle
 
 MANIFEST_NAME = "_shard_manifest.json"
 
 
 def _shard_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(shard, n_rows, checksum) in one map-side-combinable agg."""
-    h = F.xxhash64(*[F.col(c) for c in cols])
+    """(shard, n_rows, checksum, hashsum) in one map-side-combinable
+    agg.  See the module docstring for why the row hash goes through
+    to_json (null/column-shift awareness) and why the xor has a sum
+    companion (even-count duplicate cancellation)."""
+    h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
     return df.groupBy("shard").agg(
         F.count("*").alias("n_rows"),
         F.bit_xor(h).alias("checksum"),
+        F.sum(h.cast("decimal(38,0)")).alias("hashsum"),
     )
 
 
@@ -67,12 +85,14 @@ def write_training_shards(
         "columns": data_cols,
         "shards": {
             str(r["shard"]): {"n_rows": r["n_rows"],
-                              "checksum": int(r["checksum"])}
+                              "checksum": int(r["checksum"]),
+                              "hashsum": str(r["hashsum"])}
             for r in stats.collect()
         },
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # atomic publish (tmp + rename): a crash mid-json.dump left a
+    # truncated manifest next to complete-looking shard data
+    write_json_atomic(path, MANIFEST_NAME, manifest)
     return manifest
 
 
@@ -92,7 +112,7 @@ def verify_training_shards(
         manifest = read_manifest(path)
     df = spark.read.format(format).load(path)
     got = {
-        str(r["shard"]): (r["n_rows"], int(r["checksum"]))
+        str(r["shard"]): (r["n_rows"], int(r["checksum"]), str(r["hashsum"]))
         for r in _shard_stats(df, manifest["columns"]).collect()
     }
     problems: list[str] = []
@@ -103,10 +123,13 @@ def verify_training_shards(
         elif shard not in want:
             problems.append(f"shard {shard}: not in manifest")
         else:
-            n, c = got[shard]
+            n, c, hs = got[shard]
             if n != want[shard]["n_rows"]:
                 problems.append(
                     f"shard {shard}: n_rows {n} != {want[shard]['n_rows']}")
             if c != want[shard]["checksum"]:
                 problems.append(f"shard {shard}: checksum mismatch")
+            # legacy manifests predate hashsum — count+xor only there
+            if "hashsum" in want[shard] and hs != want[shard]["hashsum"]:
+                problems.append(f"shard {shard}: hashsum mismatch")
     return problems

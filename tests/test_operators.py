@@ -3371,3 +3371,85 @@ def test_ann_index_phantom_batch_cleanup_and_dim_guard(spark, tmp_path):
     with pytest.raises(SparkRuntimeException, match="vector length != index dim"):
         idx2.search(bad.select(F.col("vec_id").alias("query_id"),
                                "embedding"), k=2).collect()
+
+
+def test_train_ngram_lm_keeps_unigram_floor(spark):
+    """(r11 self-review) min_count must not thin order 1: scoring's
+    final backoff step needs the unigram floor whole (the invariant
+    prune_lm preserves) — thresholding it pushed rare-but-seen words
+    onto the harsher unseen-word floor and inflated perplexity."""
+    from hbase_snapshot_spark.operators.lm import train_ngram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        ["doc_id", "text"])
+    lm = train_ngram_lm(docs, n=2, min_count=2)
+    uni = {r.word for r in lm.filter(F.col("order") == 1).collect()}
+    # 'cat'/'mat'/'dog'/'rug' each occur once — they must survive
+    assert {"cat", "mat", "dog", "rug"} <= uni
+    # higher orders ARE thinned
+    bi = lm.filter((F.col("order") == 2) & (F.col("count") < 2)).count()
+    assert bi == 0
+
+
+def test_shard_checksum_catches_shift_and_substitution(spark, tmp_path):
+    """(r11 self-review) two blind spots closed: raw xxhash64(*cols)
+    SKIPS null inputs, so a value shifted into a different column
+    hashed identically; and the xor cancels even-count duplicate
+    sets, so substituting duplicate pair A,A for C,C kept count AND
+    xor.  The to_json row hash catches the shift; the hashsum
+    companion catches the substitution."""
+    import shutil
+
+    from hbase_snapshot_spark.sources import shards as SH
+
+    rows = [("x", None, 0), ("x", None, 0),            # duplicate pair
+            ("a", "b", 1), (None, "q", 1)]
+    df = spark.createDataFrame(rows, "c1 string, c2 string, k int")
+    path = str(tmp_path / "shards")
+    SH.write_training_shards(df, path, F.col("k"), n_shards=2, seed=3)
+    assert SH.verify_training_shards(spark, path) == []
+
+    # column shift: ('x', NULL) -> (NULL, 'x') in one shard (collect
+    # BEFORE deleting — the read is lazy)
+    m = SH.read_manifest(path)
+    full = spark.read.parquet(path)
+    victim = int(sorted(m["shards"])[0])
+    orig_rows = (full.filter(F.col("shard") == victim)
+                 .drop("shard").collect())
+    shifted = spark.createDataFrame(
+        [(r.c2, r.c1, r.k) for r in orig_rows],
+        "c1 string, c2 string, k int")
+    shutil.rmtree(f"{path}/shard={victim}")
+    shifted.write.parquet(f"{path}/shard={victim}")
+    probs = SH.verify_training_shards(spark, path)
+    assert any("checksum" in p or "hashsum" in p for p in probs), probs
+
+    # duplicate substitution: same count; the xor of an even-count
+    # duplicate set cancels either way, so only hashsum can object
+    shutil.rmtree(f"{path}/shard={victim}")
+    sub = spark.createDataFrame(
+        [("z", "zz", 0)] * len(orig_rows), "c1 string, c2 string, k int")
+    sub.write.parquet(f"{path}/shard={victim}")
+    probs2 = SH.verify_training_shards(spark, path)
+    assert any("hashsum" in p or "checksum" in p for p in probs2), probs2
+
+
+def test_load_model_verifies_columns(spark, tmp_path):
+    """(r11 self-review) a mis-copied data/ dir with a matching kind
+    and row count must fail loudly at open time, not return the wrong
+    table."""
+    import pytest
+
+    from hbase_snapshot_spark.operators import artifacts as A
+
+    p1 = str(tmp_path / "m1")
+    A.save_model(spark.createDataFrame([(1, "a")], "x int, y string"),
+                 p1, "ngram-lm", {})
+    # swap in a data dir with the same row count but different schema
+    import shutil
+
+    shutil.rmtree(f"{p1}/data")
+    spark.createDataFrame([(9.0,)], "z double").write.parquet(f"{p1}/data")
+    with pytest.raises(ValueError, match="columns"):
+        A.load_model(spark, p1, expect_kind="ngram-lm")

@@ -139,6 +139,11 @@ class Compiled:
     # Per-row cell-counting transforms (pagination family) keep cells of
     # every row and must NOT be row-unioned.
     row_cut: bool = False
+    # stream_transform reads its input MORE THAN ONCE (DependentColumn's
+    # stamp join, WhileMatch's first-failing-cell cut) — run_scan
+    # persists the masked stream only then; the single-pass window
+    # transforms (pagination family) don't need the materialization
+    multi_consume: bool = False
 
 
 _KV_ORDER = lambda: (  # noqa: E731 — KeyValue total order within a row
@@ -435,7 +440,7 @@ class DependentColumnFilter(Filter):
                 )
             return out
 
-        return Compiled(stream_transform=transform)
+        return Compiled(stream_transform=transform, multi_consume=True)
 
 
 class SkipFilter(Filter):
@@ -496,7 +501,8 @@ class WhileMatchFilter(Filter):
                     .drop("_stop")
                 )
 
-            return Compiled(stream_transform=cut, row_cut=True)
+            return Compiled(stream_transform=cut, row_cut=True,
+                            multi_consume=True)
         if inner_c.row_keep is not None:
             if isinstance(self.inner, PageFilter):
                 # PageFilter keeps a PREFIX of the row order, so the
@@ -578,8 +584,28 @@ class FilterList(Filter):
                 return run if fns else None
 
             out.stream_transform = chain(transforms)
+            out.multi_consume = any(p.multi_consume for p in parts)
             out.post = chain(posts)
-            if keeps:
+            if keeps and drops:
+                # ordered fold over BOTH hook kinds, matching
+                # FilterList.filterRow's in-order short-circuit: a row a
+                # preceding child drops (SkipFilter) must never consume a
+                # later PageFilter slot, and a row PageFilter accepted
+                # still counts against the page even if a LATER child
+                # drops it (the reference client may see < pageSize rows
+                # then).  Separate keep/drop buckets lost that order.
+                def row_select(stream, _parts=parts):
+                    alive = stream
+                    for pc in _parts:
+                        if pc.row_drop is not None:
+                            alive = alive.join(pc.row_drop(alive),
+                                               on="row", how="left_anti")
+                        if pc.row_keep is not None:
+                            alive = alive.join(pc.row_keep(alive),
+                                               on="row", how="left_semi")
+                    return alive.select("row").distinct()
+                out.row_keep = row_select
+            elif keeps:
                 # sequential restriction, matching FilterList.filterRow's
                 # in-order child evaluation: a later row-counting filter
                 # (PageFilter) only sees rows the earlier children kept
@@ -591,7 +617,7 @@ class FilterList(Filter):
                         acc_stream = acc_stream.join(rows, on="row", how="left_semi")
                     return rows
                 out.row_keep = keep_all
-            if drops:
+            elif drops:
                 def drop_any(stream, _drops=drops):
                     acc = _drops[0](stream)
                     for d in _drops[1:]:

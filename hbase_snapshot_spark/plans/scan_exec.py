@@ -29,15 +29,25 @@ from hbase_snapshot_spark.resolve import ResolveSpec, count_versions, mask, proj
 # release_caches so blocks from a superseded table version don't sit in
 # the storage pool as dead weight until LRU eviction — at 100x scale
 # with many distinct scans that pool fills with unreachable blocks.
-_PERSISTED: dict[str, list[DataFrame]] = {}
+_PERSISTED: dict[object, list[DataFrame]] = {}
+# the wire front-ends (thrift/avro/rest) scan from SERVER THREADS while
+# writers commit: an unlocked setdefault/pop pair could hand the scan
+# thread a list release_caches had already popped — its handle would
+# append to an orphaned list and that cache would never release
+import threading as _threading
+
+_PERSISTED_LOCK = _threading.Lock()
 
 
-def release_caches(owner: str) -> int:
+def release_caches(owner: "str | None") -> int:
     """unpersist every filter-stream cache registered under ``owner``;
     returns how many handles were released.  Safe while readers hold the
     derived DataFrames: unpersist only drops cached blocks, the lazy
-    plan recomputes from the (still-present, pre-vacuum) segment files."""
-    handles = _PERSISTED.pop(owner, [])
+    plan recomputes from the (still-present, pre-vacuum) segment files.
+    ``release_caches(None)`` frees the caches of ownerless scans (bare
+    run_scan over a DataFrame with no table lifecycle)."""
+    with _PERSISTED_LOCK:
+        handles = _PERSISTED.pop(owner, [])
     for df in handles:
         df.unpersist(blocking=False)
     return len(handles)
@@ -47,9 +57,12 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
     """Execute a client.Scan against a raw cell DataFrame.
 
     ``cache_owner``: registry key for any persist this scan takes out,
-    so the owning table can release it on manifest swap; None (bare
-    DataFrame views with no table lifecycle) keeps the block-cache
-    behavior — LRU eviction bounds the footprint."""
+    so the owning table can release it on manifest swap.  Ownerless
+    scans (None) register under the None key: the SQL CacheManager
+    holds persisted queries by strong reference (nothing LRU-bounds
+    the ENTRIES — only in-memory blocks spill), so a long-lived
+    session of bare run_scan calls should release them with
+    ``release_caches(None)``."""
     spec: ResolveSpec = scan.to_spec()
     compiled = scan.filter.compile() if scan.filter is not None else None
 
@@ -58,10 +71,20 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
     start, stop = scan.start_row, scan.stop_row
     if compiled is not None and compiled.range_hint is not None:
         h_start, h_stop = compiled.range_hint
-        if start is None or (h_start is not None and h_start > start):
-            start = h_start
-        if stop is None or (h_stop is not None and h_stop < stop):
-            stop = h_stop
+
+        def _comparable(a, b):
+            # a str prefix hint over a binary-keyed scan (or vice versa)
+            # would TypeError at plan build; dropping the HINT is always
+            # correct — the un-hinted range is a superset and the
+            # filter's own predicate still applies
+            return (a is None or b is None
+                    or isinstance(a, type(b)) or isinstance(b, type(a)))
+
+        if _comparable(h_start, start) and _comparable(h_stop, stop):
+            if start is None or (h_start is not None and h_start > start):
+                start = h_start
+            if stop is None or (h_stop is not None and h_stop < stop):
+                stop = h_stop
     if start is not None:
         pred = F.col("row") >= F.lit(start)
     if stop is not None:
@@ -77,25 +100,27 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
     if compiled is not None and compiled.cell_pred is not None:
         stream = stream.filter(compiled.cell_pred)
 
-    # stream transforms (DependentColumn's stamp join, WhileMatch's
-    # first-failing-cell cut) and row-level hooks all consume the stream
-    # more than once; persist it so the mask shuffle runs once instead
-    # of relying on plan-level exchange reuse (MEMORY_AND_DISK: spills
-    # rather than recomputes at scale)
+    # persist ONLY when something reads the masked stream twice:
+    # row-level hooks (the hook reads the stream AND the main pipeline
+    # consumes it) and the multi-consume transforms (DependentColumn's
+    # stamp join, WhileMatch's cut).  The single-pass window transforms
+    # (pagination family) used to trigger this too — materializing the
+    # whole masked table into the storage pool for a stream consumed
+    # exactly once.
     multi_use = compiled is not None and (
-        compiled.stream_transform is not None
-        or compiled.row_keep is not None
+        compiled.row_keep is not None
         or compiled.row_drop is not None
+        or (compiled.stream_transform is not None and compiled.multi_consume)
     )
     if multi_use:
         from pyspark import StorageLevel
 
         # the result is lazy, so there is no safe point to release the
-        # cache inside this function; owned scans register the handle so
-        # the table's next manifest swap frees it (release_caches), and
-        # ownerless scans fall back to LRU-bounded block-cache behavior
+        # cache inside this function; every handle registers (owned
+        # scans free on the table's next manifest swap, ownerless ones
+        # via release_caches(None))
         stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
-        if cache_owner is not None:
+        with _PERSISTED_LOCK:
             _PERSISTED.setdefault(cache_owner, []).append(stream)
 
     # ---- stage 4: stream transforms (per-row/cell counting filters)

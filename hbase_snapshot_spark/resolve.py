@@ -258,7 +258,7 @@ def resolve(cells: DataFrame, spec: ResolveSpec | None = None, **kwargs) -> Data
     return live.select(*out_cols)
 
 
-def resolved_to_rows(visible: DataFrame, binary: bool = False) -> DataFrame:
+def resolved_to_rows(visible: DataFrame) -> DataFrame:
     """Materialize rows the way Result.getMap() does (Result.java:168):
     row -> family -> qualifier -> ts -> value as nested maps.
 

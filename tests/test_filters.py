@@ -507,3 +507,30 @@ def test_row_cursor_paging_invariant(spark):
             paged.extend(page)
         assert paged == full
     assert [r[0] for r in full] == [f"r{i:02d}" for i in range(7)]
+
+
+def test_filterlist_skip_before_page_short_circuits_in_order(grid):
+    """(r11 self-review) FilterList.filterRow evaluates children IN
+    ORDER with short-circuit: a row an earlier SkipFilter drops must
+    never consume a later PageFilter's slot.  The old separate
+    keep/drop buckets computed the page over the pre-drop stream, so
+    the page came back short.  Grid rows: SkipFilter(q != q2) drops
+    ra/rb/rc (they carry f:q2; rd's q2 is deleted), leaving rd — a
+    PageFilter(2) AFTER the skip must page over survivors only."""
+    f = FilterList(FilterList.MUST_PASS_ALL, [
+        SkipFilter(QualifierFilter(CompareOp.NOT_EQUAL,
+                                   BinaryComparator("q2"))),
+        PageFilter(2),
+    ])
+    out = grid.scan(Scan(max_versions=None, filter=f))
+    assert rows_of(out) == {"rd"}
+    # and the orderly converse: a PageFilter BEFORE the dropper counts
+    # the dropped row against the page (the reference client may see
+    # fewer than pageSize rows) — page {ra, rb}, then skip drops both
+    f2 = FilterList(FilterList.MUST_PASS_ALL, [
+        PageFilter(2),
+        SkipFilter(QualifierFilter(CompareOp.NOT_EQUAL,
+                                   BinaryComparator("q2"))),
+    ])
+    out2 = grid.scan(Scan(max_versions=None, filter=f2))
+    assert rows_of(out2) == set()

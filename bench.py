@@ -503,6 +503,8 @@ BASELINE_SEC = {
     "random_write": 1.9,
     "point_get": 1.1,
     "range_scan_100": 4.3,
+    "range_scan_10": 3.5,    # §M (r12 freeze: r10/r11 clean-window best 3.48/3.84)
+    "range_scan_1000": 3.2,  # §M (r12 freeze: r10/r11 clean-window best 3.15/3.22)
     "range_scan_10000": 2.6,
     "full_scan": 0.9,
     "filter_scan": 1.5,

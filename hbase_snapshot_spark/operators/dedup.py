@@ -11,10 +11,44 @@ well-defined in both engines (ASCII lexicographic).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hbase_snapshot_spark.functions import cosine, word_tokens, hex4_to_int
+
+#: modulus of the affine minhash family — the Mersenne prime 2^61-1.
+#: a_i*x + b_i stays < 2^63 (see _mh_params), so the % is exact 64-bit
+#: signed arithmetic in BOTH engines (Spark bigint and DuckDB BIGINT
+#: agree on % for non-negative operands; no HUGEINT promotion fires).
+MH_PRIME = (1 << 61) - 1
+
+#: bump when the signature formula changes — persisted LSH indexes
+#: carry it (minhash_index) and delta_dedup_pairs validates it: an
+#: index hashed with a different formula joins a different band family
+#: and silently finds ~nothing.  v2 = r12 affine-over-one-md5 family
+#: (v1 was min over md5(f"{i}:{shingle}") prefixes, 8 md5s/shingle).
+MH_FORMULA_VERSION = 2
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) of the i-th affine minhash function
+    h_i(x) = (a_i*x + b_i) % MH_PRIME over the 52-bit md5 prefix x.
+
+    Seeded from md5 so every engine/process derives the same family
+    with no RNG state.  Bounds are overflow-driven, not statistical:
+    a_i in [1, 2047] (11 bits) and b_i < 2^52 keep
+    a_i*x + b_i < 2^63 + 2^52 ... < 2^63 for x < 2^52, so the whole
+    expression is exact in 64-bit signed arithmetic on both the Spark
+    and DuckDB side.  The small-a family is weaker than textbook
+    universal hashing but pairwise collisions still need
+    a_i*(x1-x2) ≡ 0 (mod 2^61-1) with |a_i*(x1-x2)| < 2^63 — only
+    multiples of the prime collide, which md5-distributed x never
+    produces in practice."""
+    a = 1 + int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:8], 16) % 2047
+    b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:13], 16)
+    return a, b
 
 
 # ---------------------------------------------------------------- exact
@@ -137,27 +171,33 @@ def jaccard_pairs(
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature: hash_i(doc) = min over shingles of the
-    52-bit md5 prefix of ``i ':' shingle`` (the same exact numeric
-    hash the sketches use — fixed-length lowercase hex orders
-    identically as a string or a number, so truncating to 13 hex chars
-    BEFORE the min just makes hash_i a 52-bit hash function, still a
-    textbook minhash).  Computed as num_hashes min aggregates over the
-    exploded shingle index — one shuffle, no UDFs.  Output columns
-    mh0..mh{n-1} are BIGINT (r11): a long min aggregate compiles to
-    HashAggregate (mutable buffer), where the previous hex-string min
-    forced sort-based SortAggregate on the dedup hot path — per-
-    partition sorts that spill under executor memory pressure at
-    corpus scale."""
-    ex = _exploded(df, id_col)
-    aggs = [
-        F.min(
-            F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 13),
-                16, 10).cast("long")
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    """MinHash signature via an affine universal-hash family over ONE
+    md5 per shingle: x = 52-bit md5 prefix of the shingle, then
+    hash_i(doc) = min over shingles of (a_i*x + b_i) % MH_PRIME
+    (textbook minhash — each h_i approximates an independent random
+    permutation).  Computed as num_hashes min aggregates over the
+    exploded shingle index — one shuffle, no UDFs.
+
+    Output columns mh0..mh{n-1} are BIGINT (r11): a long min aggregate
+    compiles to HashAggregate (mutable buffer), where a hex-string min
+    forces sort-based SortAggregate on the dedup hot path — per-
+    partition sorts that spill under executor memory pressure at corpus
+    scale.  r12: the per-(shingle, i) md5 — 8 md5s + 8 radix
+    conversions per shingle — collapsed to ONE md5/conv per shingle
+    projected BEFORE the aggregate; the per-hash work is two bigint
+    multiplies-adds.  _mh_params documents the overflow-exactness
+    bounds that keep the arithmetic identical in the DuckDB twin."""
+    ex = _exploded(df, id_col).withColumn(
+        "xh",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 13), 16, 10).cast("long"),
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _mh_params(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("xh") + F.lit(b)) % F.lit(MH_PRIME))
+            .alias(f"mh{i}")
+        )
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -657,7 +697,8 @@ def minhash_index(
     instead of failing silent."""
     return (_banded_long(df, id_col, num_hashes, bands)
             .withColumn("num_hashes", F.lit(num_hashes))
-            .withColumn("bands", F.lit(bands)))
+            .withColumn("bands", F.lit(bands))
+            .withColumn("mh_version", F.lit(MH_FORMULA_VERSION)))
 
 
 def delta_dedup_pairs(
@@ -688,7 +729,9 @@ def delta_dedup_pairs(
     duplicates" (a decontamination failure, not an error).  The check
     reads one index row; legacy parameter-less indexes skip it."""
     if {"num_hashes", "bands"}.issubset(index.columns):
-        meta = index.select("num_hashes", "bands").limit(1).collect()
+        has_ver = "mh_version" in index.columns
+        cols = ["num_hashes", "bands"] + (["mh_version"] if has_ver else [])
+        meta = index.select(*cols).limit(1).collect()
         if meta and (meta[0][0] != num_hashes or meta[0][1] != bands):
             raise ValueError(
                 f"index was built with num_hashes={meta[0][0]}, "
@@ -696,7 +739,18 @@ def delta_dedup_pairs(
                 f"num_hashes={num_hashes}, bands={bands} — a mismatch "
                 "joins two different hash families and silently finds "
                 "no duplicates")
-        index = index.drop("num_hashes", "bands")
+        # formula version: a v1 index (pre-r12 per-hash-md5 family, or a
+        # legacy index written before versions existed) hashes a
+        # DIFFERENT band family than this build — the join would find
+        # ~nothing and report "no duplicates".  Rebuild, don't guess.
+        ver = meta[0][2] if (meta and has_ver) else (1 if meta else None)
+        if ver is not None and ver != MH_FORMULA_VERSION:
+            raise ValueError(
+                f"index carries minhash formula version {ver} but this "
+                f"build uses version {MH_FORMULA_VERSION} — different "
+                "hash families join to ~nothing (a silent decontamination"
+                " failure).  Rebuild the index with minhash_index()")
+        index = index.drop(*cols)
     b = _banded_long(batch, id_col, num_hashes, bands).withColumnsRenamed(
         {id_col: "batch_id"}
     )

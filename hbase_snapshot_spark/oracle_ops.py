@@ -275,20 +275,30 @@ SELECT 'winnow' AS branch, a, b, jaccard FROM (
 """
 
 
+#: the r12 minhash base hash: ONE md5 per shingle, 52-bit prefix as
+#: BIGINT (DuckDB twin of Spark's conv(substring(md5(shingle),1,13),16,10))
+_MH_XH_CTE = ("exh AS (SELECT doc_id, "
+              "('0x' || substr(md5(shingle), 1, 13))::BIGINT AS xh FROM ex)")
+
+
 def _mh_mins(num_hashes: int) -> str:
-    """the r11 numeric minhash: min over the 52-bit md5 prefix (13 hex
-    chars — fixed-length lowercase hex orders identically as string or
-    number), BIGINT output.  Shared by the signature and pairs twins so
-    the definition can't drift."""
-    return ", ".join(
-        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 13))::BIGINT)"
-        f" AS mh{i}" for i in range(num_hashes)
-    )
+    """the r12 affine minhash family over the shared 52-bit base hash
+    ``xh``: min((a_i*xh + b_i) % MH_PRIME) — (a_i, b_i, prime) imported
+    from operators.dedup so the two engines CANNOT drift, and bounded
+    there so a_i*xh + b_i < 2^63 (exact BIGINT in both engines, no
+    HUGEINT promotion).  Shared by the signature and pairs twins."""
+    from hbase_snapshot_spark.operators.dedup import MH_PRIME, _mh_params
+    parts = []
+    for i in range(num_hashes):
+        a, b = _mh_params(i)
+        parts.append(f"min(({a} * xh + {b}) % {MH_PRIME}) AS mh{i}")
+    return ", ".join(parts)
 
 
 def minhash_signature_sql(n: int = 3, num_hashes: int = 8) -> str:
-    return (f"WITH {_shingle_cte(n)} SELECT doc_id, {_mh_mins(num_hashes)}"
-            " FROM ex GROUP BY doc_id")
+    return (f"WITH {_shingle_cte(n)}, {_MH_XH_CTE} "
+            f"SELECT doc_id, {_mh_mins(num_hashes)}"
+            " FROM exh GROUP BY doc_id")
 
 
 def minhash_pairs_sql(
@@ -308,7 +318,8 @@ def minhash_pairs_sql(
     )
     return f"""
 WITH {_shingle_cte(n)},
-sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+{_MH_XH_CTE},
+sig AS (SELECT doc_id, {mins} FROM exh GROUP BY doc_id),
 banded AS (SELECT doc_id, {band_cols} FROM sig),
 bl AS ({band_union}),
 cand AS (

@@ -3185,6 +3185,34 @@ def test_delta_dedup_rejects_mismatched_index_params(spark):
     assert [(r.batch_id, r.corpus_id) for r in out.collect()] == [("b1", "c1")]
 
 
+def test_delta_dedup_rejects_stale_formula_version(spark):
+    """(r12) the minhash formula changed (per-hash md5 → affine family
+    over one md5), so an index persisted by an older build hashes a
+    DIFFERENT band family even at identical num_hashes/bands — the join
+    finds ~nothing and an unversioned pipeline would report 'no
+    duplicates'.  minhash_index stamps MH_FORMULA_VERSION; a stale or
+    missing version raises instead of silently decontaminating nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    corpus = dedup.with_shingles(spark.createDataFrame(
+        [("c1", "one two three four five six")], ["doc_id", "text"]))
+    batch = dedup.with_shingles(spark.createDataFrame(
+        [("b1", "one two three four five seven")], ["doc_id", "text"]))
+    idx = dedup.minhash_index(corpus, num_hashes=8, bands=4)
+    # stale explicit version (a pre-r12 build that stamped v1)
+    stale = idx.withColumn("mh_version", F.lit(1))
+    with pytest.raises(ValueError, match="formula version"):
+        dedup.delta_dedup_pairs(batch, stale, corpus)
+    # legacy index with params but NO version column = v1 by definition
+    legacy = idx.drop("mh_version")
+    with pytest.raises(ValueError, match="formula version"):
+        dedup.delta_dedup_pairs(batch, legacy, corpus)
+    # current version passes through
+    out = dedup.delta_dedup_pairs(batch, idx, corpus, threshold=0.3)
+    assert [(r.batch_id, r.corpus_id) for r in out.collect()] == [("b1", "c1")]
+
+
 def test_dedup_corpus_custom_text_col(spark):
     """(r11 self-review) dedup_corpus passes text_col through to the
     shingler like its sibling leakage_safe_split."""

@@ -240,11 +240,11 @@ def rfm_scores(
     """
     from pyspark import StorageLevel
 
-    from hbase_snapshot_spark.operators.ranks import _register_cache
+    from hbase_snapshot_spark.operators.ranks import (
+        _register_cache, shuffle_partitions)
 
     spark = df.sparkSession
-    P = int(range_partitions
-            or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = shuffle_partitions(spark, range_partitions)
     # persisted so the melt branch and the final payload join share ONE
     # events scan + user aggregation by cache substitution (a contract)
     # instead of by exchange-subtree canonical equality (an optimizer

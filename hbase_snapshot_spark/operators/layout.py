@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from hbase_snapshot_spark.operators.ranks import (
     global_ranks,
     rank_cache_scope,
+    shuffle_partitions,
 )
 
 #: total interleaved bits kept ≤ 48: the z-value stays a positive
@@ -124,8 +125,7 @@ def zorder_layout(
     plan pins ``len(cols)`` caches (module docstring) — prefer
     :func:`zorder_write` for a bounded lifecycle."""
     spark = df.sparkSession
-    P = int(n_partitions
-            or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = shuffle_partitions(spark, n_partitions)
     z = zorder_value(df, cols, bits=bits, range_partitions=n_partitions)
     return (z.repartitionByRange(P, "_z")
             .sortWithinPartitions("_z")

@@ -17,13 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_snapshot_spark.functions import WS_RE
+
 
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
     chunk_tokens: int = 512,
     overlap_tokens: int = 64,
-    ws: str = r"\s+",
+    ws: str = WS_RE,
 ) -> DataFrame:
     """Split each document into fixed-token windows with overlap — the
     context-length preparation step that precedes sequence packing in
@@ -38,13 +40,20 @@ def chunk_documents(
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    # empty/whitespace-only text → ZERO chunks (split('') yields ['']
-    # — a phantom 1-token chunk that inflated every downstream token
-    # budget); NULL text also yields zero rows (explode over a NULL
-    # index array), matching tokenize_and_pack's documented drop
-    toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), ws))
+    # NULL / empty / whitespace-only text → ZERO chunks, via the shared
+    # word_tokens contract: collapse the ``ws`` class to single spaces,
+    # trim, gate on NULL-or-empty, split on ' '.  The previous
+    # F.trim(text)=='' gate failed BOTH its documented promises: plain
+    # trim strips only spaces, so '\n'-only text passed the gate and
+    # split('\n', r'\s+') grew empty tokens (phantom 2-token chunk);
+    # and NULL text slid through when()'s NULL predicate into
+    # split(NULL) = NULL toks, where greatest()/least() skip NULL
+    # operands — n_chunks became 1, not NULL, yielding one phantom
+    # chunk with chunk_text=NULL and n_chunk_tokens=chunk_tokens.
+    norm = F.trim(F.regexp_replace(F.col(text_col), ws, " "))
+    empty = F.col(text_col).isNull() | (norm == "")
+    toks = F.when(empty, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " "))
     n_chunks = F.greatest(
         F.ceil((F.size(toks) - F.lit(overlap_tokens)) / F.lit(stride)),
         F.lit(1),

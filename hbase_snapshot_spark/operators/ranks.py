@@ -102,6 +102,22 @@ def rank_cache_scope():
             df.unpersist()
 
 
+def shuffle_partitions(spark, override=None, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the
+    non-numeric values the setting legitimately takes (``'auto'``
+    under some AQE configurations) — ``int('auto')`` crashed
+    zorder_layout/global_ranks/asof on exactly the clusters most
+    likely to run them (r12, ADVICE).  ``override`` wins when given;
+    a non-numeric conf falls back to ``default`` (Spark's own
+    default partition count)."""
+    if override is not None:
+        return int(override)
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return default
+
+
 def _sort_exprs(order_cols: list[str], ascending) -> list:
     """Per-column sort expressions with Spark's window defaults:
     asc → nulls FIRST, desc → nulls LAST — exactly what
@@ -169,8 +185,7 @@ def global_ranks(
     if ties not in ("row", "rank", "dense"):
         raise ValueError(f"ties must be 'row' | 'rank' | 'dense': {ties!r}")
     spark = df.sparkSession
-    P = int(range_partitions
-            or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = shuffle_partitions(spark, range_partitions)
     if ties != "row":
         if buckets is not None:
             raise ValueError(

@@ -826,8 +826,9 @@ def pack_sequences_sql(cap: int, chunk: int = 64, overlap: int = 16) -> str:
     stride = chunk - overlap
     return f"""
 WITH d AS (SELECT doc_id, lang,
-                  string_split_regex(trim(text), '\\s+') AS toks
-           FROM documents WHERE trim(text) <> ''),
+                  string_split({_NORM}, ' ') AS toks
+           FROM documents
+           WHERE text IS NOT NULL AND {_NORM} <> ''),
 c AS (SELECT doc_id, lang, toks, len(toks) AS n,
              UNNEST(range(CAST(greatest(
                ceil((len(toks) - {overlap}) / {stride}.0), 1) AS BIGINT)))

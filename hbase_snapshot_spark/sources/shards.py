@@ -46,17 +46,35 @@ from hbase_snapshot_spark.operators.sampling import shard_shuffle
 MANIFEST_NAME = "_shard_manifest.json"
 
 
-def _shard_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(shard, n_rows, checksum, hashsum) in one map-side-combinable
-    agg.  See the module docstring for why the row hash goes through
+#: manifest hash-format version written by THIS build.  v2 =
+#: xxhash64(to_json(struct(cols))) + hashsum companion; v1 (legacy) =
+#: raw xxhash64(*cols), xor only.  The version rides in the manifest so
+#: verification replays the formula the manifest was WRITTEN with — the
+#: v1→v2 formula change otherwise false-failed every pre-existing shard
+#: directory with 'checksum mismatch' on intact data.
+HASH_FORMAT = 2
+
+
+def _shard_stats(
+    df: DataFrame, cols: list[str], hash_format: int = HASH_FORMAT
+) -> DataFrame:
+    """(shard, n_rows, checksum[, hashsum]) in one map-side-combinable
+    agg.  See the module docstring for why the v2 row hash goes through
     to_json (null/column-shift awareness) and why the xor has a sum
-    companion (even-count duplicate cancellation)."""
-    h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
-    return df.groupBy("shard").agg(
-        F.count("*").alias("n_rows"),
-        F.bit_xor(h).alias("checksum"),
-        F.sum(h.cast("decimal(38,0)")).alias("hashsum"),
-    )
+    companion (even-count duplicate cancellation).  ``hash_format=1``
+    replays the legacy raw-column hash so old manifests verify against
+    the formula that produced them (no hashsum — v1 never recorded
+    one)."""
+    if hash_format == 1:
+        h = F.xxhash64(*[F.col(c) for c in cols])
+    elif hash_format == HASH_FORMAT:
+        h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    else:
+        raise ValueError(f"unknown shard-manifest hash_format {hash_format}")
+    aggs = [F.count("*").alias("n_rows"), F.bit_xor(h).alias("checksum")]
+    if hash_format != 1:
+        aggs.append(F.sum(h.cast("decimal(38,0)")).alias("hashsum"))
+    return df.groupBy("shard").agg(*aggs)
 
 
 def write_training_shards(
@@ -82,6 +100,7 @@ def write_training_shards(
     manifest = {
         "seed": int(seed),
         "n_shards": int(n_shards),
+        "hash_format": HASH_FORMAT,
         "columns": data_cols,
         "shards": {
             str(r["shard"]): {"n_rows": r["n_rows"],
@@ -110,13 +129,21 @@ def verify_training_shards(
     problems (empty = verified)."""
     if manifest is None:
         manifest = read_manifest(path)
+    want = manifest["shards"]
+    # replay the formula the manifest was WRITTEN with: explicit
+    # hash_format when recorded; otherwise the presence of hashsum is
+    # the discriminator (hashsum and the v2 to_json hash landed
+    # together — a manifest without it predates both, and verifying it
+    # with the v2 formula false-fails every intact legacy shard)
+    fmt = manifest.get("hash_format") or (
+        2 if any("hashsum" in s for s in want.values()) else 1)
     df = spark.read.format(format).load(path)
     got = {
-        str(r["shard"]): (r["n_rows"], int(r["checksum"]), str(r["hashsum"]))
-        for r in _shard_stats(df, manifest["columns"]).collect()
+        str(r["shard"]): (r["n_rows"], int(r["checksum"]),
+                          str(r["hashsum"]) if fmt != 1 else None)
+        for r in _shard_stats(df, manifest["columns"], fmt).collect()
     }
     problems: list[str] = []
-    want = manifest["shards"]
     for shard in sorted(set(want) | set(got), key=int):
         if shard not in got:
             problems.append(f"shard {shard}: missing from data")
@@ -129,7 +156,7 @@ def verify_training_shards(
                     f"shard {shard}: n_rows {n} != {want[shard]['n_rows']}")
             if c != want[shard]["checksum"]:
                 problems.append(f"shard {shard}: checksum mismatch")
-            # legacy manifests predate hashsum — count+xor only there
+            # v1 manifests predate hashsum — count+xor only there
             if "hashsum" in want[shard] and hs != want[shard]["hashsum"]:
                 problems.append(f"shard {shard}: hashsum mismatch")
     return problems

@@ -52,6 +52,7 @@ def replicate(
     once: bool = True,
     dedupe: bool = False,
     commit_grace_s: float = 5.0,
+    on_uncommitted: str = "fail",
 ):
     """Ship the source table's edit log into the peer table, filtered by
     family replication scope — the ReplicationSource→Sink contract.
@@ -77,9 +78,26 @@ def replicate(
     WAL segments from the HEAD manifest without un-committing them).
     A segment normally commits milliseconds after its files appear, so
     an uncommitted segment gets ``commit_grace_s`` to show up; past
-    that it is treated as a crashed writer's orphan and dropped with a
-    warning — shipping it would make the replica show edits the source
-    never acknowledged."""
+    that, ``on_uncommitted`` decides (r12, ADVICE):
+
+    * ``"fail"`` (default) — raise, failing the batch so the
+      checkpoint does NOT advance past the segment and the stream
+      re-delivers it on retry.  A slow commit (GC pause, slow shared
+      storage between the parquet write and the manifest commit)
+      costs a retry instead of silently losing committed edits — the
+      at-least-once contract holds unconditionally.  A true orphan
+      (crashed writer, never commits) blocks the stream until an
+      operator removes the segment file or opts into ``"drop"`` —
+      loud, which is what an unacknowledged-edit anomaly deserves.
+    * ``"drop"`` — filter the segment out with a warning and keep
+      going (the pre-r12 behavior).  Opt-in ONLY: the file source's
+      checkpoint has already marked the files processed, so a dropped
+      segment that later commits is never re-delivered — choose this
+      only where orphans are expected and edit loss past the grace
+      window is acceptable."""
+    if on_uncommitted not in ("fail", "drop"):
+        raise ValueError(
+            f"on_uncommitted={on_uncommitted!r}: expected 'fail' or 'drop'")
     import os
     import time as _time
     import warnings
@@ -137,6 +155,16 @@ def replicate(
                 _refresh_committed()
                 pending = segs - committed
             if pending:
+                if on_uncommitted == "fail":
+                    raise RuntimeError(
+                        f"replicate: {len(pending)} segment(s) still not "
+                        f"manifest-committed after {commit_grace_s}s grace: "
+                        f"{sorted(pending)} — failing the batch so the "
+                        "checkpoint does not advance past them (the file "
+                        "source would otherwise never re-deliver, silently "
+                        "losing any late-committed edits).  If these are "
+                        "true orphans from a crashed writer, remove the "
+                        "segment files or re-run with on_uncommitted='drop'")
                 warnings.warn(
                     f"replicate: dropping {len(pending)} uncommitted "
                     f"(orphaned) segment(s) not in any source manifest: "

@@ -125,3 +125,31 @@ def test_zorder_layout_keeps_all_rows_and_columns(spark):
     assert sorted(r.payload for r in out.collect()) == sorted(
         f"p{i}" for i in range(200))
     spark.catalog.clearCache()
+
+
+def test_zorder_layout_tolerates_auto_shuffle_partitions(spark):
+    """(r12, ADVICE) some platforms manage spark.sql.shuffle.partitions
+    as the non-numeric 'auto' — int(conf) crashed zorder_layout's
+    partition-count derivation, the same failure mode pack_sequences
+    already removed.  OSS Spark validates the conf at set() time, so
+    the non-numeric read is simulated at the helper seam the operators
+    all go through (shuffle_partitions)."""
+    from hbase_snapshot_spark.operators.ranks import shuffle_partitions
+
+    class _AutoConf:
+        def get(self, key):
+            assert key == "spark.sql.shuffle.partitions"
+            return "auto"
+
+    class _AutoSpark:
+        conf = _AutoConf()
+
+    assert shuffle_partitions(_AutoSpark()) == 200        # fallback, no crash
+    assert shuffle_partitions(_AutoSpark(), override=7) == 7
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))   # numeric passthrough
+    # and the operator path still builds and runs with an explicit count
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13, (i * 3) % 5) for i in range(40)],
+        ["id", "x", "y"])
+    assert zorder_layout(df, ["x", "y"], n_partitions=4, bits=4).count() == 40

@@ -621,6 +621,31 @@ def test_chunk_documents(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_chunk_documents_degenerate_text(spark):
+    """(r12, ADVICE) the empty-text gate must actually hold: NULL text
+    previously produced one phantom chunk (chunk_text=NULL,
+    n_chunk_tokens=chunk_tokens — greatest()/least() skip NULL
+    operands), and '\\n'-only text passed the plain-trim gate (trim
+    strips only spaces) then split into empty tokens.  All degenerate
+    shapes now yield ZERO chunk rows via the shared word_tokens
+    whitespace contract; \\t/\\n separators tokenize like spaces."""
+    from hbase_snapshot_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [("n", None), ("e", ""), ("sp", "   "), ("nl", "\n"),
+         ("tabs", "\t\t\n "), ("led", "\n\tone\ttwo\nthree  four\n")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "text", chunk_tokens=3, overlap_tokens=1)
+    rows = sorted((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+                  for r in out.collect())
+    # only 'led' survives: 4 real tokens, stride 2 → [0:3), [2:4)
+    assert rows == [
+        ("led", 0, "one two three", 3),
+        ("led", 1, "three four", 2),
+    ]
+
+
 def test_chunk_then_pack_composition(spark):
     from hbase_snapshot_spark.operators.packing import (
         chunk_documents,

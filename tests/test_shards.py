@@ -71,3 +71,37 @@ def test_checksum_catches_content_change(spark, tmp_path):
     man2 = S.write_training_shards(df2, path2, F.col("doc_id"), n_shards=1)
     a, b = man["shards"]["0"], man2["shards"]["0"]
     assert a["n_rows"] == b["n_rows"] and a["checksum"] != b["checksum"]
+
+
+def test_legacy_v1_manifest_verifies_with_legacy_formula(spark, corpus,
+                                                         tmp_path):
+    """(r12, ADVICE) the row-hash formula changed from xxhash64(*cols)
+    to xxhash64(to_json(struct(*cols))) — recomputing a v1 manifest's
+    xor with the v2 formula false-failed every intact pre-existing
+    shard directory.  The manifest now records hash_format (absence of
+    hashsum is the legacy discriminator) and verification replays the
+    formula the manifest was written with."""
+    path = str(tmp_path / "out")
+    S.write_training_shards(corpus, path, F.col("doc_id"), n_shards=2, seed=1)
+    # synthesize the v1 manifest a pre-r11 build would have written:
+    # raw-column xxhash64 xor, no hashsum, no hash_format field
+    man = S.read_manifest(path)
+    assert man["hash_format"] == S.HASH_FORMAT  # new manifests tagged
+    df = spark.read.parquet(path)
+    legacy = {
+        str(r["shard"]): {"n_rows": r["n_rows"],
+                          "checksum": int(r["checksum"])}
+        for r in S._shard_stats(df, man["columns"], hash_format=1).collect()
+    }
+    v1_man = {"seed": 1, "n_shards": 2, "columns": man["columns"],
+              "shards": legacy}
+    # intact data verifies clean against the legacy formula
+    assert S.verify_training_shards(spark, path, v1_man) == []
+    # and the legacy formula still detects tampering
+    v1_bad = json.loads(json.dumps(v1_man))
+    v1_bad["shards"]["0"]["checksum"] ^= 1
+    probs = S.verify_training_shards(spark, path, v1_bad)
+    assert any("checksum" in p for p in probs)
+    # unknown future formats fail loudly, not silently-mismatch
+    with pytest.raises(ValueError, match="hash_format"):
+        S._shard_stats(df, man["columns"], hash_format=99)

@@ -779,13 +779,55 @@ def test_replication_skips_orphan_segments(spark, stores, tmp_path):
     template.withColumn("row", F.lit("orphan-row")).write.parquet(
         os.path.join(seg_root, "seg-000099-wal-deadbeef"))
     ckpt = str(tmp_path / "ckpt-orphan")
-    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3)
+    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3,
+              on_uncommitted="drop")
     shipped = {r.row for r in dst.cells().collect()}
     assert shipped == {"r1"}          # orphan dropped, committed shipped
     # the stream is not poisoned: later commits still replicate
     src.mutate([Put("r2").add("f", "q", "v2", ts=11)])
-    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3)
+    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3,
+              on_uncommitted="drop")
     assert {r.row for r in dst.cells().collect()} == {"r1", "r2"}
+
+
+def test_replication_default_fails_batch_on_uncommitted(spark, stores,
+                                                        tmp_path):
+    """(r12, ADVICE) a commit slower than commit_grace_s must cost a
+    RETRY, not the edits: the old drop-with-warning default let the
+    file-source checkpoint advance past the segment, so a segment that
+    committed late was never re-delivered — the replica silently
+    diverged from the source.  Default policy now fails the batch
+    (checkpoint does not advance); once the segment commits, re-running
+    against the SAME checkpoint delivers the full batch."""
+    import os
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src, dst = stores
+    src.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+    seg_root = os.path.join(src.dir, "segments")
+    template = spark.read.parquet(
+        os.path.join(seg_root, os.listdir(seg_root)[0]))
+    # a slow writer: segment parquet on disk, manifest commit pending
+    late_seg = os.path.join(seg_root, "seg-000098-wal-feedc0de")
+    template.withColumn("row", F.lit("late-row")).write.parquet(late_seg)
+    ckpt = str(tmp_path / "ckpt-late")
+    with pytest.raises(StreamingQueryException,
+                       match="not\\s+manifest-committed"):
+        replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3)
+    # the failed batch shipped nothing and advanced nothing
+    assert dst.cells().isEmpty()
+    # the slow commit lands (the writer protocol's manifest commit,
+    # arriving after the grace window instead of before it) ...
+    m = src.manifest()
+    m2 = dict(m)
+    m2["version"] = m["version"] + 1
+    m2["segments"] = list(m["segments"]) + [os.path.basename(late_seg)]
+    m2["commit_seq"] = m["commit_seq"] + 1
+    src._commit(m2)
+    # ... and the RETRY against the same checkpoint delivers everything
+    replicate(spark, src, dst, ckpt, once=True, commit_grace_s=0.3)
+    assert {r.row for r in dst.cells().collect()} == {"r1", "late-row"}
 
 
 def test_streaming_hll_nonstring_keys_match_batch(spark, tmp_path):

@@ -298,6 +298,32 @@ class Bench:
 
         return e.queries()["cosine_topk"](self.spark, self.sf_dir).count()
 
+    def zorder_write(self):
+        """Z-order layout maintenance cost (VERDICT r11 Wrong #2): write
+        lineitem z-clustered on (l_partkey, l_suppkey) — the canonical
+        two-dimensional skipping layout for a part×supplier fact table.
+        Cost profile under test: one df.count() + k=2 global_ranks
+        passes (2 persisted exchanges + 2 fan-back joins) +
+        repartitionByRange + sorted parquet write.  Self-timed, fresh
+        output dir per attempt; the pruning PROPERTY is pinned in
+        tests/test_layout.py — this row pins the COST."""
+        import uuid as _uuid
+
+        from hbase_snapshot_spark.operators.layout import zorder_write
+
+        li = self.spark.read.parquet(f"{self.sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice")
+        out = os.path.join(self.workdir, f"zorder-{_uuid.uuid4().hex[:6]}")
+        t0 = time.time()
+        zorder_write(li, ["l_partkey", "l_suppkey"], out, n_partitions=CPUS)
+        dt = time.time() - t0
+        t1 = time.time()
+        assert self.spark.read.parquet(out).count() > 0
+        shutil.rmtree(out, ignore_errors=True)
+        return {"sec": dt,
+                "stages": {"verify_untimed": round(time.time() - t1, 3)}}
+
     def text_pipeline(self):
         # BASELINE §F text_pipeline = lang-id + quality GATE over the
         # documents table.  Call the operators directly: the `quality`
@@ -449,6 +475,7 @@ WORKLOAD_ORDER = [
     "filter_scan",
     "dedup_minhash",
     "ann_topk",
+    "zorder_write",
     "text_pipeline",
     "llm_front_door",
     "streaming_front_door",
@@ -515,6 +542,7 @@ BASELINE_SEC = {
     "snapshot_restore": 1.7,
     "random_seek_scan": 1.3,   # §F
     "sequential_read": 2.0,    # §F
+    "zorder_write": 4.8,       # §M (r12 freeze: best-of-3 on a warm JVM)
     "llm_front_door": 3.3,     # §K (r10 freeze, clean window)
     "streaming_front_door": 4.7,  # §L (r11 freeze, clean window)
 }

@@ -38,6 +38,16 @@ import threading as _threading
 
 _PERSISTED_LOCK = _threading.Lock()
 
+#: LRU cap on the OWNERLESS (None-keyed) bucket.  Owned scans free on
+#: their table's manifest swap, but nothing in a long-lived wire server
+#: doing bare-DataFrame scans ever calls release_caches(None) — without
+#: a cap that bucket grows one strong CacheManager reference per
+#: multi-use scan forever (the SQL CacheManager never LRU-evicts
+#: ENTRIES, only blocks).  Eviction is unpersist-only and therefore
+#: always safe: the evicted scan's lazy plan recomputes from the
+#: segment files.  Raise/lower per deployment via this module constant.
+OWNERLESS_CACHE_CAP = 32
+
 
 def release_caches(owner: "str | None") -> int:
     """unpersist every filter-stream cache registered under ``owner``;
@@ -60,9 +70,10 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
     so the owning table can release it on manifest swap.  Ownerless
     scans (None) register under the None key: the SQL CacheManager
     holds persisted queries by strong reference (nothing LRU-bounds
-    the ENTRIES — only in-memory blocks spill), so a long-lived
-    session of bare run_scan calls should release them with
-    ``release_caches(None)``."""
+    the ENTRIES — only in-memory blocks spill), so the None bucket is
+    LRU-capped at ``OWNERLESS_CACHE_CAP`` (oldest handle unpersisted on
+    overflow — always safe, the plan recomputes from segment files);
+    ``release_caches(None)`` still frees the bucket eagerly."""
     spec: ResolveSpec = scan.to_spec()
     compiled = scan.filter.compile() if scan.filter is not None else None
 
@@ -120,8 +131,17 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
         # scans free on the table's next manifest swap, ownerless ones
         # via release_caches(None))
         stream = stream.persist(StorageLevel.MEMORY_AND_DISK)
+        evicted: list[DataFrame] = []
         with _PERSISTED_LOCK:
-            _PERSISTED.setdefault(cache_owner, []).append(stream)
+            bucket = _PERSISTED.setdefault(cache_owner, [])
+            bucket.append(stream)
+            # ownerless bucket is LRU-capped (see OWNERLESS_CACHE_CAP);
+            # owned buckets are bounded by their table's manifest swaps
+            if cache_owner is None and len(bucket) > OWNERLESS_CACHE_CAP:
+                n = len(bucket) - OWNERLESS_CACHE_CAP
+                evicted, bucket[:n] = bucket[:n], []
+        for df in evicted:
+            df.unpersist(blocking=False)
 
     # ---- stage 4: stream transforms (per-row/cell counting filters)
     if compiled is not None and compiled.stream_transform is not None:

@@ -780,3 +780,53 @@ def test_quantile_rank_selection_bounds():
             assert 1 <= idx <= n, (n, p, idx)
         assert math.floor(0.0 * (n - 1)) + 1 == 1
         assert math.floor(1.0 * (n - 1)) + 1 == n
+
+
+def test_ownerless_scan_cache_registry_is_bounded(spark, tmp_path):
+    """(r12, VERDICT) a long-lived wire server doing bare-DataFrame
+    scans never calls release_caches(None) — the ownerless bucket must
+    LRU-bound ITSELF: oldest handles unpersist on overflow (safe — the
+    lazy plan recomputes from segment files), registry size never
+    exceeds OWNERLESS_CACHE_CAP, and evicted results still compute."""
+    from hbase_snapshot_spark.client import Scan
+    from hbase_snapshot_spark.filters import (
+        BinaryComparator, CompareOp, SkipFilter, ValueFilter,
+    )
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.plans import scan_exec
+    from hbase_snapshot_spark.table import Put, TableStore
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("boundt").add_family(FamilyDescriptor("f")))
+    t.mutate([Put(f"r{i}").add("f", "q", f"v{i}") for i in range(10)])
+    cells = t.cells()
+
+    scan_exec.release_caches(None)          # isolate from other tests
+    old_cap = scan_exec.OWNERLESS_CACHE_CAP
+    scan_exec.OWNERLESS_CACHE_CAP = 5
+    try:
+        outs = []
+        for i in range(12):                 # the "long session"
+            flt = SkipFilter(ValueFilter(
+                CompareOp.NOT_EQUAL, BinaryComparator(f"v{i % 10}")))
+            # bare run_scan: no table lifecycle, no cache owner.  Each
+            # scan gets a DISTINCT stop_row (still past every key) so
+            # the persisted plans differ — the CacheManager dedupes
+            # identical plans into ONE shared entry, which would make
+            # this test measure plan-sharing instead of the LRU cap
+            outs.append(scan_exec.run_scan(
+                cells, Scan(stop_row=f"r9\xff{i:02d}", filter=flt)))
+            outs[-1].count()
+            assert len(scan_exec._PERSISTED.get(None, [])) <= 5
+        bucket = scan_exec._PERSISTED.get(None, [])
+        assert len(bucket) == 5             # capped, not merely trimmed once
+        # survivors are still cached; earlier handles were unpersisted
+        assert all(h.storageLevel.useMemory or h.storageLevel.useDisk
+                   for h in bucket)
+        # evicted scans still produce correct results (plan recomputes)
+        assert outs[0].count() == 9
+        assert scan_exec.release_caches(None) == 5
+    finally:
+        scan_exec.OWNERLESS_CACHE_CAP = old_cap
+        scan_exec.release_caches(None)

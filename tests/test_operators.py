@@ -3319,6 +3319,79 @@ def test_whitespace_normalization_contract(spark, tmp_path):
     assert got_ntok[4] is None and want_ntok[4] is None
 
 
+def test_whitespace_contract_golden_cpython_battery(spark, tmp_path):
+    """(r12, VERDICT #7) the r11 whitespace contract was edited into
+    BOTH engines by the same hand — agreement between them can encode a
+    shared misunderstanding (the A-law lesson).  This battery freezes
+    the contract's edge table as a golden generated by a THIRD
+    independent implementation — plain CPython string ops (re.sub over
+    the explicit class + str.strip(' ') + str.split(' ')) — and asserts
+    the full token arrays of BOTH engines against it:
+
+      * class members \\t \\n \\r \\f collapse and delimit
+      * \\x0B (vertical tab: Java \\s yes, RE2 \\s no — the divergence
+        the explicit class exists to kill) is NOT whitespace: it stays
+        inside tokens and survives alone
+      * NBSP is not whitespace either
+      * no empty tokens from leading/trailing/repeated class runs
+      * '' / class-only text → zero tokens; NULL → NULL (not [])
+    """
+    import re as _re
+
+    import duckdb
+
+    from hbase_snapshot_spark import oracle_ops
+    from hbase_snapshot_spark.functions import WS_RE, word_tokens
+
+    CASES = [
+        None, "", " ", "   ", "\n", "\t\t", "\f", "\r\n",
+        "\x0b",                     # vtab alone: ONE token
+        "a\x0bb",                   # vtab inside: one token, kept
+        "a\x0b b",                  # vtab + space: ['a\x0b', 'b']
+        "a\u00a0b",               # NBSP: one token
+        "\nled tok",                # class-led: no empty first token
+        "trail\t",                  # class-trailed: no empty last token
+        "a  b", "a\r\nb", "a\t\n\f\rb", " a\f\r\n\tb ",
+        "one", "tab\tsep\ttoks", "x \x0b y",
+    ]
+
+    def golden(t):
+        # plain CPython: collapse the explicit class, strip the spaces
+        # the collapse left at the edges (trim() strips ONLY spaces in
+        # both engines — the contract leans on collapse-then-trim),
+        # split on single space; NULL propagates
+        if t is None:
+            return None
+        norm = _re.sub("[ \t\n\r\f]+", " ", t).strip(" ")
+        return [] if norm == "" else norm.split(" ")
+
+    want = [golden(t) for t in CASES]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id long, text string")
+    got_spark = {r.doc_id: r.toks for r in df.select(
+        "doc_id", word_tokens(F.col("text")).alias("toks")).collect()}
+    assert [got_spark[i] for i in range(len(CASES))] == want
+
+    p = str(tmp_path / "golden.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{p}/*.parquet')")
+    # the oracle twin of word_tokens, built from the SAME _NORM/_TOKS
+    # fragments every oracle query composes
+    got_duck = {d: t for d, t in con.sql(f"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN {oracle_ops._NORM} = '' THEN []
+                    ELSE {oracle_ops._TOKS} END
+        FROM documents""").fetchall()}
+    assert [got_duck[i] for i in range(len(CASES))] == want
+    # and the constants themselves still spell the same class
+    assert WS_RE == "[ \\t\\n\\r\\f]+"
+    assert "[ \t\n\r\f]+" in oracle_ops._NORM
+
+
 def test_pq_paths_validate_dimensions(spark):
     """(r11 self-review) PQ silently corrupted on bad dimensions: a
     dim % m remainder dropped trailing dims from every distance, and a

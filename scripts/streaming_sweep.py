@@ -51,30 +51,50 @@ def main() -> int:
 
     out: dict = {"sf_dir": args.sf_dir, "attempts": args.attempts}
 
-    # the batch twin: same corpus, same extract/gate/dedup, no
-    # checkpoint/state machinery — the amortization reference point
-    best_batch = None
-    for _ in range(args.attempts):
-        t0 = time.time()
-        b.llm_front_door()
-        best_batch = min(best_batch or 1e9, time.time() - t0)
-    out["batch_total"] = round(best_batch, 3)
+    # every attempt is bracketed by the bench's calibration probes —
+    # this host shows intermittent CPU/IO-throttle windows (BASELINE
+    # §H) and a cross-shape comparison poisoned by one is worse than no
+    # number; the probe column makes each attempt self-interpreting and
+    # the reader picks the clean ones
+    def attempts(fn, sec_of=None):
+        log, best = [], None
+        for _ in range(args.attempts):
+            c = B.calibrate(spark)
+            t0 = time.time()
+            r = fn()
+            sec = round(
+                sec_of(r) if sec_of else
+                (r["sec"] if isinstance(r, dict) else time.time() - t0), 3)
+            entry = {"sec": sec, "calib": c["total"]}
+            if isinstance(r, dict) and "stages" in r:
+                entry["stages"] = r["stages"]
+            log.append(entry)
+            if best is None or sec < best["sec"]:
+                best = entry
+        return best, log
+
+    # the batch twin of what the STREAM does per drain: ingest +
+    # extract + gates + dedup (llm_front_door's ingest_plus_preprocess
+    # stage — the shard-write/verify stages have no streaming
+    # counterpart, the stream's sink is plain batch-partitioned parquet)
+    best_batch, batch_log = attempts(
+        b.llm_front_door, sec_of=lambda r: r["stages"]["ingest_plus_preprocess"])
+    out["batch_work"] = best_batch["sec"]
+    out["batch_attempts"] = batch_log
 
     for waves in (2, 4):
-        best = None
-        for _ in range(args.attempts):
-            r = b.streaming_front_door(waves=waves)
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        premium = (best["sec"] - best_batch) / waves
+        best, log = attempts(lambda: b.streaming_front_door(waves=waves))
+        premium = (best["sec"] - best_batch["sec"]) / waves
         out[f"waves{waves}"] = {
             "total": best["sec"],
-            "drains": best["stages"],
+            "drains": best.get("stages", {}),
             "per_drain_premium_vs_batch": round(premium, 3),
+            "attempts": log,
         }
 
-    # the §L.2 claim in one number: extra waves cost ~one fixed premium
-    # each (ratio ≈ 1 when the premium is per-drain and fixed)
+    # the §L.2 claim in one number: the per-drain premium should be
+    # ~flat across wave counts (ratio ≈ 1) — i.e. doubling the waves
+    # over the same volume adds ~2 fixed premiums, nothing volumetric
     p2 = out["waves2"]["per_drain_premium_vs_batch"]
     p4 = out["waves4"]["per_drain_premium_vs_batch"]
     out["premium_ratio_4v2"] = round(p4 / p2, 3) if p2 > 0 else None

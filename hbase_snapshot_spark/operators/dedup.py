@@ -16,7 +16,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_snapshot_spark.functions import cosine, word_tokens, hex4_to_int
+from hbase_snapshot_spark.functions import WS_RE, cosine, word_tokens, hex4_to_int
 
 #: modulus of the affine minhash family — the Mersenne prime 2^61-1.
 #: a_i*x + b_i stays < 2^63 (see _mh_params), so the % is exact 64-bit
@@ -80,10 +80,19 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     (The compositional word_ngrams(word_tokens(...)) form re-evaluates
     the tokenizing split per array element inside Catalyst lambdas —
     ~3n regex passes per row; this is one.)"""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    # the shared WS_RE contract, collapse-then-trim (r12): Java \s
+    # includes \x0B while the oracle's RE2/DuckDB class does not — a
+    # \x0B-separated document shingled DIFFERENTLY on the two engines
+    # (the exact divergence class the explicit-class contract kills);
+    # trim-first also left a leading space when text led with \n
+    norm = F.trim(F.regexp_replace(F.col(text_col), WS_RE, " "))
     # lookahead captures the n-gram; the match then CONSUMES exactly one
-    # token (+ separator) so successive matches start at token boundaries
-    pattern = r"(?=(\S+" + r" \S+" * (n - 1) + r"))\S+ ?"
+    # token (+ separator) so successive matches start at token boundaries.
+    # [^ ] not \S: after normalization the ONLY separator is a single
+    # space, and Java's \S excludes \x0B (Java \s includes it) — a
+    # \x0B-bearing token would split mid-token and silently DROP the
+    # shingles touching it, diverging from the oracle's space-split
+    pattern = r"(?=([^ ]+" + r" [^ ]+" * (n - 1) + r"))[^ ]+ ?"
     return df.withColumn(
         "shingles", F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
     )
@@ -843,7 +852,7 @@ def duplicated_spans(
     """
     if min_tokens is None:
         min_tokens = k
-    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), WS_RE, " ")), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") >= k
     )
@@ -918,7 +927,7 @@ def scrub_duplicated_spans(
     agg = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans")
     )
-    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), WS_RE, " ")), " ")
     joined = df.withColumn("_toks", toks).join(agg, on=id_col, how="left")
     kept = F.filter(
         F.transform(
@@ -965,7 +974,7 @@ def contaminated_spans(
         min_tokens = k
 
     def grams(df):
-        toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        toks = F.split(F.trim(F.regexp_replace(F.col(text_col), WS_RE, " ")), " ")
         base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
             F.size("toks") >= k
         )

@@ -95,7 +95,7 @@ def chunk_documents_sentences(
     df: DataFrame,
     text_col: str = "text",
     chunk_tokens: int = 512,
-    ws: str = r"\s+",
+    ws: str = WS_RE,
 ) -> DataFrame:
     """Sentence-aware chunking: split each document into sentences
     (terminal-punctuation heuristic) and GREEDILY pack consecutive
@@ -113,11 +113,18 @@ def chunk_documents_sentences(
     current chunk id + its running token count + the assignment list),
     then chunks materialize by index — O(chunks × sentences) cheap int
     work per row inside codegen."""
+    # the shared WS_RE contract first (r12): F.trim strips only spaces,
+    # so a '\n'-led document previously carried the newline INTO the
+    # first sentence — its token count ran over split(r'\s+')'s empty
+    # leading token (+1) and the newline survived into chunk_text.
+    # After collapse-then-trim, sentences are space-separated words
+    # with no edge whitespace of any kind.
+    norm = F.trim(F.regexp_replace(F.col(text_col), ws, " "))
     sents = F.filter(
-        F.split(F.trim(F.col(text_col)), SENTENCE_SPLIT_RE),
+        F.split(norm, SENTENCE_SPLIT_RE),
         lambda s: F.trim(s) != "")
     counts = F.transform(
-        sents, lambda s: F.size(F.split(F.trim(s), ws)))
+        sents, lambda s: F.size(F.split(F.trim(s), " ")))
     init = F.struct(
         F.lit(0).alias("cid"),
         F.lit(0).alias("tok"),
@@ -164,7 +171,7 @@ def chunk_documents_sentences(
         .withColumn(
             "n_chunk_tokens",
             F.when(F.col("chunk_text").isNotNull(),
-                   F.size(F.split(F.col("chunk_text"), ws)))
+                   F.size(F.split(F.col("chunk_text"), " ")))
             .cast("long"))
         .drop("_chunks")
     )

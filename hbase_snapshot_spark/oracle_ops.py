@@ -152,8 +152,10 @@ spans AS (
 """
 
 
-_SPAN_TOKS_SRC = ("SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', "
-         "'g')), ' ') AS t FROM documents")
+# the shared WS_RE contract (r12): RE2's \s excludes \x0B while Java's
+# includes it — the explicit class keeps the span tokenization in
+# lock-step with the Spark side on \x0B-bearing text
+_SPAN_TOKS_SRC = f"SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents"
 
 
 def dedup_suite_sql(k: int = 8) -> str:

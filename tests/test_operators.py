@@ -2866,16 +2866,20 @@ def test_chunk_documents_sentences(spark):
         # (r11) NULL / sentence-less documents yield ZERO rows,
         # consistent with chunk_documents — the old posexplode_outer
         # kept a (NULL, NULL, NULL) row that fed pack_sequences a NULL
-        # token count
+        # token count.  (r12) the shared whitespace contract first:
+        # collapse the explicit class, trim — a '\n'-led document
+        # previously overcounted its first sentence by one empty token
+        # on the Spark side (trim strips only spaces)
         if text is None:
             return []
-        sents = [s for s in _re.split(SENTENCE_SPLIT_RE, text.strip())
+        norm = _re.sub("[ \t\n\r\f]+", " ", text).strip(" ")
+        sents = [s for s in _re.split(SENTENCE_SPLIT_RE, norm)
                  if s.strip()]
         if not sents:
             return []
         chunks, cur, tok = [], [], 0
         for s in sents:
-            c = len(_re.split(r"\s+", s.strip()))
+            c = len(s.strip().split(" "))
             if tok + c > cap and tok > 0:
                 chunks.append(" ".join(x.strip() for x in cur))
                 cur, tok = [s], c
@@ -2886,15 +2890,20 @@ def test_chunk_documents_sentences(spark):
         return chunks
 
     rng = random.Random(7)
-    docs = [(997, None), (998, ""), (999, "One tiny sentence.")]
+    docs = [(997, None), (998, ""), (999, "One tiny sentence."),
+            # (r12) the whitespace-contract edges: class-led text, \n
+            # and \t separators inside and between sentences, \n-only
+            (995, "\nLed by newline. Second\tsentence here! Third one?"),
+            (996, "\n\t")]
     for i in range(40):
         n_sents = rng.randrange(1, 9)
         parts = []
         for _ in range(n_sents):
             words = ["Word" if j == 0 else "word"
                      for j in range(rng.randrange(1, 13))]
-            parts.append(" ".join(words) + rng.choice([".", "!", "?"]))
-        docs.append((i, " ".join(parts)))
+            sep = rng.choice([" ", "\n", "\t", "  "])
+            parts.append(sep.join(words) + rng.choice([".", "!", "?"]))
+        docs.append((i, rng.choice(["", "\n"]) + " ".join(parts)))
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     out = chunk_documents_sentences(sdf, chunk_tokens=cap)
     got = {}
@@ -3579,3 +3588,33 @@ def test_load_model_verifies_columns(spark, tmp_path):
     spark.createDataFrame([(9.0,)], "z double").write.parquet(f"{p1}/data")
     with pytest.raises(ValueError, match="columns"):
         A.load_model(spark, p1, expect_kind="ngram-lm")
+
+
+def test_shingles_vtab_parity_with_oracle(spark, tmp_path):
+    """(r12 self-review) with_shingles collapsed Java \\s (which
+    includes \\x0B) while the oracle's _shingle_cte uses the explicit
+    RE2-safe class (which does not) — a \\x0B-separated document
+    shingled DIFFERENTLY on the two engines.  Both now share the WS_RE
+    contract: \\x0B is NOT whitespace, it stays inside tokens."""
+    import duckdb
+
+    from hbase_snapshot_spark import oracle_ops
+
+    rows = [(1, "alpha\x0bbeta gamma delta epsilon zeta"),
+            (2, "\nled by newline\tand tab separated words here"),
+            (3, "plain three word shingles work fine")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: sorted(r.shingles)
+           for r in dedup.with_shingles(df, n=3).collect()}
+    # the vtab stays inside the first token on the Spark side
+    assert any(s.startswith("alpha\x0bbeta ") for s in got[1])
+
+    p = str(tmp_path / "vtab.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = {d: sorted(s) for d, s in con.sql(
+        f"WITH {oracle_ops._shingle_cte(3)} SELECT doc_id, s FROM sh"
+    ).fetchall()}
+    assert got == want

@@ -35,6 +35,8 @@ inside a scope and releases them deterministically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,10 +141,142 @@ def zorder_write(
     n_partitions: int | None = None,
     bits: int | None = None,
     mode: str = "overwrite",
+    stats_manifest: bool = True,
 ) -> None:
     """Write the z-clustered layout as parquet and release the rank
     caches deterministically (consume-inside-scope, the
-    rank_cache_scope contract)."""
+    rank_cache_scope contract).  By default also publishes the
+    file-skipping manifest over the clustering columns (the layout
+    exists to make per-file min/max tight — recording them costs one
+    footer pass; see :func:`write_skipping_manifest`).  Pass
+    ``stats_manifest=False`` when the output lands where the driver
+    can't open() files (the parquet itself is unaffected)."""
     with rank_cache_scope():
         zorder_layout(df, cols, n_partitions=n_partitions,
                       bits=bits).write.mode(mode).parquet(out_dir)
+    if stats_manifest:
+        write_skipping_manifest(out_dir, cols)
+
+
+# ------------------------------------------------- file-skipping manifest
+
+#: published next to the data by write_skipping_manifest / zorder_write
+SKIP_MANIFEST_NAME = "_skipping_manifest.json"
+
+#: stat types the manifest records — primitives whose Python ordering
+#: matches Spark's SQL ordering (ints/floats numerically, strings by
+#: code point = binary UTF-8 order).  Anything else (timestamps,
+#: decimals, binary) is recorded as null = "cannot prune on this file",
+#: which is always CORRECT, just not helpful.
+_STAT_TYPES = (int, float, str, bool)
+
+
+def write_skipping_manifest(path: str, cols: list[str]) -> dict:
+    """Collect per-FILE min/max of ``cols`` from the parquet FOOTERS
+    (pyarrow metadata — zero data pages read; a footer is ~KB) and
+    publish them atomically as ``_skipping_manifest.json`` next to the
+    data — the Delta-style file-stats index that lets a reader prune
+    the FILE LIST before Spark ever opens a footer.
+
+    Why this matters beyond parquet's own row-group skipping: Spark's
+    reader prunes row groups per file AFTER scheduling a task and
+    opening the footer — at 100 TB that is millions of footer opens
+    and task launches for a query that touches 0.1% of files.  The
+    manifest is one driver-sized JSON (a few numbers per file, like
+    the shard manifest) consulted BEFORE planning.
+
+    Like the training-shard manifest, the JSON publishes on a
+    DRIVER-ACCESSIBLE filesystem (local disk / fuse mount); the data
+    files themselves can be anywhere Spark reads.  Returns the
+    manifest dict."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from hbase_snapshot_spark.operators.artifacts import write_json_atomic
+
+    files: dict[str, dict] = {}
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        stats: dict[str, list] = {c: [None, None] for c in cols}
+        ok: dict[str, bool] = {c: True for c in cols}
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                name = c.path_in_schema
+                if name not in stats or not ok[name]:
+                    continue
+                st = c.statistics
+                if (st is None or not st.has_min_max
+                        or not isinstance(st.min, _STAT_TYPES)
+                        or not isinstance(st.max, _STAT_TYPES)):
+                    ok[name] = False          # conservative: can't prune
+                    stats[name] = [None, None]
+                    continue
+                lo, hi = stats[name]
+                stats[name][0] = st.min if lo is None else min(lo, st.min)
+                stats[name][1] = st.max if hi is None else max(hi, st.max)
+        files[os.path.basename(f)] = stats
+    manifest = {"columns": list(cols), "files": files}
+    write_json_atomic(path, SKIP_MANIFEST_NAME, manifest)
+    return manifest
+
+
+def prune_files(manifest: dict, bounds: dict) -> list[str]:
+    """File names whose recorded [min, max] of EVERY bounded column
+    intersects the requested ``bounds`` (col -> (lo, hi); either side
+    None = unbounded).  A file with null stats on a bounded column is
+    KEPT (pruning must never drop a file it cannot rule out)."""
+    keep = []
+    for fname, stats in manifest["files"].items():
+        match = True
+        for col, (lo, hi) in bounds.items():
+            st = stats.get(col)
+            if st is None or st[0] is None or st[1] is None:
+                continue                      # unknown: cannot rule out
+            if (hi is not None and st[0] > hi) or (
+                    lo is not None and st[1] < lo):
+                match = False
+                break
+        if match:
+            keep.append(fname)
+    return sorted(keep)
+
+
+def read_pruned(
+    spark,
+    path: str,
+    bounds: dict,
+    manifest: dict | None = None,
+) -> DataFrame:
+    """Range-predicate read through the skipping manifest: prune the
+    file list driver-side (zero footer opens for skipped files), read
+    only surviving files, and apply the SAME bounds as residual
+    filters — so the result equals a full scan + filter by
+    construction (the manifest only removes files that cannot match).
+    ``bounds``: col -> (lo, hi), closed interval, either side None.
+
+    NULL semantics match filter semantics: a NULL never satisfies a
+    range predicate, so rows with NULL in a bounded column are dropped
+    by the residual filter exactly as the full scan would."""
+    import json as _json
+
+    if manifest is None:
+        with open(os.path.join(path, SKIP_MANIFEST_NAME)) as f:
+            manifest = _json.load(f)
+    keep = prune_files(manifest, bounds)
+    base = spark.read.parquet(path)
+    if not keep:
+        out = base.filter(F.lit(False))       # schema-stable empty result
+    elif len(keep) == len(manifest["files"]):
+        out = base                            # nothing pruned
+    else:
+        out = spark.read.schema(base.schema).parquet(
+            *[os.path.join(path, f) for f in keep])
+    for col, (lo, hi) in bounds.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out

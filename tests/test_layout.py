@@ -228,3 +228,64 @@ def test_zorder_prunes_row_groups_on_second_column(spark, tmp_path):
     # prunes x; z must not have traded x away for y)
     zx, zxt = _row_groups_matching(zdir, "x", 10, 13)
     assert zx < zxt / 2
+
+
+def test_skipping_manifest_prunes_files_and_preserves_answers(spark, tmp_path):
+    """(r12) the file-skipping manifest: zorder_write publishes per-file
+    min/max from the parquet FOOTERS; read_pruned consults it BEFORE
+    planning (driver-side file-list pruning, zero footer opens on
+    skipped files) and must (a) read strictly fewer files than the
+    directory holds, (b) return exactly the rows a full scan + filter
+    returns, (c) keep files it cannot rule out, (d) stay schema-stable
+    when nothing matches."""
+    import json
+    import os
+
+    from hbase_snapshot_spark.operators.layout import (
+        SKIP_MANIFEST_NAME,
+        prune_files,
+        read_pruned,
+    )
+
+    rows = [((i * 2531) % 4096 // 64, (i * 2531) % 4096 % 64, f"p{i}")
+            for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long, payload string")
+    zdir = str(tmp_path / "z")
+    zorder_write(df, ["x", "y"], zdir, n_partitions=16)
+
+    man = json.load(open(os.path.join(zdir, SKIP_MANIFEST_NAME)))
+    assert man["columns"] == ["x", "y"]
+    assert len(man["files"]) >= 8
+
+    bounds = {"y": (10, 13)}
+    keep = prune_files(man, bounds)
+    assert 0 < len(keep) < len(man["files"])       # (a) strictly pruned
+
+    got = read_pruned(spark, zdir, bounds)
+    want = (spark.read.parquet(zdir)
+            .filter("y >= 10 AND y <= 13"))
+    assert sorted(r.payload for r in got.collect()) == \
+           sorted(r.payload for r in want.collect())          # (b)
+    assert got.count() == 4 * 64
+
+    # and the scan really touched only the kept files
+    leaf = got._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    it = leaf.metrics().iterator()
+    mets = {}
+    while it.hasNext():
+        kv = it.next()
+        mets[kv._1()] = kv._2().value()
+    assert mets["numFiles"] == len(keep)
+
+    # (c) a file with unknown stats on the bounded column is KEPT
+    crippled = json.loads(json.dumps(man))
+    some = next(iter(crippled["files"]))
+    crippled["files"][some]["y"] = [None, None]
+    assert some in prune_files(crippled, bounds)
+
+    # both-sided and one-sided bounds compose
+    assert set(prune_files(man, {"x": (None, 3), "y": (10, 13)})) <= set(keep)
+
+    # (d) empty match: schema survives, zero rows
+    empty = read_pruned(spark, zdir, {"y": (9999, 10000)})
+    assert empty.columns == ["x", "y", "payload"] and empty.count() == 0

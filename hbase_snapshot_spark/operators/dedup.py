@@ -18,36 +18,46 @@ from pyspark.sql import functions as F
 
 from hbase_snapshot_spark.functions import WS_RE, cosine, word_tokens, hex4_to_int
 
-#: modulus of the affine minhash family — the Mersenne prime 2^61-1.
-#: a_i*x + b_i stays < 2^63 (see _mh_params), so the % is exact 64-bit
-#: signed arithmetic in BOTH engines (Spark bigint and DuckDB BIGINT
-#: agree on % for non-negative operands; no HUGEINT promotion fires).
-MH_PRIME = (1 << 61) - 1
+#: modulus of the affine minhash family — the Mersenne prime 2^31-1.
+#: The base hash x folds to [0, 2^31-1) first, so with a_i < p and
+#: b_i < p the whole expression a_i*x' + b_i stays < 2^62 + 2^31 <
+#: 2^63: exact 64-bit signed arithmetic in BOTH engines (Spark bigint
+#: and DuckDB BIGINT agree on % for non-negative operands; no HUGEINT
+#: promotion fires).  p = 2^31-1 instead of 2^61-1 because the 61-bit
+#: prime forced a_i ≤ 2047 for overflow safety — and any a_i with
+#: a_i·2^52 < p never wraps the modulus at all, making h_i strictly
+#: MONOTONE in x (its min is always the min-x shingle): several of the
+#: 8 default hash functions were perfectly correlated, quietly bending
+#: the LSH band-collision S-curve.  Over the 31-bit prime every a_i
+#: spans the full multiplier range and every product wraps ~2^31
+#: times.
+MH_PRIME = (1 << 31) - 1
 
 #: bump when the signature formula changes — persisted LSH indexes
 #: carry it (minhash_index) and delta_dedup_pairs validates it: an
 #: index hashed with a different formula joins a different band family
-#: and silently finds ~nothing.  v2 = r12 affine-over-one-md5 family
-#: (v1 was min over md5(f"{i}:{shingle}") prefixes, 8 md5s/shingle).
-MH_FORMULA_VERSION = 2
+#: and silently finds ~nothing.  v3 = full-range affine family mod
+#: 2^31-1 (v2 was the short-lived small-multiplier family mod 2^61-1,
+#: monotone for small a_i; v1 was min over md5(f"{i}:{shingle}")
+#: prefixes, 8 md5s/shingle).
+MH_FORMULA_VERSION = 3
 
 
 def _mh_params(i: int) -> tuple[int, int]:
     """Deterministic (a_i, b_i) of the i-th affine minhash function
-    h_i(x) = (a_i*x + b_i) % MH_PRIME over the 52-bit md5 prefix x.
+    h_i(x) = (a_i·(x mod p) + b_i) mod p, p = MH_PRIME = 2^31-1, over
+    the 52-bit md5 prefix x.
 
     Seeded from md5 so every engine/process derives the same family
-    with no RNG state.  Bounds are overflow-driven, not statistical:
-    a_i in [1, 2047] (11 bits) and b_i < 2^52 keep
-    a_i*x + b_i < 2^63 + 2^52 ... < 2^63 for x < 2^52, so the whole
-    expression is exact in 64-bit signed arithmetic on both the Spark
-    and DuckDB side.  The small-a family is weaker than textbook
-    universal hashing but pairwise collisions still need
-    a_i*(x1-x2) ≡ 0 (mod 2^61-1) with |a_i*(x1-x2)| < 2^63 — only
-    multiples of the prime collide, which md5-distributed x never
-    produces in practice."""
-    a = 1 + int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:8], 16) % 2047
-    b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:13], 16)
+    with no RNG state.  a_i is uniform in [1, p-1] and b_i in [0, p-1]
+    — the textbook universal family over Z_p, every multiplier
+    full-range (see MH_PRIME for why the modulus is 31-bit: overflow
+    exactness AND thorough wrapping are only simultaneously available
+    below 2^31.5).  Folding x to x mod p costs a 2^-31 collision on
+    distinct shingles — immaterial for a min aggregate."""
+    a = 1 + int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:13], 16) % (
+        MH_PRIME - 1)
+    b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:13], 16) % MH_PRIME
     return a, b
 
 
@@ -181,11 +191,13 @@ def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
     """MinHash signature via an affine universal-hash family over ONE
-    md5 per shingle: x = 52-bit md5 prefix of the shingle, then
-    hash_i(doc) = min over shingles of (a_i*x + b_i) % MH_PRIME
-    (textbook minhash — each h_i approximates an independent random
-    permutation).  Computed as num_hashes min aggregates over the
-    exploded shingle index — one shuffle, no UDFs.
+    md5 per shingle: x = the shingle's 52-bit md5 prefix folded to
+    [0, 2^31-1), then hash_i(doc) = min over shingles of
+    (a_i*x + b_i) % MH_PRIME with full-range a_i (textbook minhash —
+    each h_i approximates an independent random permutation; see
+    MH_PRIME/_mh_params for why 2^31-1 is the modulus and why every
+    multiplier must span it).  Computed as num_hashes min aggregates
+    over the exploded shingle index — one shuffle, no UDFs.
 
     Output columns mh0..mh{n-1} are BIGINT (r11): a long min aggregate
     compiles to HashAggregate (mutable buffer), where a hex-string min
@@ -194,11 +206,11 @@ def minhash_signature(
     scale.  r12: the per-(shingle, i) md5 — 8 md5s + 8 radix
     conversions per shingle — collapsed to ONE md5/conv per shingle
     projected BEFORE the aggregate; the per-hash work is two bigint
-    multiplies-adds.  _mh_params documents the overflow-exactness
-    bounds that keep the arithmetic identical in the DuckDB twin."""
+    multiplies-adds."""
     ex = _exploded(df, id_col).withColumn(
         "xh",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 13), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 13), 16, 10)
+        .cast("long") % F.lit(MH_PRIME),
     )
     aggs = []
     for i in range(num_hashes):
@@ -736,30 +748,45 @@ def delta_dedup_pairs(
     a mismatched index hashes a different band family, the join finds
     ~nothing, and an unvalidated pipeline would silently report "no
     duplicates" (a decontamination failure, not an error).  The check
-    reads one index row; legacy parameter-less indexes skip it."""
-    if {"num_hashes", "bands"}.issubset(index.columns):
-        has_ver = "mh_version" in index.columns
-        cols = ["num_hashes", "bands"] + (["mh_version"] if has_ver else [])
-        meta = index.select(*cols).limit(1).collect()
-        if meta and (meta[0][0] != num_hashes or meta[0][1] != bands):
-            raise ValueError(
-                f"index was built with num_hashes={meta[0][0]}, "
-                f"bands={meta[0][1]} but this batch is banded with "
-                f"num_hashes={num_hashes}, bands={bands} — a mismatch "
-                "joins two different hash families and silently finds "
-                "no duplicates")
-        # formula version: a v1 index (pre-r12 per-hash-md5 family, or a
-        # legacy index written before versions existed) hashes a
-        # DIFFERENT band family than this build — the join would find
-        # ~nothing and report "no duplicates".  Rebuild, don't guess.
-        ver = meta[0][2] if (meta and has_ver) else (1 if meta else None)
-        if ver is not None and ver != MH_FORMULA_VERSION:
-            raise ValueError(
-                f"index carries minhash formula version {ver} but this "
-                f"build uses version {MH_FORMULA_VERSION} — different "
-                "hash families join to ~nothing (a silent decontamination"
-                " failure).  Rebuild the index with minhash_index()")
-        index = index.drop(*cols)
+    reads one index row.  The formula version is validated the same way
+    (MH_FORMULA_VERSION); a parameter-less pre-versioning index RAISES
+    outright — it was necessarily hashed with an older family, so
+    "skip the check and trust it" (the pre-r12 behavior) is now a
+    guaranteed silent decontamination failure."""
+    if not {"num_hashes", "bands"}.issubset(index.columns):
+        # pre-r11 indexes carried no metadata AT ALL — and they were
+        # necessarily hashed with the v1 per-hash-md5 formula, which
+        # joins the current family to ~nothing.  Before the formula
+        # changed, skipping validation was merely trusting; now it
+        # would be a guaranteed silent decontamination failure.
+        raise ValueError(
+            "index carries no build metadata (num_hashes/bands/"
+            "mh_version columns) — it predates formula versioning and "
+            "was hashed with a different minhash family, so joining it "
+            "would silently find no duplicates.  Rebuild the index "
+            "with minhash_index()")
+    has_ver = "mh_version" in index.columns
+    cols = ["num_hashes", "bands"] + (["mh_version"] if has_ver else [])
+    meta = index.select(*cols).limit(1).collect()
+    if meta and (meta[0][0] != num_hashes or meta[0][1] != bands):
+        raise ValueError(
+            f"index was built with num_hashes={meta[0][0]}, "
+            f"bands={meta[0][1]} but this batch is banded with "
+            f"num_hashes={num_hashes}, bands={bands} — a mismatch "
+            "joins two different hash families and silently finds "
+            "no duplicates")
+    # formula version: an index from an OLDER formula (v1/v2, or one
+    # with params but no version stamp) hashes a DIFFERENT band family
+    # than this build — the join would find ~nothing and report "no
+    # duplicates".  Rebuild, don't guess.
+    ver = meta[0][2] if (meta and has_ver) else (1 if meta else None)
+    if ver is not None and ver != MH_FORMULA_VERSION:
+        raise ValueError(
+            f"index carries minhash formula version {ver} but this "
+            f"build uses version {MH_FORMULA_VERSION} — different "
+            "hash families join to ~nothing (a silent decontamination"
+            " failure).  Rebuild the index with minhash_index()")
+    index = index.drop(*cols)
     b = _banded_long(batch, id_col, num_hashes, bands).withColumnsRenamed(
         {id_col: "batch_id"}
     )

@@ -73,6 +73,7 @@ def zorder_value(
     z_col: str = "_z",
     bits: int | None = None,
     range_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Add ``z_col``: the Morton interleave of each clustering
     column's exact global rank, quantized to ``bits`` levels per
@@ -83,7 +84,9 @@ def zorder_value(
 
     Runs one count job (N for the exact bucket quantization) plus one
     global_ranks pass per column — a layout-maintenance cost, paid
-    when rewriting data, not per query.  The returned plan carries
+    when rewriting data, not per query.  A caller that already knows
+    the row count can pass ``n_rows`` to skip the count job (trusted:
+    a wrong value shifts every bucket).  The returned plan carries
     ``len(cols)`` load-bearing caches (see module docstring)."""
     if not cols:
         raise ValueError("cols must name at least one clustering column")
@@ -96,7 +99,7 @@ def zorder_value(
             f"bits; 1 ≤ bits·k ≤ {_MAX_TOTAL_BITS}")
     if z_col in df.columns:
         raise ValueError(f"column {z_col!r} already exists")
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     if n == 0:
         return df.withColumn(z_col, F.lit(0).cast("long"))
     out = df
@@ -210,7 +213,13 @@ def write_skipping_manifest(path: str, cols: list[str]) -> dict:
                 st = c.statistics
                 if (st is None or not st.has_min_max
                         or not isinstance(st.min, _STAT_TYPES)
-                        or not isinstance(st.max, _STAT_TYPES)):
+                        or not isinstance(st.max, _STAT_TYPES)
+                        # Spark's writer records NaN min/max (pyarrow's
+                        # excludes NaN rows from stats instead) — both
+                        # make the recorded range unusable for pruning,
+                        # and NaN is not valid JSON anyway
+                        or (isinstance(st.min, float) and st.min != st.min)
+                        or (isinstance(st.max, float) and st.max != st.max)):
                     ok[name] = False          # conservative: can't prune
                     stats[name] = [None, None]
                     continue
@@ -227,7 +236,16 @@ def prune_files(manifest: dict, bounds: dict) -> list[str]:
     """File names whose recorded [min, max] of EVERY bounded column
     intersects the requested ``bounds`` (col -> (lo, hi); either side
     None = unbounded).  A file with null stats on a bounded column is
-    KEPT (pruning must never drop a file it cannot rule out)."""
+    KEPT (pruning must never drop a file it cannot rule out).
+
+    NaN soundness (r12 review): parquet footer min/max EXCLUDE NaN
+    while Spark orders NaN GREATER than every double — so for a
+    float-statted column a lower-bound-only predicate (``hi is None``)
+    can be satisfied by NaN rows the stats cannot see, and pruning on
+    it would drop rows a full scan + filter returns.  Such columns are
+    skipped (file kept).  With ``hi`` set the residual ``c <= hi``
+    excludes NaN on the full-scan side too, so normal pruning is
+    sound."""
     keep = []
     for fname, stats in manifest["files"].items():
         match = True
@@ -235,6 +253,9 @@ def prune_files(manifest: dict, bounds: dict) -> list[str]:
             st = stats.get(col)
             if st is None or st[0] is None or st[1] is None:
                 continue                      # unknown: cannot rule out
+            is_float = isinstance(st[0], float) or isinstance(st[1], float)
+            if is_float and hi is None:
+                continue                      # NaN rows invisible to stats
             if (hi is not None and st[0] > hi) or (
                     lo is not None and st[1] < lo):
                 match = False

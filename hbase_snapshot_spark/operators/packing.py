@@ -36,7 +36,13 @@ def chunk_documents(
     UDFs and NO shuffle (a per-row generator, so it scales with the
     scan).  Window i covers tokens [i*stride, i*stride + chunk_tokens)
     with stride = chunk_tokens - overlap_tokens; every token is in at
-    least one window and the last window is the only short one."""
+    least one window and the last window is the only short one.
+
+    ``ws`` (r12 semantics change) is the SEPARATOR CLASS collapsed to
+    single spaces before tokenizing — it must be a regex class of
+    characters safe to replace with ' ' (the word_tokens contract),
+    NOT a general split pattern as pre-r12; tokens can therefore never
+    contain a literal space."""
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
@@ -106,7 +112,9 @@ def chunk_documents_sentences(
     chunk (kept whole — the fixed-window ``chunk_documents`` is the
     tool for pathological rows).  Adds the same ``chunk_idx`` /
     ``chunk_text`` / ``n_chunk_tokens`` columns, so packing/sharding
-    compose unchanged.
+    compose unchanged.  ``ws`` is the separator CLASS collapsed to
+    single spaces before sentence-splitting (see chunk_documents —
+    same r12 semantics change), so token counts split on ' '.
 
     Pure Catalyst, NO shuffle: the greedy assignment is one
     ``aggregate`` fold over the per-sentence token counts (state =

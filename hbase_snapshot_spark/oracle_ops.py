@@ -277,14 +277,17 @@ SELECT 'winnow' AS branch, a, b, jaccard FROM (
 """
 
 
-#: the r12 minhash base hash: ONE md5 per shingle, 52-bit prefix as
-#: BIGINT (DuckDB twin of Spark's conv(substring(md5(shingle),1,13),16,10))
-_MH_XH_CTE = ("exh AS (SELECT doc_id, "
-              "('0x' || substr(md5(shingle), 1, 13))::BIGINT AS xh FROM ex)")
+def _mh_xh_cte() -> str:
+    """the r12 minhash base hash: ONE md5 per shingle, 52-bit prefix as
+    BIGINT folded to [0, MH_PRIME) — DuckDB twin of Spark's
+    conv(substring(md5(shingle),1,13),16,10) % MH_PRIME."""
+    from hbase_snapshot_spark.operators.dedup import MH_PRIME
+    return ("exh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 13))"
+            f"::BIGINT % {MH_PRIME} AS xh FROM ex)")
 
 
 def _mh_mins(num_hashes: int) -> str:
-    """the r12 affine minhash family over the shared 52-bit base hash
+    """the r12 affine minhash family over the shared folded base hash
     ``xh``: min((a_i*xh + b_i) % MH_PRIME) — (a_i, b_i, prime) imported
     from operators.dedup so the two engines CANNOT drift, and bounded
     there so a_i*xh + b_i < 2^63 (exact BIGINT in both engines, no
@@ -298,7 +301,7 @@ def _mh_mins(num_hashes: int) -> str:
 
 
 def minhash_signature_sql(n: int = 3, num_hashes: int = 8) -> str:
-    return (f"WITH {_shingle_cte(n)}, {_MH_XH_CTE} "
+    return (f"WITH {_shingle_cte(n)}, {_mh_xh_cte()} "
             f"SELECT doc_id, {_mh_mins(num_hashes)}"
             " FROM exh GROUP BY doc_id")
 
@@ -320,7 +323,7 @@ def minhash_pairs_sql(
     )
     return f"""
 WITH {_shingle_cte(n)},
-{_MH_XH_CTE},
+{_mh_xh_cte()},
 sig AS (SELECT doc_id, {mins} FROM exh GROUP BY doc_id),
 banded AS (SELECT doc_id, {band_cols} FROM sig),
 bl AS ({band_union}),

@@ -289,3 +289,56 @@ def test_skipping_manifest_prunes_files_and_preserves_answers(spark, tmp_path):
     # (d) empty match: schema survives, zero rows
     empty = read_pruned(spark, zdir, {"y": (9999, 10000)})
     assert empty.columns == ["x", "y", "payload"] and empty.count() == 0
+
+
+def test_skipping_manifest_nan_soundness(spark, tmp_path):
+    """(r12 review) parquet footer min/max EXCLUDE NaN while Spark
+    orders NaN above every double — a lower-bound-only predicate is
+    satisfied by NaN rows the stats cannot see.  prune_files must keep
+    float-statted files under hi=None bounds (and read_pruned must
+    return the NaN rows a full scan + filter returns); with hi set,
+    NaN fails c <= hi on BOTH paths, so pruning stays active."""
+    import math
+    import os
+
+    from hbase_snapshot_spark.operators.layout import (
+        prune_files,
+        read_pruned,
+        write_skipping_manifest,
+    )
+
+    d = str(tmp_path / "nan")
+    spark.createDataFrame(
+        [(1.0, "a"), (float("nan"), "b")], "c double, p string"
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(100.0, "hi")], "c double, p string"
+    ).coalesce(1).write.parquet(d, mode="append")
+    spark.createDataFrame(
+        [(1.0, "lo"), (2.0, "lo2")], "c double, p string"
+    ).coalesce(1).write.parquet(d, mode="append")
+    man = write_skipping_manifest(d, ["c"])
+    assert len(man["files"]) == 3
+    # Spark's writer records NaN max (pyarrow's writer EXCLUDES NaN
+    # rows from stats) — either way the NaN file's stats must be
+    # nulled: unusable for pruning, and NaN is not valid JSON
+    assert [None, None] in [st["c"] for st in man["files"].values()]
+
+    # lower-bound-only: the NaN file (null stats) is kept, and the
+    # clean float-statted files are ALSO kept (hi=None → NaN rows a
+    # convention-following writer hides could satisfy c >= lo)
+    assert len(prune_files(man, {"c": (5.0, None)})) == 3
+    got = read_pruned(spark, d, {"c": (5.0, None)})
+    want = spark.read.parquet(d).filter("c >= 5.0")
+    assert sorted(r.p for r in got.collect()) == \
+           sorted(r.p for r in want.collect()) == ["b", "hi"]
+    assert any(math.isnan(r.c) for r in got.collect())
+
+    # two-sided: NaN fails c <= hi on both paths — float pruning is
+    # active again; the clean out-of-range file is pruned, the
+    # null-stats NaN file is conservatively kept and the residual
+    # filter drops its rows
+    kept = prune_files(man, {"c": (5.0, 200.0)})
+    assert len(kept) == 2
+    got2 = read_pruned(spark, d, {"c": (5.0, 200.0)})
+    assert [r.p for r in got2.collect()] == ["hi"]

@@ -3242,6 +3242,11 @@ def test_delta_dedup_rejects_stale_formula_version(spark):
     legacy = idx.drop("mh_version")
     with pytest.raises(ValueError, match="formula version"):
         dedup.delta_dedup_pairs(batch, legacy, corpus)
+    # a fully metadata-less pre-r11 index raises too (it cannot be the
+    # current family; skipping validation would silently find nothing)
+    bare = idx.drop("num_hashes", "bands", "mh_version")
+    with pytest.raises(ValueError, match="no build metadata"):
+        dedup.delta_dedup_pairs(batch, bare, corpus)
     # current version passes through
     out = dedup.delta_dedup_pairs(batch, idx, corpus, threshold=0.3)
     assert [(r.batch_id, r.corpus_id) for r in out.collect()] == [("b1", "c1")]
@@ -3618,3 +3623,31 @@ def test_shingles_vtab_parity_with_oracle(spark, tmp_path):
         f"WITH {oracle_ops._shingle_cte(3)} SELECT doc_id, s FROM sh"
     ).fetchall()}
     assert got == want
+
+
+def test_minhash_family_wraps_and_permutes():
+    """(r12 review) the short-lived v2 family (a_i ≤ 2047 mod 2^61-1)
+    left several hash functions strictly MONOTONE in the base hash —
+    their min was always the min-x shingle, so nominally independent
+    LSH rows were perfectly correlated.  The v3 family (full-range a_i
+    mod 2^31-1) must (a) stay inside exact int64 arithmetic, (b) wrap
+    the modulus on essentially every product, and (c) rank a shared
+    shingle set DIFFERENTLY per hash function — distinct argmins, and
+    not simply 'smallest x wins everywhere'."""
+    import hashlib as _hl
+
+    from hbase_snapshot_spark.operators.dedup import MH_PRIME, _mh_params
+
+    xs = [int(_hl.md5(f"sh-{j}".encode()).hexdigest()[:13], 16) % MH_PRIME
+          for j in range(500)]
+    xmin_pos = xs.index(min(xs))
+    argmins = set()
+    for i in range(8):
+        a, b = _mh_params(i)
+        assert 1 <= a < MH_PRIME and 0 <= b < MH_PRIME
+        assert a * (MH_PRIME - 1) + b < (1 << 63)          # (a) exact
+        assert a * max(xs) + b >= MH_PRIME * 2             # (b) wraps
+        hs = [(a * x + b) % MH_PRIME for x in xs]
+        argmins.add(hs.index(min(hs)))
+    assert len(argmins) >= 4                               # (c) permutes
+    assert argmins != {xmin_pos}

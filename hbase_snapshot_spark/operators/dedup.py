@@ -5,8 +5,9 @@ Design for 100 TB: no pairwise O(n²) anywhere on the main path —
 candidate generation is always a bucket/equi-join (shingle inverted
 index, LSH band buckets, simhash half-fingerprint pigeonhole, cluster
 blocking), with exact verification only inside candidate groups.  Hashes
-are md5-based (portable to the DuckDB oracle); min over hex strings is
-well-defined in both engines (ASCII lexicographic).
+are md5-based (portable to the DuckDB oracle); minhash rides a numeric
+affine family over one md5 per shingle (MH_PRIME/_mh_params — exact
+int64 arithmetic in both engines, HashAggregate-friendly mins).
 """
 
 from __future__ import annotations

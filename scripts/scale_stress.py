@@ -129,6 +129,12 @@ _NORM = [
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(X)"),
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     (re.compile(r"cachedPlan=\d+"), "cachedPlan=N"),
+    # ExistingRDD prints the session-global RDD counter
+    # (MapPartitionsRDD[984]) — it shifts with how many jobs ran before
+    # plan capture (a cosmetic r12 false-DIVERGED when the zorder
+    # ladder row changed the pre-capture job count), never with plan
+    # shape
+    (re.compile(r"RDD\[\d+\]"), "RDD[N]"),
 ]
 
 
@@ -305,7 +311,7 @@ def measure(sf_dir: str, label: str) -> tuple[dict, dict, dict]:
     # are floor-dominated (BASELINE §J: ~0.15-0.3s fixed Spark cost
     # against 0.4s baselines), so the tracked scale signal is the
     # exponent here, not the bench ratio (VERDICT r11 Next #6)
-    for op in ("ann_topk", "text_pipeline"):
+    for op in ("ann_topk", "text_pipeline", "zorder_write"):
         best = None
         for _ in range(3):
             t0 = time.time()

@@ -32,16 +32,42 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    allow_unpartitioned: bool = False,
 ) -> DataFrame:
     """left rows + the newest right row at-or-before each left row.
 
     ``on``: ordering column (same name both sides); ``by``: equality
     key columns; ``right_cols``: right columns to carry (default: all
     non-key, non-ts).  Right ``on`` value is carried as ``{on}{suffix}``
-    (NULL when no right row precedes the left row)."""
+    (NULL when no right row precedes the left row).
+
+    NULL ``on`` semantics (r12 review): a right row with NULL ts can
+    never satisfy ``right.ts <= left.ts`` (SQL three-valued logic; the
+    DuckDB ASOF oracle agrees), so such rows are EXCLUDED — previously
+    NULLS-FIRST ordering sorted them before every row and
+    last(ignorenulls) carried their payload into every left row with no
+    genuine predecessor.  A LEFT row with NULL ts matches nothing
+    (all-NULL carry), for the same reason.
+
+    ``by=[]`` degenerates to ONE unpartitioned window task over
+    left ∪ right — the single-task funnel this codebase's scale
+    posture forbids.  Deliberate small-data use requires
+    ``allow_unpartitioned=True``; otherwise raise."""
     by = by or []
+    if not by and not allow_unpartitioned:
+        raise ValueError(
+            "asof_join without `by` sorts the ENTIRE left ∪ right "
+            "through one unpartitioned window task — pass the equality "
+            "key columns, or allow_unpartitioned=True if both sides "
+            "are genuinely driver-small")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    reserved = {"_side", "_r"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with asof_join's "
+            "working columns — rename them first")
 
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(
         "struct<" + ",".join(
@@ -49,16 +75,17 @@ def asof_join(
             + [f"`{c}`:" + dict(right.dtypes)[c] for c in right_cols]
         ) + ">"
     ))
-    rhs = right.select(
+    rhs = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on),
         F.struct(F.col(on), *[F.col(c) for c in right_cols]).alias("_r"),
     ).withColumn("_side", F.lit(0))
-    for c in left.columns:
-        if c not in rhs.columns:
-            rhs = rhs.withColumn(c, F.lit(None))
+    rhs = rhs.select(*[
+        F.col(c) if c in rhs.columns else F.lit(None).alias(c)
+        for c in lhs.columns
+    ])
 
-    unioned = lhs.unionByName(rhs.select(lhs.columns))
+    unioned = lhs.unionByName(rhs)
     # right rows sort before left rows at equal ts (_side asc) so a right
     # row AT the left row's ts is visible to it — "at or before".  The
     # trailing _r ordering makes same-(key, ts) right-row ties
@@ -69,11 +96,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
-    out = filled.filter(F.col("_side") == 1)
-    out = out.withColumn(f"{on}{suffix}", F.col(f"_r.{on}"))
-    for c in right_cols:
-        out = out.withColumn(f"{c}{suffix}", F.col(f"_r.{c}"))
-    return out.drop("_side", "_r")
+    # ONE select, not per-column withColumn chains: O(columns) nested
+    # Projects give quadratic driver-side analysis on wide tables
+    r = F.col("_r")
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        r.getField(on).alias(f"{on}{suffix}"),
+        *[r.getField(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
 
 
 def funnel_depth(
@@ -91,7 +121,13 @@ def funnel_depth(
 
     Returns (user_col, depth, first_ts, last_ts): depth = completed
     steps, first/last = the entry/deepest-step timestamps (null when
-    depth is 0).
+    depth is 0).  Population contract: the output covers users with at
+    least one FUNNEL-TYPE event (the scan filter) — a user whose
+    events are all non-funnel types is absent, while one with
+    funnel-type events that never advance appears with depth 0.  The
+    oracle states the same population (fu = users with funnel-type
+    events); conversion denominators over "all users" must come from
+    the events table, not from this result's row count.
 
     Plan shape: ONE shuffle — filter to funnel event types at the scan,
     groupBy user with a sorted collect_list, then a pure-Catalyst
@@ -169,7 +205,12 @@ def cohort_retention(
     cohort min is a second user-keyed aggregation; the final matrix
     aggregation carries matrix-sized rows.  Nothing joins or shuffles
     raw events twice, and the retention window is per-cohort over the
-    already-matrix-sized result."""
+    already-matrix-sized result.
+
+    Perioding TRUNCATES toward zero (Spark ``div`` == DuckDB ``//`` —
+    the engines agree by construction), so pre-1970 timestamps share
+    the double-width period 0 with early post-epoch ones; floor-divide
+    upstream if your event time predates the epoch."""
     period = F.expr(f"CAST({ts_col} div {period_ns} AS BIGINT)")
     up = (df.select(F.col(user_col).alias("_u"), period.alias("period"))
           .distinct())
@@ -357,7 +398,8 @@ def window_zscores(
 
     Returns (key…, window_start_s, n, z).  One count shuffle off raw
     events; statistics are a per-key window over the already
-    window-sized counts."""
+    window-sized counts.  Windowing truncates toward zero (Spark
+    ``div`` == DuckDB ``//``); see cohort_retention's pre-1970 note."""
     keys = key_cols or ["event_type"]
     w = F.expr(f"CAST({ts_col} div {window_ns} AS BIGINT)")
     per = (df.groupBy(*keys, w.alias("_w"))

@@ -184,6 +184,21 @@ def global_ranks(
         raise ValueError("order_cols must name at least one column")
     if ties not in ("row", "rank", "dense"):
         raise ValueError(f"ties must be 'row' | 'rank' | 'dense': {ties!r}")
+    if buckets is not None and buckets < 1:
+        # (r12 review) Spark's own ntile(0) is rejected at analysis
+        # time; letting 0 through here reached `_n div 0` — all-NULL
+        # tiles under non-ANSI, DIVIDE_BY_ZERO mid-job under ANSI
+        raise ValueError(f"buckets must be >= 1: {buckets!r}")
+    reserved = {"_pid", "_off", "_n", "_q", "_r", "_c", "_kc", "_wc"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # (r12 review) a same-named user column either made the
+        # fan-back join ambiguous (AMBIGUOUS_REFERENCE on _n in the
+        # percent path) or was silently DROPPED by the working-column
+        # cleanup
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with global_ranks' "
+            "working columns — rename them first")
     spark = df.sparkSession
     P = shuffle_partitions(spark, range_partitions)
     if ties != "row":
@@ -252,11 +267,14 @@ def global_ranks(
             out.withColumn("_q", F.expr(f"_n div {buckets}"))
             .withColumn("_r", F.expr(f"_n % {buckets}"))
             # greatest(_q, 1L): unreachable divisor branch, but ANSI +
-            # common-subexpression elimination can evaluate it anyway
+            # common-subexpression elimination can evaluate it anyway.
+            # rank_col is backquoted: the percent path resolves it via
+            # F.col, and an unquotable name must not parse differently
+            # here (r12 review)
             .withColumn(ntile_col, F.expr(
-                f"CASE WHEN {rank_col} <= _r * (_q + 1)"
-                f"     THEN ({rank_col} - 1) div (_q + 1) + 1"
-                f"     ELSE _r + ({rank_col} - _r * (_q + 1) - 1)"
+                f"CASE WHEN `{rank_col}` <= _r * (_q + 1)"
+                f"     THEN (`{rank_col}` - 1) div (_q + 1) + 1"
+                f"     ELSE _r + (`{rank_col}` - _r * (_q + 1) - 1)"
                 "               div greatest(_q, 1L) + 1 END"))
             .drop("_q", "_r")
         )

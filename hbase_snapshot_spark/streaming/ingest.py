@@ -68,9 +68,18 @@ def _gate_dedup_sink(
     # duplicate, so the pipeline is exactly-once end to end with plain
     # parquet.  Readers still prune on the second-level lang partition.
     def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        # repartition on (lang, doc-hash bucket), NOT lang alone: a
+        # bare repartition("lang_detected") funneled each language's
+        # whole micro-batch through ONE task — on the first
+        # availableNow drain of a 95%-English backlog that is nearly
+        # the entire corpus serialized by a single writer (r12 review;
+        # the same dominant-language straggler pack_sequences'
+        # AUTO_GROUPS exists to avoid).  8 buckets per language keeps
+        # files-per-(batch, lang) bounded while the write parallelizes.
         (
             batch.withColumn("_ingest_batch", F.lit(batch_id))
-            .repartition("lang_detected")   # one file per lang per batch
+            .repartition(F.col("lang_detected"),
+                         F.pmod(F.xxhash64("fingerprint"), F.lit(8)))
             .write.partitionBy("_ingest_batch", "lang_detected")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")

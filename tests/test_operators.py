@@ -3651,3 +3651,55 @@ def test_minhash_family_wraps_and_permutes():
         argmins.add(hs.index(min(hs)))
     assert len(argmins) >= 4                               # (c) permutes
     assert argmins != {xmin_pos}
+
+
+def test_asof_join_null_ts_and_guard_rails(spark):
+    """(r12 review) three asof_join contracts:
+    - a right row with NULL ts can never satisfy right.ts <= left.ts
+      (SQL three-valued logic; DuckDB ASOF agrees) — previously
+      NULLS-FIRST ordering carried its payload into every left row
+      with no genuine predecessor;
+    - a LEFT row with NULL ts matches nothing, same logic;
+    - by=[] (one unpartitioned window task over left ∪ right) and
+      working-column collisions raise instead of degrading."""
+    from hbase_snapshot_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", None, 99.0), ("A", 4, 11.0)], "sym string, ts long, px double")
+    trades = spark.createDataFrame(
+        [("A", 2, 100), ("A", 5, 200), ("A", None, 300)],
+        "sym string, ts long, qty long")
+    got = {(r.ts, r.qty, r.px_right, r.ts_right)
+           for r in asof_join(trades, quotes, on="ts", by=["sym"]).collect()}
+    assert got == {
+        (2, 100, None, None),    # NULL-ts quote must NOT match
+        (5, 200, 11.0, 4),
+        (None, 300, None, None),  # NULL-ts trade matches nothing
+    }
+    with pytest.raises(ValueError, match="unpartitioned"):
+        asof_join(trades, quotes, on="ts")
+    # explicit small-data opt-in still works
+    n = asof_join(trades, quotes, on="ts", by=None,
+                  allow_unpartitioned=True).count()
+    assert n == 3
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades.withColumn("_r", F.lit(1)), quotes,
+                  on="ts", by=["sym"])
+
+
+def test_global_ranks_guard_rails(spark):
+    """(r12 review) buckets=0 reached `_n div 0` (all-NULL ntile under
+    non-ANSI, DIVIDE_BY_ZERO under ANSI) and a user column named _n
+    made the percent path ambiguous / was silently dropped — both now
+    raise eagerly like order_cols/ties."""
+    from hbase_snapshot_spark.operators.ranks import global_ranks
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(9)], ["id", "v"])
+    with pytest.raises(ValueError, match="buckets"):
+        global_ranks(df, ["v", "id"], buckets=0)
+    with pytest.raises(ValueError, match="collide"):
+        global_ranks(df.withColumn("_n", F.lit(1)), ["v", "id"])
+    # rank_col needing quoting works on BOTH paths (expr is backquoted)
+    out = global_ranks(df, ["v", "id"], rank_col="my rank", buckets=3)
+    assert sorted(r["my rank"] for r in out.collect()) == list(range(1, 10))
+    spark.catalog.clearCache()

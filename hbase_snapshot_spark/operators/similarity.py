@@ -12,6 +12,29 @@ from pyspark.sql import functions as F
 from hbase_snapshot_spark.functions import cosine
 
 
+def _vector_ok(col: Column, dim: int) -> Column:
+    """TRUE iff the vector is exactly ``dim`` long with NO NULL
+    elements.  The length check alone was not enough (r12 review): a
+    correct-length vector with one NULL element NULLs the zip_with
+    distance for a whole subspace — NULL sorts FIRST under asc(), so
+    the vector silently took PQ code 0; a NULL-element QUERY made
+    F.sum skip that subspace's ADC term and ranked every candidate too
+    close; in SRP the projections went NULL and the vector fell into
+    bucket 0."""
+    return (F.size(col) == dim) & (
+        F.size(F.filter(col, lambda x: x.isNull())) == 0)
+
+
+def _vector_err(op: str, dim: int, col: Column) -> Column:
+    return F.raise_error(F.concat(
+        F.lit(f"{op}: vector must be exactly dim={dim} "
+              "non-NULL elements (got length "),
+        F.size(col).cast("string"),
+        F.lit(", nulls "),
+        F.size(F.filter(col, lambda x: x.isNull())).cast("string"),
+        F.lit(")")))
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -89,15 +112,13 @@ def ann_lsh_topk(
     planes = _srp_planes(dim, num_planes)
 
     def checked_sig(col):
-        # a dim mismatch would NULL-pad zip_with, NULL the projections,
-        # and silently collapse EVERY vector into bucket 0 (turning the
-        # bucket join into a cross product) — fail loudly instead
+        # a dim mismatch (or a NULL element — r12 review) would
+        # NULL-pad zip_with, NULL the projections, and silently
+        # collapse the vector into bucket 0 (turning the bucket join
+        # into a cross product) — fail loudly instead
         return F.when(
-            F.size(col) == dim, srp_signature(col, planes)
-        ).otherwise(F.raise_error(F.concat(
-            F.lit(f"ann_lsh_topk: embedding length != dim={dim} (got "),
-            F.size(col).cast("string"), F.lit(")"),
-        )))
+            _vector_ok(col, dim), srp_signature(col, planes)
+        ).otherwise(_vector_err("ann_lsh_topk", dim, col))
 
     v = vectors.withColumn("bucket", checked_sig(F.col(vec_col)))
     q = queries.select(
@@ -271,10 +292,9 @@ def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str) -> DataFrame:
             "trailing dim % m dimensions would silently drop from "
             "training, encoding, and ADC distances")
     d_sub = dim // m
-    checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
-        F.raise_error(F.concat(
-            F.lit(f"pq: vector length != dim={dim} (got "),
-            F.size(F.col(vec_col)).cast("string"), F.lit(")"))))
+    checked = F.when(
+        _vector_ok(F.col(vec_col), dim), F.col(vec_col)
+    ).otherwise(_vector_err("pq", dim, F.col(vec_col)))
     df = df.withColumn(vec_col, checked)
     subs = F.expr(
         f"transform(sequence(0, {m - 1}), "
@@ -510,6 +530,14 @@ def _assign_cells(
     and they land DETERMINISTICALLY in cell 0.  They stay in the index
     (dropping rows silently would be worse) but can never rank above a
     real similarity at search time (NULL fails every comparison)."""
+    clash = {"cell", "cvec", "_sim", "_rn"} & set(vectors.columns)
+    if clash:
+        # (r12 review) the crossJoin carries the centroid frame's
+        # cell/cvec columns — a same-named input column surfaces as
+        # AMBIGUOUS_REFERENCE deep inside ingest; fail at the boundary
+        raise ValueError(
+            f"vector columns {sorted(clash)} collide with the IVF "
+            "assignment's working columns — rename them first")
     scored = vectors.crossJoin(F.broadcast(cents)).select(
         "*", F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_sim")
     )
@@ -603,6 +631,36 @@ def build_ann_index(
     index fail its own load check."""
     import os
 
+    # derive + VALIDATE the index dim before anything lands on disk
+    # (r12 review): the old `.first()` read a nondeterministic row —
+    # a NULL embedding there crashed AFTER the data write (so a retry
+    # hit errorifexists), an empty corpus recorded dim=0 which
+    # permanently disabled _checked_dim, and a mixed-dim corpus
+    # silently recorded whichever dim partition order served up
+    st = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+        F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)).alias("nnull"),
+        F.sum(F.when(
+            F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) > 0, 1
+        ).otherwise(0)).alias("nelem"),
+    ).first()
+    if st.n == 0:
+        raise ValueError("build_ann_index: empty corpus — the index dim "
+                         "cannot be derived (and dim=0 would disable the "
+                         "ingest/search dim checks forever)")
+    if st.nnull or st.nelem:
+        raise ValueError(
+            f"build_ann_index: {st.nnull or 0} NULL embedding(s) and "
+            f"{st.nelem or 0} vector(s) with NULL elements — NULL "
+            "distances sort first / drop ADC terms silently; clean the "
+            "corpus first")
+    if st.dmin != st.dmax:
+        raise ValueError(
+            f"build_ann_index: mixed embedding lengths {st.dmin}.."
+            f"{st.dmax} — one index has ONE dim")
+
     cents = _make_centroids(
         vectors, num_centroids, id_col, vec_col, kmeans_iterations)
     cents.write.mode("errorifexists").parquet(
@@ -617,13 +675,12 @@ def build_ann_index(
         .mode("errorifexists").parquet(os.path.join(path, "assigned"))
     )
     n0 = spark.read.parquet(os.path.join(path, "assigned")).count()
-    dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
     manifest = {
         "format": "ivf-parquet", "version": 2,
         "num_centroids": int(n_cents),
         "kmeans_iterations": kmeans_iterations,
         "id_col": id_col, "vec_col": vec_col,
-        "dim": int(dim_row.d if dim_row else 0),
+        "dim": int(st.dmin),
         "batches": {"0": int(n0)}, "count": int(n0),
     }
     idx = AnnIndex(spark, path, manifest)
@@ -701,11 +758,8 @@ class AnnIndex:
         dim = int(self.manifest.get("dim", 0))
         if dim <= 0:
             return F.col(col)
-        return F.when(F.size(F.col(col)) == dim, F.col(col)).otherwise(
-            F.raise_error(F.concat(
-                F.lit(f"AnnIndex.{op}: vector length != index "
-                      f"dim={dim} (got "),
-                F.size(F.col(col)).cast("string"), F.lit(")"))))
+        return F.when(_vector_ok(F.col(col), dim), F.col(col)).otherwise(
+            _vector_err(f"AnnIndex.{op}", dim, F.col(col)))
 
     def _drop_batch_dirs(self, batch_id: int) -> None:
         """Remove every (cell, batch) partition directory of a batch —
@@ -740,14 +794,14 @@ class AnnIndex:
         vec_col = self.manifest["vec_col"]
         if batch_id is None:
             batch_id = 1 + max(int(b) for b in self.manifest["batches"])
-        else:
-            # unconditional: a crash BETWEEN the parquet write and the
-            # manifest write leaves phantom (cell, batch) directories
-            # the manifest has never heard of — a membership check
-            # would skip the cleanup and a corrected re-submission
-            # would leave the aborted ingest's rows in cells the new
-            # data misses
-            self._drop_batch_dirs(batch_id)
+        # unconditional, and AFTER batch-id resolution (r12 review: the
+        # auto-id path skipped it): a crash BETWEEN the parquet write
+        # and the manifest write leaves phantom (cell, batch)
+        # directories the manifest has never heard of — the auto path
+        # re-derives the SAME max+1 id on retry (the manifest never
+        # advanced), so without the drop the aborted ingest's rows
+        # survive in cells the new data misses and inflate the count
+        self._drop_batch_dirs(batch_id)
         vectors = vectors.withColumn(
             vec_col, self._checked_dim(vec_col, "add_vectors"))
         assigned = _assign_cells(vectors, self.centroids, id_col, vec_col)

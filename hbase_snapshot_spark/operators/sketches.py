@@ -262,7 +262,17 @@ def hll_estimate(sketch: DataFrame, by: list[str], m: int = 256) -> DataFrame:
 
 
 def hll_sql(key_expr: str, table: str, by: str, m: int = 256) -> str:
-    """DuckDB twin of hll_sketch → hll_estimate (one group column)."""
+    """DuckDB twin of hll_sketch → hll_estimate (one group column).
+
+    Same m==256 guard as hll_estimate (r12 review): the bucketing
+    below is hard-coded to the first TWO hex chars (256 registers), so
+    a foreign m would mis-scale alpha, the empty-register fill, and
+    the linear-counting branch — ln(m/(m-nonempty)) can even go
+    negative — while looking like plausible SQL."""
+    if m != 256:
+        raise ValueError(
+            f"hll_sql is generated for m=256 registers (2 hex chars); "
+            f"got m={m} — the register width is the sketch's identity")
     alpha = 0.7213 / (1.0 + 1.079 / m)
     return f"""
 WITH h AS (

@@ -1185,7 +1185,7 @@ def test_ann_lsh_dim_mismatch_raises(spark, vecs):
     queries = vecs.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
-    with pytest.raises(Exception, match="embedding length"):
+    with pytest.raises(Exception, match="must be exactly dim"):
         similarity.ann_lsh_topk(vecs, queries, k=3, num_planes=4, dim=99).collect()
 
 
@@ -3425,7 +3425,7 @@ def test_pq_paths_validate_dimensions(spark):
     books = sim.pq_train(vecs, m=2, num_codes=4, dim=8)
     short = spark.createDataFrame(
         [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
-    with pytest.raises(SparkRuntimeException, match="vector length != dim"):
+    with pytest.raises(SparkRuntimeException, match="must be exactly dim"):
         sim.pq_encode(vecs.unionByName(short), books, m=2, dim=8).collect()
 
 
@@ -3506,9 +3506,9 @@ def test_ann_index_phantom_batch_cleanup_and_dim_guard(spark, tmp_path):
     # dim guards
     bad = spark.createDataFrame([(300, [1.0, 2.0])],
                                 "vec_id long, embedding array<double>")
-    with pytest.raises(SparkRuntimeException, match="vector length != index dim"):
+    with pytest.raises(SparkRuntimeException, match="must be exactly dim"):
         idx2.add_vectors(bad, batch_id=9)
-    with pytest.raises(SparkRuntimeException, match="vector length != index dim"):
+    with pytest.raises(SparkRuntimeException, match="must be exactly dim"):
         idx2.search(bad.select(F.col("vec_id").alias("query_id"),
                                "embedding"), k=2).collect()
 
@@ -3703,3 +3703,43 @@ def test_global_ranks_guard_rails(spark):
     out = global_ranks(df, ["v", "id"], rank_col="my rank", buckets=3)
     assert sorted(r["my rank"] for r in out.collect()) == list(range(1, 10))
     spark.catalog.clearCache()
+
+
+def test_vector_null_element_guard(spark):
+    """(r12 review) the length-only vector guard let a correct-length
+    vector with one NULL element through: PQ's zip_with distance went
+    NULL for the whole subspace (NULL sorts FIRST under asc → silent
+    code 0), a NULL-element QUERY dropped its subspace's ADC term from
+    F.sum (every candidate ranked too close), and SRP projections went
+    NULL (silent bucket 0).  All vector chokepoints now reject NULL
+    elements loudly; build_ann_index validates the whole corpus before
+    anything lands on disk."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from hbase_snapshot_spark.operators import similarity as sim
+
+    good = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    holed = good.unionByName(spark.createDataFrame(
+        [(99, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])],
+        "vec_id long, embedding array<double>"))
+    with pytest.raises(SparkRuntimeException, match="nulls 1"):
+        sim.pq_encode(holed, sim.pq_train(good, m=2, num_codes=4, dim=8),
+                      m=2, dim=8).collect()
+    with pytest.raises(SparkRuntimeException, match="nulls 1"):
+        sim.ann_lsh_topk(holed, good.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"),
+            k=3, dim=8).collect()
+    # build-time corpus validation: NULL embeddings / NULL elements /
+    # mixed dims / empty corpus never reach disk
+    with pytest.raises(ValueError, match="NULL element"):
+        sim.build_ann_index(holed, "/tmp/never-written-1", num_centroids=2)
+    mixed = good.unionByName(spark.createDataFrame(
+        [(98, [1.0, 2.0])], "vec_id long, embedding array<double>"))
+    with pytest.raises(ValueError, match="mixed embedding lengths"):
+        sim.build_ann_index(mixed, "/tmp/never-written-2", num_centroids=2)
+    with pytest.raises(ValueError, match="empty corpus"):
+        sim.build_ann_index(good.filter("vec_id < 0"),
+                            "/tmp/never-written-3", num_centroids=2)

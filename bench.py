@@ -144,14 +144,19 @@ class Bench:
         t.append_cells(cells)
         return {"sec": time.time() - t0}
 
-    # -- randomRead: batched point Gets at 1000 random keys
+    # -- randomRead: batched point Gets at 1000 random keys.  r13: the
+    # keys go through the file-skipping manifest (cells_for_ranges —
+    # bulk_load publishes per-file row min/max) so the driver prunes
+    # the FILE LIST before Spark plans; the isin predicate remains the
+    # residual filter, so results are identical by construction.
     def point_get(self):
         from pyspark.sql import functions as F
         from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
         rng = random.Random(42)
         keys = [f"{rng.randrange(self.n_orders):012d}" for _ in range(1000)]
-        cells = self.table.cells().filter(F.col("row").isin(keys))
+        cells = self.table.cells_for_ranges([(k, k) for k in keys]).filter(
+            F.col("row").isin(keys))
         return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
 
     def _range_scan(self, span: int, seed: int):
@@ -160,11 +165,14 @@ class Bench:
 
         rng = random.Random(seed)
         pred = None
+        ranges = []
         for _ in range(100):
             s = rng.randrange(max(1, self.n_orders - span))
-            p = (F.col("row") >= f"{s:012d}") & (F.col("row") < f"{s + span:012d}")
+            lo, hi = f"{s:012d}", f"{s + span:012d}"
+            ranges.append((lo, hi))  # closed hi: superset of [lo, hi)
+            p = (F.col("row") >= lo) & (F.col("row") < hi)
             pred = p if pred is None else (pred | p)
-        cells = self.table.cells().filter(pred)
+        cells = self.table.cells_for_ranges(ranges).filter(pred)
         return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
 
     # -- scanRange10/100/1000 (PE): 100 random ranges each

@@ -169,13 +169,21 @@ class Table:
     """client/HTable.java — read surface over a cell DataFrame."""
 
     def __init__(self, cells: DataFrame, descriptor: TableDescriptor | None = None,
-                 now: int | None = None, cache_owner: str | None = None):
+                 now: int | None = None, cache_owner: str | None = None,
+                 cells_source=None):
         self.cells = cells
         self.descriptor = descriptor
         self.now = now
         # registry key for scan-stage persists (the owning StoredTable's
         # directory) — lets the table free them on manifest swap
         self.cache_owner = cache_owner
+        # optional file-pruned provider (StoredTable.cells_for_ranges
+        # bound at the same MVCC version as ``cells``): called with a
+        # list of CLOSED (lo, hi) row ranges, returns a cell stream
+        # restricted to the parquet files that can contain them.  The
+        # scan/get paths still apply their row predicates to the result
+        # — pruning only removes files that cannot match.
+        self.cells_source = cells_source
 
     def _apply_descriptor(self, scan: Scan) -> Scan:
         """compose the descriptor's family caps with the caller's Scan
@@ -216,7 +224,8 @@ class Table:
 
     def scan(self, scan: Scan | None = None) -> DataFrame:
         scan = self._apply_descriptor(scan or Scan())
-        return run_scan(self.cells, scan, cache_owner=self.cache_owner)
+        return run_scan(self.cells, scan, cache_owner=self.cache_owner,
+                        cells_source=self.cells_source)
 
     def get(self, get: Get) -> DataFrame:
         scan = Scan(
@@ -229,8 +238,13 @@ class Table:
             filter=get.filter,
         )
         scan = self._apply_descriptor(scan)
-        # single-row scan: equality beats the [start, stop) emulation
-        out = run_scan(self.cells.filter(F.col("row") == F.lit(get.row)), scan,
+        # single-row scan: equality beats the [start, stop) emulation;
+        # the pruned source first shrinks the file list to the (at most
+        # one, for a bulk-loaded segment) file covering the key
+        base = self.cells
+        if self.cells_source is not None:
+            base = self.cells_source([(get.row, get.row)])
+        out = run_scan(base.filter(F.col("row") == F.lit(get.row)), scan,
                        cache_owner=self.cache_owner)
         return out
 
@@ -242,7 +256,13 @@ class Table:
         """HTable.getRowOrBefore:472 / Store.getRowKeyAtOrBefore:980 —
         the closest row at-or-before the key (as-of point lookup)."""
         scan = self._apply_descriptor(Scan(families=[family] if family else None))
-        resolved = run_scan(self.cells, scan, cache_owner=self.cache_owner)
+        # row-key restriction commutes with resolution (masking and
+        # version counting are per-(row, family, qualifier)), so the
+        # at-or-before read only needs files with rows <= the key
+        base = self.cells
+        if self.cells_source is not None:
+            base = self.cells_source([(None, row)])
+        resolved = run_scan(base, scan, cache_owner=self.cache_owner)
         target = resolved.filter(F.col("row") <= F.lit(row)).agg(
             F.max("row").alias("row")
         )

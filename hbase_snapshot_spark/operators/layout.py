@@ -168,10 +168,25 @@ SKIP_MANIFEST_NAME = "_skipping_manifest.json"
 
 #: stat types the manifest records — primitives whose Python ordering
 #: matches Spark's SQL ordering (ints/floats numerically, strings by
-#: code point = binary UTF-8 order).  Anything else (timestamps,
-#: decimals, binary) is recorded as null = "cannot prune on this file",
-#: which is always CORRECT, just not helpful.
-_STAT_TYPES = (int, float, str, bool)
+#: code point = binary UTF-8 order).  ``bytes`` (binary row keys) are
+#: JSON-encoded as ``{"hex": ...}`` markers — hex is fixed-width with
+#: an order-preserving digit alphabet, so hex-string order == byte
+#: order, and :func:`_decode_stat` restores bytes for comparisons.
+#: Anything else (timestamps, decimals) is recorded as null = "cannot
+#: prune on this file", which is always CORRECT, just not helpful.
+_STAT_TYPES = (int, float, str, bool, bytes)
+
+
+def _encode_stat(v):
+    """JSON-safe form of a footer stat (bytes → {"hex": ...})."""
+    return {"hex": v.hex()} if isinstance(v, bytes) else v
+
+
+def _decode_stat(v):
+    """inverse of _encode_stat — manifest JSON value → comparable."""
+    if isinstance(v, dict) and "hex" in v:
+        return bytes.fromhex(v["hex"])
+    return v
 
 
 def write_skipping_manifest(path: str, cols: list[str]) -> dict:
@@ -226,7 +241,9 @@ def write_skipping_manifest(path: str, cols: list[str]) -> dict:
                 lo, hi = stats[name]
                 stats[name][0] = st.min if lo is None else min(lo, st.min)
                 stats[name][1] = st.max if hi is None else max(hi, st.max)
-        files[os.path.basename(f)] = stats
+        files[os.path.basename(f)] = {
+            c: [_encode_stat(v) for v in mm] for c, mm in stats.items()
+        }
     manifest = {"columns": list(cols), "files": files}
     write_json_atomic(path, SKIP_MANIFEST_NAME, manifest)
     return manifest
@@ -253,14 +270,107 @@ def prune_files(manifest: dict, bounds: dict) -> list[str]:
             st = stats.get(col)
             if st is None or st[0] is None or st[1] is None:
                 continue                      # unknown: cannot rule out
-            is_float = isinstance(st[0], float) or isinstance(st[1], float)
+            smin, smax = _decode_stat(st[0]), _decode_stat(st[1])
+            is_float = isinstance(smin, float) or isinstance(smax, float)
             if is_float and hi is None:
                 continue                      # NaN rows invisible to stats
-            if (hi is not None and st[0] > hi) or (
-                    lo is not None and st[1] < lo):
+            if not _comparable_bound(smin, lo) or not _comparable_bound(
+                    smax, hi):
+                continue                      # type drift: cannot rule out
+            if (hi is not None and smin > hi) or (
+                    lo is not None and smax < lo):
                 match = False
                 break
         if match:
+            keep.append(fname)
+    return sorted(keep)
+
+
+def _comparable_bound(stat, bound) -> bool:
+    """True when ``stat > bound`` / ``stat < bound`` is a meaningful
+    total-order comparison — a str bound against a bytes-statted column
+    (or vice versa) must KEEP the file, never TypeError mid-prune."""
+    if bound is None:
+        return True
+    if isinstance(stat, bool) or isinstance(bound, bool):
+        return isinstance(stat, bool) and isinstance(bound, bool)
+    if isinstance(stat, (int, float)) and isinstance(bound, (int, float)):
+        return True
+    return isinstance(stat, type(bound)) or isinstance(bound, type(stat))
+
+
+def prune_files_ranges(manifest: dict, col: str, ranges: list) -> list[str]:
+    """Multi-range variant of :func:`prune_files` for ONE column: file
+    names whose recorded [min, max] intersects ANY of the closed
+    ``ranges`` (list of (lo, hi); either side None = unbounded).  This
+    is the scan planner's shape — a batched point-get is 1000
+    zero-width ranges, a multi-range scan is 100 of them — and a naive
+    files × ranges sweep is O(F·R); instead ranges are sorted by lo
+    with a prefix-max over hi (classic interval stabbing), so each
+    file costs one bisect: O((F + R) log R) driver-side, which holds
+    at millions of files.
+
+    Same soundness rules as prune_files: null/absent stats keep the
+    file, float-statted columns never prune a lower-bound-only range
+    (NaN invisibility), incomparable bound types keep the file."""
+    import bisect as _bisect
+
+    class _NegInf:
+        def __lt__(self, other):
+            return True
+
+        def __gt__(self, other):
+            return False
+
+    neg_inf = _NegInf()
+    # sort by lo (None = -inf first), prefix-max of hi (None = +inf)
+    norm = sorted(
+        ((lo, hi) for lo, hi in ranges),
+        key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0),
+    )
+    los = [lo if lo is not None else neg_inf for lo, _ in norm]
+    # prefix_unbounded[i]: any of ranges[0..i] has hi=None
+    prefix_hi: list = []
+    prefix_unbounded: list[bool] = []
+    best = None
+    unbounded = False
+    for _, hi in norm:
+        if hi is None:
+            unbounded = True
+        elif best is None or hi > best:
+            best = hi
+        prefix_hi.append(best)
+        prefix_unbounded.append(unbounded)
+    keep = []
+    for fname, stats in manifest["files"].items():
+        st = stats.get(col)
+        if st is None or st[0] is None or st[1] is None:
+            keep.append(fname)                # unknown: cannot rule out
+            continue
+        smin, smax = _decode_stat(st[0]), _decode_stat(st[1])
+        if isinstance(smin, float) or isinstance(smax, float):
+            # NaN rows are invisible to footer stats while Spark sorts
+            # NaN above every double: only fully-bounded ranges are
+            # sound, and mixing per-range soundness into the sweep is
+            # not worth it for a float-keyed scan — keep the file.
+            keep.append(fname)
+            continue
+        try:
+            # ranges with lo <= smax: sorted prefix [0, j)
+            j = _bisect.bisect_right(los, smax)
+        except TypeError:
+            keep.append(fname)                # type drift: keep
+            continue
+        if j == 0:
+            continue                          # every range starts above smax
+        if prefix_unbounded[j - 1]:
+            keep.append(fname)
+            continue
+        hi_best = prefix_hi[j - 1]
+        try:
+            if hi_best is not None and hi_best >= smin:
+                keep.append(fname)
+        except TypeError:
             keep.append(fname)
     return sorted(keep)
 

@@ -63,7 +63,8 @@ def release_caches(owner: "str | None") -> int:
     return len(handles)
 
 
-def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFrame:
+def run_scan(cells: DataFrame, scan, cache_owner: str | None = None,
+             cells_source=None) -> DataFrame:
     """Execute a client.Scan against a raw cell DataFrame.
 
     ``cache_owner``: registry key for any persist this scan takes out,
@@ -73,7 +74,17 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
     the ENTRIES — only in-memory blocks spill), so the None bucket is
     LRU-capped at ``OWNERLESS_CACHE_CAP`` (oldest handle unpersisted on
     overflow — always safe, the plan recomputes from segment files);
-    ``release_caches(None)`` still frees the bucket eagerly."""
+    ``release_caches(None)`` still frees the bucket eagerly.
+
+    ``cells_source``: optional file-pruned provider (a StoredTable's
+    cells_for_ranges bound at the scan's MVCC version).  Once stage 1
+    has the effective [start, stop) — scan bounds tightened by the
+    filter's range hint — the provider swaps in a cell stream read
+    from only the parquet files whose per-file row min/max can
+    intersect it (the bulk_load/compact skipping manifest).  The stage
+    1 predicate is STILL applied as a residual, so the result is
+    identical by construction; the exclusive ``stop`` is passed as a
+    closed hi (a superset — never drops a matching file)."""
     spec: ResolveSpec = scan.to_spec()
     compiled = scan.filter.compile() if scan.filter is not None else None
 
@@ -96,6 +107,9 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None) -> DataFram
                 start = h_start
             if stop is None or (h_stop is not None and h_stop < stop):
                 stop = h_stop
+    if cells_source is not None and (start is not None or stop is not None):
+        # driver-side FILE pruning before Spark plans; residual below
+        cells = cells_source([(start, stop)])
     if start is not None:
         pred = F.col("row") >= F.lit(start)
     if stop is not None:

@@ -177,6 +177,7 @@ def bulk_load(
     row_bloom: bool = True,
     bloom_ndv: int = 1_000_000,
     bloom: str = "ROW",
+    stats_manifest: bool = True,
 ) -> None:
     """The HFileOutputFormat bulk-load pipeline
     (mapreduce/HFileOutputFormat.java:66 + SimpleTotalOrderPartitioner +
@@ -196,7 +197,16 @@ def bulk_load(
     ROWCOL variant: a point-COLUMN get filtering on ``_rc`` (see
     ``bloom_point_get``) skips row groups that contain the row but not
     the column.  The aux column lives only in the stored file;
-    ``StoredTable.cells()`` projects it away."""
+    ``StoredTable.cells()`` projects it away.
+
+    ``stats_manifest`` publishes the per-file ``row`` min/max skipping
+    manifest next to the data (operators/layout.py — one footer pass,
+    no data pages): the output is row-sorted, so per-file row ranges
+    are disjoint and tight, and the engine's scan planner
+    (StoredTable.cells_for_ranges) prunes the FILE LIST driver-side
+    before Spark plans — at 100 TB that is the difference between
+    opening millions of footers and opening none for a point get.
+    Disable only when the driver cannot open() the output files."""
     df = cells
     if bloom == "ROWCOL":
         df = df.withColumn(
@@ -218,6 +228,10 @@ def bulk_load(
             "parquet.bloom.filter.expected.ndv#_rc", str(bloom_ndv)
         )
     w.parquet(out_path)
+    if stats_manifest:
+        from hbase_snapshot_spark.operators.layout import write_skipping_manifest
+
+        write_skipping_manifest(out_path, ["row"])
 
 
 def bloom_point_get(

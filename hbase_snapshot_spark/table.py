@@ -335,6 +335,34 @@ def _write_json(path: str, obj) -> None:
     os.replace(tmp, path)  # atomic on POSIX — the manifest swap
 
 
+def _segment_skip_manifest(seg_dir: str) -> dict | None:
+    """the segment's file-skipping manifest, or None when the segment
+    never published one (WAL appends) — cached: segments are IMMUTABLE
+    once committed (append-only store), so a positive read never goes
+    stale.  A None (manifest absent) is NOT cached: adopt_segment may
+    publish the manifest an instant after the copy lands."""
+    from hbase_snapshot_spark.operators.layout import SKIP_MANIFEST_NAME
+
+    cached = _SKIP_MANIFEST_CACHE.get(seg_dir)
+    if cached is not None:
+        return cached
+    p = os.path.join(seg_dir, SKIP_MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    m = _read_json(p)
+    if len(_SKIP_MANIFEST_CACHE) >= _SKIP_MANIFEST_CACHE_CAP:
+        _SKIP_MANIFEST_CACHE.pop(next(iter(_SKIP_MANIFEST_CACHE)))
+    _SKIP_MANIFEST_CACHE[seg_dir] = m
+    return m
+
+
+#: FIFO-capped cache of per-segment skipping manifests: a scan-heavy
+#: server touches the same few segment dirs thousands of times; the JSON
+#: is driver-sized but re-parsing it per scan call is pure waste.
+_SKIP_MANIFEST_CACHE: dict[str, dict] = {}
+_SKIP_MANIFEST_CACHE_CAP = 256
+
+
 def _read_json(path: str):
     with open(path) as f:
         return json.load(f)
@@ -485,10 +513,68 @@ class StoredTable:
         want = [f.name for f in cell_schema(binary=m["binary"]).fields]
         return self.spark.read.parquet(*paths).select(*want)
 
+    def cells_for_ranges(self, ranges: list, version: int | None = None) -> DataFrame:
+        """the raw cell stream restricted DRIVER-SIDE to the parquet
+        files whose per-file ``row`` min/max can intersect any of the
+        closed ``ranges`` (list of (lo, hi); either side None =
+        unbounded) — the engine-side consumer of the file-skipping
+        manifest (operators/layout.py) that bulk_load / compact publish
+        with each sorted segment.
+
+        Why this path exists: Spark prunes ROW GROUPS per file only
+        AFTER scheduling a task and opening the footer — at 100 TB a
+        0.1%-selectivity scan would launch millions of tasks just to
+        discard footers.  Here the manifest (a driver-sized JSON per
+        segment, cached — segments are immutable) shrinks the FILE LIST
+        before Spark ever plans, so a point get against a bulk-loaded
+        table schedules ~1 file, not ~all of them.
+
+        Purely an optimization, never a semantic change: a segment
+        without a manifest contributes ALL its files (WAL appends —
+        unsorted, near-useless stats — deliberately skip publishing),
+        a file whose stats cannot rule the ranges out is kept, and the
+        caller still applies its own row predicate to the result
+        (pruning only removes files that cannot match)."""
+        if not ranges:
+            raise ValueError("ranges must name at least one (lo, hi) range")
+        from hbase_snapshot_spark.operators.layout import prune_files_ranges
+
+        m = self.manifest(version)
+        want = [f.name for f in cell_schema(binary=m["binary"]).fields]
+        paths: list[str] = []
+        pruned_any = False
+        for s in m["segments"]:
+            seg_dir = os.path.join(self.dir, "segments", s)
+            skip = _segment_skip_manifest(seg_dir)
+            if skip is None or "row" not in skip.get("columns", []):
+                paths.append(seg_dir)         # unprunable: read whole dir
+                continue
+            keep = prune_files_ranges(skip, "row", ranges)
+            if len(keep) < len(skip["files"]):
+                pruned_any = True
+            paths.extend(os.path.join(seg_dir, f) for f in keep)
+        if not pruned_any:
+            # same plan as the unpruned read — keeps directory-listing
+            # semantics and any cached scans reusable
+            return self.cells(version)
+        if not paths:
+            return self.spark.createDataFrame(
+                [], schema=cell_schema(binary=m["binary"]))
+        # explicit schema: file-level reads must not let an adopted
+        # segment's aux columns (ROWCOL key) pick the inferred schema
+        return (self.spark.read.schema(cell_schema(binary=m["binary"]))
+                .parquet(*paths).select(*want))
+
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
         self._check_enabled()
-        return ClientTable(self.cells(version), self.descriptor, now=now,
-                           cache_owner=self.dir)
+        # pin the MVCC read point NOW: the bound cell stream and the
+        # pruned source must resolve the same manifest version even if
+        # a commit lands between scan calls
+        v = self._head_version() if version is None else version
+        return ClientTable(self.cells(v), self.descriptor, now=now,
+                           cache_owner=self.dir,
+                           cells_source=lambda ranges: self.cells_for_ranges(
+                               ranges, version=v))
 
     def create_view(self, view_name: str, spec: ResolveSpec | None = None,
                     version: int | None = None) -> None:
@@ -590,6 +676,16 @@ class StoredTable:
             shutil.move(src_path, dst)
         else:
             shutil.copytree(src_path, dst)
+        # bulk_load outputs already carry the file-skipping manifest
+        # (it travels with the copy); backfill for prepared directories
+        # from other writers so the scan planner can prune them too
+        from hbase_snapshot_spark.operators.layout import (
+            SKIP_MANIFEST_NAME,
+            write_skipping_manifest,
+        )
+
+        if not os.path.exists(os.path.join(dst, SKIP_MANIFEST_NAME)):
+            write_skipping_manifest(dst, ["row"])
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = list(m["segments"]) + [seg]
@@ -961,7 +1057,13 @@ class StoredTable:
         )
         commit_seq = m["commit_seq"] + 1
         seg = f"seg-{commit_seq:06d}-compact-{uuid.uuid4().hex[:8]}"
-        compacted.write.parquet(os.path.join(self.dir, "segments", seg))
+        seg_dir = os.path.join(self.dir, "segments", seg)
+        compacted.write.parquet(seg_dir)
+        # the rewrite is row-sorted — publish the file-skipping manifest
+        # so cells_for_ranges can prune the compacted files driver-side
+        from hbase_snapshot_spark.operators.layout import write_skipping_manifest
+
+        write_skipping_manifest(seg_dir, ["row"])
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = keep + [seg]

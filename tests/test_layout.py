@@ -342,3 +342,77 @@ def test_skipping_manifest_nan_soundness(spark, tmp_path):
     assert len(kept) == 2
     got2 = read_pruned(spark, d, {"c": (5.0, 200.0)})
     assert [r.p for r in got2.collect()] == ["hi"]
+
+
+def test_prune_files_ranges_matches_bruteforce():
+    """(r13) the interval-stabbing sweep in prune_files_ranges must
+    agree with the obvious O(F·R) definition on randomized inputs —
+    including None bounds, zero-width (point) ranges, null-stats files
+    (always kept), float-statted files (always kept: NaN invisibility),
+    and hex-encoded bytes stats against bytes bounds."""
+    import random
+
+    from hbase_snapshot_spark.operators.layout import (
+        _decode_stat,
+        prune_files_ranges,
+    )
+
+    rng = random.Random(13)
+
+    def brute(manifest, col, ranges):
+        keep = []
+        for fname, stats in manifest["files"].items():
+            st = stats.get(col)
+            if st is None or st[0] is None or st[1] is None:
+                keep.append(fname)
+                continue
+            smin, smax = _decode_stat(st[0]), _decode_stat(st[1])
+            if isinstance(smin, float) or isinstance(smax, float):
+                keep.append(fname)
+                continue
+            for lo, hi in ranges:
+                if (lo is None or smax >= lo) and (hi is None or smin <= hi):
+                    keep.append(fname)
+                    break
+        return sorted(keep)
+
+    for trial in range(200):
+        nf, nr = rng.randrange(1, 12), rng.randrange(1, 15)
+        files = {}
+        for i in range(nf):
+            kind = rng.random()
+            if kind < 0.15:
+                st = [None, None]
+            elif kind < 0.3:
+                a = rng.uniform(0, 100)
+                st = [a, a + rng.uniform(0, 20)]
+            else:
+                a = rng.randrange(0, 1000)
+                st = [a, a + rng.randrange(0, 100)]
+            files[f"part-{i}.parquet"] = {"k": st}
+        man = {"columns": ["k"], "files": files}
+        ranges = []
+        for _ in range(nr):
+            lo = None if rng.random() < 0.2 else rng.randrange(0, 1000)
+            if rng.random() < 0.2:
+                hi = None
+            elif lo is None:
+                hi = rng.randrange(0, 1000)
+            else:
+                hi = lo + rng.randrange(0, 150)
+            ranges.append((lo, hi))
+        assert prune_files_ranges(man, "k", ranges) == brute(man, "k", ranges), (
+            trial, man, ranges)
+
+    # bytes stats round-trip through the hex encoding
+    man = {"columns": ["k"], "files": {
+        "a.parquet": {"k": [{"hex": b"aaa".hex()}, {"hex": b"ccc".hex()}]},
+        "b.parquet": {"k": [{"hex": b"mmm".hex()}, {"hex": b"zzz".hex()}]},
+    }}
+    assert prune_files_ranges(man, "k", [(b"bbb", b"ddd")]) == ["a.parquet"]
+    assert prune_files_ranges(man, "k", [(b"x", None)]) == ["b.parquet"]
+    assert prune_files_ranges(man, "k", [(None, b"b"), (b"y", b"y0")]) == [
+        "a.parquet", "b.parquet"]
+    # a str bound against bytes stats cannot be compared: keep both
+    assert prune_files_ranges(man, "k", [("bbb", "ddd")]) == [
+        "a.parquet", "b.parquet"]

@@ -830,3 +830,155 @@ def test_ownerless_scan_cache_registry_is_bounded(spark, tmp_path):
     finally:
         scan_exec.OWNERLESS_CACHE_CAP = old_cap
         scan_exec.release_caches(None)
+
+
+# ---------------------------------------------------------------------------
+# r13: the engine's own scan planner consumes the file-skipping manifest
+# (VERDICT r12 Next #1) — bulk_load/compact publish per-file row min/max,
+# StoredTable.cells_for_ranges prunes the FILE LIST driver-side, and the
+# client scan/get paths route through it with the row predicate kept as a
+# residual, so results are identical by construction.
+
+
+def _bench_like_cells(spark, n, parts):
+    return spark.range(n).repartition(parts).select(
+        F.format_string("%012d", F.col("id")).alias("row"),
+        F.lit("f").alias("family"),
+        F.lit("q").alias("qualifier"),
+        F.lit(1000).cast("long").alias("ts"),
+        F.lit(4).alias("type"),
+        F.lit(0).cast("long").alias("seq"),
+        F.format_string("v%d", F.col("id")).alias("value"),
+    )
+
+
+def test_scan_planner_prunes_files_via_skipping_manifest(spark, tmp_path):
+    """end-to-end: bulk_load publishes the manifest, adopt_segment
+    carries it, client scans/gets read FEWER files than the unpruned
+    twin with identical results; WAL segments (no manifest) stay fully
+    readable; compaction re-publishes."""
+    from hbase_snapshot_spark.client import Get, Scan, Table as ClientTable
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.operators.layout import SKIP_MANIFEST_NAME
+    from hbase_snapshot_spark.sources.tools import bulk_load
+    from hbase_snapshot_spark.table import Put, TableStore
+    import os
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("zt").add_family(FamilyDescriptor("f", max_versions=3)))
+    prep = str(tmp_path / "prep")
+    bulk_load(_bench_like_cells(spark, 4000, 8), prep, num_partitions=8)
+    assert os.path.exists(os.path.join(prep, SKIP_MANIFEST_NAME))
+    t.adopt_segment(prep, move=True)
+
+    cl = t.client()
+    unpruned = ClientTable(t.cells(), t.descriptor)
+    sc = Scan(start_row="000000000100", stop_row="000000000200")
+    got, want = cl.scan(sc), unpruned.scan(sc)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 100
+    n_all = len(set(want.inputFiles()))
+    assert len(set(got.inputFiles())) < n_all == 8
+
+    # point Get: exactly one file scheduled
+    g = cl.get(Get("000000003999"))
+    assert len(set(g.inputFiles())) == 1
+    assert [r.value for r in g.collect()] == ["v3999"]
+
+    # getRowOrBefore prunes to the files at-or-below the key
+    rb = cl.get_row_or_before("000000000150")
+    assert rb.collect()[0].row == "000000000150"
+    assert len(set(rb.inputFiles())) < n_all
+
+    # a WAL append (no manifest — unsorted, near-useless stats) must
+    # stay fully visible through the pruned path: unprunable segments
+    # contribute all their files
+    t.mutate([Put("000000000150").add("f", "q", "fresh")])
+    cl2 = t.client()
+    got2 = cl2.scan(sc)
+    vals = {r.value for r in got2.collect()}
+    assert "fresh" in vals and "v150" not in vals  # newest version wins
+    assert got2.count() == 100
+
+    # compaction rewrites sorted AND re-publishes the manifest
+    t.compact(major=True)
+    seg = t.manifest()["segments"][-1]
+    assert os.path.exists(os.path.join(
+        t.dir, "segments", seg, SKIP_MANIFEST_NAME))
+    cl3 = t.client()
+    got3 = cl3.scan(sc)
+    assert got3.count() == 100
+    assert {r.value for r in got3.collect()} == vals
+    total3 = len(set(ClientTable(t.cells(), t.descriptor).scan(sc).inputFiles()))
+    assert len(set(got3.inputFiles())) < total3
+
+
+def test_cells_for_ranges_multi_range_and_binary(spark, tmp_path):
+    """cells_for_ranges is the bench's point_get/range_scan shape: many
+    closed ranges at once; binary row keys prune through hex-encoded
+    stats (byte order == hex-string order)."""
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.sources.tools import bulk_load
+    from hbase_snapshot_spark.table import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("mt").add_family(FamilyDescriptor("f")))
+    prep = str(tmp_path / "prep")
+    bulk_load(_bench_like_cells(spark, 4000, 8), prep, num_partitions=8)
+    t.adopt_segment(prep, move=True)
+
+    keys = [f"{k:012d}" for k in (3, 777, 3999)]
+    df = t.cells_for_ranges([(k, k) for k in keys]).filter(
+        F.col("row").isin(keys))
+    assert sorted(r.row for r in df.collect()) == keys
+    assert len(set(df.inputFiles())) < 8
+
+    with pytest.raises(ValueError):
+        t.cells_for_ranges([])
+
+    # binary table: bytes keys, hex-encoded manifest stats
+    tb = store.create_table(
+        TableDescriptor("bt").add_family(FamilyDescriptor("f")), binary=True)
+    bcells = _bench_like_cells(spark, 4000, 8).select(
+        F.encode("row", "utf-8").alias("row"), "family",
+        F.encode("qualifier", "utf-8").alias("qualifier"),
+        "ts", "type", "seq", F.encode("value", "utf-8").alias("value"))
+    prep2 = str(tmp_path / "prep2")
+    bulk_load(bcells, prep2, num_partitions=8)
+    tb.adopt_segment(prep2, move=True)
+    lo, hi = b"000000000100", b"000000000199"
+    dfb = tb.cells_for_ranges([(lo, hi)]).filter(
+        (F.col("row") >= F.lit(lo)) & (F.col("row") <= F.lit(hi)))
+    assert dfb.count() == 100
+    assert len(set(dfb.inputFiles())) < 8
+
+
+def test_run_scan_residual_keeps_pruned_superset_exact(spark, tmp_path):
+    """the manifest hi is CLOSED while Scan.stop_row is exclusive — the
+    pruned file set is a superset and the stage-1 residual predicate
+    restores exactness: a stop_row landing exactly on a file boundary
+    must not leak that file's first row."""
+    from hbase_snapshot_spark.client import Scan
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.sources.tools import bulk_load
+    from hbase_snapshot_spark.table import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("et").add_family(FamilyDescriptor("f")))
+    prep = str(tmp_path / "prep")
+    bulk_load(_bench_like_cells(spark, 1000, 4), prep, num_partitions=4)
+    t.adopt_segment(prep, move=True)
+    # find a real file boundary from the manifest
+    from hbase_snapshot_spark.table import _segment_skip_manifest
+    import os
+    seg = t.manifest()["segments"][-1]
+    man = _segment_skip_manifest(os.path.join(t.dir, "segments", seg))
+    mins = sorted(st["row"][0] for st in man["files"].values())
+    boundary = mins[1]                       # first row of the 2nd file
+    out = t.client().scan(Scan(start_row="000000000000", stop_row=boundary))
+    rows = [r.row for r in out.select("row").distinct().collect()]
+    assert boundary not in rows
+    assert max(rows) < boundary

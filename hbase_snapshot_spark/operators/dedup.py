@@ -478,8 +478,15 @@ def cosine_dup_pairs(
             "the scale path, or allow_all_pairs=True to run the "
             "brute-force baseline on a small input"
         )
+    from hbase_snapshot_spark.functions import dot, l2_norm
+
+    # norms hoisted BELOW the self-join (r13): HOF bodies get no CSE,
+    # so the inlined cosine() recomputed both O(d) norms per candidate
+    # PAIR; per-row evaluation is bit-identical (same expression, same
+    # input) and the pair stage pays one dot instead of three aggregates
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
         *( [F.col(block_col).alias("blk")] if block_col else [] )
     )
     a, b = v.alias("a"), v.alias("b")
@@ -487,11 +494,15 @@ def cosine_dup_pairs(
     if block_col:
         on.append(F.col("a.blk") == F.col("b.blk"))
     joined = a.join(b, on=on[0] if len(on) == 1 else (on[0] & on[1]))
+    cos = F.when(
+        (F.col("a.nrm") > F.lit(0.0)) & (F.col("b.nrm") > F.lit(0.0)),
+        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
+    )
     return (
         joined.select(
             F.col("a.id").alias("a"),
             F.col("b.id").alias("b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+            F.round(cos, 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -538,16 +549,28 @@ def semantic_dedup(
         "cell",
         F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cent_sim"),
     )
+    from hbase_snapshot_spark.functions import dot, l2_norm
+
     w = Window.partitionBy("cell").orderBy(
         F.col("cent_sim").asc(), F.col("id").asc())
-    ranked = scored.withColumn("rk", F.row_number().over(w))
+    # the row norm rides the rank exchange once (r13 hoist): the
+    # in-cell pair filter below would otherwise recompute both O(d)
+    # norms per candidate PAIR (no CSE inside HOF bodies) — values are
+    # bit-identical, only the evaluation point moves
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nrm", l2_norm(F.col("vec")))
     a = ranked.select(F.col("cell").alias("a_cell"),
                       F.col("vec").alias("a_vec"),
+                      F.col("nrm").alias("a_nrm"),
                       F.col("rk").alias("a_rk"))
+    pair_cos = F.when(
+        (F.col("a_nrm") > F.lit(0.0)) & (F.col("nrm") > F.lit(0.0)),
+        dot(F.col("a_vec"), F.col("vec")) / (F.col("a_nrm") * F.col("nrm")),
+    )
     removed = (
         a.join(ranked, (F.col("a_cell") == F.col("cell"))
                & (F.col("a_rk") < F.col("rk")))
-        .filter(F.round(cosine(F.col("a_vec"), F.col("vec")), 6) >= eps)
+        .filter(F.round(pair_cos, 6) >= eps)
         .select("id")
         .distinct()
         .withColumn("_rm", F.lit(1))

@@ -45,14 +45,37 @@ def cosine_topk(
 ) -> DataFrame:
     """exact top-k by cosine: broadcast the (small) query set against the
     vector corpus, rank per query.  One broadcast join + one window
-    shuffle on query_id; ties broken by vec_id for determinism."""
+    shuffle on query_id; ties broken by vec_id for determinism.
+
+    r13: the L2 norms are hoisted ABOVE the cross join — HOF lambda
+    bodies get no common-subexpression elimination, so the inlined
+    ``cosine()`` form recomputed the O(d) corpus-row norm once PER
+    QUERY and the query norm once per pair (3·|Q| array aggregates per
+    row); hoisting makes it one norm per corpus row + one per query +
+    |Q| dots.  Values are bit-identical (same expressions over the
+    same inputs — only the evaluation point moves), so the DuckDB
+    oracle hash is unchanged by construction."""
+    from hbase_snapshot_spark.functions import dot, l2_norm
+
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    scored = vectors.crossJoin(F.broadcast(q)).select(
-        "query_id",
+    v = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
+    )
+    # same zero-norm guard as functions.cosine: NULL, never NaN
+    cos = F.when(
+        (F.col("_vn") > F.lit(0.0)) & (F.col("_qn") > F.lit(0.0)),
+        dot(F.col("_v"), F.col("qvec")) / (F.col("_vn") * F.col("_qn")),
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cos, 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -120,14 +143,24 @@ def ann_lsh_topk(
             _vector_ok(col, dim), srp_signature(col, planes)
         ).otherwise(_vector_err("ann_lsh_topk", dim, col))
 
-    v = vectors.withColumn("bucket", checked_sig(F.col(vec_col)))
+    # norms hoisted above the bucket join (r13, same reasoning as
+    # cosine_topk): bit-identical values, one dot per candidate pair
+    from hbase_snapshot_spark.functions import dot, l2_norm
+
+    v = vectors.withColumn("bucket", checked_sig(F.col(vec_col))).withColumn(
+        "_vn", l2_norm(F.col(vec_col)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("bucket", checked_sig(F.col("qvec")))
+    ).withColumn("bucket", checked_sig(F.col("qvec"))).withColumn(
+        "_qn", l2_norm(F.col("qvec")))
+    cos = F.when(
+        (F.col("_vn") > F.lit(0.0)) & (F.col("_qn") > F.lit(0.0)),
+        dot(F.col(vec_col), F.col("qvec")) / (F.col("_vn") * F.col("_qn")),
+    )
     scored = v.join(F.broadcast(q), on="bucket").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        F.round(cos, 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -584,11 +617,21 @@ def _score_and_rank(
     candidates: DataFrame, probes: DataFrame, k: int,
     id_col: str, vec_col: str,
 ) -> DataFrame:
-    """Exact cosine within probed cells, top-k per query."""
-    scored = candidates.join(F.broadcast(probes), on="cell").select(
+    """Exact cosine within probed cells, top-k per query.  Norms
+    hoisted to the sides of the cell join (r13): bit-identical, one
+    dot per candidate pair instead of three O(d) aggregates."""
+    from hbase_snapshot_spark.functions import dot, l2_norm
+
+    cand = candidates.withColumn("_vn", l2_norm(F.col(vec_col)))
+    prb = probes.withColumn("_qn", l2_norm(F.col("qvec")))
+    cos = F.when(
+        (F.col("_vn") > F.lit(0.0)) & (F.col("_qn") > F.lit(0.0)),
+        dot(F.col(vec_col), F.col("qvec")) / (F.col("_vn") * F.col("_qn")),
+    )
+    scored = cand.join(F.broadcast(prb), on="cell").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        F.round(cos, 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc())

@@ -214,13 +214,44 @@ def shape_checks(bench) -> dict:
     # there vs 14 in the whole tree) — the Initial Plan section carries
     # the complete tree, and cache substitution happens at analysis so
     # it is already visible there
-    return {
+    checks = {
         "rfm_no_single_partition": "SinglePartition" not in final,
         # a global sort prints "Sort [...], true, 0"
         "rfm_no_global_sort": "], true, 0" not in final,
         "rfm_cached_consumers": plan.count("InMemoryTableScan") >= 3,
         "rfm_single_source_scan": not re.search(
             r"Scan ExistingRDD|FileScan", top),
+    }
+    checks.update(pruned_scan_checks(bench))
+    return checks
+
+
+def pruned_scan_checks(bench) -> dict:
+    """(r13) the file-skipping manifest must keep pruning AT SCALE: a
+    narrow client scan against the bulk-loaded table reads strictly
+    fewer parquet files than the segment holds, a point Get reads
+    exactly one, and the pruned scan's rows EQUAL the unpruned twin's
+    (parity through the real stored-table path, per scale)."""
+    import glob as _glob
+
+    from hbase_snapshot_spark.client import Get, Scan
+    from hbase_snapshot_spark.client import Table as ClientTable
+
+    t = bench.table
+    total_files = len(_glob.glob(
+        os.path.join(t.dir, "segments", "*", "*.parquet")))
+    lo, hi = "000000000100", "000000000600"
+    sc = Scan(start_row=lo, stop_row=hi)
+    pruned = t.client().scan(sc)
+    unpruned = ClientTable(t.cells(), t.descriptor).scan(sc)
+    n_pruned, n_unpruned = pruned.count(), unpruned.count()
+    g = t.client().get(Get("000000000042"))
+    return {
+        "pruned_scan_reads_fewer_files":
+            len(set(pruned.inputFiles())) < total_files,
+        "pruned_point_get_reads_one_file":
+            len(set(g.inputFiles())) == 1 and g.count() > 0,
+        "pruned_scan_parity": n_pruned == n_unpruned and n_pruned > 0,
     }
 
 

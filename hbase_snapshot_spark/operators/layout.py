@@ -323,24 +323,30 @@ def prune_files_ranges(manifest: dict, col: str, ranges: list) -> list[str]:
             return False
 
     neg_inf = _NegInf()
-    # sort by lo (None = -inf first), prefix-max of hi (None = +inf)
-    norm = sorted(
-        ((lo, hi) for lo, hi in ranges),
-        key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0),
-    )
-    los = [lo if lo is not None else neg_inf for lo, _ in norm]
-    # prefix_unbounded[i]: any of ranges[0..i] has hi=None
-    prefix_hi: list = []
-    prefix_unbounded: list[bool] = []
-    best = None
-    unbounded = False
-    for _, hi in norm:
-        if hi is None:
-            unbounded = True
-        elif best is None or hi > best:
-            best = hi
-        prefix_hi.append(best)
-        prefix_unbounded.append(unbounded)
+    # sort by lo (None = -inf first), prefix-max of hi (None = +inf).
+    # Mixed bound TYPES across ranges (str next to bytes next to int)
+    # have no total order — pruning cannot be sound, so keep every
+    # file rather than TypeError out of a scan
+    try:
+        norm = sorted(
+            ((lo, hi) for lo, hi in ranges),
+            key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0),
+        )
+        los = [lo if lo is not None else neg_inf for lo, _ in norm]
+        # prefix_unbounded[i]: any of ranges[0..i] has hi=None
+        prefix_hi: list = []
+        prefix_unbounded: list[bool] = []
+        best = None
+        unbounded = False
+        for _, hi in norm:
+            if hi is None:
+                unbounded = True
+            elif best is None or hi > best:
+                best = hi
+            prefix_hi.append(best)
+            prefix_unbounded.append(unbounded)
+    except TypeError:
+        return sorted(manifest["files"])
     keep = []
     for fname, stats in manifest["files"].items():
         st = stats.get(col)

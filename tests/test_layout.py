@@ -416,3 +416,19 @@ def test_prune_files_ranges_matches_bruteforce():
     # a str bound against bytes stats cannot be compared: keep both
     assert prune_files_ranges(man, "k", [("bbb", "ddd")]) == [
         "a.parquet", "b.parquet"]
+
+
+def test_prune_files_ranges_mixed_bound_types_keep_all():
+    """(r13 review) bounds of incomparable types across ranges (str
+    next to int next to bytes) have no total order — the sweep must
+    keep every file, never TypeError out of a scan."""
+    from hbase_snapshot_spark.operators.layout import prune_files_ranges
+
+    man = {"columns": ["k"], "files": {
+        "a.parquet": {"k": [10, 20]},
+        "b.parquet": {"k": [100, 200]},
+    }}
+    assert prune_files_ranges(man, "k", [("x", "y"), (5, 7)]) == [
+        "a.parquet", "b.parquet"]
+    assert prune_files_ranges(man, "k", [(b"x", None), (5, 7), (None, "z")]
+                              ) == ["a.parquet", "b.parquet"]

@@ -166,6 +166,23 @@ def zorder_write(
 #: published next to the data by write_skipping_manifest / zorder_write
 SKIP_MANIFEST_NAME = "_skipping_manifest.json"
 
+
+def _data_files(path: str) -> list[str]:
+    """The data files a ``spark.read.parquet(path)`` of this directory
+    would touch: every top-level file not hidden by the `_`/`.` prefix
+    convention — NOT just ``*.parquet`` (r13 review: an adopted
+    directory written by another tool may carry suffix-less part
+    files; a manifest that silently omits them is a partial inventory
+    and pruning against it would DROP their rows)."""
+    out = []
+    for name in os.listdir(path):
+        if name.startswith(("_", ".")):
+            continue
+        p = os.path.join(path, name)
+        if os.path.isfile(p):
+            out.append(p)
+    return out
+
 #: stat types the manifest records — primitives whose Python ordering
 #: matches Spark's SQL ordering (ints/floats numerically, strings by
 #: code point = binary UTF-8 order).  ``bytes`` (binary row keys) are
@@ -207,15 +224,21 @@ def write_skipping_manifest(path: str, cols: list[str]) -> dict:
     DRIVER-ACCESSIBLE filesystem (local disk / fuse mount); the data
     files themselves can be anywhere Spark reads.  Returns the
     manifest dict."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
     from hbase_snapshot_spark.operators.artifacts import write_json_atomic
 
     files: dict[str, dict] = {}
-    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
+    for f in sorted(_data_files(path)):
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            # Spark would fail reading a non-parquet data file anyway,
+            # but the manifest must stay a COMPLETE inventory of what a
+            # directory read touches (readers use that to detect
+            # partial manifests) — record it with null stats, not omit
+            files[os.path.basename(f)] = {c: [None, None] for c in cols}
+            continue
         stats: dict[str, list] = {c: [None, None] for c in cols}
         ok: dict[str, bool] = {c: True for c in cols}
         for i in range(md.num_row_groups):
@@ -289,11 +312,15 @@ def prune_files(manifest: dict, bounds: dict) -> list[str]:
 def _comparable_bound(stat, bound) -> bool:
     """True when ``stat > bound`` / ``stat < bound`` is a meaningful
     total-order comparison — a str bound against a bytes-statted column
-    (or vice versa) must KEEP the file, never TypeError mid-prune."""
+    (or vice versa) must KEEP the file, never TypeError mid-prune.
+    Bool stats never prune (uniform rule with prune_files_ranges —
+    bool is an int subclass, so Python would happily 'compare' them,
+    but a bool-statted column is a pathological key and the two entry
+    points must apply identical soundness rules)."""
     if bound is None:
         return True
     if isinstance(stat, bool) or isinstance(bound, bool):
-        return isinstance(stat, bool) and isinstance(bound, bool)
+        return False
     if isinstance(stat, (int, float)) and isinstance(bound, (int, float)):
         return True
     return isinstance(stat, type(bound)) or isinstance(bound, type(stat))
@@ -354,11 +381,13 @@ def prune_files_ranges(manifest: dict, col: str, ranges: list) -> list[str]:
             keep.append(fname)                # unknown: cannot rule out
             continue
         smin, smax = _decode_stat(st[0]), _decode_stat(st[1])
-        if isinstance(smin, float) or isinstance(smax, float):
-            # NaN rows are invisible to footer stats while Spark sorts
-            # NaN above every double: only fully-bounded ranges are
-            # sound, and mixing per-range soundness into the sweep is
-            # not worth it for a float-keyed scan — keep the file.
+        if isinstance(smin, (float, bool)) or isinstance(smax, (float, bool)):
+            # floats: NaN rows are invisible to footer stats while
+            # Spark sorts NaN above every double — only fully-bounded
+            # ranges are sound, and mixing per-range soundness into
+            # the sweep is not worth it for a float-keyed scan.
+            # bools: never pruned on (same rule as _comparable_bound).
+            # Keep the file either way.
             keep.append(fname)
             continue
         try:
@@ -402,15 +431,24 @@ def read_pruned(
     if manifest is None:
         with open(os.path.join(path, SKIP_MANIFEST_NAME)) as f:
             manifest = _json.load(f)
-    keep = prune_files(manifest, bounds)
     base = spark.read.parquet(path)
-    if not keep:
-        out = base.filter(F.lit(False))       # schema-stable empty result
-    elif len(keep) == len(manifest["files"]):
-        out = base                            # nothing pruned
+    # a manifest that does not cover every data file in the directory
+    # is a PARTIAL inventory (stale, or from a writer whose file set
+    # changed) — pruning against it would drop the uncovered files'
+    # rows; fall back to the full scan + residual filters (r13 review)
+    on_disk = {os.path.basename(f) for f in _data_files(path)}
+    covered = set(manifest.get("files", {}))
+    if not covered or not on_disk <= covered:
+        out = base                            # unprunable, stay correct
     else:
-        out = spark.read.schema(base.schema).parquet(
-            *[os.path.join(path, f) for f in keep])
+        keep = prune_files(manifest, bounds)
+        if not keep:
+            out = base.filter(F.lit(False))   # schema-stable empty result
+        elif len(keep) == len(manifest["files"]):
+            out = base                        # nothing pruned
+        else:
+            out = spark.read.schema(base.schema).parquet(
+                *[os.path.join(path, f) for f in keep])
     for col, (lo, hi) in bounds.items():
         if lo is not None:
             out = out.filter(F.col(col) >= F.lit(lo))

@@ -335,31 +335,46 @@ def _write_json(path: str, obj) -> None:
     os.replace(tmp, path)  # atomic on POSIX — the manifest swap
 
 
-def _segment_skip_manifest(seg_dir: str) -> dict | None:
+def _segment_skip_manifest(seg_dir: str) -> "dict | None":
     """the segment's file-skipping manifest, or None when the segment
-    never published one (WAL appends) — cached: segments are IMMUTABLE
-    once committed (append-only store), so a positive read never goes
-    stale.  A None (manifest absent) is NOT cached: adopt_segment may
-    publish the manifest an instant after the copy lands."""
-    from hbase_snapshot_spark.operators.layout import SKIP_MANIFEST_NAME
+    never published one (WAL appends) or published one that is NOT a
+    complete inventory of the directory's data files (r13 review: a
+    partial manifest — e.g. written before extra files landed, or by a
+    buggy external writer — must render the segment UNPRUNABLE, not
+    silently drop the uncovered files' rows).  Cached under a lock
+    (the wire front-ends scan from server threads): segments are
+    IMMUTABLE once committed, so both the manifest and the
+    completeness verdict never go stale; an ABSENT manifest is not
+    cached — adopt_segment may publish one an instant after the copy."""
+    from hbase_snapshot_spark.operators.layout import (
+        SKIP_MANIFEST_NAME,
+        _data_files,
+    )
 
-    cached = _SKIP_MANIFEST_CACHE.get(seg_dir)
-    if cached is not None:
-        return cached
+    with _SKIP_MANIFEST_LOCK:
+        if seg_dir in _SKIP_MANIFEST_CACHE:
+            return _SKIP_MANIFEST_CACHE[seg_dir]
     p = os.path.join(seg_dir, SKIP_MANIFEST_NAME)
     if not os.path.exists(p):
         return None
     m = _read_json(p)
-    if len(_SKIP_MANIFEST_CACHE) >= _SKIP_MANIFEST_CACHE_CAP:
-        _SKIP_MANIFEST_CACHE.pop(next(iter(_SKIP_MANIFEST_CACHE)))
-    _SKIP_MANIFEST_CACHE[seg_dir] = m
+    covered = set(m.get("files", {}))
+    on_disk = {os.path.basename(f) for f in _data_files(seg_dir)}
+    if not covered or not on_disk <= covered:
+        m = None                      # partial inventory: unprunable
+    with _SKIP_MANIFEST_LOCK:
+        if len(_SKIP_MANIFEST_CACHE) >= _SKIP_MANIFEST_CACHE_CAP:
+            _SKIP_MANIFEST_CACHE.pop(next(iter(_SKIP_MANIFEST_CACHE)))
+        _SKIP_MANIFEST_CACHE[seg_dir] = m
     return m
 
 
 #: FIFO-capped cache of per-segment skipping manifests: a scan-heavy
 #: server touches the same few segment dirs thousands of times; the JSON
-#: is driver-sized but re-parsing it per scan call is pure waste.
-_SKIP_MANIFEST_CACHE: dict[str, dict] = {}
+#: is driver-sized but re-parsing (and completeness-checking) it per
+#: scan call is pure waste.  A cached None here means "present but
+#: partial — permanently unprunable" (dir + manifest are immutable).
+_SKIP_MANIFEST_CACHE: dict[str, "dict | None"] = {}
 _SKIP_MANIFEST_CACHE_CAP = 256
 
 
@@ -369,6 +384,8 @@ def _read_json(path: str):
 
 
 import threading as _threading
+
+_SKIP_MANIFEST_LOCK = _threading.Lock()
 
 #: per-table-directory in-process locks (threaded wire servers share a
 #: TableStore) + lockfile re-entrancy depth; both guarded by the RLock
@@ -567,11 +584,14 @@ class StoredTable:
 
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
         self._check_enabled()
-        # pin the MVCC read point NOW: the bound cell stream and the
-        # pruned source must resolve the same manifest version even if
-        # a commit lands between scan calls
+        # pin the MVCC read point NOW: the bound cell stream, the
+        # DESCRIPTOR (family caps/TTLs — r13 review: reading it from
+        # HEAD paired version-v data with version-v+1 caps when an
+        # alter/restore raced the two reads), and the pruned source
+        # must all resolve the same manifest version
         v = self._head_version() if version is None else version
-        return ClientTable(self.cells(v), self.descriptor, now=now,
+        desc = TableDescriptor.from_dict(self.manifest(v)["descriptor"])
+        return ClientTable(self.cells(v), desc, now=now,
                            cache_owner=self.dir,
                            cells_source=lambda ranges: self.cells_for_ranges(
                                ranges, version=v))

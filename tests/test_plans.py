@@ -982,3 +982,81 @@ def test_run_scan_residual_keeps_pruned_superset_exact(spark, tmp_path):
     rows = [r.row for r in out.select("row").distinct().collect()]
     assert boundary not in rows
     assert max(rows) < boundary
+
+
+def test_partial_skip_manifest_renders_segment_unprunable(spark, tmp_path):
+    """(r13 review finding #1) a manifest that is not a COMPLETE
+    inventory of the segment's data files must make the segment
+    unprunable — never silently drop the uncovered files' rows.  Also
+    pins the descriptor/version consistency fix: a client pinned at
+    version v resolves under version-v family caps even after an
+    alter() raced in."""
+    import json as _json
+    import os
+
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.operators.layout import SKIP_MANIFEST_NAME
+    from hbase_snapshot_spark.sources.tools import bulk_load
+    from hbase_snapshot_spark.table import (
+        TableStore,
+        _SKIP_MANIFEST_CACHE,
+        _SKIP_MANIFEST_LOCK,
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("pt").add_family(FamilyDescriptor("f")))
+    prep = str(tmp_path / "prep")
+    bulk_load(_bench_like_cells(spark, 1000, 4), prep, num_partitions=4)
+    t.adopt_segment(prep, move=True)
+    seg = os.path.join(t.dir, "segments", t.manifest()["segments"][-1])
+
+    # corrupt the manifest into a partial inventory: drop one file
+    mp = os.path.join(seg, SKIP_MANIFEST_NAME)
+    man = _json.load(open(mp))
+    dropped = sorted(man["files"])[0]
+    del man["files"][dropped]
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    with _SKIP_MANIFEST_LOCK:
+        _SKIP_MANIFEST_CACHE.clear()          # forget the complete one
+
+    # the pruned read must now equal the full read (segment unprunable)
+    full = t.cells().count()
+    ranges = [("000000000000", "000000000999")]
+    assert t.cells_for_ranges(ranges).count() == full
+    got = t.client().scan().count()
+    assert got > 0
+
+    # and the zorder-path reader applies the same rule
+    from hbase_snapshot_spark.operators.layout import read_pruned
+
+    pruned = read_pruned(spark, seg, {"row": ("000000000100",
+                                              "000000000199")})
+    want = spark.read.parquet(seg).filter(
+        "row >= '000000000100' AND row <= '000000000199'")
+    assert pruned.count() == want.count() == 100
+
+
+def test_client_descriptor_pinned_at_version(spark, tmp_path):
+    """(r13 review finding #3) client(version=v) resolves under the
+    version-v descriptor, not HEAD's: an alter() lowering maxVersions
+    after the pin must not bleed into the pinned client's reads."""
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.table import Put, TableStore
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("vt").add_family(FamilyDescriptor("f",
+                                                          max_versions=3)))
+    t.mutate([Put("r1").add("f", "q", "v1", ts=1000)])
+    t.mutate([Put("r1").add("f", "q", "v2", ts=2000)])
+    v = t._head_version()
+
+    t.alter(TableDescriptor("vt").add_family(FamilyDescriptor(
+        "f", max_versions=1)))
+    from hbase_snapshot_spark.client import Scan
+
+    old = t.client(version=v)
+    assert old.scan(Scan(max_versions=None)).count() == 2  # v's cap: 3
+    assert t.client().scan(Scan(max_versions=None)).count() == 1  # HEAD: 1

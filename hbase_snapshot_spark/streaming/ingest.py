@@ -23,9 +23,6 @@ from hbase_snapshot_spark.operators.text import (
     lang_id,
     quality_score,
 )
-from hbase_snapshot_spark.streaming.replication import (
-    stateful_streaming_dedup,
-)
 
 #: schema of the documents table (TESTDATA.md) — file-source streams
 #: must declare their schema up front
@@ -55,13 +52,19 @@ def _gate_dedup_sink(
     ).filter(F.col("quality") >= min_quality)
     if keep_langs is not None:
         gated = gated.filter(F.col("lang_detected").isin(keep_langs))
-    deduped = stateful_streaming_dedup(
-        fingerprint(gated, text_col), ["fingerprint"])
+    # cross-batch dedup via the BUILT-IN streaming dropDuplicates, not
+    # the applyInPandasWithState twin (r13, BASELINE §L.3): both have
+    # identical semantics — first occurrence emitted, later ones
+    # suppressed, per-key state checkpointed, no watermark = state
+    # kept forever — but the built-in runs entirely JVM-side while the
+    # custom op pays one Python call + pandas slice PER UNIQUE KEY
+    # (~120µs/doc — the volumetric premium component §L.3 measured).
+    # stateful_streaming_dedup remains the custom-stateful-operator
+    # pattern for shapes the built-ins can't express (HLL/CMS/quantile
+    # state, replication.py).
+    deduped = fingerprint(gated, text_col).dropDuplicates(["fingerprint"])
 
-    # foreachBatch, not the direct file sink: (a) Spark's partitioned
-    # streaming file writer cannot consume the Python state op's Arrow
-    # output (ColumnarBatchRow → UnsafeRow ClassCastException in the
-    # shuffle/file writer), and (b) partitioning each batch under its
+    # foreachBatch, not the direct file sink: partitioning each batch under its
     # batchId and OVERWRITING only that batch's partitions (dynamic
     # partitionOverwriteMode) makes the write IDEMPOTENT — a crash-retry
     # of a micro-batch replaces its own output instead of appending a
@@ -144,9 +147,9 @@ def stream_warc_ingest_corpus(
       same document rows;
     * gates: lang_id + quality_score pure projections fused into the
       micro-batch scan;
-    * cross-batch dedup: the fingerprint state store
-      (stateful_streaming_dedup) — a document seen in ANY earlier
-      micro-batch or earlier run is never appended again;
+    * cross-batch dedup: the fingerprint state store (built-in
+      streaming dropDuplicates, JVM-side — r13) — a document seen in
+      ANY earlier micro-batch or earlier run is never appended again;
     * sink: the same idempotent batch-partitioned dynamic-overwrite
       writer as stream_ingest_corpus — exactly-once end to end.
 

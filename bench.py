@@ -652,6 +652,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     calibrate(spark)  # codegen + shuffle warmup, discarded
 
+    # pre-suite settle (r13): the driver launches bench right after a
+    # 40-minute pytest run — the §H post-suite state — and §H/§O show
+    # elevated-but-under-45s windows inflating every op 1.2-3x without
+    # ever tripping the blown-attempt calm wait.  Probe until the host
+    # reads ≤1.25x the clean constant or the 3-minute budget runs out
+    # (bounded: a genuinely busy host still gets measured, just with
+    # the settle evidence on the record).  The probes are reported in
+    # the full record as settle_probes.
+    settle_probes = []
+    settle_deadline = time.time() + 180
+    while True:
+        c = calibrate(spark)
+        settle_probes.append(c["total"])
+        if c["total"] <= 1.25 * CLEAN_CALIB_SEC or time.time() >= settle_deadline:
+            break
+        time.sleep(10)
+
     sf = None
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
@@ -806,6 +823,7 @@ def main() -> int:
         "metric": "total_sec_full",
         "value": total,
         "unit": "sec",
+        "settle_probes": [round(p, 3) for p in settle_probes],
         "queries_normalized": normalized,
         "queries_median_normalized": norm_medians,
         "baseline_sec": BASELINE_SEC,

@@ -1060,3 +1060,54 @@ def test_client_descriptor_pinned_at_version(spark, tmp_path):
     old = t.client(version=v)
     assert old.scan(Scan(max_versions=None)).count() == 2  # v's cap: 3
     assert t.client().scan(Scan(max_versions=None)).count() == 1  # HEAD: 1
+
+
+def test_skip_manifest_cache_thread_safe(spark, tmp_path):
+    """(r13 review finding #2) the manifest cache evicts under a lock:
+    hammer it from 8 threads with a tiny cap — no KeyError /
+    'dict changed size' escapes, and every thread reads correct
+    manifests (the wire front-ends scan from server threads)."""
+    import json as _json
+    import os
+    import threading
+
+    from hbase_snapshot_spark import table as tbl
+
+    # build many fake immutable "segments" with trivial manifests
+    segs = []
+    for i in range(40):
+        d = tmp_path / f"seg{i}"
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"")  # inventory entry only
+        (d / "_skipping_manifest.json").write_text(_json.dumps(
+            {"columns": ["row"], "files": {"part-0.parquet": {
+                "row": [f"a{i}", f"z{i}"]}}}))
+        segs.append(str(d))
+
+    old_cap = tbl._SKIP_MANIFEST_CACHE_CAP
+    with tbl._SKIP_MANIFEST_LOCK:
+        tbl._SKIP_MANIFEST_CACHE.clear()
+    tbl._SKIP_MANIFEST_CACHE_CAP = 4
+    errors = []
+
+    def worker(seed):
+        try:
+            for k in range(300):
+                s = segs[(seed * 7 + k) % len(segs)]
+                m = tbl._segment_skip_manifest(s)
+                assert m is not None and "files" in m
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    try:
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors
+        assert len(tbl._SKIP_MANIFEST_CACHE) <= 4
+    finally:
+        tbl._SKIP_MANIFEST_CACHE_CAP = old_cap
+        with tbl._SKIP_MANIFEST_LOCK:
+            tbl._SKIP_MANIFEST_CACHE.clear()

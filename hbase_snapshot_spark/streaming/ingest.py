@@ -113,7 +113,16 @@ def stream_ingest_corpus(
     """Start (and with ``available_now`` drain) the ingest stream;
     returns the StreamingQuery.  Restarting with the same checkpoint
     resumes offsets and dedup state — a document seen in ANY earlier
-    batch (or earlier run) is never appended again."""
+    batch (or earlier run) is never appended again.
+
+    Checkpoint format note (r13): the dedup operator changed from
+    applyInPandasWithState to the built-in streaming dropDuplicates.
+    Same semantics, INCOMPATIBLE state formats — Spark refuses to
+    restart a checkpoint written by the old operator under the new
+    one (state schema mismatch at query start, loud, not silent).
+    Resuming a pre-r13 checkpoint requires re-ingesting under a fresh
+    checkpoint; the idempotent batch-partitioned sink makes the
+    re-ingest safe to point at the same output directory."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return _gate_dedup_sink(stream, output_dir, checkpoint_dir,
                             text_col, min_quality, keep_langs,

@@ -209,6 +209,15 @@ class Table:
                         f"Column family {name!r} does not exist in region "
                         f"{self.descriptor.name}"
                     )
+            # a scan with no family restriction reads ALL declared
+            # families (HRegion.getScanner:2355 fills the familyMap
+            # from the descriptor when the scan names none) — making
+            # the read set explicit also lets the TTL file-prune floor
+            # (resolve.ts_floor) see which families a time-bounded scan
+            # touches.  Only when columns is also None: addColumn with
+            # no addFamily narrows the read set to the named families.
+            if scan.families is None and scan.columns is None:
+                scan.families = list(self.descriptor.families)
             eff_v = {
                 f.name: f.max_versions for f in self.descriptor.families.values()
             }
@@ -240,10 +249,15 @@ class Table:
         scan = self._apply_descriptor(scan)
         # single-row scan: equality beats the [start, stop) emulation;
         # the pruned source first shrinks the file list to the (at most
-        # one, for a bulk-loaded segment) file covering the key
+        # one, for a bulk-loaded segment) file covering the key — plus
+        # the ts floor (time-range/TTL) so WAL segments wholly below it
+        # are skipped too (ts-only manifests; TimeRangeTracker parity)
         base = self.cells
         if self.cells_source is not None:
-            base = self.cells_source([(get.row, get.row)])
+            from hbase_snapshot_spark.resolve import ts_floor
+
+            base = self.cells_source([(get.row, get.row)],
+                                     ts_lo=ts_floor(scan.to_spec()))
         out = run_scan(base.filter(F.col("row") == F.lit(get.row)), scan,
                        cache_owner=self.cache_owner)
         return out
@@ -261,7 +275,10 @@ class Table:
         # at-or-before read only needs files with rows <= the key
         base = self.cells
         if self.cells_source is not None:
-            base = self.cells_source([(None, row)])
+            from hbase_snapshot_spark.resolve import ts_floor
+
+            base = self.cells_source([(None, row)],
+                                     ts_lo=ts_floor(scan.to_spec()))
         resolved = run_scan(base, scan, cache_owner=self.cache_owner)
         target = resolved.filter(F.col("row") <= F.lit(row)).agg(
             F.max("row").alias("row")

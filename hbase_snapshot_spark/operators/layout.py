@@ -297,8 +297,13 @@ def prune_files(manifest: dict, bounds: dict) -> list[str]:
             is_float = isinstance(smin, float) or isinstance(smax, float)
             if is_float and hi is None:
                 continue                      # NaN rows invisible to stats
-            if not _comparable_bound(smin, lo) or not _comparable_bound(
-                    smax, hi):
+            # guard the PAIRS the prune actually compares (smin>hi,
+            # smax<lo) — r13 shipped the (smin,lo)/(smax,hi) pairing,
+            # so a manifest whose min and max carry DIFFERENT types
+            # (corrupt or hand-edited) could pass the guard yet
+            # TypeError mid-prune (r13 advice)
+            if not _comparable_bound(smin, hi) or not _comparable_bound(
+                    smax, lo):
                 continue                      # type drift: cannot rule out
             if (hi is not None and smin > hi) or (
                     lo is not None and smax < lo):
@@ -429,16 +434,29 @@ def read_pruned(
     import json as _json
 
     if manifest is None:
-        with open(os.path.join(path, SKIP_MANIFEST_NAME)) as f:
-            manifest = _json.load(f)
+        try:
+            with open(os.path.join(path, SKIP_MANIFEST_NAME)) as f:
+                manifest = _json.load(f)
+        except OSError:
+            # non-driver-listable path (hdfs://, s3a://) with no
+            # caller-supplied manifest: keep-on-uncertainty — plain
+            # unpruned read + residual filters (r13 advice)
+            manifest = {"files": {}}
     base = spark.read.parquet(path)
     # a manifest that does not cover every data file in the directory
     # is a PARTIAL inventory (stale, or from a writer whose file set
     # changed) — pruning against it would drop the uncovered files'
-    # rows; fall back to the full scan + residual filters (r13 review)
-    on_disk = {os.path.basename(f) for f in _data_files(path)}
+    # rows; fall back to the full scan + residual filters (r13 review).
+    # A path the driver cannot list (URI-schemed remote data — the
+    # files only need to be SPARK-readable when the caller supplies
+    # the manifest, the pre-r13 contract) skips the completeness check:
+    # the caller-supplied manifest is trusted as the inventory.
+    try:
+        on_disk = {os.path.basename(f) for f in _data_files(path)}
+    except OSError:
+        on_disk = None
     covered = set(manifest.get("files", {}))
-    if not covered or not on_disk <= covered:
+    if not covered or (on_disk is not None and not on_disk <= covered):
         out = base                            # unprunable, stay correct
     else:
         keep = prune_files(manifest, bounds)

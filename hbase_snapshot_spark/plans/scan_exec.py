@@ -84,7 +84,12 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None,
     intersect it (the bulk_load/compact skipping manifest).  The stage
     1 predicate is STILL applied as a residual, so the result is
     identical by construction; the exclusive ``stop`` is passed as a
-    closed hi (a superset — never drops a matching file)."""
+    closed hi (a superset — never drops a matching file).  A
+    time-range / TTL spec additionally passes :func:`resolve.ts_floor`
+    as ``ts_lo`` — the TimeRangeTracker-parity file prune (sound floor
+    only; the masked stream still applies the full time predicates)."""
+    from hbase_snapshot_spark.resolve import ts_floor
+
     spec: ResolveSpec = scan.to_spec()
     compiled = scan.filter.compile() if scan.filter is not None else None
 
@@ -107,9 +112,12 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None,
                 start = h_start
             if stop is None or (h_stop is not None and h_stop < stop):
                 stop = h_stop
-    if cells_source is not None and (start is not None or stop is not None):
+    ts_lo = ts_floor(spec)
+    if cells_source is not None and (
+            start is not None or stop is not None or ts_lo is not None):
         # driver-side FILE pruning before Spark plans; residual below
-        cells = cells_source([(start, stop)])
+        rngs = [(start, stop)] if (start is not None or stop is not None) else []
+        cells = cells_source(rngs, ts_lo=ts_lo)
     if start is not None:
         pred = F.col("row") >= F.lit(start)
     if stop is not None:

@@ -99,6 +99,46 @@ def _ttl_predicate(spec: ResolveSpec) -> Column | None:
     return pred
 
 
+def ts_floor(spec: ResolveSpec) -> "int | None":
+    """The sound lower bound on cell ``ts`` below which a cell cannot
+    influence this scan's result — the file-level TIME pruning bound
+    (TimeRangeTracker parity: the reference records per-HFile ts
+    min/max — regionserver/TimeRangeTracker.java:147 — and skips files
+    outside the scan's range at StoreFile.Reader.shouldSeek:991 /
+    MemStore.shouldSeek:509).  None = no sound bound exists.
+
+    Two contributors, combined by max (a cell must survive both):
+
+    * ``time_range [lo, hi)``: data cells need ts in [lo, hi), and
+      tombstones are only tracked withinOrAfterTimeRange (ts >= lo —
+      mask() above), so cells with ts < lo contribute NOTHING.  The
+      UPPER side is deliberately unusable: a delete NEWER than the
+      range still masks in-range puts (tracking has no upper bound),
+      so a file wholly above the range can still change the result —
+      only the floor is a sound file-prune bound.
+
+    * TTL: expiry is applied before delete tracking (an expired
+      tombstone no longer masks — ScanQueryMatcher.java:151-154), so
+      cells below their family's cutoff contribute nothing.  Only
+      sound when the scan's read family set is KNOWN
+      (``spec.families`` is not None) and EVERY read family is
+      TTL-bounded — otherwise a file of unbounded-family cells could
+      be wrongly dropped; the bound is the min of the per-family
+      cutoffs.  ``now=None`` (wall clock) yields no TTL bound: the
+      residual predicate's later clock gives a cutoff >= any bound
+      computed here, so pruning on a driver-clock cutoff would be
+      sound, but a non-deterministic plan is not worth the window."""
+    lo = None
+    if spec.time_range is not None:
+        lo = spec.time_range[0]
+    if spec.families is not None and spec.now is not None and spec.family_ttl:
+        ttls = [spec.family_ttl.get(f) for f in spec.families]
+        if all(t is not None and t < FOREVER for t in ttls):
+            cut = min(spec.now - t * 1000 for t in ttls)
+            lo = cut if lo is None else max(lo, cut)
+    return lo
+
+
 def mask(cells: DataFrame, spec: ResolveSpec) -> DataFrame:
     """Stage 1 of the read path: family projection + TTL + tombstone
     masking + data-cell time range.  Output is the "filter slot" stream

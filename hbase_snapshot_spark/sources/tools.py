@@ -231,7 +231,23 @@ def bulk_load(
     if stats_manifest:
         from hbase_snapshot_spark.operators.layout import write_skipping_manifest
 
-        write_skipping_manifest(out_path, ["row"])
+        try:
+            # row min/max for key-range pruning; ts min/max for
+            # time-range / TTL pruning (TimeRangeTracker parity —
+            # regionserver/TimeRangeTracker.java:147 tracks per-HFile ts
+            # bounds that StoreFile.Reader.shouldSeek:991 consults)
+            write_skipping_manifest(out_path, ["row", "ts"])
+        except OSError as e:
+            # a URI-schemed / non-driver-listable out_path (hdfs://,
+            # s3a://) is perfectly valid for the WRITE; the manifest is
+            # a driver-side optimization — skip it rather than crash
+            # AFTER the expensive write completed (r13 advice)
+            import warnings
+
+            warnings.warn(
+                f"bulk_load: skipping stats manifest for {out_path!r} "
+                f"(not driver-listable: {e}); reads stay correct, just "
+                f"unpruned", RuntimeWarning)
 
 
 def bloom_point_get(

@@ -530,7 +530,8 @@ class StoredTable:
         want = [f.name for f in cell_schema(binary=m["binary"]).fields]
         return self.spark.read.parquet(*paths).select(*want)
 
-    def cells_for_ranges(self, ranges: list, version: int | None = None) -> DataFrame:
+    def cells_for_ranges(self, ranges: "list | None", version: int | None = None,
+                         ts_lo: "int | None" = None) -> DataFrame:
         """the raw cell stream restricted DRIVER-SIDE to the parquet
         files whose per-file ``row`` min/max can intersect any of the
         closed ``ranges`` (list of (lo, hi); either side None =
@@ -546,15 +547,27 @@ class StoredTable:
         before Spark ever plans, so a point get against a bulk-loaded
         table schedules ~1 file, not ~all of them.
 
+        ``ts_lo`` additionally drops files whose recorded ts MAX sits
+        below it — the TimeRangeTracker-parity time prune
+        (TimeRangeTracker.java:147 / StoreFile.shouldSeek:991): pass
+        :func:`~hbase_snapshot_spark.resolve.ts_floor`'s bound for the
+        scan's spec.  Only a FLOOR is ever sound (ts_floor's docstring:
+        deletes newer than a time range still mask), and it is what
+        carves WAL-append segments — row-unprunable, but time-clustered
+        (append_cells publishes TS-ONLY manifests for them).
+
         Purely an optimization, never a semantic change: a segment
-        without a manifest contributes ALL its files (WAL appends —
-        unsorted, near-useless stats — deliberately skip publishing),
-        a file whose stats cannot rule the ranges out is kept, and the
-        caller still applies its own row predicate to the result
-        (pruning only removes files that cannot match)."""
-        if not ranges:
-            raise ValueError("ranges must name at least one (lo, hi) range")
-        from hbase_snapshot_spark.operators.layout import prune_files_ranges
+        without a manifest contributes ALL its files, a file whose
+        stats cannot rule the ranges out is kept, and the caller still
+        applies its own row/time predicates to the result (pruning only
+        removes files that cannot match)."""
+        if not ranges and ts_lo is None:
+            raise ValueError(
+                "need at least one (lo, hi) row range or a ts_lo bound")
+        from hbase_snapshot_spark.operators.layout import (
+            prune_files,
+            prune_files_ranges,
+        )
 
         m = self.manifest(version)
         want = [f.name for f in cell_schema(binary=m["binary"]).fields]
@@ -563,13 +576,18 @@ class StoredTable:
         for s in m["segments"]:
             seg_dir = os.path.join(self.dir, "segments", s)
             skip = _segment_skip_manifest(seg_dir)
-            if skip is None or "row" not in skip.get("columns", []):
+            if skip is None:
                 paths.append(seg_dir)         # unprunable: read whole dir
                 continue
-            keep = prune_files_ranges(skip, "row", ranges)
+            cols = skip.get("columns", [])
+            keep = set(skip["files"])
+            if ranges and "row" in cols:
+                keep &= set(prune_files_ranges(skip, "row", ranges))
+            if ts_lo is not None and "ts" in cols:
+                keep &= set(prune_files(skip, {"ts": (ts_lo, None)}))
             if len(keep) < len(skip["files"]):
                 pruned_any = True
-            paths.extend(os.path.join(seg_dir, f) for f in keep)
+            paths.extend(os.path.join(seg_dir, f) for f in sorted(keep))
         if not pruned_any:
             # same plan as the unpruned read — keeps directory-listing
             # semantics and any cached scans reusable
@@ -593,8 +611,9 @@ class StoredTable:
         desc = TableDescriptor.from_dict(self.manifest(v)["descriptor"])
         return ClientTable(self.cells(v), desc, now=now,
                            cache_owner=self.dir,
-                           cells_source=lambda ranges: self.cells_for_ranges(
-                               ranges, version=v))
+                           cells_source=lambda ranges, ts_lo=None:
+                               self.cells_for_ranges(
+                                   ranges, version=v, ts_lo=ts_lo))
 
     def create_view(self, view_name: str, spec: ResolveSpec | None = None,
                     version: int | None = None) -> None:
@@ -670,12 +689,29 @@ class StoredTable:
         if "seq" not in df.columns:
             df = df.withColumn("seq", F.lit(commit_seq << _SEQ_SHIFT).cast("long"))
         seg = f"seg-{commit_seq:06d}-wal-{uuid.uuid4().hex[:8]}"
-        df.write.parquet(os.path.join(self.dir, "segments", seg))
+        seg_dir = os.path.join(self.dir, "segments", seg)
+        df.write.parquet(seg_dir)
+        self._publish_ts_manifest(seg_dir)
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = list(m["segments"]) + [seg]
         m2["commit_seq"] = commit_seq
         return self._commit(m2)
+
+    @staticmethod
+    def _publish_ts_manifest(seg_dir: str) -> None:
+        """WAL-append segments arrive in commit order, not row order —
+        per-file ROW stats would be near-useless — but they are
+        naturally TIME-clustered (each commit's cells share a recent ts
+        window), so a TS-ONLY manifest lets time-range / TTL scans skip
+        whole append segments at the file level.  TimeRangeTracker
+        parity: the reference tracks per-HFile ts bounds for exactly
+        this (regionserver/TimeRangeTracker.java:147, consumed by
+        StoreFile.Reader.shouldSeek:991 / MemStore.shouldSeek:509).
+        One footer pass over the just-written files; no data pages."""
+        from hbase_snapshot_spark.operators.layout import write_skipping_manifest
+
+        write_skipping_manifest(seg_dir, ["ts"])
 
     def _now_ms(self) -> int:
         return int(time.time() * 1000)
@@ -705,7 +741,7 @@ class StoredTable:
         )
 
         if not os.path.exists(os.path.join(dst, SKIP_MANIFEST_NAME)):
-            write_skipping_manifest(dst, ["row"])
+            write_skipping_manifest(dst, ["row", "ts"])
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = list(m["segments"]) + [seg]
@@ -820,7 +856,9 @@ class StoredTable:
         ]
         df = self.spark.createDataFrame(rows, schema=cell_schema(binary=m["binary"]))
         seg = f"seg-{commit_seq:06d}-wal-{uuid.uuid4().hex[:8]}"
-        df.write.parquet(os.path.join(self.dir, "segments", seg))
+        seg_dir = os.path.join(self.dir, "segments", seg)
+        df.write.parquet(seg_dir)
+        self._publish_ts_manifest(seg_dir)
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = list(m["segments"]) + [seg]
@@ -1080,10 +1118,12 @@ class StoredTable:
         seg_dir = os.path.join(self.dir, "segments", seg)
         compacted.write.parquet(seg_dir)
         # the rewrite is row-sorted — publish the file-skipping manifest
-        # so cells_for_ranges can prune the compacted files driver-side
+        # so cells_for_ranges can prune the compacted files driver-side;
+        # ts bounds ride along for time-range/TTL pruning
+        # (TimeRangeTracker parity — TimeRangeTracker.java:147)
         from hbase_snapshot_spark.operators.layout import write_skipping_manifest
 
-        write_skipping_manifest(seg_dir, ["row"])
+        write_skipping_manifest(seg_dir, ["row", "ts"])
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = keep + [seg]

@@ -217,6 +217,13 @@ class Bench:
     # OR-of-startswith(block-prefix) variant that parquet CAN push down
     # measured 28% slower at this sf (78-term predicate eval beats the
     # row-group skip win) — re-evaluate at real scale.
+    #
+    # r14 (VERDICT r13 Next #1b): the 100 seek bands are exactly
+    # cells_for_ranges' shape — the file-skipping manifest now prunes
+    # the FILE LIST underneath the block InSet (a no-op at 32 files
+    # where every file is hit, the §P-measured win at high file counts:
+    # the resolve input shrinks at the file level the way
+    # point_get/range_scan's already do).  The InSet stays the residual.
     def random_seek_scan(self):
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -226,15 +233,17 @@ class Bench:
         BLOCK, SPAN = 1000, 120
         rng = random.Random(59)
         seeks = []
+        ranges = []
         for i in range(100):
             s = rng.randrange(max(1, self.n_orders - SPAN))
+            ranges.append((f"{s:012d}", f"{s + SPAN:012d}"))  # closed superset
             for blk in range(s // BLOCK, (s + SPAN) // BLOCK + 1):
                 seeks.append((i, f"{s:012d}", f"{s + SPAN:012d}", blk))
         seek_df = self.spark.createDataFrame(
             seeks, "seek_id INT, start STRING, stop STRING, blk LONG"
         )
         blks = sorted({b for (_i, _s, _e, b) in seeks})
-        cells = self.table.cells().withColumn(
+        cells = self.table.cells_for_ranges(ranges).withColumn(
             "blk", F.floor(F.col("row").cast("long") / BLOCK)
         ).filter(F.col("blk").isin(blks))
         rows = resolve(cells, spec=ResolveSpec(max_versions=1))

@@ -36,7 +36,10 @@ def build_seeks(spark, n_orders):
             seeks.append((i, f"{s:012d}", f"{s + SPAN:012d}", blk))
     df = spark.createDataFrame(seeks, "seek_id INT, start STRING, stop STRING, blk LONG")
     blks = sorted({b for (_i, _s, _e, b) in seeks})
-    return df, blks
+    # the per-seek bands as closed (lo, hi) row ranges — the
+    # cells_for_ranges shape the r14 bench plan prunes files with
+    ranges = sorted({(st, sp) for (_i, st, sp, _b) in seeks})
+    return df, blks, ranges
 
 
 def plan_current(bench, seek_df):
@@ -54,13 +57,19 @@ def plan_current(bench, seek_df):
     return joined.withColumn("rk", F.dense_rank().over(w)).filter(F.col("rk") <= 100)
 
 
-def plan_pushdown(bench, seek_df, blks):
+def plan_pushdown(bench, seek_df, blks, ranges=None):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
-    cells = bench.table.cells().withColumn(
+    # r14: bench routes the seek bands through the file-skipping
+    # manifest first (cells_for_ranges — a no-op at 32 files, the
+    # file-level carve at high file counts); the block InSet stays
+    # the residual, exactly as in bench.random_seek_scan
+    base = (bench.table.cells_for_ranges(ranges) if ranges is not None
+            else bench.table.cells())
+    cells = base.withColumn(
         "blk", F.floor(F.col("row").cast("long") / 1000)
     ).filter(F.col("blk").isin(blks))
     rows = resolve(cells, spec=ResolveSpec(max_versions=1))
@@ -107,7 +116,7 @@ def main():
     workdir = tempfile.mkdtemp(prefix="seekprof-")
     b = B.Bench(spark, sf_dir, workdir)
     b.bulk_write()  # stored sorted table, untimed here
-    seek_df, blks = build_seeks(spark, b.n_orders)
+    seek_df, blks, ranges = build_seeks(spark, b.n_orders)
     print(f"n_orders={b.n_orders} blocks={len(blks)}")
 
     from hbase_snapshot_spark.resolve import ResolveSpec, resolve
@@ -118,7 +127,7 @@ def main():
     phases = {
         "resolve_full": resolve_full,
         "current": lambda: plan_current(b, seek_df).count(),
-        "pushdown": lambda: plan_pushdown(b, seek_df, blks).count(),
+        "pushdown": lambda: plan_pushdown(b, seek_df, blks, ranges).count(),
         "prefix": lambda: plan_prefix(b, seek_df, blks).count(),
     }
     results = {}
@@ -134,7 +143,7 @@ def main():
     print("PLAN current:")
     plan_current(b, seek_df).explain("formatted")
     print("PLAN pushdown:")
-    plan_pushdown(b, seek_df, blks).explain("formatted")
+    plan_pushdown(b, seek_df, blks, ranges).explain("formatted")
 
 
 if __name__ == "__main__":

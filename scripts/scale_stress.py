@@ -166,8 +166,9 @@ def pinned_plans(bench) -> dict:
     plans["resolve_single_exchange"] = plan_of(
         resolve(bench.table.cells(), spec=ResolveSpec(max_versions=1))
     )
-    seek_df, blks = build_seeks(bench.spark, bench.n_orders)
-    plans["seek_scan_pushdown"] = plan_of(plan_pushdown(bench, seek_df, blks))
+    seek_df, blks, ranges = build_seeks(bench.spark, bench.n_orders)
+    plans["seek_scan_pushdown"] = plan_of(
+        plan_pushdown(bench, seek_df, blks, ranges))
     rows = resolve(bench.table.cells(), spec=ResolveSpec(max_versions=1))
     plans["sequential_read_local_sort"] = plan_of(
         rows.repartitionByRange(B.CPUS, "row")
@@ -246,13 +247,62 @@ def pruned_scan_checks(bench) -> dict:
     unpruned = ClientTable(t.cells(), t.descriptor).scan(sc)
     n_pruned, n_unpruned = pruned.count(), unpruned.count()
     g = t.client().get(Get("000000000042"))
-    return {
+    checks = {
         "pruned_scan_reads_fewer_files":
             len(set(pruned.inputFiles())) < total_files,
         "pruned_point_get_reads_one_file":
             len(set(g.inputFiles())) == 1 and g.count() > 0,
         "pruned_scan_parity": n_pruned == n_unpruned and n_pruned > 0,
     }
+    checks.update(pruned_seek_checks(bench))
+    return checks
+
+
+def pruned_seek_checks(bench) -> dict:
+    """(r14, VERDICT r13 Next #5) the 100-seek shape through the
+    skipping manifest: at the bench's 32 files every file is hit (100
+    random 120-row bands — pruning is a designed no-op there), so the
+    invariant re-sorts the SAME cells into a 320-file segment — the
+    §P regime where the files-kept share is what shrinks at 100 TB —
+    and asserts bench.random_seek_scan's exact seek ranges (a) read
+    strictly fewer files than the segment holds and (b) return the
+    same banded cell population as the unpruned twin, at every ladder
+    scale."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshot_spark.model import FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.sources.tools import bulk_load
+    from hbase_snapshot_spark.table import TableStore
+    from profile_seek import build_seeks
+
+    _df, _blks, ranges = build_seeks(bench.spark, bench.n_orders)
+    store = TableStore(bench.spark, os.path.join(bench.workdir, "seekstore"))
+    t2 = store.create_table(
+        TableDescriptor("seek320")
+        .add_family(FamilyDescriptor("o")).add_family(FamilyDescriptor("m")))
+    prep = os.path.join(bench.workdir, "seekprep")
+    bulk_load(bench.table.cells(), prep, num_partitions=320)
+    t2.adopt_segment(prep, move=True)
+    n_files = len(_glob_files(t2))
+    band = reduce(lambda a, b: a | b,
+                  [(F.col("row") >= lo) & (F.col("row") < hi)
+                   for lo, hi in ranges])
+    pruned = t2.cells_for_ranges(ranges).filter(band)
+    full = t2.cells().filter(band)
+    return {
+        "pruned_seek_reads_fewer_files":
+            len(set(pruned.inputFiles())) < n_files == 320,
+        "pruned_seek_parity":
+            pruned.count() == full.count() > 0,
+    }
+
+
+def _glob_files(t) -> list:
+    import glob as _glob
+
+    return _glob.glob(os.path.join(t.dir, "segments", "*", "*.parquet"))
 
 
 # ----------------------------------------------------- sketch mergeability

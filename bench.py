@@ -590,7 +590,20 @@ N_ATTEMPTS = {"bulk_write": 5, "dedup_minhash": 5}
 # The ladder exponents (§I.3d, re-frozen each scale-stress run) ride
 # along as the scale-relevant signal the ratio can't see: ann_topk is
 # an EXACT scanner, near-linear by nature.
+#
+# ADVISORY-ONLY (r13 advice): the premium is an environment-frozen
+# constant — on a host whose in-suite premium is genuinely smaller,
+# the adjusted view can flatter a regression by up to ~60% of a 0.4s
+# baseline, and the bracketing probes measure host ELEVATION, not the
+# in-suite premium itself, so it cannot be re-derived per run.  The
+# RAW vs_baseline ratio in the headline is the gate; this view is the
+# diagnosis aid, emitted under an _advisory key and floored at the
+# op's §J calm re-measure (subtracting the premium may never push the
+# adjusted time below what the op measured on a CALM host — the one
+# lower bound the freeze evidence supports).
 SUBSEC_PREMIUM_SEC = {"ann_topk": 0.25, "text_pipeline": 0.24}
+#: §J calm-host re-measures: the floor the advisory adjustment clamps to
+SUBSEC_CALM_SEC = {"ann_topk": 0.45, "text_pipeline": 0.39}
 # re-frozen §I.3e (r13): the norm hoist cut ann_topk's per-row work
 # ~3x, so at 1-10x volumes the exponent reads fixed-cost-dominated
 # (0.18, was 0.44-0.76); the op is still an exact O(n) scanner
@@ -844,8 +857,13 @@ def main() -> int:
     # floor-aware view for the sub-second ops (§N): placed near the
     # TAIL of the detail dict so the driver's ~2000-char tail capture
     # always carries it (the detail line's head is what gets truncated)
+    # advisory-only (see SUBSEC_PREMIUM_SEC): raw vs_baseline is the
+    # gate; the adjustment is clamped at the §J calm re-measure so a
+    # smaller-premium host cannot be flattered below what a calm host
+    # ever measured
     vs_baseline_floor_adj = {
-        n: round(max(timings[n] - SUBSEC_PREMIUM_SEC[n], 0.0)
+        n: round(max(timings[n] - SUBSEC_PREMIUM_SEC[n],
+                     min(SUBSEC_CALM_SEC[n], timings[n]))
                  / BASELINE_SEC[n], 2)
         for n in SUBSEC_PREMIUM_SEC
         if timings.get(n) is not None
@@ -858,7 +876,7 @@ def main() -> int:
         "stability": stability,
         "probe_medians": probe_medians,
         "settle_probes": settle_probes,
-        "vs_baseline_floor_adj": vs_baseline_floor_adj,
+        "vs_baseline_floor_adj_advisory": vs_baseline_floor_adj,
         "ladder_exponent": SUBSEC_LADDER_EXPONENT,
         "calibration_clean_ref_sec": CLEAN_CALIB_SEC,
         "sf": sf,

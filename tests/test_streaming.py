@@ -942,3 +942,59 @@ def test_round_half_up_matches_spark_round(spark):
     assert got == want, (got, want)
     # the documented divergence from Python round()
     assert round(0.00035, 4) == 0.0003 and _round_half_up(0.00035, 4) == 0.0004
+
+
+def test_ingest_checkpoint_preflight_names_remedy(spark, tmp_path):
+    """(r13 VERDICT Wrong #5 / Next #6) a checkpoint carrying dedup
+    state from a different operator format must fail AT QUERY START
+    with the remedy named (fresh checkpoint dir; sink idempotent) —
+    not as an async Spark state-schema mismatch mid-batch.  Fresh
+    checkpoints adopt the current format via the marker and restart
+    cleanly (the end-to-end test above covers the happy restart)."""
+    import json
+    import os
+
+    import pytest
+
+    from hbase_snapshot_spark.streaming import ingest as ing
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary document about foxes and dogs " * 3,
+          "en", "s", 50)],
+        ing.DOCUMENTS_SCHEMA,
+    ).write.parquet(str(src / "f1"))
+    out = str(tmp_path / "corpus")
+
+    # pre-r14 checkpoint shape: streaming state present, no marker
+    old = tmp_path / "ckpt_old"
+    (old / "state" / "0" / "0").mkdir(parents=True)
+    (old / "state" / "0" / "0" / "1.delta").write_bytes(b"\x00")
+    with pytest.raises(RuntimeError, match="FRESH checkpoint"):
+        ing.stream_ingest_corpus(spark, str(src / "*"), out, str(old))
+
+    # a marker recording a DIFFERENT format is equally actionable
+    newer = tmp_path / "ckpt_other"
+    newer.mkdir()
+    (newer / ing._STATE_MARKER).write_text(
+        json.dumps({"format": "somethingElse-v9"}))
+    with pytest.raises(RuntimeError, match="FRESH checkpoint"):
+        ing.stream_ingest_corpus(spark, str(src / "*"), out, str(newer))
+
+    # fresh dir: marker adopted, query starts and drains
+    ckpt = str(tmp_path / "ckpt_fresh")
+    q = ing.stream_ingest_corpus(spark, str(src / "*"), out, ckpt,
+                                 min_quality=0.0)
+    q.awaitTermination()
+    with open(os.path.join(ckpt, ing._STATE_MARKER)) as f:
+        assert json.load(f)["format"] == ing._STATE_FORMAT
+    # restart under the adopted marker is allowed (no raise)
+    q2 = ing.stream_ingest_corpus(spark, str(src / "*"), out, ckpt,
+                                  min_quality=0.0)
+    q2.awaitTermination()
+
+    # an explicit adoption of unmarked state is honored
+    (old / ing._STATE_MARKER).write_text(
+        json.dumps({"format": ing._STATE_FORMAT}))
+    ing._checkpoint_preflight(str(old))  # no raise

@@ -159,20 +159,59 @@ class Bench:
             F.col("row").isin(keys))
         return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
 
-    def _range_scan(self, span: int, seed: int):
+    # r14 (guide §2.2/§3.2 — shuffle/filter fewer bytes, join strategy
+    # chosen deliberately): the 100-band restriction used to be a single
+    # 100-term OR Filter (200 string compares per cell).  Profiled
+    # (scripts/profile_range_scan.py): the bare segment scan is 0.17s and
+    # the full resolve 1.15s, but scan+OR alone was 3.40s — the OR tree
+    # dominated every range_scan op at ~95% of its runtime, and a second
+    # count() of the same plan stayed at 3.25s, so it is per-row eval
+    # cost, not planning.  The equivalent block-bucket broadcast LEFT
+    # SEMI join (each cell hash-probes its row block, evaluates only the
+    # 1-2 candidate bands that share the block, and short-circuits on
+    # first match) measured 0.43s at span 10 and 0.42s at span 10000
+    # (OR: 3.46/1.29) — same rows by construction (left_semi: no
+    # duplicates for overlapping bands), asserted in
+    # tests/test_bench_bands.py including overlap + boundary cases.
+    def _restrict_row_bands(self, cells, bands: list, block: int):
+        """Restrict a raw cell stream to the union of half-open row-key
+        bands [lo, hi) — the multi-range analogue of a Scan's
+        [start, stop).  Plan shape: band list exploded onto row-key
+        BLOCKS of ``block`` keys (a band spans ceil(span/block)+1
+        blocks), broadcast, LEFT SEMI hash join on the block id with the
+        band bounds as the join residual.  A whole-row-key restriction
+        commutes with resolve (resolution is per-(row,family,qualifier)),
+        so callers apply this BEFORE the resolve exchange — the shuffle
+        then carries only the touched bands, the plan that holds at any
+        scale."""
         from pyspark.sql import functions as F
+
+        rows = []
+        for lo, hi in bands:
+            for blk in range(int(lo) // block, int(hi) // block + 1):
+                rows.append((lo, hi, blk))
+        bands_df = self.spark.createDataFrame(
+            rows, "lo STRING, hi STRING, blk LONG")
+        cb = cells.withColumn(
+            "__blk", F.floor(F.col("row").cast("long") / block))
+        return cb.join(
+            F.broadcast(bands_df),
+            (cb["__blk"] == bands_df["blk"])
+            & (F.col("row") >= F.col("lo")) & (F.col("row") < F.col("hi")),
+            "left_semi",
+        ).drop("__blk")
+
+    def _range_scan(self, span: int, seed: int):
         from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
         rng = random.Random(seed)
-        pred = None
         ranges = []
         for _ in range(100):
             s = rng.randrange(max(1, self.n_orders - span))
             lo, hi = f"{s:012d}", f"{s + span:012d}"
             ranges.append((lo, hi))  # closed hi: superset of [lo, hi)
-            p = (F.col("row") >= lo) & (F.col("row") < hi)
-            pred = p if pred is None else (pred | p)
-        cells = self.table.cells_for_ranges(ranges).filter(pred)
+        cells = self._restrict_row_bands(
+            self.table.cells_for_ranges(ranges), ranges, block=span)
         return resolve(cells, spec=ResolveSpec(max_versions=1)).count()
 
     # -- scanRange10/100/1000 (PE): 100 random ranges each
@@ -242,10 +281,19 @@ class Bench:
         seek_df = self.spark.createDataFrame(
             seeks, "seek_id INT, start STRING, stop STRING, blk LONG"
         )
-        blks = sorted({b for (_i, _s, _e, b) in seeks})
-        cells = self.table.cells_for_ranges(ranges).withColumn(
-            "blk", F.floor(F.col("row").cast("long") / BLOCK)
-        ).filter(F.col("blk").isin(blks))
+        # r14 (guide §2.2): the old block InSet (blocks of 1000) kept
+        # ~every block at this sf — 100 random seeks touch ~2/3 of the
+        # 150 blocks, so resolve still ran on ~the whole table (its
+        # 1.15s full-table cost WAS the op's floor).  Restrict the raw
+        # cells to the exact seek bands instead (same broadcast
+        # semi-join as _range_scan, block = the band span): the resolve
+        # exchange now carries ~12k band rows instead of ~750k cells.
+        # Identical results: every row the attribution join keeps lies
+        # inside some seek's band, and band restriction commutes with
+        # resolve (per-(row,family,qualifier) resolution).
+        cells = self._restrict_row_bands(
+            self.table.cells_for_ranges(ranges), ranges, block=SPAN
+        ).withColumn("blk", F.floor(F.col("row").cast("long") / BLOCK))
         rows = resolve(cells, spec=ResolveSpec(max_versions=1))
         joined = rows.join(F.broadcast(seek_df), on="blk").filter(
             (F.col("row") >= F.col("start")) & (F.col("row") < F.col("stop"))

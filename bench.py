@@ -245,14 +245,15 @@ class Bench:
     # cell would evaluate every seek's band (and AQE's coalesce of the
     # resolve shuffle concentrates that onto few cores).
     #
-    # r7 (profile_seek.py): the block InSet is applied to the RAW cells
-    # BEFORE resolve (resolution is per-(row,family,qualifier), so a
-    # whole-row-key restriction commutes with it) — the resolve exchange
-    # then carries only the ~100-band cell population instead of the
-    # whole table.  At sf0.1 the op is resolve-bound either way (base
-    # resolve 1.5s of the 1.7s total; seek tail 0.2s), but under IO
-    # contention the smaller exchange measured 2.3x faster, and at 100TB
-    # shuffling only the touched blocks is the only correct plan.  An
+    # r7 (profile_seek.py): restrict the RAW cells BEFORE resolve
+    # (resolution is per-(row,family,qualifier), so a whole-row-key
+    # restriction commutes with it) — the resolve exchange then carries
+    # only the banded cell population instead of the whole table.  r7
+    # shipped that restriction as a block-id InSet (blocks of 1000);
+    # r14 found the InSet kept ~every block at this sf (100 random
+    # seeks touch ~2/3 of the 150 blocks → resolve still ran on ~the
+    # whole table, its 1.15s full-table cost the op's floor) and
+    # replaced it with the exact-band broadcast semi-join below.  An
     # OR-of-startswith(block-prefix) variant that parquet CAN push down
     # measured 28% slower at this sf (78-term predicate eval beats the
     # row-group skip win) — re-evaluate at real scale.

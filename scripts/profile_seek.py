@@ -64,14 +64,23 @@ def plan_pushdown(bench, seek_df, blks, ranges=None):
     from hbase_snapshot_spark.resolve import ResolveSpec, resolve
 
     # r14: bench routes the seek bands through the file-skipping
-    # manifest first (cells_for_ranges — a no-op at 32 files, the
-    # file-level carve at high file counts); the block InSet stays
-    # the residual, exactly as in bench.random_seek_scan
+    # manifest (cells_for_ranges — a no-op at 32 files, the file-level
+    # carve at high file counts), then restricts the raw cells to the
+    # EXACT seek bands via the block-bucket broadcast LEFT SEMI join
+    # (bench._restrict_row_bands) before resolve — the old block InSet
+    # kept ~every 1000-key block at bench scale, so resolve still ran
+    # on ~the whole table.  Mirrors bench.random_seek_scan exactly.
     base = (bench.table.cells_for_ranges(ranges) if ranges is not None
             else bench.table.cells())
-    cells = base.withColumn(
-        "blk", F.floor(F.col("row").cast("long") / 1000)
-    ).filter(F.col("blk").isin(blks))
+    if ranges is not None:
+        bands = [(lo, hi) for lo, hi in ranges]
+        cells = bench._restrict_row_bands(base, bands, block=120)
+    else:
+        cells = base
+    cells = cells.withColumn(
+        "blk", F.floor(F.col("row").cast("long") / 1000))
+    if ranges is None:
+        cells = cells.filter(F.col("blk").isin(blks))
     rows = resolve(cells, spec=ResolveSpec(max_versions=1))
     joined = rows.join(F.broadcast(seek_df), on="blk").filter(
         (F.col("row") >= F.col("start")) & (F.col("row") < F.col("stop"))

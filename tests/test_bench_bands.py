@@ -73,6 +73,29 @@ def test_bands_boundaries_closed_lo_open_hi(spark):
     assert rows == [f"{i:012d}" for i in range(10, 20)]
 
 
+def test_bands_plan_is_broadcast_hash_semi_join(spark):
+    # the whole point of the block bucketing: the band restriction must
+    # plan as a broadcast HASH join on the block id (LeftSemi) with the
+    # band bounds as the join residual — a BroadcastNestedLoopJoin
+    # would evaluate every band against every cell, the O(cells x
+    # bands) shape the r14 rewrite removed
+    cells = _mk_cells(spark, n=100, versions=1)
+    bands = [(f"{s:012d}", f"{s + 10:012d}") for s in (5, 50)]
+    bench = B.Bench.__new__(B.Bench)
+    bench.spark = spark
+    got = bench._restrict_row_bands(cells, bands, block=10)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bands_block_larger_and_smaller_than_span(spark):
     cells = _mk_cells(spark, n=300, versions=1)
     bands = [(f"{s:012d}", f"{s + 25:012d}") for s in (3, 90, 260)]

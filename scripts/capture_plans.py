@@ -65,16 +65,14 @@ def bench_frames(spark, bench):
 
     def range_scan(span, seed):
         def mk():
+            # mirror bench._range_scan exactly (r14: band semi-join)
             rng = random.Random(seed)
-            pred = None
             ranges = []
             for _ in range(100):
                 s = rng.randrange(max(1, bench.n_orders - span))
-                lo, hi = f"{s:012d}", f"{s + span:012d}"
-                ranges.append((lo, hi))
-                p = (F.col("row") >= lo) & (F.col("row") < hi)
-                pred = p if pred is None else (pred | p)
-            cells = bench.table.cells_for_ranges(ranges).filter(pred)
+                ranges.append((f"{s:012d}", f"{s + span:012d}"))
+            cells = bench._restrict_row_bands(
+                bench.table.cells_for_ranges(ranges), ranges, block=span)
             return resolve(cells, spec=ResolveSpec(max_versions=1))
 
         return mk
@@ -98,10 +96,11 @@ def bench_frames(spark, bench):
                 seeks.append((i, f"{s:012d}", f"{s + SPAN:012d}", blk))
         seek_df = spark.createDataFrame(
             seeks, "seek_id INT, start STRING, stop STRING, blk LONG")
-        blks = sorted({b for (_i, _s, _e, b) in seeks})
-        cells = bench.table.cells_for_ranges(ranges).withColumn(
-            "blk", F.floor(F.col("row").cast("long") / BLOCK)
-        ).filter(F.col("blk").isin(blks))
+        # mirror bench.random_seek_scan exactly (r14: band semi-join
+        # pre-resolve; the blk attribution join unchanged)
+        cells = bench._restrict_row_bands(
+            bench.table.cells_for_ranges(ranges), ranges, block=SPAN
+        ).withColumn("blk", F.floor(F.col("row").cast("long") / BLOCK))
         rows = resolve(cells, spec=ResolveSpec(max_versions=1))
         joined = rows.join(F.broadcast(seek_df), on="blk").filter(
             (F.col("row") >= F.col("start")) & (F.col("row") < F.col("stop")))

@@ -782,9 +782,14 @@ def main() -> int:
                         probe_prev = calibrate(spark)
                         calib_samples.append(probe_prev)
                     c = probe_prev
+                    # guide §1.5: label the op's jobs so a UI/event-log
+                    # reading of a slow attempt names its workload
+                    spark.sparkContext.setJobDescription(
+                        f"bench:{name} attempt {attempt + 1}")
                     t0 = time.time()
                     result = getattr(bench, name)()
                     wall = time.time() - t0
+                    spark.sparkContext.setJobDescription(None)
                     probe_prev = calibrate(spark)
                     calib_samples.append(probe_prev)
                     entry = {

@@ -135,6 +135,11 @@ _NORM = [
     # ladder row changed the pre-capture job count), never with plan
     # shape
     (re.compile(r"RDD\[\d+\]"), "RDD[N]"),
+    # ExistingRDD also prints the JVM call site that created the RDD
+    # ("applySchemaToPythonRDD at NativeMethodAccessorImpl.java:0" vs
+    # "at <unknown>:0" — differs by JDK reflection internals, a
+    # cosmetic r14 false-DIVERGED on the seek pin), never plan shape
+    (re.compile(r" at [^,\]]+:\d+"), " at X:0"),
 ]
 
 

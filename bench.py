@@ -175,31 +175,18 @@ class Bench:
     # tests/test_bench_bands.py including overlap + boundary cases.
     def _restrict_row_bands(self, cells, bands: list, block: int):
         """Restrict a raw cell stream to the union of half-open row-key
-        bands [lo, hi) — the multi-range analogue of a Scan's
-        [start, stop).  Plan shape: band list exploded onto row-key
-        BLOCKS of ``block`` keys (a band spans ceil(span/block)+1
-        blocks), broadcast, LEFT SEMI hash join on the block id with the
-        band bounds as the join residual.  A whole-row-key restriction
-        commutes with resolve (resolution is per-(row,family,qualifier)),
-        so callers apply this BEFORE the resolve exchange — the shuffle
-        then carries only the touched bands, the plan that holds at any
-        scale."""
-        from pyspark.sql import functions as F
+        bands [lo, hi) — since r15 a THIN WRAPPER over the engine's
+        first-class operator (plans/multirange.restrict_row_ranges,
+        VERDICT r14 Next #1: the block-bucket broadcast LEFT SEMI plan
+        was promoted out of the harness so any engine caller composing
+        multi-range scans gets it, with binary-safe key bucketing the
+        r14 bench-private cast(long) version lacked).  Same plan, same
+        rows: the bench bands are fixed-width digit keys, so the engine
+        takes its exact numeric path with this ``block`` size —
+        parity + plan shape pinned in tests/test_multirange.py."""
+        from hbase_snapshot_spark.plans.multirange import restrict_row_ranges
 
-        rows = []
-        for lo, hi in bands:
-            for blk in range(int(lo) // block, int(hi) // block + 1):
-                rows.append((lo, hi, blk))
-        bands_df = self.spark.createDataFrame(
-            rows, "lo STRING, hi STRING, blk LONG")
-        cb = cells.withColumn(
-            "__blk", F.floor(F.col("row").cast("long") / block))
-        return cb.join(
-            F.broadcast(bands_df),
-            (cb["__blk"] == bands_df["blk"])
-            & (F.col("row") >= F.col("lo")) & (F.col("row") < F.col("hi")),
-            "left_semi",
-        ).drop("__blk")
+        return restrict_row_ranges(cells, bands, block=block)
 
     def _range_scan(self, span: int, seed: int):
         from hbase_snapshot_spark.resolve import ResolveSpec, resolve

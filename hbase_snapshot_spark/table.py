@@ -54,7 +54,7 @@ from hbase_snapshot_spark.model import (
     TableDescriptor,
     cell_schema,
 )
-from hbase_snapshot_spark.resolve import ResolveSpec, resolve
+from hbase_snapshot_spark.resolve import ResolveSpec, resolve, ts_floor
 
 SNAPSHOT_DIR = ".snapshot"  # HConstants.java:152
 _SEQ_SHIFT = 20  # seq = commit_seq << 20 | intra-batch ordinal
@@ -623,12 +623,11 @@ class StoredTable:
         stream in plain SQL)."""
         self.read(spec=spec, version=version).createOrReplaceTempView(view_name)
 
-    def read(self, spec: ResolveSpec | None = None, version: int | None = None) -> DataFrame:
-        """Resolved view under the table descriptor: per-family
-        maxVersions AND TTLs apply (TTL `now` = wall clock unless the
-        caller's spec injects one — same contract as scans).  The
-        caller's spec is never mutated; caller-set family caps compose
-        with the descriptor's (min wins, Store.versionsToReturn)."""
+    def _composed_spec(self, spec: ResolveSpec | None) -> ResolveSpec:
+        """Descriptor-composed copy of the caller's spec: per-family
+        maxVersions compose by min (Store.versionsToReturn), caller-set
+        family TTLs override the descriptor's.  Never mutates the
+        caller's spec."""
         from dataclasses import replace
 
         spec = replace(spec) if spec is not None else ResolveSpec(max_versions=None)
@@ -640,7 +639,39 @@ class StoredTable:
         eff_ttl = {f.name: f.ttl for f in desc.families.values()}
         eff_ttl.update(spec.family_ttl or {})  # caller override wins
         spec.family_ttl = eff_ttl
-        return resolve(self.cells(version), spec=spec)
+        return spec
+
+    def read(self, spec: ResolveSpec | None = None, version: int | None = None) -> DataFrame:
+        """Resolved view under the table descriptor: per-family
+        maxVersions AND TTLs apply (TTL `now` = wall clock unless the
+        caller's spec injects one — same contract as scans).  The
+        caller's spec is never mutated; caller-set family caps compose
+        with the descriptor's (min wins, Store.versionsToReturn)."""
+        return resolve(self.cells(version), spec=self._composed_spec(spec))
+
+    def scan_ranges(self, ranges: list, spec: ResolveSpec | None = None,
+                    version: int | None = None) -> DataFrame:
+        """First-class multi-range scan — N Scans' [start, stop) bands
+        resolved in ONE job (the engine-side home of the r14 bench
+        discovery, VERDICT r14 Next #1).  ``ranges`` is a list of
+        HALF-OPEN (lo, hi) row bands, both sides required.
+
+        Plan: (1) the file-skipping manifest prunes the FILE LIST
+        driver-side (``cells_for_ranges``; the closed treatment of the
+        half-open his keeps a superset), (2) the surviving cells are
+        row-restricted by the block-bucket broadcast LEFT SEMI join
+        (:func:`~hbase_snapshot_spark.plans.multirange.restrict_row_ranges`
+        — O(1) band probes per cell instead of an O(N)-term OR filter,
+        binary-safe keys), (3) resolve under the descriptor-composed
+        spec, exactly like :meth:`read`.  A whole-row restriction
+        commutes with resolve, so the resolve exchange carries only the
+        touched bands — the shape that holds at 100 TB."""
+        from hbase_snapshot_spark.plans.multirange import restrict_row_ranges
+
+        spec = self._composed_spec(spec)
+        cells = self.cells_for_ranges(list(ranges), version=version,
+                                      ts_lo=ts_floor(spec))
+        return resolve(restrict_row_ranges(cells, list(ranges)), spec=spec)
 
     # ---------------------------------------------------------- writes
 

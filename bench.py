@@ -770,13 +770,17 @@ def main() -> int:
                         calib_samples.append(probe_prev)
                     c = probe_prev
                     # guide §1.5: label the op's jobs so a UI/event-log
-                    # reading of a slow attempt names its workload
+                    # reading of a slow attempt names its workload.
+                    # try/finally (r14 advice): a raising workload must
+                    # not leave its label on every later probe/op
                     spark.sparkContext.setJobDescription(
                         f"bench:{name} attempt {attempt + 1}")
-                    t0 = time.time()
-                    result = getattr(bench, name)()
-                    wall = time.time() - t0
-                    spark.sparkContext.setJobDescription(None)
+                    try:
+                        t0 = time.time()
+                        result = getattr(bench, name)()
+                        wall = time.time() - t0
+                    finally:
+                        spark.sparkContext.setJobDescription(None)
                     probe_prev = calibrate(spark)
                     calib_samples.append(probe_prev)
                     entry = {

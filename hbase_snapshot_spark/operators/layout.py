@@ -12,11 +12,12 @@ dimensions at once, so parquet min/max (footer) statistics prune files
 for predicates on ANY clustered column — typically ~N^(1-1/k) of the
 span per file instead of the full range.
 
-Scale shape: per-column ranks come from the repo's own
-:func:`~hbase_snapshot_spark.operators.ranks.global_ranks`
-(``ties='rank'`` — duplicates welcome), so there is NO single-task
-window anywhere: each column costs one distinct-key aggregation, one
-metadata-sized offsets pass, and one fan-back hash join; the final
+Scale shape: per-column ranks come from the global_ranks machinery
+(operators/ranks.py, ``ties='rank'`` — duplicates welcome) run as ONE
+melted single pass over all k columns (r15), so there is NO
+single-task window anywhere: ALL columns together cost one
+distinct-(dim, value) aggregation, one persisted range exchange, one
+metadata-sized offsets pass, and k fan-back hash joins; the final
 clustered layout is one ``repartitionByRange`` on the z-value plus a
 partition-local sort.  The bit interleave itself is pure bigint
 Catalyst (shift/and/sum — whole-stage codegen, no UDF).
@@ -26,11 +27,12 @@ scaling that could flip a bucket boundary between runs or engines.
 Ties share a rank, hence a bucket, hence a z-value: the layout is a
 pure function of the data.
 
-Cache lifecycle: global_ranks' persists are load-bearing
+Cache lifecycle: the rank machinery's persist is load-bearing
 (ranks.py documents why), so :func:`zorder_layout` returns a LAZY
-DataFrame with k pinned caches — wrap the consume in
-``rank_cache_scope()`` or use :func:`zorder_write`, which writes
-inside a scope and releases them deterministically.
+DataFrame with two pinned caches (the input + the ranked-keys range
+exchange) — wrap the consume in ``rank_cache_scope()`` or use
+:func:`zorder_write`, which writes inside a scope and releases them
+deterministically.
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hbase_snapshot_spark.operators.ranks import (
-    global_ranks,
+    _register_cache,
     rank_cache_scope,
     shuffle_partitions,
 )
@@ -82,12 +84,29 @@ def zorder_value(
     count).  NULLs follow rank order (ascending ranks NULLs first →
     bucket 0), so they cluster together deterministically.
 
-    Runs one count job (N for the exact bucket quantization) plus one
-    global_ranks pass per column — a layout-maintenance cost, paid
-    when rewriting data, not per query.  A caller that already knows
-    the row count can pass ``n_rows`` to skip the count job (trusted:
-    a wrong value shifts every bucket).  The returned plan carries
-    ``len(cols)`` load-bearing caches (see module docstring)."""
+    r15 single-pass machinery (VERDICT r14 Next #5, guide §2.1 —
+    fewest wide dependencies): the k per-column
+    ``global_ranks(ties='rank')`` calls (k distinct-key aggregations,
+    k persisted range exchanges, k metadata windows, run SERIALLY
+    because pass i+1 consumed pass i's fan-back output) collapse into
+    ONE melted pass — one distinct-(dim, value) aggregation over the
+    k-way melt, one persisted range exchange keyed (dim, value...),
+    one metadata window per range bucket AND dim — followed by k
+    fan-back hash joins against per-dim bucket maps derived from that
+    single materialization.  N rides along as the per-dim weight sum,
+    so the old up-front ``df.count()`` job is gone too (``n_rows`` is
+    kept for API compatibility but no longer needed).  Rank/bucket
+    values are IDENTICAL to the per-column formulation — same
+    rank = 1 + preceding row-weight over the same per-dim key order,
+    same exact bigint quantization — pinned by
+    test_layout.test_zorder_single_pass_matches_global_ranks.
+
+    The input is persisted for the duration of the computation (it is
+    read by the melt and again by the fan-back probes; register with
+    ``rank_cache_scope`` — zorder_write does — for deterministic
+    release).  A layout-maintenance cost, paid when rewriting data,
+    not per query."""
+    del n_rows  # derived from the melt's weight sums since r15
     if not cols:
         raise ValueError("cols must name at least one clustering column")
     k = len(cols)
@@ -99,22 +118,80 @@ def zorder_value(
             f"bits; 1 ≤ bits·k ≤ {_MAX_TOTAL_BITS}")
     if z_col in df.columns:
         raise ValueError(f"column {z_col!r} already exists")
-    n = n_rows if n_rows is not None else df.count()
-    if n == 0:
-        return df.withColumn(z_col, F.lit(0).cast("long"))
+    reserved = {"_dim", "_c", "_pid", "_kc", "_wc", "_koff", "_woff",
+                "_n", "_rk", "_b"} | {f"_v{i}" for i in range(k)}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with zorder_value's "
+            "working columns — rename them first")
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    P = shuffle_partitions(spark, range_partitions)
+    df = _register_cache(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+    # melt: one row per (dim, value) with per-dim value columns so
+    # mixed-type clustering columns keep their own ordering (within
+    # dim i every _vj (j != i) is constant null and _vi totally orders
+    # the dim's keys)
+    vcols = [f"_v{i}" for i in range(k)]
+    branches = []
+    for i, c in enumerate(cols):
+        branches.append(df.select(
+            F.lit(i).alias("_dim"),
+            *[(F.col(cols[j]) if j == i
+               else F.lit(None).cast(df.schema[cols[j]].dataType)
+               ).alias(vcols[j]) for j in range(k)]))
+    melted = branches[0]
+    for b in branches[1:]:
+        melted = melted.unionByName(b)
+    keys = melted.groupBy("_dim", *vcols).agg(F.count(F.lit(1)).alias("_c"))
+
+    # ONE persisted range exchange over the union of all dims' distinct
+    # keys — load-bearing persist, same contract as global_ranks: the
+    # bucket counts and the ranked keys must observe one
+    # materialization of spark_partition_id()
+    order = [F.col("_dim").asc()] + [F.col(v).asc() for v in vcols]
+    rp = _register_cache(
+        keys.repartitionByRange(P, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    # per-(partition, dim) counts: a range bucket may straddle two dims
+    cnt = rp.groupBy("_pid", "_dim").agg(
+        F.count(F.lit(1)).alias("_kc"), F.sum("_c").alias("_wc"))
+    off_w = (Window.partitionBy("_dim").orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    meta = cnt.select(
+        "_pid", "_dim",
+        (F.sum("_wc").over(off_w) - F.col("_wc")).alias("_woff"),
+        F.sum("_wc").over(Window.partitionBy("_dim")).alias("_n"),
+    )
+    in_w = Window.partitionBy("_pid", "_dim").orderBy(
+        *[F.col(v).asc() for v in vcols])
+    cum_w = in_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        rp.join(F.broadcast(meta), ["_pid", "_dim"])
+        .withColumn("_rk", F.col("_woff")
+                    + F.sum("_c").over(cum_w) - F.col("_c") + F.lit(1))
+        # exact bigint quantization: rank ∈ [1, N] → bucket ∈ [0, 2^bits)
+        .withColumn("_b", F.expr(
+            f"CAST(((_rk - 1L) * {1 << bits}L) div _n AS BIGINT)"))
+    )
+
     out = df
     bucket_cols = []
     for i, c in enumerate(cols):
-        rc = f"__zr{i}"
-        out = global_ranks(out, [c], rank_col=rc, ties="rank",
-                           range_partitions=range_partitions)
-        # exact bigint quantization: rank ∈ [1, N] → bucket ∈ [0, 2^bits)
-        out = out.withColumn(
-            rc, F.expr(f"CAST(((`{rc}` - 1L) * {1 << bits}L) div {n}L "
-                       f"AS BIGINT)"))
-        bucket_cols.append(F.col(rc))
+        bc = f"__zb{i}"
+        keymap = ranked.filter(F.col("_dim") == i).select(
+            F.col(vcols[i]).alias(f"__zk{i}"), F.col("_b").alias(bc))
+        out = out.join(keymap, out[c].eqNullSafe(F.col(f"__zk{i}"))) \
+                 .drop(f"__zk{i}")
+        bucket_cols.append(F.col(bc))
     out = out.withColumn(z_col, _interleave(bucket_cols, bits))
-    return out.drop(*[f"__zr{i}" for i in range(k)])
+    return out.drop(*[f"__zb{i}" for i in range(k)])
 
 
 def zorder_layout(
@@ -127,7 +204,7 @@ def zorder_layout(
     partition-local sort.  Every output partition (→ parquet file) is
     a contiguous z-range, i.e. a small hyper-rectangle in all ``cols``
     at once — the property parquet min/max skipping needs.  Lazy; the
-    plan pins ``len(cols)`` caches (module docstring) — prefer
+    plan pins two caches (module docstring) — prefer
     :func:`zorder_write` for a bounded lifecycle."""
     spark = df.sparkSession
     P = shuffle_partitions(spark, n_partitions)
@@ -153,10 +230,34 @@ def zorder_write(
     exists to make per-file min/max tight — recording them costs one
     footer pass; see :func:`write_skipping_manifest`).  Pass
     ``stats_manifest=False`` when the output lands where the driver
-    can't open() files (the parquet itself is unaffected)."""
-    with rank_cache_scope():
-        zorder_layout(df, cols, n_partitions=n_partitions,
-                      bits=bits).write.mode(mode).parquet(out_dir)
+    can't open() files (the parquet itself is unaffected).
+
+    The write runs under an ELEVATED range-exchange sample size
+    (r15, VERDICT r14 Next #3): the final ``repartitionByRange(_z)``
+    draws its boundaries from a reservoir sample, and at the default
+    100 points/partition the boundaries wobble run-to-run — file
+    z-ranges then straddle the aligned hyper-rectangles and the
+    pruning factor degrades nondeterministically (the
+    test_layout flake).  At 4096 points/partition any input the
+    sampler sees in full (every test-sized input; RangePartitioner
+    caps the total sample at 1e6 keys, so the driver-side cost stays
+    bounded at scale) yields EXACT quantile boundaries — a
+    deterministic layout.  Session conf is restored afterwards
+    (briefly visible to concurrent same-session jobs; harmless — a
+    larger sample only tightens their boundaries too)."""
+    _SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    conf = df.sparkSession.conf
+    old = conf.get(_SAMPLE_CONF, None)
+    conf.set(_SAMPLE_CONF, "4096")
+    try:
+        with rank_cache_scope():
+            zorder_layout(df, cols, n_partitions=n_partitions,
+                          bits=bits).write.mode(mode).parquet(out_dir)
+    finally:
+        if old is None:
+            conf.unset(_SAMPLE_CONF)
+        else:
+            conf.set(_SAMPLE_CONF, old)
     if stats_manifest:
         write_skipping_manifest(out_dir, cols)
 

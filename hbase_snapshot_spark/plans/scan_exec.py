@@ -64,7 +64,7 @@ def release_caches(owner: "str | None") -> int:
 
 
 def run_scan(cells: DataFrame, scan, cache_owner: str | None = None,
-             cells_source=None) -> DataFrame:
+             cells_source=None, no_tombstones: bool = False) -> DataFrame:
     """Execute a client.Scan against a raw cell DataFrame.
 
     ``cache_owner``: registry key for any persist this scan takes out,
@@ -91,6 +91,10 @@ def run_scan(cells: DataFrame, scan, cache_owner: str | None = None,
     from hbase_snapshot_spark.resolve import ts_floor
 
     spec: ResolveSpec = scan.to_spec()
+    # caller-proven delete-free input (the owning table's footer type
+    # stats — StoredTable._all_put): mask() then skips its tombstone
+    # windows (see ResolveSpec.no_tombstones); identical results
+    spec.no_tombstones = no_tombstones
     compiled = scan.filter.compile() if scan.filter is not None else None
 
     # ---- stage 1: key-range pruning (pushed to the parquet scan)

@@ -235,8 +235,11 @@ def bulk_load(
             # row min/max for key-range pruning; ts min/max for
             # time-range / TTL pruning (TimeRangeTracker parity —
             # regionserver/TimeRangeTracker.java:147 tracks per-HFile ts
-            # bounds that StoreFile.Reader.shouldSeek:991 consults)
-            write_skipping_manifest(out_path, ["row", "ts"])
+            # bounds that StoreFile.Reader.shouldSeek:991 consults);
+            # type min/max prove a delete-free segment (r15 — the
+            # per-HFile "no deletes" stat: StoredTable._all_put lets
+            # mask() skip its tombstone windows on such tables)
+            write_skipping_manifest(out_path, ["row", "ts", "type"])
         except OSError as e:
             # a URI-schemed / non-driver-listable out_path (hdfs://,
             # s3a://) is perfectly valid for the WRITE; the manifest is

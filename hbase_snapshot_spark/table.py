@@ -600,6 +600,26 @@ class StoredTable:
         return (self.spark.read.schema(cell_schema(binary=m["binary"]))
                 .parquet(*paths).select(*want))
 
+    def _all_put(self, version: int | None = None) -> bool:
+        """True when every segment's skipping manifest PROVES the cell
+        stream at this version holds zero delete-type cells: each
+        file's footer ``type`` min == max == PUT.  The per-HFile
+        "no deletes" metadata of the reference, read driver-side from
+        the cached manifests (no Spark job).  Unknown — a segment
+        without a manifest, or one predating the r15 type stats —
+        conservatively reads False (mask just keeps its tombstone
+        windows; never a correctness question)."""
+        m = self.manifest(version)
+        for s in m["segments"]:
+            skip = _segment_skip_manifest(os.path.join(self.dir, "segments", s))
+            if skip is None or "type" not in skip.get("columns", []):
+                return False
+            for stats in skip["files"].values():
+                st = stats.get("type")
+                if (not st or st[0] != KeyType.PUT or st[1] != KeyType.PUT):
+                    return False
+        return True
+
     def client(self, version: int | None = None, now: int | None = None) -> ClientTable:
         self._check_enabled()
         # pin the MVCC read point NOW: the bound cell stream, the
@@ -613,7 +633,8 @@ class StoredTable:
                            cache_owner=self.dir,
                            cells_source=lambda ranges, ts_lo=None:
                                self.cells_for_ranges(
-                                   ranges, version=v, ts_lo=ts_lo))
+                                   ranges, version=v, ts_lo=ts_lo),
+                           no_tombstones=self._all_put(v))
 
     def create_view(self, view_name: str, spec: ResolveSpec | None = None,
                     version: int | None = None) -> None:
@@ -639,6 +660,9 @@ class StoredTable:
         eff_ttl = {f.name: f.ttl for f in desc.families.values()}
         eff_ttl.update(spec.family_ttl or {})  # caller override wins
         spec.family_ttl = eff_ttl
+        # the map now covers every declared family — ts_floor may read
+        # its keys as the unrestricted-scan read set (resolve.py)
+        spec.ttl_complete = True
         return spec
 
     def read(self, spec: ResolveSpec | None = None, version: int | None = None) -> DataFrame:
@@ -739,10 +763,14 @@ class StoredTable:
         parity: the reference tracks per-HFile ts bounds for exactly
         this (regionserver/TimeRangeTracker.java:147, consumed by
         StoreFile.Reader.shouldSeek:991 / MemStore.shouldSeek:509).
-        One footer pass over the just-written files; no data pages."""
+        One footer pass over the just-written files; no data pages.
+        ``type`` min/max ride along (r15): a segment whose every file
+        reads type min == max == PUT is proven delete-free — the
+        per-HFile "no deletes" metadata the reference keeps — which
+        lets reads skip mask()'s tombstone windows (_all_put)."""
         from hbase_snapshot_spark.operators.layout import write_skipping_manifest
 
-        write_skipping_manifest(seg_dir, ["ts"])
+        write_skipping_manifest(seg_dir, ["ts", "type"])
 
     def _now_ms(self) -> int:
         return int(time.time() * 1000)
@@ -772,7 +800,7 @@ class StoredTable:
         )
 
         if not os.path.exists(os.path.join(dst, SKIP_MANIFEST_NAME)):
-            write_skipping_manifest(dst, ["row", "ts"])
+            write_skipping_manifest(dst, ["row", "ts", "type"])
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = list(m["segments"]) + [seg]
@@ -1154,7 +1182,7 @@ class StoredTable:
         # (TimeRangeTracker parity — TimeRangeTracker.java:147)
         from hbase_snapshot_spark.operators.layout import write_skipping_manifest
 
-        write_skipping_manifest(seg_dir, ["row", "ts"])
+        write_skipping_manifest(seg_dir, ["row", "ts", "type"])
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["segments"] = keep + [seg]

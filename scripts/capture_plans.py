@@ -142,7 +142,16 @@ def main() -> int:
     bench = B.Bench(spark, B.SF_DIR, workdir)
     names = {}
 
-    if not only or any(not n.startswith("q:") for n in only):
+    # bench setup (bulk_write + all bench frames) is only needed when a
+    # requested name is a BENCH workload; bare query names (the
+    # documented `after q1 q2` usage, no `q:` prefix) must not trigger
+    # it (r14 advice) — normalize against the known query set
+    import __spark_entry__ as _e
+
+    qnames = set(_e.queries())
+    needs_bench = not only or any(
+        not (n.startswith("q:") or n in qnames) for n in only)
+    if needs_bench:
         bench.bulk_write()  # setup for the stored-table read plans
         names.update(bench_frames(spark, bench))
 

@@ -138,8 +138,12 @@ _NORM = [
     # ExistingRDD also prints the JVM call site that created the RDD
     # ("applySchemaToPythonRDD at NativeMethodAccessorImpl.java:0" vs
     # "at <unknown>:0" — differs by JDK reflection internals, a
-    # cosmetic r14 false-DIVERGED on the seek pin), never plan shape
-    (re.compile(r" at [^,\]]+:\d+"), " at X:0"),
+    # cosmetic r14 false-DIVERGED on the seek pin), never plan shape.
+    # Anchored to the reflection call-site SHAPE (r14 advice: the old
+    # ` at [^,\]]+:\d+` could swallow genuine plan text that merely
+    # contains " at X:N")
+    (re.compile(r"\bat (?:[\w.$]+\.(?:java|scala)|<unknown>):\d+"),
+     "at X:0"),
 ]
 
 

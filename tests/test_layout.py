@@ -432,3 +432,23 @@ def test_prune_files_ranges_mixed_bound_types_keep_all():
         "a.parquet", "b.parquet"]
     assert prune_files_ranges(man, "k", [(b"x", None), (5, 7), (None, "z")]
                               ) == ["a.parquet", "b.parquet"]
+
+
+def test_zorder_single_pass_one_rank_exchange(spark):
+    """r15 (VERDICT r14 Next #5): the k per-column rank passes
+    collapsed into ONE melted pass — the lazy layout plan must carry
+    exactly TWO range exchanges (the ranked-keys exchange + the final
+    z repartitionByRange), not k+1."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [((i * 7) % 50, (i * 13) % 50) for i in range(500)],
+        "x long, y long")
+    out = zorder_layout(df, ["x", "y"], n_partitions=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("rangepartitioning") == 2, plan
+    spark.catalog.clearCache()

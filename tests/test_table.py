@@ -810,3 +810,148 @@ def test_writer_lock_inprocess_timeout(store):
     th1.join(10)
     # lock is usable again afterwards
     t.mutate([Put("r1").add("f", "q", "v1", ts=10)])
+
+
+# ---------------------------------------------------- r15: all-put stats
+
+
+def _put_cells(spark, n=200, versions=2):
+    rows = []
+    for i in range(n):
+        for v in range(versions):
+            rows.append((f"{i:06d}", "f", "q", 100 + v, 4, f"v{i}.{v}"))
+    return spark.createDataFrame(
+        rows, "row STRING, family STRING, qualifier STRING, ts LONG, "
+              "type INT, value STRING")
+
+
+def test_all_put_stat_and_tombstone_window_skip(store, spark):
+    """r15 (VERDICT r14 Next #4): segments publish footer type min/max;
+    a table whose every file is all-PUT binds a no_tombstones client
+    whose mask() skips the tombstone windows — results identical, plan
+    provably window-free — and the stat flips off (and results stay
+    correct) the moment a delete segment lands."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = _mk(store)
+    t.append_cells(_put_cells(spark))
+    assert t._all_put() is True
+
+    cl = t.client()
+    assert cl.no_tombstones is True
+    # parity: the window-free scan equals the full resolve path
+    from hbase_snapshot_spark.client import Table as ClientTable
+
+    slow = ClientTable(t.cells(), t.descriptor)  # no flag
+    sc = Scan(max_versions=None)
+    assert cellset(cl.scan(sc)) == cellset(slow.scan(sc))
+    # the fast plan really dropped the tombstone windows
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cl.scan(sc).explain("simple")
+    fast_plan = buf.getvalue()
+    assert "_famdel" not in fast_plan and "_coldel" not in fast_plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        slow.scan(sc).explain("simple")
+    assert "_famdel" in buf.getvalue()
+
+    # a delete flips the stat off and masking still applies
+    t.mutate([Delete("000001")], now=10_000)
+    assert t._all_put() is False
+    cl2 = t.client()
+    assert cl2.no_tombstones is False
+    assert cl2.row_count() == 199
+
+
+def test_row_count_fast_path_parity_and_guards(store, spark):
+    """row_count's RowCounter fast path (distinct row over the raw
+    stream) must equal the resolve path on an all-put table, under
+    row bounds and family restriction — and every ineligible guard
+    (filter, time_range, columns, bounded TTL, deletes present) must
+    fall back to the exact path."""
+    from hbase_snapshot_spark.filters import PageFilter
+
+    t = _mk(store)
+    t.append_cells(_put_cells(spark, n=150))
+    cl = t.client()
+    assert cl.no_tombstones is True
+    slow = lambda s=None: cl.scan(s).select("row").distinct().count()  # noqa: E731
+
+    assert cl.row_count() == slow() == 150
+    sc_bounds = Scan(start_row="000010", stop_row="000020")
+    assert cl.row_count(sc_bounds) == slow(sc_bounds) == 10
+    sc_fam = Scan(families=["f"])
+    assert cl.row_count(sc_fam) == slow(sc_fam) == 150
+    # ineligible shapes still agree (they take the resolve path)
+    sc_tr = Scan(time_range=(100, 101), max_versions=None)
+    assert cl.row_count(sc_tr) == slow(sc_tr) == 150
+    sc_cols = Scan(columns={"f": ["nope"]})
+    assert cl.row_count(sc_cols) == slow(sc_cols) == 0
+    sc_filt = Scan(filter=PageFilter(7))
+    assert cl.row_count(sc_filt) == slow(sc_filt)
+    sc_ttl = Scan(family_ttl={"f": 1, "g": 1}, now=10_000_000)
+    assert cl.row_count(sc_ttl) == slow(sc_ttl) == 0
+
+    # with deletes present the fast path must not engage
+    t.mutate([Delete(f"{i:06d}") for i in range(5)], now=10_000)
+    cl2 = t.client()
+    assert cl2.row_count() == 145
+
+
+def test_ttl_floor_via_ttl_complete_without_family_injection(store, spark):
+    """r15 (VERDICT r14 Wrong #5): the TTL file-prune floor works off
+    the descriptor-composed family_ttl map (ttl_complete) instead of
+    injected scan.families — unrestricted scans carry NO per-row
+    family-isin residual while ts_floor still sees the read set."""
+    from hbase_snapshot_spark.resolve import ts_floor
+
+    t = _mk(store)
+    cl = t.client()
+    eff = cl._apply_descriptor(Scan(family_ttl={"f": 1, "g": 1}, now=3_600_000))
+    assert eff.families is None  # no injection
+    spec = eff.to_spec()
+    assert spec.ttl_complete is True
+    assert ts_floor(spec) == 3_600_000 - 1000
+    # an unbounded family in the read set kills the TTL bound (sound)
+    eff2 = cl._apply_descriptor(Scan(family_ttl={"f": 1}, now=3_600_000))
+    assert ts_floor(eff2.to_spec()) is None
+
+
+def test_row_count_agg_path_tombstone_parity(spark, tmp_path, sf_dir):
+    """The r15 aggregation row_count (no resolve windows) must equal
+    the scan-path count on a tombstone-RICH stream — all three delete
+    kinds live (encode_orders_cells: DELETE_COLUMN k%5, exact DELETE
+    k%7, DELETE_FAMILY k%11) — under no restriction, row bounds,
+    family projection, and TTL."""
+    from hbase_snapshot_spark.model import FOREVER, FamilyDescriptor, TableDescriptor
+    from hbase_snapshot_spark.parity import encode_orders_cells
+    from hbase_snapshot_spark.table import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    t = store.create_table(
+        TableDescriptor("orders")
+        .add_family(FamilyDescriptor("o", max_versions=FOREVER))
+        .add_family(FamilyDescriptor("m", max_versions=FOREVER)))
+    t.append_cells(encode_orders_cells(spark, sf_dir))
+    assert t._all_put() is False          # the fixture has tombstones
+    cl = t.client()
+    assert cl.no_tombstones is False
+
+    def slow(s=None):
+        return cl.scan(s).select("row").distinct().count()
+
+    scans = [
+        None,
+        Scan(start_row="000000000100", stop_row="000000000700"),
+        Scan(families=["o"]),
+        Scan(families=["m"]),
+        # TTL 1s at now=2_500_000: ts-1000/1500/1700/2000 cells expire
+        # (including tombstones — expired deletes no longer mask),
+        # ts-3000 survives
+        Scan(family_ttl={"o": 1, "m": 1}, now=2_500_000),
+    ]
+    for s in scans:
+        assert cl.row_count(s) == slow(s), s
+    assert cl.row_count() > 0

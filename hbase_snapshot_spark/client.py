@@ -313,7 +313,14 @@ class Table:
 
     def row_count(self, scan: Scan | None = None) -> int:
         """mapreduce/RowCounter.java:40-117 — rows with ≥1 visible cell
-        (FirstKeyOnlyFilter pushdown ≡ distinct row keys).
+        (FirstKeyOnlyFilter pushdown ≡ distinct row keys).  The counted
+        DataFrame is built by :meth:`_row_count_df` (separated so plan
+        tooling can ``explain`` exactly what this counts)."""
+        return self._row_count_df(scan).count()
+
+    def _row_count_df(self, scan: Scan | None = None) -> DataFrame:
+        """The single-column DataFrame whose count row_count returns —
+        one distinct ``row`` per visible row.
 
         Fast paths (r15 — VERDICT r14 Next #4, guide §2.3 "aggregate
         before you shuffle"): a row count never needs the resolved
@@ -361,7 +368,7 @@ class Table:
         eff = self._apply_descriptor(scan or Scan())
         if eff.filter is not None or eff.time_range is not None \
                 or eff.columns is not None:
-            return self.scan(scan).select("row").distinct().count()
+            return self.scan(scan).select("row").distinct()
         spec = eff.to_spec()
         cells = self.cells
         ts_lo = ts_floor(spec)
@@ -382,7 +389,7 @@ class Table:
         if ttl_pred is not None:
             cells = cells.filter(ttl_pred)
         if self.no_tombstones:
-            return cells.select("row").distinct().count()
+            return cells.select("row").distinct()
         t, ts = F.col("type"), F.col("ts")
         g1 = cells.repartition("row").groupBy(
             "row", "family", "qualifier", "ts").agg(
@@ -406,7 +413,7 @@ class Table:
         vis = g3.filter(
             F.col("_bestf").isNotNull()
             & (F.col("_famdel").isNull() | (F.col("_bestf") > F.col("_famdel"))))
-        return vis.select("row").distinct().count()
+        return vis.select("row").distinct()
 
 
 class ScannerLeases:

@@ -125,6 +125,30 @@ def bench_frames(spark, bench):
         ])))
 
     out["filter_scan"] = filter_scan
+
+    def snapshot_row_count():
+        # the snapshot_restore op's verification read (its dominant
+        # cost): the DataFrame row_count counts.  r15 exposes it as
+        # _row_count_df; older trees (before-capture) computed
+        # scan().select(row).distinct() inline.
+        c = bench.table.client()
+        fn = getattr(c, "_row_count_df", None)
+        if fn is not None:
+            return fn()
+        return c.scan(Scan()).select("row").distinct()
+
+    out["snapshot_row_count"] = snapshot_row_count
+
+    def zorder():
+        from hbase_snapshot_spark.operators.layout import zorder_layout
+
+        li = spark.read.parquet(f"{bench.sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice")
+        return zorder_layout(li, ["l_partkey", "l_suppkey"],
+                             n_partitions=B.CPUS)
+
+    out["zorder_write"] = zorder
     return out
 
 

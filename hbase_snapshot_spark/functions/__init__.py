@@ -8,6 +8,45 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+import weakref as _weakref
+
+#: per-SparkContext memo of CONSTRUCTED COLUMN EXPRESSIONS (never data,
+#: never results) — see memo_exprs
+_EXPR_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def memo_exprs(tag: str, key: tuple, build):
+    """Memoize a pure Column-expression constructor per SparkContext.
+
+    Building a large expression tree through Python loops costs one
+    py4j round trip per Column operation — lang_id alone is ~150 calls
+    ≈ 0.15-0.2s of DRIVER time, and pipelines that rebuild their gates
+    per micro-batch drain or per stage pay it each time (measured r15:
+    ~0.4-0.5s of the streaming front door's ~0.8s per-drain premium is
+    exactly this, scripts in OPTIMIZATION_r15.md §6).  Columns are
+    immutable expression handles, so returning the SAME object for the
+    same constructor+key is semantically identical to rebuilding it.
+
+    CONTRACT: ``key`` must be plain Python values (column NAMES,
+    literals) — never Column objects: a resolved attribute (df["x"])
+    and an unresolved F.col("x") stringify identically, so an
+    object-derived key could hand one caller's binding to another.
+    ``build`` must be pure given the key (module-constant tables like
+    STOPWORDS are fine).  The memo is keyed by the live SparkContext
+    (weakly — entries die with it) and stores EXPRESSIONS only; data
+    and query results are never cached here."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    cache = _EXPR_MEMO.setdefault(sc, {})
+    k = (tag,) + tuple(key)
+    if k not in cache:
+        cache[k] = build()
+    return cache[k]
+
+
 def bind_once(expr, fn):
     """Evaluate ``expr`` once and pass it to ``fn`` as a lambda
     variable (transform over a 1-element array) — the sharing idiom

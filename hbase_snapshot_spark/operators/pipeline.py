@@ -94,7 +94,7 @@ def preprocess_corpus(
         out = line_dedup(out, col, id_col=id_col, mode=line_dedup_mode,
                          min_count=line_min_count)
         col = f"clean_{col}"
-    out = out.withColumn("lang", lang_id(F.col(col)))
+    out = out.withColumn("lang", lang_id(col))
     out = quality_score(out, col)
     out = out.filter(F.col("quality") >= min_quality)
     if keep_langs is not None:

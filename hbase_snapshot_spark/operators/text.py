@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hbase_snapshot_spark.functions import word_tokens
+from hbase_snapshot_spark.functions import memo_exprs, word_tokens
 
 # language → discriminating stopwords (lowercase).  Shared with the SQL
 # generator — keep lists and ORDER identical on both sides: ties in the
@@ -46,7 +46,7 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     return out
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: "Column | str") -> Column:
     """n-gram/stopword-heuristic language ID: argmax of per-language
     stopword hits; 'und' (undetermined) when no list scores > 0; ties
     break toward the earlier language in STOPWORDS order.
@@ -59,7 +59,15 @@ def lang_id(text: Column) -> Column:
     pipeline's strip chain) multiply by that count, and the when-chain
     form pushed the fused dedup stage past javac's 64 KB method limit
     into interpreted fallback.  array_position returns the FIRST
-    maximum, which is exactly the earlier-language tie-break."""
+    maximum, which is exactly the earlier-language tie-break.
+
+    r15 (guide §7.3 — don't regenerate giant expression trees): pass a
+    column NAME to get the memoized form — the ~150-py4j-call tree is
+    built once per (SparkContext, name) instead of per drain/stage.
+    Column inputs (arbitrary expressions) always build fresh."""
+    if isinstance(text, str):
+        return memo_exprs("lang_id", (text,),
+                          lambda: lang_id(F.col(text)))
     langs = list(STOPWORDS)
     arr = F.array(*[stopword_hits(text, STOPWORDS[lang]) for lang in langs])
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
@@ -76,10 +84,18 @@ def token_count(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """per-document statistics used by quality scoring"""
+    """per-document statistics used by quality scoring (the six stat
+    Columns are memoized per (SparkContext, text_col) — name-keyed
+    immutable expressions, guide §7.3)"""
+    return df.withColumns(dict(memo_exprs(
+        "text_stats", (text_col,),
+        lambda: tuple(_text_stats_cols(text_col).items()))))
+
+
+def _text_stats_cols(text_col: str) -> dict:
     t = F.col(text_col)
     toks = word_tokens(t)
-    return df.withColumns({
+    return ({
         "n_chars_c": F.length(t),
         "n_tokens": F.size(toks),
         "n_bpe_tokens": token_count(t),
@@ -109,7 +125,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     the score arithmetic runs over the lambda variable: the when-chain
     form re-expanded n_tok/sw/punct (each referencing ``text``) per
     branch, which — with an expensive substituted text expression —
-    pushed fused downstream stages past the 64 KB codegen limit."""
+    pushed fused downstream stages past the 64 KB codegen limit.
+
+    r15: the quality Column is memoized per (SparkContext, text_col) —
+    it references ``text_col`` only by name, so the same immutable
+    expression serves every DataFrame (guide §7.3; ~0.2s of driver
+    py4j construction otherwise rebuilt per drain/stage)."""
+    return df.withColumn(
+        "quality",
+        memo_exprs("quality_score", (text_col,),
+                   lambda: _quality_expr(text_col)))
+
+
+def _quality_expr(text_col: str) -> Column:
     t = F.col(text_col)
     toks = word_tokens(t)
     n_tok = F.size(toks)
@@ -137,7 +165,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     comps = F.struct(n_tok.alias("n_tok"), sw.alias("sw"),
                      punct.alias("punct"))
-    return df.withColumn("quality", _bind_once(comps, score))
+    return _bind_once(comps, score)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -108,7 +108,7 @@ def _gate_dedup_sink(
     to the gate, the state semantics, or the idempotent-write protocol
     can never apply to one and silently miss the other."""
     gated = quality_score(
-        docs.withColumn("lang_detected", lang_id(F.col(text_col))),
+        docs.withColumn("lang_detected", lang_id(text_col)),
         text_col,
     ).filter(F.col("quality") >= min_quality)
     if keep_langs is not None:

@@ -195,6 +195,34 @@ def test_lang_id(docs, spark):
     assert out[5] == "und"
 
 
+def test_expr_memo_semantics(docs, spark):
+    """r15 memo_exprs: name-keyed constructors return the SAME
+    immutable Column per SparkContext (construction happens once);
+    Column inputs always build fresh; results are identical either
+    way; a non-matching key builds fresh."""
+    from hbase_snapshot_spark.functions import _EXPR_MEMO
+
+    c1 = text.lang_id("text")
+    c2 = text.lang_id("text")
+    assert c1 is c2  # memoized: the same expression object
+    f1 = text.lang_id(F.col("text"))
+    f2 = text.lang_id(F.col("text"))
+    assert f1 is not c1 and f1 is not f2  # Column inputs: fresh builds
+    assert text.lang_id("other_col") is not c1  # different key
+    a = [r.l for r in docs.select(c1.alias("l")).orderBy("doc_id").collect()]
+    b = [r.l for r in docs.select(f1.alias("l")).orderBy("doc_id").collect()]
+    assert a == b
+    # the memo is keyed by the live SparkContext and holds expressions
+    cache = _EXPR_MEMO[spark.sparkContext]
+    assert ("lang_id", "text") in cache
+    # quality_score / text_stats share their expression across frames
+    q1 = text.quality_score(docs).select("doc_id", "quality")
+    q2 = text.quality_score(docs.limit(3)).select("doc_id", "quality")
+    r1 = {r.doc_id: r.quality for r in q1.collect()}
+    r2 = {r.doc_id: r.quality for r in q2.collect()}
+    assert all(r1[k] == v for k, v in r2.items())
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([("hello world, 42 foo-bar",)], ["text"])
     n = df.select(text.token_count(F.col("text")).alias("n")).collect()[0].n

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_snapshot_spark.functions import WS_RE
+from hbase_snapshot_spark.functions import WS_RE, memo_exprs
 
 
 def chunk_documents(
@@ -45,6 +45,24 @@ def chunk_documents(
     contain a literal space."""
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    # the generator expressions are memoized per (SparkContext, args) —
+    # everything is keyed by plain names/ints, and pipelines rebuild
+    # this op per stage (guide §7.3; ~0.2s of driver py4j construction)
+    toks, idxs, chunk_text, n_chunk_tokens = memo_exprs(
+        "chunk_documents", (text_col, chunk_tokens, overlap_tokens, ws),
+        lambda: _chunk_exprs(text_col, chunk_tokens, overlap_tokens, ws))
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("chunk_idx", F.explode(idxs))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .withColumn("chunk_text", chunk_text)
+        .withColumn("n_chunk_tokens", n_chunk_tokens)
+        .drop("_toks")
+    )
+
+
+def _chunk_exprs(text_col: str, chunk_tokens: int, overlap_tokens: int,
+                 ws: str) -> tuple:
     stride = chunk_tokens - overlap_tokens
     # NULL / empty / whitespace-only text → ZERO chunks, via the shared
     # word_tokens contract: collapse the ``ws`` class to single spaces,
@@ -68,20 +86,11 @@ def chunk_documents(
         F.size(toks) == 0, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(0), n_chunks - 1))
     start = F.col("chunk_idx") * stride  # 0-based token offset
-    return (
-        df.withColumn("_toks", toks)
-        .withColumn("chunk_idx", F.explode(idxs))
-        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
-        .withColumn(
-            "chunk_text",
-            F.array_join(F.slice("_toks", start + 1, chunk_tokens), " "),
-        )
-        .withColumn(
-            "n_chunk_tokens",
-            F.least(F.lit(chunk_tokens), F.size("_toks") - start).cast("long"),
-        )
-        .drop("_toks")
-    )
+    chunk_text = F.array_join(
+        F.slice("_toks", start + 1, chunk_tokens), " ")
+    n_chunk_tokens = F.least(
+        F.lit(chunk_tokens), F.size("_toks") - start).cast("long")
+    return toks, idxs, chunk_text, n_chunk_tokens
 
 
 #: sentence boundary: terminal punctuation (optionally closing quotes/
